@@ -1,0 +1,461 @@
+package graft.operators
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The relational operator surface from SURVEY.md §2, re-expressed
+  * Spark-first over the driver's TPC-H-ish tables. Each entry is an
+  * operator category (scan/project/filter, the join shapes J1–J10,
+  * aggregation A1–A6, window W1–W5, set ops E1–E3, scalar functions
+  * F1–F8) with a DuckDB oracle.
+  *
+  * Scale notes are inline: broadcasts marked explicitly for dimension
+  * tables, aggregations rely on partial (map-side) aggregation, and
+  * nothing collects to the driver.
+  */
+object Relational {
+
+  private def t(s: SparkSession, dir: String, n: String): DataFrame =
+    Tables(s, dir, n)
+
+  val all: Seq[QueryDef] = Seq(
+
+    // ---- scans / projections / filters (S2, P1–P4) ----------------
+
+    // P1: column-subset projection with rename; pushes ReadSchema
+    // pruning to the parquet scan (reference: database.py:823-839).
+    QueryDef.sql(
+      "q_project_rename",
+      """SELECT c_custkey AS custkey, c_name AS name,
+        |       c_mktsegment AS segment
+        |FROM customer WHERE c_mktsegment IS NOT NULL""".stripMargin) {
+      (s, dir) =>
+        t(s, dir, "customer")
+          .filter(col("c_mktsegment").isNotNull)
+          .select(
+            col("c_custkey").as("custkey"),
+            col("c_name").as("name"),
+            col("c_mktsegment").as("segment"))
+    },
+
+    // P3+P4: predicate filter + membership filter; both pushed to the
+    // scan as PushedFilters (reference: common.py:241-252).
+    QueryDef.sql(
+      "q_filter_isin",
+      """SELECT l_orderkey, l_linenumber, l_returnflag,
+        |       l_quantity AS qty
+        |FROM lineitem
+        |WHERE l_returnflag IN ('A','R') AND l_quantity > 25""".stripMargin) {
+      (s, dir) =>
+        t(s, dir, "lineitem")
+          .filter(col("l_returnflag").isin("A", "R") && col("l_quantity") > 25)
+          .select(
+            col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+            col("l_quantity").as("qty"))
+    },
+
+    // P5: single-column distinct projection (reference: database.py:645).
+    QueryDef.sql(
+      "q_distinct",
+      "SELECT DISTINCT c_mktsegment AS segment FROM customer") {
+      (s, dir) =>
+        t(s, dir, "customer").select(col("c_mktsegment").as("segment")).distinct()
+    },
+
+    // ---- aggregation (A1, A5, A6) ---------------------------------
+
+    // A6: hash aggregate with partial/final split (map-side combine).
+    // Doubles that accumulate across rows are rounded so Spark's and
+    // DuckDB's summation orders can't flip the hash.
+    QueryDef.sql(
+      "q_agg_groupby",
+      """SELECT l_returnflag, l_linestatus,
+        |       sum(l_quantity) AS sum_qty,
+        |       count(*) AS cnt,
+        |       CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_orders,
+        |       round(sum(l_extendedprice), 2) AS sum_price,
+        |       round(avg(l_quantity), 6) AS avg_qty
+        |FROM lineitem
+        |GROUP BY l_returnflag, l_linestatus""".stripMargin) {
+      (s, dir) =>
+        t(s, dir, "lineitem")
+          .groupBy(col("l_returnflag"), col("l_linestatus"))
+          .agg(
+            sum(col("l_quantity")).as("sum_qty"),
+            count(lit(1)).as("cnt"),
+            countDistinct(col("l_orderkey")).as("n_orders"),
+            round(sum(col("l_extendedprice")), 2).as("sum_price"),
+            round(avg(col("l_quantity")), 6).as("avg_qty"))
+    },
+
+    // A6: grouping sets via ROLLUP.
+    QueryDef.sql(
+      "q_rollup",
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS cnt
+        |FROM orders
+        |GROUP BY ROLLUP (o_orderstatus, o_orderpriority)""".stripMargin) {
+      (s, dir) =>
+        t(s, dir, "orders")
+          .rollup(col("o_orderstatus"), col("o_orderpriority"))
+          .agg(count(lit(1)).as("cnt"))
+    },
+
+    // A6: approximate distinct (HLL) — engine-specific sketch, so no
+    // SQL oracle; driver records rows>0.
+    QueryDef.rowsOnly("q_approx_distinct") { (s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"))
+    },
+
+    // ---- joins (J1–J10) -------------------------------------------
+
+    // J1-style chained multi-join: fact table joined through orders →
+    // customer → nation → region. nation/region are tiny dimensions ⇒
+    // broadcast (no shuffle of the fact side beyond the o/c joins);
+    // at 100 TB lineitem⋈orders co-partitions on the order key.
+    QueryDef.sql(
+      "q_join_multi",
+      """SELECT n_name, r_name, count(*) AS n_items,
+        |       sum(l_quantity) AS sum_qty
+        |FROM lineitem
+        |JOIN orders   ON l_orderkey  = o_orderkey
+        |JOIN customer ON o_custkey   = c_custkey
+        |JOIN nation   ON c_nationkey = n_nationkey
+        |JOIN region   ON n_regionkey = r_regionkey
+        |GROUP BY n_name, r_name""".stripMargin) {
+      (s, dir) =>
+        t(s, dir, "lineitem")
+          .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+          .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+          .join(broadcast(t(s, dir, "nation")),
+            col("c_nationkey") === col("n_nationkey"))
+          .join(broadcast(t(s, dir, "region")),
+            col("n_regionkey") === col("r_regionkey"))
+          .groupBy(col("n_name"), col("r_name"))
+          .agg(count(lit(1)).as("n_items"), sum(col("l_quantity")).as("sum_qty"))
+    },
+
+    // J3: left outer join + coalesce of the missing side
+    // (reference: database.py:876-923 title⋈ratings).
+    QueryDef.sql(
+      "q_join_left_coalesce",
+      """SELECT c_custkey, count(o_orderkey) AS n_orders,
+        |       round(coalesce(min(o_totalprice), 0.0), 2) AS min_price
+        |FROM customer LEFT JOIN orders ON o_custkey = c_custkey
+        |GROUP BY c_custkey""".stripMargin) {
+      (s, dir) =>
+        t(s, dir, "customer")
+          .join(t(s, dir, "orders"), col("o_custkey") === col("c_custkey"),
+            "left_outer")
+          .groupBy(col("c_custkey"))
+          .agg(
+            count(col("o_orderkey")).as("n_orders"),
+            round(coalesce(min(col("o_totalprice")), lit(0.0)), 2)
+              .as("min_price"))
+    },
+
+    // J4: self-join with aliases (reference: database.py:944-980
+    // episode⋈title⋈title).
+    QueryDef.sql(
+      "q_join_self",
+      """SELECT a.n_name AS nation_a, b.n_name AS nation_b,
+        |       a.n_regionkey AS regionkey
+        |FROM nation a JOIN nation b
+        |  ON a.n_regionkey = b.n_regionkey AND a.n_name < b.n_name""".stripMargin) {
+      (s, dir) =>
+        val n = t(s, dir, "nation")
+        n.as("a")
+          .join(n.as("b"),
+            col("a.n_regionkey") === col("b.n_regionkey") &&
+              col("a.n_name") < col("b.n_name"))
+          .select(
+            col("a.n_name").as("nation_a"),
+            col("b.n_name").as("nation_b"),
+            col("a.n_regionkey").as("regionkey"))
+    },
+
+    // J10: left semi join (EXISTS).
+    QueryDef.sql(
+      "q_join_semi",
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |              WHERE o_custkey = c_custkey AND o_orderstatus = 'F')""".stripMargin) {
+      (s, dir) =>
+        t(s, dir, "customer")
+          .join(
+            t(s, dir, "orders").filter(col("o_orderstatus") === "F"),
+            col("o_custkey") === col("c_custkey"), "left_semi")
+          .select(col("c_custkey"), col("c_name"))
+    },
+
+    // J10: left anti join (NOT EXISTS): customers with no single order
+    // above 350k (non-empty at every scale factor).
+    QueryDef.sql(
+      "q_join_anti",
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey
+        |                    AND o_totalprice > 350000)""".stripMargin) {
+      (s, dir) =>
+        t(s, dir, "customer")
+          .join(t(s, dir, "orders").filter(col("o_totalprice") > 350000),
+            col("o_custkey") === col("c_custkey"), "left_anti")
+          .select(col("c_custkey"), col("c_name"))
+    },
+
+    // ---- explode / json / scalar functions (F1, F2, W1) -----------
+
+    // F1+W1: split + positional explode preserving 1-based list order
+    // (reference: database.py:861-865 comma-list → ordered relation).
+    QueryDef.sql(
+      "q_explode_pos",
+      """SELECT p_partkey,
+        |       CAST(generate_subscripts(string_split(p_type, ' '), 1) AS INTEGER) AS ordering,
+        |       unnest(string_split(p_type, ' ')) AS word
+        |FROM part""".stripMargin) {
+      (s, dir) =>
+        t(s, dir, "part")
+          .select(col("p_partkey"),
+            posexplode(split(col("p_type"), " ")).as(Seq("pos", "word")))
+          .select(col("p_partkey"), (col("pos") + 1).cast("int").as("ordering"),
+            col("word"))
+    },
+
+    // F2: JSON field extraction + aggregation
+    // (reference: database.py:717 json.loads of characters).
+    QueryDef.sql(
+      "q_json_extract",
+      """SELECT event_type,
+        |       CAST(sum(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS BIGINT) AS sum_k,
+        |       count(*) AS cnt
+        |FROM events GROUP BY event_type""".stripMargin) {
+      (s, dir) =>
+        t(s, dir, "events")
+          .select(col("event_type"),
+            get_json_object(col("props"), "$.k").cast("long").as("k"))
+          .groupBy(col("event_type"))
+          .agg(sum(col("k")).as("sum_k"), count(lit(1)).as("cnt"))
+    },
+
+    // F3/F6: CASE WHEN + NULLIF + COALESCE scalar pipeline.
+    QueryDef.sql(
+      "q_case_when",
+      """SELECT o_orderkey,
+        |       CASE WHEN o_totalprice > 200000 THEN 'high'
+        |            WHEN o_totalprice > 100000 THEN 'mid'
+        |            ELSE 'low' END AS bucket,
+        |       coalesce(NULLIF(o_orderstatus, 'O'), 'OPEN') AS status
+        |FROM orders""".stripMargin) {
+      (s, dir) =>
+        t(s, dir, "orders").select(
+          col("o_orderkey"),
+          when(col("o_totalprice") > 200000, "high")
+            .when(col("o_totalprice") > 100000, "mid")
+            .otherwise("low").as("bucket"),
+          coalesce(nullif(col("o_orderstatus"), lit("O")), lit("OPEN"))
+            .as("status"))
+    },
+
+    // F-string family: substr/upper/length/concat.
+    QueryDef.sql(
+      "q_string_funcs",
+      """SELECT c_custkey, upper(substr(c_name, 1, 5)) AS pre,
+        |       CAST(length(c_name) AS INTEGER) AS len,
+        |       concat(c_mktsegment, '#', c_name) AS tagged
+        |FROM customer""".stripMargin) {
+      (s, dir) =>
+        t(s, dir, "customer").select(
+          col("c_custkey"),
+          upper(substring(col("c_name"), 1, 5)).as("pre"),
+          length(col("c_name")).as("len"),
+          concat(col("c_mktsegment"), lit("#"), col("c_name")).as("tagged"))
+    },
+
+    // F8: date extraction + aggregation.
+    QueryDef.sql(
+      "q_date_funcs",
+      """SELECT CAST(year(o_orderdate) AS INTEGER) AS yr,
+        |       CAST(month(o_orderdate) AS INTEGER) AS mo,
+        |       count(*) AS cnt
+        |FROM orders GROUP BY 1, 2""".stripMargin) {
+      (s, dir) =>
+        t(s, dir, "orders")
+          .groupBy(
+            year(col("o_orderdate")).as("yr"),
+            month(col("o_orderdate")).as("mo"))
+          .agg(count(lit(1)).as("cnt"))
+    },
+
+    // F8 math: histogram by floor-bucketing.
+    QueryDef.sql(
+      "q_bucket_histogram",
+      """SELECT CAST(floor(o_totalprice / 50000) AS BIGINT) AS bucket,
+        |       count(*) AS cnt
+        |FROM orders GROUP BY 1""".stripMargin) {
+      (s, dir) =>
+        t(s, dir, "orders")
+          .groupBy(floor(col("o_totalprice") / 50000).as("bucket"))
+          .agg(count(lit(1)).as("cnt"))
+    },
+
+    // ---- window functions (W1–W5) ---------------------------------
+
+    // W5: ranking within partitions, deterministic tie-break.
+    QueryDef.sql(
+      "q_window_rank",
+      """SELECT o_custkey, o_orderkey, o_totalprice, CAST(rnk AS INTEGER) AS rnk
+        |FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+        |             row_number() OVER (PARTITION BY o_custkey
+        |                                ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+        |      FROM orders) WHERE rnk <= 3""".stripMargin) {
+      (s, dir) =>
+        val w = Window.partitionBy(col("o_custkey"))
+          .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        t(s, dir, "orders")
+          .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+            row_number().over(w).as("rnk"))
+          .filter(col("rnk") <= 3)
+    },
+
+    // W5: running aggregate frame. Timestamps are compared as epoch
+    // micros on both sides (parquet stores ns; Spark truncates to µs
+    // on read, DuckDB keeps ns — epoch_us aligns them).
+    QueryDef.sql(
+      "q_window_running",
+      """SELECT event_id, user_id,
+        |       round(sum(value) OVER (PARTITION BY user_id
+        |                              ORDER BY epoch_us(ts), event_id
+        |                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_value,
+        |       CAST(row_number() OVER (PARTITION BY user_id
+        |                               ORDER BY epoch_us(ts), event_id) AS INTEGER) AS seq
+        |FROM events""".stripMargin) {
+      (s, dir) =>
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts_us"), col("event_id"))
+        Tables.events(s, dir).select(
+          col("event_id"), col("user_id"),
+          round(
+            sum(col("value"))
+              .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
+            2).as("running_value"),
+          row_number().over(w).as("seq"))
+    },
+
+    // S2: first-occurrence-wins dedup by key, made deterministic via
+    // explicit sequence ordering (reference: common.py:238-255; see
+    // SURVEY §7.4.1 — dropDuplicates keeps an arbitrary row, so the
+    // exact semantics need row_number over the arrival order).
+    QueryDef.sql(
+      "q_dedup_first_wins",
+      """SELECT user_id, event_type, event_id AS first_event_id
+        |FROM (SELECT user_id, event_type, event_id,
+        |             row_number() OVER (PARTITION BY user_id, event_type
+        |                                ORDER BY event_id) AS rn
+        |      FROM events) WHERE rn = 1""".stripMargin) {
+      (s, dir) =>
+        val w = Window.partitionBy(col("user_id"), col("event_type"))
+          .orderBy(col("event_id"))
+        t(s, dir, "events")
+          .select(col("user_id"), col("event_type"), col("event_id"),
+            row_number().over(w).as("rn"))
+          .filter(col("rn") === 1)
+          .select(col("user_id"), col("event_type"),
+            col("event_id").as("first_event_id"))
+    },
+
+    // A3: deterministic dense surrogate-id assignment over sorted
+    // distinct values (reference: database.py:631-634). Single-column
+    // global window is fine at dictionary cardinality; the scalable
+    // two-phase variant lives in etl.SurrogateIds.
+    QueryDef.sql(
+      "q_surrogate_ids",
+      """SELECT p_brand AS name,
+        |       CAST(row_number() OVER (ORDER BY p_brand) AS INTEGER) AS id
+        |FROM (SELECT DISTINCT p_brand FROM part)""".stripMargin) {
+      (s, dir) =>
+        t(s, dir, "part").select(col("p_brand").as("name")).distinct()
+          .withColumn("id",
+            row_number().over(Window.orderBy(col("name"))))
+    },
+
+    // W3: global order + limit ⇒ TakeOrderedAndProject (no full sort).
+    QueryDef.sql(
+      "q_topk",
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin) {
+      (s, dir) =>
+        t(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+          .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+          .limit(10)
+    },
+
+    // ---- set operations (E1–E3) -----------------------------------
+
+    QueryDef.sql(
+      "q_union_distinct",
+      """SELECT c_nationkey AS nationkey FROM customer
+        |UNION SELECT s_nationkey FROM supplier""".stripMargin) {
+      (s, dir) =>
+        t(s, dir, "customer").select(col("c_nationkey").as("nationkey"))
+          .union(t(s, dir, "supplier").select(col("s_nationkey")))
+          .distinct()
+    },
+
+    QueryDef.sql(
+      "q_intersect",
+      """SELECT n_nationkey AS nationkey FROM nation
+        |INTERSECT SELECT s_nationkey FROM supplier""".stripMargin) {
+      (s, dir) =>
+        t(s, dir, "nation").select(col("n_nationkey").as("nationkey"))
+          .intersect(t(s, dir, "supplier").select(col("s_nationkey")))
+    },
+
+    QueryDef.sql(
+      "q_except",
+      """SELECT DISTINCT CAST(floor(o_totalprice / 50000) AS BIGINT) AS bucket
+        |FROM orders
+        |EXCEPT
+        |SELECT DISTINCT CAST(floor(l_extendedprice / 50000) AS BIGINT)
+        |FROM lineitem""".stripMargin) {
+      (s, dir) =>
+        t(s, dir, "orders")
+          .select(floor(col("o_totalprice") / 50000).as("bucket")).distinct()
+          .except(
+            t(s, dir, "lineitem")
+              .select(floor(col("l_extendedprice") / 50000)).distinct())
+    },
+
+    // ---- non-equi / as-of (J9/J10-adjacent, scale-aware) ----------
+
+    // As-of join expressed WITHOUT a non-equi join: union the two
+    // event streams, one window pass per user computes "latest view
+    // at-or-before each purchase". One shuffle on user_id; at 100 TB
+    // this beats a BroadcastNestedLoop/range join outright.
+    QueryDef.sql(
+      "q_asof_join",
+      """SELECT event_id, user_id, last_view_id
+        |FROM (SELECT event_id, user_id, event_type,
+        |             max(CASE WHEN event_type = 'view' THEN event_id END)
+        |               OVER (PARTITION BY user_id
+        |                     ORDER BY epoch_us(ts), event_id
+        |                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_view_id
+        |      FROM events WHERE event_type IN ('purchase','view'))
+        |WHERE event_type = 'purchase'""".stripMargin) {
+      (s, dir) =>
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts_us"), col("event_id"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        Tables.events(s, dir)
+          .filter(col("event_type").isin("purchase", "view"))
+          .select(col("event_id"), col("user_id"), col("event_type"),
+            max(when(col("event_type") === "view", col("event_id"))).over(w)
+              .as("last_view_id"))
+          .filter(col("event_type") === "purchase")
+          .drop("event_type")
+    }
+  )
+}
