@@ -13,7 +13,11 @@ import org.apache.spark.sql.functions._
 object SparkEntry {
 
   private def modules: Seq[QueryDef] =
-    operators.Relational.all
+    operators.Relational.all ++
+      operators.TextOps.all ++
+      operators.DedupOps.all ++
+      operators.SimilarityOps.all ++
+      operators.Multimodal.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * Revenue-per-nation: the 5-way join + aggregate that exercises the

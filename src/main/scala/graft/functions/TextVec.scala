@@ -1,0 +1,51 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Shared text/vector column expressions for the data-pipeline
+  * operators. Everything here is built from `org.apache.spark.sql
+  * .functions` higher-order functions — codegen'd Catalyst
+  * expressions, no UDFs — so whole-stage codegen stays unbroken and
+  * the same logic is expressible verbatim in the DuckDB oracle SQL.
+  */
+object TextVec {
+
+  /** Whitespace tokens (documents are single-space separated). */
+  def tokens(text: Column): Column = split(text, " ")
+
+  /** Word n-gram shingles from a token array, 1-based positions,
+    * guarded for docs shorter than n tokens (Spark's `sequence` would
+    * otherwise count backwards on a negative span).
+    */
+  def shingles(toks: Column, n: Int): Column =
+    when(size(toks) >= n,
+      transform(sequence(lit(0), size(toks) - n), i =>
+        concat_ws(" ", (0 until n).map(k => element_at(toks, i + lit(k + 1))): _*)))
+      .otherwise(array().cast("array<string>"))
+
+  /** Strictly sequential left-to-right double dot product — matches
+    * DuckDB's `list_sum(list_transform(...))` evaluation order so the
+    * floating-point result is comparable after rounding.
+    */
+  def dot(a: Column, b: Column): Column = {
+    val prods = zip_with(a.cast("array<double>"), b.cast("array<double>"),
+      (x, y) => x * y)
+    aggregate(prods, lit(0.0), (acc, x) => acc + x)
+  }
+
+  def l2norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (l2norm(a) * l2norm(b))
+
+  /** MinHash value for one seed: min over shingles of md5("<seed>:" ++ s).
+    * Lexicographic min over hex strings — identical in any engine with
+    * md5, which is exactly why md5 (not xxhash) anchors the oracle.
+    */
+  def minhash(shingleArr: Column, seed: Int): Column =
+    array_min(transform(shingleArr, s => md5(concat(lit(s"$seed:"), s))))
+
+  /** Count of tokens that appear in a fixed vocabulary. */
+  def hits(toks: Column, vocab: Seq[String]): Column =
+    size(filter(toks, t => t.isin(vocab: _*)))
+}

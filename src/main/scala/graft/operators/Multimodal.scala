@@ -1,0 +1,90 @@
+package graft.operators
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column plumbing: media (image/audio/video) handled as
+  * opaque `binary` payload columns plus typed metadata, with
+  * decode/feature-extraction running batched per partition.
+  *
+  * The container has no media codecs, so the decode itself is a
+  * clearly-marked deterministic STUB ([[MultimodalStub.decodeStub]]) —
+  * but the Spark-side shape is real and is what matters at 100 TB:
+  *  - payloads stay in one `BinaryType` column (never exploded into
+  *    rows), so a scan prunes them away unless requested;
+  *  - decode runs via `mapPartitions` over a typed Dataset — one
+  *    codec init per partition, streaming batches, no driver hop —
+  *    the Scala analog of an Arrow-batched Pandas UDF;
+  *  - features land in fixed-width typed columns for downstream
+  *    relational ops.
+  */
+object Multimodal {
+
+  /** Typed decode output; the fixed schema downstream ops rely on. */
+  final case class MediaFeatures(
+      doc_id: Long, n_bytes: Int, width: Int, height: Int, n_frames: Int)
+
+  /** Documents re-framed as a binary-payload media table. */
+  def asBinary(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "documents").select(
+      col("doc_id"),
+      encode(col("text"), "UTF-8").as("payload"),
+      col("source").as("media_source"))
+
+  /** Partition-batched decode via the stub; real plumbing, fake codec. */
+  def decodeFeatures(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    asBinary(s, dir)
+      .select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        // one "codec" init per partition would go here
+        rows.map { case (id, bytes) =>
+          val m = MultimodalStub.decodeStub(bytes)
+          MediaFeatures(id, bytes.length, m._1, m._2, m._3)
+        }
+      }
+      .toDF()
+  }
+
+  val all: Seq[QueryDef] = Seq(
+
+    // Metadata extraction expressed as pure column ops over the binary
+    // payload (hash, size, stub dimensions) — oracle-checkable.
+    QueryDef.sql(
+      "q_multimodal_meta",
+      """SELECT doc_id,
+        |       CAST(strlen(text) AS INTEGER) AS n_bytes,
+        |       sha256(text) AS content_hash,
+        |       CAST(strlen(text) % 640 AS INTEGER) AS width,
+        |       CAST(strlen(text) % 480 AS INTEGER) AS height,
+        |       CAST(strlen(text) % 16 + 1 AS INTEGER) AS n_frames
+        |FROM documents""".stripMargin) {
+      (s, dir) =>
+        asBinary(s, dir).select(
+          col("doc_id"),
+          octet_length(col("payload")).as("n_bytes"),
+          sha2(col("payload"), 256).as("content_hash"),
+          (octet_length(col("payload")) % 640).as("width"),
+          (octet_length(col("payload")) % 480).as("height"),
+          (octet_length(col("payload")) % 16 + 1).as("n_frames"))
+    },
+
+    // The mapPartitions decode path itself; engine-side plumbing with
+    // a stubbed codec, so rows-only in the gate (also covered by the
+    // unit spec which pins exact values).
+    QueryDef.rowsOnly("q_multimodal_decode") { (s, dir) =>
+      decodeFeatures(s, dir)
+    }
+  )
+}
+
+/** STUB: deterministic fake media decode — the container ships no
+  * image/audio codecs. Returns (width, height, n_frames) derived only
+  * from the payload bytes so results are reproducible everywhere.
+  */
+object MultimodalStub {
+  def decodeStub(bytes: Array[Byte]): (Int, Int, Int) =
+    (bytes.length % 640, bytes.length % 480, bytes.length % 16 + 1)
+}

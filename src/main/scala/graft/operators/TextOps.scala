@@ -1,0 +1,134 @@
+package graft.operators
+
+import graft.{QueryDef, Tables}
+import graft.functions.TextVec._
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for a large-scale training-data pipeline:
+  * token statistics, quality scoring, language identification, and
+  * document fingerprinting over the `documents` table.
+  *
+  * All of these are embarrassingly parallel per-document column
+  * expressions — no shuffle at all, so they scale linearly with input
+  * splits at 100 TB.
+  */
+object TextOps {
+
+  /** Stopword vocabulary shared between the Spark and oracle sides. */
+  val Stopwords: Seq[String] = Seq("the", "a", "and", "of", "to", "in", "is")
+
+  /** lang -> marker words for the n-gram/stopword language heuristic. */
+  val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "a"),
+    "es" -> Seq("el", "la", "los", "de"),
+    "de" -> Seq("der", "und", "die", "das"),
+    "fr" -> Seq("le", "et", "les", "des"))
+
+  private def sqlList(vs: Seq[String]): String =
+    vs.map(v => s"'$v'").mkString("[", ", ", "]")
+
+  val all: Seq[QueryDef] = Seq(
+
+    // Token counting: whitespace tokens plus a BPE-ish alnum-run
+    // tokenizer (regex split), both engine-agnostic.
+    QueryDef.sql(
+      "q_text_tokens",
+      """SELECT doc_id,
+        |       CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens,
+        |       CAST(len(list_filter(string_split_regex(text, '[^a-z0-9]+'),
+        |                            t -> length(t) > 0)) AS INTEGER) AS n_alnum_tokens,
+        |       CAST(length(text) AS INTEGER) AS n_chars_computed
+        |FROM documents""".stripMargin) {
+      (s, dir) =>
+        Tables(s, dir, "documents").select(
+          col("doc_id"),
+          size(tokens(col("text"))).as("n_tokens"),
+          size(filter(split(col("text"), "[^a-z0-9]+"), t => length(t) > 0))
+            .as("n_alnum_tokens"),
+          length(col("text")).as("n_chars_computed"))
+    },
+
+    // Quality scoring: lexical-diversity + stopword-density features.
+    // Integer counts divide to doubles identically on both engines;
+    // ratios rounded to 6 to absorb nothing — the division itself is
+    // a single exact-input fp op.
+    QueryDef.sql(
+      "q_text_quality",
+      s"""SELECT doc_id,
+         |       CAST(len(toks) AS INTEGER) AS n_tokens,
+         |       CAST(len(list_distinct(toks)) AS INTEGER) AS n_unique,
+         |       CAST(sh AS INTEGER) AS stop_hits,
+         |       round(CAST(sh AS DOUBLE) / len(toks), 6) AS stop_ratio,
+         |       round(CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks), 6) AS ttr,
+         |       round(CAST(list_sum(list_transform(toks, t -> length(t))) AS DOUBLE)
+         |             / len(toks), 6) AS avg_token_len
+         |FROM (SELECT doc_id, string_split(text, ' ') AS toks,
+         |             len(list_filter(string_split(text, ' '),
+         |                             t -> list_contains(${sqlList(Stopwords)}, t))) AS sh
+         |      FROM documents)""".stripMargin) {
+      (s, dir) =>
+        Tables(s, dir, "documents")
+          .select(col("doc_id"), tokens(col("text")).as("toks"))
+          .select(
+            col("doc_id"),
+            size(col("toks")).as("n_tokens"),
+            size(array_distinct(col("toks"))).as("n_unique"),
+            hits(col("toks"), Stopwords).as("stop_hits"),
+            aggregate(transform(col("toks"), t => length(t)),
+              lit(0), (acc, x) => acc + x).as("len_sum"))
+          .select(
+            col("doc_id"), col("n_tokens"), col("n_unique"), col("stop_hits"),
+            round(col("stop_hits").cast("double") / col("n_tokens"), 6)
+              .as("stop_ratio"),
+            round(col("n_unique").cast("double") / col("n_tokens"), 6).as("ttr"),
+            round(col("len_sum").cast("double") / col("n_tokens"), 6)
+              .as("avg_token_len"))
+    },
+
+    // Language identification: stopword-marker voting with a fixed
+    // priority tie-break (en > es > de > fr).
+    QueryDef.sql(
+      "q_text_langid",
+      s"""SELECT doc_id, lang AS actual_lang,
+         |       CAST(h_en AS INTEGER) AS h_en, CAST(h_es AS INTEGER) AS h_es,
+         |       CAST(h_de AS INTEGER) AS h_de, CAST(h_fr AS INTEGER) AS h_fr,
+         |       CASE WHEN h_en >= h_es AND h_en >= h_de AND h_en >= h_fr THEN 'en'
+         |            WHEN h_es >= h_de AND h_es >= h_fr THEN 'es'
+         |            WHEN h_de >= h_fr THEN 'de'
+         |            ELSE 'fr' END AS predicted_lang
+         |FROM (SELECT doc_id, lang,
+         |             ${LangMarkers.map { case (l, ws) =>
+                          s"len(list_filter(string_split(text, ' '), t -> list_contains(${sqlList(ws)}, t))) AS h_$l"
+                        }.mkString(",\n             ")}
+         |      FROM documents)""".stripMargin) {
+      (s, dir) =>
+        val base = Tables(s, dir, "documents").select(
+          Seq(col("doc_id"), col("lang").as("actual_lang")) ++
+            LangMarkers.map { case (l, ws) =>
+              hits(tokens(col("text")), ws).as(s"h_$l")
+            }: _*)
+        base.withColumn("predicted_lang",
+          when(col("h_en") >= col("h_es") && col("h_en") >= col("h_de") &&
+            col("h_en") >= col("h_fr"), "en")
+            .when(col("h_es") >= col("h_de") && col("h_es") >= col("h_fr"), "es")
+            .when(col("h_de") >= col("h_fr"), "de")
+            .otherwise("fr"))
+    },
+
+    // Document fingerprinting: whole-document content hash over
+    // normalized text plus a prefix fingerprint over the leading
+    // 5 tokens (a cheap rolling-hash anchor for container-level dedup).
+    QueryDef.sql(
+      "q_text_fingerprint",
+      """SELECT doc_id,
+        |       md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS content_hash,
+        |       md5(array_to_string(string_split(text, ' ')[1:5], ' ')) AS prefix_hash
+        |FROM documents""".stripMargin) {
+      (s, dir) =>
+        Tables(s, dir, "documents").select(
+          col("doc_id"),
+          md5(lower(regexp_replace(col("text"), "\\s+", " "))).as("content_hash"),
+          md5(concat_ws(" ", slice(tokens(col("text")), 1, 5))).as("prefix_hash"))
+    }
+  )
+}
