@@ -1,0 +1,82 @@
+package graft.imdb
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** User-facing facade with the reference's verbs (reference:
+  * pimdb/command.py:29-36): `transfer` dataset TSVs into typed
+  * PascalCase views, `build` the 15 snake_case normalized views,
+  * `query` arbitrary SQL against both layers — the reference's SQL
+  * runs verbatim (modulo double-quoted identifiers, rewritten below).
+  *
+  * Views carry the exact reference names (`TitleBasics`…, `title`,
+  * `character`…) so a pimdb user's queries port unchanged
+  * (docs/datamodel.md:25-27, 93-95).
+  */
+final class Pimdb(val spark: SparkSession) {
+
+  private var datasetFrames: Map[ImdbDataset, DataFrame] = Map.empty
+  private var normalized: Option[Build.Normalized] = None
+
+  /** Load datasets from a folder of <dataset>.tsv[.gz] files and
+    * register PascalCase views (reference: command.py:179-195).
+    * `--drop` semantics are implicit: views/paths are overwritten.
+    */
+  def transfer(
+      dataFolder: String,
+      datasets: Seq[ImdbDataset] = ImdbDataset.all,
+      warehouse: Option[String] = None): Map[ImdbDataset, DataFrame] = {
+    val loaded = datasets.map { d =>
+      val base = s"$dataFolder/${d.datasetName}.tsv"
+      val path = if (new java.io.File(s"$base.gz").exists()) s"$base.gz" else base
+      var df = TsvReader.read(spark, path, d)
+      warehouse.foreach { w =>
+        val out = s"$w/datasets/${d.tableName}"
+        df.write.mode("overwrite").parquet(out)
+        df = spark.read.parquet(out) // re-read: downstream builds scan parquet, not re-parse TSV
+      }
+      df.createOrReplaceTempView(d.tableName)
+      d -> df
+    }.toMap
+    datasetFrames ++= loaded
+    loaded
+  }
+
+  /** Derive + register the 15 normalized tables (reference:
+    * command.py:198-220). Requires the build-relevant datasets to be
+    * transferred first. */
+  def build(warehouse: Option[String] = None): Build.Normalized = {
+    val missing = ImdbDataset.forNormalized.filterNot(datasetFrames.contains)
+    require(missing.isEmpty,
+      s"build requires transferred datasets: ${missing.map(_.datasetName).mkString(", ")}")
+    var result = Build(datasetFrames)
+    warehouse.foreach { w =>
+      result = Build.Normalized(result.tables.map { case (n, df) =>
+        val out = s"$w/normalized/$n"
+        df.write.mode("overwrite").parquet(out)
+        n -> spark.read.parquet(out)
+      })
+    }
+    result.registerViews(spark)
+    normalized = Some(result)
+    result
+  }
+
+  /** SQL passthrough (reference: command.py:223-237). Double-quoted
+    * identifiers (ANSI style, used in the reference's examples, e.g.
+    * "character") are rewritten to Spark backticks; single-quoted
+    * string literals are untouched. */
+  def query(sql: String): DataFrame = spark.sql(rewriteQuotedIdentifiers(sql))
+
+  def queryToTsv(sql: String, out: java.io.Writer): Unit =
+    TsvWriter.stream(query(sql), out)
+
+  private[imdb] def rewriteQuotedIdentifiers(sql: String): String =
+    Pimdb.QuotedIdentifier.replaceAllIn(sql, m => "`" + m.group(1) + "`")
+}
+
+object Pimdb {
+  /** "name" or "name.part" — identifier-shaped double-quoted tokens. */
+  private val QuotedIdentifier = """"([A-Za-z_][A-Za-z0-9_.]*)"""".r
+
+  def apply(spark: SparkSession): Pimdb = new Pimdb(spark)
+}

@@ -1,0 +1,157 @@
+package graft.imdb
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** IMDb TSV scan: tab-separated, header row, **quoting disabled**
+  * (stray `"` is literal data), `\N` null sentinel, strict typing,
+  * first-occurrence-wins dedup by dataset key (reference:
+  * pimdb/common.py:183-265, pimdb/database.py:320-355).
+  *
+  * Design: the whole decode is column expressions (null-map → cast →
+  * default), fully codegen'd — no per-row driver logic. Dedup
+  * preserves *file order* via `monotonically_increasing_id()`:
+  * partition ids follow file-split offsets, so the id is monotone in
+  * file position even when an uncompressed TSV is read in parallel
+  * splits (a .gz file is a single split anyway). At 100 TB the dedup
+  * is one shuffle on the key columns.
+  */
+object TsvReader {
+
+  /** Read + type + dedup one dataset file (plain .tsv or .tsv.gz).
+    *
+    * @param filter optional column → allowed-values map; rows must
+    *               match every entry (reference: common.py:241-252)
+    * @param strict raise on malformed booleans / unparsable numerics
+    *               like the reference's PimdbError; when false they
+    *               become null (then defaulted if non-nullable)
+    */
+  def read(
+      spark: SparkSession,
+      path: String,
+      dataset: ImdbDataset,
+      filter: Map[String, Set[String]] = Map.empty,
+      strict: Boolean = true): DataFrame = {
+
+    // Read raw strings with header-name mapping (like csv.DictReader):
+    // every declared column must exist in the file; extra file columns
+    // are ignored.
+    val raw = spark.read
+      .option("sep", "\t")
+      .option("header", "true")
+      .option("quote", "")          // QUOTE_NONE: stray quotes are data
+      .option("nullValue", "\\N")   // the IMDb null sentinel
+      .option("mode", "FAILFAST")
+      .csv(path)
+
+    val missing = dataset.schema.fieldNames.filterNot(raw.columns.contains)
+    require(missing.isEmpty,
+      s"${dataset.datasetName}: TSV is missing key column(s) ${missing.mkString(", ")}")
+
+    val withSeq = raw.withColumn("_seq", monotonically_increasing_id())
+
+    val filtered = filter.foldLeft(withSeq) { case (df, (name, values)) =>
+      df.filter(col(name).isin(values.toSeq: _*))
+    }
+
+    if (strict) validate(filtered, dataset)
+
+    val typed = filtered.select(
+      dataset.schema.fields.map(decode).toSeq :+ col("_seq"): _*)
+
+    // first-occurrence wins (reference: common.py:238-255)
+    val w = Window
+      .partitionBy(dataset.keyColumns.map(col): _*)
+      .orderBy(col("_seq"))
+    typed
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1)
+      .drop("_rn", "_seq")
+  }
+
+  /** Strict typing as one aggregate pass over the raw strings:
+    * booleans must be literally "1"/"0", numerics must parse —
+    * anything else raises like the reference's PimdbError
+    * (database.py:345-351). Kept OUT of the row-level decode: an
+    * in-row `raise_error` can be hoisted by codegen subexpression
+    * elimination into pushed-down predicates and fire spuriously.
+    */
+  private def validate(raw: DataFrame, dataset: ImdbDataset): Unit = {
+    val checks = dataset.schema.fields.flatMap { f =>
+      val c = col(f.name)
+      f.dataType match {
+        case BooleanType =>
+          Some(sum(when(c.isNotNull && !c.isin("0", "1"), 1).otherwise(0))
+            .as(f.name))
+        case t @ (IntegerType | FloatType | DoubleType | LongType) =>
+          Some(sum(when(c.isNotNull && c.cast(t).isNull, 1).otherwise(0))
+            .as(f.name))
+        case _ => None
+      }
+    }
+    if (checks.nonEmpty) {
+      val row = raw.agg(checks.head, checks.tail.toSeq: _*).collect()(0)
+      checks.map(_.toString).indices.foreach { i =>
+        val bad = row.getLong(i)
+        if (bad > 0) throw new IllegalArgumentException(
+          s"${dataset.datasetName}: ${row.schema.fieldNames(i)} has $bad " +
+            "malformed value(s) (booleans must be 1/0, numerics must parse)")
+      }
+    }
+  }
+
+  /** One declared column: `\N`→null already applied by the reader;
+    * booleans decode from "1"/"0"; non-nullable nulls are defaulted to
+    * false/0/""/0.0 (reference warns and coerces, database.py:328-344).
+    */
+  private def decode(field: StructField): Column = {
+    val raw = col(field.name)
+    val cast = field.dataType match {
+      case BooleanType =>
+        when(raw === "1", true).when(raw === "0", false)
+          .otherwise(lit(null).cast(BooleanType))
+      case t @ (IntegerType | FloatType | DoubleType | LongType) => raw.cast(t)
+      case _ => raw
+    }
+    val defaulted =
+      if (field.nullable) cast
+      else coalesce(cast, lit(ImdbTsv.defaultFor(field.dataType)).cast(field.dataType))
+    defaulted.as(field.name)
+  }
+}
+
+object ImdbTsv {
+  /** Non-nullable `\N` coercion defaults (reference: database.py:328-344). */
+  def defaultFor(t: DataType): Any = t match {
+    case BooleanType => false
+    case IntegerType | LongType => 0
+    case FloatType | DoubleType => 0.0
+    case _ => ""
+  }
+}
+
+/** TSV sink for query results (reference: common.py:268-295 /
+  * command.py:233-237). */
+object TsvWriter {
+  /** Distributed write (one TSV part per partition). */
+  def write(df: DataFrame, path: String): Unit =
+    df.write.option("sep", "\t").option("header", "true")
+      .option("emptyValue", "").option("nullValue", "\\N")
+      .mode("overwrite").csv(path)
+
+  /** Driver-side stream to a java.io.Writer, for stdout `query` output:
+    * streams partitions via toLocalIterator — never materializes the
+    * full result on the driver. */
+  def stream(df: DataFrame, out: java.io.Writer): Unit = {
+    val cols = df.columns
+    out.write(cols.mkString("\t") + "\n")
+    df.toLocalIterator().forEachRemaining { r =>
+      out.write((0 until cols.length)
+        .map(i => if (r.isNullAt(i)) "\\N" else r.get(i).toString)
+        .mkString("\t") + "\n")
+    }
+    out.flush()
+  }
+}

@@ -1,0 +1,90 @@
+package graft.imdb
+
+import graft.SparkSpec
+import java.nio.file.Files
+
+/** S2/S4 scan semantics: \N nulls, no quoting, strict bool decode,
+  * non-nullable defaulting, first-occurrence-wins dedup
+  * (reference: pimdb/common.py:183-265, pimdb/database.py:320-355). */
+class TsvReaderSpec extends SparkSpec {
+
+  private def fixture(name: String): String =
+    getClass.getResource(s"/imdb/$name").getPath
+
+  private def tempTsv(lines: String*): String = {
+    val f = Files.createTempFile("graft", ".tsv")
+    Files.write(f, lines.mkString("\n").getBytes("UTF-8"))
+    f.toString
+  }
+
+  test("reads and types name.basics fixture") {
+    val df = TsvReader.read(spark, fixture("name.basics.tsv"), ImdbDataset.NameBasics)
+    assert(df.count() == 219)
+    assert(df.schema("birthYear").dataType.typeName == "integer")
+    val smithee = df.filter(df("nconst") === "nm0000647").collect()
+    assert(smithee.length == 1)
+    assert(smithee(0).getAs[String]("primaryName") == "Alan Smithee")
+    assert(smithee(0).isNullAt(smithee(0).fieldIndex("birthYear")))
+  }
+
+  test("duplicate keys: first occurrence wins") {
+    val path = tempTsv(
+      "nconst\tprimaryName\tbirthYear\tdeathYear\tprimaryProfession\tknownForTitles",
+      "nm1\tFirst Row\t1970\t\\N\tactor\t\\N",
+      "nm1\tSecond Row\t1980\t\\N\twriter\t\\N",
+      "nm2\tOther\t\\N\t\\N\t\\N\t\\N")
+    val df = TsvReader.read(spark, path, ImdbDataset.NameBasics)
+    assert(df.count() == 2)
+    val kept = df.filter(df("nconst") === "nm1").collect()(0)
+    assert(kept.getAs[String]("primaryName") == "First Row")
+    assert(kept.getAs[Int]("birthYear") == 1970)
+  }
+
+  test("reference duplicate fixture collapses to one row") {
+    val df = TsvReader.read(spark, fixture("name.basics.duplicate.tsv"),
+      ImdbDataset.NameBasics)
+    assert(df.count() == 1)
+  }
+
+  test("nullable boolean keeps \\N as null; 0/1 decode") {
+    val df = TsvReader.read(spark, fixture("title.akas.tsv"), ImdbDataset.TitleAkas)
+    val vals = df.select("isOriginalTitle").distinct().collect()
+      .map(r => if (r.isNullAt(0)) "null" else r.getBoolean(0).toString).toSet
+    assert(vals.contains("false") || vals.contains("true"))
+  }
+
+  test("non-nullable column defaults \\N to type default") {
+    val path = tempTsv(
+      "tconst\taverageRating\tnumVotes",
+      "tt1\t\\N\t\\N")
+    val df = TsvReader.read(spark, path, ImdbDataset.TitleRatings)
+    val r = df.collect()(0)
+    assert(r.getAs[Float]("averageRating") == 0.0f)
+    assert(r.getAs[Int]("numVotes") == 0)
+  }
+
+  test("strict mode rejects malformed booleans") {
+    val path = tempTsv(
+      "tconst\ttitleType\tprimaryTitle\toriginalTitle\tisAdult\tstartYear\tendYear\truntimeMinutes\tgenres",
+      "tt1\tmovie\tA\tA\tmaybe\t2000\t\\N\t90\tDrama")
+    val ex = intercept[Exception] {
+      TsvReader.read(spark, path, ImdbDataset.TitleBasics).collect()
+    }
+    assert(ex.getMessage != null)
+  }
+
+  test("value-set filter keeps only matching rows") {
+    val df = TsvReader.read(spark, fixture("title.basics.tsv"),
+      ImdbDataset.TitleBasics, filter = Map("titleType" -> Set("movie")))
+    assert(df.count() > 0)
+    assert(df.select("titleType").distinct().collect().map(_.getString(0)).toSeq == Seq("movie"))
+  }
+
+  test("quoting is disabled: stray quotes are data") {
+    val path = tempTsv(
+      "tconst\tdirectors\twriters",
+      "tt1\tnm1,nm2\tsaid \"so\"")
+    val r = TsvReader.read(spark, path, ImdbDataset.TitleCrew).collect()(0)
+    assert(r.getAs[String]("writers") == "said \"so\"")
+  }
+}
