@@ -17,7 +17,8 @@ object SparkEntry {
       operators.TextOps.all ++
       operators.DedupOps.all ++
       operators.SimilarityOps.all ++
-      operators.Multimodal.all
+      operators.Multimodal.all ++
+      operators.StreamingOps.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * Revenue-per-nation: the 5-way join + aggregate that exercises the

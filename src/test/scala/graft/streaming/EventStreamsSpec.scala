@@ -1,0 +1,87 @@
+package graft.streaming
+
+import graft.SparkSpec
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+/** Streaming semantics: the stateful flatMapGroupsWithState
+  * sessionizer must agree with the declarative batch sessionizer, and
+  * the windowed agg must behave identically on batch and stream input.
+  */
+class EventStreamsSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("stream sessionization agrees with batch sessionization on closed sessions") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+
+    val events = graft.Tables.events(spark, dir)
+      .select($"user_id", $"ts_us", $"event_id")
+      .as[EventStreams.SessionEvent]
+      .collect().toSeq
+
+    val input = MemoryStream[EventStreams.SessionEvent]
+    input.addData(events)
+    val got = EventStreams.runStreamToBatch(spark, input.toDS(), "sess_test")
+      .select($"user_id", $"session_id", $"start_us", $"end_us", $"n_events")
+
+    val batch = EventStreams.sessionizeBatch(graft.Tables(spark, dir, "events"))
+
+    // stream (append mode, no timeout) emits only CLOSED sessions; the
+    // final open session per user stays in state ⇒ batch minus stream
+    // = exactly one trailing session per user.
+    val gotRows = got.collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSet
+    val batchRows = batch.collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSet
+    assert(gotRows.subsetOf(batchRows), "stream emitted a session batch doesn't have")
+    val missing = batchRows -- gotRows
+    val users = batch.select("user_id").distinct().count()
+    assert(missing.size == users, s"expected one open (unemitted) session per user, got ${missing.size} for $users users")
+    // and the missing ones are precisely each user's LAST session
+    val lastPerUser = batchRows.groupBy(_._1).map { case (_, ss) => ss.maxBy(_._2) }.toSet
+    assert(missing == lastPerUser)
+  }
+
+  test("windowed agg on a one-shot stream equals the batch computation") {
+    val batchDf = EventStreams.windowedAgg(graft.Tables(spark, dir, "events"))
+    val schema = graft.Tables(spark, dir, "events").schema
+    val stream = spark.readStream.schema(schema)
+      .parquet(EventStreams.streamableDir(s"$dir/events.parquet"))
+    val q = EventStreams.windowedAgg(stream)
+      .writeStream.format("memory").queryName("win_test")
+      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val streamed = spark.table("win_test")
+    assert(streamed.count() == batchDf.count())
+    assert(streamed.exceptAll(batchDf).count() == 0)
+    assert(batchDf.exceptAll(streamed).count() == 0)
+  }
+
+  test("late events beyond the watermark are dropped from append-mode windows") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val input = MemoryStream[(java.sql.Timestamp, String, Double)]
+    val df = input.toDF().toDF("event_time", "event_type", "value")
+      .withWatermark("event_time", "10 minutes")
+      .groupBy(window($"event_time", "1 hour"), $"event_type")
+      .agg(count(lit(1)).as("cnt"))
+    val q = df.writeStream.format("memory").queryName("late_test")
+      .outputMode("append").start()
+    def ts(min: Int) = new java.sql.Timestamp(3600L * 1000 * 24 * 365 * 50 + min * 60000L)
+    input.addData((ts(0), "a", 1.0), (ts(5), "a", 1.0))
+    q.processAllAvailable()
+    input.addData((ts(200), "a", 1.0)) // advances watermark past hour 0
+    q.processAllAvailable()
+    input.addData((ts(1), "a", 99.0)) // late beyond watermark → dropped
+    q.processAllAvailable()
+    input.addData((ts(400), "a", 1.0)) // close hour-3 window
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("late_test").collect()
+    // hour-0 window emitted with cnt=2 (the late row did NOT bump it to 3)
+    val hour0 = rows.filter(_.getAs[org.apache.spark.sql.Row]("window")
+      .getAs[java.sql.Timestamp]("start").getTime == ts(0).getTime)
+    assert(hour0.length == 1 && hour0.head.getAs[Long]("cnt") == 2L)
+  }
+}
