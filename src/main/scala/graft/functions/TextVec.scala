@@ -38,13 +38,6 @@ object TextVec {
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (l2norm(a) * l2norm(b))
 
-  /** MinHash value for one seed: min over shingles of md5("<seed>:" ++ s).
-    * Lexicographic min over hex strings — identical in any engine with
-    * md5, which is exactly why md5 (not xxhash) anchors the oracle.
-    */
-  def minhash(shingleArr: Column, seed: Int): Column =
-    array_min(transform(shingleArr, s => md5(concat(lit(s"$seed:"), s))))
-
   /** Count of tokens that appear in a fixed vocabulary. */
   def hits(toks: Column, vocab: Seq[String]): Column =
     size(filter(toks, t => t.isin(vocab: _*)))

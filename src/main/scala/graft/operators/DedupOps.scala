@@ -30,20 +30,42 @@ object DedupOps {
   val BandWidth = 2
   val NumBands: Int = MinhashSeeds / BandWidth
 
+  /** Small single-file inputs arrive as ONE scan partition; per-doc
+    * hashing is CPU-bound, so fan it out to the full core count.
+    * (At real scale the scan already yields many splits and this is a
+    * cheap round-robin; correctness is unaffected.) */
+  private def spread(df: DataFrame): DataFrame =
+    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+
   /** Shingled (doc_id, shingle) pairs, distinct per doc. Input needs
     * (doc_id, text). */
   def shingled(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"), explode(array_distinct(
+    spread(docs).select(col("doc_id"), explode(array_distinct(
       shingles(tokens(col("text")), 3))).as("sh"))
 
-  /** (doc_id, band, bucket): LSH band buckets over md5 MinHash
-    * signatures. Docs sharing (band, bucket) are near-dup candidates. */
+  /** (doc_id, band, bucket): LSH band buckets over MinHash signatures.
+    * Docs sharing (band, bucket) are near-dup candidates.
+    *
+    * Per-document map work only — ZERO shuffle; the only shuffle in
+    * the whole LSH pipeline is the (band, bucket) candidate join.
+    * Each shingle is hashed exactly TWICE (md5 ++ md5 of a salted
+    * copy → 64 hex chars); the K=8 minhash functions are the 8
+    * disjoint 8-hex-char slices — independent uniform 32-bit hashes
+    * at a quarter of the hashing cost of K independent md5 passes.
+    * The hash array is materialized once per row (localCheckpoint)
+    * because projection collapse would otherwise re-shingle the
+    * document for every slice.
+    */
   def minhashBands(docs: DataFrame): DataFrame = {
-    val withSh = docs.select(col("doc_id"),
-      array_distinct(shingles(tokens(col("text")), 3)).as("sh"))
-    val sig = withSh.select(
+    val withH = spread(docs).select(col("doc_id"),
+      transform(array_distinct(shingles(tokens(col("text")), 3)),
+        s => concat(md5(s), md5(concat(lit("x"), s)))).as("hs"))
+      .localCheckpoint()
+    val sig = withH.select(
       col("doc_id") +:
-        (0 until MinhashSeeds).map(j => minhash(col("sh"), j).as(s"mh$j")): _*)
+        (0 until MinhashSeeds).map(j =>
+          array_min(transform(col("hs"), h => substring(h, j * 8 + 1, 8)))
+            .as(s"mh$j")): _*)
     val bandCols = (0 until NumBands).map { b =>
       struct(lit(b).as("band"),
         md5(concat(col(s"mh${2 * b}"), col(s"mh${2 * b + 1}"))).as("bucket"))
@@ -57,7 +79,7 @@ object DedupOps {
     * (band, bucket) — the scalable candidate generator: one shuffle on
     * the bucket key, quadratic only within a bucket. */
   def lshCandidatePairs(docs: DataFrame): DataFrame = {
-    val bands = minhashBands(docs)
+    val bands = minhashBands(docs).localCheckpoint() // self-joined below
     bands.as("x")
       .join(bands.as("y"),
         col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
@@ -69,7 +91,9 @@ object DedupOps {
   /** Exact pairwise word-3-gram Jaccard for pairs sharing >= minInter
     * shingles, via an inverted shingle index. */
   def jaccardPairs(docs: DataFrame, minInter: Int): DataFrame = {
-    val sh = shingled(docs)
+    // materialized once: both sides of the self-join and the size agg
+    // would otherwise re-tokenize and re-shingle every document
+    val sh = shingled(docs).localCheckpoint()
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val pairs = sh.as("x")
       .join(sh.as("y"),
@@ -90,7 +114,7 @@ object DedupOps {
 
   /** (doc_id, simhash): 16-bit signature from per-token md5 bit votes. */
   def simhash16(docs: DataFrame): DataFrame = {
-    val toks = docs
+    val toks = spread(docs)
       .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
       .withColumn("h", md5(col("tok")))
     val votes = toks.groupBy(col("doc_id"))
@@ -149,7 +173,7 @@ object DedupOps {
     QueryDef.sql(
       "q_dedup_minhash_bands", {
         val mh = (0 until MinhashSeeds).map(j =>
-          s"list_min(list_transform(sh, x -> md5('$j:' || x))) AS mh$j")
+          s"list_min(list_transform(sh, x -> substr(md5(x) || md5('x' || x), ${j * 8 + 1}, 8))) AS mh$j")
           .mkString(",\n         ")
         val bands = (0 until MinhashSeeds / BandWidth).map(b =>
           s"SELECT doc_id, $b AS band, md5(mh${2 * b} || mh${2 * b + 1}) AS bucket FROM sig")
