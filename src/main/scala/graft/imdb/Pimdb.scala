@@ -72,6 +72,12 @@ final class Pimdb(val spark: SparkSession) {
 
   private[imdb] def rewriteQuotedIdentifiers(sql: String): String =
     Pimdb.QuotedIdentifier.replaceAllIn(sql, m => "`" + m.group(1) + "`")
+
+  /** S10: drop views left by older schema versions (reference:
+    * database.py:582-586 `_drop_obsolete_normalized_tables`). */
+  def dropObsoleteViews(): Unit =
+    Seq("characters_to_character", "title_to_director", "title_to_writer")
+      .foreach(spark.catalog.dropTempView)
 }
 
 object Pimdb {

@@ -429,6 +429,50 @@ object Relational {
               .select(floor(col("l_extendedprice") / 50000)).distinct())
     },
 
+    // J9: membership ("find_in_set") join, rewritten scale-first as
+    // explode + equi-join instead of a nested-loop array_contains
+    // (SURVEY §2.3 J9): which language-marker words appear in each
+    // document. The marker dimension is tiny ⇒ broadcast.
+    QueryDef.sql(
+      "q_join_membership", {
+        val markers = TextOps.LangMarkers
+          .flatMap { case (l, ws) => ws.map(w => s"('$l', '$w')") }.mkString(", ")
+        s"""SELECT DISTINCT doc_id, m.lang AS marker_lang, m.word
+           |FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+           |      FROM documents) t
+           |JOIN (VALUES $markers) AS m(lang, word) ON m.word = t.tok""".stripMargin
+      }) {
+      (s, dir) =>
+        import s.implicits._
+        val markers = TextOps.LangMarkers
+          .flatMap { case (l, ws) => ws.map(w => (l, w)) }
+          .toDF("marker_lang", "word")
+        t(s, dir, "documents")
+          .select(col("doc_id"),
+            explode(array_distinct(split(col("text"), " "))).as("tok"))
+          .join(broadcast(markers), col("word") === col("tok"))
+          .select(col("doc_id"), col("marker_lang"), col("word"))
+          .distinct()
+    },
+
+    // J10-adjacent: equi + range (theta) join — the equi key carries
+    // the shuffle, the range predicate rides along as a post-filter,
+    // so this stays a hash/sort-merge join, never a nested loop.
+    QueryDef.sql(
+      "q_join_range",
+      """SELECT c_custkey, o_orderkey, o_totalprice
+        |FROM customer JOIN orders
+        |  ON o_custkey = c_custkey
+        | AND o_totalprice BETWEEN c_acctbal * 50 AND c_acctbal * 500""".stripMargin) {
+      (s, dir) =>
+        t(s, dir, "customer")
+          .join(t(s, dir, "orders"),
+            col("o_custkey") === col("c_custkey") &&
+              col("o_totalprice").between(
+                col("c_acctbal") * 50, col("c_acctbal") * 500))
+          .select(col("c_custkey"), col("o_orderkey"), col("o_totalprice"))
+    },
+
     // ---- non-equi / as-of (J9/J10-adjacent, scale-aware) ----------
 
     // As-of join expressed WITHOUT a non-equi join: union the two

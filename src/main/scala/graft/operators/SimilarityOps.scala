@@ -97,6 +97,22 @@ object SimilarityOps {
         round(col("cos"), 6).as("sim"))
   }
 
+  /** Embedding-cosine near-dup: the N most similar vector pairs in
+    * the corpus. With a corpus that fits one broadcast this is a
+    * single map-side pass + TakeOrdered; at scale the same semantics
+    * run through [[lshBuckets]] blocking first (pairs within a bucket)
+    * — the LSH path is exercised in the test suite.
+    */
+  def cosineNearDupTopN(emb: DataFrame, n: Int): DataFrame = {
+    val a = emb.select(col("vec_id").as("a"), col("embedding").as("va"))
+    val b = emb.select(col("vec_id").as("b"), col("embedding").as("vb"))
+    a.join(broadcast(b), col("a") < col("b"))
+      .select(col("a"), col("b"), cosine(col("va"), col("vb")).as("cos"))
+      .orderBy(col("cos").desc, col("a"), col("b"))
+      .limit(n)
+      .select(col("a"), col("b"), round(col("cos"), 6).as("sim"))
+  }
+
   private def emb(s: SparkSession, dir: String): DataFrame =
     Tables(s, dir, "embeddings")
 
@@ -105,6 +121,25 @@ object SimilarityOps {
       .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
 
   val all: Seq[QueryDef] = Seq(
+
+    // dedup family: embedding-cosine near-dup (top-20 pairs; the
+    // corpus is isotropic-random so a fixed threshold would be empty).
+    QueryDef.sql(
+      "q_dedup_embedding_cosine",
+      """WITH scored AS (
+        |  SELECT a.vec_id AS a, b.vec_id AS b,
+        |         list_sum(list_transform(range(len(a.embedding)),
+        |           i -> CAST(a.embedding[i+1] AS DOUBLE) * CAST(b.embedding[i+1] AS DOUBLE)))
+        |         / (sqrt(list_sum(list_transform(range(len(a.embedding)),
+        |              i -> CAST(a.embedding[i+1] AS DOUBLE) * CAST(a.embedding[i+1] AS DOUBLE))))
+        |          * sqrt(list_sum(list_transform(range(len(b.embedding)),
+        |              i -> CAST(b.embedding[i+1] AS DOUBLE) * CAST(b.embedding[i+1] AS DOUBLE)))))
+        |         AS cos
+        |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
+        |SELECT a, b, round(cos, 6) AS sim FROM scored
+        |ORDER BY cos DESC, a, b LIMIT 20""".stripMargin) {
+      (s, dir) => cosineNearDupTopN(emb(s, dir), 20)
+    },
 
     QueryDef.sql(
       "q_sim_cosine_topk",
