@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.{QueryDef, Tables}
+import graft.functions.{CosineSimilarity, TextVec}
 import graft.functions.TextVec._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -30,7 +31,7 @@ object SimilarityOps {
   def cosineScores(corpus: DataFrame, probes: DataFrame): DataFrame =
     corpus.crossJoin(broadcast(probes))
       .select(col("query_id"), col("vec_id"),
-        cosine(col("qv"), col("embedding")).as("cos"))
+        CosineSimilarity(corpus.sparkSession, col("qv"), col("embedding")).as("cos"))
 
   /** Exact top-k neighbors per probe (excluding self-matches). */
   def bruteForceTopK(corpus: DataFrame, probes: DataFrame, k: Int): DataFrame = {
@@ -59,7 +60,7 @@ object SimilarityOps {
   def ivfAssign(corpus: DataFrame, centroids: DataFrame): DataFrame =
     corpus.crossJoin(broadcast(centroids))
       .select(col("vec_id"), col("centroid_id"),
-        cosine(col("cv"), col("embedding")).as("cos"))
+        CosineSimilarity(corpus.sparkSession, col("cv"), col("embedding")).as("cos"))
       .withColumn("rnk", row_number().over(
         Window.partitionBy(col("vec_id")).orderBy(col("cos").desc, col("centroid_id"))))
       .filter(col("rnk") === 1)
@@ -76,7 +77,7 @@ object SimilarityOps {
     val probeCells = probes.crossJoin(broadcast(centroids))
       .select(col("query_id"), col("qv"),
         col("centroid_id").as("probe_centroid"),
-        cosine(col("qv"), col("cv")).as("ccos"))
+        CosineSimilarity(probes.sparkSession, col("qv"), col("cv")).as("ccos"))
       .withColumn("crnk", row_number().over(
         Window.partitionBy(col("query_id"))
           .orderBy(col("ccos").desc, col("probe_centroid"))))
@@ -90,7 +91,7 @@ object SimilarityOps {
       .orderBy(col("cos").desc, col("vec_id"))
     candidates
       .select(col("query_id"), col("vec_id"),
-        cosine(col("qv"), col("embedding")).as("cos"))
+        CosineSimilarity(corpus.sparkSession, col("qv"), col("embedding")).as("cos"))
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= k)
       .select(col("query_id"), col("vec_id").as("neighbor_id"), col("rnk"),
@@ -107,7 +108,8 @@ object SimilarityOps {
     val a = emb.select(col("vec_id").as("a"), col("embedding").as("va"))
     val b = emb.select(col("vec_id").as("b"), col("embedding").as("vb"))
     a.join(broadcast(b), col("a") < col("b"))
-      .select(col("a"), col("b"), cosine(col("va"), col("vb")).as("cos"))
+      .select(col("a"), col("b"),
+        CosineSimilarity(emb.sparkSession, col("va"), col("vb")).as("cos"))
       .orderBy(col("cos").desc, col("a"), col("b"))
       .limit(n)
       .select(col("a"), col("b"), round(col("cos"), 6).as("sim"))

@@ -106,6 +106,44 @@ class PipelineOpsSpec extends SparkSpec {
     assert(wrong == 0)
   }
 
+  test("custom CosineSimilarity expression is bit-identical to the " +
+    "zip_with/aggregate composition (codegen and interpreted)") {
+    import graft.functions.{CosineSimilarity, TextVec}
+    val emb = graft.Tables(spark, "/root/testdata/sf0.001", "embeddings")
+    val a = emb.select($"vec_id".as("a"), $"embedding".as("va"))
+    val b = emb.select($"vec_id".as("b"), $"embedding".as("vb"))
+    val pairs = a.join(b, $"a" =!= $"b").limit(2000)
+    val both = pairs.select(
+      CosineSimilarity(spark, $"va", $"vb").as("fast"),
+      TextVec.cosine($"va", $"vb").as("slow"))
+    assert(both.filter($"fast" =!= $"slow").count() == 0)
+    // SQL surface too
+    emb.createOrReplaceTempView("emb_cos_test")
+    CosineSimilarity.register(spark)
+    val viaSql = spark.sql(
+      """SELECT graft_cosine_sim(x.embedding, y.embedding) AS c
+        |FROM emb_cos_test x JOIN emb_cos_test y ON x.vec_id = 0 AND y.vec_id = 1""".stripMargin)
+      .collect()(0).getDouble(0)
+    assert(math.abs(viaSql) <= 1.0)
+  }
+
+  test("salted join equals plain join on skewed keys and spreads the hot key") {
+    // 10k rows of one hot key + a sprinkle of others
+    val big = spark.range(10000).select(lit("hot").as("k"), $"id".as("payload"))
+      .union(spark.range(50).select(concat(lit("k"), $"id" % 7).as("k"), $"id"))
+    val small = Seq(("hot", 1), ("k1", 2), ("k3", 3)).toDF("k", "v")
+    val plain = big.join(small, "k")
+    val salted = SkewJoin.saltedJoin(big, small, "k", salts = 8)
+    assert(salted.count() == plain.count())
+    assert(salted.exceptAll(plain).count() == 0)
+    assert(plain.exceptAll(salted).count() == 0)
+    // the hot key really lands in multiple salt buckets
+    val buckets = big.withColumn("_salt",
+      pmod(monotonically_increasing_id(), lit(8L)).cast("int"))
+      .filter($"k" === "hot").select("_salt").distinct().count()
+    assert(buckets > 1)
+  }
+
   test("exact dedup via md5 group-by keeps lowest doc_id") {
     val d = Seq((5L, "same text"), (3L, "same text"), (9L, "unique"))
       .toDF("doc_id", "text")
