@@ -78,6 +78,21 @@ final class Pimdb(val spark: SparkSession) {
   def dropObsoleteViews(): Unit =
     Seq("characters_to_character", "title_to_director", "title_to_writer")
       .foreach(spark.catalog.dropTempView)
+
+  /** The reference's core purpose — "maintain a local SQL copy of the
+    * IMDb datasets" — against an actual SQL database: push every
+    * transferred dataset table and (if built) every normalized table
+    * through the JDBC sink (reference: transfer/build into
+    * SQLite/Postgres, database.py:524-566). */
+  def writeToJdbc(url: String,
+      batchSize: Int = graft.sources.Sources.DefaultJdbcBatchSize): Unit = {
+    datasetFrames.foreach { case (d, df) =>
+      graft.sources.Sources.writeJdbc(df, url, d.tableName, batchSize)
+    }
+    normalized.foreach(_.tables.foreach { case (n, df) =>
+      graft.sources.Sources.writeJdbc(df, url, n, batchSize)
+    })
+  }
 }
 
 object Pimdb {

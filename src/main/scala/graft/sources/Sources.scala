@@ -1,0 +1,92 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.jdbc.{JdbcDialect, JdbcDialects, JdbcType}
+import org.apache.spark.sql.types._
+
+/** Format-agnostic table IO: the engine's source/sink surface.
+  *
+  * The reference's sinks are batched SQL INSERTs and TSV (SURVEY §2.1
+  * S5-S8); here every Spark batch format plus JDBC is first-class, so
+  * "maintain a local SQL copy" (the reference's whole purpose) works
+  * against any JDBC database — writes are partition-parallel with
+  * the reference's default batch size.
+  */
+object Sources {
+
+  /** reference: pimdb/bulk.py:13 — default rows per INSERT batch. */
+  val DefaultJdbcBatchSize = 1024
+
+  /** Spark's built-in Derby dialect maps StringType to CLOB, which
+    * Derby refuses to compare against literals (so the SQL copy is
+    * unusable for WHERE clauses) and which breaks setNull on VARCHAR
+    * columns. This dialect maps strings to comparable VARCHARs —
+    * the analog of the reference's String/Text column split
+    * (database.py:36-37). Registered lazily, takes precedence over
+    * the builtin. */
+  private object DerbyVarcharDialect extends JdbcDialect {
+    override def canHandle(url: String): Boolean =
+      url.toLowerCase(java.util.Locale.ROOT).startsWith("jdbc:derby")
+    override def getJDBCType(dt: DataType): Option[JdbcType] = dt match {
+      case StringType => Option(JdbcType("VARCHAR(4000)", java.sql.Types.VARCHAR))
+      case BooleanType => Option(JdbcType("BOOLEAN", java.sql.Types.BOOLEAN))
+      case ShortType | ByteType =>
+        Option(JdbcType("SMALLINT", java.sql.Types.SMALLINT))
+      case _ => None
+    }
+  }
+  private lazy val derbyDialectRegistered: Unit =
+    JdbcDialects.registerDialect(DerbyVarcharDialect)
+
+  private def ensureDialect(url: String): Unit =
+    if (url.toLowerCase(java.util.Locale.ROOT).startsWith("jdbc:derby"))
+      derbyDialectRegistered
+
+  def read(
+      spark: SparkSession, format: String, path: String,
+      schema: Option[StructType] = None,
+      options: Map[String, String] = Map.empty): DataFrame = {
+    val r = spark.read.format(format).options(options)
+    schema.foreach(r.schema)
+    r.load(path)
+  }
+
+  def write(
+      df: DataFrame, format: String, path: String,
+      options: Map[String, String] = Map.empty): Unit =
+    df.write.format(format).options(options).mode(SaveMode.Overwrite).save(path)
+
+  /** SQL-database sink (reference: BulkInsert, pimdb/bulk.py:22-72 —
+    * but executed per-partition in parallel instead of one driver
+    * loop). */
+  def writeJdbc(
+      df: DataFrame, url: String, table: String,
+      batchSize: Int = DefaultJdbcBatchSize,
+      options: Map[String, String] = Map.empty): Unit = {
+    ensureDialect(url)
+    df.write.options(options)
+      .option("batchsize", batchSize.toString)
+      .mode(SaveMode.Overwrite)
+      .jdbc(url, table, new java.util.Properties())
+  }
+
+  def readJdbc(spark: SparkSession, url: String, table: String): DataFrame = {
+    ensureDialect(url)
+    spark.read.jdbc(url, table, new java.util.Properties())
+  }
+
+  /** Bucketed + sorted managed table: equi-joins and aggregations on
+    * `bucketCols` against another table bucketed the same way run
+    * WITHOUT a shuffle — the on-disk layout replaces the exchange.
+    * This is the 100 TB answer to "co-locate the big joins"
+    * (SURVEY §4: indexes → partitioning decisions). */
+  def writeBucketed(
+      df: DataFrame, tableName: String,
+      bucketCols: Seq[String], numBuckets: Int): Unit =
+    df.write
+      .bucketBy(numBuckets, bucketCols.head, bucketCols.tail: _*)
+      .sortBy(bucketCols.head, bucketCols.tail: _*)
+      .mode(SaveMode.Overwrite)
+      .format("parquet")
+      .saveAsTable(tableName)
+}
