@@ -14,6 +14,7 @@ object SparkEntry {
 
   private def modules: Seq[QueryDef] =
     operators.Relational.all ++
+      operators.Analytics.all ++
       operators.TextOps.all ++
       operators.DedupOps.all ++
       operators.SimilarityOps.all ++

@@ -1,0 +1,104 @@
+package graft.operators
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Analytic functions beyond the reference's own surface (SURVEY
+  * marks A6/W5/E3 "absent in reference — free via Spark SQL"): exact
+  * percentiles, the full window-analytics family, ordered collection
+  * aggregates, correlation/stddev, and CUBE grouping sets. These are
+  * the operators a pimdb user gains by switching — each still
+  * oracle-checked against DuckDB.
+  */
+object Analytics {
+
+  val all: Seq[QueryDef] = Seq(
+
+    // Exact interpolated percentiles per group (same (n-1)*p linear
+    // interpolation in Spark's percentile and DuckDB's quantile_cont).
+    QueryDef.sql(
+      "q_percentile",
+      """SELECT l_returnflag,
+        |       round(quantile_cont(l_quantity, 0.5), 6) AS p50_qty,
+        |       round(quantile_cont(l_quantity, 0.9), 6) AS p90_qty,
+        |       round(quantile_cont(l_extendedprice, 0.95), 4) AS p95_price
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin) {
+      (s, dir) =>
+        Tables(s, dir, "lineitem")
+          .groupBy(col("l_returnflag"))
+          .agg(
+            round(percentile(col("l_quantity"), lit(0.5)), 6).as("p50_qty"),
+            round(percentile(col("l_quantity"), lit(0.9)), 6).as("p90_qty"),
+            round(percentile(col("l_extendedprice"), lit(0.95)), 4)
+              .as("p95_price"))
+    },
+
+    // The analytic-window family: lag/lead, dense_rank, percent_rank,
+    // ntile, first_value over a deterministic per-customer ordering.
+    QueryDef.sql(
+      "q_window_analytics",
+      """SELECT o_custkey, o_orderkey,
+        |       lag(o_orderkey) OVER w AS prev_ok,
+        |       lead(o_orderkey) OVER w AS next_ok,
+        |       CAST(dense_rank() OVER w AS INTEGER) AS drnk,
+        |       round(percent_rank() OVER w, 6) AS prnk,
+        |       CAST(ntile(4) OVER w AS INTEGER) AS quartile,
+        |       first_value(o_orderkey) OVER w AS best_ok
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey
+        |             ORDER BY o_totalprice DESC, o_orderkey)""".stripMargin) {
+      (s, dir) =>
+        val w = Window.partitionBy(col("o_custkey"))
+          .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        Tables(s, dir, "orders").select(
+          col("o_custkey"), col("o_orderkey"),
+          lag(col("o_orderkey"), 1).over(w).as("prev_ok"),
+          lead(col("o_orderkey"), 1).over(w).as("next_ok"),
+          dense_rank().over(w).as("drnk"),
+          round(percent_rank().over(w), 6).as("prnk"),
+          ntile(4).over(w).as("quartile"),
+          first_value(col("o_orderkey")).over(w).as("best_ok"))
+    },
+
+    // Ordered collection + statistical aggregates. The collected set
+    // is sorted before stringification so both engines agree.
+    QueryDef.sql(
+      "q_agg_extras",
+      """SELECT l_returnflag,
+        |       array_to_string(list_sort(list_distinct(list(l_linestatus))), ',') AS statuses,
+        |       round(corr(l_quantity, l_extendedprice), 4) AS qty_price_corr,
+        |       round(stddev_samp(l_quantity), 4) AS qty_stddev
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin) {
+      (s, dir) =>
+        Tables(s, dir, "lineitem")
+          .groupBy(col("l_returnflag"))
+          .agg(
+            array_join(sort_array(collect_set(col("l_linestatus"))), ",")
+              .as("statuses"),
+            round(corr(col("l_quantity"), col("l_extendedprice")), 4)
+              .as("qty_price_corr"),
+            round(stddev_samp(col("l_quantity")), 4).as("qty_stddev"))
+    },
+
+    // CUBE grouping sets with grouping() flags (A6 family).
+    QueryDef.sql(
+      "q_cube",
+      """SELECT o_orderstatus, o_orderpriority,
+        |       CAST(grouping(o_orderstatus) AS INTEGER) AS g_status,
+        |       CAST(grouping(o_orderpriority) AS INTEGER) AS g_prio,
+        |       count(*) AS cnt
+        |FROM orders
+        |GROUP BY CUBE (o_orderstatus, o_orderpriority)""".stripMargin) {
+      (s, dir) =>
+        Tables(s, dir, "orders")
+          .cube(col("o_orderstatus"), col("o_orderpriority"))
+          .agg(
+            grouping(col("o_orderstatus")).cast("int").as("g_status"),
+            grouping(col("o_orderpriority")).cast("int").as("g_prio"),
+            count(lit(1)).as("cnt"))
+          .select(col("o_orderstatus"), col("o_orderpriority"),
+            col("g_status"), col("g_prio"), col("cnt"))
+    }
+  )
+}

@@ -48,18 +48,17 @@ object DedupOps {
     *
     * Per-document map work only — ZERO shuffle; the only shuffle in
     * the whole LSH pipeline is the (band, bucket) candidate join.
-    * Each shingle is hashed exactly TWICE (md5 ++ md5 of a salted
-    * copy → 64 hex chars); the K=8 minhash functions are the 8
-    * disjoint 8-hex-char slices — independent uniform 32-bit hashes
-    * at a quarter of the hashing cost of K independent md5 passes.
-    * The hash array is materialized once per row (localCheckpoint)
-    * because projection collapse would otherwise re-shingle the
-    * document for every slice.
+    * Each shingle is hashed exactly ONCE (sha-256 → 64 hex chars);
+    * the K=8 minhash functions are the 8 disjoint 8-hex-char slices —
+    * independent uniform 32-bit hashes at 1/K of the hashing cost of
+    * K independent passes. The hash array is materialized once per
+    * row (localCheckpoint) because projection collapse would
+    * otherwise re-shingle the document for every slice.
     */
   def minhashBands(docs: DataFrame): DataFrame = {
     val withH = spread(docs).select(col("doc_id"),
       transform(array_distinct(shingles(tokens(col("text")), 3)),
-        s => concat(md5(s), md5(concat(lit("x"), s)))).as("hs"))
+        s => sha2(s.cast("binary"), 256)).as("hs"))
       .localCheckpoint()
     val sig = withH.select(
       col("doc_id") +:
@@ -173,7 +172,7 @@ object DedupOps {
     QueryDef.sql(
       "q_dedup_minhash_bands", {
         val mh = (0 until MinhashSeeds).map(j =>
-          s"list_min(list_transform(sh, x -> substr(md5(x) || md5('x' || x), ${j * 8 + 1}, 8))) AS mh$j")
+          s"list_min(list_transform(sh, x -> substr(sha256(x), ${j * 8 + 1}, 8))) AS mh$j")
           .mkString(",\n         ")
         val bands = (0 until MinhashSeeds / BandWidth).map(b =>
           s"SELECT doc_id, $b AS band, md5(mh${2 * b} || mh${2 * b + 1}) AS bucket FROM sig")
