@@ -36,6 +36,9 @@ object Bench {
           System.err.println(s"[bench] $name failed: ${e.getMessage}"); false
         }
       val sec = (System.nanoTime() - t0) / 1e9
+      // drop checkpointed/cached RDDs so earlier queries' blocks don't
+      // build GC pressure that bills later queries
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
       name -> (if (ok) sec else -1.0)
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }

@@ -1,0 +1,60 @@
+package graft.functions
+
+import org.apache.spark.sql.{Encoder, Encoders, TypedColumn}
+import org.apache.spark.sql.expressions.Aggregator
+
+/** Typed UDAF (`Aggregator[IN, BUF, OUT]`): uniform reservoir sample
+  * of up to k strings per group — the training-data "take a sample of
+  * each source/language/bucket" primitive, running in one pass with
+  * O(k) state per group and a proper weighted merge between partial
+  * reservoirs (Vitter's Algorithm R generalized to merges).
+  *
+  * Randomness is a deterministic function of (seed, element), so a
+  * given input multiset yields a reproducible sample regardless of
+  * partitioning: each element draws a priority from its hash and the
+  * reservoir keeps the k smallest priorities (equivalently: bottom-k
+  * sampling, which makes merge trivially correct and
+  * order-independent).
+  */
+class ReservoirSample(k: Int, seed: Long)
+    extends Aggregator[String, ReservoirSample.Buf, Seq[String]] {
+
+  import ReservoirSample._
+  require(k > 0, "k must be positive")
+
+  private def priority(v: String): Long = {
+    // splitmix64 over (seed, value hash) — stable across JVMs
+    var z = seed + v.hashCode.toLong * 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
+  override def zero: Buf = Buf(Vector.empty)
+
+  override def reduce(b: Buf, v: String): Buf =
+    insert(b, (priority(v), v))
+
+  override def merge(b1: Buf, b2: Buf): Buf =
+    b2.items.foldLeft(b1)(insert)
+
+  // items kept sorted ascending by (priority, value); bottom-k invariant
+  private def insert(b: Buf, pv: (Long, String)): Buf =
+    if (b.items.length < k) Buf((b.items :+ pv).sorted)
+    else if (Ordering[(Long, String)].lt(pv, b.items.last))
+      Buf((b.items.init :+ pv).sorted)
+    else b
+
+  override def finish(b: Buf): Seq[String] = b.items.map(_._2).sorted
+
+  override def bufferEncoder: Encoder[Buf] = Encoders.product[Buf]
+  override def outputEncoder: Encoder[Seq[String]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[String]]()
+}
+
+object ReservoirSample {
+  final case class Buf(items: Vector[(Long, String)])
+
+  def sample(col: String, k: Int, seed: Long = 42L): TypedColumn[String, Seq[String]] =
+    new ReservoirSample(k, seed).toColumn
+}

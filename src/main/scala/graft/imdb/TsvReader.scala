@@ -105,8 +105,9 @@ object TsvReader {
   /** One declared column: `\N`→null already applied by the reader;
     * booleans decode from "1"/"0"; non-nullable nulls are defaulted to
     * false/0/""/0.0 (reference warns and coerces, database.py:328-344).
+    * Shared with the streaming ingest path ([[StreamingTransfer]]).
     */
-  private def decode(field: StructField): Column = {
+  private[imdb] def decode(field: StructField): Column = {
     val raw = col(field.name)
     val cast = field.dataType match {
       case BooleanType =>

@@ -81,6 +81,19 @@ object Analytics {
             round(stddev_samp(col("l_quantity")), 4).as("qty_stddev"))
     },
 
+    // Typed UDAF surface: deterministic bottom-k reservoir sample per
+    // group (graft.functions.ReservoirSample). Engine-private hash
+    // priorities ⇒ rows-only in the gate; determinism and invariants
+    // are pinned in PipelineOpsSpec.
+    QueryDef.rowsOnly("q_sample_reservoir") { (s, dir) =>
+      val sampler = udaf(new graft.functions.ReservoirSample(5, 42L),
+        org.apache.spark.sql.Encoders.STRING)
+      Tables(s, dir, "orders")
+        .groupBy(col("o_orderstatus"))
+        .agg(array_join(sampler(col("o_orderkey").cast("string")), ",")
+          .as("sampled_orderkeys"))
+    },
+
     // CUBE grouping sets with grouping() flags (A6 family).
     QueryDef.sql(
       "q_cube",

@@ -144,6 +144,28 @@ class PipelineOpsSpec extends SparkSpec {
     assert(buckets > 1)
   }
 
+  test("reservoir sample: partition-invariant, size-capped, exact for small groups") {
+    import graft.functions.ReservoirSample
+    import org.apache.spark.sql.Encoders
+    val sampler = org.apache.spark.sql.functions.udaf(
+      new ReservoirSample(5, 42L), Encoders.STRING)
+    val data = (1 to 100).map(i => (s"g${i % 3}", s"v$i")).toDF("g", "v")
+    def run(parts: Int) =
+      data.repartition(parts).groupBy($"g")
+        .agg(sampler($"v").as("s"))
+        .collect().map(r => r.getString(0) -> r.getAs[scala.collection.Seq[String]]("s").toList).toMap
+    val a = run(1)
+    val b = run(7)
+    assert(a == b, "sample must not depend on partitioning")
+    assert(a.values.forall(_.size == 5))
+    assert(a.values.forall(_.forall(_.startsWith("v"))))
+    // group smaller than k → the whole group, sorted
+    val small = Seq(("g", "b"), ("g", "a")).toDF("g", "v")
+      .groupBy($"g").agg(sampler($"v").as("s"))
+      .collect()(0).getAs[scala.collection.Seq[String]]("s").toList
+    assert(small == List("a", "b"))
+  }
+
   test("exact dedup via md5 group-by keeps lowest doc_id") {
     val d = Seq((5L, "same text"), (3L, "same text"), (9L, "unique"))
       .toDF("doc_id", "text")
