@@ -15,6 +15,8 @@ object SparkEntry {
   private def modules: Seq[QueryDef] =
     operators.Relational.all ++
       operators.Analytics.all ++
+      operators.EventAnalytics.all ++
+      operators.Profiler.all ++
       operators.TextOps.all ++
       operators.DedupOps.all ++
       operators.SimilarityOps.all ++

@@ -35,9 +35,21 @@ object Build {
       tables.foreach { case (n, df) => df.createOrReplaceTempView(n) }
   }
 
-  def apply(datasets: Map[ImdbDataset, DataFrame]): Normalized = {
+  /** @param cache persist the hub tables (name/title/alias/
+    *              participation/characters) that up to six downstream
+    *              builds consume — without it every consumer re-sorts
+    *              and re-assigns surrogate ids from scratch. Left on
+    *              for real builds; callers managing their own
+    *              persistence (e.g. warehouse writes) may disable.
+    */
+  def apply(datasets: Map[ImdbDataset, DataFrame],
+      cache: Boolean = true): Normalized = {
     val spark = datasets.head._2.sparkSession
     import spark.implicits._
+
+    def hub(df: DataFrame): DataFrame =
+      if (cache) df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else df
 
     val titleBasics = datasets(TitleBasics)
     val nameBasics = datasets(NameBasics)
@@ -58,16 +70,16 @@ object Build {
     val profession = keyTable(titlePrincipals.select($"category").distinct())
 
     // -- name (reference: database.py:817-842) ----------------------
-    val name = SurrogateIds.assign(
+    val name = hub(SurrogateIds.assign(
       nameBasics.select(
         $"nconst", $"primaryName".as("primary_name"),
         $"birthYear".as("birth_year"), $"deathYear".as("death_year"),
         $"primaryProfession".as("primary_professions")),
-      "id", Seq(col("nconst")))
+      "id", Seq(col("nconst"))))
 
     // -- title: J3 inner ⋈ broadcast(title_type), LEFT OUTER ratings
     //    with coalesce-to-0 (reference: database.py:876-923) ---------
-    val title = SurrogateIds.assign(
+    val title = hub(SurrogateIds.assign(
       titleBasics
         .join(broadcast(titleType.select($"id".as("title_type_id"), $"name")),
           $"name" === $"titleType")
@@ -83,11 +95,11 @@ object Build {
           $"runtimeMinutes".as("runtime_minutes"),
           coalesce($"averageRating", lit(0.0f)).as("average_rating"),
           coalesce($"numVotes", lit(0)).as("rating_count")),
-      "id", Seq(col("tconst")))
+      "id", Seq(col("tconst"))))
 
     // -- title_alias (J5, reference: database.py:1031-1063); `types`
     //    carried internally for the alias-type explode below ---------
-    val aliasWithTypes = SurrogateIds.assign(
+    val aliasWithTypes = hub(SurrogateIds.assign(
       title.select($"id".as("title_id"), $"tconst")
         .join(titleAkas, $"titleId" === $"tconst")
         .select(
@@ -96,7 +108,7 @@ object Build {
           $"language".as("language_code"),
           $"isOriginalTitle".as("is_original_title"),
           $"types"),
-      "id", Seq(col("title_id"), col("ordering")))
+      "id", Seq(col("title_id"), col("ordering"))))
     val titleAlias = aliasWithTypes.select(
       $"id", $"title_id", $"ordering", $"title",
       $"region_code", $"language_code", $"is_original_title")
@@ -132,7 +144,7 @@ object Build {
 
     // -- participation (J1, reference: database.py:669-703);
     //    `characters` carried internally for the character bridge ----
-    val participationWithChars = SurrogateIds.assign(
+    val participationWithChars = hub(SurrogateIds.assign(
       titlePrincipals
         .join(name.select($"id".as("name_id"), $"nconst".as("n_nconst")),
           $"n_nconst" === $"nconst")
@@ -143,7 +155,7 @@ object Build {
           $"prof_name" === $"category")
         .select($"title_id", $"ordering", $"name_id", $"profession_id",
           $"job", $"characters"),
-      "id", Seq(col("title_id"), col("ordering")))
+      "id", Seq(col("title_id"), col("ordering"))))
     val participation = participationWithChars
       .select($"id", $"title_id", $"ordering", $"name_id",
         $"profession_id", $"job")
@@ -151,9 +163,9 @@ object Build {
     // -- character + temp bridge (reference: database.py:705-763):
     //    parse each DISTINCT characters-JSON once; ids over sorted
     //    distinct character names -----------------------------------
-    val charsParsed = titlePrincipals
+    val charsParsed = hub(titlePrincipals
       .filter($"characters".isNotNull).select($"characters").distinct()
-      .withColumn("names", from_json($"characters", ArrayType(StringType)))
+      .withColumn("names", from_json($"characters", ArrayType(StringType))))
     // reference raises on unparsable/non-list JSON (database.py:715-729);
     // checked eagerly here — an in-row raise_error can fire spuriously
     // when hoisted into pushed-down predicates by codegen CSE.

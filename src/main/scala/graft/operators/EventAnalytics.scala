@@ -1,0 +1,63 @@
+package graft.operators
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Event-sequence analytics over the `events` table: the ordered
+  * funnel (signup → view-after-signup → purchase-after-that) — the
+  * classic "did the user progress through the stages in order"
+  * measure. Everything aggregates per user first (one shuffle on
+  * user_id, reused by every stage), never materializing event pairs.
+  */
+object EventAnalytics {
+
+  /** Per-user stage timestamps; null = stage never reached in order. */
+  def funnelStages(events: DataFrame): DataFrame = {
+    val perUser = events
+      .groupBy(col("user_id"))
+      .agg(min(when(col("event_type") === "signup", col("ts_us"))).as("s1"))
+    val afterSignup = events
+      .join(perUser, "user_id")
+      .groupBy(col("user_id"), col("s1"))
+      .agg(min(when(col("event_type") === "view" && col("ts_us") >= col("s1"),
+        col("ts_us"))).as("s2"))
+    events
+      .join(afterSignup, "user_id")
+      .groupBy(col("user_id"), col("s1"), col("s2"))
+      .agg(min(when(col("event_type") === "purchase" && col("ts_us") >= col("s2"),
+        col("ts_us"))).as("s3"))
+  }
+
+  val all: Seq[QueryDef] = Seq(
+    QueryDef.sql(
+      "q_funnel",
+      """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS ts_us FROM events),
+        |u1 AS (SELECT user_id,
+        |              min(CASE WHEN event_type = 'signup' THEN ts_us END) AS s1
+        |       FROM e GROUP BY user_id),
+        |u2 AS (SELECT e.user_id, u1.s1,
+        |              min(CASE WHEN event_type = 'view' AND ts_us >= s1
+        |                       THEN ts_us END) AS s2
+        |       FROM e JOIN u1 ON e.user_id = u1.user_id
+        |       GROUP BY e.user_id, u1.s1),
+        |u3 AS (SELECT e.user_id, u2.s1, u2.s2,
+        |              min(CASE WHEN event_type = 'purchase' AND ts_us >= s2
+        |                       THEN ts_us END) AS s3
+        |       FROM e JOIN u2 ON e.user_id = u2.user_id
+        |       GROUP BY e.user_id, u2.s1, u2.s2)
+        |SELECT count(*) AS n_users,
+        |       count(s1) AS n_signup,
+        |       count(s2) AS n_view_after_signup,
+        |       count(s3) AS n_purchase_after_view
+        |FROM u3""".stripMargin) {
+      (s, dir) =>
+        funnelStages(Tables.events(s, dir))
+          .agg(
+            count(lit(1)).as("n_users"),
+            count(col("s1")).as("n_signup"),
+            count(col("s2")).as("n_view_after_signup"),
+            count(col("s3")).as("n_purchase_after_view"))
+    }
+  )
+}
