@@ -81,6 +81,25 @@ object Analytics {
             round(stddev_samp(col("l_quantity")), 4).as("qty_stddev"))
     },
 
+    // Same result as q_window_rank but via the BOUNDED top-k
+    // aggregator (graft.functions.TopK): shuffles k rows per
+    // (partition, key) instead of every group row — the scale path
+    // for top-k-per-key. Oracle: the window formulation.
+    QueryDef.sql(
+      "q_topk_per_key",
+      """SELECT o_custkey, o_orderkey, o_totalprice, CAST(rnk AS INTEGER) AS rnk
+        |FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+        |             row_number() OVER (PARTITION BY o_custkey
+        |                                ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+        |      FROM orders) WHERE rnk <= 3""".stripMargin) {
+      (s, dir) =>
+        graft.functions.TopK
+          .perKey(Tables(s, dir, "orders"),
+            "o_custkey", "o_totalprice", "o_orderkey", 3)
+          .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+            col("rnk"))
+    },
+
     // Typed UDAF surface: deterministic bottom-k reservoir sample per
     // group (graft.functions.ReservoirSample). Engine-private hash
     // priorities ⇒ rows-only in the gate; determinism and invariants

@@ -166,6 +166,22 @@ class PipelineOpsSpec extends SparkSpec {
     assert(small == List("a", "b"))
   }
 
+  test("bounded top-k aggregator matches window row_number exactly") {
+    import graft.functions.TopK
+    import org.apache.spark.sql.expressions.Window
+    val orders = graft.Tables(spark, "/root/testdata/sf0.001", "orders")
+    val viaAgg = TopK.perKey(orders, "o_custkey", "o_totalprice", "o_orderkey", 3)
+      .select($"o_custkey", $"o_orderkey", $"rnk")
+    val w = Window.partitionBy($"o_custkey")
+      .orderBy($"o_totalprice".desc, $"o_orderkey")
+    val viaWindow = orders
+      .select($"o_custkey", $"o_orderkey", row_number().over(w).as("rnk"))
+      .filter($"rnk" <= 3)
+    assert(viaAgg.count() == viaWindow.count())
+    assert(viaAgg.exceptAll(viaWindow).count() == 0)
+    assert(viaWindow.exceptAll(viaAgg).count() == 0)
+  }
+
   test("exact dedup via md5 group-by keeps lowest doc_id") {
     val d = Seq((5L, "same text"), (3L, "same text"), (9L, "unique"))
       .toDF("doc_id", "text")
