@@ -124,6 +124,33 @@ object SimilarityOps {
 
   val all: Seq[QueryDef] = Seq(
 
+    // Vector hygiene for embedding pipelines: L2 norm and symmetric
+    // int8 quantization (per-vector max-abs scale) — the storage-side
+    // half of similarity search at 100 TB (4× smaller than float32).
+    // Scalar outputs only: stringified float arrays don't hash
+    // portably across engines.
+    QueryDef.sql(
+      "q_embed_quantize",
+      """SELECT vec_id,
+        |       round(sqrt(list_sum(list_transform(embedding,
+        |             x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 6) AS l2_norm,
+        |       CAST(round(127.0 * CAST(embedding[1] AS DOUBLE)
+        |            / list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE))))) AS INTEGER) AS q0,
+        |       CAST(round(127.0 * CAST(embedding[2] AS DOUBLE)
+        |            / list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE))))) AS INTEGER) AS q1
+        |FROM embeddings""".stripMargin) {
+      (s, dir) =>
+        val vd = col("embedding").cast("array<double>")
+        val maxAbs = array_max(transform(vd, x => abs(x)))
+        def q(i: Int) = round(lit(127.0) * element_at(vd, i + 1) / maxAbs)
+          .cast("int")
+        emb(s, dir).select(
+          col("vec_id"),
+          round(sqrt(aggregate(transform(vd, x => x * x), lit(0.0),
+            (acc, x) => acc + x)), 6).as("l2_norm"),
+          q(0).as("q0"), q(1).as("q1"))
+    },
+
     // dedup family: embedding-cosine near-dup (top-20 pairs; the
     // corpus is isotropic-random so a fixed threshold would be empty).
     QueryDef.sql(

@@ -115,6 +115,26 @@ object TextOps {
             .otherwise("fr"))
     },
 
+    // Text normalization for ingest: lowercase, strip non-alnum,
+    // collapse whitespace — identical simple-class regexes on both
+    // engines (DuckDB needs the 'g' flag; Spark replaces all by
+    // default).
+    QueryDef.sql(
+      "q_text_normalize",
+      """SELECT doc_id,
+        |       trim(regexp_replace(regexp_replace(lower(text),
+        |            '[^a-z0-9 ]', '', 'g'), '  +', ' ', 'g')) AS cleaned,
+        |       CAST(len(string_split(trim(regexp_replace(regexp_replace(lower(text),
+        |            '[^a-z0-9 ]', '', 'g'), '  +', ' ', 'g')), ' ')) AS INTEGER) AS n_clean_tokens
+        |FROM documents""".stripMargin) {
+      (s, dir) =>
+        val cleaned = trim(regexp_replace(
+          regexp_replace(lower(col("text")), "[^a-z0-9 ]", ""), "  +", " "))
+        Tables(s, dir, "documents").select(
+          col("doc_id"), cleaned.as("cleaned"),
+          size(split(cleaned, " ")).as("n_clean_tokens"))
+    },
+
     // Document fingerprinting: whole-document content hash over
     // normalized text plus a prefix fingerprint over the leading
     // 5 tokens (a cheap rolling-hash anchor for container-level dedup).
