@@ -113,6 +113,18 @@ object Analytics {
           .as("sampled_orderkeys"))
     },
 
+    // Sketch family beyond HLL: approximate quantiles (engine-private
+    // sketch ⇒ rows-only; exact counterpart is q_percentile).
+    QueryDef.rowsOnly("q_approx_quantile") { (s, dir) =>
+      Tables(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          approx_percentile(col("l_extendedprice"), lit(0.5), lit(1000))
+            .as("approx_median_price"),
+          approx_percentile(col("l_extendedprice"), lit(0.99), lit(1000))
+            .as("approx_p99_price"))
+    },
+
     // CUBE grouping sets with grouping() flags (A6 family).
     QueryDef.sql(
       "q_cube",

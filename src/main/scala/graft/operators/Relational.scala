@@ -473,6 +473,24 @@ object Relational {
           .select(col("c_custkey"), col("o_orderkey"), col("o_totalprice"))
     },
 
+    // Pure range (interval) join with NO equi key: Spark would plan a
+    // BroadcastNestedLoopJoin; operators.RangeJoin bins both sides and
+    // equi-joins on the bin (see RangeJoin scaladoc). Inverted ranges
+    // from negative balances correctly match nothing on both sides.
+    QueryDef.sql(
+      "q_join_range_binned",
+      """SELECT s_suppkey, c_custkey FROM supplier s JOIN customer c
+        |  ON c.c_acctbal >= s.s_acctbal * 0.9
+        | AND c.c_acctbal <= s.s_acctbal * 1.1""".stripMargin) {
+      (s, dir) =>
+        val ranges = t(s, dir, "supplier").select(col("s_suppkey"),
+          (col("s_acctbal") * 0.9).as("lo"), (col("s_acctbal") * 1.1).as("hi"))
+        val points = t(s, dir, "customer").select(col("c_custkey"),
+          col("c_acctbal").as("p"))
+        RangeJoin.binned(ranges, "lo", "hi", points, "p", binWidth = 500.0)
+          .select(col("s_suppkey"), col("c_custkey"))
+    },
+
     // ---- non-equi / as-of (J9/J10-adjacent, scale-aware) ----------
 
     // As-of join expressed WITHOUT a non-equi join: union the two

@@ -80,6 +80,34 @@ class TsvReaderSpec extends SparkSpec {
     assert(df.select("titleType").distinct().collect().map(_.getString(0)).toSeq == Seq("movie"))
   }
 
+  test("property: typed decode matches a reference model over random rows " +
+    "(500 seeded samples)") {
+    // model of reference semantics (database.py:320-355): \N → null,
+    // non-nullable null → default, ints parse, strings pass through
+    val rnd = new scala.util.Random(7)
+    def randBasicsRow(i: Int): (String, Option[Int], Option[Int]) = {
+      val year1 = if (rnd.nextBoolean()) Some(1900 + rnd.nextInt(120)) else None
+      val year2 = if (rnd.nextBoolean()) Some(1900 + rnd.nextInt(120)) else None
+      (f"nm$i%07d", year1, year2)
+    }
+    val rows = (1 to 500).map(randBasicsRow)
+    val tsv = ("nconst\tprimaryName\tbirthYear\tdeathYear\tprimaryProfession\tknownForTitles" +:
+      rows.map { case (id, b, d) =>
+        s"$id\tName $id\t${b.map(_.toString).getOrElse("\\N")}\t${d.map(_.toString).getOrElse("\\N")}\t\\N\t\\N"
+      }).mkString("\n")
+    val f = Files.createTempFile("graft_prop", ".tsv")
+    Files.write(f, tsv.getBytes("UTF-8"))
+    val got = TsvReader.read(spark, f.toString, ImdbDataset.NameBasics)
+      .collect().map { r =>
+        (r.getAs[String]("nconst"),
+          if (r.isNullAt(r.fieldIndex("birthYear"))) None
+          else Some(r.getAs[Int]("birthYear")),
+          if (r.isNullAt(r.fieldIndex("deathYear"))) None
+          else Some(r.getAs[Int]("deathYear")))
+      }.toSet
+    assert(got == rows.toSet)
+  }
+
   test("quoting is disabled: stray quotes are data") {
     val path = tempTsv(
       "tconst\tdirectors\twriters",

@@ -182,6 +182,23 @@ class PipelineOpsSpec extends SparkSpec {
     assert(viaWindow.exceptAll(viaAgg).count() == 0)
   }
 
+  test("binned range join equals the nested-loop theta join, without BNLJ") {
+    val ranges = Seq((1L, 0.0, 10.0), (2L, 5.0, 7.0), (3L, 90.0, 120.0))
+      .toDF("range_id", "lo", "hi")
+    val points = (0 until 200).map(i => (i.toLong, i * 0.7)).toDF("point_id", "p")
+    val naive = ranges.crossJoin(points)
+      .filter($"p" >= $"lo" && $"p" <= $"hi")
+      .select($"range_id", $"point_id")
+    val binned = RangeJoin.binned(ranges, "lo", "hi", points, "p", binWidth = 8.0)
+      .select($"range_id", $"point_id")
+    assert(binned.count() == naive.count())
+    assert(binned.exceptAll(naive).count() == 0)
+    assert(naive.exceptAll(binned).count() == 0)
+    val plan = RangeJoin.binned(ranges, "lo", "hi", points, "p", 8.0)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
   test("exact dedup via md5 group-by keeps lowest doc_id") {
     val d = Seq((5L, "same text"), (3L, "same text"), (9L, "unique"))
       .toDF("doc_id", "text")
