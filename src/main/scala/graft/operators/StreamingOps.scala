@@ -32,6 +32,28 @@ object StreamingOps {
         s.table("graft_stream_window")
     },
 
+    // Stream-stream interval join run as a REAL streaming query; for
+    // finite one-shot input the inner join's eager emission makes the
+    // result identical to the batch join — which is the oracle.
+    QueryDef.sql(
+      "q_stream_join",
+      """SELECT p.user_id, p.event_id AS purchase_id, v.event_id AS view_id
+        |FROM events p JOIN events v
+        |  ON v.user_id = p.user_id
+        | AND p.event_type = 'purchase' AND v.event_type = 'view'
+        | AND epoch_us(v.ts) <= epoch_us(p.ts)
+        | AND epoch_us(v.ts) >= epoch_us(p.ts) - 3600000000""".stripMargin) {
+      (s, dir) =>
+        val schema = Tables(s, dir, "events").schema
+        def stream = s.readStream.schema(schema)
+          .parquet(EventStreams.streamableDir(s"$dir/events.parquet"))
+        val q = EventStreams.purchasesJoinViews(stream)
+          .writeStream.format("memory").queryName("graft_stream_join")
+          .outputMode("append").trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+        s.table("graft_stream_join")
+    },
+
     QueryDef.sql(
       "q_sessionize",
       s"""WITH e AS (SELECT user_id, epoch_us(ts) AS us, event_id FROM events),

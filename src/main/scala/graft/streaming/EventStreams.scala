@@ -102,6 +102,32 @@ object EventStreams {
       }
   }
 
+  /** Watermarked stream-stream interval join: each purchase matched
+    * to the same user's views in the preceding hour. Both sides carry
+    * watermarks, so join state is bounded — the state-store holds at
+    * most one hour (+watermark slack) of views per user. An inner
+    * stream-stream join emits matches eagerly, so a one-shot
+    * (AvailableNow) run over finite input produces exactly the batch
+    * join's rows — which is how the oracle checks it.
+    */
+  def purchasesJoinViews(events: DataFrame): DataFrame = {
+    val withTime = tsMicros(events)
+      .withColumn("event_time", timestamp_micros(col("ts_us")))
+    val purchases = withTime.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"),
+        col("event_time").as("p_time"))
+      .withWatermark("p_time", "10 minutes")
+    val views = withTime.filter(col("event_type") === "view")
+      .select(col("user_id").as("v_user"), col("event_id").as("view_id"),
+        col("event_time").as("v_time"))
+      .withWatermark("v_time", "10 minutes")
+    purchases.join(views,
+      col("p_user") === col("v_user") &&
+        col("v_time") <= col("p_time") &&
+        col("v_time") >= col("p_time") - expr("INTERVAL 1 HOUR"))
+      .select(col("p_user").as("user_id"), col("purchase_id"), col("view_id"))
+  }
+
   /** Spark's file stream source requires a DIRECTORY; the testdata
     * tables are single files. Returns a temp dir containing a symlink
     * to the table file, suitable for `readStream.parquet`. */
