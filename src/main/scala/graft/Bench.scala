@@ -36,9 +36,12 @@ object Bench {
           System.err.println(s"[bench] $name failed: ${e.getMessage}"); false
         }
       val sec = (System.nanoTime() - t0) / 1e9
-      // drop checkpointed/cached RDDs so earlier queries' blocks don't
-      // build GC pressure that bills later queries
+      // isolate queries from each other: drop checkpointed/cached RDD
+      // blocks, stop any straggling streams, and settle the heap so
+      // one query's garbage isn't billed to the next
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+      spark.streams.active.foreach(_.stop())
+      System.gc()
       name -> (if (ok) sec else -1.0)
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }

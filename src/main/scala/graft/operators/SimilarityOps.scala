@@ -66,6 +66,37 @@ object SimilarityOps {
       .filter(col("rnk") === 1)
       .select(col("vec_id"), col("centroid_id"), round(col("cos"), 6).as("sim"))
 
+  /** IVF centroid training: k-means (Lloyd) iterations seeded from
+    * the first k vectors. Each iteration is one cross-score pass +
+    * one groupBy-mean — a handful of bounded jobs, centroids stay
+    * tiny and broadcast. Deterministic: seeds are fixed, assignment
+    * ties break on centroid_id, means are exact column averages.
+    */
+  def ivfTrain(corpus: DataFrame, k: Int, iters: Int): DataFrame = {
+    val dim = corpus.select(size(col("embedding"))).first().getInt(0)
+    val n = corpus.count()
+    val stride = math.max(1L, n / k)
+    // strided seeds (assumes dense vec_ids): spread across the corpus
+    // instead of the first k rows, which may share one cluster
+    var centroids = corpus
+      .filter(col("vec_id") % stride === 0 && col("vec_id") < stride * k)
+      .select(col("vec_id").as("centroid_id"), col("embedding").as("cv"))
+    (0 until iters).foreach { _ =>
+      val assigned = ivfAssign(corpus, centroids)
+        .select(col("vec_id"), col("centroid_id"))
+        .join(corpus.select(col("vec_id"),
+          col("embedding").cast("array<double>").as("v")), "vec_id")
+      val dimCols = (0 until dim).map(i =>
+        avg(element_at(col("v"), i + 1)).as(s"d$i"))
+      centroids = assigned.groupBy(col("centroid_id"))
+        .agg(dimCols.head, dimCols.tail: _*)
+        .select(col("centroid_id"),
+          array((0 until dim).map(i => col(s"d$i")): _*)
+            .cast("array<float>").as("cv"))
+    }
+    centroids
+  }
+
   /** IVF probe search: score each query only against vectors whose
     * cell is among the query's nprobe nearest centroids. Same output
     * shape as [[bruteForceTopK]] so recall is directly comparable. */

@@ -199,6 +199,22 @@ class PipelineOpsSpec extends SparkSpec {
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
   }
 
+  test("IVF training recovers the true cluster structure") {
+    val trained = SimilarityOps.ivfTrain(vectors, k = 4, iters = 3)
+    assert(trained.count() == 4)
+    // after training, assignment must be exactly the label partition
+    val assign = SimilarityOps.ivfAssign(vectors, trained)
+      .join(vectors.select($"vec_id", $"label"), "vec_id")
+    val purity = assign.groupBy($"centroid_id")
+      .agg(count_distinct($"label").as("n_labels"), count(lit(1)).as("n"))
+      .collect()
+    assert(purity.length == 4)
+    purity.foreach { r =>
+      assert(r.getAs[Long]("n_labels") == 1L, s"mixed cell: $r")
+      assert(r.getAs[Long]("n") == 25L)
+    }
+  }
+
   test("exact dedup via md5 group-by keeps lowest doc_id") {
     val d = Seq((5L, "same text"), (3L, "same text"), (9L, "unique"))
       .toDF("doc_id", "text")
