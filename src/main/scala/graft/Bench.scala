@@ -40,7 +40,10 @@ object Bench {
       // blocks, stop any straggling streams, and settle the heap so
       // one query's garbage isn't billed to the next
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
-      spark.streams.active.foreach(_.stop())
+      // best-effort: stop() can throw/time out on a wedged stream and
+      // must not lose the already-collected timings
+      try spark.streams.active.foreach(_.stop())
+      catch { case _: Throwable => () }
       System.gc()
       name -> (if (ok) sec else -1.0)
     }

@@ -66,21 +66,31 @@ object SimilarityOps {
       .filter(col("rnk") === 1)
       .select(col("vec_id"), col("centroid_id"), round(col("cos"), 6).as("sim"))
 
-  /** IVF centroid training: k-means (Lloyd) iterations seeded from
-    * the first k vectors. Each iteration is one cross-score pass +
-    * one groupBy-mean — a handful of bounded jobs, centroids stay
-    * tiny and broadcast. Deterministic: seeds are fixed, assignment
-    * ties break on centroid_id, means are exact column averages.
+  /** IVF centroid training: k-means (Lloyd) iterations with strided
+    * seeds (vec_id % (n/k) == 0 — spread across the corpus; first-k
+    * seeding collapses when early rows share a cluster; assumes
+    * roughly dense vec_ids). Each iteration is one cross-score pass +
+    * one groupBy-mean, checkpointed so lineage doesn't compound;
+    * centroids stay tiny and broadcast. Ties break on centroid_id;
+    * mean accumulation order is Spark's, so coordinates can vary in
+    * final ulps across runs (assignment flips only for vectors
+    * near-equidistant between cells).
+    *
+    * Robustness: a cell that loses all members or degenerates to the
+    * zero vector (cosine undefined) keeps its previous centroid
+    * rather than vanishing or capturing the whole corpus via
+    * NaN-sorts-first.
     */
   def ivfTrain(corpus: DataFrame, k: Int, iters: Int): DataFrame = {
-    val dim = corpus.select(size(col("embedding"))).first().getInt(0)
+    val firstRow = corpus.select(size(col("embedding")).as("d")).limit(1).collect()
+    require(firstRow.nonEmpty, "ivfTrain: empty corpus")
+    val dim = firstRow(0).getInt(0)
     val n = corpus.count()
     val stride = math.max(1L, n / k)
-    // strided seeds (assumes dense vec_ids): spread across the corpus
-    // instead of the first k rows, which may share one cluster
     var centroids = corpus
       .filter(col("vec_id") % stride === 0 && col("vec_id") < stride * k)
       .select(col("vec_id").as("centroid_id"), col("embedding").as("cv"))
+      .localCheckpoint()
     (0 until iters).foreach { _ =>
       val assigned = ivfAssign(corpus, centroids)
         .select(col("vec_id"), col("centroid_id"))
@@ -88,11 +98,20 @@ object SimilarityOps {
           col("embedding").cast("array<double>").as("v")), "vec_id")
       val dimCols = (0 until dim).map(i =>
         avg(element_at(col("v"), i + 1)).as(s"d$i"))
-      centroids = assigned.groupBy(col("centroid_id"))
+      val means = assigned.groupBy(col("centroid_id"))
         .agg(dimCols.head, dimCols.tail: _*)
         .select(col("centroid_id"),
           array((0 until dim).map(i => col(s"d$i")): _*)
-            .cast("array<float>").as("cv"))
+            .cast("array<float>").as("new_cv"))
+      val nonDegenerate = means.filter(
+        aggregate(transform(col("new_cv"), x => abs(x)),
+          lit(0.0), (acc, x) => acc + x) > 0)
+      // empty/degenerate cells keep their previous centroid
+      centroids = centroids.as("prev")
+        .join(nonDegenerate, Seq("centroid_id"), "left_outer")
+        .select(col("centroid_id"),
+          coalesce(col("new_cv"), col("cv")).as("cv"))
+        .localCheckpoint()
     }
     centroids
   }
