@@ -20,6 +20,7 @@ object SparkEntry {
       operators.TextOps.all ++
       operators.DedupOps.all ++
       operators.SimilarityOps.all ++
+      operators.SkewJoin.all ++
       operators.Multimodal.all ++
       operators.StreamingOps.all
 

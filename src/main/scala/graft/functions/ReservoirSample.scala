@@ -3,18 +3,20 @@ package graft.functions
 import org.apache.spark.sql.{Encoder, Encoders, TypedColumn}
 import org.apache.spark.sql.expressions.Aggregator
 
-/** Typed UDAF (`Aggregator[IN, BUF, OUT]`): uniform reservoir sample
-  * of up to k strings per group — the training-data "take a sample of
-  * each source/language/bucket" primitive, running in one pass with
-  * O(k) state per group and a proper weighted merge between partial
-  * reservoirs (Vitter's Algorithm R generalized to merges).
+/** Typed UDAF (`Aggregator[IN, BUF, OUT]`): DETERMINISTIC BOTTOM-K
+  * sample of up to k distinct string values per group — the
+  * training-data "take a reproducible sample of each source/language/
+  * bucket" primitive, running in one pass with O(k) state per group
+  * and an order-independent merge between partial buffers.
   *
-  * Randomness is a deterministic function of (seed, element), so a
-  * given input multiset yields a reproducible sample regardless of
-  * partitioning: each element draws a priority from its hash and the
-  * reservoir keeps the k smallest priorities (equivalently: bottom-k
-  * sampling, which makes merge trivially correct and
-  * order-independent).
+  * Each value draws a pseudo-random priority as a pure function of
+  * (seed, value); the buffer keeps the k smallest priorities. Because
+  * the priority depends only on the value, duplicate values share one
+  * priority: the output is a hash-ordered sample of the DISTINCT
+  * values (not a uniform multiset sample — occurrence counts don't
+  * change selection odds). That trade is what makes the sample
+  * reproducible across partitionings and merges; for gate usage over
+  * unique keys the two notions coincide.
   */
 class ReservoirSample(k: Int, seed: Long)
     extends Aggregator[String, ReservoirSample.Buf, Seq[String]] {

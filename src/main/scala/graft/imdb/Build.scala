@@ -35,6 +35,42 @@ object Build {
       tables.foreach { case (n, df) => df.createOrReplaceTempView(n) }
   }
 
+  /** Post-build sanity checks, mirroring the reference's warnings —
+    * a silent inner-join row loss is exactly what these catch:
+    *  - row-count deviation: `title` vs TitleBasics
+    *    (database.py:923-935) and `participation` vs TitlePrincipals
+    *    (database.py:703);
+    *  - has-data: the key tables (database.py:635), `title_alias`
+    *    (database.py:1063) and `participation_to_character`
+    *    (database.py:811).
+    * Counts run over the persisted hub tables, so this costs a few
+    * cached scans, not a rebuild. Returns the warning lines (empty =
+    * healthy build); callers log them.
+    */
+  def validate(datasets: Map[ImdbDataset, DataFrame],
+      normalized: Normalized): Seq[String] = {
+    val warnings = Seq.newBuilder[String]
+
+    def checkTableCount(source: DataFrame, sourceName: String,
+        targetName: String): Unit = {
+      val target = normalized(targetName).count()
+      val expected = source.count()
+      if (target != expected) warnings +=
+        s"""target table "$targetName" has $target rows but should have """ +
+          s"""$expected same as source table "$sourceName""""
+    }
+    def checkTableHasData(targetName: String): Unit =
+      if (normalized(targetName).isEmpty) warnings +=
+        s"""target table "$targetName" should contain rows but is empty"""
+
+    checkTableCount(datasets(TitleBasics), "TitleBasics", "title")
+    checkTableCount(datasets(TitlePrincipals), "TitlePrincipals", "participation")
+    Seq("title_alias_type", "title_type", "genre", "profession",
+      "title_alias", "participation_to_character")
+      .foreach(checkTableHasData)
+    warnings.result()
+  }
+
   /** @param cache persist the hub tables (name/title/alias/
     *              participation/characters) that up to six downstream
     *              builds consume — without it every consumer re-sorts

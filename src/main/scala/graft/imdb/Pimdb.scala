@@ -14,12 +14,26 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 final class Pimdb(val spark: SparkSession) {
 
+  private val log = org.slf4j.LoggerFactory.getLogger(classOf[Pimdb])
+
   private var datasetFrames: Map[ImdbDataset, DataFrame] = Map.empty
   private var normalized: Option[Build.Normalized] = None
+  private var _transferDuplicateCounts: Map[String, Long] = Map.empty
+  private var _buildWarnings: Seq[String] = Seq.empty
+
+  /** Per-dataset duplicate rows dropped by the last [[transfer]]
+    * (reference: common.py:224,255 duplicate_count). */
+  def transferDuplicateCounts: Map[String, Long] = _transferDuplicateCounts
+
+  /** Validation warnings from the last [[build]] (reference:
+    * database.py:925-942). */
+  def buildWarnings: Seq[String] = _buildWarnings
 
   /** Load datasets from a folder of <dataset>.tsv[.gz] files and
     * register PascalCase views (reference: command.py:179-195).
     * `--drop` semantics are implicit: views/paths are overwritten.
+    * Logs the per-dataset duplicate count like the reference does
+    * while streaming rows (one extra key-count aggregate per file).
     */
   def transfer(
       dataFolder: String,
@@ -29,6 +43,10 @@ final class Pimdb(val spark: SparkSession) {
       val base = s"$dataFolder/${d.datasetName}.tsv"
       val path = if (new java.io.File(s"$base.gz").exists()) s"$base.gz" else base
       var df = TsvReader.read(spark, path, d)
+      val dups = TsvReader.duplicateCount(spark, path, d)
+      _transferDuplicateCounts += d.datasetName -> dups
+      if (dups > 0) log.info("{}: ignored {} duplicate row(s) with key columns {}",
+        d.datasetName, dups.toString, d.keyColumns.mkString(", "))
       warehouse.foreach { w =>
         val out = s"$w/datasets/${d.tableName}"
         df.write.mode("overwrite").parquet(out)
@@ -43,7 +61,9 @@ final class Pimdb(val spark: SparkSession) {
 
   /** Derive + register the 15 normalized tables (reference:
     * command.py:198-220). Requires the build-relevant datasets to be
-    * transferred first. */
+    * transferred first. Row-count/has-data validation warnings
+    * (reference: database.py:925-942) are logged and kept on
+    * [[buildWarnings]]. */
   def build(warehouse: Option[String] = None): Build.Normalized = {
     val missing = ImdbDataset.forNormalized.filterNot(datasetFrames.contains)
     require(missing.isEmpty,
@@ -58,6 +78,8 @@ final class Pimdb(val spark: SparkSession) {
     }
     result.registerViews(spark)
     normalized = Some(result)
+    _buildWarnings = Build.validate(datasetFrames, result)
+    _buildWarnings.foreach(log.warn)
     result
   }
 
@@ -70,8 +92,19 @@ final class Pimdb(val spark: SparkSession) {
   def queryToTsv(sql: String, out: java.io.Writer): Unit =
     TsvWriter.stream(query(sql), out)
 
-  private[imdb] def rewriteQuotedIdentifiers(sql: String): String =
-    Pimdb.QuotedIdentifier.replaceAllIn(sql, m => "`" + m.group(1) + "`")
+  /** Rewrites only OUTSIDE single-quoted string literals (with ''
+    * escaping), so a literal like '"tv"' passes through untouched. */
+  private[imdb] def rewriteQuotedIdentifiers(sql: String): String = {
+    def rewrite(span: String): String =
+      Pimdb.QuotedIdentifier.replaceAllIn(span, m => "`" + m.group(1) + "`")
+    val sb = new StringBuilder
+    var last = 0
+    for (m <- Pimdb.StringLiteral.findAllMatchIn(sql)) {
+      sb.append(rewrite(sql.substring(last, m.start))).append(m.matched)
+      last = m.end
+    }
+    sb.append(rewrite(sql.substring(last))).toString
+  }
 
   /** S10: drop views left by older schema versions (reference:
     * database.py:582-586 `_drop_obsolete_normalized_tables`). */
@@ -98,6 +131,9 @@ final class Pimdb(val spark: SparkSession) {
 object Pimdb {
   /** "name" or "name.part" — identifier-shaped double-quoted tokens. */
   private val QuotedIdentifier = """"([A-Za-z_][A-Za-z0-9_.]*)"""".r
+
+  /** A single-quoted SQL string literal, '' as the escaped quote. */
+  private val StringLiteral = """'(?:[^']|'')*'""".r
 
   def apply(spark: SparkSession): Pimdb = new Pimdb(spark)
 }

@@ -71,6 +71,30 @@ object TsvReader {
       .drop("_rn", "_seq")
   }
 
+  /** Transfer metric (reference: common.py:224,255 `duplicate_count`):
+    * rows beyond the first occurrence of each dataset key. The
+    * reference dedups BEFORE its value filter, so this counts on the
+    * raw scan. One aggregate pass shuffling only (key, count) pairs —
+    * run at transfer time next to the main read, mirroring the count
+    * the reference logs while streaming rows.
+    */
+  def duplicateCount(
+      spark: SparkSession,
+      path: String,
+      dataset: ImdbDataset): Long = {
+    val raw = spark.read
+      .option("sep", "\t").option("header", "true")
+      .option("quote", "").option("nullValue", "\\N")
+      .option("mode", "FAILFAST")
+      .csv(path)
+    val row = raw
+      .groupBy(dataset.keyColumns.map(col): _*)
+      .agg(count(lit(1)).as("c"))
+      .agg(coalesce(sum(col("c") - 1), lit(0L)).as("dups"))
+      .collect()(0)
+    row.getLong(0)
+  }
+
   /** Strict typing as one aggregate pass over the raw strings:
     * booleans must be literally "1"/"0", numerics must parse —
     * anything else raises like the reference's PimdbError
@@ -94,7 +118,9 @@ object TsvReader {
     if (checks.nonEmpty) {
       val row = raw.agg(checks.head, checks.tail.toSeq: _*).collect()(0)
       checks.map(_.toString).indices.foreach { i =>
-        val bad = row.getLong(i)
+        // sum() over zero rows is null: empty input (e.g. a filter
+        // matching nothing, or a header-only TSV) is trivially valid
+        val bad = if (row.isNullAt(i)) 0L else row.getLong(i)
         if (bad > 0) throw new IllegalArgumentException(
           s"${dataset.datasetName}: ${row.schema.fieldNames(i)} has $bad " +
             "malformed value(s) (booleans must be 1/0, numerics must parse)")

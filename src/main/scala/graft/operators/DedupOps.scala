@@ -30,12 +30,24 @@ object DedupOps {
   val BandWidth = 2
   val NumBands: Int = MinhashSeeds / BandWidth
 
+  /** Stop-shingle guard: shingles present in more than this many
+    * documents are dropped before the inverted-index self-join — a
+    * boilerplate phrase shared by d documents alone produces d²/2
+    * join rows, and one hot shingle pins one reducer at 100 TB.
+    * Pairs are scored on the surviving (rare) shingle sets. */
+  val MaxShingleDf = 12
+
   /** Small single-file inputs arrive as ONE scan partition; per-doc
     * hashing is CPU-bound, so fan it out to the full core count.
-    * (At real scale the scan already yields many splits and this is a
-    * cheap round-robin; correctness is unaffected.) */
-  private def spread(df: DataFrame): DataFrame =
-    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+    * Guarded: input that already has enough splits (the normal case
+    * at real scale) passes through untouched — no gratuitous full
+    * shuffle of the corpus before map-only hashing. */
+  private def spread(df: DataFrame): DataFrame = {
+    val parallelism = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < math.max(2, parallelism / 2))
+      df.repartition(parallelism)
+    else df
+  }
 
   /** Shingled (doc_id, shingle) pairs, distinct per doc. Input needs
     * (doc_id, text). */
@@ -88,11 +100,19 @@ object DedupOps {
   }
 
   /** Exact pairwise word-3-gram Jaccard for pairs sharing >= minInter
-    * shingles, via an inverted shingle index. */
-  def jaccardPairs(docs: DataFrame, minInter: Int): DataFrame = {
+    * shingles, via an inverted shingle index. Shingles with document
+    * frequency > maxDf are dropped first ([[MaxShingleDf]]): the hot
+    * set is tiny, so the drop is a broadcast anti-join, and Jaccard is
+    * then computed consistently over the pruned shingle sets. */
+  def jaccardPairs(docs: DataFrame, minInter: Int,
+      maxDf: Int = MaxShingleDf): DataFrame = {
     // materialized once: both sides of the self-join and the size agg
     // would otherwise re-tokenize and re-shingle every document
-    val sh = shingled(docs).localCheckpoint()
+    val shAll = shingled(docs).localCheckpoint()
+    val hot = shAll.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+      .filter(col("df") > maxDf).select(col("sh"))
+    val sh = shAll.join(broadcast(hot), Seq("sh"), "left_anti")
+      .localCheckpoint()
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val pairs = sh.as("x")
       .join(sh.as("y"),
@@ -142,25 +162,30 @@ object DedupOps {
           .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
     },
 
-    // N-gram Jaccard near-dup: word-3-gram shingles, inverted-index
-    // pair generation, J = |A∩B| / |A∪B| for pairs sharing ≥2 shingles.
+    // N-gram Jaccard near-dup: word-3-gram shingles, stop-shingle cap
+    // (df > MaxShingleDf dropped), inverted-index pair generation,
+    // J = |A∩B| / |A∪B| over pruned sets for pairs sharing ≥2 shingles.
     QueryDef.sql(
       "q_dedup_ngram_jaccard",
-      """WITH sh AS (
-        |  SELECT DISTINCT doc_id,
-        |         unnest(list_transform(range(len(toks) - 2),
-        |                i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3])) AS sh
-        |  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)),
-        |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
-        |pairs AS (
-        |  SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS inter
-        |  FROM sh x JOIN sh y ON x.sh = y.sh AND x.doc_id < y.doc_id
-        |  GROUP BY 1, 2 HAVING count(*) >= 2)
-        |SELECT a, b, CAST(inter AS BIGINT) AS inter,
-        |       round(CAST(inter AS DOUBLE) / (sa.n + sb.n - inter), 6) AS jaccard
-        |FROM pairs
-        |JOIN sizes sa ON sa.doc_id = a
-        |JOIN sizes sb ON sb.doc_id = b""".stripMargin) {
+      s"""WITH sh0 AS (
+         |  SELECT DISTINCT doc_id,
+         |         unnest(list_transform(range(len(toks) - 2),
+         |                i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3])) AS sh
+         |  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)),
+         |sh AS (
+         |  SELECT doc_id, sh FROM sh0
+         |  WHERE sh NOT IN (SELECT sh FROM sh0
+         |                   GROUP BY sh HAVING count(*) > $MaxShingleDf)),
+         |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+         |pairs AS (
+         |  SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS inter
+         |  FROM sh x JOIN sh y ON x.sh = y.sh AND x.doc_id < y.doc_id
+         |  GROUP BY 1, 2 HAVING count(*) >= 2)
+         |SELECT a, b, CAST(inter AS BIGINT) AS inter,
+         |       round(CAST(inter AS DOUBLE) / (sa.n + sb.n - inter), 6) AS jaccard
+         |FROM pairs
+         |JOIN sizes sa ON sa.doc_id = a
+         |JOIN sizes sb ON sb.doc_id = b""".stripMargin) {
       (s, dir) => jaccardPairs(Tables(s, dir, "documents"), minInter = 2)
     },
 

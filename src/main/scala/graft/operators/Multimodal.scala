@@ -71,10 +71,19 @@ object Multimodal {
           (octet_length(col("payload")) % 16 + 1).as("n_frames"))
     },
 
-    // The mapPartitions decode path itself; engine-side plumbing with
-    // a stubbed codec, so rows-only in the gate (also covered by the
-    // unit spec which pins exact values).
-    QueryDef.rowsOnly("q_multimodal_decode") { (s, dir) =>
+    // The mapPartitions decode path itself. The stub codec is
+    // deterministic arithmetic on the payload length, so the oracle
+    // can replicate it exactly — the gate checks the full mapPartitions
+    // plumbing (encode → typed Dataset → per-partition decode → typed
+    // columns) value-for-value, not just rows>0.
+    QueryDef.sql(
+      "q_multimodal_decode",
+      """SELECT doc_id,
+        |       CAST(strlen(text) AS INTEGER) AS n_bytes,
+        |       CAST(strlen(text) % 640 AS INTEGER) AS width,
+        |       CAST(strlen(text) % 480 AS INTEGER) AS height,
+        |       CAST(strlen(text) % 16 + 1 AS INTEGER) AS n_frames
+        |FROM documents""".stripMargin) { (s, dir) =>
       decodeFeatures(s, dir)
     }
   )

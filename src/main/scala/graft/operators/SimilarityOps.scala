@@ -24,6 +24,15 @@ object SimilarityOps {
   val TopK = 3
   val NumCentroids = 8  // vec_id < 8 seed the gate's IVF centroids
   val LshBits = 16      // sign bits of the first 16 dims
+  val NumProbeCells = 2 // gate IVF search scans 2 of the 8 cells
+
+  /** Near-dup blocking bands: 2 bands × 8 sign bits (dims 1-16).
+    * P(two random vectors collide) ≈ bands/2^bits ≈ 0.8%, so the
+    * candidate set is ~1% of all pairs; at larger corpora raise
+    * `NearDupBandBits` to keep buckets sub-quadratic (buckets shrink
+    * 2× per added bit — the standard LSH recall/cost dial). */
+  val NearDupBands = 2
+  val NearDupBandBits = 8
 
   /** Cross-score corpus (vec_id, embedding) against broadcast probes
     * (query_id, qv): one row per (query, vector) pair with sequential
@@ -80,6 +89,10 @@ object SimilarityOps {
     * zero vector (cosine undefined) keeps its previous centroid
     * rather than vanishing or capturing the whole corpus via
     * NaN-sorts-first.
+    *
+    * NOTE: this is an offline TRAINING utility, not a per-query path —
+    * the dimension/count probes and per-iteration checkpoints do a
+    * handful of driver round-trips by design (once per index build).
     */
   def ivfTrain(corpus: DataFrame, k: Int, iters: Int): DataFrame = {
     val firstRow = corpus.select(size(col("embedding")).as("d")).limit(1).collect()
@@ -148,16 +161,43 @@ object SimilarityOps {
         round(col("cos"), 6).as("sim"))
   }
 
-  /** Embedding-cosine near-dup: the N most similar vector pairs in
-    * the corpus. With a corpus that fits one broadcast this is a
-    * single map-side pass + TakeOrdered; at scale the same semantics
-    * run through [[lshBuckets]] blocking first (pairs within a bucket)
-    * — the LSH path is exercised in the test suite.
+  /** (vec_id, band, bucket) sign-bit LSH bands for near-dup blocking:
+    * band `b` hashes dims [b·bits, (b+1)·bits) into a `bits`-bit
+    * bucket. Pure map-side work; the bucket is the only shuffle key
+    * downstream. */
+  def signBands(emb: DataFrame, bands: Int, bits: Int): DataFrame = {
+    val bandCols = (0 until bands).map { b =>
+      val bucket = (0 until bits)
+        .map(j => when(element_at(col("embedding"), b * bits + j + 1) > 0f,
+          lit(1 << j)).otherwise(lit(0)))
+        .reduce(_ + _)
+      struct(lit(b).as("band"), bucket.cast("int").as("bucket"))
+    }
+    emb.select(col("vec_id"), explode(array(bandCols: _*)).as("bb"))
+      .select(col("vec_id"), col("bb.band").as("band"),
+        col("bb.bucket").as("bucket"))
+  }
+
+  /** Embedding-cosine near-dup: the N most similar vector pairs among
+    * LSH-band candidates. Candidates come from an EQUI-join on
+    * (band, bucket) sign-bit bands ([[signBands]]) — never an all-pairs
+    * comparison: cost is quadratic only within a bucket
+    * (n²·bands/2^bits pairs in expectation), and every join in the
+    * plan is hash/sort-merge-able. Scoring joins the embeddings back
+    * by vec_id, so vectors are shuffled once per side, not N times.
     */
   def cosineNearDupTopN(emb: DataFrame, n: Int): DataFrame = {
-    val a = emb.select(col("vec_id").as("a"), col("embedding").as("va"))
-    val b = emb.select(col("vec_id").as("b"), col("embedding").as("vb"))
-    a.join(broadcast(b), col("a") < col("b"))
+    val bands = signBands(emb, NearDupBands, NearDupBandBits)
+      .localCheckpoint() // self-joined: don't recompute buckets per side
+    val cand = bands.as("x")
+      .join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
+          col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("a"), col("y.vec_id").as("b"))
+      .distinct() // a pair may collide in several bands
+    cand
+      .join(emb.select(col("vec_id").as("a"), col("embedding").as("va")), "a")
+      .join(emb.select(col("vec_id").as("b"), col("embedding").as("vb")), "b")
       .select(col("a"), col("b"),
         CosineSimilarity(emb.sparkSession, col("va"), col("vb")).as("cos"))
       .orderBy(col("cos").desc, col("a"), col("b"))
@@ -167,6 +207,16 @@ object SimilarityOps {
 
   private def emb(s: SparkSession, dir: String): DataFrame =
     Tables(s, dir, "embeddings")
+
+  /** DuckDB cosine over list columns `a`,`b` — sequential
+    * left-to-right accumulation, bit-identical to [[CosineSimilarity]]. */
+  private def cosSql(a: String, b: String): String =
+    s"""list_sum(list_transform(range(len($a)),
+       |           i -> CAST($a[i+1] AS DOUBLE) * CAST($b[i+1] AS DOUBLE)))
+       |         / (sqrt(list_sum(list_transform(range(len($a)),
+       |              i -> CAST($a[i+1] AS DOUBLE) * CAST($a[i+1] AS DOUBLE))))
+       |          * sqrt(list_sum(list_transform(range(len($b)),
+       |              i -> CAST($b[i+1] AS DOUBLE) * CAST($b[i+1] AS DOUBLE)))))""".stripMargin
 
   private def gateProbes(s: SparkSession, dir: String): DataFrame =
     emb(s, dir).filter(col("vec_id") < NumProbes)
@@ -201,22 +251,34 @@ object SimilarityOps {
           q(0).as("q0"), q(1).as("q1"))
     },
 
-    // dedup family: embedding-cosine near-dup (top-20 pairs; the
-    // corpus is isotropic-random so a fixed threshold would be empty).
+    // dedup family: embedding-cosine near-dup, top-20 pairs among
+    // LSH-band candidates (the corpus is isotropic-random so a fixed
+    // similarity threshold would be empty). The oracle replicates the
+    // banding EXACTLY, so the approximate semantics still hash-match.
     QueryDef.sql(
-      "q_dedup_embedding_cosine",
-      """WITH scored AS (
-        |  SELECT a.vec_id AS a, b.vec_id AS b,
-        |         list_sum(list_transform(range(len(a.embedding)),
-        |           i -> CAST(a.embedding[i+1] AS DOUBLE) * CAST(b.embedding[i+1] AS DOUBLE)))
-        |         / (sqrt(list_sum(list_transform(range(len(a.embedding)),
-        |              i -> CAST(a.embedding[i+1] AS DOUBLE) * CAST(a.embedding[i+1] AS DOUBLE))))
-        |          * sqrt(list_sum(list_transform(range(len(b.embedding)),
-        |              i -> CAST(b.embedding[i+1] AS DOUBLE) * CAST(b.embedding[i+1] AS DOUBLE)))))
-        |         AS cos
-        |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
-        |SELECT a, b, round(cos, 6) AS sim FROM scored
-        |ORDER BY cos DESC, a, b LIMIT 20""".stripMargin) {
+      "q_dedup_embedding_cosine", {
+        val bands = (0 until NearDupBands).map(b =>
+          s"""SELECT vec_id, $b AS band,
+             |         CAST(list_sum(list_transform(range($NearDupBandBits),
+             |           j -> CASE WHEN embedding[${b * NearDupBandBits} + j + 1] > 0
+             |                THEN 2**j ELSE 0 END)) AS INTEGER) AS bucket
+             |  FROM embeddings""".stripMargin)
+          .mkString("\n  UNION ALL\n  ")
+        s"""WITH bands AS (
+           |  $bands),
+           |cand AS (
+           |  SELECT DISTINCT x.vec_id AS a, y.vec_id AS b
+           |  FROM bands x JOIN bands y
+           |    ON x.band = y.band AND x.bucket = y.bucket AND x.vec_id < y.vec_id),
+           |scored AS (
+           |  SELECT a, b,
+           |         ${cosSql("ea.embedding", "eb.embedding")}
+           |         AS cos
+           |  FROM cand JOIN embeddings ea ON ea.vec_id = cand.a
+           |            JOIN embeddings eb ON eb.vec_id = cand.b)
+           |SELECT a, b, round(cos, 6) AS sim FROM scored
+           |ORDER BY cos DESC, a, b LIMIT 20""".stripMargin
+      }) {
       (s, dir) => cosineNearDupTopN(emb(s, dir), 20)
     },
 
@@ -278,6 +340,64 @@ object SimilarityOps {
         val centroids = emb(s, dir).filter(col("vec_id") < NumCentroids)
           .select(col("vec_id").as("centroid_id"), col("embedding").as("cv"))
         ivfAssign(emb(s, dir), centroids)
+    },
+
+    // IVF probe search over the seed centroids: each query scans only
+    // its NumProbeCells nearest cells (nprobe/ncells of the corpus).
+    // The oracle replicates the cell assignment + probe selection +
+    // in-cell ranking verbatim; recall vs the exact q_sim_cosine_topk
+    // is measured in the test suite (trained centroids there).
+    QueryDef.sql(
+      "q_sim_ivf_search",
+      s"""WITH c AS (SELECT vec_id AS centroid_id, embedding AS cv
+         |           FROM embeddings WHERE vec_id < $NumCentroids),
+         |q AS (SELECT vec_id AS query_id, embedding AS qv
+         |      FROM embeddings WHERE vec_id < $NumProbes),
+         |cell_scored AS (
+         |  SELECT e.vec_id, c.centroid_id,
+         |         ${cosSql("cv", "e.embedding")}
+         |         AS cos
+         |  FROM c CROSS JOIN embeddings e),
+         |cells AS (
+         |  SELECT vec_id, centroid_id
+         |  FROM (SELECT vec_id, centroid_id,
+         |               row_number() OVER (PARTITION BY vec_id
+         |                                  ORDER BY cos DESC, centroid_id) AS rnk
+         |        FROM cell_scored)
+         |  WHERE rnk = 1),
+         |probe_scored AS (
+         |  SELECT q.query_id, c.centroid_id,
+         |         ${cosSql("qv", "cv")}
+         |         AS ccos
+         |  FROM q CROSS JOIN c),
+         |probes AS (
+         |  SELECT query_id, centroid_id
+         |  FROM (SELECT query_id, centroid_id,
+         |               row_number() OVER (PARTITION BY query_id
+         |                                  ORDER BY ccos DESC, centroid_id) AS crnk
+         |        FROM probe_scored)
+         |  WHERE crnk <= $NumProbeCells),
+         |cand AS (
+         |  SELECT p.query_id, e.vec_id,
+         |         ${cosSql("q.qv", "e.embedding")}
+         |         AS cos
+         |  FROM probes p
+         |  JOIN cells ce ON ce.centroid_id = p.centroid_id
+         |  JOIN embeddings e ON e.vec_id = ce.vec_id
+         |  JOIN q ON q.query_id = p.query_id
+         |  WHERE e.vec_id <> p.query_id)
+         |SELECT query_id, vec_id AS neighbor_id, CAST(rnk AS INTEGER) AS rnk,
+         |       round(cos, 6) AS sim
+         |FROM (SELECT query_id, vec_id, cos,
+         |             row_number() OVER (PARTITION BY query_id
+         |                                ORDER BY cos DESC, vec_id) AS rnk
+         |      FROM cand)
+         |WHERE rnk <= $TopK""".stripMargin) {
+      (s, dir) =>
+        val centroids = emb(s, dir).filter(col("vec_id") < NumCentroids)
+          .select(col("vec_id").as("centroid_id"), col("embedding").as("cv"))
+        ivfSearch(emb(s, dir), centroids, gateProbes(s, dir),
+          NumProbeCells, TopK)
     }
   )
 }

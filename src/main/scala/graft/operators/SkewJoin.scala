@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.{QueryDef, Tables}
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -31,4 +32,25 @@ object SkewJoin {
       explode(sequence(lit(0), lit(salts - 1))))
     saltedBig.join(replicated, Seq(key, "_salt")).drop("_salt")
   }
+
+  val all: Seq[QueryDef] = Seq(
+
+    // Salted equi-join over the hottest natural key in the testdata
+    // (events.user_id: ~70 events/user). The oracle is the PLAIN join
+    // — salting must be a pure execution-strategy change with
+    // bit-identical results.
+    QueryDef.sql(
+      "q_join_skew_salted",
+      """SELECT e.event_id, e.user_id, u.n_events
+        |FROM events e
+        |JOIN (SELECT user_id, count(*) AS n_events
+        |      FROM events GROUP BY user_id) u
+        |  ON u.user_id = e.user_id""".stripMargin) { (s, dir) =>
+      val events = Tables(s, dir, "events")
+      val perUser = events.groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_events"))
+      saltedJoin(events.select(col("event_id"), col("user_id")),
+        perUser, "user_id", salts = 8)
+        .select(col("event_id"), col("user_id"), col("n_events"))
+    })
 }

@@ -63,9 +63,17 @@ object RewriteMembershipJoin extends Rule[LogicalPlan] with PredicateHelper {
 
 /** `spark.sql.extensions`-loadable bundle of graft's Catalyst
   * extensions: the membership-join rewrite and the native
-  * cosine-similarity function. */
+  * cosine-similarity function (`graft_cosine_sim(a, b)` in SQL). */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  import graft.functions.CosineSimilarity
+  import org.apache.spark.sql.catalyst.FunctionIdentifier
+
   def apply(e: SparkSessionExtensions): Unit = {
     e.injectOptimizerRule(_ => RewriteMembershipJoin)
+    e.injectFunction((
+      FunctionIdentifier(CosineSimilarity.FunctionName),
+      new ExpressionInfo(classOf[CosineSimilarity].getCanonicalName,
+        CosineSimilarity.FunctionName),
+      (exprs: Seq[Expression]) => CosineSimilarity(exprs(0), exprs(1))))
   }
 }

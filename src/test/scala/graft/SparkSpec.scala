@@ -15,6 +15,10 @@ object SparkSpec {
     val s = SparkSession.builder()
       .master("local[4]")
       .appName("graft-test")
+      // the real spark.sql.extensions wiring: the test context is
+      // created fresh with this conf, exactly like a cluster deploy —
+      // GraftExtensionsSpec asserts the injected surface works
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .config("spark.sql.warehouse.dir",
         java.nio.file.Files.createTempDirectory("graft_wh").toString)
       .config("spark.sql.shuffle.partitions", "4")

@@ -130,4 +130,53 @@ class BuildSpec extends SparkSpec {
     pimdb
     assert(t("TitleCrew").count() == 75)
   }
+
+  test("healthy build passes validation: no warnings, zero transfer duplicates " +
+    "(reference database.py:925-942, common.py:224)") {
+    pimdb
+    assert(pimdb.buildWarnings.isEmpty, pimdb.buildWarnings.mkString("; "))
+    assert(pimdb.transferDuplicateCounts.size == 7)
+    assert(pimdb.transferDuplicateCounts.values.forall(_ == 0L),
+      pimdb.transferDuplicateCounts.toString)
+  }
+
+  test("transfer counts key-duplicates like the reference's duplicate_count") {
+    val dups = TsvReader.duplicateCount(spark,
+      getClass.getResource("/imdb/name.basics.duplicate.tsv").getPath,
+      ImdbDataset.NameBasics)
+    assert(dups == 1L)
+  }
+
+  test("validate warns on row-count deviation and on empty target tables") {
+    import spark.implicits._
+    val tb = Seq("tt1").toDF("tconst")
+    val tp = Seq(("tt1", 1), ("tt1", 2)).toDF("tconst", "ordering")
+    val normalized = Build.Normalized(Map(
+      "title" -> tb,               // 1 row, matches TitleBasics
+      "participation" -> tb.limit(0), // 0 vs 2 source rows → deviation
+      "title_alias_type" -> tb, "title_type" -> tb,
+      "genre" -> tb.limit(0),      // empty key table → has-data warning
+      "profession" -> tb, "title_alias" -> tb,
+      "participation_to_character" -> tb))
+    val warnings = Build.validate(
+      Map(ImdbDataset.TitleBasics -> tb, ImdbDataset.TitlePrincipals -> tp),
+      normalized)
+    assert(warnings.exists(w => w.contains("\"participation\" has 0 rows") &&
+      w.contains("should have 2")), warnings.mkString("; "))
+    assert(warnings.exists(_.contains(
+      "\"genre\" should contain rows but is empty")), warnings.mkString("; "))
+    assert(warnings.length == 2, warnings.mkString("; "))
+  }
+
+  test("double-quoted identifiers inside string literals are untouched") {
+    val p = Pimdb(spark)
+    assert(p.rewriteQuotedIdentifiers(
+      """select "character".name from "character" where t = '"tv"'""") ==
+      """select `character`.name from `character` where t = '"tv"'""")
+    // '' escape inside a literal keeps the span literal
+    assert(p.rewriteQuotedIdentifiers("""where t = 'it''s a "quoted" word'""") ==
+      """where t = 'it''s a "quoted" word'""")
+    assert(p.rewriteQuotedIdentifiers("""select "a" from x where y = 'b' and "c" = 'd'""") ==
+      """select `a` from x where y = 'b' and `c` = 'd'""")
+  }
 }

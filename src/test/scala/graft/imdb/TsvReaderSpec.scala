@@ -108,6 +108,13 @@ class TsvReaderSpec extends SparkSpec {
     assert(got == rows.toSet)
   }
 
+  test("strict validation handles empty input: a filter matching no rows " +
+    "passes instead of NPE-ing on the null aggregate") {
+    val df = TsvReader.read(spark, fixture("title.basics.tsv"),
+      ImdbDataset.TitleBasics, filter = Map("titleType" -> Set("no_such_type")))
+    assert(df.count() == 0)
+  }
+
   test("quoting is disabled: stray quotes are data") {
     val path = tempTsv(
       "tconst\tdirectors\twriters",

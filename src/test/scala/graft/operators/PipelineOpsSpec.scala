@@ -215,6 +215,65 @@ class PipelineOpsSpec extends SparkSpec {
     }
   }
 
+  test("embedding near-dup blocks via LSH bands: finds the planted dup, no nested-loop join") {
+    val rnd = new scala.util.Random(11)
+    val base = Array.fill(16)(rnd.nextGaussian().toFloat)
+    val dup = base.map(x => x * 1.01f) // same signs → same bucket in both bands
+    val others = (2L until 40L).map(i => i -> Array.fill(16)(rnd.nextGaussian().toFloat))
+    val emb = ((0L -> base) +: (1L -> dup) +: others).toDF("vec_id", "embedding")
+    val top = SimilarityOps.cosineNearDupTopN(emb, 1)
+    val plan = top.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+    val r = top.collect()(0)
+    assert((r.getLong(0), r.getLong(1)) == (0L, 1L))
+    assert(r.getDouble(2) > 0.999)
+  }
+
+  test("jaccard stop-shingle cap drops hot shingles but keeps true near-dups") {
+    // 20 docs all share one boilerplate opener (a stop-shingle bucket
+    // of 20 docs); only docs 0/1 share real content beyond it.
+    val boiler = "the quick brown fox jumps"
+    val content = (1 to 30).map(i => s"w$i").mkString(" ")
+    val rows = Seq(0L -> s"$boiler $content", 1L -> s"$boiler ${content.replace("w7", "x")}") ++
+      (2L until 20L).map(i => i -> (s"$boiler " + (1 to 30).map(j => s"u${i}_$j").mkString(" ")))
+    val d = rows.toDF("doc_id", "text")
+    val pairs = DedupOps.jaccardPairs(d, minInter = 2, maxDf = 3).collect()
+    assert(pairs.map(r => (r.getLong(0), r.getLong(1))).toSet == Set((0L, 1L)),
+      pairs.mkString(", "))
+    // uncapped: every boilerplate-sharing pair (190 of them) survives
+    // the join; the cap keeps candidate generation sub-quadratic
+    val uncapped = DedupOps.jaccardPairs(d, minInter = 2, maxDf = 1000).count()
+    assert(uncapped > pairs.length)
+  }
+
+  test("approx_percentile stays within its rank-accuracy bound of the exact values") {
+    val acc = 1000
+    val li = graft.Tables(spark, "/root/testdata/sf0.001", "lineitem")
+    val rows = li.groupBy($"l_returnflag").agg(
+      sort_array(collect_list($"l_extendedprice")).as("vals"),
+      approx_percentile($"l_extendedprice", lit(0.5), lit(acc)).as("a50"),
+      approx_percentile($"l_extendedprice", lit(0.99), lit(acc)).as("a99"))
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val vals = r.getAs[scala.collection.Seq[Double]]("vals")
+      val n = vals.size
+      def assertWithinRankBound(v: Double, p: Double): Unit = {
+        val target = math.floor(p * n).toInt
+        // ±⌈n/accuracy⌉ ranks plus slack for the floor-vs-nearest rank
+        // convention (the GK bound is on rank, not on the index formula)
+        val eps = math.ceil(n.toDouble / acc).toInt + 3
+        val lo = vals(math.max(0, target - eps))
+        val hi = vals(math.min(n - 1, target + eps))
+        assert(v >= lo && v <= hi,
+          s"approx $v outside rank window [$lo, $hi] (p=$p, n=$n)")
+      }
+      assertWithinRankBound(r.getAs[Double]("a50"), 0.5)
+      assertWithinRankBound(r.getAs[Double]("a99"), 0.99)
+    }
+  }
+
   test("exact dedup via md5 group-by keeps lowest doc_id") {
     val d = Seq((5L, "same text"), (3L, "same text"), (9L, "unique"))
       .toDF("doc_id", "text")

@@ -1,0 +1,41 @@
+package graft.plans
+
+import graft.SparkSpec
+import org.apache.spark.sql.SparkSessionExtensions
+
+/** GraftExtensions loaded through the REAL `spark.sql.extensions`
+  * conf: the shared test session's SparkContext is created with
+  * `spark.sql.extensions=graft.plans.GraftExtensions` (SparkSpec), so
+  * everything asserted here reached the session the same way a
+  * cluster deploy would wire it. */
+class GraftExtensionsSpec extends SparkSpec {
+
+  test("conf-injected graft_cosine_sim is callable from SQL, no register() call") {
+    // NOTE: CosineSimilarity.register is deliberately NOT called —
+    // resolution must come from the extensions injection alone.
+    val v = spark.sql(
+      """SELECT graft_cosine_sim(
+        |         array(CAST(3.0 AS FLOAT), CAST(0.0 AS FLOAT)),
+        |         array(CAST(3.0 AS FLOAT), CAST(0.0 AS FLOAT))) AS c""".stripMargin)
+      .collect()(0).getDouble(0)
+    assert(math.abs(v - 1.0) < 1e-12)
+  }
+
+  test("conf-injected function surfaces the corrupt-embedding NULL guards") {
+    val rows = spark.sql(
+      """SELECT graft_cosine_sim(array(CAST(1.0 AS FLOAT)),
+        |                        array(CAST(1.0 AS FLOAT), CAST(2.0 AS FLOAT))) AS mismatch,
+        |       graft_cosine_sim(array(CAST(0.0 AS FLOAT)),
+        |                        array(CAST(1.0 AS FLOAT))) AS zero_norm""".stripMargin)
+      .collect()(0)
+    assert(rows.isNullAt(0), "length mismatch must be NULL, not a truncated score")
+    assert(rows.isNullAt(1), "zero norm must be NULL, not NaN")
+  }
+
+  test("bundle is instantiable by class name, as Spark's loader does it") {
+    val ext = Class.forName("graft.plans.GraftExtensions")
+      .getDeclaredConstructor().newInstance()
+      .asInstanceOf[SparkSessionExtensions => Unit]
+    ext(new SparkSessionExtensions) // must not throw
+  }
+}

@@ -5,10 +5,19 @@ import org.apache.spark.sql.catalyst.plans.logical.Generate
 import org.apache.spark.sql.functions._
 
 /** The membership-join rewrite must change the PLAN (nested-loop →
-  * explode + equi-join) without changing the RESULT. */
+  * explode + equi-join) without changing the RESULT.
+  *
+  * The shared test session is built with
+  * `spark.sql.extensions=graft.plans.GraftExtensions` (see SparkSpec)
+  * — the same wiring a cluster deploy uses — so the rule is active by
+  * default here; the "without" baseline excludes it via
+  * `spark.sql.optimizer.excludedRules`.
+  */
 class RewriteMembershipJoinSpec extends SparkSpec {
 
   import spark.implicits._
+
+  private val ExcludeConf = "spark.sql.optimizer.excludedRules"
 
   private lazy val crew =
     Seq(("t1", "nm1,nm2"), ("t2", "nm2,nm3,nm2"), ("t3", "nm9"))
@@ -22,51 +31,33 @@ class RewriteMembershipJoinSpec extends SparkSpec {
       array_contains(split($"directors", ","), $"nconst"))
 
   test("without the rule: BroadcastNestedLoopJoin; with it: equi-join via Generate") {
-    val before = membershipJoin.queryExecution.executedPlan.toString
-    assert(before.contains("BroadcastNestedLoopJoin"), before)
-
-    spark.experimental.extraOptimizations =
-      spark.experimental.extraOptimizations :+ RewriteMembershipJoin
+    spark.conf.set(ExcludeConf, "graft.plans.RewriteMembershipJoin")
     try {
-      val after = membershipJoin
-      val optimized = after.queryExecution.optimizedPlan
-      assert(optimized.collect { case g: Generate => g }.nonEmpty,
-        optimized.toString)
-      val phys = after.queryExecution.executedPlan.toString
-      assert(!phys.contains("BroadcastNestedLoopJoin"), phys)
+      val before = membershipJoin.queryExecution.executedPlan.toString
+      assert(before.contains("BroadcastNestedLoopJoin"), before)
+    } finally spark.conf.unset(ExcludeConf)
 
-      // identical results, including the duplicate-element row (t2 has
-      // nm2 twice but must match Alice exactly once)
-      val rows = after.select($"tconst", $"nconst").collect()
-        .map(r => (r.getString(0), r.getString(1))).toSet
-      assert(rows == Set(("t1", "nm2"), ("t2", "nm2"), ("t2", "nm3")))
-      assert(after.count() == 3)
-    } finally {
-      spark.experimental.extraOptimizations =
-        spark.experimental.extraOptimizations.filterNot(_ eq RewriteMembershipJoin)
-    }
+    val after = membershipJoin
+    val optimized = after.queryExecution.optimizedPlan
+    assert(optimized.collect { case g: Generate => g }.nonEmpty,
+      optimized.toString)
+    val phys = after.queryExecution.executedPlan.toString
+    assert(!phys.contains("BroadcastNestedLoopJoin"), phys)
+
+    // identical results, including the duplicate-element row (t2 has
+    // nm2 twice but must match Alice exactly once)
+    val rows = after.select($"tconst", $"nconst").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(rows == Set(("t1", "nm2"), ("t2", "nm2"), ("t2", "nm3")))
+    assert(after.count() == 3)
   }
 
   test("rule leaves equi-joins and filters untouched") {
-    spark.experimental.extraOptimizations =
-      spark.experimental.extraOptimizations :+ RewriteMembershipJoin
-    try {
-      val equi = crew.join(names.withColumnRenamed("nconst", "tconst"), "tconst")
-      assert(equi.queryExecution.optimizedPlan
-        .collect { case g: Generate => g }.isEmpty)
-      // array_contains as a plain FILTER (not a join condition) survives
-      val filtered = crew.filter(array_contains(split($"directors", ","), "nm2"))
-      assert(filtered.count() == 2)
-    } finally {
-      spark.experimental.extraOptimizations =
-        spark.experimental.extraOptimizations.filterNot(_ eq RewriteMembershipJoin)
-    }
-  }
-
-  test("GraftExtensions class is spark.sql.extensions-instantiable") {
-    // constructible + applicable without error (full-session wiring is
-    // a spark-submit concern)
-    val ext = new GraftExtensions()
-    assert(ext.isInstanceOf[org.apache.spark.sql.SparkSessionExtensions => Unit])
+    val equi = crew.join(names.withColumnRenamed("nconst", "tconst"), "tconst")
+    assert(equi.queryExecution.optimizedPlan
+      .collect { case g: Generate => g }.isEmpty)
+    // array_contains as a plain FILTER (not a join condition) survives
+    val filtered = crew.filter(array_contains(split($"directors", ","), "nm2"))
+    assert(filtered.count() == 2)
   }
 }
