@@ -2,66 +2,189 @@ package graft.imdb
 
 import org.apache.spark.sql.SparkSession
 
-/** CLI with the reference's verbs (reference: pimdb/command.py):
+/** CLI with the reference's verbs AND flag surface (reference:
+  * pimdb/command.py:38-140, tested in tests/test_command.py):
   *
   * {{{
-  *   graft.imdb.Main transfer <dataFolder> [warehouse] [dataset...]
-  *   graft.imdb.Main build    <dataFolder> [warehouse]
-  *   graft.imdb.Main query    <dataFolder> <sql-or-@file>
+  *   pimdbspark [--version] [--help] COMMAND [options]
+  *
+  *   transfer <dataFolder> [names...|all|normalized]
+  *            [--bulk N] [--database URL] [--drop] [--warehouse DIR]
+  *   build    <dataFolder> [--bulk N] [--database URL] [--drop]
+  *            [--warehouse DIR]
+  *   query    <dataFolder> <sql | @file.sql> [--file]
   * }}}
+  *
+  * Exit codes match the reference's argparse behavior: 0 for
+  * `--help`/`--version` and successful commands, 2 for usage errors
+  * (missing command, `--bulk` < 1, `all`/`normalized` mixed with
+  * other names, unknown flags/names), 1 for runtime failures
+  * (command.py:248-288 `exit_code_for`).
   *
   * `download` is deliberately out of engine scope (a driver-side HTTP
   * fetch in the reference, common.py:155-180; this environment has no
   * egress) — `transfer` consumes already-downloaded .tsv[.gz] files.
+  * `--drop` is accepted and a no-op: Spark writes are overwrite-mode,
+  * so "drop before load" is implicit. `--database` pushes the result
+  * through the JDBC sink with `--bulk` rows per batch (the
+  * reference's core "SQL copy" purpose).
   */
 object Main {
 
+  val Version = "0.2.0"
+  private val Commands = Seq("build", "query", "transfer")
+
   def main(args: Array[String]): Unit = {
-    if (args.length < 2) { usage(); sys.exit(2) }
-    val verb = args(0)
-    val dataFolder = args(1)
+    var spark: Option[SparkSession] = None
+    def session: SparkSession = {
+      val s = SparkSession.builder()
+        .master(sys.env.getOrElse("SPARK_MASTER", "local[*]"))
+        .appName("pimdbspark")
+        .config("spark.sql.shuffle.partitions",
+          sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+      s.sparkContext.setLogLevel("WARN")
+      spark = Some(s)
+      s
+    }
+    try sys.exit(exitCodeFor(args.toSeq, session))
+    finally spark.foreach(_.stop())
+  }
 
-    val spark = SparkSession.builder()
-      .master(sys.env.getOrElse("SPARK_MASTER", "local[*]"))
-      .appName("pimdbspark")
-      .config("spark.sql.shuffle.partitions",
-        sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+  /** Parsed command line; usage errors carry exit code 2 like
+    * argparse's `parser.error`. */
+  private final case class Cli(
+      command: String,
+      dataFolder: String,
+      positionals: Seq[String],
+      bulkSize: Int,
+      database: Option[String],
+      warehouse: Option[String],
+      drop: Boolean,
+      file: Boolean)
 
+  private final case class UsageError(message: String) extends Exception(message)
+
+  /** Reference-parity exit codes without exiting the JVM — the analog
+    * of command.py's `exit_code_for`, so specs can assert codes
+    * directly. The session is by-name: `--help`/`--version`/usage
+    * errors never start Spark. */
+  def exitCodeFor(args: Seq[String], session: => SparkSession): Int =
+    try {
+      if (args.contains("--help") || args.contains("-h")) { usage(); 0 }
+      else if (args.contains("--version")) {
+        println(s"pimdbspark $Version"); 0
+      } else {
+        val cli = parse(args)
+        run(cli, session)
+        0
+      }
+    } catch {
+      case UsageError(m) =>
+        System.err.println(s"error: $m"); usage(); 2
+      case scala.util.control.NonFatal(e) =>
+        // reference: PimdbError/OSError → log + exit code 1
+        System.err.println("cannot perform command '" +
+          args.headOption.getOrElse("") + s"': ${e.getMessage}")
+        1
+    }
+
+  private def parse(args: Seq[String]): Cli = {
+    var command: Option[String] = None
+    var positionals = Vector.empty[String]
+    var bulk = graft.sources.Sources.DefaultJdbcBatchSize
+    var database: Option[String] = None
+    var warehouse: Option[String] = None
+    var drop = false
+    var file = false
+
+    var i = 0
+    def valueOf(flag: String): String = {
+      i += 1
+      if (i >= args.length) throw UsageError(s"$flag requires a value")
+      args(i)
+    }
+    while (i < args.length) {
+      args(i) match {
+        case "--bulk" | "-b" =>
+          val v = valueOf("--bulk")
+          bulk = try v.toInt
+            catch { case _: NumberFormatException =>
+              throw UsageError(s"--bulk is '$v' but must be an integer") }
+        case "--database" | "-d" => database = Some(valueOf("--database"))
+        case "--warehouse" | "-w" => warehouse = Some(valueOf("--warehouse"))
+        case "--drop" | "-D" => drop = true
+        case "--file" => file = true
+        case f if f.startsWith("-") => throw UsageError(s"unknown option: $f")
+        case v if command.isEmpty =>
+          if (!Commands.contains(v)) throw UsageError(
+            s"COMMAND must be specified; possible commands are: ${Commands.mkString(", ")}")
+          command = Some(v)
+        case v => positionals :+= v
+      }
+      i += 1
+    }
+    val cmd = command.getOrElse(throw UsageError(
+      s"COMMAND must be specified; possible commands are: ${Commands.mkString(", ")}"))
+    if (bulk < 1) throw UsageError(s"--bulk is $bulk but must be at least 1")
+    val dataFolder = positionals.headOption.getOrElse(
+      throw UsageError(s"$cmd requires a <dataFolder>"))
+    Cli(cmd, dataFolder, positionals.tail, bulk, database, warehouse, drop, file)
+  }
+
+  /** NAME semantics from the reference (command.py:165-177): `all` or
+    * `normalized` must be the only name; plain names are deduplicated
+    * and sorted. */
+  private def checkedDatasets(names: Seq[String]): Seq[ImdbDataset] =
+    if (names.isEmpty) ImdbDataset.all
+    else if (names.contains("all") || names.contains("normalized")) {
+      if (names.length >= 2) throw UsageError(
+        """if NAME "all" is specified, it must be the only NAME""")
+      if (names.head == "all") ImdbDataset.all else ImdbDataset.forNormalized
+    } else {
+      names.distinct.sorted.map { n =>
+        ImdbDataset.all.find(_.datasetName == n).getOrElse(
+          throw UsageError(s"unknown dataset name: $n"))
+      }
+    }
+
+  private def run(cli: Cli, session: => SparkSession): Unit = {
+    val spark = session
     val pimdb = Pimdb(spark)
-    try verb match {
+    cli.command match {
       case "transfer" =>
-        val warehouse = args.lift(2)
-        val names = args.drop(3)
-        val datasets =
-          if (names.isEmpty || names.contains("all")) ImdbDataset.all
-          else if (names.contains("normalized")) ImdbDataset.forNormalized
-          else names.map(ImdbDataset.byName).toSeq
-        pimdb.transfer(dataFolder, datasets, warehouse)
+        pimdb.transfer(cli.dataFolder, checkedDatasets(cli.positionals),
+          cli.warehouse)
+        cli.database.foreach(url => pimdb.writeToJdbc(url, cli.bulkSize))
       case "build" =>
-        pimdb.transfer(dataFolder, ImdbDataset.all, args.lift(2))
-        pimdb.build(args.lift(2))
+        pimdb.transfer(cli.dataFolder, ImdbDataset.all, cli.warehouse)
+        pimdb.build(cli.warehouse)
+        cli.database.foreach(url => pimdb.writeToJdbc(url, cli.bulkSize))
       case "query" =>
-        val sqlArg = args(2)
+        val sqlArg = cli.positionals.headOption.getOrElse(
+          throw UsageError("query requires an SQL argument"))
         val sql =
-          if (sqlArg.startsWith("@"))
+          if (cli.file || sqlArg.startsWith("@")) {
+            val p = if (sqlArg.startsWith("@")) sqlArg.drop(1) else sqlArg
             new String(java.nio.file.Files.readAllBytes(
-              java.nio.file.Paths.get(sqlArg.drop(1))), "UTF-8")
-          else sqlArg
-        pimdb.transfer(dataFolder, ImdbDataset.all, None)
+              java.nio.file.Paths.get(p)), "UTF-8")
+          } else sqlArg
+        pimdb.transfer(cli.dataFolder, ImdbDataset.all, None)
         pimdb.build(None)
         val out = new java.io.PrintWriter(System.out)
         pimdb.queryToTsv(sql, out)
-      case other =>
-        System.err.println(s"unknown command: $other"); usage(); sys.exit(2)
-    } finally spark.stop()
+    }
   }
 
   private def usage(): Unit = System.err.println(
-    """usage: transfer <dataFolder> [warehouse] [dataset...|all|normalized]
-      |       build    <dataFolder> [warehouse]
-      |       query    <dataFolder> <sql | @file.sql>""".stripMargin)
+    s"""usage: pimdbspark [--version] [--help] COMMAND [options]
+       |
+       |commands:
+       |  transfer <dataFolder> [NAME...|all|normalized]
+       |           [--bulk N] [--database URL] [--drop] [--warehouse DIR]
+       |  build    <dataFolder> [--bulk N] [--database URL] [--drop]
+       |           [--warehouse DIR]
+       |  query    <dataFolder> <sql | @file.sql> [--file]""".stripMargin)
 }

@@ -214,6 +214,34 @@ object DedupOps {
       (s, dir) => minhashBands(Tables(s, dir, "documents"))
     },
 
+    // LSH candidate pairs: the equi-join on (band, bucket) that turns
+    // the signatures into near-dup candidates — the scalable candidate
+    // generator itself, checked value-for-value (the oracle rebuilds
+    // signatures, bands and the self-join verbatim).
+    QueryDef.sql(
+      "q_dedup_lsh_pairs", {
+        val mh = (0 until MinhashSeeds).map(j =>
+          s"list_min(list_transform(sh, x -> substr(sha256(x), ${j * 8 + 1}, 8))) AS mh$j")
+          .mkString(",\n         ")
+        val bands = (0 until NumBands).map(b =>
+          s"SELECT doc_id, $b AS band, md5(mh${2 * b} || mh${2 * b + 1}) AS bucket FROM sig")
+          .mkString("\n           UNION ALL ")
+        s"""WITH sig AS (
+           |  SELECT doc_id,
+           |         $mh
+           |  FROM (SELECT doc_id,
+           |               list_distinct(list_transform(range(len(toks) - 2),
+           |                 i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3])) AS sh
+           |        FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents))),
+           |bands AS (
+           |           $bands)
+           |SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+           |FROM bands x JOIN bands y
+           |  ON x.band = y.band AND x.bucket = y.bucket AND x.doc_id < y.doc_id""".stripMargin
+      }) {
+      (s, dir) => lshCandidatePairs(Tables(s, dir, "documents"))
+    },
+
     // SimHash: 16-bit signature from per-token md5 bit votes (hex
     // digit >= '8' ⇔ high bit set), weighted by token multiplicity.
     QueryDef.sql(

@@ -1,0 +1,51 @@
+package graft.imdb
+
+import graft.SparkSpec
+
+/** CLI exit-code parity with the reference (tests/test_command.py):
+  * --help/--version exit 0, usage errors exit 2, runtime errors exit
+  * 1, happy paths exit 0. `exitCodeFor` mirrors command.py's
+  * `exit_code_for`, so codes are asserted without exiting the JVM. */
+class MainSpec extends SparkSpec {
+
+  private lazy val dataDir = getClass.getResource("/imdb").getPath
+
+  private def code(args: String*): Int = Main.exitCodeFor(args, spark)
+
+  test("--help and per-command --help exit 0 (test_command.py:12-22)") {
+    assert(code("--help") == 0)
+    Seq("transfer", "build", "query").foreach { c =>
+      assert(code(c, "--help") == 0, c)
+    }
+  }
+
+  test("--version exits 0 (test_command.py:25-28)") {
+    assert(code("--version") == 0)
+  }
+
+  test("no command is a usage error, exit 2 (test_command.py:59-62)") {
+    assert(code() == 2)
+    assert(code("frobnicate", dataDir) == 2)
+  }
+
+  test("--bulk 0 is a usage error, exit 2 (test_command.py:53-56)") {
+    assert(code("transfer", dataDir, "title.ratings", "--bulk", "0") == 2)
+    assert(code("transfer", dataDir, "--bulk", "nope") == 2)
+  }
+
+  test("'all' mixed with other names is a usage error (command.py:167-169)") {
+    assert(code("transfer", dataDir, "all", "title.ratings") == 2)
+    assert(code("transfer", dataDir, "normalized", "all") == 2)
+    assert(code("transfer", dataDir, "no.such.dataset") == 2)
+  }
+
+  test("runtime failure (missing folder) exits 1, not a crash") {
+    assert(code("transfer", "/no/such/folder", "title.ratings") == 1)
+  }
+
+  test("transfer + query happy paths exit 0 (test_command.py:32-50)") {
+    assert(code("transfer", dataDir, "title.ratings") == 0)
+    assert(spark.table("TitleRatings").count() == 12)
+    assert(code("query", dataDir, "select count(1) as c from title") == 0)
+  }
+}

@@ -96,6 +96,26 @@ class PipelineOpsSpec extends SparkSpec {
     assert(ivf == exact)
   }
 
+  test("gate IVF search (seed centroids, nprobe=2/8) reports recall vs exact top-k") {
+    val emb = graft.Tables(spark, "/root/testdata/sf0.001", "embeddings")
+    val probes = emb.filter($"vec_id" < SimilarityOps.NumProbes)
+      .select($"vec_id".as("query_id"), $"embedding".as("qv"))
+    val centroids = emb.filter($"vec_id" < SimilarityOps.NumCentroids)
+      .select($"vec_id".as("centroid_id"), $"embedding".as("cv"))
+    def keys(df: DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = keys(SimilarityOps.bruteForceTopK(emb, probes, SimilarityOps.TopK))
+    val ivf = keys(SimilarityOps.ivfSearch(emb, centroids, probes,
+      SimilarityOps.NumProbeCells, SimilarityOps.TopK))
+    val recall = (ivf intersect exact).size.toDouble / exact.size
+    info(f"q_sim_ivf_search recall@${SimilarityOps.TopK} vs q_sim_cosine_topk = $recall%.2f " +
+      f"(scanning ~${SimilarityOps.NumProbeCells * 100 / SimilarityOps.NumCentroids}%% of the corpus)")
+    // isotropic random corpus + untrained seed centroids is the recall
+    // floor; data is fixed so this is deterministic, not flaky
+    assert(recall >= 0.2, f"recall $recall%.2f")
+    assert(ivf.size == exact.size)
+  }
+
   test("IVF assignment puts every vector in its own cluster's cell") {
     val centroids = vectors.filter($"vec_id" % 25 === 0)
       .select(($"vec_id" / 25).cast("long").as("centroid_id"),
