@@ -128,6 +128,49 @@ object DedupOps {
           (col("na") + col("nb") - col("inter")), 6).as("jaccard"))
   }
 
+  /** Duplicate clusters: connected components over the LSH candidate
+    * graph — the step a real dedup pipeline runs after candidate
+    * generation (keep the min-id doc per cluster, drop the rest).
+    *
+    * Iterative min-label propagation: every round each doc adopts the
+    * smallest cluster id among itself and its neighbors; converges in
+    * O(component diameter) rounds, and near-dup components are
+    * shallow by construction (they exist because docs are mutually
+    * similar). Each round is one equi-join + groupBy — every shuffle
+    * keyed on doc_id, labels checkpointed so lineage stays flat. The
+    * per-round convergence check is one driver scalar, the standard
+    * shape for iterative graph algorithms (offline path, not
+    * per-query).
+    *
+    * Docs with no candidate edge keep themselves as cluster_id, so the
+    * output is total over the corpus.
+    */
+  def dupClusters(docs: DataFrame): DataFrame = {
+    val pairs = lshCandidatePairs(docs)
+    val edges = pairs.select(col("a").as("src"), col("b").as("dst"))
+      .union(pairs.select(col("b").as("src"), col("a").as("dst")))
+      .localCheckpoint()
+    var labels = docs.select(col("doc_id"), col("doc_id").as("cluster_id"))
+      .localCheckpoint()
+    var changed = 1L
+    while (changed > 0) {
+      val nbrMin = edges
+        .join(labels.select(col("doc_id").as("nbr"), col("cluster_id").as("nbr_label")),
+          col("dst") === col("nbr"))
+        .groupBy(col("src")).agg(min(col("nbr_label")).as("nbr_min"))
+      val next = labels
+        .join(nbrMin, labels("doc_id") === nbrMin("src"), "left_outer")
+        .select(col("doc_id"),
+          least(col("cluster_id"), coalesce(col("nbr_min"), col("cluster_id")))
+            .as("cluster_id"),
+          col("cluster_id").as("prev"))
+        .localCheckpoint()
+      changed = next.filter(col("cluster_id") < col("prev")).count()
+      labels = next.select(col("doc_id"), col("cluster_id"))
+    }
+    labels
+  }
+
   private def simhashVote(h: Column, b: Int): Column =
     when(substring(h, b + 1, 1) >= "8", 1).otherwise(-1)
 
@@ -144,6 +187,31 @@ object DedupOps {
       .map(b => when(col(s"v$b") > 0, lit(1 << b)).otherwise(lit(0)))
       .reduce(_ + _)
     votes.select(col("doc_id"), sh.cast("int").as("simhash"))
+  }
+
+  /** Shared oracle CTEs: minhash signatures → LSH bands → candidate
+    * pairs, the exact SQL replica of [[minhashBands]] +
+    * [[lshCandidatePairs]]. */
+  private def candidateCtes: String = {
+    val mh = (0 until MinhashSeeds).map(j =>
+      s"list_min(list_transform(sh, x -> substr(sha256(x), ${j * 8 + 1}, 8))) AS mh$j")
+      .mkString(",\n         ")
+    val bands = (0 until NumBands).map(b =>
+      s"SELECT doc_id, $b AS band, md5(mh${2 * b} || mh${2 * b + 1}) AS bucket FROM sig")
+      .mkString("\n           UNION ALL ")
+    s"""sig AS (
+       |  SELECT doc_id,
+       |         $mh
+       |  FROM (SELECT doc_id,
+       |               list_distinct(list_transform(range(len(toks) - 2),
+       |                 i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3])) AS sh
+       |        FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents))),
+       |bands AS (
+       |           $bands),
+       |cand AS (
+       |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+       |  FROM bands x JOIN bands y
+       |    ON x.band = y.band AND x.bucket = y.bucket AND x.doc_id < y.doc_id)""".stripMargin
   }
 
   val all: Seq[QueryDef] = Seq(
@@ -219,27 +287,29 @@ object DedupOps {
     // generator itself, checked value-for-value (the oracle rebuilds
     // signatures, bands and the self-join verbatim).
     QueryDef.sql(
-      "q_dedup_lsh_pairs", {
-        val mh = (0 until MinhashSeeds).map(j =>
-          s"list_min(list_transform(sh, x -> substr(sha256(x), ${j * 8 + 1}, 8))) AS mh$j")
-          .mkString(",\n         ")
-        val bands = (0 until NumBands).map(b =>
-          s"SELECT doc_id, $b AS band, md5(mh${2 * b} || mh${2 * b + 1}) AS bucket FROM sig")
-          .mkString("\n           UNION ALL ")
-        s"""WITH sig AS (
-           |  SELECT doc_id,
-           |         $mh
-           |  FROM (SELECT doc_id,
-           |               list_distinct(list_transform(range(len(toks) - 2),
-           |                 i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3])) AS sh
-           |        FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents))),
-           |bands AS (
-           |           $bands)
-           |SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
-           |FROM bands x JOIN bands y
-           |  ON x.band = y.band AND x.bucket = y.bucket AND x.doc_id < y.doc_id""".stripMargin
-      }) {
+      "q_dedup_lsh_pairs",
+      s"""WITH $candidateCtes
+         |SELECT a, b FROM cand""".stripMargin) {
       (s, dir) => lshCandidatePairs(Tables(s, dir, "documents"))
+    },
+
+    // Duplicate clusters: connected components over the candidate
+    // graph, labeled by min reachable doc_id. Spark side is iterative
+    // min-label propagation; the oracle computes the identical fixed
+    // point with a recursive CTE (tiny closed components, so the
+    // transitive closure stays small).
+    QueryDef.sql(
+      "q_dedup_clusters",
+      s"""WITH RECURSIVE $candidateCtes,
+         |edges AS (SELECT a AS src, b AS dst FROM cand
+         |          UNION ALL SELECT b, a FROM cand),
+         |reach(src, dst) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT r.src, e.dst FROM reach r JOIN edges e ON e.src = r.dst)
+         |SELECT src AS doc_id, min(dst) AS cluster_id
+         |FROM reach GROUP BY src""".stripMargin) {
+      (s, dir) => dupClusters(Tables(s, dir, "documents"))
     },
 
     // SimHash: 16-bit signature from per-token md5 bit votes (hex

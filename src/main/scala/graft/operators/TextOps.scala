@@ -135,6 +135,49 @@ object TextOps {
           size(split(cleaned, " ")).as("n_clean_tokens"))
     },
 
+    // TF-IDF top terms: the classic salient-term extractor. Two
+    // shuffles ((doc,term) counts, then term document-frequency) plus
+    // one broadcast of the scalar corpus size; ranking is per-doc.
+    // Ties in the score only occur for equal (tf, df) pairs — where
+    // both engines compute the identical double — and break on term,
+    // so the ordering is engine-independent.
+    QueryDef.sql(
+      "q_text_tfidf",
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+        |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        |n AS (SELECT count(*) AS n FROM documents)
+        |SELECT doc_id, term, CAST(tf AS BIGINT) AS tf,
+        |       round(score, 6) AS tfidf, CAST(rnk AS INTEGER) AS rnk
+        |FROM (SELECT doc_id, term, tf,
+        |             tf * ln(CAST(n AS DOUBLE) / df) AS score,
+        |             row_number() OVER (PARTITION BY doc_id
+        |                                ORDER BY tf * ln(CAST(n AS DOUBLE) / df) DESC,
+        |                                         term) AS rnk
+        |      FROM tf JOIN df USING (term) CROSS JOIN n)
+        |WHERE rnk <= 3""".stripMargin) {
+      (s, dir) =>
+        val docs = Tables(s, dir, "documents")
+        val toks = docs.select(col("doc_id"),
+          explode(tokens(col("text"))).as("term"))
+        val tf = toks.groupBy(col("doc_id"), col("term"))
+          .agg(count(lit(1)).as("tf"))
+        val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+        val n = docs.agg(count(lit(1)).as("n"))
+        val scored = tf.join(dfreq, "term")
+          .crossJoin(broadcast(n))
+          .withColumn("score",
+            col("tf") * log(col("n").cast("double") / col("df")))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("doc_id"))
+          .orderBy(col("score").desc, col("term"))
+        scored.withColumn("rnk", row_number().over(w))
+          .filter(col("rnk") <= 3)
+          .select(col("doc_id"), col("term"), col("tf"),
+            round(col("score"), 6).as("tfidf"), col("rnk"))
+    },
+
     // Document fingerprinting: whole-document content hash over
     // normalized text plus a prefix fingerprint over the leading
     // 5 tokens (a cheap rolling-hash anchor for container-level dedup).

@@ -47,6 +47,19 @@ class PipelineOpsSpec extends SparkSpec {
       assert(r.getAs[Seq[Long]]("ids").toSet == Set(10L, 11L)))
   }
 
+  test("dup clusters: transitive chain collapses to one component, min-id label") {
+    val base = (1 to 40).map(i => s"tok$i").mkString(" ")
+    val b = base.replace("tok5", "chg5")
+    val c = b.replace("tok35", "chg35") // near b; 2 tokens from base
+    val other = (1 to 40).map(i => s"other$i").mkString(" ")
+    val d = Seq((7L, base), (8L, b), (9L, c), (99L, other)).toDF("doc_id", "text")
+    val m = DedupOps.dupClusters(d).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // 9 connects to 7 only THROUGH 8 — component labeling must be
+    // transitive, and the singleton keeps itself
+    assert(m == Map(7L -> 7L, 8L -> 7L, 9L -> 7L, 99L -> 99L), m.toString)
+  }
+
   test("simhash: near-dups within small hamming distance, unrelated far") {
     def hamming(a: Int, b: Int): Int = Integer.bitCount(a ^ b)
     val m = DedupOps.simhash16(docs).collect()
