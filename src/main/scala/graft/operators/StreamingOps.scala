@@ -14,6 +14,24 @@ import org.apache.spark.sql.streaming.Trigger
   */
 object StreamingOps {
 
+  /** Stateful streaming sizing: the number of state-store instances is
+    * fixed at the FIRST micro-batch to `spark.sql.shuffle.partitions`,
+    * and a stream-stream join keeps four stores per partition. Unlike
+    * a batch shuffle, that cost is per-batch machinery, so state
+    * partitions should track key cardinality / throughput, not CPU
+    * count (spark docs: sql-streaming state store sizing). The events
+    * stream keys on user_id — small cardinality — so cap the stream's
+    * state partitions and restore the session conf afterwards. At
+    * production scale this is the knob you RAISE per sink throughput.
+    */
+  private def withStreamPartitions[T](
+      s: org.apache.spark.sql.SparkSession, n: Int)(body: => T): T = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = s.conf.get(key)
+    s.conf.set(key, math.min(n, prev.toInt).toString)
+    try body finally s.conf.set(key, prev)
+  }
+
   val all: Seq[QueryDef] = Seq(
 
     QueryDef.sql(
@@ -21,7 +39,7 @@ object StreamingOps {
       """SELECT epoch_us(time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP))) AS window_start_us,
         |       event_type, count(*) AS cnt, round(sum(value), 2) AS sum_value
         |FROM events GROUP BY 1, 2""".stripMargin) {
-      (s, dir) =>
+      (s, dir) => withStreamPartitions(s, 8) {
         val schema = Tables(s, dir, "events").schema
         val stream = s.readStream.schema(schema)
           .parquet(EventStreams.streamableDir(s"$dir/events.parquet"))
@@ -30,6 +48,7 @@ object StreamingOps {
           .outputMode("complete").trigger(Trigger.AvailableNow()).start()
         q.awaitTermination()
         s.table("graft_stream_window")
+      }
     },
 
     // Stream-stream interval join run as a REAL streaming query; for
@@ -43,7 +62,7 @@ object StreamingOps {
         | AND p.event_type = 'purchase' AND v.event_type = 'view'
         | AND epoch_us(v.ts) <= epoch_us(p.ts)
         | AND epoch_us(v.ts) >= epoch_us(p.ts) - 3600000000""".stripMargin) {
-      (s, dir) =>
+      (s, dir) => withStreamPartitions(s, 8) {
         val schema = Tables(s, dir, "events").schema
         def stream = s.readStream.schema(schema)
           .parquet(EventStreams.streamableDir(s"$dir/events.parquet"))
@@ -52,6 +71,7 @@ object StreamingOps {
           .outputMode("append").trigger(Trigger.AvailableNow()).start()
         q.awaitTermination()
         s.table("graft_stream_join")
+      }
     },
 
     QueryDef.sql(
