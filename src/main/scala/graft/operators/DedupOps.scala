@@ -150,25 +150,38 @@ object DedupOps {
     val edges = pairs.select(col("a").as("src"), col("b").as("dst"))
       .union(pairs.select(col("b").as("src"), col("a").as("dst")))
       .localCheckpoint()
-    var labels = docs.select(col("doc_id"), col("doc_id").as("cluster_id"))
+    // iterate only over docs with at least one candidate edge — the
+    // vast majority are singletons and rejoin after convergence; the
+    // loop's per-round jobs then run on the (tiny) candidate subgraph
+    var labels = edges.select(col("src").as("doc_id")).distinct()
+      .withColumn("cluster_id", col("doc_id"))
       .localCheckpoint()
-    var changed = 1L
-    while (changed > 0) {
+
+    def propagate(ls: DataFrame): DataFrame = {
       val nbrMin = edges
-        .join(labels.select(col("doc_id").as("nbr"), col("cluster_id").as("nbr_label")),
+        .join(ls.select(col("doc_id").as("nbr"), col("cluster_id").as("nbr_label")),
           col("dst") === col("nbr"))
         .groupBy(col("src")).agg(min(col("nbr_label")).as("nbr_min"))
-      val next = labels
-        .join(nbrMin, labels("doc_id") === nbrMin("src"), "left_outer")
-        .select(col("doc_id"),
+      ls.join(nbrMin, ls("doc_id") === nbrMin("src"), "left_outer")
+        .select(ls("doc_id"),
           least(col("cluster_id"), coalesce(col("nbr_min"), col("cluster_id")))
-            .as("cluster_id"),
-          col("cluster_id").as("prev"))
-        .localCheckpoint()
-      changed = next.filter(col("cluster_id") < col("prev")).count()
-      labels = next.select(col("doc_id"), col("cluster_id"))
+            .as("cluster_id"))
     }
-    labels
+
+    var changed = 1L
+    while (changed > 0) {
+      // two hops per convergence check: labels travel 2 edges per
+      // round, halving the driver round-trips vs check-every-hop
+      val stepped = propagate(propagate(labels)).localCheckpoint()
+      changed = stepped.as("n").join(labels.as("p"), "doc_id")
+        .filter(col("n.cluster_id") < col("p.cluster_id")).count()
+      labels = stepped
+    }
+    docs.select(col("doc_id"))
+      .join(labels.select(col("doc_id").as("d2"), col("cluster_id")),
+        col("doc_id") === col("d2"), "left_outer")
+      .select(col("doc_id"),
+        coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
   }
 
   private def simhashVote(h: Column, b: Int): Column =

@@ -71,6 +71,30 @@ object Multimodal {
           (octet_length(col("payload")) % 16 + 1).as("n_frames"))
     },
 
+    // Frame sampling: one output row per sampled frame (every 4th of
+    // the stub's n_frames), the video analog of "explode the container
+    // into work items". The payload never travels with the exploded
+    // rows — only doc_id + frame_no + a per-frame key derived from the
+    // content hash, so a 100 TB corpus explodes into cheap coordinates,
+    // not copies. Real frame decode would map these coordinates
+    // through the partition-batched codec ([[decodeFeatures]]).
+    QueryDef.sql(
+      "q_multimodal_frames",
+      """SELECT doc_id, CAST(f AS INTEGER) AS frame_no,
+        |       md5(sha256(text) || ':' || CAST(f AS VARCHAR)) AS frame_key
+        |FROM documents,
+        |     unnest(range(1, strlen(text) % 16 + 2, 4)) AS t(f)""".stripMargin) {
+      (s, dir) =>
+        asBinary(s, dir)
+          .select(col("doc_id"), sha2(col("payload"), 256).as("content_hash"),
+            (octet_length(col("payload")) % 16 + 1).as("n_frames"))
+          .select(col("doc_id"), col("content_hash"),
+            explode(sequence(lit(1), col("n_frames"), lit(4))).as("frame_no"))
+          .select(col("doc_id"), col("frame_no"),
+            md5(concat(col("content_hash"), lit(":"),
+              col("frame_no").cast("string"))).as("frame_key"))
+    },
+
     // The mapPartitions decode path itself. The stub codec is
     // deterministic arithmetic on the payload length, so the oracle
     // can replicate it exactly — the gate checks the full mapPartitions
