@@ -37,6 +37,10 @@ object DedupOps {
     * Pairs are scored on the surviving (rare) shingle sets. */
   val MaxShingleDf = 12
 
+  /** Gate split for the incremental-dedup scenario: doc_id >= this is
+    * the "newly ingested" slice (append-only ids). */
+  val IncrementalSplit = 400
+
   /** Small single-file inputs arrive as ONE scan partition; per-doc
     * hashing is CPU-bound, so fan it out to the full core count.
     * Guarded: input that already has enough splits (the normal case
@@ -126,6 +130,29 @@ object DedupOps {
       .select(col("a"), col("b"), col("inter"),
         round(col("inter").cast("double") /
           (col("na") + col("nb") - col("inter")), 6).as("jaccard"))
+  }
+
+  /** Incremental near-dup candidates: dedup a NEW batch of documents
+    * against an already-indexed corpus without touching the corpus
+    * text. `existingBands` is the stored (doc_id, band, bucket) index
+    * (the output of [[minhashBands]], persisted by the pipeline);
+    * only the new batch is shingled and hashed, and the single
+    * equi-join is sized by the new batch, not the corpus — the shape
+    * that keeps daily ingest dedup O(batch) at a 100 TB corpus.
+    *
+    * Pair orientation assumes append-only ids (new doc_ids sort after
+    * existing ones), so every emitted pair is (older, newer) with
+    * a < b; new-vs-new pairs are included.
+    */
+  def incrementalCandidatePairs(
+      existingBands: DataFrame, newDocs: DataFrame): DataFrame = {
+    val nb = minhashBands(newDocs).localCheckpoint()
+    existingBands.union(nb).as("x")
+      .join(nb.as("y"),
+        col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+      .distinct()
   }
 
   /** Duplicate clusters: connected components over the LSH candidate
@@ -304,6 +331,24 @@ object DedupOps {
       s"""WITH $candidateCtes
          |SELECT a, b FROM cand""".stripMargin) {
       (s, dir) => lshCandidatePairs(Tables(s, dir, "documents"))
+    },
+
+    // Incremental dedup: candidates for the "new" slice (doc_id >=
+    // IncrementalSplit) against the full corpus, computed from a
+    // prebuilt band index for the existing slice — only new docs are
+    // hashed. The oracle is simply the full candidate set restricted
+    // to pairs whose newer side is in the new slice: identical by
+    // construction, which is the point (incremental == full-recompute
+    // restricted to the increment).
+    QueryDef.sql(
+      "q_dedup_incremental",
+      s"""WITH $candidateCtes
+         |SELECT a, b FROM cand WHERE b >= $IncrementalSplit""".stripMargin) {
+      (s, dir) =>
+        val docs = Tables(s, dir, "documents")
+        val existing = docs.filter(col("doc_id") < IncrementalSplit)
+        val fresh = docs.filter(col("doc_id") >= IncrementalSplit)
+        incrementalCandidatePairs(minhashBands(existing), fresh)
     },
 
     // Duplicate clusters: connected components over the candidate

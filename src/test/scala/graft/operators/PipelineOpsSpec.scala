@@ -47,6 +47,21 @@ class PipelineOpsSpec extends SparkSpec {
       assert(r.getAs[Seq[Long]]("ids").toSet == Set(10L, 11L)))
   }
 
+  test("incremental candidates equal full-recompute candidates restricted to the new slice") {
+    val docs = graft.Tables(spark, "/root/testdata/sf0.001", "documents")
+    val split = 400L
+    val existing = docs.filter($"doc_id" < split)
+    val fresh = docs.filter($"doc_id" >= split)
+    val incremental = DedupOps.incrementalCandidatePairs(
+      DedupOps.minhashBands(existing), fresh)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val full = DedupOps.lshCandidatePairs(docs)
+      .filter($"b" >= split)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(incremental == full)
+    assert(incremental.nonEmpty)
+  }
+
   test("dup clusters: transitive chain collapses to one component, min-id label") {
     val base = (1 to 40).map(i => s"tok$i").mkString(" ")
     val b = base.replace("tok5", "chg5")
