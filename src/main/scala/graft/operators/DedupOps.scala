@@ -7,8 +7,9 @@ import org.apache.spark.sql.functions._
 
 /** Deduplication operators for a training-data pipeline, over the
   * `documents` table: exact (hash group-by), n-gram Jaccard near-dup,
-  * MinHash + LSH banding, and SimHash. Embedding-cosine near-dup
-  * lives with the other vector ops in [[SimilarityOps]].
+  * MinHash + LSH banding (full and incremental), duplicate-cluster
+  * formation (connected components), and SimHash. Embedding-cosine
+  * near-dup lives with the other vector ops in [[SimilarityOps]].
   *
   * Scale design:
   *  - exact dedup shuffles only (hash, doc_id) pairs, never the text;

@@ -161,8 +161,11 @@ object TextOps {
         val docs = Tables(s, dir, "documents")
         val toks = docs.select(col("doc_id"),
           explode(tokens(col("text"))).as("term"))
+        // materialized once: df is derived FROM tf, and without this
+        // the plan re-explodes every document's tokens for each branch
         val tf = toks.groupBy(col("doc_id"), col("term"))
           .agg(count(lit(1)).as("tf"))
+          .localCheckpoint()
         val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
         val n = docs.agg(count(lit(1)).as("n"))
         val scored = tf.join(dfreq, "term")

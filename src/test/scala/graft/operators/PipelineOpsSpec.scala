@@ -322,6 +322,42 @@ class PipelineOpsSpec extends SparkSpec {
     }
   }
 
+  test("approx_count_distinct stays within the HLL relative-error bound of exact") {
+    // default rsd = 0.05; the data is fixed, so this is deterministic
+    val li = graft.Tables(spark, "/root/testdata/sf0.001", "lineitem")
+    val rows = li.groupBy($"l_returnflag").agg(
+      countDistinct($"l_partkey").as("exact"),
+      approx_count_distinct($"l_partkey").as("approx")).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val exact = r.getAs[Long]("exact").toDouble
+      val approx = r.getAs[Long]("approx").toDouble
+      val rel = math.abs(approx - exact) / exact
+      assert(rel <= 0.05 * 3, // 3 sigma of the default 5% rsd
+        s"${r.getString(0)}: approx $approx vs exact $exact (rel $rel)")
+    }
+  }
+
+  test("dup clusters agree with a reference union-find over the candidate pairs") {
+    val docs = graft.Tables(spark, "/root/testdata/sf0.001", "documents")
+    val pairs = DedupOps.lshCandidatePairs(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val expected = docs.select($"doc_id").collect().map(_.getLong(0))
+      .map(id => id -> find(id)).toMap
+    val got = DedupOps.dupClusters(docs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == expected)
+  }
+
   test("exact dedup via md5 group-by keeps lowest doc_id") {
     val d = Seq((5L, "same text"), (3L, "same text"), (9L, "unique"))
       .toDF("doc_id", "text")
