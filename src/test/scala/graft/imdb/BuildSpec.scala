@@ -168,6 +168,31 @@ class BuildSpec extends SparkSpec {
     assert(warnings.length == 2, warnings.mkString("; "))
   }
 
+  test("a principal referencing an unknown name surfaces a row-count warning " +
+    "end-to-end (silent inner-join row loss, database.py:703)") {
+    val src = java.nio.file.Paths.get(dataDir)
+    val dir = java.nio.file.Files.createTempDirectory("graft_badfix")
+    java.nio.file.Files.list(src).forEach { p =>
+      java.nio.file.Files.copy(p, dir.resolve(p.getFileName.toString))
+    }
+    // append a principals row whose nconst exists nowhere in NameBasics:
+    // the participation build inner-joins to name and silently drops it
+    java.nio.file.Files.writeString(dir.resolve("title.principals.tsv"),
+      "tt10070612\t99\tnm9999999\tactor\t\\N\t\\N\n",
+      java.nio.file.StandardOpenOption.APPEND)
+    val p = Pimdb(spark)
+    p.transfer(dir.toString)
+    try {
+      p.build()
+      assert(p.buildWarnings.exists(w =>
+        w.contains("\"participation\" has 572 rows but should have 573")),
+        p.buildWarnings.mkString("; "))
+    } finally {
+      // restore the pristine fixture views for other lazily-ordered tests
+      pimdb.transfer(dataDir); pimdb.build()
+    }
+  }
+
   test("double-quoted identifiers inside string literals are untouched") {
     val p = Pimdb(spark)
     assert(p.rewriteQuotedIdentifiers(
