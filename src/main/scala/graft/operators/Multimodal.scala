@@ -48,6 +48,26 @@ object Multimodal {
       .toDF()
   }
 
+  /** Resize planning on decoded dimensions: fit (width, height) into
+    * a maxDim bounding box preserving aspect ratio, integer
+    * arithmetic only (floor), zero-dimension guarded. Runs as a typed
+    * map over [[decodeFeatures]] — the post-decode per-item transform
+    * slot where a real pipeline calls the image library; the
+    * dimension math (and its oracle) is exactly what surrounds that
+    * call in production. */
+  def resizeFeatures(s: SparkSession, dir: String, maxDim: Int): DataFrame = {
+    import s.implicits._
+    decodeFeatures(s, dir).as[MediaFeatures]
+      .map { m =>
+        val longest = math.max(m.width, m.height)
+        val (w, h) =
+          if (longest <= maxDim) (m.width, m.height)
+          else (m.width * maxDim / longest, m.height * maxDim / longest)
+        (m.doc_id, m.width, m.height, w, h)
+      }
+      .toDF("doc_id", "width", "height", "out_w", "out_h")
+  }
+
   val all: Seq[QueryDef] = Seq(
 
     // Metadata extraction expressed as pure column ops over the binary
@@ -93,6 +113,27 @@ object Multimodal {
           .select(col("doc_id"), col("frame_no"),
             md5(concat(col("content_hash"), lit(":"),
               col("frame_no").cast("string"))).as("frame_key"))
+    },
+
+    // Resize planning over the decoded (stub) dimensions — integer
+    // fit-into-256 box math, oracle-replicated exactly.
+    QueryDef.sql(
+      "q_multimodal_resize",
+      """SELECT doc_id,
+        |       CAST(strlen(text) % 640 AS INTEGER) AS width,
+        |       CAST(strlen(text) % 480 AS INTEGER) AS height,
+        |       CAST(CASE WHEN greatest(strlen(text) % 640, strlen(text) % 480) <= 256
+        |                 THEN strlen(text) % 640
+        |                 ELSE (strlen(text) % 640) * 256
+        |                      // greatest(strlen(text) % 640, strlen(text) % 480)
+        |            END AS INTEGER) AS out_w,
+        |       CAST(CASE WHEN greatest(strlen(text) % 640, strlen(text) % 480) <= 256
+        |                 THEN strlen(text) % 480
+        |                 ELSE (strlen(text) % 480) * 256
+        |                      // greatest(strlen(text) % 640, strlen(text) % 480)
+        |            END AS INTEGER) AS out_h
+        |FROM documents""".stripMargin) { (s, dir) =>
+      resizeFeatures(s, dir, maxDim = 256)
     },
 
     // The mapPartitions decode path itself. The stub codec is
