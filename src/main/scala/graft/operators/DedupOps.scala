@@ -156,6 +156,30 @@ object DedupOps {
       .distinct()
   }
 
+  /** Benchmark decontamination: flag corpus documents sharing at
+    * least `minShared` word-3-gram shingles with any document of an
+    * evaluation set — the "did the training data leak the benchmark"
+    * check every LLM pipeline runs before training.
+    *
+    * The benchmark is small by nature, so its shingle index is
+    * BROADCAST and the corpus streams map-side through the join —
+    * zero shuffle of the corpus text at 100 TB; the only aggregation
+    * is over matching (doc, bench) pairs.
+    *
+    * Inputs: docs (doc_id, text), benchmark (bench_id, text).
+    */
+  def contaminationPairs(
+      docs: DataFrame, benchmark: DataFrame, minShared: Int): DataFrame = {
+    val dsh = shingled(docs)
+    val bsh = shingled(
+      benchmark.select(col("bench_id").as("doc_id"), col("text")))
+      .select(col("doc_id").as("bench_id"), col("sh"))
+    dsh.join(broadcast(bsh), "sh")
+      .groupBy(col("doc_id"), col("bench_id"))
+      .agg(count(lit(1)).as("shared_shingles"))
+      .filter(col("shared_shingles") >= minShared)
+  }
+
   /** Duplicate clusters: connected components over the LSH candidate
     * graph — the step a real dedup pipeline runs after candidate
     * generation (keep the min-id doc per cluster, drop the rest).
@@ -350,6 +374,28 @@ object DedupOps {
         val existing = docs.filter(col("doc_id") < IncrementalSplit)
         val fresh = docs.filter(col("doc_id") >= IncrementalSplit)
         incrementalCandidatePairs(minhashBands(existing), fresh)
+    },
+
+    // Decontamination: corpus docs sharing >= 2 shingles with the
+    // stand-in benchmark slice (every 50th doc); self-pairs excluded.
+    // The oracle rebuilds both shingle sets and the overlap count.
+    QueryDef.sql(
+      "q_dedup_contamination",
+      """WITH dsh AS (
+        |  SELECT DISTINCT doc_id,
+        |         unnest(list_transform(range(len(toks) - 2),
+        |                i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3])) AS sh
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)),
+        |bsh AS (SELECT doc_id AS bench_id, sh FROM dsh WHERE doc_id % 50 = 0)
+        |SELECT d.doc_id, b.bench_id, count(*) AS shared_shingles
+        |FROM dsh d JOIN bsh b ON d.sh = b.sh AND d.doc_id <> b.bench_id
+        |GROUP BY 1, 2 HAVING count(*) >= 2""".stripMargin) {
+      (s, dir) =>
+        val docs = Tables(s, dir, "documents")
+        val benchmark = docs.filter(col("doc_id") % 50 === 0)
+          .select(col("doc_id").as("bench_id"), col("text"))
+        contaminationPairs(docs, benchmark, minShared = 2)
+          .filter(col("doc_id") =!= col("bench_id"))
     },
 
     // Duplicate clusters: connected components over the candidate
