@@ -47,7 +47,7 @@ object DedupOps {
     * Guarded: input that already has enough splits (the normal case
     * at real scale) passes through untouched — no gratuitous full
     * shuffle of the corpus before map-only hashing. */
-  private def spread(df: DataFrame): DataFrame = {
+  private[operators] def spread(df: DataFrame): DataFrame = {
     val parallelism = df.sparkSession.sparkContext.defaultParallelism
     if (df.rdd.getNumPartitions < math.max(2, parallelism / 2))
       df.repartition(parallelism)

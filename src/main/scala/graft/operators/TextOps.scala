@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.{QueryDef, Tables}
 import graft.functions.TextVec._
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for a large-scale training-data pipeline:
@@ -133,6 +134,50 @@ object TextOps {
         Tables(s, dir, "documents").select(
           col("doc_id"), cleaned.as("cleaned"),
           size(split(cleaned, " ")).as("n_clean_tokens"))
+    },
+
+    // Repetition / information-density quality signals (Gopher-style
+    // filter rules): character-distribution Shannon entropy and the
+    // top-token frequency ratio. Zero shuffle — per-document
+    // higher-order-function expressions; the distinct-char list is
+    // SORTED on both engines so the entropy sum accumulates in the
+    // same order (bit-identical before rounding).
+    QueryDef.sql(
+      "q_text_entropy",
+      """WITH base AS (
+        |  SELECT doc_id,
+        |         list_sort(list_distinct(string_split_regex(text, ''))) AS cs,
+        |         string_split_regex(text, '') AS chars,
+        |         string_split(text, ' ') AS toks
+        |  FROM documents)
+        |SELECT doc_id,
+        |       round(-list_sum(list_transform(cs, c ->
+        |         (CAST(len(list_filter(chars, x -> x = c)) AS DOUBLE) / len(chars))
+        |         * ln(CAST(len(list_filter(chars, x -> x = c)) AS DOUBLE) / len(chars)))), 6)
+        |         AS char_entropy,
+        |       round(CAST(list_max(list_transform(list_distinct(toks), t ->
+        |         len(list_filter(toks, x -> x = t)))) AS DOUBLE) / len(toks), 6)
+        |         AS top_token_ratio
+        |FROM base""".stripMargin) {
+      (s, dir) =>
+        def p(c: Column) =
+          size(filter(col("chars"), x => x === c)).cast("double") /
+            size(col("chars"))
+        // O(charset × len) per doc is CPU-bound: fan a single-split
+        // scan out to all cores (no-op when the scan already splits)
+        DedupOps.spread(Tables(s, dir, "documents"))
+          .select(col("doc_id"),
+            split(col("text"), "").as("chars"),
+            array_sort(array_distinct(split(col("text"), ""))).as("cs"),
+            tokens(col("text")).as("toks"))
+          .select(
+            col("doc_id"),
+            round(-aggregate(transform(col("cs"),
+              c => p(c) * log(p(c))), lit(0.0), (acc, x) => acc + x), 6)
+              .as("char_entropy"),
+            round(array_max(transform(array_distinct(col("toks")),
+              t => size(filter(col("toks"), x => x === t)))).cast("double")
+              / size(col("toks")), 6).as("top_token_ratio"))
     },
 
     // TF-IDF top terms: the classic salient-term extractor. Two
