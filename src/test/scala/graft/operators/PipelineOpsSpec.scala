@@ -30,6 +30,15 @@ class PipelineOpsSpec extends SparkSpec {
     assert(p.getAs[Double]("jaccard") > 0.8)
   }
 
+  test("spread() fans out single-split scans but leaves parallel input untouched") {
+    val parallelism = spark.sparkContext.defaultParallelism
+    val one = spark.range(100).toDF("doc_id").coalesce(1)
+    val many = spark.range(100).toDF("doc_id").repartition(parallelism * 2)
+    assert(DedupOps.spread(one).rdd.getNumPartitions == parallelism)
+    // already-parallel input passes through with NO extra exchange
+    assert(DedupOps.spread(many).rdd.getNumPartitions == parallelism * 2)
+  }
+
   test("minhash LSH candidates find the near-dup pair, not the unrelated doc") {
     val cands = DedupOps.lshCandidatePairs(docs).collect()
     assert(cands.map(r => (r.getLong(0), r.getLong(1))).toSet == Set((0L, 1L)))
