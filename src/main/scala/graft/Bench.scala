@@ -9,11 +9,21 @@ import org.apache.spark.sql.SparkSession
   * Each query is forced through the `noop` sink — unlike `count()`,
   * which lets Spark prune the whole projection away, noop materializes
   * every output row and column, so the timing covers the real work.
+  *
+  * Timing is the MEDIAN of SPARK_GRAFT_BENCH_ITERS runs (default 3):
+  * single-run timings on a shared local box swing ±50% from GC/JIT
+  * noise, which made round-over-round comparisons mushy; the median
+  * also absorbs the first run's plan-compile + codegen overhead.
+  * Seconds are rounded to 3 decimals so the whole JSON line stays
+  * under ~1.9 KB — harness logs keep only a bounded tail, and the
+  * full-precision line used to overflow it.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val iters = math.max(1,
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "3").toInt)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -28,29 +38,41 @@ object Bench {
       try Tables(spark, sfDir, n).limit(1).write.format("noop")
         .mode("overwrite").save()
       catch { case _: Throwable => () })
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      val ok =
-        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
-        catch { case e: Throwable =>
-          System.err.println(s"[bench] $name failed: ${e.getMessage}"); false
-        }
-      val sec = (System.nanoTime() - t0) / 1e9
-      // isolate queries from each other: drop checkpointed/cached RDD
-      // blocks, stop any straggling streams, and settle the heap so
-      // one query's garbage isn't billed to the next
+
+    // isolate queries/iterations from each other: drop checkpointed/
+    // cached RDD blocks, stop any straggling streams, and settle the
+    // heap so one run's garbage isn't billed to the next. stop() can
+    // throw/time out on a wedged stream and must not lose timings.
+    def quiesce(): Unit = {
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
-      // best-effort: stop() can throw/time out on a wedged stream and
-      // must not lose the already-collected timings
       try spark.streams.active.foreach(_.stop())
       catch { case _: Throwable => () }
       System.gc()
-      name -> (if (ok) sec else -1.0)
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      val secs = (1 to iters).flatMap { _ =>
+        val t0 = System.nanoTime()
+        val ok =
+          try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
+          catch { case e: Throwable =>
+            System.err.println(s"[bench] $name failed: ${e.getMessage}"); false
+          }
+        val sec = (System.nanoTime() - t0) / 1e9
+        quiesce()
+        if (ok) Some(sec) else None
+      }
+      val median =
+        if (secs.length < iters) -1.0 // any failed run marks the query failed
+        else secs.sorted.apply(secs.length / 2)
+      name -> median
+    }
+    def fmt(v: Double): String =
+      if (v < 0) "-1" else String.format(java.util.Locale.ROOT, "%.3f", v)
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -101,13 +101,28 @@ case class CosineSimilarity(left: Expression, right: Expression)
 object CosineSimilarity {
   val FunctionName = "graft_cosine_sim"
 
+  /** Expression builder with an arity guard: `graft_cosine_sim(a)` in
+    * SQL raises Spark's standard WRONG_NUM_ARGS analysis error naming
+    * the function, instead of an IndexOutOfBoundsException from a
+    * blind `exprs(1)`. Shared by [[register]] and
+    * [[graft.plans.GraftExtensions]]. */
+  def builder(exprs: Seq[Expression]): Expression = {
+    if (exprs.length != 2)
+      throw new org.apache.spark.sql.AnalysisException(
+        errorClass = "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
+        messageParameters = Map(
+          "functionName" -> s"`$FunctionName`",
+          "expectedNum" -> "2",
+          "actualNum" -> exprs.length.toString,
+          "docroot" -> "https://spark.apache.org/docs/latest"))
+    CosineSimilarity(exprs(0), exprs(1))
+  }
+
   /** Idempotent per-session registration; also makes the function
     * available to SQL text as `graft_cosine_sim(a, b)`. */
   def register(spark: SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      FunctionName,
-      exprs => CosineSimilarity(exprs(0), exprs(1)),
-      "scala_udf")
+      FunctionName, builder, "scala_udf")
 
   /** Column entry point — requires [[register]] on the session first. */
   def apply(spark: SparkSession, a: Column, b: Column): Column = {

@@ -34,6 +34,16 @@ object Main {
   val Version = "0.2.0"
   private val Commands = Seq("build", "query", "transfer")
 
+  /** Per-command flag surface, argparse-subparser style (reference:
+    * command.py:38-140 defines each flag only on the sub-parser that
+    * uses it; an out-of-place flag is a usage error, exit 2 —
+    * tests/test_command.py exercises this via SystemExit). */
+  private val CommandFlags: Map[String, Set[String]] = {
+    val loadFlags = Set(
+      "--bulk", "-b", "--database", "-d", "--warehouse", "-w", "--drop", "-D")
+    Map("transfer" -> loadFlags, "build" -> loadFlags, "query" -> Set("--file"))
+  }
+
   def main(args: Array[String]): Unit = {
     var spark: Option[SparkSession] = None
     def session: SparkSession = {
@@ -49,8 +59,12 @@ object Main {
       spark = Some(s)
       s
     }
-    try sys.exit(exitCodeFor(args.toSeq, session))
-    finally spark.foreach(_.stop())
+    // compute the code, stop the session, THEN exit: System.exit does
+    // not unwind, so `try sys.exit(...) finally stop()` never stops
+    val code =
+      try exitCodeFor(args.toSeq, session)
+      finally spark.foreach(_.stop())
+    sys.exit(code)
   }
 
   /** Parsed command line; usage errors carry exit code 2 like
@@ -63,7 +77,7 @@ object Main {
       database: Option[String],
       warehouse: Option[String],
       drop: Boolean,
-      file: Boolean)
+      file: Boolean) extends Parsed
 
   private final case class UsageError(message: String) extends Exception(message)
 
@@ -73,13 +87,10 @@ object Main {
     * errors never start Spark. */
   def exitCodeFor(args: Seq[String], session: => SparkSession): Int =
     try {
-      if (args.contains("--help") || args.contains("-h")) { usage(); 0 }
-      else if (args.contains("--version")) {
-        println(s"pimdbspark $Version"); 0
-      } else {
-        val cli = parse(args)
-        run(cli, session)
-        0
+      parse(args) match {
+        case HelpRequested => usage(); 0
+        case VersionRequested => println(s"pimdbspark $Version"); 0
+        case cli: Cli => run(cli, session); 0
       }
     } catch {
       case UsageError(m) =>
@@ -91,7 +102,14 @@ object Main {
         1
     }
 
-  private def parse(args: Seq[String]): Cli = {
+  /** Parse outcome: `--help`/`--version` short-circuit (exit 0, never
+    * start Spark), everything else parses to a [[Cli]] or raises
+    * [[UsageError]] (exit 2). */
+  private sealed trait Parsed
+  private case object HelpRequested extends Parsed
+  private case object VersionRequested extends Parsed
+
+  private def parse(args: Seq[String]): Parsed = {
     var command: Option[String] = None
     var positionals = Vector.empty[String]
     var bulk = graft.sources.Sources.DefaultJdbcBatchSize
@@ -101,23 +119,41 @@ object Main {
     var file = false
 
     var i = 0
+    // argparse-style value slots: the next token is the flag's value
+    // only if it isn't itself flag-shaped ("expected one argument"),
+    // so `--database --help` is a usage error, not a help request
     def valueOf(flag: String): String = {
       i += 1
-      if (i >= args.length) throw UsageError(s"$flag requires a value")
+      if (i >= args.length || args(i).startsWith("-"))
+        throw UsageError(s"argument $flag: expected one argument")
       args(i)
     }
     while (i < args.length) {
       args(i) match {
-        case "--bulk" | "-b" =>
-          val v = valueOf("--bulk")
-          bulk = try v.toInt
-            catch { case _: NumberFormatException =>
-              throw UsageError(s"--bulk is '$v' but must be an integer") }
-        case "--database" | "-d" => database = Some(valueOf("--database"))
-        case "--warehouse" | "-w" => warehouse = Some(valueOf("--warehouse"))
-        case "--drop" | "-D" => drop = true
-        case "--file" => file = true
-        case f if f.startsWith("-") => throw UsageError(s"unknown option: $f")
+        // every argparse (sub-)parser answers -h/--help; --version is
+        // defined on the ROOT parser only, so after a command it falls
+        // through to the unknown-flag error like the reference
+        case "--help" | "-h" => return HelpRequested
+        case "--version" if command.isEmpty => return VersionRequested
+        case f if f.startsWith("-") =>
+          command match {
+            case None => throw UsageError(
+              s"unrecognized argument before COMMAND: $f")
+            case Some(c) if !CommandFlags(c).contains(f) =>
+              throw UsageError(s"unrecognized argument for $c: $f")
+            case _ => ()
+          }
+          f match {
+            case "--bulk" | "-b" =>
+              val v = valueOf("--bulk")
+              bulk = try v.toInt
+                catch { case _: NumberFormatException =>
+                  throw UsageError(s"--bulk is '$v' but must be an integer") }
+            case "--database" | "-d" => database = Some(valueOf("--database"))
+            case "--warehouse" | "-w" => warehouse = Some(valueOf("--warehouse"))
+            case "--drop" | "-D" => drop = true
+            case "--file" => file = true
+          }
         case v if command.isEmpty =>
           if (!Commands.contains(v)) throw UsageError(
             s"COMMAND must be specified; possible commands are: ${Commands.mkString(", ")}")

@@ -42,15 +42,20 @@ final class Pimdb(val spark: SparkSession) {
     val loaded = datasets.map { d =>
       val base = s"$dataFolder/${d.datasetName}.tsv"
       val path = if (new java.io.File(s"$base.gz").exists()) s"$base.gz" else base
-      var df = TsvReader.read(spark, path, d)
-      val dups = TsvReader.duplicateCount(spark, path, d)
-      _transferDuplicateCounts += d.datasetName -> dups
-      if (dups > 0) log.info("{}: ignored {} duplicate row(s) with key columns {}",
-        d.datasetName, dups.toString, d.keyColumns.mkString(", "))
+      // ONE file scan: dedup and the duplicate metric share a single
+      // windowed pass, cached until written out (TsvReader.readCounted)
+      val counted = TsvReader.readCounted(spark, path, d)
+      var df = counted.frame
+      _transferDuplicateCounts += d.datasetName -> counted.duplicateCount
+      if (counted.duplicateCount > 0)
+        log.info("{}: ignored {} duplicate row(s) with key columns {}",
+          d.datasetName, counted.duplicateCount.toString,
+          d.keyColumns.mkString(", "))
       warehouse.foreach { w =>
         val out = s"$w/datasets/${d.tableName}"
-        df.write.mode("overwrite").parquet(out)
+        df.write.mode("overwrite").parquet(out) // served from the read cache
         df = spark.read.parquet(out) // re-read: downstream builds scan parquet, not re-parse TSV
+        counted.release() // parquet is now the source; drop the cache
       }
       df.createOrReplaceTempView(d.tableName)
       d -> df

@@ -34,10 +34,70 @@ object TsvReader {
       dataset: ImdbDataset,
       filter: Map[String, Set[String]] = Map.empty,
       strict: Boolean = true): DataFrame = {
+    val typed = typedFrame(spark, path, dataset, filter, strict)
+    // first-occurrence wins (reference: common.py:238-255)
+    typed
+      .withColumn("_rn", row_number().over(dedupWindow(dataset)))
+      .filter(col("_rn") === 1)
+      .drop("_rn", "_seq")
+  }
 
-    // Read raw strings with header-name mapping (like csv.DictReader):
-    // every declared column must exist in the file; extra file columns
-    // are ignored.
+  /** A [[readCounted]] result: the deduped frame, the reference's
+    * `duplicate_count` transfer metric (common.py:224,255), and a
+    * `release` handle that drops the cached single-scan data once the
+    * caller has written the frame out. */
+  final case class CountedRead(
+      frame: DataFrame, duplicateCount: Long, release: () => Unit)
+
+  /** Read + type + dedup + duplicate metric in ONE file scan — the
+    * reference counts duplicates inside the same streaming pass that
+    * dedups (common.py:224-255), so the engine must not pay a second
+    * full parse for the metric. The per-key row count rides the same
+    * window partitioning as the first-wins row_number (one shuffle,
+    * one sort), the deduped rows are cached memory-and-disk, and the
+    * count aggregate is what materializes the cache; the returned
+    * frame serves every downstream action (warehouse write, view
+    * registration) from that cache instead of re-parsing the TSV.
+    * Call `release()` after the frame is persisted elsewhere.
+    */
+  def readCounted(
+      spark: SparkSession,
+      path: String,
+      dataset: ImdbDataset,
+      filter: Map[String, Set[String]] = Map.empty,
+      strict: Boolean = true): CountedRead = {
+    val typed = typedFrame(spark, path, dataset, filter, strict)
+    val kept = typed
+      .withColumn("_rn", row_number().over(dedupWindow(dataset)))
+      .withColumn("_kn", count(lit(1))
+        .over(Window.partitionBy(dataset.keyColumns.map(col): _*)))
+      .filter(col("_rn") === 1)
+      .drop("_rn", "_seq")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // rows-beyond-first per key, summed over the kept representatives:
+    // this action performs the single file scan and fills the cache
+    val dups = kept
+      .agg(coalesce(sum(col("_kn") - 1), lit(0L)).as("dups"))
+      .collect()(0).getLong(0)
+    CountedRead(kept.drop("_kn"), dups, () => { kept.unpersist(); () })
+  }
+
+  private def dedupWindow(dataset: ImdbDataset) =
+    Window
+      .partitionBy(dataset.keyColumns.map(col): _*)
+      .orderBy(col("_seq"))
+
+  /** Shared scan + typing for [[read]] and [[readCounted]]: raw
+    * strings with header-name mapping (like csv.DictReader — every
+    * declared column must exist, extra file columns are ignored), the
+    * optional value-set filter, strict validation, and the typed
+    * decode with `_seq` file-order tag. */
+  private def typedFrame(
+      spark: SparkSession,
+      path: String,
+      dataset: ImdbDataset,
+      filter: Map[String, Set[String]],
+      strict: Boolean): DataFrame = {
     val raw = spark.read
       .option("sep", "\t")
       .option("header", "true")
@@ -58,41 +118,7 @@ object TsvReader {
 
     if (strict) validate(filtered, dataset)
 
-    val typed = filtered.select(
-      dataset.schema.fields.map(decode).toSeq :+ col("_seq"): _*)
-
-    // first-occurrence wins (reference: common.py:238-255)
-    val w = Window
-      .partitionBy(dataset.keyColumns.map(col): _*)
-      .orderBy(col("_seq"))
-    typed
-      .withColumn("_rn", row_number().over(w))
-      .filter(col("_rn") === 1)
-      .drop("_rn", "_seq")
-  }
-
-  /** Transfer metric (reference: common.py:224,255 `duplicate_count`):
-    * rows beyond the first occurrence of each dataset key. The
-    * reference dedups BEFORE its value filter, so this counts on the
-    * raw scan. One aggregate pass shuffling only (key, count) pairs —
-    * run at transfer time next to the main read, mirroring the count
-    * the reference logs while streaming rows.
-    */
-  def duplicateCount(
-      spark: SparkSession,
-      path: String,
-      dataset: ImdbDataset): Long = {
-    val raw = spark.read
-      .option("sep", "\t").option("header", "true")
-      .option("quote", "").option("nullValue", "\\N")
-      .option("mode", "FAILFAST")
-      .csv(path)
-    val row = raw
-      .groupBy(dataset.keyColumns.map(col): _*)
-      .agg(count(lit(1)).as("c"))
-      .agg(coalesce(sum(col("c") - 1), lit(0L)).as("dups"))
-      .collect()(0)
-    row.getLong(0)
+    filtered.select(dataset.schema.fields.map(decode).toSeq :+ col("_seq"): _*)
   }
 
   /** Strict typing as one aggregate pass over the raw strings:

@@ -160,24 +160,68 @@ object TextOps {
         |         AS top_token_ratio
         |FROM base""".stripMargin) {
       (s, dir) =>
-        def p(c: Column) =
-          size(filter(col("chars"), x => x === c)).cast("double") /
-            size(col("chars"))
-        // O(charset × len) per doc is CPU-bound: fan a single-split
-        // scan out to all cores (no-op when the scan already splits)
+        // LINEAR per-document counting: sort each array once, then one
+        // run-length pass (aggregate with (prev, run, …) state). The
+        // oracle's form — and this query's previous Spark form —
+        // re-filters the whole array per DISTINCT element, which is
+        // O(distinct × len): quadratic on a long diverse document, the
+        // kind that detonates on a 10 MB doc at 100 TB. Run lengths
+        // over the sorted array are the same counts in the same sorted
+        // order, so every entropy term is the identical double added
+        // in the identical sequence — the hash still matches.
+        //
+        // Entropy state: (prev char, current run, accumulated sum); a
+        // run's term is added when the NEXT distinct char arrives, and
+        // the final run's in the finish lambda — ascending char order,
+        // exactly like the oracle's sorted distinct-char loop.
+        def entropySum(sorted: Column, len: Column): Column = {
+          def term(run: Column) = {
+            val p = run.cast("double") / len
+            p * log(p)
+          }
+          def closedRun(st: Column) =
+            when(st.getField("run") > 0, term(st.getField("run")))
+              .otherwise(lit(0.0))
+          aggregate(
+            sorted,
+            struct(lit(null).cast("string").as("prev"),
+              lit(0).as("run"), lit(0.0).as("acc")),
+            (st, x) => {
+              val same = st.getField("prev") <=> x
+              struct(
+                x.as("prev"),
+                when(same, st.getField("run") + 1).otherwise(lit(1)).as("run"),
+                when(same, st.getField("acc"))
+                  .otherwise(st.getField("acc") + closedRun(st)).as("acc"))
+            },
+            st => st.getField("acc") + closedRun(st))
+        }
+        // Longest run in a sorted array == max multiplicity (ints, so
+        // order-independent; only the final ratio divides to double).
+        def maxRun(sorted: Column): Column =
+          aggregate(
+            sorted,
+            struct(lit(null).cast("string").as("prev"),
+              lit(0).as("run"), lit(0).as("best")),
+            (st, x) => {
+              val run = when(st.getField("prev") <=> x, st.getField("run") + 1)
+                .otherwise(lit(1))
+              struct(x.as("prev"), run.as("run"),
+                greatest(st.getField("best"), run).as("best"))
+            },
+            st => st.getField("best"))
+        // per-doc sort+scan is CPU-bound: fan a single-split scan out
+        // to all cores (no-op when the scan already splits)
         DedupOps.spread(Tables(s, dir, "documents"))
           .select(col("doc_id"),
-            split(col("text"), "").as("chars"),
-            array_sort(array_distinct(split(col("text"), ""))).as("cs"),
-            tokens(col("text")).as("toks"))
+            array_sort(split(col("text"), "")).as("chars"),
+            array_sort(tokens(col("text"))).as("toks"))
           .select(
             col("doc_id"),
-            round(-aggregate(transform(col("cs"),
-              c => p(c) * log(p(c))), lit(0.0), (acc, x) => acc + x), 6)
+            round(-entropySum(col("chars"), size(col("chars"))), 6)
               .as("char_entropy"),
-            round(array_max(transform(array_distinct(col("toks")),
-              t => size(filter(col("toks"), x => x === t)))).cast("double")
-              / size(col("toks")), 6).as("top_token_ratio"))
+            round(maxRun(col("toks")).cast("double") / size(col("toks")), 6)
+              .as("top_token_ratio"))
     },
 
     // TF-IDF top terms: the classic salient-term extractor. Two

@@ -74,6 +74,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier(CosineSimilarity.FunctionName),
       new ExpressionInfo(classOf[CosineSimilarity].getCanonicalName,
         CosineSimilarity.FunctionName),
-      (exprs: Seq[Expression]) => CosineSimilarity(exprs(0), exprs(1))))
+      // shared arity-guarded builder: wrong arg count is a clean
+      // WRONG_NUM_ARGS analysis error, not an IndexOutOfBounds
+      (exprs: Seq[Expression]) => CosineSimilarity.builder(exprs)))
   }
 }

@@ -140,11 +140,18 @@ class BuildSpec extends SparkSpec {
       pimdb.transferDuplicateCounts.toString)
   }
 
-  test("transfer counts key-duplicates like the reference's duplicate_count") {
-    val dups = TsvReader.duplicateCount(spark,
+  test("transfer counts key-duplicates like the reference's duplicate_count, " +
+    "in the same single scan that dedups") {
+    val counted = TsvReader.readCounted(spark,
       getClass.getResource("/imdb/name.basics.duplicate.tsv").getPath,
       ImdbDataset.NameBasics)
-    assert(dups == 1L)
+    try {
+      assert(counted.duplicateCount == 1L)
+      // the deduped frame from the same pass keeps the first occurrence
+      assert(counted.frame.count() ==
+        counted.frame.select("nconst").distinct().count())
+      assert(!counted.frame.columns.exists(_.startsWith("_")))
+    } finally counted.release()
   }
 
   test("validate warns on row-count deviation and on empty target tables") {

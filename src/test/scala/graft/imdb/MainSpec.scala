@@ -39,6 +39,28 @@ class MainSpec extends SparkSpec {
     assert(code("transfer", dataDir, "no.such.dataset") == 2)
   }
 
+  test("flags are validated per command like argparse subparsers " +
+    "(command.py:38-140): out-of-place flags exit 2") {
+    // query does not define the load flags
+    assert(code("query", dataDir, "select 1", "--drop") == 2)
+    assert(code("query", dataDir, "select 1", "--bulk", "5") == 2)
+    // transfer/build do not define --file
+    assert(code("transfer", dataDir, "title.ratings", "--file") == 2)
+    // flags (other than --help/--version) before COMMAND are top-level
+    // unrecognized arguments
+    assert(code("--drop", "transfer", dataDir) == 2)
+    // --version lives on the root parser only
+    assert(code("transfer", dataDir, "--version") == 2)
+  }
+
+  test("a flag needing a value does not swallow flag-shaped tokens " +
+    "(argparse 'expected one argument')") {
+    assert(code("transfer", dataDir, "--database") == 2)
+    assert(code("transfer", dataDir, "--bulk", "--drop") == 2)
+    // ...and --help is still honored when it is NOT a flag's value
+    assert(code("transfer", "--help") == 0)
+  }
+
   test("runtime failure (missing folder) exits 1, not a crash") {
     assert(code("transfer", "/no/such/folder", "title.ratings") == 1)
   }

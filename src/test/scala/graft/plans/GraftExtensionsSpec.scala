@@ -32,6 +32,19 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(rows.isNullAt(1), "zero norm must be NULL, not NaN")
   }
 
+  test("wrong arity is a clean analysis error naming the signature, " +
+    "not an IndexOutOfBoundsException") {
+    Seq(
+      "SELECT graft_cosine_sim(array(CAST(1.0 AS FLOAT)))",
+      """SELECT graft_cosine_sim(array(CAST(1.0 AS FLOAT)),
+        |array(CAST(1.0 AS FLOAT)), array(CAST(1.0 AS FLOAT)))""".stripMargin
+    ).foreach { sql =>
+      val e = intercept[org.apache.spark.sql.AnalysisException](spark.sql(sql))
+      assert(e.getMessage.contains("graft_cosine_sim"), sql)
+      assert(e.getMessage.contains("requires 2 parameters"), e.getMessage)
+    }
+  }
+
   test("bundle is instantiable by class name, as Spark's loader does it") {
     val ext = Class.forName("graft.plans.GraftExtensions")
       .getDeclaredConstructor().newInstance()
