@@ -220,13 +220,27 @@ object DedupOps {
             .as("cluster_id"))
     }
 
-    var changed = 1L
-    while (changed > 0) {
+    // Convergence via the label-sum invariant: least() makes every
+    // per-row label monotonically non-increasing, so the EXACT integer
+    // sum of labels strictly decreases iff any label changed — one
+    // tiny aggregate over the checkpointed round instead of a
+    // stepped⋈previous join per round (one fewer shuffle per round,
+    // same fixed point).
+    // (decimal(38,0) sum: exact and unwrappable even when ids are
+    // 64-bit hashes across billions of rows — a wrapped long sum
+    // could fake convergence)
+    var prevSum: java.math.BigDecimal = null
+    var changed = true
+    while (changed) {
       // two hops per convergence check: labels travel 2 edges per
       // round, halving the driver round-trips vs check-every-hop
       val stepped = propagate(propagate(labels)).localCheckpoint()
-      changed = stepped.as("n").join(labels.as("p"), "doc_id")
-        .filter(col("n.cluster_id") < col("p.cluster_id")).count()
+      val labelSum = stepped
+        .agg(coalesce(sum(col("cluster_id").cast("decimal(38,0)")),
+          lit(0).cast("decimal(38,0)")))
+        .collect()(0).getDecimal(0)
+      changed = prevSum == null || labelSum.compareTo(prevSum) < 0
+      prevSum = labelSum
       labels = stepped
     }
     docs.select(col("doc_id"))
