@@ -18,6 +18,7 @@ object SparkEntry {
       operators.EventAnalytics.all ++
       operators.Profiler.all ++
       operators.TextOps.all ++
+      operators.CurationOps.all ++
       operators.DedupOps.all ++
       operators.SimilarityOps.all ++
       operators.SkewJoin.all ++

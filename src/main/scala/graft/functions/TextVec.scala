@@ -41,4 +41,24 @@ object TextVec {
   /** Count of tokens that appear in a fixed vocabulary. */
   def hits(toks: Column, vocab: Seq[String]): Column =
     size(filter(toks, t => t.isin(vocab: _*)))
+
+  /** Longest run in a SORTED array == the max element multiplicity,
+    * found in ONE linear pass — the scalable replacement for
+    * re-filtering the whole array per distinct element
+    * (O(distinct × len), quadratic on a long diverse document).
+    * Integer counts, so the result is order-independent and matches
+    * the oracle's `list_max(list_transform(list_distinct(...)))`.
+    */
+  def maxRunSorted(sorted: Column): Column =
+    aggregate(
+      sorted,
+      struct(lit(null).cast("string").as("prev"),
+        lit(0).as("run"), lit(0).as("best")),
+      (st, x) => {
+        val run = when(st.getField("prev") <=> x, st.getField("run") + 1)
+          .otherwise(lit(1))
+        struct(x.as("prev"), run.as("run"),
+          greatest(st.getField("best"), run).as("best"))
+      },
+      st => st.getField("best"))
 }

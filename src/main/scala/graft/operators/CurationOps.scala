@@ -1,0 +1,186 @@
+package graft.operators
+
+import graft.{QueryDef, Tables}
+import graft.functions.TextVec._
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Corpus-curation operators a training-data pipeline runs after
+  * dedup/quality-signal extraction: reproducible dataset splits,
+  * stratified downsampling, PII redaction, and the composite
+  * keep/drop quality verdict (Gopher-style filter rules).
+  *
+  * Scale design: every operator here is a per-row column expression —
+  * ZERO shuffle, embarrassingly parallel at 100 TB. Sampling is
+  * hash-determined (not `rand()`): the same document always lands in
+  * the same split/sample regardless of cluster size, partitioning, or
+  * re-runs — the property training pipelines need for reproducible
+  * train/val/test membership and for resumable incremental builds.
+  * The md5-prefix buckets are engine-agnostic (lowercase-hex string
+  * compare), so every split is replayed verbatim by the DuckDB oracle.
+  */
+object CurationOps {
+
+  /** Split thresholds over the 256 two-hex-char md5 buckets:
+    * train < 0xcc (204/256 ≈ 79.7%), val < 0xe6 (next 26/256 ≈
+    * 10.2%), test = rest (≈ 10.2%). */
+  val TrainUpper = "cc"
+  val ValUpper = "e6"
+
+  /** Reproducible ~10% sample: bucket < 0x1a (26/256). */
+  val SampleUpper = "1a"
+
+  /** Stratified rates: downsample the dominant language to 12.5%
+    * (< 0x20 = 32/256), keep 50% of the rest (< 0x80 = 128/256). */
+  val EnRateUpper = "20"
+  val RestRateUpper = "80"
+
+  /** Conservative PII patterns, identical in Java regex and RE2:
+    * character classes + bounded repetition only, no lookaround. */
+  val EmailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+  val PhoneRe = "\\+?[0-9][0-9()\\- ]{6,}[0-9]"
+
+  /** Gopher-style filter thresholds (SURVEY-mandated quality rules;
+    * values picked to exercise both keep and drop on the gate data). */
+  val MinTokens = 30
+  val MaxTokens = 5000
+  val MinAvgTokenLen = 3.8
+  val MaxAvgTokenLen = 5.2
+  val MinStopRatio = 0.02
+  val MaxTopTokenRatio = 0.2
+
+  /** Two-hex-char md5 bucket of a document id — 256 uniform,
+    * deterministic, engine-portable buckets. */
+  def bucket(id: Column): Column =
+    substring(md5(id.cast("string").cast("binary")), 1, 2)
+
+  val all: Seq[QueryDef] = Seq(
+
+    // Deterministic train/val/test assignment + a reproducible 10%
+    // sample flag. Pure map work: membership is a function of doc_id
+    // alone, so ingesting the corpus again (or on a different cluster
+    // layout) reproduces the exact same splits.
+    QueryDef.sql(
+      "q_sample_split",
+      s"""SELECT doc_id, lang,
+         |       substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS bucket,
+         |       CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '$TrainUpper' THEN 'train'
+         |            WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '$ValUpper' THEN 'val'
+         |            ELSE 'test' END AS split,
+         |       substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '$SampleUpper' AS in_sample_10pct
+         |FROM documents""".stripMargin) {
+      (s, dir) =>
+        val b = bucket(col("doc_id"))
+        Tables(s, dir, "documents").select(
+          col("doc_id"), col("lang"), b.as("bucket"),
+          when(b < TrainUpper, "train")
+            .when(b < ValUpper, "val")
+            .otherwise("test").as("split"),
+          (b < SampleUpper).as("in_sample_10pct"))
+    },
+
+    // Stratified downsampling: per-language keep rates through the
+    // same hash buckets — the standard move for rebalancing a corpus
+    // dominated by one language without losing reproducibility.
+    QueryDef.sql(
+      "q_sample_stratified",
+      s"""SELECT doc_id, lang FROM documents
+         |WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) <
+         |      CASE WHEN lang = 'en' THEN '$EnRateUpper' ELSE '$RestRateUpper' END""".stripMargin) {
+      (s, dir) =>
+        Tables(s, dir, "documents")
+          .filter(bucket(col("doc_id")) <
+            when(col("lang") === "en", EnRateUpper).otherwise(RestRateUpper))
+          .select(col("doc_id"), col("lang"))
+    },
+
+    // PII redaction: email/phone detection counts + placeholder
+    // substitution. The gate corpus is synthetic word salad with no
+    // PII, so the text is AUGMENTED with a deterministic doc_id-derived
+    // email + phone on both engines — the regexes then fire on every
+    // row and the redacted output is hash-checked end to end.
+    QueryDef.sql(
+      "q_text_pii",
+      s"""WITH aug AS (
+         |  SELECT doc_id,
+         |         text || ' contact user' || CAST(doc_id AS VARCHAR) ||
+         |         '@mail.example.com or call +1-555-0' ||
+         |         lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' now' AS t
+         |  FROM documents)
+         |SELECT doc_id,
+         |       CAST(len(regexp_extract_all(t, '$EmailRe')) AS INTEGER) AS n_emails,
+         |       CAST(len(regexp_extract_all(t, '$PhoneRe')) AS INTEGER) AS n_phones,
+         |       regexp_replace(regexp_replace(t,
+         |         '$EmailRe', '<EMAIL>', 'g'),
+         |         '$PhoneRe', '<PHONE>', 'g') AS redacted
+         |FROM aug""".stripMargin) {
+      (s, dir) =>
+        val aug = concat(col("text"), lit(" contact user"),
+          col("doc_id").cast("string"),
+          lit("@mail.example.com or call +1-555-0"),
+          lpad((col("doc_id") % 10000).cast("string"), 4, "0"), lit(" now"))
+        Tables(s, dir, "documents")
+          .select(col("doc_id"), aug.as("t"))
+          .select(col("doc_id"),
+            size(regexp_extract_all(col("t"), lit(EmailRe), lit(0)))
+              .as("n_emails"),
+            size(regexp_extract_all(col("t"), lit(PhoneRe), lit(0)))
+              .as("n_phones"),
+            regexp_replace(regexp_replace(col("t"),
+              lit(EmailRe), lit("<EMAIL>")),
+              lit(PhoneRe), lit("<PHONE>")).as("redacted"))
+    },
+
+    // Composite quality filter: token-count bounds, mean token length,
+    // stopword density, and top-token repetition combined into one
+    // keep/drop verdict per document (the per-signal queries live in
+    // TextOps; this is the decision a pipeline actually applies).
+    // Threshold comparisons run on UNROUNDED doubles from exact
+    // integer inputs, so both engines decide identically; the reported
+    // ratios are rounded for the hash compare.
+    QueryDef.sql(
+      "q_doc_filter",
+      s"""WITH s AS (
+         |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+         |m AS (
+         |  SELECT doc_id,
+         |         len(toks) AS n,
+         |         CAST(list_sum(list_transform(toks, t -> length(t))) AS DOUBLE) / len(toks) AS atl,
+         |         CAST(len(list_filter(toks, t -> list_contains(${TextOps.Stopwords.map(w => s"'$w'").mkString("[", ", ", "]")}, t))) AS DOUBLE) / len(toks) AS sr,
+         |         CAST(list_max(list_transform(list_distinct(toks), u ->
+         |           len(list_filter(toks, x -> x = u)))) AS DOUBLE) / len(toks) AS ttr
+         |  FROM s)
+         |SELECT doc_id, CAST(n AS INTEGER) AS n_tokens,
+         |       round(atl, 6) AS avg_token_len,
+         |       round(sr, 6) AS stop_ratio,
+         |       round(ttr, 6) AS top_token_ratio,
+         |       (n >= $MinTokens AND n <= $MaxTokens
+         |        AND atl >= $MinAvgTokenLen AND atl <= $MaxAvgTokenLen
+         |        AND sr >= $MinStopRatio AND ttr <= $MaxTopTokenRatio) AS keep
+         |FROM m""".stripMargin) {
+      (s, dir) =>
+        val m = Tables(s, dir, "documents")
+          .select(col("doc_id"), tokens(col("text")).as("toks"))
+          .select(col("doc_id"),
+            size(col("toks")).as("n"),
+            (aggregate(transform(col("toks"), t => length(t)),
+              lit(0), (a, x) => a + x).cast("double") / size(col("toks")))
+              .as("atl"),
+            (hits(col("toks"), TextOps.Stopwords).cast("double") /
+              size(col("toks"))).as("sr"),
+            // linear repetition signal: run-length over the sorted
+            // tokens, not a per-distinct-token refilter
+            (maxRunSorted(array_sort(col("toks"))).cast("double") /
+              size(col("toks"))).as("ttr"))
+        m.select(col("doc_id"),
+          col("n").as("n_tokens"),
+          round(col("atl"), 6).as("avg_token_len"),
+          round(col("sr"), 6).as("stop_ratio"),
+          round(col("ttr"), 6).as("top_token_ratio"),
+          (col("n") >= MinTokens && col("n") <= MaxTokens &&
+            col("atl") >= MinAvgTokenLen && col("atl") <= MaxAvgTokenLen &&
+            col("sr") >= MinStopRatio && col("ttr") <= MaxTopTokenRatio)
+            .as("keep"))
+    }
+  )
+}

@@ -196,20 +196,6 @@ object TextOps {
             },
             st => st.getField("acc") + closedRun(st))
         }
-        // Longest run in a sorted array == max multiplicity (ints, so
-        // order-independent; only the final ratio divides to double).
-        def maxRun(sorted: Column): Column =
-          aggregate(
-            sorted,
-            struct(lit(null).cast("string").as("prev"),
-              lit(0).as("run"), lit(0).as("best")),
-            (st, x) => {
-              val run = when(st.getField("prev") <=> x, st.getField("run") + 1)
-                .otherwise(lit(1))
-              struct(x.as("prev"), run.as("run"),
-                greatest(st.getField("best"), run).as("best"))
-            },
-            st => st.getField("best"))
         // per-doc sort+scan is CPU-bound: fan a single-split scan out
         // to all cores (no-op when the scan already splits)
         DedupOps.spread(Tables(s, dir, "documents"))
@@ -220,7 +206,7 @@ object TextOps {
             col("doc_id"),
             round(-entropySum(col("chars"), size(col("chars"))), 6)
               .as("char_entropy"),
-            round(maxRun(col("toks")).cast("double") / size(col("toks")), 6)
+            round(maxRunSorted(col("toks")).cast("double") / size(col("toks")), 6)
               .as("top_token_ratio"))
     },
 

@@ -1,0 +1,87 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Corpus-curation operators: deterministic hash splits, stratified
+  * sampling, PII redaction, composite quality filter. */
+class CurationOpsSpec extends SparkSpec {
+
+  private lazy val sfDir = "/root/testdata/sf0.001"
+
+  private def q(name: String) =
+    graft.SparkEntry.queries(name)(spark, sfDir)
+
+  test("hash split is total, disjoint, and reproducible") {
+    val out = q("q_sample_split").cache()
+    try {
+      val total = out.count()
+      val bySplit = out.groupBy("split").count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(bySplit.keySet == Set("train", "val", "test"))
+      assert(bySplit.values.sum == total)
+      // ~79.7/10.2/10.2 expected; generous tolerance on 500 docs
+      assert(bySplit("train") > total * 0.7 && bySplit("train") < total * 0.9)
+      // byte-identical on a re-run: membership is a pure function of id
+      val again = q("q_sample_split")
+      assert(out.exceptAll(again).isEmpty && again.exceptAll(out).isEmpty)
+      // ...and invariant under repartitioning
+      val shuffled = q("q_sample_split").repartition(7)
+      assert(out.exceptAll(shuffled).isEmpty)
+    } finally out.unpersist()
+  }
+
+  test("stratified sampling downsamples the dominant language harder") {
+    val docs = graft.Tables(spark, sfDir, "documents")
+    val kept = q("q_sample_stratified")
+    val rates = docs.groupBy("lang").count()
+      .join(kept.groupBy("lang").agg(count(lit(1)).as("k")), "lang")
+      .select(col("lang"), (col("k").cast("double") / col("count")).as("rate"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(rates("en") < 0.25, s"en rate ${rates("en")} should be ~0.125")
+    rates.filterNot(_._1 == "en").foreach { case (l, r) =>
+      assert(r > 0.3 && r < 0.7, s"$l rate $r should be ~0.5")
+    }
+  }
+
+  test("PII redaction replaces planted emails and phones exactly") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "write to alice.smith+spam@corp.example.org today"),
+      (2L, "call +1 (212) 555-0147 or 0043-1-5550147 now"),
+      (3L, "no pii here at all")
+    ).toDF("doc_id", "t")
+    val out = df.select(col("doc_id"),
+      regexp_replace(regexp_replace(col("t"),
+        lit(CurationOps.EmailRe), lit("<EMAIL>")),
+        lit(CurationOps.PhoneRe), lit("<PHONE>")).as("r"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) == "write to <EMAIL> today")
+    assert(out(2L) == "call <PHONE> or <PHONE> now")
+    assert(out(3L) == "no pii here at all")
+  }
+
+  test("gate PII query fires on every augmented row") {
+    val out = q("q_text_pii")
+    val bad = out.filter(col("n_emails") < 1 || col("n_phones") < 1 ||
+      !col("redacted").contains("<EMAIL>") ||
+      !col("redacted").contains("<PHONE>")).count()
+    assert(bad == 0)
+  }
+
+  test("composite quality filter keeps and drops, consistent with its signals") {
+    val out = q("q_doc_filter").cache()
+    try {
+      val keeps = out.filter(col("keep")).count()
+      val drops = out.filter(!col("keep")).count()
+      assert(keeps > 0 && drops > 0, s"keeps=$keeps drops=$drops")
+      // every keep satisfies the published thresholds (on the rounded
+      // ratios — roundoff can't flip a 6-decimal comparison here)
+      val violating = out.filter(col("keep") &&
+        (col("n_tokens") < CurationOps.MinTokens ||
+          col("stop_ratio") < CurationOps.MinStopRatio - 1e-9 ||
+          col("top_token_ratio") > CurationOps.MaxTopTokenRatio + 1e-9)).count()
+      assert(violating == 0)
+    } finally out.unpersist()
+  }
+}
