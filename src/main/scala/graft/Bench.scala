@@ -67,12 +67,22 @@ object Bench {
         else secs.sorted.apply(secs.length / 2)
       name -> median
     }
+    // 2-decimal, trailing-zero-stripped seconds and a basename sf: the
+    // harness log keeps a 2000-char tail and sbt appends ~80 chars after
+    // the JSON line, so every query entry must average < 26 chars for
+    // the line to survive intact.
     def fmt(v: Double): String =
-      if (v < 0) "-1" else String.format(java.util.Locale.ROOT, "%.3f", v)
+      if (v < 0) "-1"
+      else {
+        val s = String.format(java.util.Locale.ROOT, "%.2f", v)
+        if (s.contains('.')) s.reverse.dropWhile(_ == '0').stripPrefix(".").reverse
+        else s
+      }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val sfLabel = new java.io.File(sfDir).getName
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfLabel"}""")
     spark.stop()
   }
 }

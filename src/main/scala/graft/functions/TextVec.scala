@@ -61,4 +61,25 @@ object TextVec {
           greatest(st.getField("best"), run).as("best"))
       },
       st => st.getField("best"))
+
+  /** (distinct count, max multiplicity) of a SORTED array, both from
+    * the SAME linear run-length pass — one aggregate instead of an
+    * `array_distinct` walk plus a [[maxRunSorted]] walk when a caller
+    * needs both (the repetition signals do). Returns
+    * struct<n_distinct:int, max_run:int>; values match the oracle's
+    * `len(list_distinct(..))` and max-multiplicity exactly. */
+  def sortedRunStats(sorted: Column): Column =
+    aggregate(
+      sorted,
+      struct(lit(null).cast("string").as("prev"),
+        lit(0).as("run"), lit(0).as("best"), lit(0).as("nd")),
+      (st, x) => {
+        val same = st.getField("prev") <=> x
+        val run = when(same, st.getField("run") + 1).otherwise(lit(1))
+        struct(x.as("prev"), run.as("run"),
+          greatest(st.getField("best"), run).as("best"),
+          (st.getField("nd") + when(same, 0).otherwise(1)).as("nd"))
+      },
+      st => struct(st.getField("nd").as("n_distinct"),
+        st.getField("best").as("max_run")))
 }

@@ -181,6 +181,43 @@ object CurationOps {
             col("atl") >= MinAvgTokenLen && col("atl") <= MaxAvgTokenLen &&
             col("sr") >= MinStopRatio && col("ttr") <= MaxTopTokenRatio)
             .as("keep"))
+    },
+
+    // The composed end-to-end curation decision: token-count quality
+    // gate → exact-dedup survivor election among the keepers → split
+    // assignment for the survivors. One aggregation shuffle on the
+    // content hash; everything else is per-row map work, so the
+    // composition scales exactly like its parts. Dedup runs AFTER the
+    // quality gate (order matters: a low-quality copy must not shadow
+    // a clean one as survivor, and hashing only keepers shrinks the
+    // shuffle).
+    QueryDef.sql(
+      "q_curation_pipeline",
+      s"""WITH keepers AS (
+         |  SELECT doc_id, md5(text) AS content_hash
+         |  FROM documents
+         |  WHERE len(string_split(text, ' ')) BETWEEN $MinTokens AND $MaxTokens),
+         |survivors AS (
+         |  SELECT content_hash, min(doc_id) AS doc_id,
+         |         count(*) AS n_copies
+         |  FROM keepers GROUP BY content_hash)
+         |SELECT doc_id, content_hash, CAST(n_copies AS BIGINT) AS n_copies,
+         |       CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '$TrainUpper' THEN 'train'
+         |            WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '$ValUpper' THEN 'val'
+         |            ELSE 'test' END AS split
+         |FROM survivors""".stripMargin) {
+      (s, dir) =>
+        val keepers = Tables(s, dir, "documents")
+          .filter(size(tokens(col("text"))).between(MinTokens, MaxTokens))
+          .select(col("doc_id"), md5(col("text")).as("content_hash"))
+        val survivors = keepers.groupBy(col("content_hash"))
+          .agg(min(col("doc_id")).as("doc_id"),
+            count(lit(1)).as("n_copies"))
+        val b = bucket(col("doc_id"))
+        survivors.select(col("doc_id"), col("content_hash"), col("n_copies"),
+          when(b < TrainUpper, "train")
+            .when(b < ValUpper, "val")
+            .otherwise("test").as("split"))
     }
   )
 }

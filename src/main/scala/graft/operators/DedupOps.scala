@@ -250,6 +250,90 @@ object DedupOps {
         coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
   }
 
+  /** Connected components via alternating large-star / small-star
+    * (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    * SoCC'14) — the high-diameter-safe alternative to per-hop label
+    * propagation in [[dupClusters]]: each round contracts whole
+    * neighborhoods onto their local minimum instead of moving labels
+    * one edge, so convergence takes O(log²) rounds in the component
+    * DIAMETER-independent sense (the paper's bound) versus
+    * O(diameter) hops. On a 100 TB corpus where a boilerplate chain
+    * strings thousands of near-dup docs into a long path, the
+    * propagation loop pays one driver round-trip per 2 hops; this
+    * pays ~4 rounds total.
+    *
+    * Each half-round is two shuffles on doc_id (a groupBy for the
+    * neighborhood min + an equi-join to re-emit edges) and edges are
+    * checkpointed per round to keep lineage flat. The fixed point is
+    * a star per component centered at the component minimum, so the
+    * final labels are exactly [[dupClusters]]'s min-label fixed point
+    * — both are oracle-checked against the same recursive CTE.
+    */
+  def dupClustersStar(docs: DataFrame): DataFrame = {
+    val labels = starComponents(lshCandidatePairs(docs))
+    docs.select(col("doc_id"))
+      .join(labels.withColumnRenamed("doc_id", "d2"),
+        col("doc_id") === col("d2"), "left_outer")
+      .select(col("doc_id"),
+        coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
+  }
+
+  /** The large-star/small-star iteration itself: undirected edges
+    * (a, b) in, (doc_id, cluster_id = component minimum) out, for
+    * every node incident to an edge. Exposed separately so the
+    * high-diameter behavior is testable on synthetic graphs the LSH
+    * candidate generator would never produce (long paths). */
+  def starComponents(pairs: DataFrame): DataFrame = {
+    // canonical undirected edges, a < b; self-loops never enter
+    var edges = pairs.select(col("a"), col("b")).distinct().localCheckpoint()
+
+    // One star half-round. Adjacency is both directions; m(u) =
+    // min(Γ(u) ∪ {u}). Large-star rewires strictly larger neighbors
+    // to m(u); small-star rewires the ≤-side (and u itself) to m(u).
+    def star(e: DataFrame, large: Boolean): DataFrame = {
+      val adj = e.select(col("a").as("u"), col("b").as("v"))
+        .union(e.select(col("b").as("u"), col("a").as("v")))
+      val mins = adj.groupBy(col("u")).agg(min(col("v")).as("mv"))
+        .select(col("u"), least(col("mv"), col("u")).as("m"))
+      val rewired =
+        if (large)
+          adj.join(mins, "u").filter(col("v") > col("u"))
+            .select(col("v"), col("m"))
+        else {
+          val side = adj.join(mins, "u").filter(col("v") < col("u"))
+            .select(col("v"), col("m"))
+          val self = mins.filter(col("u") =!= col("m"))
+            .select(col("u").as("v"), col("m"))
+          side.union(self)
+        }
+      rewired.filter(col("v") =!= col("m"))
+        .select(least(col("v"), col("m")).as("a"),
+          greatest(col("v"), col("m")).as("b"))
+        .distinct()
+    }
+
+    // Converged when a full (large, small) round leaves the edge set
+    // unchanged — checked exactly: equal counts + empty difference.
+    // Rounds are O(log² n) worst case, ~2-3 in practice, so the two
+    // driver scalars per round are cheap.
+    var converged = false
+    while (!converged) {
+      val stepped = star(star(edges, large = true), large = false)
+        .localCheckpoint()
+      converged = stepped.count() == edges.count() &&
+        stepped.except(edges).isEmpty
+      edges = stepped
+    }
+
+    // Fixed point is a star per component: every edge is
+    // (component_min, member); centers label themselves. The min()
+    // is belt-and-braces — a star-fixed edge set gives one edge per
+    // member — and keeps the output key-unique by construction.
+    edges.select(col("b").as("doc_id"), col("a").as("cluster_id"))
+      .union(edges.select(col("a").as("doc_id"), col("a").as("cluster_id")))
+      .groupBy(col("doc_id")).agg(min(col("cluster_id")).as("cluster_id"))
+  }
+
   private def simhashVote(h: Column, b: Int): Column =
     when(substring(h, b + 1, 1) >= "8", 1).otherwise(-1)
 
@@ -429,6 +513,24 @@ object DedupOps {
          |SELECT src AS doc_id, min(dst) AS cluster_id
          |FROM reach GROUP BY src""".stripMargin) {
       (s, dir) => dupClusters(Tables(s, dir, "documents"))
+    },
+
+    // Same components, computed by alternating large-star/small-star
+    // contraction — the O(log²)-round, diameter-independent algorithm
+    // for 100 TB graphs. Both implementations must land on the same
+    // fixed point, so this shares the recursive-CTE oracle verbatim.
+    QueryDef.sql(
+      "q_dedup_clusters_star",
+      s"""WITH RECURSIVE $candidateCtes,
+         |edges AS (SELECT a AS src, b AS dst FROM cand
+         |          UNION ALL SELECT b, a FROM cand),
+         |reach(src, dst) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT r.src, e.dst FROM reach r JOIN edges e ON e.src = r.dst)
+         |SELECT src AS doc_id, min(dst) AS cluster_id
+         |FROM reach GROUP BY src""".stripMargin) {
+      (s, dir) => dupClustersStar(Tables(s, dir, "documents"))
     },
 
     // SimHash: 16-bit signature from per-token md5 bit votes (hex

@@ -270,6 +270,60 @@ object TextOps {
           col("doc_id"),
           md5(lower(regexp_replace(col("text"), "\\s+", " "))).as("content_hash"),
           md5(concat_ws(" ", slice(tokens(col("text")), 1, 5))).as("prefix_hash"))
+    },
+
+    // Gopher-style repetition signals: duplicate word-n-gram fraction
+    // (share of n-gram occurrences that repeat an earlier one) and
+    // top-n-gram fraction (share taken by the single most frequent
+    // n-gram), for n = 2 and 3. All four ratios come from
+    // size/array_distinct/max-multiplicity over the shingle arrays —
+    // linear per document (the max multiplicity is one sorted
+    // run-length pass, not a per-distinct refilter), zero shuffle.
+    // Docs shorter than n tokens have no n-grams: ratio pinned to 0
+    // on both engines rather than dividing by zero.
+    QueryDef.sql(
+      "q_text_repetition", {
+        def g(n: Int): String = {
+          val terms = (1 to n).map(k => s"toks[i+$k]").mkString(" || ' ' || ")
+          s"CASE WHEN len(toks) >= $n THEN list_transform(range(len(toks) - ${n - 1}), i -> $terms) ELSE [] END"
+        }
+        def ratios(n: Int): String =
+          s"""round(CASE WHEN len(g$n) = 0 THEN 0.0
+             |            ELSE CAST(len(g$n) - len(list_distinct(g$n)) AS DOUBLE) / len(g$n) END, 6) AS dup_${n}gram_frac,
+             |       round(CASE WHEN len(g$n) = 0 THEN 0.0
+             |            ELSE CAST(list_max(list_transform(list_distinct(g$n), u ->
+             |                   len(list_filter(g$n, x -> x = u)))) AS DOUBLE) / len(g$n) END, 6) AS top_${n}gram_frac""".stripMargin
+        s"""SELECT doc_id,
+           |       ${ratios(2)},
+           |       ${ratios(3)}
+           |FROM (SELECT doc_id, ${g(2)} AS g2, ${g(3)} AS g3
+           |      FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents))""".stripMargin
+      }) {
+      (s, dir) =>
+        // one sort + ONE run-length aggregate per n yields both the
+        // distinct count and the max multiplicity; sizes and stats are
+        // projected to attributes first so the ratio arithmetic below
+        // references cheap columns, not re-derived array expressions
+        val staged = DedupOps.spread(Tables(s, dir, "documents"))
+          .select(col("doc_id"),
+            shingles(tokens(col("text")), 2).as("g2"),
+            shingles(tokens(col("text")), 3).as("g3"))
+          .select(col("doc_id"),
+            size(col("g2")).as("sz2"),
+            sortedRunStats(array_sort(col("g2"))).as("st2"),
+            size(col("g3")).as("sz3"),
+            sortedRunStats(array_sort(col("g3"))).as("st3"))
+        def ratios(n: Int): Seq[Column] = {
+          val (sz, st) = (col(s"sz$n"), col(s"st$n"))
+          Seq(
+            round(when(sz === 0, 0.0)
+              .otherwise((sz - st.getField("n_distinct"))
+                .cast("double") / sz), 6).as(s"dup_${n}gram_frac"),
+            round(when(sz === 0, 0.0)
+              .otherwise(st.getField("max_run").cast("double") / sz), 6)
+              .as(s"top_${n}gram_frac"))
+        }
+        staged.select(col("doc_id") +: (ratios(2) ++ ratios(3)): _*)
     }
   )
 }

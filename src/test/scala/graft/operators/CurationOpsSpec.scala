@@ -84,4 +84,28 @@ class CurationOpsSpec extends SparkSpec {
       assert(violating == 0)
     } finally out.unpersist()
   }
+
+  test("end-to-end pipeline: hash-unique survivors, quality-gated, total splits") {
+    val out = q("q_curation_pipeline").cache()
+    try {
+      val n = out.count()
+      assert(n > 0)
+      // exactly one survivor per content hash
+      assert(out.select("content_hash").distinct().count() == n)
+      // survivors all passed the token-count gate
+      val docs = graft.Tables(spark, sfDir, "documents")
+        .select(col("doc_id"),
+          size(split(col("text"), " ")).as("nt"))
+      val offGate = out.join(docs, "doc_id")
+        .filter(col("nt") < CurationOps.MinTokens ||
+          col("nt") > CurationOps.MaxTokens).count()
+      assert(offGate == 0)
+      // split assignment matches the standalone split query
+      val splits = q("q_sample_split").select(col("doc_id"),
+        col("split").as("expected"))
+      val mismatched = out.join(splits, "doc_id")
+        .filter(col("split") =!= col("expected")).count()
+      assert(mismatched == 0)
+    } finally out.unpersist()
+  }
 }

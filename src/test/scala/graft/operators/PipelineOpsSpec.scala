@@ -367,6 +367,55 @@ class PipelineOpsSpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("star components collapse a long path — the high-diameter case") {
+    // 0-1-2-...-40 as a single path: label propagation needs ~40 hops;
+    // the alternating star algorithm must still land every node on 0.
+    val path = (0L until 40L).map(i => (i, i + 1)).toDF("a", "b")
+    val labels = DedupOps.starComponents(path).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels == (0L to 40L).map(_ -> 0L).toMap)
+  }
+
+  test("star components handle forests and agree on disjoint stars") {
+    // two components with interleaved ids + an isolated edge
+    val e = Seq((10L, 2L), (2L, 8L), (7L, 3L), (3L, 11L), (20L, 21L))
+      .toDF("a", "b")
+    val labels = DedupOps.starComponents(e).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels == Map(2L -> 2L, 8L -> 2L, 10L -> 2L,
+      3L -> 3L, 7L -> 3L, 11L -> 3L, 20L -> 20L, 21L -> 20L))
+  }
+
+  test("star clusters match propagation clusters on the gate corpus") {
+    val docs = graft.Tables(spark, "/root/testdata/sf0.001", "documents")
+    val prop = DedupOps.dupClusters(docs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val star = DedupOps.dupClustersStar(docs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(star == prop)
+  }
+
+  test("repetition signals: known duplicate-n-gram ground truth") {
+    import graft.functions.TextVec._
+    val d = Seq(
+      (1L, "a b a b a b"), // 2-grams: ab ba ab ba ab; 3-grams: aba bab aba bab
+      (2L, "w x y z"),     // all n-grams distinct
+      (3L, "solo")         // too short for any n-gram → pinned 0
+    ).toDF("doc_id", "text")
+    val g2 = shingles(tokens($"text"), 2)
+    val out = d.select($"doc_id",
+      when(size(g2) === 0, 0.0)
+        .otherwise((size(g2) - size(array_distinct(g2))).cast("double") / size(g2))
+        .as("dup2"),
+      when(size(g2) === 0, 0.0)
+        .otherwise(maxRunSorted(array_sort(g2)).cast("double") / size(g2))
+        .as("top2"))
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    assert(out(1L) == (3.0 / 5, 3.0 / 5)) // 5 grams, 2 distinct, "a b"×3
+    assert(out(2L) == (0.0, 1.0 / 3))     // 3 distinct grams, max mult 1
+    assert(out(3L) == (0.0, 0.0))         // guard: no 2-grams at all
+  }
+
   test("exact dedup via md5 group-by keeps lowest doc_id") {
     val d = Seq((5L, "same text"), (3L, "same text"), (9L, "unique"))
       .toDF("doc_id", "text")
