@@ -186,16 +186,21 @@ object SimilarityOps {
     * plan is hash/sort-merge-able. Scoring joins the embeddings back
     * by vec_id, so vectors are shuffled once per side, not N times.
     */
-  def cosineNearDupTopN(emb: DataFrame, n: Int): DataFrame = {
+  /** Candidate near-dup pairs (a < b) from the sign-band equi-join —
+    * the blocking step shared by pair scoring and cluster formation. */
+  def embeddingCandidatePairs(emb: DataFrame): DataFrame = {
     val bands = signBands(emb, NearDupBands, NearDupBandBits)
       .localCheckpoint() // self-joined: don't recompute buckets per side
-    val cand = bands.as("x")
+    bands.as("x")
       .join(bands.as("y"),
         col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
           col("x.vec_id") < col("y.vec_id"))
       .select(col("x.vec_id").as("a"), col("y.vec_id").as("b"))
       .distinct() // a pair may collide in several bands
-    cand
+  }
+
+  def cosineNearDupTopN(emb: DataFrame, n: Int): DataFrame = {
+    embeddingCandidatePairs(emb)
       .join(emb.select(col("vec_id").as("a"), col("embedding").as("va")), "a")
       .join(emb.select(col("vec_id").as("b"), col("embedding").as("vb")), "b")
       .select(col("a"), col("b"),
@@ -280,6 +285,47 @@ object SimilarityOps {
            |ORDER BY cos DESC, a, b LIMIT 20""".stripMargin
       }) {
       (s, dir) => cosineNearDupTopN(emb(s, dir), 20)
+    },
+
+    // Embedding-level duplicate clusters: connected components over
+    // the sign-band candidate graph — "which vectors are one
+    // semantic duplicate group", the decision record an embedding
+    // dedup pass stores. Blocking is the same zero-nested-loop
+    // equi-join as above; component labeling reuses the alternating
+    // star contraction (diameter-independent rounds). Oracle =
+    // recursive CTE over the identical banding, so the approximate
+    // blocking is replicated, not approximated.
+    QueryDef.sql(
+      "q_embed_dedup_clusters", {
+        val bands = (0 until NearDupBands).map(b =>
+          s"""SELECT vec_id, $b AS band,
+             |         CAST(list_sum(list_transform(range($NearDupBandBits),
+             |           j -> CASE WHEN embedding[${b * NearDupBandBits} + j + 1] > 0
+             |                THEN 2**j ELSE 0 END)) AS INTEGER) AS bucket
+             |  FROM embeddings""".stripMargin)
+          .mkString("\n  UNION ALL\n  ")
+        s"""WITH RECURSIVE bands AS (
+           |  $bands),
+           |cand AS (
+           |  SELECT DISTINCT x.vec_id AS a, y.vec_id AS b
+           |  FROM bands x JOIN bands y
+           |    ON x.band = y.band AND x.bucket = y.bucket AND x.vec_id < y.vec_id),
+           |edges AS (SELECT a AS src, b AS dst FROM cand
+           |          UNION ALL SELECT b, a FROM cand),
+           |reach(src, dst) AS (
+           |  SELECT vec_id, vec_id FROM embeddings
+           |  UNION
+           |  SELECT r.src, e.dst FROM reach r JOIN edges e ON e.src = r.dst)
+           |SELECT src AS vec_id, min(dst) AS cluster_id
+           |FROM reach GROUP BY src""".stripMargin
+      }) {
+      (s, dir) =>
+        val labels = DedupOps.starComponents(embeddingCandidatePairs(emb(s, dir)))
+          .withColumnRenamed("doc_id", "v2")
+        emb(s, dir).select(col("vec_id"))
+          .join(labels, col("vec_id") === col("v2"), "left_outer")
+          .select(col("vec_id"),
+            coalesce(col("cluster_id"), col("vec_id")).as("cluster_id"))
     },
 
     QueryDef.sql(

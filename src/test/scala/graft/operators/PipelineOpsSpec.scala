@@ -416,6 +416,29 @@ class PipelineOpsSpec extends SparkSpec {
     assert(out(3L) == (0.0, 0.0))         // guard: no 2-grams at all
   }
 
+  test("embedding clusters agree with union-find over the candidate pairs") {
+    val e = graft.Tables(spark, "/root/testdata/sf0.001", "embeddings")
+    val pairs = SimilarityOps.embeddingCandidatePairs(e).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val expected = e.select($"vec_id").collect().map(_.getLong(0))
+      .map(id => id -> find(id)).toMap
+    val got = graft.SparkEntry.queries("q_embed_dedup_clusters")(
+      spark, "/root/testdata/sf0.001").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == expected)
+    // the blocking actually groups something at this SF
+    assert(expected.values.toSet.size < expected.size)
+  }
+
   test("exact dedup via md5 group-by keeps lowest doc_id") {
     val d = Seq((5L, "same text"), (3L, "same text"), (9L, "unique"))
       .toDF("doc_id", "text")
