@@ -14,9 +14,10 @@ import org.apache.spark.sql.SparkSession
   * single-run timings on a shared local box swing ±50% from GC/JIT
   * noise, which made round-over-round comparisons mushy; the median
   * also absorbs the first run's plan-compile + codegen overhead.
-  * Seconds are rounded to 3 decimals so the whole JSON line stays
-  * under ~1.9 KB — harness logs keep only a bounded tail, and the
-  * full-precision line used to overflow it.
+  * Seconds are printed with 2 decimals (trailing zeros stripped) so
+  * the whole JSON line stays under ~1.9 KB — harness logs keep only a
+  * bounded 2000-char tail, and the full-precision line used to
+  * overflow it.
   */
 object Bench {
   def main(args: Array[String]): Unit = {

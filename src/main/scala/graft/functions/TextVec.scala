@@ -50,24 +50,22 @@ object TextVec {
     * the oracle's `list_max(list_transform(list_distinct(...)))`.
     */
   def maxRunSorted(sorted: Column): Column =
-    aggregate(
-      sorted,
-      struct(lit(null).cast("string").as("prev"),
-        lit(0).as("run"), lit(0).as("best")),
-      (st, x) => {
-        val run = when(st.getField("prev") <=> x, st.getField("run") + 1)
-          .otherwise(lit(1))
-        struct(x.as("prev"), run.as("run"),
-          greatest(st.getField("best"), run).as("best"))
-      },
-      st => st.getField("best"))
+    sortedRunStats(sorted).getField("max_run")
 
   /** (distinct count, max multiplicity) of a SORTED array, both from
     * the SAME linear run-length pass — one aggregate instead of an
     * `array_distinct` walk plus a [[maxRunSorted]] walk when a caller
     * needs both (the repetition signals do). Returns
     * struct<n_distinct:int, max_run:int>; values match the oracle's
-    * `len(list_distinct(..))` and max-multiplicity exactly. */
+    * `len(list_distinct(..))` and max-multiplicity exactly.
+    *
+    * PRECONDITION: null-free elements. The fold seeds `prev` with
+    * null, so a null ELEMENT would merge into the seed state and
+    * undercount (`array_distinct`/`list_distinct` count null as a
+    * value). Every current caller feeds arrays built by
+    * `split`/`transform`+`concat_ws`, which never yield null
+    * elements; revisit the seed (e.g. a sentinel struct flag) before
+    * pointing this at a nullable-element column. */
   def sortedRunStats(sorted: Column): Column =
     aggregate(
       sorted,

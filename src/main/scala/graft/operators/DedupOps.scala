@@ -314,14 +314,18 @@ object DedupOps {
 
     // Converged when a full (large, small) round leaves the edge set
     // unchanged — checked exactly: equal counts + empty difference.
-    // Rounds are O(log² n) worst case, ~2-3 in practice, so the two
-    // driver scalars per round are cheap.
+    // Rounds are O(log² n) worst case, ~2-3 in practice. The previous
+    // round's count is carried in a local so each round pays one
+    // count job (+ the except only when counts tie), not a recount of
+    // the already-checkpointed previous edges.
     var converged = false
+    var prevCount = edges.count()
     while (!converged) {
       val stepped = star(star(edges, large = true), large = false)
         .localCheckpoint()
-      converged = stepped.count() == edges.count() &&
-        stepped.except(edges).isEmpty
+      val steppedCount = stepped.count()
+      converged = steppedCount == prevCount && stepped.except(edges).isEmpty
+      prevCount = steppedCount
       edges = stepped
     }
 
@@ -351,6 +355,21 @@ object DedupOps {
       .reduce(_ + _)
     votes.select(col("doc_id"), sh.cast("int").as("simhash"))
   }
+
+  /** Shared oracle closure: candidate pairs → undirected edges →
+    * recursive transitive reach → min reachable id per doc. BOTH
+    * cluster queries (propagation and star) append this to
+    * [[candidateCtes]], making "same oracle" structural rather than a
+    * copy-paste invariant. */
+  private def closureSql: String =
+    """edges AS (SELECT a AS src, b AS dst FROM cand
+      |          UNION ALL SELECT b, a FROM cand),
+      |reach(src, dst) AS (
+      |  SELECT doc_id, doc_id FROM documents
+      |  UNION
+      |  SELECT r.src, e.dst FROM reach r JOIN edges e ON e.src = r.dst)
+      |SELECT src AS doc_id, min(dst) AS cluster_id
+      |FROM reach GROUP BY src""".stripMargin
 
   /** Shared oracle CTEs: minhash signatures → LSH bands → candidate
     * pairs, the exact SQL replica of [[minhashBands]] +
@@ -504,14 +523,7 @@ object DedupOps {
     QueryDef.sql(
       "q_dedup_clusters",
       s"""WITH RECURSIVE $candidateCtes,
-         |edges AS (SELECT a AS src, b AS dst FROM cand
-         |          UNION ALL SELECT b, a FROM cand),
-         |reach(src, dst) AS (
-         |  SELECT doc_id, doc_id FROM documents
-         |  UNION
-         |  SELECT r.src, e.dst FROM reach r JOIN edges e ON e.src = r.dst)
-         |SELECT src AS doc_id, min(dst) AS cluster_id
-         |FROM reach GROUP BY src""".stripMargin) {
+         |$closureSql""".stripMargin) {
       (s, dir) => dupClusters(Tables(s, dir, "documents"))
     },
 
@@ -522,14 +534,7 @@ object DedupOps {
     QueryDef.sql(
       "q_dedup_clusters_star",
       s"""WITH RECURSIVE $candidateCtes,
-         |edges AS (SELECT a AS src, b AS dst FROM cand
-         |          UNION ALL SELECT b, a FROM cand),
-         |reach(src, dst) AS (
-         |  SELECT doc_id, doc_id FROM documents
-         |  UNION
-         |  SELECT r.src, e.dst FROM reach r JOIN edges e ON e.src = r.dst)
-         |SELECT src AS doc_id, min(dst) AS cluster_id
-         |FROM reach GROUP BY src""".stripMargin) {
+         |$closureSql""".stripMargin) {
       (s, dir) => dupClustersStar(Tables(s, dir, "documents"))
     },
 

@@ -178,16 +178,12 @@ object SimilarityOps {
         col("bb.bucket").as("bucket"))
   }
 
-  /** Embedding-cosine near-dup: the N most similar vector pairs among
-    * LSH-band candidates. Candidates come from an EQUI-join on
-    * (band, bucket) sign-bit bands ([[signBands]]) — never an all-pairs
-    * comparison: cost is quadratic only within a bucket
+  /** Candidate near-dup pairs (a < b) from an EQUI-join on the
+    * (band, bucket) sign-bit bands ([[signBands]]) — the blocking
+    * step shared by pair scoring and cluster formation. Never an
+    * all-pairs comparison: cost is quadratic only within a bucket
     * (n²·bands/2^bits pairs in expectation), and every join in the
-    * plan is hash/sort-merge-able. Scoring joins the embeddings back
-    * by vec_id, so vectors are shuffled once per side, not N times.
-    */
-  /** Candidate near-dup pairs (a < b) from the sign-band equi-join —
-    * the blocking step shared by pair scoring and cluster formation. */
+    * plan is hash/sort-merge-able. */
   def embeddingCandidatePairs(emb: DataFrame): DataFrame = {
     val bands = signBands(emb, NearDupBands, NearDupBandBits)
       .localCheckpoint() // self-joined: don't recompute buckets per side
@@ -199,6 +195,10 @@ object SimilarityOps {
       .distinct() // a pair may collide in several bands
   }
 
+  /** Embedding-cosine near-dup: the N most similar vector pairs among
+    * the [[embeddingCandidatePairs]] candidates. Scoring joins the
+    * embeddings back by vec_id, so vectors are shuffled once per
+    * side, not N times. */
   def cosineNearDupTopN(emb: DataFrame, n: Int): DataFrame = {
     embeddingCandidatePairs(emb)
       .join(emb.select(col("vec_id").as("a"), col("embedding").as("va")), "a")
@@ -212,6 +212,26 @@ object SimilarityOps {
 
   private def emb(s: SparkSession, dir: String): DataFrame =
     Tables(s, dir, "embeddings")
+
+  /** Shared oracle CTEs: sign-bit bands → candidate pairs, the exact
+    * SQL replica of [[signBands]] + [[embeddingCandidatePairs]] —
+    * used by both the pair-scoring and cluster oracles so a band
+    * retune can't desynchronize them. */
+  private def bandCandSql: String = {
+    val bands = (0 until NearDupBands).map(b =>
+      s"""SELECT vec_id, $b AS band,
+         |         CAST(list_sum(list_transform(range($NearDupBandBits),
+         |           j -> CASE WHEN embedding[${b * NearDupBandBits} + j + 1] > 0
+         |                THEN 2**j ELSE 0 END)) AS INTEGER) AS bucket
+         |  FROM embeddings""".stripMargin)
+      .mkString("\n  UNION ALL\n  ")
+    s"""bands AS (
+       |  $bands),
+       |cand AS (
+       |  SELECT DISTINCT x.vec_id AS a, y.vec_id AS b
+       |  FROM bands x JOIN bands y
+       |    ON x.band = y.band AND x.bucket = y.bucket AND x.vec_id < y.vec_id)""".stripMargin
+  }
 
   /** DuckDB cosine over list columns `a`,`b` — sequential
     * left-to-right accumulation, bit-identical to [[CosineSimilarity]]. */
@@ -262,19 +282,7 @@ object SimilarityOps {
     // banding EXACTLY, so the approximate semantics still hash-match.
     QueryDef.sql(
       "q_dedup_embedding_cosine", {
-        val bands = (0 until NearDupBands).map(b =>
-          s"""SELECT vec_id, $b AS band,
-             |         CAST(list_sum(list_transform(range($NearDupBandBits),
-             |           j -> CASE WHEN embedding[${b * NearDupBandBits} + j + 1] > 0
-             |                THEN 2**j ELSE 0 END)) AS INTEGER) AS bucket
-             |  FROM embeddings""".stripMargin)
-          .mkString("\n  UNION ALL\n  ")
-        s"""WITH bands AS (
-           |  $bands),
-           |cand AS (
-           |  SELECT DISTINCT x.vec_id AS a, y.vec_id AS b
-           |  FROM bands x JOIN bands y
-           |    ON x.band = y.band AND x.bucket = y.bucket AND x.vec_id < y.vec_id),
+        s"""WITH $bandCandSql,
            |scored AS (
            |  SELECT a, b,
            |         ${cosSql("ea.embedding", "eb.embedding")}
@@ -297,19 +305,7 @@ object SimilarityOps {
     // blocking is replicated, not approximated.
     QueryDef.sql(
       "q_embed_dedup_clusters", {
-        val bands = (0 until NearDupBands).map(b =>
-          s"""SELECT vec_id, $b AS band,
-             |         CAST(list_sum(list_transform(range($NearDupBandBits),
-             |           j -> CASE WHEN embedding[${b * NearDupBandBits} + j + 1] > 0
-             |                THEN 2**j ELSE 0 END)) AS INTEGER) AS bucket
-             |  FROM embeddings""".stripMargin)
-          .mkString("\n  UNION ALL\n  ")
-        s"""WITH RECURSIVE bands AS (
-           |  $bands),
-           |cand AS (
-           |  SELECT DISTINCT x.vec_id AS a, y.vec_id AS b
-           |  FROM bands x JOIN bands y
-           |    ON x.band = y.band AND x.bucket = y.bucket AND x.vec_id < y.vec_id),
+        s"""WITH RECURSIVE $bandCandSql,
            |edges AS (SELECT a AS src, b AS dst FROM cand
            |          UNION ALL SELECT b, a FROM cand),
            |reach(src, dst) AS (

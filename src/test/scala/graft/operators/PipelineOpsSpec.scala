@@ -402,15 +402,24 @@ class PipelineOpsSpec extends SparkSpec {
       (2L, "w x y z"),     // all n-grams distinct
       (3L, "solo")         // too short for any n-gram → pinned 0
     ).toDF("doc_id", "text")
+    // drive sortedRunStats itself (n_distinct AND max_run), the exact
+    // expression q_text_repetition ships — not a re-derived formula
     val g2 = shingles(tokens($"text"), 2)
+    val st = sortedRunStats(array_sort(g2))
     val out = d.select($"doc_id",
       when(size(g2) === 0, 0.0)
-        .otherwise((size(g2) - size(array_distinct(g2))).cast("double") / size(g2))
+        .otherwise((size(g2) - st.getField("n_distinct"))
+          .cast("double") / size(g2))
         .as("dup2"),
       when(size(g2) === 0, 0.0)
-        .otherwise(maxRunSorted(array_sort(g2)).cast("double") / size(g2))
+        .otherwise(st.getField("max_run").cast("double") / size(g2))
         .as("top2"))
       .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    // the run-length distinct count must agree with array_distinct
+    val nd = d.select(st.getField("n_distinct").as("nd"),
+      size(array_distinct(g2)).as("ad"))
+      .collect().map(r => (r.getInt(0), r.getInt(1)))
+    assert(nd.forall { case (a, b) => a == b }, nd.mkString(","))
     assert(out(1L) == (3.0 / 5, 3.0 / 5)) // 5 grams, 2 distinct, "a b"×3
     assert(out(2L) == (0.0, 1.0 / 3))     // 3 distinct grams, max mult 1
     assert(out(3L) == (0.0, 0.0))         // guard: no 2-grams at all
