@@ -74,6 +74,26 @@ object StreamingOps {
       }
     },
 
+    // Streaming ingest dedup as a REAL streaming run: watermarked
+    // dropDuplicatesWithinWatermark, emitted keys checked against the
+    // batch DISTINCT (the whole point of exactly-once ingest dedup).
+    // Finite one-shot input lands in a single micro-batch, so no key
+    // can expire mid-run and the stream output IS the exact distinct.
+    QueryDef.sql(
+      "q_stream_dedup",
+      "SELECT DISTINCT user_id, event_type FROM events") {
+      (s, dir) => withStreamPartitions(s, 8) {
+        val schema = Tables(s, dir, "events").schema
+        val stream = s.readStream.schema(schema)
+          .parquet(EventStreams.streamableDir(s"$dir/events.parquet"))
+        val q = EventStreams.dedupKeysStream(stream)
+          .writeStream.format("memory").queryName("graft_stream_dedup")
+          .outputMode("append").trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+        s.table("graft_stream_dedup")
+      }
+    },
+
     QueryDef.sql(
       "q_sessionize",
       s"""WITH e AS (SELECT user_id, epoch_us(ts) AS us, event_id FROM events),

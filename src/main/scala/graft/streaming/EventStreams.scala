@@ -131,6 +131,21 @@ object EventStreams {
   /** Spark's file stream source requires a DIRECTORY; the testdata
     * tables are single files. Returns a temp dir containing a symlink
     * to the table file, suitable for `readStream.parquet`. */
+  /** Streaming first-occurrence dedup on (user_id, event_type) with
+    * WATERMARKED state eviction (`dropDuplicatesWithinWatermark`): a
+    * key occupies the state store only for the watermark delay, which
+    * is the ingest-dedup shape for unbounded streams — contrast
+    * `StreamingTransfer`'s plain `dropDuplicates`, whose per-PK state
+    * is deliberately unbounded for a finite dataset mirror. The
+    * output is projected to the key columns, so the emitted rows are
+    * value-deterministic no matter which duplicate arrives first. */
+  def dedupKeysStream(events: DataFrame): DataFrame =
+    tsMicros(events)
+      .withColumn("event_time", timestamp_micros(col("ts_us")))
+      .withWatermark("event_time", "2 hours")
+      .dropDuplicatesWithinWatermark("user_id", "event_type")
+      .select(col("user_id"), col("event_type"))
+
   def streamableDir(file: String): String = {
     val d = java.nio.file.Files.createTempDirectory("graft_stream")
     d.toFile.deleteOnExit()

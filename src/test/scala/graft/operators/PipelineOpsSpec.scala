@@ -448,6 +448,26 @@ class PipelineOpsSpec extends SparkSpec {
     assert(expected.values.toSet.size < expected.size)
   }
 
+  test("property: sortedRunStats matches distinct-count/max-multiplicity " +
+    "ground truth over random arrays (200 seeded samples)") {
+    import graft.functions.TextVec.sortedRunStats
+    val rnd = new scala.util.Random(11)
+    // small alphabet forces runs; include empty and single-element arrays
+    val samples = (1 to 200).map { i =>
+      i.toLong -> Array.fill(rnd.nextInt(50))(s"t${rnd.nextInt(8)}")
+    }
+    val df = samples.map { case (id, a) => (id, a.toSeq) }.toDF("id", "arr")
+    val got = df.select($"id", sortedRunStats(array_sort($"arr")).as("st"))
+      .select($"id", $"st.n_distinct", $"st.max_run")
+      .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getInt(2))).toMap
+    samples.foreach { case (id, a) =>
+      val expected =
+        if (a.isEmpty) (0, 0)
+        else (a.distinct.length, a.groupBy(identity).values.map(_.length).max)
+      assert(got(id) == expected, s"id=$id arr=${a.mkString(",")}")
+    }
+  }
+
   test("exact dedup via md5 group-by keeps lowest doc_id") {
     val d = Seq((5L, "same text"), (3L, "same text"), (9L, "unique"))
       .toDF("doc_id", "text")
