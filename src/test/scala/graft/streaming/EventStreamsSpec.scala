@@ -84,4 +84,28 @@ class EventStreamsSpec extends SparkSpec {
       .getAs[java.sql.Timestamp]("start").getTime == ts(0).getTime)
     assert(hour0.length == 1 && hour0.head.getAs[Long]("cnt") == 2L)
   }
+
+  test("stream dedup suppresses duplicates arriving in a LATER micro-batch " +
+    "within the watermark") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val input = MemoryStream[(java.sql.Timestamp, Long, String)]
+    val df = input.toDF().toDF("ts", "user_id", "event_type")
+    val q = EventStreams.dedupKeysStream(df)
+      .writeStream.format("memory").queryName("dedup_test")
+      .outputMode("append").start()
+    def ts(min: Int) = new java.sql.Timestamp(3600L * 1000 * 24 * 365 * 50 + min * 60000L)
+    // batch 1: an in-batch duplicate and two distinct keys
+    input.addData((ts(0), 1L, "view"), (ts(1), 1L, "view"), (ts(0), 2L, "click"))
+    q.processAllAvailable()
+    // batch 2: cross-batch duplicate (must stay suppressed — the state
+    // store remembers the key across batches) + one genuinely new key
+    input.addData((ts(5), 1L, "view"), (ts(5), 3L, "view"))
+    q.processAllAvailable()
+    q.stop()
+    val keys = spark.table("dedup_test").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    assert(keys.length == keys.distinct.length, s"duplicate emission: ${keys.mkString(",")}")
+    assert(keys.toSet == Set((1L, "view"), (2L, "click"), (3L, "view")))
+  }
 }
