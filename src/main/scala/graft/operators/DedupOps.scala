@@ -412,6 +412,29 @@ object DedupOps {
           .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
     },
 
+    // Corpus dedup-rate telemetry: the one-row summary a pipeline run
+    // logs (total docs, unique contents, duplicate count and rate).
+    // Exact distinct via Spark's two-phase partial aggregation over
+    // the content hash — only (hash) pairs shuffle, never text; the
+    // approximate twin for quick estimates is q_approx_distinct.
+    QueryDef.sql(
+      "q_dedup_stats",
+      """SELECT CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_unique,
+        |       CAST(count(*) - count(DISTINCT md5(text)) AS BIGINT) AS n_dup_docs,
+        |       round(CAST(count(*) - count(DISTINCT md5(text)) AS DOUBLE)
+        |             / count(*), 6) AS dup_rate
+        |FROM documents""".stripMargin) {
+      (s, dir) =>
+        Tables(s, dir, "documents")
+          .agg(count(lit(1)).as("n_docs"),
+            countDistinct(md5(col("text"))).as("n_unique"))
+          .select(col("n_docs"), col("n_unique"),
+            (col("n_docs") - col("n_unique")).as("n_dup_docs"),
+            round((col("n_docs") - col("n_unique")).cast("double")
+              / col("n_docs"), 6).as("dup_rate"))
+    },
+
     // N-gram Jaccard near-dup: word-3-gram shingles, stop-shingle cap
     // (df > MaxShingleDf dropped), inverted-index pair generation,
     // J = |A∩B| / |A∪B| over pruned sets for pairs sharing ≥2 shingles.
