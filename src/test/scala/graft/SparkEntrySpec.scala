@@ -1,0 +1,34 @@
+package graft
+
+/** Driver-contract smoke, mirrored locally: the flagship `entry`
+  * query must return rows with the published schema, and every
+  * `oracleSql` key must have a matching `queries` entry (a dangling
+  * oracle would make the driver's gate run SQL with no Spark result
+  * to compare).
+  */
+class SparkEntrySpec extends SparkSpec {
+
+  test("entry(): revenue-per-nation flagship returns rows with the contract schema") {
+    val df = SparkEntry.entry(spark)
+    assert(df.columns.toSeq == Seq("n_name", "n_items", "revenue"))
+    assert(df.count() > 0)
+  }
+
+  test("every oracle key has a query; names are unique across modules") {
+    val q = SparkEntry.queries
+    val o = SparkEntry.oracleSql
+    val dangling = o.keySet -- q.keySet
+    assert(dangling.isEmpty, s"oracle without query: $dangling")
+    // queries is built map-wise from module Seqs — a duplicated name
+    // would silently shadow an operator and shrink gate coverage
+    val names = Seq(
+      operators.Relational.all, operators.Analytics.all,
+      operators.EventAnalytics.all, operators.Profiler.all,
+      operators.TextOps.all, operators.CurationOps.all,
+      operators.DedupOps.all, operators.SimilarityOps.all,
+      operators.SkewJoin.all, operators.Multimodal.all,
+      operators.StreamingOps.all).flatten.map(_.name)
+    assert(names.distinct.length == names.length,
+      s"duplicate query names: ${names.diff(names.distinct).distinct}")
+  }
+}
