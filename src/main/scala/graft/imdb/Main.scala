@@ -128,6 +128,25 @@ object Main {
         throw UsageError(s"argument $flag: expected one argument")
       args(i)
     }
+    // one handler table drives the dispatch; the per-command
+    // allow-list (CommandFlags) only gates WHICH of these a command
+    // accepts, so a flag present in one but not the other degrades to
+    // a UsageError (exit 2) instead of a MatchError crash path
+    def setBulk(): Unit = {
+      val v = valueOf("--bulk")
+      bulk = try v.toInt
+        catch { case _: NumberFormatException =>
+          throw UsageError(s"--bulk is '$v' but must be an integer") }
+    }
+    val handlers: Map[String, () => Unit] = Map(
+      "--bulk" -> setBulk _, "-b" -> setBulk _,
+      "--database" -> (() => database = Some(valueOf("--database"))),
+      "-d" -> (() => database = Some(valueOf("--database"))),
+      "--warehouse" -> (() => warehouse = Some(valueOf("--warehouse"))),
+      "-w" -> (() => warehouse = Some(valueOf("--warehouse"))),
+      "--drop" -> (() => drop = true), "-D" -> (() => drop = true),
+      "--file" -> (() => file = true))
+
     while (i < args.length) {
       args(i) match {
         // every argparse (sub-)parser answers -h/--help; --version is
@@ -143,17 +162,8 @@ object Main {
               throw UsageError(s"unrecognized argument for $c: $f")
             case _ => ()
           }
-          f match {
-            case "--bulk" | "-b" =>
-              val v = valueOf("--bulk")
-              bulk = try v.toInt
-                catch { case _: NumberFormatException =>
-                  throw UsageError(s"--bulk is '$v' but must be an integer") }
-            case "--database" | "-d" => database = Some(valueOf("--database"))
-            case "--warehouse" | "-w" => warehouse = Some(valueOf("--warehouse"))
-            case "--drop" | "-D" => drop = true
-            case "--file" => file = true
-          }
+          handlers.getOrElse(f,
+            throw UsageError(s"unrecognized argument: $f")).apply()
         case v if command.isEmpty =>
           if (!Commands.contains(v)) throw UsageError(
             s"COMMAND must be specified; possible commands are: ${Commands.mkString(", ")}")

@@ -34,12 +34,13 @@ object TsvReader {
       dataset: ImdbDataset,
       filter: Map[String, Set[String]] = Map.empty,
       strict: Boolean = true): DataFrame = {
-    val typed = typedFrame(spark, path, dataset, filter, strict)
-    // first-occurrence wins (reference: common.py:238-255)
-    typed
+    // first-occurrence wins BEFORE the value filter (common.py:238-255:
+    // a key's first row claims the key even when the filter rejects it,
+    // so a later filter-passing duplicate is still dropped)
+    val kept = rawWithSeq(spark, path, dataset)
       .withColumn("_rn", row_number().over(dedupWindow(dataset)))
       .filter(col("_rn") === 1)
-      .drop("_rn", "_seq")
+    finishTyped(kept, dataset, filter, strict)
   }
 
   /** A [[readCounted]] result: the deduped frame, the reference's
@@ -54,11 +55,13 @@ object TsvReader {
     * dedups (common.py:224-255), so the engine must not pay a second
     * full parse for the metric. The per-key row count rides the same
     * window partitioning as the first-wins row_number (one shuffle,
-    * one sort), the deduped rows are cached memory-and-disk, and the
-    * count aggregate is what materializes the cache; the returned
-    * frame serves every downstream action (warehouse write, view
-    * registration) from that cache instead of re-parsing the TSV.
-    * Call `release()` after the frame is persisted elsewhere.
+    * one sort) and — like the reference — counts every beyond-first
+    * row regardless of the value filter, which only gates the OUTPUT
+    * rows. The pre-filter representatives are cached memory-and-disk
+    * and the count aggregate is what materializes the cache; the
+    * returned frame serves every downstream action (warehouse write,
+    * view registration) from that cache instead of re-parsing the
+    * TSV. Call `release()` after the frame is persisted elsewhere.
     */
   def readCounted(
       spark: SparkSession,
@@ -66,20 +69,21 @@ object TsvReader {
       dataset: ImdbDataset,
       filter: Map[String, Set[String]] = Map.empty,
       strict: Boolean = true): CountedRead = {
-    val typed = typedFrame(spark, path, dataset, filter, strict)
-    val kept = typed
+    val kept = rawWithSeq(spark, path, dataset)
       .withColumn("_rn", row_number().over(dedupWindow(dataset)))
       .withColumn("_kn", count(lit(1))
         .over(Window.partitionBy(dataset.keyColumns.map(col): _*)))
       .filter(col("_rn") === 1)
-      .drop("_rn", "_seq")
+      .drop("_rn")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // rows-beyond-first per key, summed over the kept representatives:
+    // rows-beyond-first per key, summed over the PRE-filter kept
+    // representatives (common.py:255 increments before the filter):
     // this action performs the single file scan and fills the cache
     val dups = kept
       .agg(coalesce(sum(col("_kn") - 1), lit(0L)).as("dups"))
       .collect()(0).getLong(0)
-    CountedRead(kept.drop("_kn"), dups, () => { kept.unpersist(); () })
+    CountedRead(finishTyped(kept.drop("_kn"), dataset, filter, strict),
+      dups, () => { kept.unpersist(); () })
   }
 
   private def dedupWindow(dataset: ImdbDataset) =
@@ -87,17 +91,14 @@ object TsvReader {
       .partitionBy(dataset.keyColumns.map(col): _*)
       .orderBy(col("_seq"))
 
-  /** Shared scan + typing for [[read]] and [[readCounted]]: raw
-    * strings with header-name mapping (like csv.DictReader — every
-    * declared column must exist, extra file columns are ignored), the
-    * optional value-set filter, strict validation, and the typed
-    * decode with `_seq` file-order tag. */
-  private def typedFrame(
+  /** Shared raw scan for [[read]] and [[readCounted]]: raw strings
+    * with header-name mapping (like csv.DictReader — every declared
+    * column must exist, extra file columns are ignored) plus the
+    * `_seq` file-order tag the dedup window sorts on. */
+  private def rawWithSeq(
       spark: SparkSession,
       path: String,
-      dataset: ImdbDataset,
-      filter: Map[String, Set[String]],
-      strict: Boolean): DataFrame = {
+      dataset: ImdbDataset): DataFrame = {
     val raw = spark.read
       .option("sep", "\t")
       .option("header", "true")
@@ -110,15 +111,24 @@ object TsvReader {
     require(missing.isEmpty,
       s"${dataset.datasetName}: TSV is missing key column(s) ${missing.mkString(", ")}")
 
-    val withSeq = raw.withColumn("_seq", monotonically_increasing_id())
+    raw.withColumn("_seq", monotonically_increasing_id())
+  }
 
-    val filtered = filter.foldLeft(withSeq) { case (df, (name, values)) =>
+  /** Post-dedup half of the reference's row loop: the value-set
+    * filter gates which kept rows are yielded (common.py:241-252),
+    * then only those are strictly validated and decoded — a malformed
+    * value on a row the filter drops never raises, exactly like the
+    * reference which decodes at insert time. */
+  private def finishTyped(
+      kept: DataFrame,
+      dataset: ImdbDataset,
+      filter: Map[String, Set[String]],
+      strict: Boolean): DataFrame = {
+    val filtered = filter.foldLeft(kept) { case (df, (name, values)) =>
       df.filter(col(name).isin(values.toSeq: _*))
     }
-
     if (strict) validate(filtered, dataset)
-
-    filtered.select(dataset.schema.fields.map(decode).toSeq :+ col("_seq"): _*)
+    filtered.select(dataset.schema.fields.map(decode).toSeq: _*)
   }
 
   /** Strict typing as one aggregate pass over the raw strings:

@@ -229,17 +229,21 @@ object DedupOps {
     // (decimal(38,0) sum: exact and unwrappable even when ids are
     // 64-bit hashes across billions of rows — a wrapped long sum
     // could fake convergence)
-    var prevSum: java.math.BigDecimal = null
+    def labelSumOf(ls: DataFrame): java.math.BigDecimal = ls
+      .agg(coalesce(sum(col("cluster_id").cast("decimal(38,0)")),
+        lit(0).cast("decimal(38,0)")))
+      .collect()(0).getDecimal(0)
+    // seeded with the INITIAL sum so an already-converged first round
+    // (labels = own ids on an edgeless or star-shaped input) stops
+    // after one round instead of a mandatory second
+    var prevSum = labelSumOf(labels)
     var changed = true
     while (changed) {
       // two hops per convergence check: labels travel 2 edges per
       // round, halving the driver round-trips vs check-every-hop
       val stepped = propagate(propagate(labels)).localCheckpoint()
-      val labelSum = stepped
-        .agg(coalesce(sum(col("cluster_id").cast("decimal(38,0)")),
-          lit(0).cast("decimal(38,0)")))
-        .collect()(0).getDecimal(0)
-      changed = prevSum == null || labelSum.compareTo(prevSum) < 0
+      val labelSum = labelSumOf(stepped)
+      changed = labelSum.compareTo(prevSum) < 0
       prevSum = labelSum
       labels = stepped
     }
@@ -318,9 +322,23 @@ object DedupOps {
     // round's count is carried in a local so each round pays one
     // count job (+ the except only when counts tie), not a recount of
     // the already-checkpointed previous edges.
+    //
+    // Round cap: this small-star takes m(u) = min(Γ(u) ∪ {u}) over
+    // the FULL neighborhood, not Kiveris et al.'s ≤-side Γ⁻ — the
+    // paper's termination proof doesn't directly cover the variant
+    // (convergence here rests on the exact set-equality fixed point,
+    // verified empirically on paths/forests and by the oracle CTE),
+    // so a generous cap turns a hypothetical non-converging input
+    // into a loud failure instead of looping the driver forever.
+    val maxRounds = 64
     var converged = false
+    var rounds = 0
     var prevCount = edges.count()
     while (!converged) {
+      rounds += 1
+      require(rounds <= maxRounds,
+        s"starComponents: no fixed point after $maxRounds large/small-star " +
+          "rounds — input graph exceeds the variant's verified envelope")
       val stepped = star(star(edges, large = true), large = false)
         .localCheckpoint()
       val steppedCount = stepped.count()

@@ -80,6 +80,33 @@ class TsvReaderSpec extends SparkSpec {
     assert(df.select("titleType").distinct().collect().map(_.getString(0)).toSeq == Seq("movie"))
   }
 
+  test("dedup precedes the value filter: a key claimed by a filtered-out " +
+    "first row drops its later filter-passing duplicate (common.py:238-252)") {
+    val path = tempTsv(
+      "nconst\tprimaryName\tbirthYear\tdeathYear\tprimaryProfession\tknownForTitles",
+      "nm1\tFirst Row\t1970\t\\N\tactor\t\\N",   // claims nm1, fails filter
+      "nm1\tSecond Row\t1980\t\\N\twriter\t\\N", // would pass, but is a dup
+      "nm2\tOther\t\\N\t\\N\twriter\t\\N")
+    val df = TsvReader.read(spark, path, ImdbDataset.NameBasics,
+      filter = Map("primaryProfession" -> Set("writer")))
+    assert(df.collect().map(_.getAs[String]("nconst")).toSeq == Seq("nm2"))
+  }
+
+  test("readCounted's duplicate metric is pre-filter like the reference " +
+    "(common.py:255 counts before the filter check)") {
+    val path = tempTsv(
+      "nconst\tprimaryName\tbirthYear\tdeathYear\tprimaryProfession\tknownForTitles",
+      "nm1\tFirst Row\t1970\t\\N\tactor\t\\N",
+      "nm1\tSecond Row\t1980\t\\N\tactor\t\\N",
+      "nm2\tOther\t\\N\t\\N\twriter\t\\N")
+    val counted = TsvReader.readCounted(spark, path, ImdbDataset.NameBasics,
+      filter = Map("primaryProfession" -> Set("no_such_profession")))
+    try {
+      assert(counted.duplicateCount == 1L) // counted though nothing is yielded
+      assert(counted.frame.count() == 0L)
+    } finally counted.release()
+  }
+
   test("property: typed decode matches a reference model over random rows " +
     "(500 seeded samples)") {
     // model of reference semantics (database.py:320-355): \N → null,
