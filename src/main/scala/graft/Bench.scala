@@ -79,7 +79,11 @@ object Bench {
         if (s.contains('.')) s.reverse.dropWhile(_ == '0').stripPrefix(".").reverse
         else s
       }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
+    // bench-only key shortening: every registry name carries the "q_"
+    // prefix, so dropping it in the report saves 2 chars/query (~150
+    // total) of the bounded tail without losing identity
+    val qs = results.map { case (k, v) =>
+      "\"" + k.stripPrefix("q_") + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
     val sfLabel = new java.io.File(sfDir).getName

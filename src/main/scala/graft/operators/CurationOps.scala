@@ -3,6 +3,7 @@ package graft.operators
 import graft.{QueryDef, Tables}
 import graft.functions.TextVec._
 import org.apache.spark.sql.Column
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Corpus-curation operators a training-data pipeline runs after
@@ -53,6 +54,12 @@ object CurationOps {
     * deterministic, engine-portable buckets. */
   def bucket(id: Column): Column =
     substring(md5(id.cast("string").cast("binary")), 1, 2)
+
+  /** Sequence-packing geometry: context-window length in tokens and
+    * the number of independent packing shards (at scale, the writer
+    * parallelism). */
+  val PackContext = 2048
+  val PackShards = 8
 
   val all: Seq[QueryDef] = Seq(
 
@@ -218,6 +225,77 @@ object CurationOps {
           when(b < TrainUpper, "train")
             .when(b < ValUpper, "val")
             .otherwise("test").as("split"))
+    },
+
+    // Temperature-based mixture rebalancing (the multilingual-corpus
+    // move from mBERT/XLM-R): per-language keep rate ∝ sqrt of the
+    // inverse frequency (temperature α = 0.5), anchored so the rarest
+    // language keeps ~everything. The per-language counts are one
+    // tiny aggregate broadcast back over the corpus; membership stays
+    // hash-deterministic. All the floating-point on the decision path
+    // is IEEE-correctly-rounded (divide, sqrt, multiply, floor), so
+    // both engines compute bit-identical thresholds — no rounding
+    // fudge needed. The integer threshold becomes a 4-hex-char string
+    // so the bucket compare stays in the same md5-prefix space as the
+    // other sampling ops.
+    QueryDef.sql(
+      "q_sample_temperature",
+      s"""WITH c AS (SELECT lang, count(*) AS cnt FROM documents GROUP BY 1),
+         |t AS (SELECT lang,
+         |             least(65535, CAST(floor(65536 * sqrt(
+         |               (SELECT min(cnt) FROM c) / CAST(cnt AS DOUBLE))) AS BIGINT)) AS thr
+         |      FROM c)
+         |SELECT d.doc_id, d.lang, t.thr
+         |FROM documents d JOIN t USING (lang)
+         |WHERE substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 4) < lpad(lower(hex(t.thr)), 4, '0')""".stripMargin) {
+      (s, dir) =>
+        val docs = Tables(s, dir, "documents")
+        val cnts = docs.groupBy(col("lang")).agg(count(lit(1)).as("cnt"))
+        val thr = cnts
+          .crossJoin(broadcast(cnts.agg(min(col("cnt")).as("min_cnt"))))
+          .select(col("lang"),
+            least(lit(65535L),
+              floor(lit(65536) * sqrt(col("min_cnt") / col("cnt").cast("double")))
+                .cast("long")).as("thr"))
+        docs.join(broadcast(thr), "lang")
+          .filter(
+            substring(md5(col("doc_id").cast("string").cast("binary")), 1, 4) <
+              lpad(lower(hex(col("thr"))), 4, "0"))
+          .select(col("doc_id"), col("lang"), col("thr"))
+    },
+
+    // Greedy sequence packing ("concat and chunk"): documents are
+    // concatenated in deterministic order within a shard and cut into
+    // fixed-size context windows; each doc learns which window its
+    // first token lands in (seq_id) and where (seq_offset). One
+    // shuffle on the shard key + a running-sum window — at 100 TB the
+    // shard count is the writer parallelism and each shard's window
+    // is an independent sorted scan. All integer arithmetic, so the
+    // oracle matches exactly.
+    QueryDef.sql(
+      "q_pack_sequences",
+      s"""WITH t AS (SELECT doc_id, doc_id % $PackShards AS shard,
+         |                  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+         |           FROM documents),
+         |c AS (SELECT doc_id, shard, n_tokens,
+         |             CAST(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+         |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+         |      FROM t)
+         |SELECT doc_id, shard, n_tokens,
+         |       (cum - n_tokens) // $PackContext AS seq_id,
+         |       (cum - n_tokens) % $PackContext AS seq_offset
+         |FROM c""".stripMargin) {
+      (s, dir) =>
+        val w = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        Tables(s, dir, "documents")
+          .select(col("doc_id"), (col("doc_id") % PackShards).as("shard"),
+            size(tokens(col("text"))).cast("long").as("n_tokens"))
+          .withColumn("cum", sum(col("n_tokens")).over(w))
+          .select(col("doc_id"), col("shard"), col("n_tokens"),
+            floor((col("cum") - col("n_tokens")) / PackContext).cast("long")
+              .as("seq_id"),
+            ((col("cum") - col("n_tokens")) % PackContext).as("seq_offset"))
     }
   )
 }

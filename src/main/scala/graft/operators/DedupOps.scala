@@ -156,6 +156,51 @@ object DedupOps {
       .distinct()
   }
 
+  /** Bloom bit-array size for [[bloomPrefilter]] (positions per hash
+    * function); two disjoint md5 slices act as the k=2 hash
+    * functions. 2^10 keeps the fill factor ≈0.5 on the gate corpus so
+    * the filter visibly discriminates; a production run sizes m from
+    * the corpus cardinality (m ≈ 10·n for ~1% FP at k=2). */
+  val BloomBits = 1024
+
+  /** Position of one bloom hash: a 6-hex-char md5 slice mod m — the
+    * same md5-slice trick as the minhash seeds, so the DuckDB oracle
+    * replays it with `CAST('0x'||substr(h,..) AS BIGINT)`. */
+  private def bloomPos(h: Column, off: Int): Column =
+    conv(substring(h, off, 6), 16, 10).cast("long") % BloomBits
+
+  /** Bloom-filter membership prefilter for incremental EXACT dedup:
+    * the cheap front gate before [[incrementalCandidatePairs]]-style
+    * verification. The corpus's content-hash bloom positions are
+    * collected once — bounded by m, constant-size regardless of
+    * corpus size — and shipped to every task as an InSet literal, so
+    * the new batch is screened MAP-SIDE with zero shuffle and zero
+    * corpus access: a batch doc whose k positions are all set is a
+    * *possible* duplicate (false positives by design, rate ≈ fill^k)
+    * and proceeds to exact verification; everything else is provably
+    * fresh and skips the corpus join entirely. At a 100 TB corpus the
+    * bloom build is one map+distinct over stored content hashes (or
+    * maintained incrementally), and the daily-ingest screen never
+    * touches the corpus again.
+    *
+    * Returns the surviving candidates as (doc_id, p0, p1).
+    */
+  def bloomPrefilter(corpus: DataFrame, batch: DataFrame): DataFrame = {
+    val ch = corpus.select(md5(col("text").cast("binary")).as("h"))
+    // ≤ BloomBits distinct values: a driver-safe, broadcastable scalar
+    val positions = ch
+      .select(explode(array(bloomPos(col("h"), 1), bloomPos(col("h"), 9))).as("p"))
+      .distinct().collect().map(_.getLong(0)).toSeq
+    batch
+      .select(col("doc_id"), md5(col("text").cast("binary")).as("h"))
+      .select(col("doc_id"),
+        bloomPos(col("h"), 1).as("p0"), bloomPos(col("h"), 9).as("p1"))
+      // isInCollection over >10 literals compiles to InSet: O(1) hash
+      // probe per row inside codegen, not a linear array scan
+      .filter(col("p0").isInCollection(positions) &&
+        col("p1").isInCollection(positions))
+  }
+
   /** Benchmark decontamination: flag corpus documents sharing at
     * least `minShared` word-3-gram shingles with any document of an
     * evaluation set — the "did the training data leak the benchmark"
@@ -532,6 +577,33 @@ object DedupOps {
         val existing = docs.filter(col("doc_id") < IncrementalSplit)
         val fresh = docs.filter(col("doc_id") >= IncrementalSplit)
         incrementalCandidatePairs(minhashBands(existing), fresh)
+    },
+
+    // Bloom prefilter for incremental exact dedup: batch docs whose
+    // k=2 content-hash bloom positions are all set in the corpus's
+    // bloom — the map-side possible-duplicate screen. The oracle
+    // rebuilds the identical position set and membership test, so the
+    // approximate (false-positive-bearing) output hash-matches.
+    QueryDef.sql(
+      "q_dedup_bloom",
+      s"""WITH ch AS (SELECT doc_id, md5(text) AS h FROM documents),
+         |pos AS (SELECT doc_id,
+         |               CAST('0x' || substr(h, 1, 6) AS BIGINT) % $BloomBits AS p0,
+         |               CAST('0x' || substr(h, 9, 6) AS BIGINT) % $BloomBits AS p1
+         |        FROM ch),
+         |bloom AS (SELECT DISTINCT p FROM (
+         |  SELECT p0 AS p FROM pos WHERE doc_id < $IncrementalSplit
+         |  UNION ALL
+         |  SELECT p1 AS p FROM pos WHERE doc_id < $IncrementalSplit) u)
+         |SELECT doc_id, p0, p1 FROM pos
+         |WHERE doc_id >= $IncrementalSplit
+         |  AND p0 IN (SELECT p FROM bloom)
+         |  AND p1 IN (SELECT p FROM bloom)""".stripMargin) {
+      (s, dir) =>
+        val docs = Tables(s, dir, "documents")
+        bloomPrefilter(
+          docs.filter(col("doc_id") < IncrementalSplit),
+          docs.filter(col("doc_id") >= IncrementalSplit))
     },
 
     // Decontamination: corpus docs sharing >= 2 shingles with the

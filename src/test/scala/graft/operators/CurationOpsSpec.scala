@@ -108,4 +108,52 @@ class CurationOpsSpec extends SparkSpec {
       assert(mismatched == 0)
     } finally out.unpersist()
   }
+
+  test("temperature sampling: rarest language keeps ~all, rates fall " +
+    "with frequency (alpha = 0.5)") {
+    val docs = graft.Tables(spark, sfDir, "documents")
+    val counts = docs.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val kept = q("q_sample_temperature").groupBy("lang")
+      .agg(count(lit(1)).as("k")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val minCnt = counts.values.min
+    counts.foreach { case (l, n) =>
+      val expected = math.sqrt(minCnt.toDouble / n)
+      val rate = kept.getOrElse(l, 0L).toDouble / n
+      // hash buckets over <=200 docs/lang: generous +/-0.15 band
+      assert(math.abs(rate - expected) < 0.15,
+        s"$l rate $rate vs expected $expected")
+    }
+    // the anchor language keeps (nearly) everything: only the single
+    // top bucket 'ffff' is excluded by the 65535 cap
+    val rarest = counts.minBy(_._2)._1
+    assert(kept(rarest).toDouble / counts(rarest) > 0.95)
+  }
+
+  test("sequence packing: starts reconstruct the running sum, offsets " +
+    "stay inside the context window, shards pack independently") {
+    val out = q("q_pack_sequences").cache()
+    try {
+      assert(out.count() == graft.Tables(spark, sfDir, "documents").count())
+      // offset in [0, ctx); start position = seq_id*ctx + offset must
+      // equal the tokens accumulated before the doc within its shard
+      assert(out.filter(col("seq_offset") < 0 ||
+        col("seq_offset") >= CurationOps.PackContext).count() == 0)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("shard")).orderBy(col("doc_id"))
+        .rowsBetween(Long.MinValue, -1)
+      val recon = out.withColumn("before",
+          coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+        .filter(col("seq_id") * CurationOps.PackContext + col("seq_offset")
+          =!= col("before"))
+      assert(recon.count() == 0, "start positions must equal the prefix sum")
+      // every shard starts its own window sequence at (0, 0)
+      val firstPerShard = out.groupBy("shard")
+        .agg(min(col("doc_id")).as("doc_id"))
+        .join(out, Seq("shard", "doc_id"))
+        .filter(col("seq_id") =!= 0L || col("seq_offset") =!= 0L)
+      assert(firstPerShard.count() == 0)
+    } finally out.unpersist()
+  }
 }

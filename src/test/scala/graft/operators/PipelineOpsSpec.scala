@@ -468,6 +468,32 @@ class PipelineOpsSpec extends SparkSpec {
     }
   }
 
+  test("bloom prefilter: zero false negatives on planted duplicates, " +
+    "and actually discriminates on the gate corpus") {
+    // a bloom filter may pass a fresh doc (false positive) but must
+    // NEVER drop a true duplicate
+    val corpus = Seq((1L, "alpha beta gamma"), (2L, "delta epsilon zeta"))
+      .toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, "alpha beta gamma"),          // exact dup of doc 1
+      (11L, "totally unrelated content"),
+      (12L, "delta epsilon zeta"))        // exact dup of doc 2
+      .toDF("doc_id", "text")
+    val survivors = DedupOps.bloomPrefilter(corpus, batch)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(survivors.contains(10L) && survivors.contains(12L),
+      s"true duplicates must survive the bloom, got $survivors")
+
+    // on the gate corpus (no exact dups in the batch slice) the
+    // filter must reject a meaningful share — a saturated bloom that
+    // passes everything would be useless as a prefilter
+    val gate = graft.SparkEntry.queries("q_dedup_bloom")(
+      spark, "/root/testdata/sf0.001")
+    val passed = gate.count()
+    assert(passed > 0 && passed < 100,
+      s"expected partial pass-through of the 100-doc batch, got $passed")
+  }
+
   test("exact dedup via md5 group-by keeps lowest doc_id") {
     val d = Seq((5L, "same text"), (3L, "same text"), (9L, "unique"))
       .toDF("doc_id", "text")
