@@ -296,6 +296,29 @@ object CurationOps {
             floor((col("cum") - col("n_tokens")) / PackContext).cast("long")
               .as("seq_id"),
             ((col("cum") - col("n_tokens")) % PackContext).as("seq_offset"))
+    },
+
+    // Deterministic global shuffle: every training run wants the
+    // corpus in a reproducible pseudorandom order. Position = rank of
+    // the doc's md5 — a pure function of the id, so the permutation
+    // is stable across runs, clusters, and partitionings. Assigned
+    // with the two-phase zipWithIndex pattern (range-sort on the
+    // hash, per-partition counts, broadcast offsets), NOT a global
+    // row_number window, so no task ever holds more than one
+    // partition (the same machinery as the IMDb surrogate ids).
+    QueryDef.sql(
+      "q_shuffle_global",
+      """SELECT doc_id,
+        |       CAST(row_number() OVER (ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+        |            AS INTEGER) AS pos
+        |FROM documents""".stripMargin) {
+      (s, dir) =>
+        graft.imdb.SurrogateIds.assign(
+          Tables(s, dir, "documents")
+            .select(md5(col("doc_id").cast("string").cast("binary")).as("h"),
+              col("doc_id")),
+          "pos", Seq(col("h"), col("doc_id")))
+          .select(col("doc_id"), col("pos"))
     }
   )
 }

@@ -324,6 +324,33 @@ object TextOps {
               .as(s"top_${n}gram_frac"))
         }
         staged.select(col("doc_id") +: (ratios(2) ++ ratios(3)): _*)
+    },
+
+    // Corpus vocabulary: top tokens by global frequency with a dense
+    // rank — the seed statistic for tokenizer/vocab training. The
+    // classic word-count shape: explode + partial (map-side) agg +
+    // one shuffle on token; the final rank/limit runs over only the
+    // top slice (TakeOrderedAndProject, never a global sort of the
+    // vocabulary). Ties are broken by token text so the rank is
+    // deterministic on both engines.
+    QueryDef.sql(
+      "q_text_vocab",
+      """WITH tok AS (SELECT unnest(string_split(text, ' ')) AS token FROM documents),
+        |c AS (SELECT token, CAST(count(*) AS BIGINT) AS freq FROM tok GROUP BY 1)
+        |SELECT token, freq,
+        |       CAST(row_number() OVER (ORDER BY freq DESC, token) AS INTEGER) AS rank
+        |FROM c ORDER BY freq DESC, token LIMIT 100""".stripMargin) {
+      (s, dir) =>
+        val top = Tables(s, dir, "documents")
+          .select(explode(tokens(col("text"))).as("token"))
+          .groupBy(col("token")).agg(count(lit(1)).as("freq"))
+          .orderBy(col("freq").desc, col("token"))
+          .limit(100)
+        // the global window runs over <= 100 rows post-limit — a
+        // constant-size single partition, not a corpus-wide sort
+        top.withColumn("rank",
+          row_number().over(org.apache.spark.sql.expressions.Window
+            .orderBy(col("freq").desc, col("token"))))
     }
   )
 }

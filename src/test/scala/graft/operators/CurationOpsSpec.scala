@@ -156,4 +156,22 @@ class CurationOpsSpec extends SparkSpec {
       assert(firstPerShard.count() == 0)
     } finally out.unpersist()
   }
+
+  test("global shuffle is a stable permutation that actually permutes") {
+    val out = q("q_shuffle_global").cache()
+    try {
+      val n = out.count()
+      // positions are exactly 1..N with no gaps or repeats
+      val stats = out.agg(min(col("pos")), max(col("pos")),
+        countDistinct(col("pos"))).collect()(0)
+      assert(stats.getInt(0) == 1 && stats.getInt(1) == n &&
+        stats.getLong(2) == n)
+      // pure function of the ids: identical on a re-run
+      assert(out.exceptAll(q("q_shuffle_global")).isEmpty)
+      // and it is a real shuffle, not the identity ordering
+      val fixedPoints = out.filter(col("pos").cast("long") === col("doc_id") + 1)
+        .count()
+      assert(fixedPoints < n / 10, s"$fixedPoints of $n docs kept their slot")
+    } finally out.unpersist()
+  }
 }

@@ -494,6 +494,22 @@ class PipelineOpsSpec extends SparkSpec {
       s"expected partial pass-through of the 100-doc batch, got $passed")
   }
 
+  test("corpus vocabulary: contiguous ranks, non-increasing frequencies, " +
+    "true top token") {
+    val sfDir = "/root/testdata/sf0.001"
+    val out = graft.SparkEntry.queries("q_text_vocab")(spark, sfDir)
+      .orderBy(col("rank")).collect()
+    assert(out.nonEmpty)
+    assert(out.map(_.getAs[Int]("rank")).toSeq == (1 to out.length))
+    val freqs = out.map(_.getAs[Long]("freq"))
+    assert(freqs.zip(freqs.tail).forall { case (a, b) => a >= b })
+    // rank 1 really is the corpus-wide argmax
+    val trueMax = graft.Tables(spark, sfDir, "documents")
+      .select(explode(split(col("text"), " ")).as("t"))
+      .groupBy(col("t")).count().agg(max(col("count"))).collect()(0).getLong(0)
+    assert(freqs.head == trueMax)
+  }
+
   test("exact dedup via md5 group-by keeps lowest doc_id") {
     val d = Seq((5L, "same text"), (3L, "same text"), (9L, "unique"))
       .toDF("doc_id", "text")
