@@ -103,7 +103,13 @@ object ImdbDataset {
     val keyColumns: Seq[String] = Seq("tconst")
   }
 
-  val all: Seq[ImdbDataset] = Seq(
+  // lazy: the ImdbDataset constructor calls camelizedDotName on this
+  // companion, so touching any case object BEFORE `all` would start
+  // companion init mid-way through that object's own init and an
+  // eager Seq would capture its still-null reference — a first-touch
+  // order hazard for any caller. Deferring the Seq until first use
+  // breaks the cycle for every access order.
+  lazy val all: Seq[ImdbDataset] = Seq(
     TitleBasics, NameBasics, TitleAkas, TitleCrew,
     TitleEpisode, TitlePrincipals, TitleRatings)
 
@@ -111,7 +117,7 @@ object ImdbDataset {
     * intentionally unused by build (reference: common.py:96, which has
     * a name-vs-value comparison bug; we implement the intent, SURVEY
     * §2.6 E2). */
-  val forNormalized: Seq[ImdbDataset] = all.filterNot(_ == TitleCrew)
+  lazy val forNormalized: Seq[ImdbDataset] = all.filterNot(_ == TitleCrew)
 
   def byName(name: String): ImdbDataset =
     all.find(d => d.datasetName == name || d.tableName == name)

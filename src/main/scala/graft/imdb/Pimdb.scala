@@ -43,8 +43,14 @@ final class Pimdb(val spark: SparkSession) {
       val base = s"$dataFolder/${d.datasetName}.tsv"
       val path = if (new java.io.File(s"$base.gz").exists()) s"$base.gz" else base
       // ONE file scan: dedup and the duplicate metric share a single
-      // windowed pass, cached until written out (TsvReader.readCounted)
-      val counted = TsvReader.readCounted(spark, path, d)
+      // windowed pass, cached until written out (TsvReader.readCounted).
+      // Progress ticks every ~3 s from task input metrics while the
+      // scan runs (reference: command.py:187-191 "processed N rows").
+      val counted = TransferProgress.withProgress(
+        spark.sparkContext,
+        n => log.info("  {}: processed {} rows", d.datasetName, n.toString)) {
+        TsvReader.readCounted(spark, path, d)
+      }
       var df = counted.frame
       _transferDuplicateCounts += d.datasetName -> counted.duplicateCount
       if (counted.duplicateCount > 0)

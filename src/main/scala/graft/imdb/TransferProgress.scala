@@ -1,0 +1,81 @@
+package graft.imdb
+
+import org.apache.spark.SparkContext
+import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+
+/** Transfer progress reporting, the Spark-native analog of the
+  * reference's 3-second row-count callback (common.py:188-197,
+  * 257-263; logged as "  processed N rows", command.py:187-191).
+  *
+  * The reference counts rows inside its single-threaded read loop; in
+  * a distributed scan no such loop exists, so progress is observed
+  * from task metrics instead: a [[SparkListener]] accumulates
+  * `inputMetrics.recordsRead` as tasks finish and fires the callback
+  * at most once per `secondsBetween`, plus a final call when the
+  * wrapped action completes — same cadence contract as the reference
+  * (time-gated during the pass, one closing update). The listener is
+  * registered only for the duration of the wrapped body and removed
+  * in a finally, so concurrent queries on the session are unaffected.
+  *
+  * Documented delta: the reference also reports the running duplicate
+  * count, which its sequential dedup knows mid-pass. Distributed
+  * first-wins dedup is a shuffle aggregate — the duplicate count does
+  * not exist until the pass completes — so the per-tick callback
+  * carries rows only and the duplicate summary is logged once at the
+  * end ([[Pimdb.transfer]]), preserving the reference's total output.
+  *
+  * Scale note: pure driver-side bookkeeping on task-end events (a
+  * long add per task); nothing is collected from executors beyond the
+  * metrics Spark already ships with task completion.
+  */
+final class TransferProgress(
+    indicateProgress: Long => Unit,
+    secondsBetween: Double = 3.0) extends SparkListener {
+
+  private val rows = new java.util.concurrent.atomic.AtomicLong(0L)
+  @volatile private var lastTick = System.nanoTime()
+  // serializes callback delivery: listener-bus task-end events and the
+  // closing update race, and the contract is strictly increasing
+  // totals in call order (driver-side lock, trivial contention)
+  private val lock = new Object
+  private var reported = -1L
+
+  def rowsRead: Long = rows.get()
+
+  private[imdb] def fire(total: Long): Unit = lock.synchronized {
+    if (total > reported) {
+      reported = total
+      indicateProgress(total)
+    }
+  }
+
+  override def onTaskEnd(taskEnd: SparkListenerTaskEnd): Unit = {
+    val metrics = taskEnd.taskMetrics
+    if (metrics != null) {
+      val total = rows.addAndGet(metrics.inputMetrics.recordsRead)
+      val now = System.nanoTime()
+      if ((now - lastTick) / 1e9 > secondsBetween) {
+        lastTick = now
+        fire(total)
+      }
+    }
+  }
+}
+
+object TransferProgress {
+  /** Run `body` with a progress listener attached; always fires one
+    * final callback with the closing total (reference common.py:262-263
+    * emits a last update after the loop). */
+  def withProgress[T](
+      sc: SparkContext,
+      indicateProgress: Long => Unit,
+      secondsBetween: Double = 3.0)(body: => T): T = {
+    val listener = new TransferProgress(indicateProgress, secondsBetween)
+    sc.addSparkListener(listener)
+    try body
+    finally {
+      sc.removeSparkListener(listener)
+      listener.fire(listener.rowsRead)
+    }
+  }
+}

@@ -351,6 +351,37 @@ object TextOps {
         top.withColumn("rank",
           row_number().over(org.apache.spark.sql.expressions.Window
             .orderBy(col("freq").desc, col("token"))))
+    },
+
+    // Corpus-informed rarity scoring: each document's tokens scored
+    // by their GLOBAL corpus frequency (mean + rarest) — the exact-
+    // arithmetic cousin of CCNet-style LM quality filtering: word
+    // salad full of common tokens scores high, rare-token documents
+    // low. Two shuffles on token (frequency aggregate + probe join,
+    // same key so the exchange is reusable) and one on doc_id; the
+    // mean is an exact long sum divided once, so both engines emit
+    // bit-identical doubles.
+    QueryDef.sql(
+      "q_text_rarity",
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+        |f AS (SELECT token, CAST(count(*) AS BIGINT) AS freq FROM tok GROUP BY 1)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+        |       round(CAST(sum(freq) AS DOUBLE) / count(*), 6) AS mean_token_freq,
+        |       min(freq) AS min_token_freq
+        |FROM tok JOIN f USING (token) GROUP BY doc_id""".stripMargin) {
+      (s, dir) =>
+        // checkpointed once: the frequency aggregate and the probe side
+        // would otherwise each re-read and re-explode the corpus
+        val tok = DedupOps.spread(Tables(s, dir, "documents"))
+          .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+          .localCheckpoint()
+        val freq = tok.groupBy(col("token")).agg(count(lit(1)).as("freq"))
+        tok.join(freq, "token")
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_tokens"),
+            round(sum(col("freq")).cast("double") / count(lit(1)), 6)
+              .as("mean_token_freq"),
+            min(col("freq")).as("min_token_freq"))
     }
   )
 }

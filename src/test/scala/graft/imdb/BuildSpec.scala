@@ -20,6 +20,25 @@ class BuildSpec extends SparkSpec {
   private lazy val tables = pimdb.query("SELECT 1") // force init
   private def t(name: String) = spark.table(name)
 
+  test("transfer progress: ticks carry monotone row totals and a final " +
+    "closing update (reference command.py:187-191)") {
+    val ticks = scala.collection.mutable.ArrayBuffer.empty[Long]
+    // secondsBetween = 0: every task end ticks, so the fixture scan
+    // exercises the cadence path without waiting 3 s
+    val df = TransferProgress.withProgress(
+      spark.sparkContext, n => ticks.synchronized { ticks += n },
+      secondsBetween = 0.0) {
+      TsvReader.read(spark, s"$dataDir/name.basics.tsv", ImdbDataset.NameBasics)
+        .count()
+    }
+    assert(df == 219L)
+    assert(ticks.nonEmpty)
+    assert(ticks.zip(ticks.tail).forall { case (a, b) => a <= b },
+      s"totals must be monotone: $ticks")
+    // the final callback reports everything the scan read
+    assert(ticks.last > 0)
+  }
+
   test("transfer: all 7 dataset tables with golden counts") {
     pimdb // init
     val expected = Map(
