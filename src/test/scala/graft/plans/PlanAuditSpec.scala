@@ -1,0 +1,49 @@
+package graft.plans
+
+import graft.SparkSpec
+
+/** Registry-wide physical-plan audit — pins the SCALE.md claims so a
+  * future operator can't silently reintroduce a scale-killer:
+  * BroadcastNestedLoopJoin/Cross only against constant-sized sides
+  * (the whitelisted scoring shapes), and never a CartesianProduct of
+  * two data-sized inputs.
+  *
+  * Streaming queries are excluded: their query functions execute real
+  * micro-batch runs (covered by their own specs), and the batch plan
+  * here would not be the streaming plan anyway. Iterative operators
+  * (clusters/IVF train) appear via their gate entries, whose driver
+  * loops run on sf0.001 in seconds.
+  */
+class PlanAuditSpec extends SparkSpec {
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  /** Queries allowed a BroadcastNestedLoopJoin/Cross — each is a
+    * `crossJoin(broadcast(...))` against a CONSTANT-sized side:
+    * probes (5), centroids (8), or a 1-row aggregate scalar. */
+  private val constantSideCross = Set(
+    "q_sim_cosine_topk",   // 5 probe vectors
+    "q_sim_ivf_assign",    // 8 centroids
+    "q_sim_ivf_search",    // 8 centroids
+    "q_text_tfidf",        // 1-row corpus-size scalar
+    "q_sample_temperature" // 1-row min-count scalar
+  )
+
+  private val streaming = Set(
+    "q_stream_window", "q_stream_join", "q_stream_dedup")
+
+  test("no gate plan nests two data-sized inputs (BNLJ/Cartesian audit)") {
+    val offenders = scala.collection.mutable.ArrayBuffer.empty[String]
+    graft.SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      if (!streaming.contains(name)) {
+        val plan = fn(spark, sfDir).queryExecution.executedPlan.toString
+        if (plan.contains("CartesianProduct"))
+          offenders += s"$name: CartesianProduct"
+        if (plan.contains("BroadcastNestedLoopJoin") &&
+            !constantSideCross.contains(name))
+          offenders += s"$name: unexpected BroadcastNestedLoopJoin"
+      }
+    }
+    assert(offenders.isEmpty, offenders.mkString("; "))
+  }
+}
