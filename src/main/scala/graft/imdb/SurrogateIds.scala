@@ -1,7 +1,7 @@
 package graft.imdb
 
 import org.apache.spark.sql.{Column, DataFrame, Row}
-import org.apache.spark.sql.types.{IntegerType, StructField, StructType}
+import org.apache.spark.sql.types.{IntegerType, LongType, StructField, StructType}
 
 /** Deterministic dense surrogate-id assignment: ids 1..N in sorted
   * natural-key order (reference: pimdb/database.py:631-634, 730-732 —
@@ -28,6 +28,21 @@ object SurrogateIds {
     val rows = sorted.rdd
       .zipWithIndex() // internally: per-partition counts + offsets, one extra count job
       .map { case (r, i) => Row.fromSeq((i + 1).toInt +: r.toSeq) }
+    spark.createDataFrame(rows, newSchema)
+  }
+
+  /** Same two-phase assignment with 64-bit ids — for corpus-scale
+    * orderings (beyond 2^31 rows the int variant would wrap
+    * negative). The int variant stays for the IMDb tables, whose
+    * reference schema is integer autoincrement. */
+  def assignLong(df: DataFrame, idCol: String, sortCols: Seq[Column]): DataFrame = {
+    val spark = df.sparkSession
+    val sorted = df.orderBy(sortCols: _*)
+    val newSchema = StructType(
+      StructField(idCol, LongType, nullable = false) +: sorted.schema.fields)
+    val rows = sorted.rdd
+      .zipWithIndex()
+      .map { case (r, i) => Row.fromSeq((i + 1L) +: r.toSeq) }
     spark.createDataFrame(rows, newSchema)
   }
 }

@@ -1,7 +1,8 @@
 package graft.imdb
 
 import org.apache.spark.SparkContext
-import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+import org.apache.spark.Success
+import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart, SparkListenerTaskEnd}
 
 /** Transfer progress reporting, the Spark-native analog of the
   * reference's 3-second row-count callback (common.py:188-197,
@@ -17,12 +18,21 @@ import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
   * registered only for the duration of the wrapped body and removed
   * in a finally, so concurrent queries on the session are unaffected.
   *
-  * Documented delta: the reference also reports the running duplicate
-  * count, which its sequential dedup knows mid-pass. Distributed
-  * first-wins dedup is a shuffle aggregate — the duplicate count does
-  * not exist until the pass completes — so the per-tick callback
-  * carries rows only and the duplicate summary is logged once at the
-  * end ([[Pimdb.transfer]]), preserving the reference's total output.
+  * Counting discipline (what makes the total equal the file's rows):
+  *  - only the FIRST job under the wrapper is counted — that is the
+  *    scan action; follow-up jobs over the cached result (validation
+  *    aggregates) report cache reads as input records and would
+  *    double-count the dataset;
+  *  - only successfully completed tasks count — a failed or
+  *    speculative attempt's rows are re-read by its retry.
+  *
+  * Documented delta vs the reference: it also reports the running
+  * duplicate count, which its sequential dedup knows mid-pass.
+  * Distributed first-wins dedup is a shuffle aggregate — the
+  * duplicate count does not exist until the pass completes — so the
+  * per-tick callback carries rows only and the duplicate summary is
+  * logged once at the end ([[Pimdb.transfer]]), preserving the
+  * reference's total output.
   *
   * Scale note: pure driver-side bookkeeping on task-end events (a
   * long add per task); nothing is collected from executors beyond the
@@ -34,6 +44,9 @@ final class TransferProgress(
 
   private val rows = new java.util.concurrent.atomic.AtomicLong(0L)
   @volatile private var lastTick = System.nanoTime()
+  // stages of the first observed job = the scan action; task-end
+  // events from any later job (cache-served validation) are ignored
+  @volatile private var scanStages: Option[Set[Int]] = None
   // serializes callback delivery: listener-bus task-end events and the
   // closing update race, and the contract is strictly increasing
   // totals in call order (driver-side lock, trivial contention)
@@ -49,9 +62,15 @@ final class TransferProgress(
     }
   }
 
+  override def onJobStart(jobStart: SparkListenerJobStart): Unit =
+    if (scanStages.isEmpty)
+      scanStages = Some(jobStart.stageInfos.map(_.stageId).toSet)
+
   override def onTaskEnd(taskEnd: SparkListenerTaskEnd): Unit = {
     val metrics = taskEnd.taskMetrics
-    if (metrics != null) {
+    val counted = taskEnd.reason == Success && metrics != null &&
+      scanStages.exists(_.contains(taskEnd.stageId))
+    if (counted) {
       val total = rows.addAndGet(metrics.inputMetrics.recordsRead)
       val now = System.nanoTime()
       if ((now - lastTick) / 1e9 > secondsBetween) {
@@ -65,7 +84,15 @@ final class TransferProgress(
 object TransferProgress {
   /** Run `body` with a progress listener attached; always fires one
     * final callback with the closing total (reference common.py:262-263
-    * emits a last update after the loop). */
+    * emits a last update after the loop).
+    *
+    * The listener bus is asynchronous: task-end events can still be
+    * queued when `body` returns, so the closing total is read only
+    * after the count stabilizes (two consecutive equal non-zero
+    * reads, bounded wait) — without that the final callback could
+    * under-report or say 0. The bound keeps an empty input from
+    * stalling the transfer loop.
+    */
   def withProgress[T](
       sc: SparkContext,
       indicateProgress: Long => Unit,
@@ -74,6 +101,13 @@ object TransferProgress {
     sc.addSparkListener(listener)
     try body
     finally {
+      val deadline = System.nanoTime() + 500L * 1000 * 1000
+      var settled = false
+      while (!settled && System.nanoTime() < deadline) {
+        val before = listener.rowsRead
+        Thread.sleep(20)
+        settled = before > 0 && listener.rowsRead == before
+      }
       sc.removeSparkListener(listener)
       listener.fire(listener.rowsRead)
     }

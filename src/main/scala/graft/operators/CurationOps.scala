@@ -50,10 +50,16 @@ object CurationOps {
   val MinStopRatio = 0.02
   val MaxTopTokenRatio = 0.2
 
-  /** Two-hex-char md5 bucket of a document id — 256 uniform,
-    * deterministic, engine-portable buckets. */
-  def bucket(id: Column): Column =
-    substring(md5(id.cast("string").cast("binary")), 1, 2)
+  /** The md5-of-id hash every sampling op derives from — ONE place
+    * for the VARCHAR-cast hashing convention the oracle replays as
+    * `md5(CAST(id AS VARCHAR))`. */
+  def idHash(id: Column): Column = md5(id.cast("string").cast("binary"))
+
+  /** Hex-prefix md5 bucket of a document id: 2 chars = 256 buckets
+    * (split/sample thresholds), 4 chars = 65536 (temperature
+    * thresholds). Uniform, deterministic, engine-portable. */
+  def bucket(id: Column, chars: Int = 2): Column =
+    substring(idHash(id), 1, chars)
 
   /** Sequence-packing geometry: context-window length in tokens and
     * the number of independent packing shards (at scale, the writer
@@ -258,9 +264,7 @@ object CurationOps {
               floor(lit(65536) * sqrt(col("min_cnt") / col("cnt").cast("double")))
                 .cast("long")).as("thr"))
         docs.join(broadcast(thr), "lang")
-          .filter(
-            substring(md5(col("doc_id").cast("string").cast("binary")), 1, 4) <
-              lpad(lower(hex(col("thr"))), 4, "0"))
+          .filter(bucket(col("doc_id"), 4) < lpad(lower(hex(col("thr"))), 4, "0"))
           .select(col("doc_id"), col("lang"), col("thr"))
     },
 
@@ -310,13 +314,13 @@ object CurationOps {
       "q_shuffle_global",
       """SELECT doc_id,
         |       CAST(row_number() OVER (ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
-        |            AS INTEGER) AS pos
+        |            AS BIGINT) AS pos
         |FROM documents""".stripMargin) {
       (s, dir) =>
-        graft.imdb.SurrogateIds.assign(
+        // 64-bit positions: the int variant would wrap past 2^31 docs
+        graft.imdb.SurrogateIds.assignLong(
           Tables(s, dir, "documents")
-            .select(md5(col("doc_id").cast("string").cast("binary")).as("h"),
-              col("doc_id")),
+            .select(idHash(col("doc_id")).as("h"), col("doc_id")),
           "pos", Seq(col("h"), col("doc_id")))
           .select(col("doc_id"), col("pos"))
     }

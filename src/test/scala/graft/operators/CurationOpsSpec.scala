@@ -164,7 +164,7 @@ class CurationOpsSpec extends SparkSpec {
       // positions are exactly 1..N with no gaps or repeats
       val stats = out.agg(min(col("pos")), max(col("pos")),
         countDistinct(col("pos"))).collect()(0)
-      assert(stats.getInt(0) == 1 && stats.getInt(1) == n &&
+      assert(stats.getLong(0) == 1L && stats.getLong(1) == n &&
         stats.getLong(2) == n)
       // pure function of the ids: identical on a re-run
       assert(out.exceptAll(q("q_shuffle_global")).isEmpty)
