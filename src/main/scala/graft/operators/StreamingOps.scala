@@ -94,6 +94,25 @@ object StreamingOps {
       }
     },
 
+    // Stream-static dimension enrichment as a REAL streaming run: the
+    // stateless broadcast-lookup shape (no state store, dimension
+    // probed map-side per micro-batch). Oracle = the batch equi-join.
+    QueryDef.sql(
+      "q_stream_enrich",
+      """SELECT e.event_id, e.user_id, c.c_mktsegment AS segment, e.event_type
+        |FROM events e JOIN customer c ON e.user_id = c.c_custkey""".stripMargin) {
+      (s, dir) => withStreamPartitions(s, 8) {
+        val schema = Tables(s, dir, "events").schema
+        val stream = s.readStream.schema(schema)
+          .parquet(EventStreams.streamableDir(s"$dir/events.parquet"))
+        val q = EventStreams.enrichWithDim(stream, Tables(s, dir, "customer"))
+          .writeStream.format("memory").queryName("graft_stream_enrich")
+          .outputMode("append").trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+        s.table("graft_stream_enrich")
+      }
+    },
+
     QueryDef.sql(
       "q_sessionize",
       s"""WITH e AS (SELECT user_id, epoch_us(ts) AS us, event_id FROM events),

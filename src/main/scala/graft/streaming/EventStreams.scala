@@ -146,6 +146,21 @@ object EventStreams {
       .dropDuplicatesWithinWatermark("user_id", "event_type")
       .select(col("user_id"), col("event_type"))
 
+  /** Stream–static enrichment: the canonical dimension-lookup shape —
+    * a stream joined to a broadcast batch table. STATELESS: unlike
+    * the stream-stream interval join there is no state store at all;
+    * the dimension ships with the task closure and every micro-batch
+    * probes it map-side, so the operator scales with stream
+    * throughput alone (the dimension is re-resolved per batch, which
+    * is also what picks up slowly-changing dimension updates). */
+  def enrichWithDim(events: DataFrame, customers: DataFrame): DataFrame =
+    events.join(
+      org.apache.spark.sql.functions.broadcast(
+        customers.select(col("c_custkey"), col("c_mktsegment"))),
+      col("user_id") === col("c_custkey"))
+      .select(col("event_id"), col("user_id"),
+        col("c_mktsegment").as("segment"), col("event_type"))
+
   def streamableDir(file: String): String = {
     val d = java.nio.file.Files.createTempDirectory("graft_stream")
     d.toFile.deleteOnExit()

@@ -108,4 +108,24 @@ class EventStreamsSpec extends SparkSpec {
     assert(keys.length == keys.distinct.length, s"duplicate emission: ${keys.mkString(",")}")
     assert(keys.toSet == Set((1L, "view"), (2L, "click"), (3L, "view")))
   }
+
+  test("stream-static enrichment equals the batch join and keeps ZERO " +
+    "streaming state") {
+    val schema = graft.Tables(spark, dir, "events").schema
+    val stream = spark.readStream.schema(schema)
+      .parquet(EventStreams.streamableDir(s"$dir/events.parquet"))
+    val q = EventStreams.enrichWithDim(stream, graft.Tables(spark, dir, "customer"))
+      .writeStream.format("memory").queryName("enrich_test")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    // stateless: the dimension lookup must not allocate state stores
+    val state = Option(q.lastProgress).toSeq.flatMap(_.stateOperators)
+    assert(state.isEmpty, s"expected no state operators, got $state")
+    val batch = EventStreams.enrichWithDim(
+      graft.Tables(spark, dir, "events"),
+      graft.Tables(spark, dir, "customer"))
+    assert(spark.table("enrich_test").exceptAll(batch).isEmpty)
+    assert(batch.exceptAll(spark.table("enrich_test")).isEmpty)
+    assert(spark.table("enrich_test").count() > 0)
+  }
 }
