@@ -68,14 +68,15 @@ object Bench {
         else secs.sorted.apply(secs.length / 2)
       name -> median
     }
-    // 2-decimal, trailing-zero-stripped seconds and a basename sf: the
+    // 1-decimal, trailing-zero-stripped seconds and a basename sf: the
     // harness log keeps a 2000-char tail and sbt appends ~80 chars after
-    // the JSON line, so every query entry must average < 26 chars for
-    // the line to survive intact.
+    // the JSON line, so every query entry must average < 24 chars for
+    // the line to survive intact. Tenths are plenty: run-to-run noise
+    // exceeds ±0.1 s even under the median-of-3.
     def fmt(v: Double): String =
       if (v < 0) "-1"
       else {
-        val s = String.format(java.util.Locale.ROOT, "%.2f", v)
+        val s = String.format(java.util.Locale.ROOT, "%.1f", v)
         if (s.contains('.')) s.reverse.dropWhile(_ == '0').stripPrefix(".").reverse
         else s
       }
