@@ -201,6 +201,42 @@ object DedupOps {
         col("p1").isInCollection(positions))
   }
 
+  /** Exact repeated-substring detection, the span length and the
+    * cross-doc frequency that makes a span "duplicated" (Lee et al.,
+    * "Deduplicating Training Data Makes Language Models Better",
+    * ACL'22 — their suffix-array exact-substring dedup, re-expressed
+    * as fixed-length span hashing so it distributes: a doc pair
+    * sharing any >= SpanTokens verbatim run shares at least one
+    * span, so coverage is equivalent for spans of that length). */
+  val SpanTokens = 8
+  val MinSpanDf = 2
+
+  /** Per-document duplicated-substring profile: how much of each doc
+    * is made of SpanTokens-token runs that appear VERBATIM in at
+    * least MinSpanDf documents. The shape is one explode (a span per
+    * token position — linear in corpus tokens), a groupBy on the span
+    * hash, a join back, and a doc-level aggregate: every shuffle is
+    * keyed by span hash or doc_id, nothing is quadratic, and the span
+    * text itself never shuffles (md5 only). The practical scalable
+    * stand-in for suffix arrays, which need global sorted adjacency
+    * Spark can't maintain incrementally. */
+  def repeatedSpanProfile(docs: DataFrame): DataFrame = {
+    val sp = spread(docs)
+      .select(col("doc_id"), explode(array_distinct(
+        shingles(tokens(col("text")), SpanTokens))).as("sub"))
+      .select(col("doc_id"), md5(col("sub")).as("h"))
+      .localCheckpoint() // span set reused: df count + join-back
+    val rep = sp.groupBy(col("h")).agg(count(lit(1)).as("df"))
+      .filter(col("df") >= MinSpanDf)
+      .select(col("h"), lit(1).as("is_rep"))
+    sp.join(rep, Seq("h"), "left_outer")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_spans"),
+        count(col("is_rep")).as("n_repeated"),
+        round(count(col("is_rep")).cast("double") / count(lit(1)), 6)
+          .as("dup_span_frac"))
+  }
+
   /** Benchmark decontamination: flag corpus documents sharing at
     * least `minShared` word-3-gram shingles with any document of an
     * evaluation set — the "did the training data leak the benchmark"
@@ -604,6 +640,26 @@ object DedupOps {
         bloomPrefilter(
           docs.filter(col("doc_id") < IncrementalSplit),
           docs.filter(col("doc_id") >= IncrementalSplit))
+    },
+
+    // Exact repeated-substring profile: the verbatim-span counterpart
+    // to the probabilistic near-dup detectors. The oracle rebuilds
+    // the identical span hashing and df threshold.
+    QueryDef.sql(
+      "q_dedup_substring",
+      s"""WITH sp AS (
+         |  SELECT DISTINCT doc_id, md5(sub) AS h FROM (
+         |    SELECT doc_id, unnest(list_transform(range(len(toks) - ${SpanTokens - 1}),
+         |      i -> array_to_string(toks[i+1:i+$SpanTokens], ' '))) AS sub
+         |    FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)) u),
+         |rep AS (SELECT h FROM sp GROUP BY h HAVING count(*) >= $MinSpanDf)
+         |SELECT s.doc_id,
+         |       CAST(count(*) AS BIGINT) AS n_spans,
+         |       CAST(count(r.h) AS BIGINT) AS n_repeated,
+         |       round(CAST(count(r.h) AS DOUBLE) / count(*), 6) AS dup_span_frac
+         |FROM sp s LEFT JOIN rep r ON s.h = r.h
+         |GROUP BY 1""".stripMargin) {
+      (s, dir) => repeatedSpanProfile(Tables(s, dir, "documents"))
     },
 
     // Decontamination: corpus docs sharing >= 2 shingles with the

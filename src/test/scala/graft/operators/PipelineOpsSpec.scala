@@ -494,6 +494,26 @@ class PipelineOpsSpec extends SparkSpec {
       s"expected partial pass-through of the 100-doc batch, got $passed")
   }
 
+  test("repeated-span profile: planted verbatim run is caught, unrelated " +
+    "doc is clean, short doc emits no spans") {
+    val shared = (1 to 10).map(i => s"run$i").mkString(" ") // 10-token run
+    val input = Seq(
+      (1L, s"alpha starts here $shared and ends"),
+      (2L, s"$shared totally different tail of words"),
+      (3L, (1 to 20).map(i => s"uniq$i").mkString(" ")),
+      (4L, "too short for spans")) // 4 tokens < SpanTokens
+      .toDF("doc_id", "text")
+    val prof = DedupOps.repeatedSpanProfile(input).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(!prof.contains(4L), "sub-span-length doc must emit nothing")
+    assert(prof(1L)._2 > 0 && prof(2L)._2 > 0,
+      s"docs sharing a 10-token verbatim run must flag: $prof")
+    // the shared run yields exactly 3 distinct 8-token spans, present
+    // in both docs
+    assert(prof(1L)._2 == 3 && prof(2L)._2 == 3, prof.toString)
+    assert(prof(3L)._2 == 0, "unrelated doc must be clean")
+  }
+
   test("corpus vocabulary: contiguous ranks, non-increasing frequencies, " +
     "true top token") {
     val sfDir = "/root/testdata/sf0.001"
