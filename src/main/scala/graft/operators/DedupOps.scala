@@ -60,28 +60,36 @@ object DedupOps {
     spread(docs).select(col("doc_id"), explode(array_distinct(
       shingles(tokens(col("text")), 3))).as("sh"))
 
-  /** (doc_id, band, bucket): LSH band buckets over MinHash signatures.
-    * Docs sharing (band, bucket) are near-dup candidates.
+  /** (doc_id, shs): each document's DISTINCT word-3-gram shingle set
+    * as one array — the set both the signatures and exact Jaccard
+    * verification derive from. Pure map work. */
+  def shingleSets(docs: DataFrame): DataFrame =
+    spread(docs).select(col("doc_id"),
+      array_distinct(shingles(tokens(col("text")), 3)).as("shs"))
+
+  /** (doc_id, mh0..mh7) MinHash signatures from [[shingleSets]] rows.
     *
-    * Per-document map work only — ZERO shuffle; the only shuffle in
-    * the whole LSH pipeline is the (band, bucket) candidate join.
-    * Each shingle is hashed exactly ONCE (sha-256 → 64 hex chars);
-    * the K=8 minhash functions are the 8 disjoint 8-hex-char slices —
-    * independent uniform 32-bit hashes at 1/K of the hashing cost of
-    * K independent passes. The hash array is materialized once per
-    * row (localCheckpoint) because projection collapse would
-    * otherwise re-shingle the document for every slice.
-    */
-  def minhashBands(docs: DataFrame): DataFrame = {
-    val withH = spread(docs).select(col("doc_id"),
-      transform(array_distinct(shingles(tokens(col("text")), 3)),
-        s => sha2(s.cast("binary"), 256)).as("hs"))
+    * Per-document map work only — ZERO shuffle. Each shingle is
+    * hashed exactly ONCE (sha-256 → 64 hex chars); the K=8 minhash
+    * functions are the 8 disjoint 8-hex-char slices — independent
+    * uniform 32-bit hashes at 1/K of the hashing cost of K
+    * independent passes. The hash array is materialized once per row
+    * (localCheckpoint) because projection collapse would otherwise
+    * re-shingle the document for every slice. */
+  def minhashSignatures(shSets: DataFrame): DataFrame = {
+    val withH = shSets.select(col("doc_id"),
+      transform(col("shs"), s => sha2(s.cast("binary"), 256)).as("hs"))
       .localCheckpoint()
-    val sig = withH.select(
+    withH.select(
       col("doc_id") +:
         (0 until MinhashSeeds).map(j =>
           array_min(transform(col("hs"), h => substring(h, j * 8 + 1, 8)))
             .as(s"mh$j")): _*)
+  }
+
+  /** (doc_id, band, bucket) rows from a [[minhashSignatures]] frame:
+    * band `b` hashes signature slots (2b, 2b+1) into one bucket key. */
+  def bandsOf(sig: DataFrame): DataFrame = {
     val bandCols = (0 until NumBands).map { b =>
       struct(lit(b).as("band"),
         md5(concat(col(s"mh${2 * b}"), col(s"mh${2 * b + 1}"))).as("bucket"))
@@ -91,17 +99,57 @@ object DedupOps {
         col("bb.bucket").as("bucket"))
   }
 
-  /** Candidate near-dup pairs (a < b) from the LSH equi-join on
-    * (band, bucket) — the scalable candidate generator: one shuffle on
-    * the bucket key, quadratic only within a bucket. */
-  def lshCandidatePairs(docs: DataFrame): DataFrame = {
-    val bands = minhashBands(docs).localCheckpoint() // self-joined below
+  /** (doc_id, band, bucket): LSH band buckets over MinHash signatures.
+    * Docs sharing (band, bucket) are near-dup candidates. The only
+    * shuffle in the whole LSH pipeline is the (band, bucket)
+    * candidate join downstream. */
+  def minhashBands(docs: DataFrame): DataFrame =
+    bandsOf(minhashSignatures(shingleSets(docs)))
+
+  /** Candidate pairs (a < b) from the equi-join of a band frame with
+    * itself: one shuffle on the bucket key, quadratic only within a
+    * bucket. */
+  def candidatePairsFromBands(bands: DataFrame): DataFrame =
     bands.as("x")
       .join(bands.as("y"),
         col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
       .distinct()
+
+  /** Candidate near-dup pairs (a < b) from the LSH equi-join on
+    * (band, bucket) — the scalable candidate generator. */
+  def lshCandidatePairs(docs: DataFrame): DataFrame =
+    candidatePairsFromBands(minhashBands(docs).localCheckpoint())
+
+  /** Signature-agreement Jaccard estimation with exact verification:
+    * for each LSH candidate pair, the MinHash estimate Ĵ = (matching
+    * signature slots)/K next to the true J over the full shingle
+    * sets. At 100 TB the estimate is the decision value — O(K) per
+    * pair from the already-stored signatures, no shingle-set access —
+    * and exact J is computed only where the pipeline audits the
+    * estimator (as here) or near the accept threshold. Shingle-set
+    * arrays ship only for candidate pairs (O(candidates), not
+    * O(corpus)); everything joins by doc id. */
+  def minhashEstimatedJaccard(docs: DataFrame): DataFrame = {
+    val sets = shingleSets(docs).localCheckpoint() // signature input + 2 joins
+    val sig = minhashSignatures(sets).localCheckpoint() // banded + 2 joins
+    val cand = candidatePairsFromBands(bandsOf(sig))
+    val agree = (0 until MinhashSeeds)
+      .map(j => when(col(s"sa.mh$j") === col(s"sb.mh$j"), 1).otherwise(0))
+      .reduce(_ + _)
+    val inter = size(array_intersect(col("shs_a"), col("shs_b")))
+    cand
+      .join(sig.as("sa"), col("a") === col("sa.doc_id"))
+      .join(sig.as("sb"), col("b") === col("sb.doc_id"))
+      .select(col("a"), col("b"), agree.as("n_agree"))
+      .join(sets.select(col("doc_id").as("a"), col("shs").as("shs_a")), "a")
+      .join(sets.select(col("doc_id").as("b"), col("shs").as("shs_b")), "b")
+      .select(col("a"), col("b"), col("n_agree"),
+        round(col("n_agree").cast("double") / MinhashSeeds, 6)
+          .as("est_jaccard"),
+        round(inter.cast("double") /
+          (size(col("shs_a")) + size(col("shs_b")) - inter), 6).as("jaccard"))
   }
 
   /** Exact pairwise word-3-gram Jaccard for pairs sharing >= minInter
