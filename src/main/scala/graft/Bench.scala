@@ -51,7 +51,13 @@ object Bench {
       System.gc()
     }
 
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // optional args = subset of query names to time (local iteration);
+    // the driver passes none and gets the full registry
+    val wanted = args.toSet
+    val selected =
+      if (wanted.isEmpty) SparkEntry.queries
+      else SparkEntry.queries.filter { case (k, _) => wanted(k) }
+    val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       val secs = (1 to iters).flatMap { _ =>
         val t0 = System.nanoTime()
         val ok =

@@ -485,6 +485,19 @@ object DedupOps {
       .groupBy(col("doc_id")).agg(min(col("cluster_id")).as("cluster_id"))
   }
 
+  /** Wide-simhash geometry: 60 bits (15 md5 nibbles × 4 bits — stays
+    * clear of the BIGINT sign bit on both engines), blocked into 4
+    * bands of 15 bits for Hamming-neighbor candidate generation. By
+    * pigeonhole, any pair within Hamming distance ≤ SimhashBands - 1
+    * agrees on at least one full band, so the band equi-join finds
+    * every pair at distance ≤ [[SimhashMaxHamming]] — the Manku et
+    * al. WWW'07 block-permutation scheme with the permutations
+    * replaced by disjoint bands. */
+  val SimhashWideBits = 60
+  val SimhashBandBits = 15
+  val SimhashNumBands: Int = SimhashWideBits / SimhashBandBits
+  val SimhashMaxHamming: Int = SimhashNumBands - 1
+
   private def simhashVote(h: Column, b: Int): Column =
     when(substring(h, b + 1, 1) >= "8", 1).otherwise(-1)
 
@@ -501,6 +514,66 @@ object DedupOps {
       .map(b => when(col(s"v$b") > 0, lit(1 << b)).otherwise(lit(0)))
       .reduce(_ + _)
     votes.select(col("doc_id"), sh.cast("int").as("simhash"))
+  }
+
+  /** Vote direction for bit `b` of the wide simhash: bit (b mod 4) of
+    * md5 nibble (b div 4), so the 60 hash functions are independent
+    * uniform bits of ONE md5 per token — the same one-hash-many-
+    * slices economy as the minhash seeds, replayable in SQL. */
+  private def simhashWideVote(h: Column, b: Int): Column = {
+    val nib = conv(substring(h, b / 4 + 1, 1), 16, 10).cast("int")
+    when(shiftright(nib, b % 4).bitwiseAND(lit(1)) === 1, 1).otherwise(-1)
+  }
+
+  /** (doc_id, simhash): [[SimhashWideBits]]-bit signature as a LONG.
+    * One md5 per token, 60 vote sums in a single aggregate pass
+    * (map-side partial aggregation — per-doc state is 60 longs), bit
+    * assembly on the aggregated row. Everything before the groupBy is
+    * per-token map work; only (doc_id, votes) shuffles. */
+  def simhashWide(docs: DataFrame): DataFrame = {
+    val toks = spread(docs)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+      .withColumn("h", md5(col("tok")))
+    val votes = toks.groupBy(col("doc_id"))
+      .agg(sum(simhashWideVote(col("h"), 0)).as("v0"),
+        (1 until SimhashWideBits)
+          .map(b => sum(simhashWideVote(col("h"), b)).as(s"v$b")): _*)
+    val sh = (0 until SimhashWideBits)
+      .map(b => when(col(s"v$b") > 0, lit(1L << b)).otherwise(lit(0L)))
+      .reduce(_ + _)
+    votes.select(col("doc_id"), sh.as("simhash"))
+  }
+
+  /** Hamming-neighbor pairs (a < b, distance ≤ [[SimhashMaxHamming]])
+    * via band blocking over [[simhashWide]] signatures: each signature
+    * explodes into [[SimhashNumBands]] (band, bval) keys, candidates
+    * come from ONE equi-join on those keys, and the exact Hamming
+    * distance (`bit_count(xor)`) is verified only on candidates. No
+    * all-pairs comparison anywhere; candidate volume is governed by
+    * the band width (15 bits ⇒ 2^15 buckets per band), the knob a
+    * 100 TB run widens to keep buckets small. */
+  def simhashHammingPairs(docs: DataFrame): DataFrame = {
+    val sh = simhashWide(docs).localCheckpoint() // banded + probed twice
+    val bandCols = (0 until SimhashNumBands).map { b =>
+      struct(lit(b).as("band"),
+        shiftright(col("simhash"), b * SimhashBandBits)
+          .bitwiseAND(lit((1L << SimhashBandBits) - 1)).as("bval"))
+    }
+    val bands = sh
+      .select(col("doc_id"), explode(array(bandCols: _*)).as("bb"))
+      .select(col("doc_id"), col("bb.band").as("band"), col("bb.bval").as("bval"))
+    val cand = bands.as("x")
+      .join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.bval") === col("y.bval") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+      .distinct()
+    cand
+      .join(sh.select(col("doc_id").as("a"), col("simhash").as("sh_a")), "a")
+      .join(sh.select(col("doc_id").as("b"), col("simhash").as("sh_b")), "b")
+      .select(col("a"), col("b"),
+        bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).cast("int").as("hamming"))
+      .filter(col("hamming") <= SimhashMaxHamming)
   }
 
   /** Shared oracle closure: candidate pairs → undirected edges →
@@ -528,13 +601,15 @@ object DedupOps {
     val bands = (0 until NumBands).map(b =>
       s"SELECT doc_id, $b AS band, md5(mh${2 * b} || mh${2 * b + 1}) AS bucket FROM sig")
       .mkString("\n           UNION ALL ")
-    s"""sig AS (
+    s"""sets AS (
+       |  SELECT doc_id,
+       |         list_distinct(list_transform(range(len(toks) - 2),
+       |           i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3])) AS sh
+       |  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)),
+       |sig AS (
        |  SELECT doc_id,
        |         $mh
-       |  FROM (SELECT doc_id,
-       |               list_distinct(list_transform(range(len(toks) - 2),
-       |                 i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3])) AS sh
-       |        FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents))),
+       |  FROM sets),
        |bands AS (
        |           $bands),
        |cand AS (
@@ -772,6 +847,65 @@ object DedupOps {
            |      GROUP BY doc_id)""".stripMargin
       }) {
       (s, dir) => simhash16(Tables(s, dir, "documents"))
+    },
+
+    // Wide (60-bit) SimHash Hamming-neighbor pairs: band blocking →
+    // equi-join candidates → exact bit_count(xor) ≤ 3 verification.
+    // The oracle replays the nibble-bit votes, the band split and the
+    // Hamming filter, so the approximate blocking hash-matches.
+    QueryDef.sql(
+      "q_dedup_simhash_pairs", {
+        val votes = (0 until SimhashWideBits).map(b =>
+          s"sum(CASE WHEN (CAST('0x' || substr(md5(tok), ${b / 4 + 1}, 1) AS INTEGER) >> ${b % 4}) & 1 = 1 THEN 1 ELSE -1 END) AS v$b")
+          .mkString(",\n               ")
+        val bits = (0 until SimhashWideBits).map(b =>
+          s"CASE WHEN v$b > 0 THEN (CAST(1 AS BIGINT) << $b) ELSE CAST(0 AS BIGINT) END")
+          .mkString(" + ")
+        val bands = (0 until SimhashNumBands).map(b =>
+          s"SELECT doc_id, $b AS band, (simhash >> ${b * SimhashBandBits}) & ${(1L << SimhashBandBits) - 1} AS bval FROM sh")
+          .mkString("\n           UNION ALL ")
+        s"""WITH sh AS (
+           |  SELECT doc_id, CAST($bits AS BIGINT) AS simhash
+           |  FROM (SELECT doc_id,
+           |               $votes
+           |        FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+           |              FROM documents)
+           |        GROUP BY doc_id)),
+           |bands AS (
+           |           $bands),
+           |cand AS (
+           |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+           |  FROM bands x JOIN bands y
+           |    ON x.band = y.band AND x.bval = y.bval AND x.doc_id < y.doc_id)
+           |SELECT a, b,
+           |       CAST(bit_count(xor(sa.simhash, sb.simhash)) AS INTEGER) AS hamming
+           |FROM cand JOIN sh sa ON sa.doc_id = a JOIN sh sb ON sb.doc_id = b
+           |WHERE bit_count(xor(sa.simhash, sb.simhash)) <= $SimhashMaxHamming""".stripMargin
+      }) {
+      (s, dir) => simhashHammingPairs(Tables(s, dir, "documents"))
+    },
+
+    // MinHash-estimated Jaccard next to the exact value for every LSH
+    // candidate pair — the estimator-audit query; at scale the O(K)
+    // estimate from stored signatures IS the dedup decision value.
+    QueryDef.sql(
+      "q_dedup_minhash_est", {
+        val agree = (0 until MinhashSeeds)
+          .map(j => s"CASE WHEN sa.mh$j = sb.mh$j THEN 1 ELSE 0 END")
+          .mkString(" + ")
+        s"""WITH $candidateCtes,
+           |inter AS (
+           |  SELECT a, b, len(list_intersect(ta.sh, tb.sh)) AS ix,
+           |         len(ta.sh) AS na, len(tb.sh) AS nb
+           |  FROM cand JOIN sets ta ON ta.doc_id = a
+           |            JOIN sets tb ON tb.doc_id = b)
+           |SELECT i.a, i.b, CAST($agree AS INTEGER) AS n_agree,
+           |       round(CAST($agree AS DOUBLE) / $MinhashSeeds, 6) AS est_jaccard,
+           |       round(CAST(ix AS DOUBLE) / (na + nb - ix), 6) AS jaccard
+           |FROM inter i JOIN sig sa ON sa.doc_id = i.a
+           |             JOIN sig sb ON sb.doc_id = i.b""".stripMargin
+      }) {
+      (s, dir) => minhashEstimatedJaccard(Tables(s, dir, "documents"))
     }
   )
 }

@@ -382,6 +382,57 @@ object TextOps {
             round(sum(col("freq")).cast("double") / count(lit(1)), 6)
               .as("mean_token_freq"),
             min(col("freq")).as("min_token_freq"))
+    },
+
+    // Corpus-trained bigram LM surprisal (CCNet-style perplexity
+    // filtering, with the external KenLM replaced by an in-corpus
+    // add-one-smoothed bigram model): each document scored by the
+    // mean negative log P(w2 | w1) of its bigram positions, where
+    // P(w2|w1) = (c(w1 w2) + 1) / (c(w1) + V). Formulaic word salad
+    // scores low (predictable), rare-construction documents high.
+    // Shape: the model "training" is one groupBy per n-gram order
+    // over the exploded corpus, scoring is two keyed joins (bigram +
+    // history token) and a doc_id aggregate — no driver-side model,
+    // no broadcast of the (vocabulary²-sized, potentially huge at
+    // 100 TB) bigram table; only the 1-row vocab size broadcasts.
+    // ln() differs by ≤1 ulp between engines; the rounded mean
+    // absorbs it (see q_text_tfidf for the same argument).
+    QueryDef.sql(
+      "q_text_perplexity",
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |bg AS (SELECT doc_id, unnest(list_transform(range(len(t) - 1),
+        |         i -> t[i+1] || ' ' || t[i+2])) AS bg FROM toks),
+        |uc AS (SELECT w, CAST(count(*) AS BIGINT) AS cu
+        |       FROM (SELECT unnest(t) AS w FROM toks) GROUP BY w),
+        |vc AS (SELECT CAST(count(*) AS BIGINT) AS v FROM uc),
+        |bc AS (SELECT bg, CAST(count(*) AS BIGINT) AS cb FROM bg GROUP BY bg)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+        |       round(avg(-ln(CAST(cb + 1 AS DOUBLE) / (cu + v))), 6) AS mean_nll
+        |FROM bg JOIN bc USING (bg)
+        |JOIN uc ON uc.w = string_split(bg, ' ')[1]
+        |CROSS JOIN vc
+        |GROUP BY doc_id""".stripMargin) {
+      (s, dir) =>
+        // checkpointed once: the bigram-count aggregate and the probe
+        // side would otherwise each re-explode the corpus
+        val base = DedupOps.spread(Tables(s, dir, "documents"))
+          .select(col("doc_id"), tokens(col("text")).as("t"))
+        val bg = base
+          .select(col("doc_id"), explode(shingles(col("t"), 2)).as("bg"))
+          .localCheckpoint()
+        val uc = base.select(explode(col("t")).as("w"))
+          .groupBy(col("w")).agg(count(lit(1)).as("cu"))
+          .localCheckpoint() // vocab-size agg + history-probe join
+        val vc = uc.agg(count(lit(1)).as("v"))
+        val bc = bg.groupBy(col("bg")).agg(count(lit(1)).as("cb"))
+        bg.join(bc, "bg")
+          .withColumn("w", split(col("bg"), " ").getItem(0))
+          .join(uc, "w")
+          .crossJoin(broadcast(vc))
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_bigrams"),
+            round(avg(-log((col("cb") + 1).cast("double")
+              / (col("cu") + col("v")))), 6).as("mean_nll"))
     }
   )
 }

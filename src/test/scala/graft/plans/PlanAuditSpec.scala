@@ -26,7 +26,8 @@ class PlanAuditSpec extends SparkSpec {
     "q_sim_ivf_assign",    // 8 centroids
     "q_sim_ivf_search",    // 8 centroids
     "q_text_tfidf",        // 1-row corpus-size scalar
-    "q_sample_temperature" // 1-row min-count scalar
+    "q_sample_temperature", // 1-row min-count scalar
+    "q_text_perplexity"    // 1-row vocab-size scalar
   )
 
   private val streaming = Set(
