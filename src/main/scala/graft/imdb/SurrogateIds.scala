@@ -1,7 +1,9 @@
 package graft.imdb
 
-import org.apache.spark.sql.{Column, DataFrame, Row}
-import org.apache.spark.sql.types.{IntegerType, LongType, StructField, StructType}
+import graft.operators.Materialize
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DataType
 
 /** Deterministic dense surrogate-id assignment: ids 1..N in sorted
   * natural-key order (reference: pimdb/database.py:631-634, 730-732 —
@@ -9,10 +11,22 @@ import org.apache.spark.sql.types.{IntegerType, LongType, StructField, StructTyp
   *
   * The naive `row_number() OVER (ORDER BY key)` is a single-task
   * global window — fine for dictionary tables, fatal at 100 TB entity
-  * tables (SURVEY §7.4.3). This implements the two-phase pattern:
-  * range-sort, count per partition, broadcast cumulative offsets,
-  * then partition-local increments (`zipWithIndex`), so no task ever
-  * sees more than one partition of data.
+  * tables (SURVEY §7.4.3). This implements the two-phase pattern with
+  * no task ever seeing more than one partition of data, entirely in
+  * the DataFrame API (no `.rdd`, which would fork a second
+  * non-codegen physical plan just for an index):
+  *
+  *  1. range-sort and stamp `monotonically_increasing_id()` — by its
+  *     contract the partition id sits in the upper bits and a
+  *     CONTIGUOUS 0-based record number in the lower 33, so the stamp
+  *     already encodes (partition, local offset) in one pass;
+  *  2. pin the stamped frame ([[graft.operators.Materialize.pin]]) so
+  *     the offset aggregate and the final projection read the SAME
+  *     materialized rows — two executions of a range sort may sample
+  *     different partition bounds, which would mismatch offsets;
+  *  3. one tiny per-partition count aggregate (#partitions rows) →
+  *     cumulative offsets on the driver → broadcast-joined back;
+  *     id = offset(partition) + local + 1.
   *
   * Ids are derived from *sorted natural keys*, never physical row
   * order, so they are reproducible across runs and self-consistent
@@ -20,29 +34,40 @@ import org.apache.spark.sql.types.{IntegerType, LongType, StructField, StructTyp
   */
 object SurrogateIds {
 
-  def assign(df: DataFrame, idCol: String, sortCols: Seq[Column]): DataFrame = {
+  /** monotonically_increasing_id packs the record-in-partition number
+    * in the low 33 bits. */
+  private val LocalMask = (1L << 33) - 1
+
+  private def assignAs(df: DataFrame, idCol: String, sortCols: Seq[Column],
+      idType: DataType): DataFrame = {
     val spark = df.sparkSession
-    val sorted = df.orderBy(sortCols: _*)
-    val newSchema = StructType(
-      StructField(idCol, IntegerType, nullable = false) +: sorted.schema.fields)
-    val rows = sorted.rdd
-      .zipWithIndex() // internally: per-partition counts + offsets, one extra count job
-      .map { case (r, i) => Row.fromSeq((i + 1).toInt +: r.toSeq) }
-    spark.createDataFrame(rows, newSchema)
+    import spark.implicits._
+    val stamped = Materialize.pin(
+      df.orderBy(sortCols: _*).withColumn("_mid", monotonically_increasing_id()))
+    val perPart = stamped
+      .groupBy(shiftright(col("_mid"), 33).as("_pid"))
+      .agg(count(lit(1)).as("_cnt"))
+      .collect() // #partitions rows — bounded driver state, like any offsets pass
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .sortBy(_._1)
+    var cum = 0L
+    val offsets = perPart.map { case (pid, cnt) =>
+      val o = (pid, cum); cum += cnt; o
+    }.toSeq.toDF("_pid", "_off")
+    stamped
+      .join(broadcast(offsets), shiftright(col("_mid"), 33) === col("_pid"))
+      .withColumn(idCol,
+        (col("_off") + col("_mid").bitwiseAND(LocalMask) + 1).cast(idType))
+      .select(col(idCol) +: df.columns.toIndexedSeq.map(col): _*)
   }
+
+  def assign(df: DataFrame, idCol: String, sortCols: Seq[Column]): DataFrame =
+    assignAs(df, idCol, sortCols, org.apache.spark.sql.types.IntegerType)
 
   /** Same two-phase assignment with 64-bit ids — for corpus-scale
     * orderings (beyond 2^31 rows the int variant would wrap
     * negative). The int variant stays for the IMDb tables, whose
     * reference schema is integer autoincrement. */
-  def assignLong(df: DataFrame, idCol: String, sortCols: Seq[Column]): DataFrame = {
-    val spark = df.sparkSession
-    val sorted = df.orderBy(sortCols: _*)
-    val newSchema = StructType(
-      StructField(idCol, LongType, nullable = false) +: sorted.schema.fields)
-    val rows = sorted.rdd
-      .zipWithIndex()
-      .map { case (r, i) => Row.fromSeq((i + 1L) +: r.toSeq) }
-    spark.createDataFrame(rows, newSchema)
-  }
+  def assignLong(df: DataFrame, idCol: String, sortCols: Seq[Column]): DataFrame =
+    assignAs(df, idCol, sortCols, org.apache.spark.sql.types.LongType)
 }

@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.operators.Materialize.PinOps
 import graft.{QueryDef, Tables}
 import graft.functions.TextVec._
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
@@ -46,12 +47,28 @@ object DedupOps {
     * hashing is CPU-bound, so fan it out to the full core count.
     * Guarded: input that already has enough splits (the normal case
     * at real scale) passes through untouched — no gratuitous full
-    * shuffle of the corpus before map-only hashing. */
+    * shuffle of the corpus before map-only hashing.
+    *
+    * The split estimate comes from the plan alone (leaf file count
+    * and the analyzed plan's size-in-bytes over
+    * `spark.sql.files.maxPartitionBytes`) — never `.rdd`, which
+    * would force physical materialization of the read plan behind
+    * AQE's back just to read a partition count. Derived in-memory
+    * input (no scan leaves) passes through: the single-file trap
+    * this guards against is a property of file scans. */
   private[operators] def spread(df: DataFrame): DataFrame = {
-    val parallelism = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < math.max(2, parallelism / 2))
-      df.repartition(parallelism)
-    else df
+    val spark = df.sparkSession
+    val parallelism = spark.sparkContext.defaultParallelism
+    val files = df.inputFiles.length
+    if (files == 0) df
+    else {
+      val maxPartBytes = spark.sessionState.conf.filesMaxPartitionBytes
+      val bytes = df.queryExecution.analyzed.stats.sizeInBytes
+      val estSplits = math.max(
+        files.toLong, (bytes / BigInt(math.max(1L, maxPartBytes))).toLong)
+      if (estSplits < math.max(2, parallelism / 2)) df.repartition(parallelism)
+      else df
+    }
   }
 
   /** Shingled (doc_id, shingle) pairs, distinct per doc. Input needs
@@ -74,12 +91,12 @@ object DedupOps {
     * functions are the 8 disjoint 8-hex-char slices — independent
     * uniform 32-bit hashes at 1/K of the hashing cost of K
     * independent passes. The hash array is materialized once per row
-    * (localCheckpoint) because projection collapse would otherwise
-    * re-shingle the document for every slice. */
+    * ([[Materialize.pin]]) because projection collapse would
+    * otherwise re-shingle the document for every slice. */
   def minhashSignatures(shSets: DataFrame): DataFrame = {
     val withH = shSets.select(col("doc_id"),
       transform(col("shs"), s => sha2(s.cast("binary"), 256)).as("hs"))
-      .localCheckpoint()
+      .pinned
     withH.select(
       col("doc_id") +:
         (0 until MinhashSeeds).map(j =>
@@ -120,7 +137,7 @@ object DedupOps {
   /** Candidate near-dup pairs (a < b) from the LSH equi-join on
     * (band, bucket) — the scalable candidate generator. */
   def lshCandidatePairs(docs: DataFrame): DataFrame =
-    candidatePairsFromBands(minhashBands(docs).localCheckpoint())
+    candidatePairsFromBands(minhashBands(docs).pinned)
 
   /** Signature-agreement Jaccard estimation with exact verification:
     * for each LSH candidate pair, the MinHash estimate Ĵ = (matching
@@ -132,8 +149,8 @@ object DedupOps {
     * arrays ship only for candidate pairs (O(candidates), not
     * O(corpus)); everything joins by doc id. */
   def minhashEstimatedJaccard(docs: DataFrame): DataFrame = {
-    val sets = shingleSets(docs).localCheckpoint() // signature input + 2 joins
-    val sig = minhashSignatures(sets).localCheckpoint() // banded + 2 joins
+    val sets = shingleSets(docs).pinned // signature input + 2 joins
+    val sig = minhashSignatures(sets).pinned // banded + 2 joins
     val cand = candidatePairsFromBands(bandsOf(sig))
     val agree = (0 until MinhashSeeds)
       .map(j => when(col(s"sa.mh$j") === col(s"sb.mh$j"), 1).otherwise(0))
@@ -161,11 +178,11 @@ object DedupOps {
       maxDf: Int = MaxShingleDf): DataFrame = {
     // materialized once: both sides of the self-join and the size agg
     // would otherwise re-tokenize and re-shingle every document
-    val shAll = shingled(docs).localCheckpoint()
+    val shAll = shingled(docs).pinned
     val hot = shAll.groupBy(col("sh")).agg(count(lit(1)).as("df"))
       .filter(col("df") > maxDf).select(col("sh"))
     val sh = shAll.join(broadcast(hot), Seq("sh"), "left_anti")
-      .localCheckpoint()
+      .pinned
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val pairs = sh.as("x")
       .join(sh.as("y"),
@@ -195,7 +212,7 @@ object DedupOps {
     */
   def incrementalCandidatePairs(
       existingBands: DataFrame, newDocs: DataFrame): DataFrame = {
-    val nb = minhashBands(newDocs).localCheckpoint()
+    val nb = minhashBands(newDocs).pinned
     existingBands.union(nb).as("x")
       .join(nb.as("y"),
         col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
@@ -273,7 +290,7 @@ object DedupOps {
       .select(col("doc_id"), explode(array_distinct(
         shingles(tokens(col("text")), SpanTokens))).as("sub"))
       .select(col("doc_id"), md5(col("sub")).as("h"))
-      .localCheckpoint() // span set reused: df count + join-back
+      .pinned // span set reused: df count + join-back
     val rep = sp.groupBy(col("h")).agg(count(lit(1)).as("df"))
       .filter(col("df") >= MinSpanDf)
       .select(col("h"), lit(1).as("is_rep"))
@@ -330,13 +347,13 @@ object DedupOps {
     val pairs = lshCandidatePairs(docs)
     val edges = pairs.select(col("a").as("src"), col("b").as("dst"))
       .union(pairs.select(col("b").as("src"), col("a").as("dst")))
-      .localCheckpoint()
+      .pinnedIter
     // iterate only over docs with at least one candidate edge — the
     // vast majority are singletons and rejoin after convergence; the
     // loop's per-round jobs then run on the (tiny) candidate subgraph
     var labels = edges.select(col("src").as("doc_id")).distinct()
       .withColumn("cluster_id", col("doc_id"))
-      .localCheckpoint()
+      .pinnedIter
 
     def propagate(ls: DataFrame): DataFrame = {
       val nbrMin = edges
@@ -370,12 +387,14 @@ object DedupOps {
     while (changed) {
       // two hops per convergence check: labels travel 2 edges per
       // round, halving the driver round-trips vs check-every-hop
-      val stepped = propagate(propagate(labels)).localCheckpoint()
+      val stepped = propagate(propagate(labels)).pinnedIter
       val labelSum = labelSumOf(stepped)
       changed = labelSum.compareTo(prevSum) < 0
       prevSum = labelSum
+      Materialize.unpin(labels) // stepped is already materialized
       labels = stepped
     }
+    Materialize.unpin(edges)
     docs.select(col("doc_id"))
       .join(labels.select(col("doc_id").as("d2"), col("cluster_id")),
         col("doc_id") === col("d2"), "left_outer")
@@ -418,7 +437,7 @@ object DedupOps {
     * candidate generator would never produce (long paths). */
   def starComponents(pairs: DataFrame): DataFrame = {
     // canonical undirected edges, a < b; self-loops never enter
-    var edges = pairs.select(col("a"), col("b")).distinct().localCheckpoint()
+    var edges = pairs.select(col("a"), col("b")).distinct().pinnedIter
 
     // One star half-round. Adjacency is both directions; m(u) =
     // min(Γ(u) ∪ {u}). Large-star rewires strictly larger neighbors
@@ -469,10 +488,11 @@ object DedupOps {
         s"starComponents: no fixed point after $maxRounds large/small-star " +
           "rounds — input graph exceeds the variant's verified envelope")
       val stepped = star(star(edges, large = true), large = false)
-        .localCheckpoint()
+        .pinnedIter
       val steppedCount = stepped.count()
       converged = steppedCount == prevCount && stepped.except(edges).isEmpty
       prevCount = steppedCount
+      Materialize.unpin(edges) // the except above already ran; stepped is materialized
       edges = stepped
     }
 
@@ -553,7 +573,7 @@ object DedupOps {
     * the band width (15 bits ⇒ 2^15 buckets per band), the knob a
     * 100 TB run widens to keep buckets small. */
   def simhashHammingPairs(docs: DataFrame): DataFrame = {
-    val sh = simhashWide(docs).localCheckpoint() // banded + probed twice
+    val sh = simhashWide(docs).pinned // banded + probed twice
     val bandCols = (0 until SimhashNumBands).map { b =>
       struct(lit(b).as("band"),
         shiftright(col("simhash"), b * SimhashBandBits)

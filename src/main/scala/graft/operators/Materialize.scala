@@ -1,0 +1,87 @@
+package graft.operators
+
+import org.apache.spark.sql.Dataset
+import org.apache.spark.storage.StorageLevel
+
+/** Materialization strategy for reused / iterated intermediates.
+  *
+  * The dedup, text and similarity pipelines pin small intermediates
+  * that feed more than one downstream branch, or that carry state
+  * across rounds of an iterative loop. Locally the cheapest pin for
+  * both shapes is `localCheckpoint()`: eager, lineage-truncating,
+  * blocks stored executor-local. On a real cluster executor-local
+  * blocks have no lineage to recompute from, so one lost executor
+  * fails the whole job. Under `spark.graft.clusterSafe=true` the two
+  * shapes need DIFFERENT mechanisms:
+  *
+  *  - [[pin]] (straight-line reuse, a handful of consumers):
+  *    `persist(MEMORY_AND_DISK)` + an eager materialization pass.
+  *    Lineage is kept — a lost block recomputes from the shuffle
+  *    files that produced it — and memory pressure spills instead of
+  *    OOMing.
+  *  - [[pinIter]] (loop-carried state): reliable `checkpoint()` to
+  *    the configured checkpoint directory (HDFS/S3 on a cluster —
+  *    durable across executor loss). Persist would be WRONG here:
+  *    it keeps the logical plan, and a loop that re-derives round N
+  *    from round N-1 with k self-references grows an O(k^rounds)
+  *    analyzed tree — measured as an explain-string OOM after ~3
+  *    rounds of the cluster-propagation loop. Iterated state must
+  *    truncate lineage, so durability has to come from storage, not
+  *    recompute.
+  *
+  * Both modes materialize eagerly, so loops may drop the superseded
+  * round with [[unpin]] as soon as the next round is pinned.
+  */
+object Materialize {
+
+  /** Session conf key; "true" selects the cluster-safe strategies. */
+  val ClusterSafeKey = "spark.graft.clusterSafe"
+
+  /** Reliable checkpoint directory for cluster-safe [[pinIter]];
+    * falls back to an already-set SparkContext checkpoint dir. */
+  val CheckpointDirKey = "spark.graft.checkpointDir"
+
+  def clusterSafe(ds: Dataset[_]): Boolean =
+    ds.sparkSession.conf.getOption(ClusterSafeKey).exists(_.toBoolean)
+
+  /** Pin a straight-line-reused `ds`: eagerly materialize it so the
+    * downstream branches read stored blocks instead of each
+    * recomputing the lineage. */
+  def pin[T](ds: Dataset[T]): Dataset[T] =
+    if (clusterSafe(ds)) {
+      ds.persist(StorageLevel.MEMORY_AND_DISK)
+      ds.count() // populate the cache now — parity with localCheckpoint's eager job
+      ds
+    } else ds.localCheckpoint()
+
+  /** Pin one round of loop-carried state: eagerly materialize AND
+    * truncate lineage, so round N's plan never nests round N-1's. */
+  def pinIter[T](ds: Dataset[T]): Dataset[T] =
+    if (clusterSafe(ds)) {
+      val sc = ds.sparkSession.sparkContext
+      if (sc.getCheckpointDir.isEmpty)
+        ds.sparkSession.conf.getOption(CheckpointDirKey) match {
+          case Some(dir) => sc.setCheckpointDir(dir)
+          case None => throw new IllegalStateException(
+            s"$ClusterSafeKey=true needs a reliable checkpoint dir for " +
+              s"iterated pins: set $CheckpointDirKey or " +
+              "SparkContext.setCheckpointDir")
+        }
+      ds.checkpoint() // eager, durable, lineage-flat
+    } else ds.localCheckpoint()
+
+  /** Release a [[pin]] once superseded. A no-op for localCheckpoint
+    * and reliable-checkpoint pins (their blocks/files are swept by
+    * the session's ContextCleaner / the bench-verify quiesce); for
+    * persist pins it frees the cache entry so a long cluster loop
+    * doesn't hold every generation. */
+  def unpin(ds: Dataset[_]): Unit =
+    if (clusterSafe(ds)) ds.unpersist(blocking = false)
+
+  /** Postfix syntax so call sites read like the `localCheckpoint()`
+    * they replace: `df.pinned` / `df.pinnedIter`. */
+  implicit final class PinOps[T](private val ds: Dataset[T]) extends AnyVal {
+    def pinned: Dataset[T] = pin(ds)
+    def pinnedIter: Dataset[T] = pinIter(ds)
+  }
+}

@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.operators.Materialize.PinOps
 import graft.{QueryDef, Tables}
 import graft.functions.{CosineSimilarity, TextVec}
 import graft.functions.TextVec._
@@ -103,7 +104,7 @@ object SimilarityOps {
     var centroids = corpus
       .filter(col("vec_id") % stride === 0 && col("vec_id") < stride * k)
       .select(col("vec_id").as("centroid_id"), col("embedding").as("cv"))
-      .localCheckpoint()
+      .pinnedIter
     (0 until iters).foreach { _ =>
       val assigned = ivfAssign(corpus, centroids)
         .select(col("vec_id"), col("centroid_id"))
@@ -120,11 +121,13 @@ object SimilarityOps {
         aggregate(transform(col("new_cv"), x => abs(x)),
           lit(0.0), (acc, x) => acc + x) > 0)
       // empty/degenerate cells keep their previous centroid
-      centroids = centroids.as("prev")
+      val next = centroids.as("prev")
         .join(nonDegenerate, Seq("centroid_id"), "left_outer")
         .select(col("centroid_id"),
           coalesce(col("new_cv"), col("cv")).as("cv"))
-        .localCheckpoint()
+        .pinnedIter
+      Materialize.unpin(centroids) // next is already materialized
+      centroids = next
     }
     centroids
   }
@@ -186,7 +189,7 @@ object SimilarityOps {
     * plan is hash/sort-merge-able. */
   def embeddingCandidatePairs(emb: DataFrame): DataFrame = {
     val bands = signBands(emb, NearDupBands, NearDupBandBits)
-      .localCheckpoint() // self-joined: don't recompute buckets per side
+      .pinned // self-joined: don't recompute buckets per side
     bands.as("x")
       .join(bands.as("y"),
         col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&

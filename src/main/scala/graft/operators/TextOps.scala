@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.operators.Materialize.PinOps
 import graft.{QueryDef, Tables}
 import graft.functions.TextVec._
 import org.apache.spark.sql.Column
@@ -240,7 +241,7 @@ object TextOps {
         // the plan re-explodes every document's tokens for each branch
         val tf = toks.groupBy(col("doc_id"), col("term"))
           .agg(count(lit(1)).as("tf"))
-          .localCheckpoint()
+          .pinned
         val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
         val n = docs.agg(count(lit(1)).as("n"))
         val scored = tf.join(dfreq, "term")
@@ -374,7 +375,7 @@ object TextOps {
         // would otherwise each re-read and re-explode the corpus
         val tok = DedupOps.spread(Tables(s, dir, "documents"))
           .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
-          .localCheckpoint()
+          .pinned
         val freq = tok.groupBy(col("token")).agg(count(lit(1)).as("freq"))
         tok.join(freq, "token")
           .groupBy(col("doc_id"))
@@ -419,10 +420,10 @@ object TextOps {
           .select(col("doc_id"), tokens(col("text")).as("t"))
         val bg = base
           .select(col("doc_id"), explode(shingles(col("t"), 2)).as("bg"))
-          .localCheckpoint()
+          .pinned
         val uc = base.select(explode(col("t")).as("w"))
           .groupBy(col("w")).agg(count(lit(1)).as("cu"))
-          .localCheckpoint() // vocab-size agg + history-probe join
+          .pinned // vocab-size agg + history-probe join
         val vc = uc.agg(count(lit(1)).as("v"))
         val bc = bg.groupBy(col("bg")).agg(count(lit(1)).as("cb"))
         bg.join(bc, "bg")

@@ -30,13 +30,26 @@ class PipelineOpsSpec extends SparkSpec {
     assert(p.getAs[Double]("jaccard") > 0.8)
   }
 
-  test("spread() fans out single-split scans but leaves parallel input untouched") {
+  test("spread() fans out single-file scans but leaves parallel input untouched") {
     val parallelism = spark.sparkContext.defaultParallelism
-    val one = spark.range(100).toDF("doc_id").coalesce(1)
-    val many = spark.range(100).toDF("doc_id").repartition(parallelism * 2)
+    val dir = java.nio.file.Files.createTempDirectory("graft_spread").toString
+    spark.range(100).toDF("doc_id").coalesce(1)
+      .write.mode("overwrite").parquet(dir)
+    val one = spark.read.parquet(dir)
+    assert(one.rdd.getNumPartitions == 1) // the trap spread() exists for
     assert(DedupOps.spread(one).rdd.getNumPartitions == parallelism)
-    // already-parallel input passes through with NO extra exchange
-    assert(DedupOps.spread(many).rdd.getNumPartitions == parallelism * 2)
+    // derived in-memory input has no scan leaves: passes through AS-IS
+    val many = spark.range(100).toDF("doc_id").repartition(parallelism * 2)
+    assert(DedupOps.spread(many) eq many)
+    // a scan whose size/maxPartitionBytes already yields enough splits
+    // passes through with NO extra exchange (the 100 TB case)
+    val key = "spark.sql.files.maxPartitionBytes"
+    val prev = spark.conf.get(key)
+    try {
+      spark.conf.set(key, "16")
+      val wide = spark.read.parquet(dir)
+      assert(DedupOps.spread(wide) eq wide)
+    } finally spark.conf.set(key, prev)
   }
 
   test("minhash LSH candidates find the near-dup pair, not the unrelated doc") {
