@@ -53,15 +53,28 @@ object Download {
   }
 
   /** Download one dataset unless the server copy is unchanged.
-    * Returns true if a new file was written. */
+    * Returns true if a new file was written.
+    *
+    * `baseUrl` may be an `http(s)://` endpoint (the reference's
+    * datasets.imdbws.com), a `file://` URL, or a plain local folder —
+    * the last two serve zero-egress environments and mirrors. All
+    * three share the SAME Last-Modified conditional-fetch cache: for
+    * local mirrors the source file's mtime plays the header. */
   def downloadDataset(
       dataset: ImdbDataset,
       targetFolder: String,
       onlyIfNewer: Boolean = true,
       baseUrl: String = DatasetBaseUrl): Boolean = {
-    val url = s"$baseUrl/${dataset.fileName}"
+    val url = s"${baseUrl.stripSuffix("/")}/${dataset.fileName}"
     val target = Paths.get(targetFolder, dataset.fileName)
     val cache = new LastModifiedCache(Paths.get(targetFolder, ".last_modified.json"))
+
+    if (baseUrl.startsWith("file:"))
+      return copyFromMirror(
+        Paths.get(URI.create(url)), target, url, cache, onlyIfNewer)
+    if (!baseUrl.contains("://"))
+      return copyFromMirror(
+        Paths.get(baseUrl, dataset.fileName), target, url, cache, onlyIfNewer)
 
     val client = HttpClient.newBuilder()
       .followRedirects(HttpClient.Redirect.NORMAL).build()
@@ -84,6 +97,28 @@ object Download {
         resp.headers().firstValue("Last-Modified").ifPresent(cache.put(url, _))
         true
       case code => throw new IOException(s"GET $url failed with HTTP $code")
+    }
+  }
+
+  /** The local-mirror analog of the conditional GET: the source
+    * mtime (as an RFC 1123 HTTP date) is the Last-Modified value, a
+    * cache hit with an existing target is the 304 path (no copy). */
+  private def copyFromMirror(
+      source: Path, target: Path, url: String,
+      cache: LastModifiedCache, onlyIfNewer: Boolean): Boolean = {
+    if (!Files.exists(source))
+      throw new IOException(s"GET $url failed: no such file: $source")
+    val lastModified = java.time.format.DateTimeFormatter.RFC_1123_DATE_TIME
+      .format(Files.getLastModifiedTime(source).toInstant
+        .atZone(java.time.ZoneOffset.UTC))
+    if (onlyIfNewer && Files.exists(target) && cache.get(url).contains(lastModified))
+      false // up to date — the 304 branch
+    else {
+      Files.createDirectories(target.toAbsolutePath.getParent)
+      Files.copy(source, target,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      cache.put(url, lastModified)
+      true
     }
   }
 }

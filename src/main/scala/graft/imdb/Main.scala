@@ -8,6 +8,8 @@ import org.apache.spark.sql.SparkSession
   * {{{
   *   pimdbspark [--version] [--help] COMMAND [options]
   *
+  *   download <targetFolder> [names...|all|normalized]
+  *            [--force] [--url BASE]
   *   transfer <dataFolder> [names...|all|normalized]
   *            [--bulk N] [--database URL] [--drop] [--warehouse DIR]
   *   build    <dataFolder> [--bulk N] [--database URL] [--drop]
@@ -21,9 +23,11 @@ import org.apache.spark.sql.SparkSession
   * other names, unknown flags/names), 1 for runtime failures
   * (command.py:248-288 `exit_code_for`).
   *
-  * `download` is deliberately out of engine scope (a driver-side HTTP
-  * fetch in the reference, common.py:155-180; this environment has no
-  * egress) — `transfer` consumes already-downloaded .tsv[.gz] files.
+  * `download` (reference command.py:153-162, common.py:155-180) is a
+  * driver-side fetch with the Last-Modified conditional-download
+  * cache; `--url BASE` points it at a mirror — `http(s)://`,
+  * `file://`, or a plain folder — so zero-egress environments still
+  * exercise the full cache path. It never starts Spark.
   * `--drop` is accepted and a no-op: Spark writes are overwrite-mode,
   * so "drop before load" is implicit. `--database` pushes the result
   * through the JDBC sink with `--bulk` rows per batch (the
@@ -32,7 +36,7 @@ import org.apache.spark.sql.SparkSession
 object Main {
 
   val Version = "0.2.0"
-  private val Commands = Seq("build", "query", "transfer")
+  private val Commands = Seq("build", "download", "query", "transfer")
 
   /** Per-command flag surface, argparse-subparser style (reference:
     * command.py:38-140 defines each flag only on the sub-parser that
@@ -41,7 +45,9 @@ object Main {
   private val CommandFlags: Map[String, Set[String]] = {
     val loadFlags = Set(
       "--bulk", "-b", "--database", "-d", "--warehouse", "-w", "--drop", "-D")
-    Map("transfer" -> loadFlags, "build" -> loadFlags, "query" -> Set("--file"))
+    Map("transfer" -> loadFlags, "build" -> loadFlags,
+      "query" -> Set("--file"),
+      "download" -> Set("--force", "-F", "--url", "-u"))
   }
 
   def main(args: Array[String]): Unit = {
@@ -77,7 +83,9 @@ object Main {
       database: Option[String],
       warehouse: Option[String],
       drop: Boolean,
-      file: Boolean) extends Parsed
+      file: Boolean,
+      force: Boolean,
+      url: Option[String]) extends Parsed
 
   private final case class UsageError(message: String) extends Exception(message)
 
@@ -117,6 +125,8 @@ object Main {
     var warehouse: Option[String] = None
     var drop = false
     var file = false
+    var force = false
+    var url: Option[String] = None
 
     var i = 0
     // argparse-style value slots: the next token is the flag's value
@@ -145,7 +155,10 @@ object Main {
       "--warehouse" -> (() => warehouse = Some(valueOf("--warehouse"))),
       "-w" -> (() => warehouse = Some(valueOf("--warehouse"))),
       "--drop" -> (() => drop = true), "-D" -> (() => drop = true),
-      "--file" -> (() => file = true))
+      "--file" -> (() => file = true),
+      "--force" -> (() => force = true), "-F" -> (() => force = true),
+      "--url" -> (() => url = Some(valueOf("--url"))),
+      "-u" -> (() => url = Some(valueOf("--url"))))
 
     while (i < args.length) {
       args(i) match {
@@ -177,7 +190,8 @@ object Main {
     if (bulk < 1) throw UsageError(s"--bulk is $bulk but must be at least 1")
     val dataFolder = positionals.headOption.getOrElse(
       throw UsageError(s"$cmd requires a <dataFolder>"))
-    Cli(cmd, dataFolder, positionals.tail, bulk, database, warehouse, drop, file)
+    Cli(cmd, dataFolder, positionals.tail, bulk, database, warehouse, drop,
+      file, force, url)
   }
 
   /** NAME semantics from the reference (command.py:165-177): `all` or
@@ -197,6 +211,18 @@ object Main {
     }
 
   private def run(cli: Cli, session: => SparkSession): Unit = {
+    // download is pure driver-side I/O (reference parity): no Spark
+    if (cli.command == "download") {
+      checkedDatasets(cli.positionals).foreach { ds =>
+        val fresh = Download.downloadDataset(ds, cli.dataFolder,
+          onlyIfNewer = !cli.force,
+          baseUrl = cli.url.getOrElse(Download.DatasetBaseUrl))
+        System.err.println(
+          if (fresh) s"downloaded ${ds.fileName}"
+          else s"${ds.fileName} is up to date")
+      }
+      return
+    }
     val spark = session
     val pimdb = Pimdb(spark)
     cli.command match {
@@ -228,6 +254,7 @@ object Main {
     s"""usage: pimdbspark [--version] [--help] COMMAND [options]
        |
        |commands:
+       |  download <targetFolder> [NAME...|all|normalized] [--force] [--url BASE]
        |  transfer <dataFolder> [NAME...|all|normalized]
        |           [--bulk N] [--database URL] [--drop] [--warehouse DIR]
        |  build    <dataFolder> [--bulk N] [--database URL] [--drop]

@@ -137,6 +137,43 @@ class BuildSpec extends SparkSpec {
     assert(df.count() == 0) // Smithee is present but directs nothing in-fixture
   }
 
+  test("known-for example query (titles_alan_smithee_is_known_for) incl. consumption order") {
+    pimdb
+    // docs/examples/titles_alan_smithee_is_known_for.sql, verbatim
+    val smithee = pimdb.query(
+      """select
+        |    title.primary_title,
+        |    title.start_year
+        |from
+        |    name_to_known_for_title
+        |    join name on
+        |        name.id = name_to_known_for_title.name_id
+        |    join title on
+        |        title.id = name_to_known_for_title.title_id
+        |where
+        |    name.primary_name = 'Alan Smithee'""".stripMargin)
+    // Smithee is in-fixture but none of his knownForTitles are: the
+    // build's inner join to title drops danglers, so the verbatim
+    // example is empty on the fixture
+    assert(smithee.count() == 0)
+    // same shape on a person whose known-for titles ARE all in-fixture,
+    // ordered by the known-for consumption order — the `ordering`
+    // column the reference derives from the comma-list position
+    // (database.py known_for_titles split); exact rows, exact order
+    val rows = pimdb.query(
+      """select title.primary_title, title.start_year
+        |from name_to_known_for_title
+        |join name on name.id = name_to_known_for_title.name_id
+        |join title on title.id = name_to_known_for_title.title_id
+        |where name.primary_name = 'Tristan Roache-Turner'
+        |order by name_to_known_for_title.ordering""".stripMargin).collect()
+    assert(rows.map(r => (r.getAs[String]("primary_title"),
+      Option(r.getAs[Any]("start_year")))).toSeq == Seq(
+      ("Wyrmwood: Chronicles of the Dead - Teaser", Some(2017)),
+      ("Wyrmwood TV", None),
+      ("Wyrmwood: Road of the Dead", Some(2014))))
+  }
+
   test("participation joins are consistent: every participation row " +
     "references existing name/title/profession ids") {
     pimdb

@@ -14,7 +14,7 @@ class MainSpec extends SparkSpec {
 
   test("--help and per-command --help exit 0 (test_command.py:12-22)") {
     assert(code("--help") == 0)
-    Seq("transfer", "build", "query").foreach { c =>
+    Seq("download", "transfer", "build", "query").foreach { c =>
       assert(code(c, "--help") == 0, c)
     }
   }
@@ -69,5 +69,45 @@ class MainSpec extends SparkSpec {
     assert(code("transfer", dataDir, "title.ratings") == 0)
     assert(spark.table("TitleRatings").count() == 12)
     assert(code("query", dataDir, "select count(1) as c from title") == 0)
+  }
+
+  test("download from a file:// mirror: cache miss copies, cache hit skips, " +
+    "--force refetches (reference command.py:153-162, common.py:155-180)") {
+    import java.nio.file.{Files, Paths}
+    val mirror = Files.createTempDirectory("graft_mirror")
+    val out = Files.createTempDirectory("graft_dl")
+    val name = ImdbDataset.TitleRatings.fileName
+    Files.write(mirror.resolve(name), "v1".getBytes)
+
+    // miss: copies the file and records its Last-Modified in the cache
+    assert(code("download", out.toString, "title.ratings",
+      "--url", mirror.toUri.toString) == 0)
+    assert(Files.readString(out.resolve(name)) == "v1")
+    assert(Files.exists(out.resolve(".last_modified.json")))
+
+    // hit: mirror unchanged → the 304 path, target NOT rewritten
+    // (poke the target so a rewrite would be visible)
+    Files.write(out.resolve(name), "poked".getBytes)
+    assert(code("download", out.toString, "title.ratings",
+      "--url", mirror.toUri.toString) == 0)
+    assert(Files.readString(out.resolve(name)) == "poked")
+
+    // --force: unconditional refetch overwrites the poke
+    assert(code("download", out.toString, "title.ratings", "--force",
+      "--url", mirror.toUri.toString) == 0)
+    assert(Files.readString(out.resolve(name)) == "v1")
+
+    // a plain folder path works as a mirror base too
+    val out2 = Files.createTempDirectory("graft_dl2")
+    assert(code("download", out2.toString, "title.ratings",
+      "--url", mirror.toString) == 0)
+    assert(Files.readString(out2.resolve(name)) == "v1")
+
+    // missing mirror file = runtime failure (exit 1, the HTTP-error analog)
+    assert(code("download", out.toString, "name.basics",
+      "--url", mirror.toUri.toString) == 1)
+    // download's flags stay scoped to download (argparse-subparser parity)
+    assert(code("transfer", dataDir, "title.ratings", "--force") == 2)
+    assert(code("download", out.toString, "all", "--bulk", "5") == 2)
   }
 }
