@@ -52,8 +52,13 @@ object Bench {
     }
 
     // optional args = subset of query names to time (local iteration);
-    // the driver passes none and gets the full registry
+    // the driver passes none and gets the full registry. A typoed
+    // name must fail loudly — an all-typo subset would otherwise
+    // print a well-formed near-zero total that reads like a result.
     val wanted = args.toSet
+    val unknown = wanted -- SparkEntry.queries.keySet
+    require(unknown.isEmpty,
+      s"unknown query name(s): ${unknown.toSeq.sorted.mkString(", ")}")
     val selected =
       if (wanted.isEmpty) SparkEntry.queries
       else SparkEntry.queries.filter { case (k, _) => wanted(k) }

@@ -7,8 +7,18 @@ object Verify {
   def main(args: Array[String]): Unit = {
     // args beyond (sfDir, outDir) = optional query-name subset for
     // local iteration; the driver passes exactly two args
-    val Array(sfDir, outDir, rest @ _*) = args
+    val Array(sfDir, outDirArg, rest @ _*) = args
     val wanted = rest.toSet
+    // a typoed name must fail loudly, not silently benchmark nothing
+    val unknown = wanted -- SparkEntry.queries.keySet
+    require(unknown.isEmpty,
+      s"unknown query name(s): ${unknown.toSeq.sorted.mkString(", ")}")
+    // subset runs write to their own subdir: a compare that scans the
+    // directory must never mix a partial rerun with a stale full dump
+    val outDir =
+      if (wanted.isEmpty) outDirArg else s"${outDirArg.stripSuffix("/")}/subset"
+    if (wanted.nonEmpty)
+      System.err.println(s"[verify] subset mode -> $outDir")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")

@@ -101,28 +101,77 @@ object Analytics {
     },
 
     // Typed UDAF surface: deterministic bottom-k reservoir sample per
-    // group (graft.functions.ReservoirSample). Engine-private hash
-    // priorities ⇒ rows-only in the gate; determinism and invariants
-    // are pinned in PipelineOpsSpec.
-    QueryDef.rowsOnly("q_sample_reservoir") { (s, dir) =>
+    // group (graft.functions.ReservoirSample). The sample MEMBERSHIP
+    // is engine-private (hash priorities), so the hashed output
+    // carries what IS oracle-checkable: the exact group size, the
+    // sample size (= least(k, n) for a correct reservoir), and a
+    // validity flag proving the sample is duplicate-free and every
+    // element joins back to its own group. DuckDB computes the same
+    // exact columns and asserts TRUE; partition-invariance and
+    // determinism of the membership stay spec-pinned
+    // (PipelineOpsSpec). The audit join ships only sampled keys —
+    // O(groups·k) rows — never the corpus.
+    QueryDef.sql(
+      "q_sample_reservoir",
+      """SELECT o_orderstatus,
+        |       CAST(count(*) AS BIGINT) AS n_orders,
+        |       CAST(least(5, count(*)) AS INTEGER) AS sample_size,
+        |       TRUE AS sample_valid
+        |FROM orders GROUP BY o_orderstatus""".stripMargin) { (s, dir) =>
       val sampler = udaf(new graft.functions.ReservoirSample(5, 42L),
         org.apache.spark.sql.Encoders.STRING)
-      Tables(s, dir, "orders")
-        .groupBy(col("o_orderstatus"))
-        .agg(array_join(sampler(col("o_orderkey").cast("string")), ",")
-          .as("sampled_orderkeys"))
+      val base = Tables(s, dir, "orders")
+        .select(col("o_orderstatus"), col("o_orderkey").cast("string").as("ok"))
+      val agg = base.groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n_orders"), sampler(col("ok")).as("sample"))
+      val matched = agg
+        .select(col("o_orderstatus"), explode(col("sample")).as("ok"))
+        .join(base, Seq("o_orderstatus", "ok"))
+        .groupBy(col("o_orderstatus")).agg(count(lit(1)).as("n_matched"))
+      agg.join(matched, Seq("o_orderstatus"), "left_outer")
+        .select(col("o_orderstatus"), col("n_orders"),
+          size(col("sample")).as("sample_size"),
+          (size(col("sample")) === least(lit(5L), col("n_orders")).cast("int")
+            && size(array_distinct(col("sample"))) === size(col("sample"))
+            && coalesce(col("n_matched"), lit(0L))
+              === size(col("sample")).cast("long")).as("sample_valid"))
     },
 
-    // Sketch family beyond HLL: approximate quantiles (engine-private
-    // sketch ⇒ rows-only; exact counterpart is q_percentile).
-    QueryDef.rowsOnly("q_approx_quantile") { (s, dir) =>
-      Tables(s, dir, "lineitem")
-        .groupBy(col("l_returnflag"))
+    // Sketch family beyond HLL: approximate quantiles. The sketch
+    // values are engine-private, so the hashed output audits them
+    // against the EXACT rank they claim: count(x <= v) must sit
+    // within the published rank-error bound (accuracy 1000 ⇒ ε =
+    // 1/1000 of n; checked at 2ε + 2 slack). One extra corpus pass
+    // joining a broadcast per-group sketch row — O(groups) shipped.
+    // Exact counterpart remains q_percentile.
+    QueryDef.sql(
+      "q_approx_quantile",
+      """SELECT l_returnflag,
+        |       CAST(count(*) AS BIGINT) AS n_items,
+        |       TRUE AS p50_in_bound,
+        |       TRUE AS p99_in_bound
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin) { (s, dir) =>
+      val li = Tables(s, dir, "lineitem")
+        .select(col("l_returnflag"), col("l_extendedprice"))
+      val sketch = li.groupBy(col("l_returnflag"))
         .agg(
           approx_percentile(col("l_extendedprice"), lit(0.5), lit(1000))
-            .as("approx_median_price"),
+            .as("ap50"),
           approx_percentile(col("l_extendedprice"), lit(0.99), lit(1000))
-            .as("approx_p99_price"))
+            .as("ap99"))
+      li.join(broadcast(sketch), Seq("l_returnflag"))
+        .groupBy(col("l_returnflag"))
+        .agg(
+          count(lit(1)).as("n_items"),
+          sum(when(col("l_extendedprice") <= col("ap50"), 1L).otherwise(0L))
+            .as("le50"),
+          sum(when(col("l_extendedprice") <= col("ap99"), 1L).otherwise(0L))
+            .as("le99"))
+        .select(col("l_returnflag"), col("n_items"),
+          (abs(col("le50") - col("n_items") * 0.5)
+            <= col("n_items") * 0.002 + 2).as("p50_in_bound"),
+          (abs(col("le99") - col("n_items") * 0.99)
+            <= col("n_items") * 0.002 + 2).as("p99_in_bound"))
     },
 
     // CUBE grouping sets with grouping() flags (A6 family).

@@ -221,6 +221,39 @@ object DedupOps {
       .distinct()
   }
 
+  /** Persist a corpus band index BUCKETED on the LSH join key
+    * ([[graft.sources.Sources.writeBucketed]] on (band, bucket)), so
+    * every recurring ingest-dedup probe reads the stored side with NO
+    * exchange: the on-disk layout replaces the corpus-side shuffle a
+    * plain parquet dump would pay on every batch. At 100 TB the
+    * index is the only corpus-scale artifact the daily job touches,
+    * and it never re-shuffles. */
+  def writeBandIndex(
+      docs: DataFrame, tableName: String, numBuckets: Int): Unit =
+    graft.sources.Sources.writeBucketed(
+      minhashBands(docs), tableName, Seq("band", "bucket"), numBuckets)
+
+  /** [[incrementalCandidatePairs]] against a STORED [[writeBandIndex]]
+    * table: old-vs-new probes the bucketed table — exchange-free on
+    * the stored side, proven by `SourcesSpec` — and new-vs-new pairs
+    * come from the batch alone, so no shape unions the (bucketed)
+    * corpus with unbucketed batch rows and forfeits the layout.
+    * Output is identical to the in-memory formulation under the same
+    * append-only id assumption. */
+  def incrementalCandidatePairsStored(
+      spark: SparkSession, tableName: String, newDocs: DataFrame): DataFrame = {
+    val nb = minhashBands(newDocs).pinned
+    val oldNew = spark.table(tableName).as("x")
+      .join(nb.as("y"),
+        col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+      .distinct()
+    // disjoint by construction: an old-new pair's `a` is an existing
+    // id, a new-new pair's `a` is a batch id
+    oldNew.union(candidatePairsFromBands(nb))
+  }
+
   /** Bloom bit-array size for [[bloomPrefilter]] (positions per hash
     * function); two disjoint md5 slices act as the k=2 hash
     * functions. 2^10 keeps the fill factor ≈0.5 on the gate corpus so
@@ -439,23 +472,30 @@ object DedupOps {
     // canonical undirected edges, a < b; self-loops never enter
     var edges = pairs.select(col("a"), col("b")).distinct().pinnedIter
 
-    // One star half-round. Adjacency is both directions; m(u) =
-    // min(Γ(u) ∪ {u}). Large-star rewires strictly larger neighbors
-    // to m(u); small-star rewires the ≤-side (and u itself) to m(u).
+    // One star half-round, exactly Kiveris et al.'s operators.
+    // Large-star keys every edge by BOTH endpoints (each node sees
+    // its full neighborhood) and rewires strictly larger neighbors
+    // to m(u) = min(Γ(u) ∪ {u}). Small-star keys each edge ONLY by
+    // its larger endpoint, so u sees Γ⁻(u) = {v ∈ Γ(u): v < u} and
+    // rewires every small-side neighbor AND u itself to
+    // m(u) = min(Γ⁻(u) ∪ {u}) = min(Γ⁻(u)) — per the paper, which
+    // also makes the small-star mins aggregate shuffle |E| rows
+    // instead of the symmetric 2|E|.
     def star(e: DataFrame, large: Boolean): DataFrame = {
-      val adj = e.select(col("a").as("u"), col("b").as("v"))
-        .union(e.select(col("b").as("u"), col("a").as("v")))
-      val mins = adj.groupBy(col("u")).agg(min(col("v")).as("mv"))
-        .select(col("u"), least(col("mv"), col("u")).as("m"))
       val rewired =
-        if (large)
+        if (large) {
+          val adj = e.select(col("a").as("u"), col("b").as("v"))
+            .union(e.select(col("b").as("u"), col("a").as("v")))
+          val mins = adj.groupBy(col("u")).agg(min(col("v")).as("mv"))
+            .select(col("u"), least(col("mv"), col("u")).as("m"))
           adj.join(mins, "u").filter(col("v") > col("u"))
             .select(col("v"), col("m"))
-        else {
-          val side = adj.join(mins, "u").filter(col("v") < col("u"))
-            .select(col("v"), col("m"))
-          val self = mins.filter(col("u") =!= col("m"))
-            .select(col("u").as("v"), col("m"))
+        } else {
+          // edges are canonical a < b: larger endpoint is b
+          val smaller = e.select(col("b").as("u"), col("a").as("v"))
+          val mins = smaller.groupBy(col("u")).agg(min(col("v")).as("m"))
+          val side = smaller.join(mins, "u").select(col("v"), col("m"))
+          val self = mins.select(col("u").as("v"), col("m"))
           side.union(self)
         }
       rewired.filter(col("v") =!= col("m"))
@@ -469,15 +509,10 @@ object DedupOps {
     // Rounds are O(log² n) worst case, ~2-3 in practice. The previous
     // round's count is carried in a local so each round pays one
     // count job (+ the except only when counts tie), not a recount of
-    // the already-checkpointed previous edges.
-    //
-    // Round cap: this small-star takes m(u) = min(Γ(u) ∪ {u}) over
-    // the FULL neighborhood, not Kiveris et al.'s ≤-side Γ⁻ — the
-    // paper's termination proof doesn't directly cover the variant
-    // (convergence here rests on the exact set-equality fixed point,
-    // verified empirically on paths/forests and by the oracle CTE),
-    // so a generous cap turns a hypothetical non-converging input
-    // into a loud failure instead of looping the driver forever.
+    // the already-checkpointed previous edges. The paper's
+    // termination proof covers these operators directly; the round
+    // cap stays as a belt so any defect surfaces as a loud failure
+    // instead of looping the driver forever.
     val maxRounds = 64
     var converged = false
     var rounds = 0
@@ -486,7 +521,7 @@ object DedupOps {
       rounds += 1
       require(rounds <= maxRounds,
         s"starComponents: no fixed point after $maxRounds large/small-star " +
-          "rounds — input graph exceeds the variant's verified envelope")
+          "rounds — cap is a belt; the paper bounds rounds at O(log² n)")
       val stepped = star(star(edges, large = true), large = false)
         .pinnedIter
       val steppedCount = stepped.count()

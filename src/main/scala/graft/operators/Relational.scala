@@ -102,12 +102,27 @@ object Relational {
           .agg(count(lit(1)).as("cnt"))
     },
 
-    // A6: approximate distinct (HLL) — engine-specific sketch, so no
-    // SQL oracle; driver records rows>0.
-    QueryDef.rowsOnly("q_approx_distinct") { (s, dir) =>
+    // A6: approximate distinct (HLL). The sketch estimate itself is
+    // engine-private, so the HASHED output carries the exact count
+    // plus a within-bound audit flag computed FROM the estimate
+    // (default rsd 0.05; 0.15 = 3σ): DuckDB computes the same exact
+    // count and asserts TRUE, so a drifting sketch fails the gate
+    // hash instead of hiding behind rows-only. The estimate's own
+    // error behavior stays spec-pinned (PipelineOpsSpec).
+    QueryDef.sql(
+      "q_approx_distinct",
+      """SELECT l_returnflag,
+        |       count(DISTINCT l_partkey) AS exact_parts,
+        |       TRUE AS within_bound
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin) { (s, dir) =>
       t(s, dir, "lineitem")
         .groupBy(col("l_returnflag"))
-        .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"))
+        .agg(
+          count_distinct(col("l_partkey")).as("exact_parts"),
+          approx_count_distinct(col("l_partkey")).as("approx_parts"))
+        .select(col("l_returnflag"), col("exact_parts"),
+          (abs(col("approx_parts") - col("exact_parts"))
+            <= col("exact_parts") * 0.15).as("within_bound"))
     },
 
     // ---- joins (J1–J10) -------------------------------------------

@@ -3,7 +3,7 @@ package graft.operators
 import graft.operators.Materialize.PinOps
 import graft.{QueryDef, Tables}
 import graft.functions.TextVec._
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for a large-scale training-data pipeline:
@@ -396,8 +396,13 @@ object TextOps {
     // history token) and a doc_id aggregate — no driver-side model,
     // no broadcast of the (vocabulary²-sized, potentially huge at
     // 100 TB) bigram table; only the 1-row vocab size broadcasts.
-    // ln() differs by ≤1 ulp between engines; the rounded mean
-    // absorbs it (see q_text_tfidf for the same argument).
+    // Parity: ln() differs by ≤1 ulp between engines, and Spark's
+    // avg() also reassociates the per-doc sum across partitions while
+    // DuckDB sums in row order — but per-doc bigram groups are tiny
+    // (≤ a few hundred terms of magnitude ~1e1), so the reassociation
+    // error is ~1e-13, orders of magnitude under the 5e-7 granularity
+    // the round(…, 6) quantizes to; both effects are absorbed (see
+    // q_text_tfidf for the same argument).
     QueryDef.sql(
       "q_text_perplexity",
       """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
@@ -413,27 +418,34 @@ object TextOps {
         |JOIN uc ON uc.w = string_split(bg, ' ')[1]
         |CROSS JOIN vc
         |GROUP BY doc_id""".stripMargin) {
-      (s, dir) =>
-        // checkpointed once: the bigram-count aggregate and the probe
-        // side would otherwise each re-explode the corpus
-        val base = DedupOps.spread(Tables(s, dir, "documents"))
-          .select(col("doc_id"), tokens(col("text")).as("t"))
-        val bg = base
-          .select(col("doc_id"), explode(shingles(col("t"), 2)).as("bg"))
-          .pinned
-        val uc = base.select(explode(col("t")).as("w"))
-          .groupBy(col("w")).agg(count(lit(1)).as("cu"))
-          .pinned // vocab-size agg + history-probe join
-        val vc = uc.agg(count(lit(1)).as("v"))
-        val bc = bg.groupBy(col("bg")).agg(count(lit(1)).as("cb"))
-        bg.join(bc, "bg")
-          .withColumn("w", split(col("bg"), " ").getItem(0))
-          .join(uc, "w")
-          .crossJoin(broadcast(vc))
-          .groupBy(col("doc_id"))
-          .agg(count(lit(1)).as("n_bigrams"),
-            round(avg(-log((col("cb") + 1).cast("double")
-              / (col("cu") + col("v")))), 6).as("mean_nll"))
+      (s, dir) => bigramSurprisal(DedupOps.spread(Tables(s, dir, "documents")))
     }
   )
+
+  /** The q_text_perplexity body, named so the gate registration and
+    * the seeded-ordering spec drive the SAME production expressions:
+    * (doc_id, n_bigrams, mean_nll) per input (doc_id, text) row,
+    * where mean_nll is the rounded mean −ln P(w2|w1) under the
+    * in-corpus add-one-smoothed bigram model. */
+  def bigramSurprisal(docs: DataFrame): DataFrame = {
+    // checkpointed once: the bigram-count aggregate and the probe
+    // side would otherwise each re-explode the corpus
+    val base = docs.select(col("doc_id"), tokens(col("text")).as("t"))
+    val bg = base
+      .select(col("doc_id"), explode(shingles(col("t"), 2)).as("bg"))
+      .pinned
+    val uc = base.select(explode(col("t")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("cu"))
+      .pinned // vocab-size agg + history-probe join
+    val vc = uc.agg(count(lit(1)).as("v"))
+    val bc = bg.groupBy(col("bg")).agg(count(lit(1)).as("cb"))
+    bg.join(bc, "bg")
+      .withColumn("w", split(col("bg"), " ").getItem(0))
+      .join(uc, "w")
+      .crossJoin(broadcast(vc))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(avg(-log((col("cb") + 1).cast("double")
+          / (col("cu") + col("v")))), 6).as("mean_nll"))
+  }
 }

@@ -609,29 +609,15 @@ class PipelineOpsSpec extends SparkSpec {
     val oneOff = (1 to 30).map(i => s"u$i").mkString(" ")
     val docs = ((0 until 9).map(i => (i.toLong, template)) :+ (9L, oneOff))
       .toDF("doc_id", "text")
-    val ppl = graft.SparkEntry.queries("q_text_perplexity")
-    // q_text_perplexity reads from the dir; use the operator body via
-    // a temp view is overkill — recompute through the gate function on
-    // sf0.001 for plumbing, and assert the ordering on seeded data via
-    // the same expressions inline
-    import graft.functions.TextVec._
-    val base = docs.select(col("doc_id"), tokens(col("text")).as("t"))
-    val bg = base.select(col("doc_id"), explode(shingles(col("t"), 2)).as("bg"))
-    val uc = base.select(explode(col("t")).as("w"))
-      .groupBy(col("w")).agg(count(lit(1)).as("cu"))
-    val vc = uc.agg(count(lit(1)).as("v"))
-    val bc = bg.groupBy(col("bg")).agg(count(lit(1)).as("cb"))
-    val scored = bg.join(bc, "bg")
-      .withColumn("w", split(col("bg"), " ").getItem(0))
-      .join(uc, "w")
-      .crossJoin(broadcast(vc))
-      .groupBy(col("doc_id"))
-      .agg(avg(-log((col("cb") + 1).cast("double") / (col("cu") + col("v"))))
-        .as("mean_nll"))
-      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // the ordering property runs the PRODUCTION body (the same
+    // function q_text_perplexity registers), so gate drift would
+    // fail here too
+    val scored = TextOps.bigramSurprisal(docs)
+      .collect().map(r => r.getLong(0) -> r.getAs[Double]("mean_nll")).toMap
     assert(scored(0L) < scored(9L))
     // gate plumbing: every doc with >= 2 tokens is scored, values finite
-    val gate = ppl(spark, "/root/testdata/sf0.001").collect()
+    val gate = graft.SparkEntry.queries("q_text_perplexity")(
+      spark, "/root/testdata/sf0.001").collect()
     assert(gate.nonEmpty)
     gate.foreach(r => assert(!r.getAs[Double]("mean_nll").isNaN &&
       r.getAs[Double]("mean_nll") > 0))

@@ -59,4 +59,63 @@ class SourcesSpec extends SparkSpec {
       spark.sql("DROP TABLE IF EXISTS b_lineitem")
     }
   }
+
+  test("stored band index: incremental dedup joins the bucketed corpus side " +
+    "with NO exchange, and matches the in-memory formulation") {
+    import graft.operators.DedupOps
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val docs = graft.Tables(spark, "/root/testdata/sf0.001", "documents")
+    val existing = docs.filter(col("doc_id") < DedupOps.IncrementalSplit)
+    val batch = docs.filter(col("doc_id") >= DedupOps.IncrementalSplit)
+    DedupOps.writeBandIndex(existing, "band_index", 4)
+    // force the shuffle-join path and a non-adaptive plan so the
+    // exchange placement is inspectable deterministically
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val stored = DedupOps.incrementalCandidatePairsStored(
+        spark, "band_index", batch)
+      def subtree(p: SparkPlan): Seq[SparkPlan] = p +: p.children.flatMap(subtree)
+      val nodes = subtree(stored.queryExecution.executedPlan)
+      def isIndexScan(p: SparkPlan): Boolean = p match {
+        case f: FileSourceScanExec =>
+          f.tableIdentifier.exists(_.table == "band_index")
+        case _ => false
+      }
+      // the stored scan exists and reads its buckets
+      val scans = nodes.filter(isIndexScan)
+      assert(scans.nonEmpty, "bucketed band_index scan missing from plan")
+      scans.foreach(s => assert(
+        s.asInstanceOf[FileSourceScanExec].metadata.contains("SelectedBucketsCount"),
+        "band_index scan is not a bucketed read"))
+      // ...and feeds its join with NO exchange on its branch: the
+      // bucketed layout replaces the corpus-side shuffle. (The pair-
+      // level distinct above the join shuffles O(candidates) (a, b)
+      // rows — that one is expected and corpus-size-independent.)
+      val joins = nodes.collect {
+        case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec
+          if subtree(j.left).exists(isIndexScan) => j
+      }
+      assert(joins.nonEmpty, "stored-index SMJ missing from plan:\n" +
+        stored.queryExecution.executedPlan)
+      joins.foreach(j => assert(
+        !subtree(j.left).exists(_.isInstanceOf[ShuffleExchangeExec]),
+        "stored index side must not re-shuffle:\n" +
+          stored.queryExecution.executedPlan))
+      // and the stored-index path produces exactly the in-memory pairs
+      val inMem = DedupOps.incrementalCandidatePairs(
+        DedupOps.minhashBands(existing), batch)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val viaIndex = stored.collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(viaIndex == inMem)
+      assert(viaIndex.nonEmpty)
+    } finally {
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.unset("spark.sql.adaptive.enabled")
+      spark.sql("DROP TABLE IF EXISTS band_index")
+    }
+  }
 }
