@@ -36,6 +36,11 @@ object CurationOps {
   val EnRateUpper = "20"
   val RestRateUpper = "80"
 
+  /** Corpus-mixing keep rates by source-index class (index % 4 →
+    * 75% / 50% / 25% / 12.5%), as 4-hex-char md5 bucket uppers
+    * (65536 buckets ⇒ 1/65536 rate granularity). */
+  val MixRateUppers = Seq("c000", "8000", "4000", "2000")
+
   /** Conservative PII patterns, identical in Java regex and RE2:
     * character classes + bounded repetition only, no lookaround. */
   val EmailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
@@ -105,6 +110,28 @@ object CurationOps {
           .filter(bucket(col("doc_id")) <
             when(col("lang") === "en", EnRateUpper).otherwise(RestRateUpper))
           .select(col("doc_id"), col("lang"))
+    },
+
+    // Source-weighted corpus mixing: the per-source up/down-sampling
+    // step of training-mixture assembly (each source kept at its
+    // mixture rate), through the same deterministic md5 buckets as
+    // the splits — re-ingesting the corpus reproduces the exact
+    // mixture, and every doc's decision is pure map work keyed on
+    // (doc_id, source) alone. Rates come from the source index class
+    // (index % 4) so the rule is a literal CASE, not a joined table;
+    // a production run swaps in a broadcast weights dimension.
+    QueryDef.sql(
+      "q_mix_sources",
+      s"""SELECT doc_id, source,
+         |       substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS bucket,
+         |       substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) <
+         |         CASE CAST(substr(source, 4) AS INTEGER) % 4
+         |              WHEN 0 THEN '${MixRateUppers(0)}'
+         |              WHEN 1 THEN '${MixRateUppers(1)}'
+         |              WHEN 2 THEN '${MixRateUppers(2)}'
+         |              ELSE '${MixRateUppers(3)}' END AS in_mix
+         |FROM documents""".stripMargin) {
+      (s, dir) => sourceMix(Tables(s, dir, "documents"))
     },
 
     // PII redaction: email/phone detection counts + placeholder
@@ -325,4 +352,19 @@ object CurationOps {
           .select(col("doc_id"), col("pos"))
     }
   )
+
+  /** The q_mix_sources body, named so the gate registration and the
+    * golden-bucket spec drive the same production expressions:
+    * (doc_id, source, bucket, in_mix) per input (doc_id, source)
+    * row, keep rates per [[MixRateUppers]] source-index class. */
+  def sourceMix(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val b = bucket(col("doc_id"), 4)
+    val idx = substring(col("source"), 4, 8).cast("int") % 4
+    docs.select(
+      col("doc_id"), col("source"), b.as("bucket"),
+      (b < when(idx === 0, MixRateUppers(0))
+        .when(idx === 1, MixRateUppers(1))
+        .when(idx === 2, MixRateUppers(2))
+        .otherwise(MixRateUppers(3))).as("in_mix"))
+  }
 }

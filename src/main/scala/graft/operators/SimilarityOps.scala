@@ -327,6 +327,51 @@ object SimilarityOps {
             coalesce(col("cluster_id"), col("vec_id")).as("cluster_id"))
     },
 
+    // SemDeDup (Abbas et al., arXiv:2303.09540) shape: cluster the
+    // corpus into cells (the gate's seed centroids), then look for
+    // semantic duplicates ONLY within a cell — pairwise cost
+    // collapses from n² global to Σ n_cell² (≈ n²/k), and the
+    // per-cell work is a plain equi-join on centroid_id, never a
+    // global nested loop. The isotropic gate corpus has no
+    // fixed-threshold semantic dups (same reason
+    // q_dedup_embedding_cosine ranks instead of thresholding), so
+    // the hashed decision record is each cell's CLOSEST pair —
+    // exactly the pair SemDeDup prunes first, keeping the lower id —
+    // plus the cell population.
+    QueryDef.sql(
+      "q_semdedup",
+      s"""WITH c AS (SELECT vec_id AS centroid_id, embedding AS qv
+         |           FROM embeddings WHERE vec_id < $NumCentroids),
+         |scored AS (
+         |  SELECT e.vec_id, c.centroid_id,
+         |         ${cosSql("qv", "e.embedding")} AS cos
+         |  FROM c CROSS JOIN embeddings e),
+         |cells AS (
+         |  SELECT vec_id, centroid_id
+         |  FROM (SELECT vec_id, centroid_id,
+         |               row_number() OVER (PARTITION BY vec_id
+         |                                  ORDER BY cos DESC, centroid_id) AS rnk
+         |        FROM scored)
+         |  WHERE rnk = 1),
+         |sizes AS (SELECT centroid_id, CAST(count(*) AS BIGINT) AS n_members
+         |          FROM cells GROUP BY centroid_id),
+         |pairs AS (
+         |  SELECT x.centroid_id AS centroid_id,
+         |         x.vec_id AS keep_id, y.vec_id AS drop_id,
+         |         ${cosSql("ex.embedding", "ey.embedding")} AS cos
+         |  FROM cells x
+         |  JOIN cells y ON x.centroid_id = y.centroid_id AND x.vec_id < y.vec_id
+         |  JOIN embeddings ex ON ex.vec_id = x.vec_id
+         |  JOIN embeddings ey ON ey.vec_id = y.vec_id)
+         |SELECT centroid_id, n_members, keep_id, drop_id, round(cos, 6) AS sim
+         |FROM (SELECT centroid_id, keep_id, drop_id, cos,
+         |             row_number() OVER (PARTITION BY centroid_id
+         |                                ORDER BY cos DESC, keep_id, drop_id) AS rnk
+         |      FROM pairs) JOIN sizes USING (centroid_id)
+         |WHERE rnk = 1""".stripMargin) {
+      (s, dir) => semdedupClosestPairs(emb(s, dir), NumCentroids)
+    },
+
     QueryDef.sql(
       "q_sim_cosine_topk",
       s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv
@@ -445,4 +490,39 @@ object SimilarityOps {
           NumProbeCells, TopK)
     }
   )
+
+  /** The q_semdedup body, named so the gate registration and the
+    * seeded-cluster spec drive the same production plan: assign each
+    * vector to its nearest of the first `numCentroids` seed vectors,
+    * then emit each cell's closest within-cell pair (keep_id <
+    * drop_id) plus the cell population. All pairwise work is scoped
+    * inside a cell by the centroid_id equi-join. */
+  def semdedupClosestPairs(e: DataFrame, numCentroids: Int): DataFrame = {
+    val s = e.sparkSession
+    val centroids = e.filter(col("vec_id") < numCentroids)
+      .select(col("vec_id").as("centroid_id"), col("embedding").as("cv"))
+    val cells = ivfAssign(e, centroids)
+      .select(col("vec_id"), col("centroid_id"))
+    val sizes = cells.groupBy(col("centroid_id"))
+      .agg(count(lit(1)).as("n_members"))
+    val pairs = cells.as("x")
+      .join(cells.as("y"),
+        col("x.centroid_id") === col("y.centroid_id") &&
+          col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.centroid_id").as("centroid_id"),
+        col("x.vec_id").as("keep_id"), col("y.vec_id").as("drop_id"))
+      .join(e.select(col("vec_id").as("keep_id"),
+        col("embedding").as("ek")), "keep_id")
+      .join(e.select(col("vec_id").as("drop_id"),
+        col("embedding").as("ed")), "drop_id")
+      .select(col("centroid_id"), col("keep_id"), col("drop_id"),
+        CosineSimilarity(s, col("ek"), col("ed")).as("cos"))
+    // bounded window: rows are within-cell pairs, k cells total
+    val w = Window.partitionBy(col("centroid_id"))
+      .orderBy(col("cos").desc, col("keep_id"), col("drop_id"))
+    pairs.withColumn("rnk", row_number().over(w)).filter(col("rnk") === 1)
+      .join(sizes, Seq("centroid_id"))
+      .select(col("centroid_id"), col("n_members"), col("keep_id"),
+        col("drop_id"), round(col("cos"), 6).as("sim"))
+  }
 }

@@ -29,6 +29,14 @@ object TextOps {
   private def sqlList(vs: Seq[String]): String =
     vs.map(v => s"'$v'").mkString("[", ", ", "]")
 
+  /** Fixed q_quality_clf weights — the stand-in for an exported
+    * quality model's coefficients (ttr, stop_ratio, avg_token_len,
+    * bias); chosen so the gate corpus exercises both keep and drop. */
+  val ClfTtrW = 2.0
+  val ClfStopW = 4.0
+  val ClfAtlW = -0.25
+  val ClfBias = 0.2
+
   val all: Seq[QueryDef] = Seq(
 
     // Token counting: whitespace tokens plus a BPE-ish alnum-run
@@ -85,6 +93,37 @@ object TextOps {
             round(col("n_unique").cast("double") / col("n_tokens"), 6).as("ttr"),
             round(col("len_sum").cast("double") / col("n_tokens"), 6)
               .as("avg_token_len"))
+    },
+
+    // Linear quality-classifier inference: a fixed-weight margin over
+    // the q_text_quality features — the shape of applying an exported
+    // fastText/logreg quality model at ingest (weights are a
+    // broadcast-free literal here; a real model's coefficient vector
+    // ships the same way). Zero shuffle, pure per-document map work.
+    // Parity: the margin is one left-associated chain of IEEE double
+    // ops (exact-input divisions, then w·f products and sums) written
+    // in the SAME order on both engines, so the raw margin — and with
+    // it the keep decision — is bit-identical. The REPORTED margin is
+    // micro-units via floor(margin·1e6), NOT round(…, 6): the two
+    // engines' round() implementations disagree on exact-.5 decimal
+    // boundaries (BigDecimal HALF_UP over the exact binary expansion
+    // vs multiply-and-round), observed on this very query; floor over
+    // the same IEEE product is deterministic on both.
+    QueryDef.sql(
+      "q_quality_clf",
+      s"""WITH f AS (
+         |  SELECT doc_id,
+         |         CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) AS ttr,
+         |         CAST(len(list_filter(toks, t -> list_contains(${sqlList(Stopwords)}, t))) AS DOUBLE)
+         |           / len(toks) AS stop_ratio,
+         |         CAST(list_sum(list_transform(toks, t -> length(t))) AS DOUBLE)
+         |           / len(toks) AS atl
+         |  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents))
+         |SELECT doc_id,
+         |       CAST(floor(($ClfTtrW * ttr + $ClfStopW * stop_ratio + $ClfAtlW * atl + $ClfBias) * 1000000.0) AS BIGINT) AS margin_e6,
+         |       $ClfTtrW * ttr + $ClfStopW * stop_ratio + $ClfAtlW * atl + $ClfBias > 0 AS kept
+         |FROM f""".stripMargin) {
+      (s, dir) => qualityClassifier(Tables(s, dir, "documents"))
     },
 
     // Language identification: stopword-marker voting with a fixed
@@ -421,6 +460,26 @@ object TextOps {
       (s, dir) => bigramSurprisal(DedupOps.spread(Tables(s, dir, "documents")))
     }
   )
+
+  /** The q_quality_clf body, named so the gate registration and the
+    * hand-computed-margin spec drive the same production expressions:
+    * (doc_id, margin_e6, kept) per input (doc_id, text) row. */
+  def qualityClassifier(docs: DataFrame): DataFrame = {
+    val f = docs
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"),
+        size(array_distinct(col("toks"))).cast("double")
+          / size(col("toks")) as "ttr",
+        hits(col("toks"), Stopwords).cast("double")
+          / size(col("toks")) as "stop_ratio",
+        aggregate(transform(col("toks"), t => length(t)),
+          lit(0), (acc, x) => acc + x).cast("double")
+          / size(col("toks")) as "atl")
+    val margin = lit(ClfTtrW) * col("ttr") + lit(ClfStopW) * col("stop_ratio") +
+      lit(ClfAtlW) * col("atl") + lit(ClfBias)
+    f.select(col("doc_id"),
+      floor(margin * 1000000.0).as("margin_e6"), (margin > 0).as("kept"))
+  }
 
   /** The q_text_perplexity body, named so the gate registration and
     * the seeded-ordering spec drive the SAME production expressions:

@@ -174,4 +174,32 @@ class CurationOpsSpec extends SparkSpec {
       assert(fixedPoints < n / 10, s"$fixedPoints of $n docs kept their slot")
     } finally out.unpersist()
   }
+
+  test("source mix honors the per-class rates with independently computed buckets") {
+    import spark.implicits._
+    // goldens computed OUTSIDE Spark (python hashlib): md5("0")=cfcd…,
+    // md5("3")=eccb…, md5("7")=8f14…, md5("11")=6512…, md5("400")=18d8…
+    // rate classes: src0→<c000 (75%), src1→<8000, src2→<4000, src3→<2000
+    val docs = Seq(
+      (0L, "src0"),   // cfcd ≥ c000 → out even at the 75% rate
+      (7L, "src0"),   // 8f14 < c000 → in
+      (7L, "src1"),   // 8f14 ≥ 8000 → out at 50%
+      (11L, "src1"),  // 6512 < 8000 → in
+      (11L, "src2"),  // 6512 ≥ 4000 → out at 25%
+      (400L, "src2"), // 18d8 < 4000 → in
+      (400L, "src3"), // 18d8 < 2000 → in even at 12.5%
+      (3L, "src3")    // eccb → out
+    ).toDF("doc_id", "text").withColumnRenamed("text", "source")
+    val out = CurationOps.sourceMix(docs).collect()
+      .map(r => (r.getLong(0), r.getString(1)) ->
+        (r.getString(2), r.getBoolean(3))).toMap
+    assert(out((0L, "src0")) == ("cfcd", false))
+    assert(out((7L, "src0")) == ("8f14", true))
+    assert(out((7L, "src1")) == ("8f14", false))
+    assert(out((11L, "src1")) == ("6512", true))
+    assert(out((11L, "src2")) == ("6512", false))
+    assert(out((400L, "src2")) == ("18d8", true))
+    assert(out((400L, "src3")) == ("18d8", true))
+    assert(out((3L, "src3")) == ("eccb", false))
+  }
 }

@@ -622,4 +622,41 @@ class PipelineOpsSpec extends SparkSpec {
     gate.foreach(r => assert(!r.getAs[Double]("mean_nll").isNaN &&
       r.getAs[Double]("mean_nll") > 0))
   }
+
+  test("semdedup: pairwise work stays inside cells and finds the planted near-dup") {
+    // seeds 0 (x-axis) and 1 (y-axis); 2,3 near-identical on x; 4,5 on y
+    val e = Seq(
+      (0L, Array(1f, 0f, 0f, 0f)),
+      (1L, Array(0f, 1f, 0f, 0f)),
+      (2L, Array(0.9f, 0.1f, 0f, 0f)),
+      (3L, Array(0.9f, 0.1001f, 0f, 0f)), // ≈ duplicate of 2
+      (4L, Array(0.1f, 0.9f, 0.2f, 0f)),
+      (5L, Array(0f, 0.8f, -0.3f, 0f))
+    ).toDF("vec_id", "embedding")
+    val out = SimilarityOps.semdedupClosestPairs(e, 2).collect()
+      .map(r => r.getAs[Long]("centroid_id") ->
+        (r.getAs[Long]("n_members"), r.getAs[Long]("keep_id"),
+          r.getAs[Long]("drop_id"), r.getAs[Double]("sim"))).toMap
+    assert(out.keySet == Set(0L, 1L)) // one decision per occupied cell
+    // cell 0 = {0, 2, 3}: the near-identical pair wins, lower id kept
+    val (n0, k0, d0, s0) = out(0L)
+    assert(n0 == 3 && k0 == 2L && d0 == 3L && s0 > 0.999)
+    // cell 1 = {1, 4, 5}: (1,4) is the closest pair (cos ≈ 0.970)
+    val (n1, k1, d1, s1) = out(1L)
+    assert(n1 == 3 && k1 == 1L && d1 == 4L && s1 > 0.96 && s1 < 0.98)
+  }
+
+  test("quality classifier margins match hand-computed feature values") {
+    // doc 1: ttr 1/4, stop_ratio 4/4, atl 12/4 → margin 3.95 → kept
+    // doc 2: ttr 3/3, stop_ratio 0, atl 36/3 → margin -0.8 → dropped
+    val docs = Seq(
+      (1L, "the the the the"),
+      (2L, "aaaaaaaaaaaa bbbbbbbbbbbb cccccccccccc")
+    ).toDF("doc_id", "text")
+    val out = TextOps.qualityClassifier(docs).collect()
+      .map(r => r.getLong(0) ->
+        (r.getAs[Long]("margin_e6"), r.getAs[Boolean]("kept"))).toMap
+    assert(out(1L) == (3950000L, true))
+    assert(out(2L) == (-800000L, false))
+  }
 }
