@@ -93,9 +93,11 @@ object Bench {
       }
     // bench-only key shortening: every registry name carries the "q_"
     // prefix, so dropping it in the report saves 2 chars/query (~150
-    // total) of the bounded tail without losing identity
+    // total) of the bounded tail without losing identity; likewise
+    // "multimodal_" → "mm_" (4 queries × 8 chars) — the report must
+    // stay under ~1900 chars for the harness's bounded 2000-char tail
     val qs = results.map { case (k, v) =>
-      "\"" + k.stripPrefix("q_") + "\":" + fmt(v) }
+      "\"" + k.stripPrefix("q_").replace("multimodal_", "mm_") + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
     val sfLabel = new java.io.File(sfDir).getName

@@ -372,6 +372,40 @@ object SimilarityOps {
       (s, dir) => semdedupClosestPairs(emb(s, dir), NumCentroids)
     },
 
+    // Filtered ANN ("hybrid search"): top-k cosine neighbors among
+    // only the vectors whose DOCUMENT passes a metadata predicate
+    // (lang = 'en') — the retrieval shape RAG and curation pipelines
+    // run ("nearest English docs to this one"). The predicate is a
+    // semi-join on the shared id BEFORE scoring, so filtered-out
+    // vectors never reach the distance computation; at 100 TB that
+    // join co-partitions on the id while the probes broadcast.
+    QueryDef.sql(
+      "q_ann_filter",
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+         |           FROM embeddings WHERE vec_id < $NumProbes),
+         |en AS (SELECT doc_id FROM documents WHERE lang = 'en'),
+         |scored AS (
+         |  SELECT q.query_id, e.vec_id AS neighbor_id,
+         |         ${cosSql("qv", "e.embedding")} AS cos
+         |  FROM q CROSS JOIN embeddings e
+         |  JOIN en ON en.doc_id = e.vec_id)
+         |SELECT query_id, neighbor_id, CAST(rnk AS INTEGER) AS rnk,
+         |       round(cos, 6) AS sim
+         |FROM (SELECT query_id, neighbor_id, cos,
+         |             row_number() OVER (PARTITION BY query_id
+         |                                ORDER BY cos DESC, neighbor_id) AS rnk
+         |      FROM scored WHERE neighbor_id <> query_id)
+         |WHERE rnk <= $TopK""".stripMargin) {
+      (s, dir) =>
+        val enIds = Tables(s, dir, "documents")
+          .filter(col("lang") === "en")
+          .select(col("doc_id").as("vec_id"))
+        val corpus = emb(s, dir).join(enIds, Seq("vec_id"), "left_semi")
+        val probes = emb(s, dir).filter(col("vec_id") < NumProbes)
+          .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+        bruteForceTopK(corpus, probes, TopK)
+    },
+
     QueryDef.sql(
       "q_sim_cosine_topk",
       s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv

@@ -26,6 +26,7 @@ class PlanAuditSpec extends SparkSpec {
     "q_sim_ivf_assign",    // 8 centroids
     "q_sim_ivf_search",    // 8 centroids
     "q_semdedup",          // 8 centroids (cell assignment)
+    "q_ann_filter",        // 5 probe vectors
     "q_text_tfidf",        // 1-row corpus-size scalar
     "q_sample_temperature", // 1-row min-count scalar
     "q_text_perplexity"    // 1-row vocab-size scalar
