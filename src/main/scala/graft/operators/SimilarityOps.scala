@@ -535,8 +535,11 @@ object SimilarityOps {
     val s = e.sparkSession
     val centroids = e.filter(col("vec_id") < numCentroids)
       .select(col("vec_id").as("centroid_id"), col("embedding").as("cv"))
+    // pinned: consumed by both pair sides AND the size aggregate —
+    // without it each consumer repeats the full assignment pass
     val cells = ivfAssign(e, centroids)
       .select(col("vec_id"), col("centroid_id"))
+      .pinned
     val sizes = cells.groupBy(col("centroid_id"))
       .agg(count(lit(1)).as("n_members"))
     val pairs = cells.as("x")

@@ -81,6 +81,13 @@ class MaterializeSpec extends SparkSpec {
     assert(local.toMap == Map(0L -> 0L, 1L -> 0L, 2L -> 2L, 3L -> 3L, 4L -> 3L))
   }
 
+  test("cluster-safe mode yields identical corpus rarity scores (straight-line pins)") {
+    def run(): Seq[String] =
+      graft.SparkEntry.queries("q_text_rarity")(spark, "/root/testdata/sf0.001")
+        .collect().map(_.toString).toSeq.sorted
+    assert(run() == inClusterSafe(run()))
+  }
+
   test("cluster-safe mode yields identical star components") {
     val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L)).toDF("a", "b")
     def run(): Seq[(Long, Long)] =
