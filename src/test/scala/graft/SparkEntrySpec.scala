@@ -19,6 +19,13 @@ class SparkEntrySpec extends SparkSpec {
     val o = SparkEntry.oracleSql
     val dangling = o.keySet -- q.keySet
     assert(dangling.isEmpty, s"oracle without query: $dangling")
+    // since r8 EVERY query carries a full DuckDB oracle (the former
+    // rows-only sketch/sample queries hash exact companion columns +
+    // audit flags) — a new rows-only query is a deliberate decision,
+    // not a default: extend this assert's message with the rationale
+    // if one ever becomes unavoidable
+    val rowsOnly = q.keySet -- o.keySet
+    assert(rowsOnly.isEmpty, s"query without oracle: $rowsOnly")
     // queries is built map-wise from module Seqs — a duplicated name
     // would silently shadow an operator and shrink gate coverage
     val names = Seq(
