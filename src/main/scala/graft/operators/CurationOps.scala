@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.{QueryDef, Tables}
 import graft.functions.TextVec._
+import graft.operators.Materialize.PinOps
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -71,6 +72,18 @@ object CurationOps {
     * parallelism). */
   val PackContext = 2048
   val PackShards = 8
+
+  /** DSIR importance-weighting geometry (Xie et al., NeurIPS 2023):
+    * n-gram features hashed into this many buckets — the importance
+    * model's size is O(buckets) REGARDLESS of corpus vocabulary, the
+    * property that makes DSIR run at 100 TB. Buckets are the first
+    * two md5 hex chars, so the oracle replays the hashing verbatim. */
+  val DsirBuckets = 256
+
+  /** The gate's stand-in target distribution: the corpus' `en` slice
+    * plays the high-quality reference corpus (in production: the
+    * Wikipedia/books sample the mixture is steered toward). */
+  val DsirTargetLang = "en"
 
   val all: Seq[QueryDef] = Seq(
 
@@ -350,6 +363,37 @@ object CurationOps {
             .select(idHash(col("doc_id")).as("h"), col("doc_id")),
           "pos", Seq(col("h"), col("doc_id")))
           .select(col("doc_id"), col("pos"))
+    },
+
+    // DSIR importance weighting (Xie et al. NeurIPS'23): per-doc mean
+    // log ratio of target-vs-raw hashed-n-gram bucket distributions,
+    // add-one smoothed; selection flag on the rounded score. The
+    // importance model is an O(256)-row broadcast regardless of
+    // corpus size — see dsirWeights' scaladoc for the 100 TB story.
+    QueryDef.sql(
+      "q_select_dsir",
+      s"""WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS t FROM documents),
+         |ng AS (SELECT doc_id, lang,
+         |         unnest(list_concat(t, list_transform(range(len(t) - 1),
+         |                i -> t[i+1] || ' ' || t[i+2]))) AS ng
+         |       FROM t),
+         |bk AS (SELECT doc_id, lang, substr(md5(ng), 1, 2) AS b FROM ng),
+         |raw AS (SELECT b, CAST(count(*) AS BIGINT) AS cr FROM bk GROUP BY b),
+         |tgt AS (SELECT b, CAST(count(*) AS BIGINT) AS ct FROM bk
+         |        WHERE lang = '$DsirTargetLang' GROUP BY b),
+         |tot AS (SELECT CAST(count(*) AS BIGINT) AS nr,
+         |               CAST(count(*) FILTER (WHERE lang = '$DsirTargetLang') AS BIGINT) AS nt
+         |        FROM bk),
+         |lr AS (SELECT b, ln(CAST((coalesce(ct, 0) + 1) * (nr + $DsirBuckets) AS DOUBLE)
+         |                    / CAST((cr + 1) * (nt + $DsirBuckets) AS DOUBLE)) AS lr
+         |       FROM raw LEFT JOIN tgt USING (b) CROSS JOIN tot),
+         |sc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_ngrams,
+         |              round(avg(lr), 6) AS dsir_logratio
+         |       FROM bk JOIN lr USING (b) GROUP BY doc_id)
+         |SELECT doc_id, n_ngrams, dsir_logratio,
+         |       dsir_logratio > 0.0 AS selected
+         |FROM sc""".stripMargin) {
+      (s, dir) => dsirWeights(DedupOps.spread(Tables(s, dir, "documents")))
     }
   )
 
@@ -366,5 +410,57 @@ object CurationOps {
         .when(idx === 1, MixRateUppers(1))
         .when(idx === 2, MixRateUppers(2))
         .otherwise(MixRateUppers(3))).as("in_mix"))
+  }
+
+  /** DSIR data selection (Xie et al., "Data Selection for Language
+    * Models via Importance Resampling", NeurIPS 2023): score every
+    * document by the mean log importance ratio of its hashed n-gram
+    * features under a target distribution vs the raw-corpus
+    * distribution, both add-one smoothed over [[DsirBuckets]]
+    * buckets. Features are unigrams + bigrams (the paper's choice);
+    * a doc's weight is avg over its n-gram INSTANCES of
+    * ln(p_target(bucket) / p_raw(bucket)).
+    *
+    * Scale design: the two distributions are bucket-count aggregates
+    * (one shuffle keyed by a 2-hex-char bucket — at most 256 groups),
+    * and the finished importance model is an O(256)-row BROADCAST no
+    * matter how large the corpus or its vocabulary is; per-doc
+    * scoring is then a map-side broadcast-hash join + one doc_id
+    * aggregate. Nothing quadratic, no vocabulary-sized state on any
+    * single task. The log ratio is ln of one exact-integer product
+    * quotient, so both engines evaluate the identical double; the
+    * per-doc avg() reassociates across engines, but per-doc groups
+    * are ~100 n-grams, keeping the error orders of magnitude under
+    * the 6-decimal rounding (same argument as q_text_perplexity).
+    * `selected` is derived from the ROUNDED score, so flag parity is
+    * implied by score parity.
+    *
+    * Output: (doc_id, n_ngrams, dsir_logratio, selected).
+    */
+  def dsirWeights(docs: org.apache.spark.sql.DataFrame,
+      targetLang: String = DsirTargetLang): org.apache.spark.sql.DataFrame = {
+    val base = docs.select(col("doc_id"), col("lang"), tokens(col("text")).as("t"))
+    val bk = base
+      .select(col("doc_id"), col("lang"),
+        explode(concat(col("t"), shingles(col("t"), 2))).as("ng"))
+      .select(col("doc_id"), col("lang"),
+        substring(md5(col("ng").cast("binary")), 1, 2).as("b"))
+      .pinned // feeds the raw counts, target counts, totals AND probe
+    val isTgt = col("lang") === targetLang
+    val raw = bk.groupBy(col("b")).agg(count(lit(1)).as("cr"))
+    val tgt = bk.filter(isTgt).groupBy(col("b")).agg(count(lit(1)).as("ct"))
+    val tot = bk.agg(count(lit(1)).as("nr"),
+      sum(when(isTgt, 1L).otherwise(0L)).as("nt"))
+    val smooth = lit(DsirBuckets.toLong)
+    val lr = raw.join(tgt, Seq("b"), "left_outer")
+      .crossJoin(broadcast(tot))
+      .select(col("b"),
+        log(((coalesce(col("ct"), lit(0L)) + 1L) * (col("nr") + smooth)).cast("double")
+          / ((col("cr") + 1L) * (col("nt") + smooth)).cast("double")).as("lr"))
+    bk.join(broadcast(lr), "b")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_ngrams"),
+        round(avg(col("lr")), 6).as("dsir_logratio"))
+      .withColumn("selected", col("dsir_logratio") > 0.0)
   }
 }

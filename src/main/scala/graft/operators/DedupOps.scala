@@ -335,6 +335,63 @@ object DedupOps {
           .as("dup_span_frac"))
   }
 
+  /** Paragraph length for [[paragraphDedup]]: consecutive
+    * non-overlapping ParaTokens-token chunks stand in for the
+    * newline-delimited paragraphs of a real corpus (the gate corpus
+    * is single-line; a production run swaps the chunker for
+    * `split(text, "\n")` and nothing else changes). */
+  val ParaTokens = 10
+
+  /** Paragraph-level exact dedup with removal — the CCNet/Dolma
+    * corpus-preparation step (CCNet §3.1 "paragraph-level
+    * deduplication"; Dolma's exact paragraph dedup): every paragraph
+    * occurrence after the FIRST (ordered by (doc_id, position)) is
+    * dropped corpus-wide, and each document is reduced to its
+    * surviving paragraphs.
+    *
+    * Scale design: the paragraph hash is computed INSIDE the per-row
+    * transform, so only (doc_id, idx, md5) triples — ~50 bytes per
+    * paragraph — ever leave the row; the text itself never shuffles.
+    * First-occurrence election is one window over the hash (the
+    * dedup shuffle), and reconstruction is a doc_id-keyed aggregate
+    * of the kept hashes. The emitted `kept_hash` fingerprints the
+    * deduped document (md5 of the kept paragraph hashes in document
+    * order) without ever moving paragraph text; a production rewrite
+    * joins the (doc_id, idx, keep) decisions back to the doc-local
+    * chunks instead — co-partitioned on doc_id, still no text in the
+    * dedup shuffle.
+    *
+    * Output: (doc_id, n_paras, n_kept, drop_ratio, kept_hash).
+    */
+  def paragraphDedup(docs: DataFrame): DataFrame = {
+    val chunks = spread(docs)
+      .select(col("doc_id"), tokens(col("text")).as("t"))
+      .select(col("doc_id"),
+        posexplode(transform(
+          sequence(lit(0),
+            floor((size(col("t")) - lit(1)) / lit(ParaTokens)).cast("int")),
+          i => md5(concat_ws(" ",
+            slice(col("t"), i * ParaTokens + 1, lit(ParaTokens))).cast("binary"))))
+          .as(Seq("idx", "h")))
+    val firstWins = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("h")).orderBy(col("doc_id"), col("idx"))
+    val kept = sum(when(col("keep"), 1L).otherwise(0L))
+    chunks
+      .withColumn("keep", row_number().over(firstWins) === 1)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_paras"),
+        kept.as("n_kept"),
+        round(lit(1.0) - kept.cast("double") / count(lit(1)).cast("double"), 6)
+          .as("drop_ratio"),
+        // kept-paragraph fingerprint: hashes in document order; the
+        // when-without-otherwise nulls are skipped by collect_list,
+        // and a fully-dropped doc hashes the empty string
+        md5(concat_ws("", transform(
+          array_sort(collect_list(when(col("keep"),
+            struct(col("idx"), col("h"))))),
+          x => x.getField("h"))).cast("binary")).as("kept_hash"))
+  }
+
   /** Benchmark decontamination: flag corpus documents sharing at
     * least `minShared` word-3-gram shingles with any document of an
     * evaluation set — the "did the training data leak the benchmark"
@@ -961,6 +1018,31 @@ object DedupOps {
            |             JOIN sig sb ON sb.doc_id = i.b""".stripMargin
       }) {
       (s, dir) => minhashEstimatedJaccard(Tables(s, dir, "documents"))
+    },
+
+    // Paragraph-level exact dedup with removal (CCNet/Dolma shape):
+    // corpus-wide first-occurrence election over aligned
+    // ParaTokens-token chunk hashes, then per-doc reconstruction as
+    // kept-count + ordered kept-hash fingerprint. Only md5 triples
+    // shuffle; see paragraphDedup's scaladoc for the 100 TB story.
+    QueryDef.sql(
+      "q_dedup_paragraphs",
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+         |ch AS (SELECT doc_id,
+         |         unnest(list_transform(range(CAST(ceil(len(t) / $ParaTokens.0) AS BIGINT)),
+         |                i -> {'idx': i, 'h': md5(array_to_string(
+         |                        t[i*$ParaTokens+1 : i*$ParaTokens+$ParaTokens], ' '))})) AS s
+         |       FROM t),
+         |c2 AS (SELECT doc_id, CAST(s['idx'] AS INTEGER) AS idx, s['h'] AS h FROM ch),
+         |d AS (SELECT doc_id, idx, h,
+         |        row_number() OVER (PARTITION BY h ORDER BY doc_id, idx) = 1 AS keep
+         |      FROM c2)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_paras,
+         |       CAST(count(*) FILTER (WHERE keep) AS BIGINT) AS n_kept,
+         |       round(1.0 - count(*) FILTER (WHERE keep) / CAST(count(*) AS DOUBLE), 6) AS drop_ratio,
+         |       md5(coalesce(string_agg(h, '' ORDER BY idx) FILTER (WHERE keep), '')) AS kept_hash
+         |FROM d GROUP BY doc_id""".stripMargin) {
+      (s, dir) => paragraphDedup(Tables(s, dir, "documents"))
     }
   )
 }

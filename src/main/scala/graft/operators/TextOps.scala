@@ -37,6 +37,21 @@ object TextOps {
   val ClfAtlW = -0.25
   val ClfBias = 0.2
 
+  /** BM25 parameters (Robertson/Spärck Jones defaults) and the fixed
+    * gate query: one rare, highly-discriminative term plus two
+    * mid-frequency ones, so idf does real work on the gate corpus. */
+  val Bm25K1 = 1.2
+  val Bm25B = 0.75
+  val Bm25Query: Seq[String] = Seq("dup", "vector", "stream")
+  val Bm25TopK = 15
+
+  /** Spark/oracle-shared derived BM25 constants, named so both sides
+    * interpolate the SAME double (Scala's toString round-trips, so
+    * the SQL literal parses back to the identical binary64). Declared
+    * BEFORE `all`: its oracle string is built during object init. */
+  val Bm25K1Plus1: Double = Bm25K1 + 1.0
+  val Bm25OneMinusB: Double = 1.0 - Bm25B
+
   val all: Seq[QueryDef] = Seq(
 
     // Token counting: whitespace tokens plus a BPE-ish alnum-run
@@ -458,6 +473,15 @@ object TextOps {
         |CROSS JOIN vc
         |GROUP BY doc_id""".stripMargin) {
       (s, dir) => bigramSurprisal(DedupOps.spread(Tables(s, dir, "documents")))
+    },
+
+    // BM25 lexical retrieval: top-k documents for a fixed
+    // bag-of-words query. One broadcast stats row + map-side
+    // term-frequency scoring + TakeOrderedAndProject — zero shuffle
+    // of the corpus. Oracle is generated from the same constants
+    // (bm25OracleSql) so formula and SQL cannot drift.
+    QueryDef.sql("q_sim_bm25", bm25OracleSql) {
+      (s, dir) => bm25TopK(DedupOps.spread(Tables(s, dir, "documents")))
     }
   )
 
@@ -506,5 +530,81 @@ object TextOps {
       .agg(count(lit(1)).as("n_bigrams"),
         round(avg(-log((col("cb") + 1).cast("double")
           / (col("cu") + col("v")))), 6).as("mean_nll"))
+  }
+
+  /** BM25 top-k retrieval over a fixed bag-of-words query — the
+    * lexical-retrieval side of RAG and retrieval-based data
+    * selection (Robertson's BM25 in Lucene's always-positive idf
+    * form: idf = ln(1 + (N − df + 0.5)/(df + 0.5))).
+    *
+    * Scale design: corpus statistics (N, Σdl, one df per query term)
+    * are ONE aggregate row broadcast to every task; per-document
+    * term frequencies come from `filter()` over the doc's own token
+    * array — map-side, no inverted index, no shuffle of text; the
+    * top-k cut is orderBy+limit → TakeOrderedAndProject (per-
+    * partition heap + k-row driver merge, never a global sort).
+    * Every arithmetic step mirrors the oracle SQL's association
+    * order, so the IEEE doubles agree bit-for-bit before rounding;
+    * the k-boundary is cut on the ROUNDED score with doc_id
+    * tie-break, identically on both engines.
+    */
+  def bm25TopK(docs: DataFrame, query: Seq[String] = Bm25Query,
+      k: Int = Bm25TopK): DataFrame = {
+    val base = docs.select(col("doc_id"), tokens(col("text")).as("t"))
+    val dfCols = query.zipWithIndex.map { case (q, i) =>
+      sum(when(array_contains(col("t"), q), 1L).otherwise(0L)).as(s"df$i")
+    }
+    val stats = base.agg(count(lit(1)).as("n"),
+      sum(size(col("t")).cast("long")).as("sum_dl") +: dfCols: _*)
+    val dl = size(col("t")).cast("long")
+    val avgdl = col("sum_dl").cast("double") / col("n").cast("double")
+    def termScore(tf: Column, dfc: Column): Column = {
+      val idf = log(lit(1.0) +
+        (col("n").cast("double") - dfc.cast("double") + lit(0.5))
+          / (dfc.cast("double") + lit(0.5)))
+      idf * (tf.cast("double") * lit(Bm25K1Plus1)) /
+        (tf.cast("double") + lit(Bm25K1) *
+          (lit(Bm25OneMinusB) + lit(Bm25B) * (dl.cast("double") / avgdl)))
+    }
+    def tf(q: String): Column = size(filter(col("t"), x => x === q)).cast("long")
+    val total = query.map(q => termScore(tf(q), col(s"df${query.indexOf(q)}")))
+      .reduceLeft(_ + _)
+    base.crossJoin(broadcast(stats))
+      .select(col("doc_id") +: query.map(q => tf(q).as(s"tf_$q"))
+        :+ round(total, 6).as("bm25"): _*)
+      .orderBy(col("bm25").desc, col("doc_id"))
+      .limit(k)
+  }
+
+  /** The q_sim_bm25 oracle, generated from the same constants and
+    * query terms as [[bm25TopK]] so the two can't drift. */
+  def bm25OracleSql: String = {
+    val dfs = Bm25Query.zipWithIndex.map { case (q, i) =>
+      s"CAST(count(*) FILTER (WHERE list_contains(t, '$q')) AS BIGINT) AS df$i"
+    }.mkString(",\n              ")
+    val tfs = Bm25Query.zipWithIndex.map { case (q, i) =>
+      s"CAST(len(list_filter(t, x -> x = '$q')) AS BIGINT) AS tf$i"
+    }.mkString(",\n              ")
+    val dfNames = Bm25Query.indices.map(i => s"df$i").mkString(", ")
+    val scores = Bm25Query.indices.map { i =>
+      s"(ln(1.0 + (CAST(n AS DOUBLE) - CAST(df$i AS DOUBLE) + 0.5) / (CAST(df$i AS DOUBLE) + 0.5))" +
+        s" * (CAST(tf$i AS DOUBLE) * $Bm25K1Plus1)" +
+        s" / (CAST(tf$i AS DOUBLE) + $Bm25K1 * ($Bm25OneMinusB + $Bm25B *" +
+        s" (CAST(dl AS DOUBLE) / (CAST(sum_dl AS DOUBLE) / CAST(n AS DOUBLE))))))"
+    }.mkString("\n  + ")
+    val tfAliases = Bm25Query.zipWithIndex
+      .map { case (q, i) => s"tf$i AS tf_$q" }.mkString(", ")
+    s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+       |st AS (SELECT CAST(count(*) AS BIGINT) AS n,
+       |              CAST(sum(len(t)) AS BIGINT) AS sum_dl,
+       |              $dfs
+       |       FROM t),
+       |sc AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS dl,
+       |              $tfs,
+       |              n, sum_dl, $dfNames
+       |       FROM t CROSS JOIN st)
+       |SELECT doc_id, $tfAliases,
+       |       round($scores, 6) AS bm25
+       |FROM sc ORDER BY bm25 DESC, doc_id LIMIT $Bm25TopK""".stripMargin
   }
 }

@@ -202,4 +202,30 @@ class CurationOpsSpec extends SparkSpec {
     assert(out((400L, "src3")) == ("18d8", true))
     assert(out((3L, "src3")) == ("eccb", false))
   }
+
+  test("dsir importance weights rank target-like docs above off-target " +
+    "docs, selection flag tracks the rounded score") {
+    import spark.implicits._
+    val alpha = "red green blue yellow red green blue yellow red green"
+    val beta = "kat dog fish bird kat dog fish bird kat dog"
+    val docs = Seq(
+      (1L, "en", alpha), (2L, "en", alpha),
+      (3L, "en", alpha), (4L, "en", alpha),
+      (5L, "xx", beta), (6L, "xx", beta),
+      (7L, "xx", alpha) // off-target lang, target-like CONTENT
+    ).toDF("doc_id", "lang", "text")
+    val out = CurationOps.dsirWeights(docs).collect()
+      .map(r => r.getLong(0) -> (r.getAs[Long]("n_ngrams"),
+        r.getAs[Double]("dsir_logratio"), r.getAs[Boolean]("selected")))
+      .toMap
+    assert(out(7L)._1 == 19L) // 10 unigrams + 9 bigrams
+    // DSIR scores content, not the lang label: the alpha-vocab xx doc
+    // beats both beta-vocab xx docs, as do the target docs themselves
+    assert(out(7L)._2 > out(5L)._2 && out(7L)._2 > out(6L)._2)
+    assert(out(1L)._2 > out(5L)._2)
+    out.values.foreach { case (_, s, sel) => assert(sel == (s > 0.0)) }
+    // weight is a pure function of corpus content — partitioning-proof
+    val again = CurationOps.dsirWeights(docs.repartition(5))
+    assert(CurationOps.dsirWeights(docs).exceptAll(again).isEmpty)
+  }
 }

@@ -659,4 +659,52 @@ class PipelineOpsSpec extends SparkSpec {
     assert(out(1L) == (3950000L, true))
     assert(out(2L) == (-800000L, false))
   }
+
+  test("paragraph dedup: first occurrence wins across and within docs, " +
+    "exact-copy doc is fully dropped") {
+    // chunks are ParaTokens-token aligned; build docs from 10-token units
+    def unit(tag: String) = (1 to DedupOps.ParaTokens)
+      .map(i => s"$tag$i").mkString(" ")
+    val (a, b, c, d) = (unit("a"), unit("b"), unit("c"), unit("d"))
+    val docs = Seq(
+      (1L, s"$a $b"), // both kept (first occurrences)
+      (2L, s"$a $c"), // chunk a duplicates doc 1 → dropped, c kept
+      (3L, s"$a $b"), // exact copy of doc 1 → fully dropped
+      (4L, s"$d $d")  // within-doc duplicate → second d dropped
+    ).toDF("doc_id", "text")
+    val out = DedupOps.paragraphDedup(docs).collect()
+      .map(r => r.getLong(0) -> (r.getAs[Long]("n_paras"),
+        r.getAs[Long]("n_kept"), r.getAs[Double]("drop_ratio"),
+        r.getAs[String]("kept_hash"))).toMap
+    assert(out(1L)._1 == 2L && out(1L)._2 == 2L && out(1L)._3 == 0.0)
+    assert(out(2L)._2 == 1L && out(2L)._3 == 0.5)
+    assert(out(3L)._2 == 0L && out(3L)._3 == 1.0)
+    // fully-dropped doc fingerprints the empty string
+    assert(out(3L)._4 == "d41d8cd98f00b204e9800998ecf8427e")
+    assert(out(4L)._2 == 1L)
+    // the dedup election is partitioning-invariant
+    val again = DedupOps.paragraphDedup(docs.repartition(7))
+    assert(DedupOps.paragraphDedup(docs).exceptAll(again).isEmpty)
+  }
+
+  test("bm25: rare-term doc outranks common-term docs, length " +
+    "normalization favors the shorter doc at equal tf, no-hit doc scores 0") {
+    val filler = (1 to 20).map(i => s"w$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"zebra cat $filler"), // rare term → top
+      (2L, "cat cat mouse"),      // tf=2, short
+      (3L, s"cat cat $filler"),   // tf=2, long → below doc 2
+      (4L, "mouse mouse")         // no query terms → 0.0
+    ).toDF("doc_id", "text")
+    val out = TextOps.bm25TopK(docs, query = Seq("zebra", "cat"), k = 4)
+      .collect()
+    assert(out.map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L, 4L))
+    val byId = out.map(r => r.getLong(0) ->
+      (r.getAs[Long]("tf_zebra"), r.getAs[Long]("tf_cat"),
+        r.getAs[Double]("bm25"))).toMap
+    assert(byId(1L)._1 == 1L && byId(1L)._2 == 1L)
+    assert(byId(2L) == (0L, 2L, byId(2L)._3) && byId(2L)._3 > byId(3L)._3)
+    assert(byId(4L)._3 == 0.0)
+    assert(out.forall(_.getAs[Double]("bm25") >= 0.0)) // Lucene idf ≥ 0
+  }
 }

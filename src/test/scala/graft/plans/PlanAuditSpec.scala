@@ -29,7 +29,9 @@ class PlanAuditSpec extends SparkSpec {
     "q_ann_filter",        // 5 probe vectors
     "q_text_tfidf",        // 1-row corpus-size scalar
     "q_sample_temperature", // 1-row min-count scalar
-    "q_text_perplexity"    // 1-row vocab-size scalar
+    "q_text_perplexity",   // 1-row vocab-size scalar
+    "q_sim_bm25",          // 1-row corpus-stats scalar (N, Σdl, dfs)
+    "q_select_dsir"        // 1-row distribution-totals scalar (nr, nt)
   )
 
   private val streaming = Set(
