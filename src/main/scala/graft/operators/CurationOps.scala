@@ -85,6 +85,13 @@ object CurationOps {
     * Wikipedia/books sample the mixture is steered toward). */
   val DsirTargetLang = "en"
 
+  /** Weighted-sample size and the uniform-draw denominator: the
+    * 6-hex-char md5 prefix spans [0, 16^6), so (hex + 1) / (16^6 + 1)
+    * is a deterministic uniform draw in (0, 1] — never 0, so ln() is
+    * always finite. */
+  val WeightedSampleK = 50
+  val HexDraw6Denom: Double = 16777217.0
+
   val all: Seq[QueryDef] = Seq(
 
     // Deterministic train/val/test assignment + a reproducible 10%
@@ -394,6 +401,22 @@ object CurationOps {
          |       dsir_logratio > 0.0 AS selected
          |FROM sc""".stripMargin) {
       (s, dir) => dsirWeights(DedupOps.spread(Tables(s, dir, "documents")))
+    },
+
+    // Deterministic weighted sampling without replacement (Efraimidis
+    // & Spirakis exponential race): inclusion probability ∝ n_chars,
+    // reproducible from the id hash alone. Zero shuffle; the k-cut is
+    // TakeOrderedAndProject — see weightedSample's scaladoc.
+    QueryDef.sql(
+      "q_sample_weighted",
+      s"""WITH k AS (SELECT doc_id, CAST(n_chars AS BIGINT) AS w,
+         |             -ln((CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6) AS BIGINT) AS DOUBLE) + 1.0)
+         |                 / $HexDraw6Denom) / CAST(n_chars AS DOUBLE) AS key
+         |           FROM documents),
+         |top AS (SELECT doc_id, w, key FROM k
+         |        ORDER BY key, doc_id LIMIT $WeightedSampleK)
+         |SELECT doc_id, w, round(key, 6) AS draw_key FROM top""".stripMargin) {
+      (s, dir) => weightedSample(Tables(s, dir, "documents"))
     }
   )
 
@@ -462,5 +485,42 @@ object CurationOps {
       .agg(count(lit(1)).as("n_ngrams"),
         round(avg(col("lr")), 6).as("dsir_logratio"))
       .withColumn("selected", col("dsir_logratio") > 0.0)
+  }
+
+  /** Deterministic weighted sampling WITHOUT replacement (Efraimidis
+    * & Spirakis 2006, exponential-race form): each doc draws a
+    * reproducible uniform u from its id hash and races with key
+    * −ln(u)/w; the k smallest keys win, which selects docs with
+    * inclusion probability proportional to weight — the resampling
+    * step importance-weighted selection (DSIR) and
+    * quality-proportional subcorpus draws need, made replayable.
+    *
+    * Scale design: the race key is pure per-row hash math (zero
+    * shuffle, zero state), and the k-cut is orderBy+limit →
+    * TakeOrderedAndProject — a per-partition k-heap plus a k-row
+    * driver merge, NEVER a global sort; rerunning on any cluster
+    * layout reproduces the exact sample. The k-boundary is cut on
+    * the UNROUNDED key (doc_id tie-break) — both engines compute the
+    * identical IEEE double, and cutting on a rounded key would break
+    * the method's scale invariance at the boundary. Scale
+    * invariance (spec-pinned): multiplying every weight by a
+    * constant rescales all keys by 1/c and leaves the selected set
+    * unchanged.
+    *
+    * Output: the k winners as (doc_id, w, draw_key).
+    */
+  def weightedSample(docs: org.apache.spark.sql.DataFrame,
+      k: Int = WeightedSampleK): org.apache.spark.sql.DataFrame = {
+    val u = (conv(substring(idHash(col("doc_id")), 1, 6), 16, 10)
+      .cast("long").cast("double") + lit(1.0)) / lit(HexDraw6Denom)
+    // the k-cut runs on the UNROUNDED key (bit-identical in both
+    // engines — same IEEE op sequence): cutting on the rounded key
+    // would break the scale-invariance at the boundary whenever two
+    // keys straddle a rounding step. Rounding happens on output only.
+    docs.select(col("doc_id"), col("n_chars").cast("long").as("w"),
+      (-log(u) / col("n_chars").cast("double")).as("key"))
+      .orderBy(col("key"), col("doc_id"))
+      .limit(k)
+      .select(col("doc_id"), col("w"), round(col("key"), 6).as("draw_key"))
   }
 }

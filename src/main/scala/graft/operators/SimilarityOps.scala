@@ -4,7 +4,7 @@ import graft.operators.Materialize.PinOps
 import graft.{QueryDef, Tables}
 import graft.functions.{CosineSimilarity, TextVec}
 import graft.functions.TextVec._
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -34,6 +34,15 @@ object SimilarityOps {
     * 2× per added bit — the standard LSH recall/cost dial). */
   val NearDupBands = 2
   val NearDupBandBits = 8
+
+  /** Product-quantization geometry: 64-dim vectors split into
+    * PqSubspaces contiguous PqSubDim-dim subvectors, each coded
+    * against a PqCentroids-entry per-subspace codebook seeded from
+    * the first PqCentroids vectors (the deterministic stand-in for a
+    * k-means-trained codebook — `ivfTrain` is the training analog). */
+  val PqSubspaces = 4
+  val PqSubDim = 16
+  val PqCentroids = 4
 
   /** Cross-score corpus (vec_id, embedding) against broadcast probes
     * (query_id, qv): one row per (query, vector) pair with sequential
@@ -522,6 +531,40 @@ object SimilarityOps {
           .select(col("vec_id").as("centroid_id"), col("embedding").as("cv"))
         ivfSearch(emb(s, dir), centroids, gateProbes(s, dir),
           NumProbeCells, TopK)
+    },
+
+    // Product quantization: per-subspace nearest-centroid codes + the
+    // total reconstruction error — the compression half of IVF-PQ,
+    // the standard 100 TB ANN layout (codes are PqSubspaces small
+    // ints per vector vs 64 floats: ~64× less to scan at search
+    // time). Codebook is a 16-row broadcast; coding is map-side.
+    QueryDef.sql(
+      "q_embed_pq",
+      s"""WITH cb AS (SELECT vec_id AS cid, embedding AS cv
+         |            FROM embeddings WHERE vec_id < $PqCentroids),
+         |sub AS (SELECT unnest(range($PqSubspaces)) AS j),
+         |cs AS (SELECT cid, j, cv[j*$PqSubDim+1 : j*$PqSubDim+$PqSubDim] AS csub
+         |       FROM cb CROSS JOIN sub),
+         |ev AS (SELECT vec_id, j, embedding[j*$PqSubDim+1 : j*$PqSubDim+$PqSubDim] AS esub
+         |       FROM embeddings CROSS JOIN sub),
+         |d AS (SELECT vec_id, j, cid,
+         |        list_sum(list_transform(range($PqSubDim), i ->
+         |          (CAST(esub[i+1] AS DOUBLE) - CAST(csub[i+1] AS DOUBLE))
+         |          * (CAST(esub[i+1] AS DOUBLE) - CAST(csub[i+1] AS DOUBLE)))) AS d2
+         |      FROM ev JOIN cs USING (j)),
+         |mn AS (SELECT vec_id, j, min({'d': d2, 'c': cid}) AS m
+         |       FROM d GROUP BY vec_id, j)
+         |SELECT vec_id,
+         |       CAST(max(CASE WHEN j = 0 THEN m['c'] END) AS INTEGER) AS code0,
+         |       CAST(max(CASE WHEN j = 1 THEN m['c'] END) AS INTEGER) AS code1,
+         |       CAST(max(CASE WHEN j = 2 THEN m['c'] END) AS INTEGER) AS code2,
+         |       CAST(max(CASE WHEN j = 3 THEN m['c'] END) AS INTEGER) AS code3,
+         |       round(max(CASE WHEN j = 0 THEN m['d'] END)
+         |           + max(CASE WHEN j = 1 THEN m['d'] END)
+         |           + max(CASE WHEN j = 2 THEN m['d'] END)
+         |           + max(CASE WHEN j = 3 THEN m['d'] END), 6) AS recon_err
+         |FROM mn GROUP BY vec_id""".stripMargin) {
+      (s, dir) => pqCodes(emb(s, dir))
     }
   )
 
@@ -561,5 +604,53 @@ object SimilarityOps {
       .join(sizes, Seq("centroid_id"))
       .select(col("centroid_id"), col("n_members"), col("keep_id"),
         col("drop_id"), round(col("cos"), 6).as("sim"))
+  }
+
+  /** Product-quantization code assignment (Jégou et al., "Product
+    * Quantization for Nearest Neighbor Search", TPAMI 2011): split
+    * each vector into [[PqSubspaces]] contiguous [[PqSubDim]]-dim
+    * subvectors and code each against its subspace's
+    * [[PqCentroids]]-entry codebook by squared-L2 argmin; emit the
+    * per-subspace codes plus the total reconstruction error.
+    *
+    * Scale design: the codebook (subspaces × centroids = 16 rows
+    * here, m × 256 in production — tiny either way) BROADCASTS
+    * through a `sub`-keyed equi-join, so coding is map-side over the
+    * corpus: explode into subvectors, score against the codebook
+    * rows of the same subspace, argmin via a lexicographic
+    * `min(struct(d2, cid))` (deterministic centroid-id tie-break),
+    * and re-assemble one code row per vector. No window, no
+    * all-pairs anything. At 100 TB the coded corpus is
+    * [[PqSubspaces]] small ints per vector instead of 64 floats —
+    * the memory/scan ratio that makes IVF-PQ the standard ANN
+    * layout. The squared-distance fold is strictly sequential
+    * left-to-right, matching the oracle's `list_sum` order.
+    *
+    * Output: (vec_id, code0..code{m−1}, recon_err).
+    */
+  def pqCodes(e: DataFrame): DataFrame = {
+    val subIdx = sequence(lit(0), lit(PqSubspaces - 1))
+    def subvecs(v: Column): Column =
+      transform(subIdx, j => slice(v, j * PqSubDim + 1, lit(PqSubDim)))
+    val cb = e.filter(col("vec_id") < PqCentroids)
+      .select(col("vec_id").cast("int").as("cid"),
+        posexplode(subvecs(col("embedding"))).as(Seq("sub", "csub")))
+    val ev = e.select(col("vec_id"),
+      posexplode(subvecs(col("embedding"))).as(Seq("sub", "esub")))
+    val diffs = zip_with(col("esub").cast("array<double>"),
+      col("csub").cast("array<double>"), (x, y) => (x - y) * (x - y))
+    val d2 = aggregate(diffs, lit(0.0), (acc, x) => acc + x)
+    val mn = ev.join(broadcast(cb), "sub")
+      .select(col("vec_id"), col("sub"), d2.as("d2"), col("cid"))
+      .groupBy(col("vec_id"), col("sub"))
+      .agg(min(struct(col("d2").as("d"), col("cid").as("c"))).as("m"))
+    def codeAt(j: Int): Column =
+      max(when(col("sub") === j, col("m.c"))).cast("int").as(s"code$j")
+    def errAt(j: Int): Column = max(when(col("sub") === j, col("m.d")))
+    val recon = (0 until PqSubspaces).map(errAt).reduceLeft(_ + _)
+    mn.groupBy(col("vec_id"))
+      .agg(codeAt(0),
+        ((1 until PqSubspaces).map(codeAt)
+          :+ round(recon, 6).as("recon_err")): _*)
   }
 }

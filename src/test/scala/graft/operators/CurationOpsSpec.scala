@@ -228,4 +228,31 @@ class CurationOpsSpec extends SparkSpec {
     val again = CurationOps.dsirWeights(docs.repartition(5))
     assert(CurationOps.dsirWeights(docs).exceptAll(again).isEmpty)
   }
+
+  test("weighted sample: proportional-to-weight inclusion, scale-invariant " +
+    "selection, reproducible under repartitioning") {
+    import spark.implicits._
+    val docs = graft.Tables(spark, sfDir, "documents")
+    val out = CurationOps.weightedSample(docs).cache()
+    try {
+      assert(out.count() == CurationOps.WeightedSampleK)
+      // exponential race biases toward heavy docs: the sample's mean
+      // weight must exceed the corpus mean (weights span ~48..550)
+      val sampleMean = out.agg(avg(col("w"))).head.getDouble(0)
+      val corpusMean = docs.agg(avg(col("n_chars"))).head.getDouble(0)
+      assert(sampleMean > corpusMean,
+        s"sample mean $sampleMean should exceed corpus mean $corpusMean")
+      // Efraimidis-Spirakis invariant: scaling every weight by the
+      // same constant rescales all keys by 1/c and leaves the
+      // SELECTED SET unchanged
+      val scaled = CurationOps.weightedSample(
+        docs.withColumn("n_chars", col("n_chars") * 7))
+      val a = out.select("doc_id").collect().map(_.getLong(0)).toSet
+      val b = scaled.select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(a == b)
+      // pure per-row hash math → partitioning-proof
+      val again = CurationOps.weightedSample(docs.repartition(7))
+      assert(out.exceptAll(again).isEmpty)
+    } finally out.unpersist()
+  }
 }

@@ -707,4 +707,32 @@ class PipelineOpsSpec extends SparkSpec {
     assert(byId(4L)._3 == 0.0)
     assert(out.forall(_.getAs[Double]("bm25") >= 0.0)) // Lucene idf ≥ 0
   }
+
+  test("pq codes: seed vectors self-code at zero error, composed vector " +
+    "picks each subspace's true centroid") {
+    // 4 constant-valued 64-dim centroids; vec 10 takes subspace j's
+    // slice from centroid (j+1) % 4, vec 11 sits nearest centroid 2
+    def const(v: Double) = Array.fill(SimilarityOps.PqSubspaces *
+      SimilarityOps.PqSubDim)(v.toFloat)
+    val composed = (0 until SimilarityOps.PqSubspaces).flatMap(j =>
+      Array.fill(SimilarityOps.PqSubDim)(((j + 1) % 4 + 1).toFloat)).toArray
+    val emb = Seq(
+      (0L, const(1.0)), (1L, const(2.0)), (2L, const(3.0)), (3L, const(4.0)),
+      (10L, composed), (11L, const(3.2))
+    ).toDF("vec_id", "embedding")
+    val out = SimilarityOps.pqCodes(emb).collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2), r.getInt(3),
+        r.getInt(4)), r.getAs[Double]("recon_err"))).toMap
+    (0L to 3L).foreach { id =>
+      assert(out(id)._1 == ((id.toInt, id.toInt, id.toInt, id.toInt)))
+      assert(out(id)._2 == 0.0)
+    }
+    assert(out(10L)._1 == ((1, 2, 3, 0)) && out(10L)._2 == 0.0)
+    assert(out(11L)._1 == ((2, 2, 2, 2)))
+    // 16 dims × 0.2² per subspace, 4 subspaces → ~2.56 total (float
+    // 3.2f is inexact, so allow the single-precision wobble)
+    assert(math.abs(out(11L)._2 - 2.56) < 1e-3)
+    val again = SimilarityOps.pqCodes(emb.repartition(5))
+    assert(SimilarityOps.pqCodes(emb).exceptAll(again).isEmpty)
+  }
 }
