@@ -245,6 +245,32 @@ object SimilarityOps {
        |    ON x.band = y.band AND x.bucket = y.bucket AND x.vec_id < y.vec_id)""".stripMargin
   }
 
+  /** DuckDB squared-L2 over list columns — sequential left-to-right
+    * accumulation, bit-identical to [[sqDist]]. */
+  private def sqDistSql(a: String, b: String): String =
+    s"""list_sum(list_transform(range($PqSubDim), i ->
+       |          (CAST($a[i+1] AS DOUBLE) - CAST($b[i+1] AS DOUBLE))
+       |          * (CAST($a[i+1] AS DOUBLE) - CAST($b[i+1] AS DOUBLE))))""".stripMargin
+
+  /** Shared PQ oracle CTEs — codebook, subvector explode, argmin
+    * assignment — the exact SQL replica of [[pqCodebook]] +
+    * [[pqAssign]], used by both the coding and ADC-search oracles so
+    * a geometry retune can't desynchronize them. Exposes `mn`
+    * (vec_id, j, m = {'d','c'}) and the building CTEs. */
+  private def pqCtes: String =
+    s"""cb AS (SELECT vec_id AS cid, embedding AS cv
+       |            FROM embeddings WHERE vec_id < $PqCentroids),
+       |sub AS (SELECT unnest(range($PqSubspaces)) AS j),
+       |cs AS (SELECT cid, j, cv[j*$PqSubDim+1 : j*$PqSubDim+$PqSubDim] AS csub
+       |       FROM cb CROSS JOIN sub),
+       |ev AS (SELECT vec_id, j, embedding[j*$PqSubDim+1 : j*$PqSubDim+$PqSubDim] AS esub
+       |       FROM embeddings CROSS JOIN sub),
+       |d AS (SELECT vec_id, j, cid,
+       |        ${sqDistSql("esub", "csub")} AS d2
+       |      FROM ev JOIN cs USING (j)),
+       |mn AS (SELECT vec_id, j, min({'d': d2, 'c': cid}) AS m
+       |       FROM d GROUP BY vec_id, j)""".stripMargin
+
   /** DuckDB cosine over list columns `a`,`b` — sequential
     * left-to-right accumulation, bit-identical to [[CosineSimilarity]]. */
   private def cosSql(a: String, b: String): String =
@@ -540,20 +566,7 @@ object SimilarityOps {
     // time). Codebook is a 16-row broadcast; coding is map-side.
     QueryDef.sql(
       "q_embed_pq",
-      s"""WITH cb AS (SELECT vec_id AS cid, embedding AS cv
-         |            FROM embeddings WHERE vec_id < $PqCentroids),
-         |sub AS (SELECT unnest(range($PqSubspaces)) AS j),
-         |cs AS (SELECT cid, j, cv[j*$PqSubDim+1 : j*$PqSubDim+$PqSubDim] AS csub
-         |       FROM cb CROSS JOIN sub),
-         |ev AS (SELECT vec_id, j, embedding[j*$PqSubDim+1 : j*$PqSubDim+$PqSubDim] AS esub
-         |       FROM embeddings CROSS JOIN sub),
-         |d AS (SELECT vec_id, j, cid,
-         |        list_sum(list_transform(range($PqSubDim), i ->
-         |          (CAST(esub[i+1] AS DOUBLE) - CAST(csub[i+1] AS DOUBLE))
-         |          * (CAST(esub[i+1] AS DOUBLE) - CAST(csub[i+1] AS DOUBLE)))) AS d2
-         |      FROM ev JOIN cs USING (j)),
-         |mn AS (SELECT vec_id, j, min({'d': d2, 'c': cid}) AS m
-         |       FROM d GROUP BY vec_id, j)
+      s"""WITH $pqCtes
          |SELECT vec_id,
          |       CAST(max(CASE WHEN j = 0 THEN m['c'] END) AS INTEGER) AS code0,
          |       CAST(max(CASE WHEN j = 1 THEN m['c'] END) AS INTEGER) AS code1,
@@ -565,6 +578,38 @@ object SimilarityOps {
          |           + max(CASE WHEN j = 3 THEN m['d'] END), 6) AS recon_err
          |FROM mn GROUP BY vec_id""".stripMargin) {
       (s, dir) => pqCodes(emb(s, dir))
+    },
+
+    // PQ asymmetric-distance search (ADC): per-query distance table
+    // to every codebook centroid (broadcast), then each coded vector
+    // scored by m table lookups summed in fixed subspace order — the
+    // search half of IVF-PQ, scanning codes instead of floats.
+    QueryDef.sql(
+      "q_sim_pq_adc",
+      s"""WITH $pqCtes,
+         |codes AS (SELECT vec_id, j, m['c'] AS code FROM mn),
+         |q AS (SELECT vec_id AS query_id, embedding AS qv
+         |      FROM embeddings WHERE vec_id < $NumProbes),
+         |qs AS (SELECT query_id, j, qv[j*$PqSubDim+1 : j*$PqSubDim+$PqSubDim] AS qsub
+         |       FROM q CROSS JOIN sub),
+         |dt AS (SELECT query_id, j, cid,
+         |         ${sqDistSql("qsub", "csub")} AS dd
+         |       FROM qs JOIN cs USING (j)),
+         |sc AS (SELECT query_id, vec_id,
+         |         max(CASE WHEN dt.j = 0 THEN dd END)
+         |       + max(CASE WHEN dt.j = 1 THEN dd END)
+         |       + max(CASE WHEN dt.j = 2 THEN dd END)
+         |       + max(CASE WHEN dt.j = 3 THEN dd END) AS adc
+         |       FROM codes JOIN dt ON dt.j = codes.j AND dt.cid = codes.code
+         |       GROUP BY query_id, vec_id)
+         |SELECT query_id, vec_id AS neighbor_id, CAST(rnk AS INTEGER) AS rnk,
+         |       round(adc, 6) AS adc_dist
+         |FROM (SELECT query_id, vec_id, adc,
+         |             row_number() OVER (PARTITION BY query_id
+         |                                ORDER BY adc, vec_id) AS rnk
+         |      FROM sc WHERE vec_id <> query_id)
+         |WHERE rnk <= $TopK""".stripMargin) {
+      (s, dir) => pqAdcTopK(emb(s, dir), gateProbes(s, dir), TopK)
     }
   )
 
@@ -628,29 +673,95 @@ object SimilarityOps {
     *
     * Output: (vec_id, code0..code{m−1}, recon_err).
     */
-  def pqCodes(e: DataFrame): DataFrame = {
-    val subIdx = sequence(lit(0), lit(PqSubspaces - 1))
-    def subvecs(v: Column): Column =
-      transform(subIdx, j => slice(v, j * PqSubDim + 1, lit(PqSubDim)))
-    val cb = e.filter(col("vec_id") < PqCentroids)
+  /** Vector → its [[PqSubspaces]] contiguous subvectors. */
+  private def subvecs(v: Column): Column =
+    transform(sequence(lit(0), lit(PqSubspaces - 1)),
+      j => slice(v, j * PqSubDim + 1, lit(PqSubDim)))
+
+  /** Exploded per-subspace codebook (sub, cid, csub), seeded from the
+    * first [[PqCentroids]] vectors — [[PqSubspaces]]×[[PqCentroids]]
+    * rows, always broadcast. */
+  private def pqCodebook(e: DataFrame): DataFrame =
+    e.filter(col("vec_id") < PqCentroids)
       .select(col("vec_id").cast("int").as("cid"),
         posexplode(subvecs(col("embedding"))).as(Seq("sub", "csub")))
+
+  /** Strictly sequential squared-L2 between two float arrays, cast
+    * element-wise to double — matches the oracle's `list_sum` order. */
+  private def sqDist(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a.cast("array<double>"), b.cast("array<double>"),
+        (x, y) => (x - y) * (x - y)),
+      lit(0.0), (acc, x) => acc + x)
+
+  /** Per-subspace PQ assignment: (vec_id, sub, code, dmin) — the
+    * argmin over the broadcast codebook, deterministic via the
+    * lexicographic `min(struct(d2, cid))` tie-break. */
+  def pqAssign(e: DataFrame): DataFrame = {
     val ev = e.select(col("vec_id"),
       posexplode(subvecs(col("embedding"))).as(Seq("sub", "esub")))
-    val diffs = zip_with(col("esub").cast("array<double>"),
-      col("csub").cast("array<double>"), (x, y) => (x - y) * (x - y))
-    val d2 = aggregate(diffs, lit(0.0), (acc, x) => acc + x)
-    val mn = ev.join(broadcast(cb), "sub")
-      .select(col("vec_id"), col("sub"), d2.as("d2"), col("cid"))
+    ev.join(broadcast(pqCodebook(e)), "sub")
+      .select(col("vec_id"), col("sub"),
+        sqDist(col("esub"), col("csub")).as("d2"), col("cid"))
       .groupBy(col("vec_id"), col("sub"))
       .agg(min(struct(col("d2").as("d"), col("cid").as("c"))).as("m"))
+      .select(col("vec_id"), col("sub"),
+        col("m.c").as("code"), col("m.d").as("dmin"))
+  }
+
+  def pqCodes(e: DataFrame): DataFrame = {
+    val a = pqAssign(e)
     def codeAt(j: Int): Column =
-      max(when(col("sub") === j, col("m.c"))).cast("int").as(s"code$j")
-    def errAt(j: Int): Column = max(when(col("sub") === j, col("m.d")))
+      max(when(col("sub") === j, col("code"))).cast("int").as(s"code$j")
+    def errAt(j: Int): Column = max(when(col("sub") === j, col("dmin")))
     val recon = (0 until PqSubspaces).map(errAt).reduceLeft(_ + _)
-    mn.groupBy(col("vec_id"))
+    a.groupBy(col("vec_id"))
       .agg(codeAt(0),
         ((1 until PqSubspaces).map(codeAt)
           :+ round(recon, 6).as("recon_err")): _*)
+  }
+
+  /** PQ asymmetric-distance search (ADC, Jégou et al. TPAMI'11 §IV):
+    * for each query, precompute the m×k table of squared distances
+    * from the query's subvectors to every codebook centroid, then
+    * score every CODED vector by summing m table lookups — the
+    * search-time half of IVF-PQ, where the corpus is scanned as
+    * [[PqSubspaces]] small ints per vector and the original floats
+    * are never touched.
+    *
+    * Scale design: the distance table is queries × m × k rows (80
+    * here; a few thousand in production) and BROADCASTS; scoring is
+    * a map-side equi-join on (sub, code) over the code table, and
+    * the per-vector sum is re-assembled in FIXED subspace order
+    * (conditional-max pivot, d0+d1+…) so both engines add the same
+    * doubles in the same sequence. Top-k per query is a bounded
+    * window over [[NumProbes]] partitions cut on the UNROUNDED
+    * score; ADC distances are exact reconstruction distances when a
+    * vector equals its code reconstruction (spec-pinned).
+    *
+    * Output: (query_id, neighbor_id, rnk, adc_dist) per query ×
+    * top-k, self-matches excluded.
+    */
+  def pqAdcTopK(e: DataFrame, probes: DataFrame, k: Int): DataFrame = {
+    val qs = probes.select(col("query_id"),
+      posexplode(subvecs(col("qv"))).as(Seq("sub", "qsub")))
+    val dt = qs.join(broadcast(pqCodebook(e)), "sub")
+      .select(col("query_id"), col("sub"), col("cid"),
+        sqDist(col("qsub"), col("csub")).as("d"))
+    val joined = pqAssign(e).as("a")
+      .join(broadcast(dt).as("t"),
+        col("a.sub") === col("t.sub") && col("a.code") === col("t.cid"))
+      .select(col("t.query_id"), col("a.vec_id"), col("a.sub"), col("t.d"))
+    def distAt(j: Int): Column = max(when(col("sub") === j, col("d")))
+    val adc = (0 until PqSubspaces).map(distAt).reduceLeft(_ + _)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc"), col("vec_id"))
+    joined.groupBy(col("query_id"), col("vec_id"))
+      .agg(adc.as("adc"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("rnk"),
+        round(col("adc"), 6).as("adc_dist"))
   }
 }

@@ -735,4 +735,28 @@ class PipelineOpsSpec extends SparkSpec {
     val again = SimilarityOps.pqCodes(emb.repartition(5))
     assert(SimilarityOps.pqCodes(emb).exceptAll(again).isEmpty)
   }
+
+  test("pq adc search: distances equal exact reconstruction distances, " +
+    "coded vectors score as their reconstruction") {
+    def const(v: Double) = Array.fill(SimilarityOps.PqSubspaces *
+      SimilarityOps.PqSubDim)(v.toFloat)
+    val composed = (0 until SimilarityOps.PqSubspaces).flatMap(j =>
+      Array.fill(SimilarityOps.PqSubDim)(((j + 1) % 4 + 1).toFloat)).toArray
+    val emb = Seq(
+      (0L, const(1.0)), (1L, const(2.0)), (2L, const(3.0)), (3L, const(4.0)),
+      (10L, composed), (11L, const(3.2))
+    ).toDF("vec_id", "embedding")
+    val probes = emb.filter(col("vec_id") === 0L)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val out = SimilarityOps.pqAdcTopK(emb, probes, k = 5).collect()
+      .map(r => (r.getAs[Long]("neighbor_id"), r.getAs[Int]("rnk"),
+        r.getAs[Double]("adc_dist")))
+    // ADC vs query const(1): dist to a reconstruction const(c) is
+    // 64·(c−1)²; vec 11 scores as its CODE's reconstruction const(3)
+    // — 256, tying vec 2 exactly (vec_id breaks the tie); composed =
+    // 16·(1+4+9+0) = 224
+    assert(out.toSeq == Seq(
+      (1L, 1, 64.0), (10L, 2, 224.0), (2L, 3, 256.0),
+      (11L, 4, 256.0), (3L, 5, 576.0)))
+  }
 }
