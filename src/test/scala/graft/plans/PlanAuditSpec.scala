@@ -51,4 +51,28 @@ class PlanAuditSpec extends SparkSpec {
     }
     assert(offenders.isEmpty, offenders.mkString("; "))
   }
+
+  test("k-cut queries use TakeOrderedAndProject, never a global sort") {
+    // the SCALE.md claim for every orderBy+limit shape: a
+    // per-partition heap + k-row driver merge. A regression to
+    // Sort + GlobalLimit would ship whole partitions to one task.
+    Seq("q_topk", "q_sim_bm25", "q_sample_weighted").foreach { name =>
+      val plan = graft.SparkEntry.queries(name)(spark, sfDir)
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("TakeOrderedAndProject"),
+        s"$name lost its TakeOrderedAndProject:\n$plan")
+    }
+  }
+
+  test("pq coding and adc search broadcast the codebook/distance table " +
+    "and never sort-merge") {
+    Seq("q_embed_pq", "q_sim_pq_adc").foreach { name =>
+      val plan = graft.SparkEntry.queries(name)(spark, sfDir)
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("BroadcastExchange"),
+        s"$name should broadcast its constant-sized side:\n$plan")
+      assert(!plan.contains("SortMergeJoin"),
+        s"$name must not shuffle the corpus for a tiny build side:\n$plan")
+    }
+  }
 }
