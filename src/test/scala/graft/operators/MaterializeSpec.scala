@@ -88,6 +88,13 @@ class MaterializeSpec extends SparkSpec {
     assert(run() == inClusterSafe(run()))
   }
 
+  test("cluster-safe mode yields identical dsir weights (pinned n-gram buckets)") {
+    def run(): Seq[String] =
+      graft.SparkEntry.queries("q_select_dsir")(spark, "/root/testdata/sf0.001")
+        .collect().map(_.toString).toSeq.sorted
+    assert(run() == inClusterSafe(run()))
+  }
+
   test("cluster-safe mode yields identical star components") {
     val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L)).toDF("a", "b")
     def run(): Seq[(Long, Long)] =
