@@ -363,8 +363,11 @@ object DedupOps {
     *
     * Output: (doc_id, n_paras, n_kept, drop_ratio, kept_hash).
     */
-  def paragraphDedup(docs: DataFrame): DataFrame = {
-    val chunks = spread(docs)
+  /** (doc_id, idx, h): every doc's aligned [[ParaTokens]]-token
+    * paragraph hashes, in document order. The md5 is computed INSIDE
+    * the per-row transform, so paragraph text never leaves the row. */
+  def paragraphHashes(docs: DataFrame): DataFrame =
+    spread(docs)
       .select(col("doc_id"), tokens(col("text")).as("t"))
       .select(col("doc_id"),
         posexplode(transform(
@@ -373,6 +376,9 @@ object DedupOps {
           i => md5(concat_ws(" ",
             slice(col("t"), i * ParaTokens + 1, lit(ParaTokens))).cast("binary"))))
           .as(Seq("idx", "h")))
+
+  def paragraphDedup(docs: DataFrame): DataFrame = {
+    val chunks = paragraphHashes(docs)
     val firstWins = org.apache.spark.sql.expressions.Window
       .partitionBy(col("h")).orderBy(col("doc_id"), col("idx"))
     val kept = sum(when(col("keep"), 1L).otherwise(0L))

@@ -565,18 +565,19 @@ object SimilarityOps {
     // ints per vector vs 64 floats: ~64× less to scan at search
     // time). Codebook is a 16-row broadcast; coding is map-side.
     QueryDef.sql(
-      "q_embed_pq",
-      s"""WITH $pqCtes
-         |SELECT vec_id,
-         |       CAST(max(CASE WHEN j = 0 THEN m['c'] END) AS INTEGER) AS code0,
-         |       CAST(max(CASE WHEN j = 1 THEN m['c'] END) AS INTEGER) AS code1,
-         |       CAST(max(CASE WHEN j = 2 THEN m['c'] END) AS INTEGER) AS code2,
-         |       CAST(max(CASE WHEN j = 3 THEN m['c'] END) AS INTEGER) AS code3,
-         |       round(max(CASE WHEN j = 0 THEN m['d'] END)
-         |           + max(CASE WHEN j = 1 THEN m['d'] END)
-         |           + max(CASE WHEN j = 2 THEN m['d'] END)
-         |           + max(CASE WHEN j = 3 THEN m['d'] END), 6) AS recon_err
-         |FROM mn GROUP BY vec_id""".stripMargin) {
+      "q_embed_pq", {
+        val codeCols = (0 until PqSubspaces).map(j =>
+          s"CAST(max(CASE WHEN j = $j THEN m['c'] END) AS INTEGER) AS code$j")
+          .mkString(",\n       ")
+        val errSum = (0 until PqSubspaces)
+          .map(j => s"max(CASE WHEN j = $j THEN m['d'] END)")
+          .mkString("\n           + ")
+        s"""WITH $pqCtes
+           |SELECT vec_id,
+           |       $codeCols,
+           |       round($errSum, 6) AS recon_err
+           |FROM mn GROUP BY vec_id""".stripMargin
+      }) {
       (s, dir) => pqCodes(emb(s, dir))
     },
 
@@ -585,8 +586,11 @@ object SimilarityOps {
     // scored by m table lookups summed in fixed subspace order — the
     // search half of IVF-PQ, scanning codes instead of floats.
     QueryDef.sql(
-      "q_sim_pq_adc",
-      s"""WITH $pqCtes,
+      "q_sim_pq_adc", {
+        val adcSum = (0 until PqSubspaces)
+          .map(j => s"max(CASE WHEN dt.j = $j THEN dd END)")
+          .mkString("\n       + ")
+        s"""WITH $pqCtes,
          |codes AS (SELECT vec_id, j, m['c'] AS code FROM mn),
          |q AS (SELECT vec_id AS query_id, embedding AS qv
          |      FROM embeddings WHERE vec_id < $NumProbes),
@@ -596,10 +600,7 @@ object SimilarityOps {
          |         ${sqDistSql("qsub", "csub")} AS dd
          |       FROM qs JOIN cs USING (j)),
          |sc AS (SELECT query_id, vec_id,
-         |         max(CASE WHEN dt.j = 0 THEN dd END)
-         |       + max(CASE WHEN dt.j = 1 THEN dd END)
-         |       + max(CASE WHEN dt.j = 2 THEN dd END)
-         |       + max(CASE WHEN dt.j = 3 THEN dd END) AS adc
+         |         $adcSum AS adc
          |       FROM codes JOIN dt ON dt.j = codes.j AND dt.cid = codes.code
          |       GROUP BY query_id, vec_id)
          |SELECT query_id, vec_id AS neighbor_id, CAST(rnk AS INTEGER) AS rnk,
@@ -608,7 +609,8 @@ object SimilarityOps {
          |             row_number() OVER (PARTITION BY query_id
          |                                ORDER BY adc, vec_id) AS rnk
          |      FROM sc WHERE vec_id <> query_id)
-         |WHERE rnk <= $TopK""".stripMargin) {
+         |WHERE rnk <= $TopK""".stripMargin
+      }) {
       (s, dir) => pqAdcTopK(emb(s, dir), gateProbes(s, dir), TopK)
     }
   )

@@ -687,6 +687,24 @@ class PipelineOpsSpec extends SparkSpec {
     assert(DedupOps.paragraphDedup(docs).exceptAll(again).isEmpty)
   }
 
+  test("paragraph dedup invariant on the gate corpus: kept count equals " +
+    "distinct paragraph count, chunk count matches token geometry") {
+    val docs = graft.Tables(spark, "/root/testdata/sf0.001", "documents")
+    val r = DedupOps.paragraphDedup(docs)
+      .agg(sum(col("n_paras")), sum(col("n_kept"))).collect().head
+    val (nParas, nKept) = (r.getLong(0), r.getLong(1))
+    val hashes = DedupOps.paragraphHashes(docs)
+    // first-wins keeps every distinct paragraph exactly once, corpus-wide
+    assert(nKept == hashes.select("h").distinct().count())
+    assert(nParas == hashes.count())
+    // chunk geometry: ceil(tokens / ParaTokens) summed over the corpus
+    val expectParas = docs
+      .select(ceil(size(split(col("text"), " "))
+        .cast("double") / DedupOps.ParaTokens).as("c"))
+      .agg(sum(col("c"))).collect().head.getLong(0)
+    assert(nParas == expectParas)
+  }
+
   test("bm25: rare-term doc outranks common-term docs, length " +
     "normalization favors the shorter doc at equal tf, no-hit doc scores 0") {
     val filler = (1 to 20).map(i => s"w$i").mkString(" ")
