@@ -92,6 +92,10 @@ object CurationOps {
   val WeightedSampleK = 50
   val HexDraw6Denom: Double = 16777217.0
 
+  /** Per-source document cap (C4/RefinedWeb-style per-domain cap):
+    * at most this many docs survive per source. */
+  val SourceCap = 20
+
   val all: Seq[QueryDef] = Seq(
 
     // Deterministic train/val/test assignment + a reproducible 10%
@@ -417,6 +421,23 @@ object CurationOps {
          |        ORDER BY key, doc_id LIMIT $WeightedSampleK)
          |SELECT doc_id, w, round(key, 6) AS draw_key FROM top""".stripMargin) {
       (s, dir) => weightedSample(Tables(s, dir, "documents"))
+    },
+
+    // Per-source frequency cap in deterministic hash order — the
+    // C4/RefinedWeb per-domain cap, elected by the bounded TopK
+    // aggregator (cap-sized digests shuffle, never whole domains).
+    QueryDef.sql(
+      "q_source_cap",
+      s"""WITH p AS (SELECT doc_id, source,
+         |             CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6) AS BIGINT) AS prio
+         |           FROM documents)
+         |SELECT source, doc_id, prio, CAST(rnk AS INTEGER) AS rnk
+         |FROM (SELECT source, doc_id, prio,
+         |             row_number() OVER (PARTITION BY source
+         |                                ORDER BY prio, doc_id) AS rnk
+         |      FROM p)
+         |WHERE rnk <= $SourceCap""".stripMargin) {
+      (s, dir) => sourceCap(Tables(s, dir, "documents"))
     }
   )
 
@@ -522,5 +543,33 @@ object CurationOps {
       .orderBy(col("key"), col("doc_id"))
       .limit(k)
       .select(col("doc_id"), col("w"), round(col("key"), 6).as("draw_key"))
+  }
+
+  /** Per-source frequency cap (the C4/RefinedWeb "per-domain cap"
+    * that stops one boilerplate-heavy domain from dominating the
+    * mixture): keep at most [[SourceCap]] docs per source, elected in
+    * deterministic id-hash order so re-ingestion reproduces the
+    * exact survivor set.
+    *
+    * Scale design: runs on the bounded [[graft.functions.TopK]]
+    * aggregator, NOT a window — each map task retains at most cap
+    * (priority, id) pairs per source, so the shuffle carries
+    * cap-per-(task, source) digests instead of every row of every
+    * hot domain, and no task ever sorts a whole domain's rows. The
+    * hash priority is 24 bits (exact in double), negated because the
+    * aggregator ranks DESC.
+    *
+    * Output: (source, doc_id, prio, rnk) for the survivors.
+    */
+  def sourceCap(docs: org.apache.spark.sql.DataFrame,
+      cap: Int = SourceCap): org.apache.spark.sql.DataFrame = {
+    val prio = conv(substring(idHash(col("doc_id")), 1, 6), 16, 10)
+      .cast("long")
+    graft.functions.TopK.perKey(
+      docs.select(col("source"), col("doc_id"),
+        (-prio.cast("double")).as("nprio")),
+      "source", "nprio", "doc_id", cap)
+      .select(col("source"), col("doc_id"),
+        (-col("nprio")).cast("long").as("prio"), col("rnk"))
   }
 }

@@ -255,4 +255,28 @@ class CurationOpsSpec extends SparkSpec {
       assert(out.exceptAll(again).isEmpty)
     } finally out.unpersist()
   }
+
+  test("source cap: bounded aggregator elects the same survivors as the " +
+    "window form, never more than cap per source") {
+    val docs = graft.Tables(spark, sfDir, "documents")
+    val out = CurationOps.sourceCap(docs, cap = 2).cache()
+    try {
+      val perSource = out.groupBy("source").count().collect()
+      assert(perSource.forall(_.getLong(1) <= 2))
+      // the digest-shuffling aggregator must equal the window form
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("source"))
+        .orderBy(conv(substring(CurationOps.idHash(col("doc_id")), 1, 6),
+          16, 10).cast("long").asc, col("doc_id"))
+      val windowForm = docs
+        .select(col("source"), col("doc_id"),
+          conv(substring(CurationOps.idHash(col("doc_id")), 1, 6), 16, 10)
+            .cast("long").as("prio"))
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 2)
+        .select(col("source"), col("doc_id"), col("prio"), col("rnk"))
+      assert(out.exceptAll(windowForm).isEmpty &&
+        windowForm.exceptAll(out).isEmpty)
+    } finally out.unpersist()
+  }
 }
