@@ -44,6 +44,12 @@ object SimilarityOps {
   val PqSubDim = 16
   val PqCentroids = 4
 
+  /** Residual codebook seed for IVFADC: the first [[PqCentroids]]
+    * vectors AFTER the IVF seed block (whose own residuals are
+    * all-zero). Declared BEFORE `all` — the oracle SQL interpolates
+    * it during object init. */
+  val ResidualSeedFrom: Int = NumCentroids
+
   /** Cross-score corpus (vec_id, embedding) against broadcast probes
     * (query_id, qv): one row per (query, vector) pair with sequential
     * double-precision cosine. */
@@ -612,6 +618,86 @@ object SimilarityOps {
          |WHERE rnk <= $TopK""".stripMargin
       }) {
       (s, dir) => pqAdcTopK(emb(s, dir), gateProbes(s, dir), TopK)
+    },
+
+    // Full IVFADC (Jégou et al. §V): residual PQ codes per IVF cell,
+    // per-probed-cell distance tables, ADC over probed cells' codes
+    // only — the billion-vector production ANN composition.
+    QueryDef.sql(
+      "q_sim_ivfpq", {
+        val adcSum = (0 until PqSubspaces)
+          .map(j => s"max(CASE WHEN dt.j = $j THEN dd END)")
+          .mkString("\n       + ")
+        val rSeedHi = ResidualSeedFrom + PqCentroids
+        s"""WITH c AS (SELECT vec_id AS centroid_id, embedding AS cv
+           |           FROM embeddings WHERE vec_id < $NumCentroids),
+           |ascored AS (SELECT e.vec_id, c.centroid_id,
+           |              ${cosSql("c.cv", "e.embedding")} AS cos
+           |            FROM c CROSS JOIN embeddings e),
+           |cells AS (SELECT vec_id, centroid_id
+           |          FROM (SELECT vec_id, centroid_id,
+           |                       row_number() OVER (PARTITION BY vec_id
+           |                                          ORDER BY cos DESC, centroid_id) AS rnk
+           |                FROM ascored)
+           |          WHERE rnk = 1),
+           |r AS (SELECT e.vec_id, cells.centroid_id,
+           |        list_transform(range(${PqSubspaces * PqSubDim}), i ->
+           |          CAST(e.embedding[i+1] AS DOUBLE) - CAST(c.cv[i+1] AS DOUBLE)) AS rv
+           |      FROM embeddings e
+           |      JOIN cells ON cells.vec_id = e.vec_id
+           |      JOIN c ON c.centroid_id = cells.centroid_id),
+           |sub AS (SELECT unnest(range($PqSubspaces)) AS j),
+           |rcs AS (SELECT cid, j, cv2[j*$PqSubDim+1 : j*$PqSubDim+$PqSubDim] AS csub
+           |        FROM (SELECT vec_id AS cid, rv AS cv2 FROM r
+           |              WHERE vec_id >= $ResidualSeedFrom AND vec_id < $rSeedHi)
+           |        CROSS JOIN sub),
+           |rev AS (SELECT vec_id, centroid_id, j,
+           |          rv[j*$PqSubDim+1 : j*$PqSubDim+$PqSubDim] AS esub
+           |        FROM r CROSS JOIN sub),
+           |rd AS (SELECT vec_id, centroid_id, j, cid,
+           |         ${sqDistSql("esub", "csub")} AS d2
+           |       FROM rev JOIN rcs USING (j)),
+           |codes AS (SELECT vec_id, centroid_id, j, m['c'] AS code
+           |          FROM (SELECT vec_id, centroid_id, j,
+           |                       min({'d': d2, 'c': cid}) AS m
+           |                FROM rd GROUP BY vec_id, centroid_id, j)),
+           |q AS (SELECT vec_id AS query_id, embedding AS qv
+           |      FROM embeddings WHERE vec_id < $NumProbes),
+           |pscored AS (SELECT query_id, qv, centroid_id, cv,
+           |              ${cosSql("qv", "cv")} AS ccos
+           |            FROM q CROSS JOIN c),
+           |pc AS (SELECT query_id, centroid_id, qv, cv
+           |       FROM (SELECT query_id, centroid_id, qv, cv,
+           |                    row_number() OVER (PARTITION BY query_id
+           |                                       ORDER BY ccos DESC, centroid_id) AS crnk
+           |             FROM pscored)
+           |       WHERE crnk <= $NumProbeCells),
+           |qs AS (SELECT query_id, centroid_id, j,
+           |         list_transform(range(${PqSubspaces * PqSubDim}), i ->
+           |           CAST(qv[i+1] AS DOUBLE) - CAST(cv[i+1] AS DOUBLE))
+           |           [j*$PqSubDim+1 : j*$PqSubDim+$PqSubDim] AS qsub
+           |       FROM pc CROSS JOIN sub),
+           |dt AS (SELECT query_id, centroid_id, j, cid,
+           |         ${sqDistSql("qsub", "csub")} AS dd
+           |       FROM qs JOIN rcs USING (j)),
+           |sc AS (SELECT query_id, vec_id,
+           |         $adcSum AS adc
+           |       FROM codes JOIN dt ON dt.centroid_id = codes.centroid_id
+           |                         AND dt.j = codes.j AND dt.cid = codes.code
+           |       GROUP BY query_id, vec_id)
+           |SELECT query_id, vec_id AS neighbor_id, CAST(rnk AS INTEGER) AS rnk,
+           |       round(adc, 6) AS adc_dist
+           |FROM (SELECT query_id, vec_id, adc,
+           |             row_number() OVER (PARTITION BY query_id
+           |                                ORDER BY adc, vec_id) AS rnk
+           |      FROM sc WHERE vec_id <> query_id)
+           |WHERE rnk <= $TopK""".stripMargin
+      }) {
+      (s, dir) =>
+        val centroids = emb(s, dir).filter(col("vec_id") < NumCentroids)
+          .select(col("vec_id").as("centroid_id"), col("embedding").as("cv"))
+        ivfPqSearch(emb(s, dir), centroids, gateProbes(s, dir),
+          NumProbeCells, TopK)
     }
   )
 
@@ -680,11 +766,14 @@ object SimilarityOps {
     transform(sequence(lit(0), lit(PqSubspaces - 1)),
       j => slice(v, j * PqSubDim + 1, lit(PqSubDim)))
 
-  /** Exploded per-subspace codebook (sub, cid, csub), seeded from the
-    * first [[PqCentroids]] vectors — [[PqSubspaces]]×[[PqCentroids]]
-    * rows, always broadcast. */
-  private def pqCodebook(e: DataFrame): DataFrame =
-    e.filter(col("vec_id") < PqCentroids)
+  /** Exploded per-subspace codebook (sub, cid, csub), seeded from
+    * [[PqCentroids]] consecutive vectors starting at `seedFrom` —
+    * [[PqSubspaces]]×[[PqCentroids]] rows, always broadcast. The
+    * seed offset matters for RESIDUAL coding: the IVF seed vectors'
+    * residuals are zero, so the residual codebook seeds past them. */
+  private def pqCodebook(e: DataFrame, seedFrom: Int = 0): DataFrame =
+    e.filter(col("vec_id") >= seedFrom &&
+        col("vec_id") < seedFrom + PqCentroids)
       .select(col("vec_id").cast("int").as("cid"),
         posexplode(subvecs(col("embedding"))).as(Seq("sub", "csub")))
 
@@ -699,10 +788,10 @@ object SimilarityOps {
   /** Per-subspace PQ assignment: (vec_id, sub, code, dmin) — the
     * argmin over the broadcast codebook, deterministic via the
     * lexicographic `min(struct(d2, cid))` tie-break. */
-  def pqAssign(e: DataFrame): DataFrame = {
+  def pqAssign(e: DataFrame, seedFrom: Int = 0): DataFrame = {
     val ev = e.select(col("vec_id"),
       posexplode(subvecs(col("embedding"))).as(Seq("sub", "esub")))
-    ev.join(broadcast(pqCodebook(e)), "sub")
+    ev.join(broadcast(pqCodebook(e, seedFrom)), "sub")
       .select(col("vec_id"), col("sub"),
         sqDist(col("esub"), col("csub")).as("d2"), col("cid"))
       .groupBy(col("vec_id"), col("sub"))
@@ -744,6 +833,70 @@ object SimilarityOps {
     * Output: (query_id, neighbor_id, rnk, adc_dist) per query ×
     * top-k, self-matches excluded.
     */
+  /** Full IVFADC search (Jégou et al. TPAMI'11 §V): corpus vectors
+    * are PQ-coded on their RESIDUAL to their IVF cell centroid; a
+    * query probes its nprobe nearest cells, builds one residual
+    * distance table per probed cell, and ADC-scores ONLY the coded
+    * vectors of those cells — the composition that serves
+    * billion-vector ANN in production.
+    *
+    * Scale design: everything small broadcasts (coarse centroids,
+    * residual codebook, the queries×nprobe×m×k distance table —
+    * 160 rows here); the corpus-sized pieces move at most twice
+    * (cell assignment, residual coding — both one-off index-build
+    * passes at 100 TB, stored alongside the data), and the per-query
+    * scan touches nprobe/ncells of the CODE table only: small ints,
+    * never the original floats. The scored join is an equi-join on
+    * (cell, sub, code); the per-vector ADC sum re-assembles in fixed
+    * subspace order; top-k is a bounded window over the probe
+    * queries. Self-matches excluded, ties break on vec_id.
+    *
+    * Output: (query_id, neighbor_id, rnk, adc_dist).
+    */
+  def ivfPqSearch(e: DataFrame, centroids: DataFrame, probes: DataFrame,
+      nprobe: Int, k: Int): DataFrame = {
+    val cells = ivfAssign(e, centroids)
+      .select(col("vec_id"), col("centroid_id"))
+      .pinned // reused: residual build + coded-corpus scan
+    val rdf = e.join(cells, "vec_id")
+      .join(broadcast(centroids), "centroid_id")
+      .select(col("vec_id"), col("centroid_id"),
+        zip_with(col("embedding").cast("array<double>"),
+          col("cv").cast("array<double>"), (x, y) => x - y).as("embedding"))
+      .pinned // reused: codebook seed + per-subspace coding
+    val codes = pqAssign(rdf, ResidualSeedFrom).join(cells, "vec_id")
+    val probeCells = probes.crossJoin(broadcast(centroids))
+      .select(col("query_id"), col("qv"), col("centroid_id"), col("cv"),
+        CosineSimilarity(e.sparkSession, col("qv"), col("cv")).as("ccos"))
+      .withColumn("crnk", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("ccos").desc, col("centroid_id"))))
+      .filter(col("crnk") <= nprobe)
+    val qres = probeCells.select(col("query_id"), col("centroid_id"),
+      posexplode(subvecs(zip_with(col("qv").cast("array<double>"),
+        col("cv").cast("array<double>"), (x, y) => x - y)))
+        .as(Seq("sub", "qsub")))
+    val dt = qres.join(broadcast(pqCodebook(rdf, ResidualSeedFrom)), "sub")
+      .select(col("query_id"), col("centroid_id"), col("sub"), col("cid"),
+        sqDist(col("qsub"), col("csub")).as("d"))
+    val joined = codes.as("a")
+      .join(broadcast(dt).as("t"),
+        col("a.centroid_id") === col("t.centroid_id") &&
+          col("a.sub") === col("t.sub") && col("a.code") === col("t.cid"))
+      .select(col("t.query_id"), col("a.vec_id"), col("a.sub"), col("t.d"))
+    def distAt(j: Int): Column = max(when(col("sub") === j, col("d")))
+    val adc = (0 until PqSubspaces).map(distAt).reduceLeft(_ + _)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc"), col("vec_id"))
+    joined.groupBy(col("query_id"), col("vec_id"))
+      .agg(adc.as("adc"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("rnk"),
+        round(col("adc"), 6).as("adc_dist"))
+  }
+
   def pqAdcTopK(e: DataFrame, probes: DataFrame, k: Int): DataFrame = {
     val qs = probes.select(col("query_id"),
       posexplode(subvecs(col("qv"))).as(Seq("sub", "qsub")))

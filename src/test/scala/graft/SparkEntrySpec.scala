@@ -38,4 +38,25 @@ class SparkEntrySpec extends SparkSpec {
     assert(names.distinct.length == names.length,
       s"duplicate query names: ${names.diff(names.distinct).distinct}")
   }
+
+  test("oracle strings interpolate the FINAL constant values (object " +
+    "init-order guard)") {
+    // an oracle string is built during module object init; a shared
+    // constant declared AFTER `all` interpolates as 0/0.0 into the
+    // SQL while the lazily-evaluated Spark side sees the real value —
+    // a silent cross-engine divergence. Pin the constants that have
+    // already been bitten (bm25 k1+1, residual codebook seed) plus
+    // every hex-threshold family constant.
+    val o = SparkEntry.oracleSql
+    assert(o("q_sim_bm25").contains(
+      s"* ${operators.TextOps.Bm25K1Plus1})"))
+    assert(o("q_sim_ivfpq").contains(
+      s"vec_id >= ${operators.SimilarityOps.ResidualSeedFrom} "))
+    assert(o("q_sample_weighted").contains(
+      s"/ ${operators.CurationOps.HexDraw6Denom})"))
+    assert(o("q_source_cap").contains(
+      s"rnk <= ${operators.CurationOps.SourceCap}"))
+    assert(o("q_select_dsir").contains(
+      s"+ ${operators.CurationOps.DsirBuckets}) AS DOUBLE"))
+  }
 }

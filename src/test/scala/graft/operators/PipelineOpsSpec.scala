@@ -777,4 +777,42 @@ class PipelineOpsSpec extends SparkSpec {
       (1L, 1, 64.0), (10L, 2, 224.0), (2L, 3, 256.0),
       (11L, 4, 256.0), (3L, 5, 576.0)))
   }
+
+  test("ivfpq search: every neighbor comes from the query's probed " +
+    "cells, distances rank monotonically") {
+    val e = graft.Tables(spark, "/root/testdata/sf0.001", "embeddings")
+    val centroids = e.filter(col("vec_id") < SimilarityOps.NumCentroids)
+      .select(col("vec_id").as("centroid_id"), col("embedding").as("cv"))
+    val probes = e.filter(col("vec_id") < SimilarityOps.NumProbes)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val out = SimilarityOps.ivfPqSearch(e, centroids, probes,
+      SimilarityOps.NumProbeCells, SimilarityOps.TopK).cache()
+    try {
+      val rows = out.collect()
+      assert(rows.length == SimilarityOps.NumProbes * SimilarityOps.TopK)
+      // scan confinement: a neighbor must live in one of its query's
+      // nprobe probed cells — the property that buys the ANN speedup
+      val cells = SimilarityOps.ivfAssign(e, centroids)
+        .select(col("vec_id"), col("centroid_id"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val probed = probes.crossJoin(broadcast(centroids))
+        .select(col("query_id"), col("centroid_id"),
+          graft.functions.CosineSimilarity(spark, col("qv"), col("cv"))
+            .as("c"))
+        .collect().groupBy(_.getLong(0)).map { case (q, rs) =>
+          q -> rs.sortBy(r => (-r.getDouble(2), r.getLong(1)))
+            .take(SimilarityOps.NumProbeCells).map(_.getLong(1)).toSet
+        }
+      rows.foreach { r =>
+        val (q, n) = (r.getLong(0), r.getLong(1))
+        assert(probed(q).contains(cells(n)),
+          s"neighbor $n of query $q is outside its probed cells")
+      }
+      // rank order is distance order
+      rows.groupBy(_.getLong(0)).values.foreach { rs =>
+        val byRnk = rs.sortBy(_.getInt(2)).map(_.getDouble(3))
+        assert(byRnk.sameElements(byRnk.sorted))
+      }
+    } finally out.unpersist()
+  }
 }

@@ -31,7 +31,8 @@ class PlanAuditSpec extends SparkSpec {
     "q_sample_temperature", // 1-row min-count scalar
     "q_text_perplexity",   // 1-row vocab-size scalar
     "q_sim_bm25",          // 1-row corpus-stats scalar (N, Σdl, dfs)
-    "q_select_dsir"        // 1-row distribution-totals scalar (nr, nt)
+    "q_select_dsir",       // 1-row distribution-totals scalar (nr, nt)
+    "q_sim_ivfpq"          // 8 coarse centroids (cell assignment + probe)
   )
 
   private val streaming = Set(
