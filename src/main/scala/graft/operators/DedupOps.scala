@@ -365,9 +365,11 @@ object DedupOps {
     */
   /** (doc_id, idx, h): every doc's aligned [[ParaTokens]]-token
     * paragraph hashes, in document order. The md5 is computed INSIDE
-    * the per-row transform, so paragraph text never leaves the row. */
+    * the per-row transform, so paragraph text never leaves the row.
+    * Pure column expressions (no repartitioning), so it also applies
+    * verbatim to a STREAMING DataFrame — the ingest screen uses it. */
   def paragraphHashes(docs: DataFrame): DataFrame =
-    spread(docs)
+    docs
       .select(col("doc_id"), tokens(col("text")).as("t"))
       .select(col("doc_id"),
         posexplode(transform(
@@ -378,7 +380,7 @@ object DedupOps {
           .as(Seq("idx", "h")))
 
   def paragraphDedup(docs: DataFrame): DataFrame = {
-    val chunks = paragraphHashes(docs)
+    val chunks = paragraphHashes(spread(docs))
     val firstWins = org.apache.spark.sql.expressions.Window
       .partitionBy(col("h")).orderBy(col("doc_id"), col("idx"))
     val kept = sum(when(col("keep"), 1L).otherwise(0L))

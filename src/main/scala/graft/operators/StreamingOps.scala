@@ -113,6 +113,47 @@ object StreamingOps {
       }
     },
 
+    // Streaming corpus ingest screen at paragraph granularity, as a
+    // REAL streaming run: the "newly ingested" doc stream explodes
+    // into paragraph hashes MAP-SIDE (DedupOps.paragraphHashes — pure
+    // column expressions, no repartition), stream-static LEFT SEMI
+    // joins the stored corpus paragraph index, and each doc sharing
+    // ANY verbatim paragraph with the corpus is quarantined once.
+    // Stateless screen (the only state is the emit-once dedup on
+    // doc_id); the static index broadcasts per micro-batch — at
+    // 100 TB it is the stored bucketed hash index and the join
+    // co-buckets instead. Oracle = the batch semi-join.
+    QueryDef.sql(
+      "q_stream_ingest_screen",
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+         |ch AS (SELECT doc_id,
+         |         unnest(list_transform(range(CAST(ceil(len(t) / ${DedupOps.ParaTokens}.0) AS BIGINT)),
+         |                i -> md5(array_to_string(
+         |                       t[i*${DedupOps.ParaTokens}+1 : i*${DedupOps.ParaTokens}+${DedupOps.ParaTokens}], ' ')))) AS h
+         |       FROM t),
+         |c AS (SELECT DISTINCT h FROM ch WHERE doc_id < ${DedupOps.IncrementalSplit})
+         |SELECT DISTINCT doc_id FROM ch
+         |WHERE doc_id >= ${DedupOps.IncrementalSplit} AND h IN (SELECT h FROM c)""".stripMargin) {
+      (s, dir) => withStreamPartitions(s, 8) {
+        val corpusIdx = DedupOps.paragraphHashes(
+          Tables(s, dir, "documents")
+            .filter(col("doc_id") < DedupOps.IncrementalSplit))
+          .select(col("h")).distinct()
+        val schema = Tables(s, dir, "documents").schema
+        val stream = s.readStream.schema(schema)
+          .parquet(EventStreams.streamableDir(s"$dir/documents.parquet"))
+          .filter(col("doc_id") >= DedupOps.IncrementalSplit)
+        val q = DedupOps.paragraphHashes(stream)
+          .join(corpusIdx, Seq("h"), "left_semi")
+          .select(col("doc_id"))
+          .dropDuplicates("doc_id")
+          .writeStream.format("memory").queryName("graft_stream_screen")
+          .outputMode("append").trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+        s.table("graft_stream_screen")
+      }
+    },
+
     QueryDef.sql(
       "q_sessionize",
       s"""WITH e AS (SELECT user_id, epoch_us(ts) AS us, event_id FROM events),

@@ -128,4 +128,31 @@ class EventStreamsSpec extends SparkSpec {
     assert(batch.exceptAll(spark.table("enrich_test")).isEmpty)
     assert(spark.table("enrich_test").count() > 0)
   }
+
+  test("streaming ingest screen quarantines exactly the docs sharing a " +
+    "corpus paragraph") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    def unit(tag: String) = (1 to graft.operators.DedupOps.ParaTokens)
+      .map(i => s"$tag$i").mkString(" ")
+    val (a, b, c) = (unit("a"), unit("b"), unit("c"))
+    val corpusIdx = graft.operators.DedupOps.paragraphHashes(
+      Seq((1L, s"$a $b")).toDF("doc_id", "text"))
+      .select(col("h")).distinct()
+    val input = MemoryStream[(Long, String)]
+    input.addData(
+      (10L, s"$c $a"), // shares corpus paragraph a → quarantined
+      (11L, s"$c $c"), // unrelated → clean
+      (12L, s"$b $b")) // shares corpus paragraph b → quarantined
+    val q = graft.operators.DedupOps.paragraphHashes(
+        input.toDF.toDF("doc_id", "text"))
+      .join(corpusIdx, Seq("h"), "left_semi")
+      .select(col("doc_id"))
+      .dropDuplicates("doc_id")
+      .writeStream.format("memory").queryName("screen_test")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val out = spark.table("screen_test").collect().map(_.getLong(0)).toSet
+    assert(out == Set(10L, 12L))
+  }
 }
