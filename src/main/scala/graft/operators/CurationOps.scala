@@ -491,15 +491,17 @@ object CurationOps {
         substring(md5(col("ng").cast("binary")), 1, 2).as("b"))
       .pinned // feeds the raw counts, target counts, totals AND probe
     val isTgt = col("lang") === targetLang
-    val raw = bk.groupBy(col("b")).agg(count(lit(1)).as("cr"))
-    val tgt = bk.filter(isTgt).groupBy(col("b")).agg(count(lit(1)).as("ct"))
-    val tot = bk.agg(count(lit(1)).as("nr"),
-      sum(when(isTgt, 1L).otherwise(0L)).as("nt"))
+    // ONE corpus pass builds both distributions: raw count and target
+    // count per bucket in the same aggregate (a conditional sum is
+    // the left join the two-pass formulation needed); the totals then
+    // derive from the ≤256-row bucket table, not the corpus
+    val bc = bk.groupBy(col("b")).agg(count(lit(1)).as("cr"),
+      sum(when(isTgt, 1L).otherwise(0L)).as("ct"))
+    val tot = bc.agg(sum(col("cr")).as("nr"), sum(col("ct")).as("nt"))
     val smooth = lit(DsirBuckets.toLong)
-    val lr = raw.join(tgt, Seq("b"), "left_outer")
-      .crossJoin(broadcast(tot))
+    val lr = bc.crossJoin(broadcast(tot))
       .select(col("b"),
-        log(((coalesce(col("ct"), lit(0L)) + 1L) * (col("nr") + smooth)).cast("double")
+        log(((col("ct") + 1L) * (col("nr") + smooth)).cast("double")
           / ((col("cr") + 1L) * (col("nt") + smooth)).cast("double")).as("lr"))
     bk.join(broadcast(lr), "b")
       .groupBy(col("doc_id"))
