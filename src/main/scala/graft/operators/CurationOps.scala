@@ -96,6 +96,15 @@ object CurationOps {
     * at most this many docs survive per source. */
   val SourceCap = 20
 
+  /** Snapshot-delta geometry: the "old" crawl is doc_id < 30, the
+    * "new" crawl doc_id >= 10 (overlap 10–29), and every 7th
+    * overlapping doc is deterministically edited in the new snapshot
+    * — bounds chosen inside the smallest fixture (50 docs) so all
+    * four delta states occur at EVERY scale factor. */
+  val DeltaOldUpper = 30
+  val DeltaNewLower = 10
+  val DeltaChangeMod = 7
+
   val all: Seq[QueryDef] = Seq(
 
     // Deterministic train/val/test assignment + a reproducible 10%
@@ -438,6 +447,44 @@ object CurationOps {
          |      FROM p)
          |WHERE rnk <= $SourceCap""".stripMargin) {
       (s, dir) => sourceCap(Tables(s, dir, "documents"))
+    },
+
+    // Corpus snapshot delta: content-hash diff of two crawl
+    // snapshots (added / removed / changed / unchanged) — the
+    // incremental-refresh bookkeeping every recurring ingest runs.
+    // ONE full-outer join keyed on doc_id, hashes only (text never
+    // shuffles); at 100 TB both snapshots co-bucket on doc_id and
+    // the join is exchange-free. Also the gate's full-outer-join
+    // coverage.
+    QueryDef.sql(
+      "q_corpus_delta",
+      s"""WITH old AS (SELECT doc_id, md5(text) AS h_old FROM documents
+         |             WHERE doc_id < $DeltaOldUpper),
+         |neu AS (SELECT doc_id,
+         |          md5(CASE WHEN doc_id % $DeltaChangeMod = 0
+         |                   THEN text || ' v2' ELSE text END) AS h_new
+         |        FROM documents WHERE doc_id >= $DeltaNewLower)
+         |SELECT coalesce(old.doc_id, neu.doc_id) AS doc_id, h_old, h_new,
+         |       CASE WHEN h_old IS NULL THEN 'added'
+         |            WHEN h_new IS NULL THEN 'removed'
+         |            WHEN h_old = h_new THEN 'unchanged'
+         |            ELSE 'changed' END AS status
+         |FROM old FULL OUTER JOIN neu ON old.doc_id = neu.doc_id""".stripMargin) {
+      (s, dir) =>
+        val docs = Tables(s, dir, "documents")
+        val old = docs.filter(col("doc_id") < DeltaOldUpper)
+          .select(col("doc_id"), md5(col("text").cast("binary")).as("h_old"))
+        val neu = docs.filter(col("doc_id") >= DeltaNewLower)
+          .select(col("doc_id"),
+            md5(when(col("doc_id") % DeltaChangeMod === 0,
+              concat(col("text"), lit(" v2")))
+              .otherwise(col("text")).cast("binary")).as("h_new"))
+        old.join(neu, Seq("doc_id"), "full_outer")
+          .select(col("doc_id"), col("h_old"), col("h_new"),
+            when(col("h_old").isNull, "added")
+              .when(col("h_new").isNull, "removed")
+              .when(col("h_old") === col("h_new"), "unchanged")
+              .otherwise("changed").as("status"))
     }
   )
 

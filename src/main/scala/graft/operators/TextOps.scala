@@ -567,7 +567,8 @@ object TextOps {
           (lit(Bm25OneMinusB) + lit(Bm25B) * (dl.cast("double") / avgdl)))
     }
     def tf(q: String): Column = size(filter(col("t"), x => x === q)).cast("long")
-    val total = query.map(q => termScore(tf(q), col(s"df${query.indexOf(q)}")))
+    val total = query.zipWithIndex
+      .map { case (q, i) => termScore(tf(q), col(s"df$i")) }
       .reduceLeft(_ + _)
     base.crossJoin(broadcast(stats))
       .select(col("doc_id") +: query.map(q => tf(q).as(s"tf_$q"))

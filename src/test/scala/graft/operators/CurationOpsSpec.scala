@@ -256,6 +256,21 @@ class CurationOpsSpec extends SparkSpec {
     } finally out.unpersist()
   }
 
+  test("corpus delta: the four snapshot states land exactly where the " +
+    "geometry says") {
+    // doc_ids are dense 0..n-1: old = 0..29, new = 10..n-1 →
+    // removed 0..9, added 30..n-1, overlap 10..29 with every 7th
+    // (14, 21, 28) edited → changed
+    val n = graft.Tables(spark, sfDir, "documents").count()
+    val out = q("q_corpus_delta").collect()
+      .map(r => r.getLong(0) -> r.getString(3)).toMap
+    assert(out.size == n)
+    (0L to 9L).foreach(id => assert(out(id) == "removed"))
+    (30L until n).foreach(id => assert(out(id) == "added"))
+    Seq(14L, 21L, 28L).foreach(id => assert(out(id) == "changed"))
+    assert(out.count(_._2 == "unchanged") == 17)
+  }
+
   test("source cap: bounded aggregator elects the same survivors as the " +
     "window form, never more than cap per source") {
     val docs = graft.Tables(spark, sfDir, "documents")
