@@ -778,6 +778,30 @@ class PipelineOpsSpec extends SparkSpec {
       (11L, 4, 256.0), (3L, 5, 576.0)))
   }
 
+  test("property: paragraph chunker matches a JVM reference over random " +
+    "token lists (200 seeded samples)") {
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val rnd = new scala.util.Random(17)
+    // lengths straddle the chunk size, incl. exact multiples and 1
+    val samples = (1 to 200).map { i =>
+      i.toLong -> Array.fill(1 + rnd.nextInt(35))(s"w${rnd.nextInt(6)}")
+    }
+    val df = samples.map { case (id, a) => (id, a.mkString(" ")) }
+      .toDF("doc_id", "text")
+    val got = DedupOps.paragraphHashes(df).collect()
+      .groupBy(_.getLong(0))
+      .map { case (id, rs) =>
+        id -> rs.sortBy(_.getInt(1)).map(r => (r.getInt(1), r.getString(2)))
+      }
+    samples.foreach { case (id, a) =>
+      val expected = a.grouped(DedupOps.ParaTokens).zipWithIndex
+        .map { case (chunk, i) => (i, md5hex(chunk.mkString(" "))) }.toSeq
+      assert(got(id).toSeq == expected, s"id=$id n=${a.length}")
+    }
+  }
+
   test("ivfpq search: every neighbor comes from the query's probed " +
     "cells, distances rank monotonically") {
     val e = graft.Tables(spark, "/root/testdata/sf0.001", "embeddings")
