@@ -40,6 +40,12 @@ object SurrogateIds {
 
   private def assignAs(df: DataFrame, idCol: String, sortCols: Seq[Column],
       idType: DataType): DataFrame = {
+    // the internal stamp/offset columns would be silently REPLACED by
+    // withColumn if the input already carries them, projecting internal
+    // values into the caller's data — fail loudly instead
+    val clash = df.columns.toSet.intersect(Set("_mid", "_pid", "_off"))
+    require(clash.isEmpty,
+      s"SurrogateIds: input columns collide with internals: $clash")
     val spark = df.sparkSession
     import spark.implicits._
     val stamped = Materialize.pin(

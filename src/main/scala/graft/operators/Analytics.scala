@@ -1,6 +1,8 @@
 package graft.operators
 
 import graft.{QueryDef, Tables}
+import graft.operators.Materialize.PinOps
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -120,10 +122,15 @@ object Analytics {
         |FROM orders GROUP BY o_orderstatus""".stripMargin) { (s, dir) =>
       val sampler = udaf(new graft.functions.ReservoirSample(5, 42L),
         org.apache.spark.sql.Encoders.STRING)
+      // pinned: base feeds the reservoir agg AND the audit join-back;
+      // agg feeds the explode probe AND the final projection — without
+      // pins each consumer rescans orders / re-runs the UDAF
       val base = Tables(s, dir, "orders")
         .select(col("o_orderstatus"), col("o_orderkey").cast("string").as("ok"))
+        .pinned
       val agg = base.groupBy(col("o_orderstatus"))
         .agg(count(lit(1)).as("n_orders"), sampler(col("ok")).as("sample"))
+        .pinned
       val matched = agg
         .select(col("o_orderstatus"), explode(col("sample")).as("ok"))
         .join(base, Seq("o_orderstatus", "ok"))
@@ -159,19 +166,31 @@ object Analytics {
             .as("ap50"),
           approx_percentile(col("l_extendedprice"), lit(0.99), lit(1000))
             .as("ap99"))
+      // the sketch's contract is about SOME rank of the returned
+      // value v: v occupies ranks [count(<v)+1, count(<=v)], and the
+      // guarantee holds iff that interval intersects [pn−εn, pn+εn].
+      // Checking count(<=v) alone would false-alarm on a value with a
+      // large point mass (many duplicates of v push count(<=v) past
+      // the bound while the sketch is in spec).
+      def inBound(lt: Column, le: Column, n: Column, p: Double): Column =
+        (lt + 1 <= n * p + n * 0.002 + 2) && (le >= n * p - n * 0.002 - 2)
       li.join(broadcast(sketch), Seq("l_returnflag"))
         .groupBy(col("l_returnflag"))
         .agg(
           count(lit(1)).as("n_items"),
+          sum(when(col("l_extendedprice") < col("ap50"), 1L).otherwise(0L))
+            .as("lt50"),
           sum(when(col("l_extendedprice") <= col("ap50"), 1L).otherwise(0L))
             .as("le50"),
+          sum(when(col("l_extendedprice") < col("ap99"), 1L).otherwise(0L))
+            .as("lt99"),
           sum(when(col("l_extendedprice") <= col("ap99"), 1L).otherwise(0L))
             .as("le99"))
         .select(col("l_returnflag"), col("n_items"),
-          (abs(col("le50") - col("n_items") * 0.5)
-            <= col("n_items") * 0.002 + 2).as("p50_in_bound"),
-          (abs(col("le99") - col("n_items") * 0.99)
-            <= col("n_items") * 0.002 + 2).as("p99_in_bound"))
+          inBound(col("lt50"), col("le50"), col("n_items"), 0.5)
+            .as("p50_in_bound"),
+          inBound(col("lt99"), col("le99"), col("n_items"), 0.99)
+            .as("p99_in_bound"))
     },
 
     // CUBE grouping sets with grouping() flags (A6 family).

@@ -570,12 +570,17 @@ object CurationOps {
     * TakeOrderedAndProject — a per-partition k-heap plus a k-row
     * driver merge, NEVER a global sort; rerunning on any cluster
     * layout reproduces the exact sample. The k-boundary is cut on
-    * the UNROUNDED key (doc_id tie-break) — both engines compute the
-    * identical IEEE double, and cutting on a rounded key would break
-    * the method's scale invariance at the boundary. Scale
-    * invariance (spec-pinned): multiplying every weight by a
-    * constant rescales all keys by 1/c and leaves the selected set
-    * unchanged.
+    * the UNROUNDED key (doc_id tie-break): the division and negation
+    * are exact IEEE ops on both engines; ln() may differ by ≤1 ulp
+    * between them, which flips the cut only if two DISTINCT docs'
+    * keys land within ~2^-52 relative of each other exactly at rank
+    * k — the same negligible residual every rounded output column in
+    * this repo carries at its rounding boundaries. Cutting on the
+    * ROUNDED key instead would trade that for a much larger real
+    * defect: 6-decimal ties at the boundary break the method's scale
+    * invariance (observed in testing). Scale invariance
+    * (spec-pinned): multiplying every weight by a constant rescales
+    * all keys by 1/c and leaves the selected set unchanged.
     *
     * Output: the k winners as (doc_id, w, draw_key).
     */

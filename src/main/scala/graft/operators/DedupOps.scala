@@ -49,23 +49,45 @@ object DedupOps {
     * at real scale) passes through untouched — no gratuitous full
     * shuffle of the corpus before map-only hashing.
     *
-    * The split estimate comes from the plan alone (leaf file count
-    * and the analyzed plan's size-in-bytes over
-    * `spark.sql.files.maxPartitionBytes`) — never `.rdd`, which
-    * would force physical materialization of the read plan behind
-    * AQE's back just to read a partition count. Derived in-memory
-    * input (no scan leaves) passes through: the single-file trap
-    * this guards against is a property of file scans. */
+    * The split estimate comes from the plan alone — never `.rdd`,
+    * which would force physical materialization of the read plan
+    * behind AQE's back just to read a partition count. It mirrors
+    * Spark's own `FilePartition.maxSplitBytes` bin-packing: each
+    * file pays `filesOpenCostInBytes`, and the split size is
+    * min(maxPartitionBytes, max(openCost, total/parallelism)) — so
+    * many SMALL files estimate as the few packed partitions Spark
+    * will actually build, not as `#files` (the old estimate's trap).
+    * Unsplittable compressed files (.gz/.zst/...) are ONE partition
+    * each regardless of size, so they cap the estimate at the file
+    * count. Derived in-memory input (no scan leaves) passes through:
+    * the single-task trap this guards against is a property of file
+    * scans. */
   private[operators] def spread(df: DataFrame): DataFrame = {
     val spark = df.sparkSession
     val parallelism = spark.sparkContext.defaultParallelism
-    val files = df.inputFiles.length
+    val inputFiles = df.inputFiles
+    val files = inputFiles.length
     if (files == 0) df
     else {
-      val maxPartBytes = spark.sessionState.conf.filesMaxPartitionBytes
+      val conf = spark.sessionState.conf
+      val maxPartBytes = conf.filesMaxPartitionBytes
+      val openCost = conf.filesOpenCostInBytes
       val bytes = df.queryExecution.analyzed.stats.sizeInBytes
-      val estSplits = math.max(
-        files.toLong, (bytes / BigInt(math.max(1L, maxPartBytes))).toLong)
+      val padded =
+        (bytes + BigInt(openCost) * files).min(BigInt(Long.MaxValue)).toLong
+      val maxSplit = math.min(maxPartBytes,
+        math.max(openCost, padded / math.max(1, parallelism)))
+      val unsplittable = Seq(".gz", ".zst", ".bz2", ".lz4", ".snappy")
+      val splittable = !inputFiles.exists(f =>
+        unsplittable.exists(f.toLowerCase.endsWith))
+      val estSplits =
+        // packed-bin count, NOT max(..., #files): Spark packs many
+        // small files into few partitions, so #files overestimates.
+        // Floor, not ceil — packing fills bins to maxSplit, so the
+        // fractional bin usually folds into the last one; erring low
+        // just repartitions near the threshold, never under-spreads
+        if (splittable) math.max(1L, padded / math.max(1L, maxSplit))
+        else files.toLong // one task per compressed file, however large
       if (estSplits < math.max(2, parallelism / 2)) df.repartition(parallelism)
       else df
     }
@@ -363,6 +385,19 @@ object DedupOps {
     *
     * Output: (doc_id, n_paras, n_kept, drop_ratio, kept_hash).
     */
+  /** Oracle-CTE replica of [[paragraphHashes]], exposing
+    * `c2(doc_id, idx, h)` — shared by the paragraph-dedup and the
+    * streaming ingest-screen oracles so the SQL definition of a
+    * "paragraph" cannot fork from a retune applied to only one. */
+  def paragraphCtesSql: String =
+    s"""t AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+       |ch AS (SELECT doc_id,
+       |         unnest(list_transform(range(CAST(ceil(len(t) / $ParaTokens.0) AS BIGINT)),
+       |                i -> {'idx': i, 'h': md5(array_to_string(
+       |                        t[i*$ParaTokens+1 : i*$ParaTokens+$ParaTokens], ' '))})) AS s
+       |       FROM t),
+       |c2 AS (SELECT doc_id, CAST(s['idx'] AS INTEGER) AS idx, s['h'] AS h FROM ch)""".stripMargin
+
   /** (doc_id, idx, h): every doc's aligned [[ParaTokens]]-token
     * paragraph hashes, in document order. The md5 is computed INSIDE
     * the per-row transform, so paragraph text never leaves the row.
@@ -1035,13 +1070,7 @@ object DedupOps {
     // shuffle; see paragraphDedup's scaladoc for the 100 TB story.
     QueryDef.sql(
       "q_dedup_paragraphs",
-      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
-         |ch AS (SELECT doc_id,
-         |         unnest(list_transform(range(CAST(ceil(len(t) / $ParaTokens.0) AS BIGINT)),
-         |                i -> {'idx': i, 'h': md5(array_to_string(
-         |                        t[i*$ParaTokens+1 : i*$ParaTokens+$ParaTokens], ' '))})) AS s
-         |       FROM t),
-         |c2 AS (SELECT doc_id, CAST(s['idx'] AS INTEGER) AS idx, s['h'] AS h FROM ch),
+      s"""WITH $paragraphCtesSql,
          |d AS (SELECT doc_id, idx, h,
          |        row_number() OVER (PARTITION BY h ORDER BY doc_id, idx) = 1 AS keep
          |      FROM c2)

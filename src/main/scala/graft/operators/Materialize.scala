@@ -70,13 +70,30 @@ object Materialize {
       ds.checkpoint() // eager, durable, lineage-flat
     } else ds.localCheckpoint()
 
-  /** Release a [[pin]] once superseded. A no-op for localCheckpoint
-    * and reliable-checkpoint pins (their blocks/files are swept by
-    * the session's ContextCleaner / the bench-verify quiesce); for
-    * persist pins it frees the cache entry so a long cluster loop
-    * doesn't hold every generation. */
+  /** Release a [[pin]] or [[pinIter]] once superseded. localCheckpoint
+    * pins are swept by the session's ContextCleaner; persist pins free
+    * their cache entry here. Reliable-checkpoint pins ([[pinIter]]
+    * under clusterSafe) need EXPLICIT file deletion: Spark only
+    * reclaims checkpoint files at application exit (or under the
+    * non-default `spark.cleaner.referenceTracking.cleanCheckpoints`),
+    * so a long-running cluster loop would otherwise leak every
+    * superseded round to durable storage. The checkpointed Dataset's
+    * plan is a LogicalRDD over the checkpointed RDD, so the file path
+    * comes from the already-materialized RDD — no extra job runs. */
   def unpin(ds: Dataset[_]): Unit =
-    if (clusterSafe(ds)) ds.unpersist(blocking = false)
+    if (clusterSafe(ds)) {
+      ds.unpersist(blocking = false)
+      ds.queryExecution.analyzed match {
+        case l: org.apache.spark.sql.execution.LogicalRDD =>
+          l.rdd.getCheckpointFile.foreach { dir =>
+            val path = new org.apache.hadoop.fs.Path(dir)
+            val fs = path.getFileSystem(
+              ds.sparkSession.sparkContext.hadoopConfiguration)
+            fs.delete(path, true)
+          }
+        case _ => // persist pin: cache entry freed above, nothing on disk
+      }
+    }
 
   /** Postfix syntax so call sites read like the `localCheckpoint()`
     * they replace: `df.pinned` / `df.pinnedIter`. */

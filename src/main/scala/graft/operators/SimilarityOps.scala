@@ -884,17 +884,7 @@ object SimilarityOps {
         col("a.centroid_id") === col("t.centroid_id") &&
           col("a.sub") === col("t.sub") && col("a.code") === col("t.cid"))
       .select(col("t.query_id"), col("a.vec_id"), col("a.sub"), col("t.d"))
-    def distAt(j: Int): Column = max(when(col("sub") === j, col("d")))
-    val adc = (0 until PqSubspaces).map(distAt).reduceLeft(_ + _)
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("adc"), col("vec_id"))
-    joined.groupBy(col("query_id"), col("vec_id"))
-      .agg(adc.as("adc"))
-      .filter(col("vec_id") =!= col("query_id"))
-      .withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= k)
-      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("rnk"),
-        round(col("adc"), 6).as("adc_dist"))
+    adcTopK(joined, k)
   }
 
   def pqAdcTopK(e: DataFrame, probes: DataFrame, k: Int): DataFrame = {
@@ -907,6 +897,17 @@ object SimilarityOps {
       .join(broadcast(dt).as("t"),
         col("a.sub") === col("t.sub") && col("a.code") === col("t.cid"))
       .select(col("t.query_id"), col("a.vec_id"), col("a.sub"), col("t.d"))
+    adcTopK(joined, k)
+  }
+
+  /** Shared ADC re-assembly tail for [[pqAdcTopK]] and
+    * [[ivfPqSearch]]: pivot the per-subspace lookups into a
+    * FIXED-ORDER sum (both engines add the same doubles in the same
+    * sequence), exclude self-matches, rank per query on the unrounded
+    * score with vec_id tie-break, and cut at k. One body so the two
+    * search paths cannot drift on tie-break or rounding. Input:
+    * (query_id, vec_id, sub, d). */
+  private def adcTopK(joined: DataFrame, k: Int): DataFrame = {
     def distAt(j: Int): Column = max(when(col("sub") === j, col("d")))
     val adc = (0 until PqSubspaces).map(distAt).reduceLeft(_ + _)
     val w = Window.partitionBy(col("query_id"))

@@ -125,14 +125,9 @@ object StreamingOps {
     // co-buckets instead. Oracle = the batch semi-join.
     QueryDef.sql(
       "q_stream_ingest_screen",
-      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
-         |ch AS (SELECT doc_id,
-         |         unnest(list_transform(range(CAST(ceil(len(t) / ${DedupOps.ParaTokens}.0) AS BIGINT)),
-         |                i -> md5(array_to_string(
-         |                       t[i*${DedupOps.ParaTokens}+1 : i*${DedupOps.ParaTokens}+${DedupOps.ParaTokens}], ' ')))) AS h
-         |       FROM t),
-         |c AS (SELECT DISTINCT h FROM ch WHERE doc_id < ${DedupOps.IncrementalSplit})
-         |SELECT DISTINCT doc_id FROM ch
+      s"""WITH ${DedupOps.paragraphCtesSql},
+         |c AS (SELECT DISTINCT h FROM c2 WHERE doc_id < ${DedupOps.IncrementalSplit})
+         |SELECT DISTINCT doc_id FROM c2
          |WHERE doc_id >= ${DedupOps.IncrementalSplit} AND h IN (SELECT h FROM c)""".stripMargin) {
       (s, dir) => withStreamPartitions(s, 8) {
         val corpusIdx = DedupOps.paragraphHashes(

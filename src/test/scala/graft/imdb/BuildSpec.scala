@@ -70,6 +70,15 @@ class BuildSpec extends SparkSpec {
     assert(names.toSeq == names.toSeq.sorted)
   }
 
+  test("surrogate ids refuse input whose columns collide with internals") {
+    import spark.implicits._
+    val df = Seq((1L, 2L)).toDF("k", "_mid")
+    val e = intercept[IllegalArgumentException] {
+      graft.imdb.SurrogateIds.assign(df, "id", Seq(col("k")))
+    }
+    assert(e.getMessage.contains("_mid"))
+  }
+
   test("title: left-outer ratings coalesce to 0 (reference database.py:907-917)") {
     pimdb
     val unrated = t("title").filter(col("rating_count") === 0).count()

@@ -65,6 +65,21 @@ class MaterializeSpec extends SparkSpec {
     }
   }
 
+  test("unpin deletes a superseded reliable checkpoint's files " +
+    "(clusterSafe loops must not leak every round to durable storage)") {
+    inClusterSafe {
+      val ck = Materialize.pinIter(spark.range(10).toDF("x"))
+      val file = ck.queryExecution.analyzed
+        .asInstanceOf[org.apache.spark.sql.execution.LogicalRDD]
+        .rdd.getCheckpointFile.get
+      val path = new org.apache.hadoop.fs.Path(file)
+      val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      assert(fs.exists(path))
+      Materialize.unpin(ck)
+      assert(!fs.exists(path))
+    }
+  }
+
   test("unpin is a no-op for localCheckpoint pins") {
     val local = Materialize.pin(spark.range(5).toDF("x"))
     Materialize.unpin(local) // must not throw or invalidate the blocks
