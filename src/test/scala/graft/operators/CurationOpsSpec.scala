@@ -271,6 +271,39 @@ class CurationOpsSpec extends SparkSpec {
     assert(out.count(_._2 == "unchanged") == 17)
   }
 
+  test("weighted sample matches a pure-JVM reference implementation " +
+    "end to end (hash -> uniform -> race key -> k-cut)") {
+    // independent of BOTH engines: reimplement the chain with
+    // MessageDigest + Math.log and compare the full selection
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val docs = graft.Tables(spark, sfDir, "documents")
+    val ref = docs.select("doc_id", "n_chars").collect()
+      .map { r =>
+        val (id, w) = (r.getLong(0), r.getLong(1))
+        val u = (java.lang.Long.parseLong(
+          md5hex(id.toString).substring(0, 6), 16).toDouble + 1.0) /
+          CurationOps.HexDraw6Denom
+        (id, w, -math.log(u) / w.toDouble)
+      }
+      .sortBy { case (id, _, key) => (key, id) }
+      .take(CurationOps.WeightedSampleK)
+      .map { case (id, w, key) =>
+        // Spark's round() is decimal HALF_UP — mirror it exactly
+        (id, w, BigDecimal(key)
+          .setScale(6, scala.math.BigDecimal.RoundingMode.HALF_UP)
+          .toDouble)
+      }.toSeq
+      // compare in (rounded key, id) order: the cut ran on unrounded
+      // keys, but rounding can tie two selected rows
+      .sortBy(t => (t._3, t._1))
+    val got = CurationOps.weightedSample(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+      .sortBy(t => (t._3, t._1))
+    assert(got == ref)
+  }
+
   test("source cap: bounded aggregator elects the same survivors as the " +
     "window form, never more than cap per source") {
     val docs = graft.Tables(spark, sfDir, "documents")
