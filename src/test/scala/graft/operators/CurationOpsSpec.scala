@@ -271,6 +271,46 @@ class CurationOpsSpec extends SparkSpec {
     assert(out.count(_._2 == "unchanged") == 17)
   }
 
+  test("dsir weights match a pure-JVM reference implementation " +
+    "(hashed n-grams -> smoothed distributions -> mean log ratio)") {
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val docs = graft.Tables(spark, sfDir, "documents")
+    val corpus = docs.select("doc_id", "lang", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2).split(" ").toSeq))
+    def ngrams(t: Seq[String]): Seq[String] =
+      t ++ t.sliding(2).filter(_.length == 2).map(_.mkString(" "))
+    val buckets = corpus.map { case (id, lang, t) =>
+      (id, lang, ngrams(t).map(ng => md5hex(ng).substring(0, 2)))
+    }
+    val cr = buckets.flatMap(_._3).groupBy(identity).map { case (b, xs) => b -> xs.length.toLong }
+    val ct = buckets.filter(_._2 == CurationOps.DsirTargetLang)
+      .flatMap(_._3).groupBy(identity).map { case (b, xs) => b -> xs.length.toLong }
+    val nr = cr.values.sum
+    val nt = ct.values.sum
+    val B = CurationOps.DsirBuckets.toLong
+    def lr(b: String): Double =
+      math.log(((ct.getOrElse(b, 0L) + 1) * (nr + B)).toDouble
+        / ((cr(b) + 1) * (nt + B)).toDouble)
+    val ref = buckets.map { case (id, _, bs) =>
+      val score = BigDecimal(bs.map(lr).sum / bs.length)
+        .setScale(6, scala.math.BigDecimal.RoundingMode.HALF_UP).toDouble
+      id -> (bs.length.toLong, score, score > 0.0)
+    }.toMap
+    val got = CurationOps.dsirWeights(docs).collect()
+      .map(r => r.getLong(0) -> (r.getAs[Long]("n_ngrams"),
+        r.getAs[Double]("dsir_logratio"), r.getAs[Boolean]("selected"))).toMap
+    // the per-doc mean reassociates across implementations; compare
+    // counts/flags exactly and scores to within one rounding step
+    assert(got.keySet == ref.keySet)
+    got.foreach { case (id, (nG, s, sel)) =>
+      assert(nG == ref(id)._1, s"doc $id n_ngrams")
+      assert(math.abs(s - ref(id)._2) <= 1e-6 + 1e-12, s"doc $id score")
+      assert(sel == ref(id)._3 || math.abs(s) <= 2e-6, s"doc $id flag")
+    }
+  }
+
   test("weighted sample matches a pure-JVM reference implementation " +
     "end to end (hash -> uniform -> race key -> k-cut)") {
     // independent of BOTH engines: reimplement the chain with

@@ -778,6 +778,34 @@ class PipelineOpsSpec extends SparkSpec {
       (11L, 4, 256.0), (3L, 5, 576.0)))
   }
 
+  test("bm25 matches a pure-JVM reference implementation on the gate " +
+    "corpus (df/tf/idf/length-normalization chain)") {
+    val docs = graft.Tables(spark, "/root/testdata/sf0.001", "documents")
+    val corpus = docs.select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ").toSeq)
+    val n = corpus.length.toDouble
+    val sumDl = corpus.map(_._2.length.toLong).sum.toDouble
+    val avgdl = sumDl / n
+    def idf(df: Long): Double =
+      math.log(1.0 + (n - df.toDouble + 0.5) / (df.toDouble + 0.5))
+    val dfs = TextOps.Bm25Query.map(q =>
+      q -> corpus.count(_._2.contains(q)).toLong).toMap
+    val ref = corpus.map { case (id, toks) =>
+      val dl = toks.length.toDouble
+      val score = TextOps.Bm25Query.map { q =>
+        val tf = toks.count(_ == q).toDouble
+        idf(dfs(q)) * (tf * TextOps.Bm25K1Plus1) /
+          (tf + TextOps.Bm25K1 *
+            (TextOps.Bm25OneMinusB + TextOps.Bm25B * (dl / avgdl)))
+      }.reduceLeft(_ + _)
+      (id, BigDecimal(score)
+        .setScale(6, scala.math.BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }.sortBy { case (id, s) => (-s, id) }.take(TextOps.Bm25TopK)
+    val got = TextOps.bm25TopK(docs).collect()
+      .map(r => (r.getLong(0), r.getAs[Double]("bm25"))).toSeq
+    assert(got == ref.toSeq)
+  }
+
   test("property: paragraph chunker matches a JVM reference over random " +
     "token lists (200 seeded samples)") {
     def md5hex(s: String): String =
