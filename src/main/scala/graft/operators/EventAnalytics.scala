@@ -30,6 +30,39 @@ object EventAnalytics {
   }
 
   val all: Seq[QueryDef] = Seq(
+
+    // Map-typed function surface (SURVEY F8's "map functions"): build
+    // a per-user event_type → count MAP in-query (map_from_entries
+    // over sorted entries, so key order is deterministic) and derive
+    // size / map_keys / element_at lookups from it. The OUTPUT is
+    // plain scalars + a joined key string, so the oracle replicates
+    // the map semantics relationally without needing an engine MAP
+    // representation to hash identically. One user_id shuffle after a
+    // map-side (user, type) pre-aggregate — group cardinality bounds
+    // the exchange at any event volume.
+    QueryDef.sql(
+      "q_map_funcs",
+      """WITH c AS (SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS cnt
+        |           FROM events GROUP BY 1, 2)
+        |SELECT user_id, CAST(count(*) AS INTEGER) AS n_types,
+        |       string_agg(event_type, ',' ORDER BY event_type) AS types,
+        |       CAST(coalesce(max(CASE WHEN event_type = 'purchase' THEN cnt END), 0) AS BIGINT) AS purchases,
+        |       CAST(coalesce(max(CASE WHEN event_type = 'view' THEN cnt END), 0) AS BIGINT) AS views
+        |FROM c GROUP BY user_id""".stripMargin) {
+      (s, dir) =>
+        val m = Tables(s, dir, "events")
+          .groupBy(col("user_id"), col("event_type"))
+          .agg(count(lit(1)).as("cnt"))
+          .groupBy(col("user_id"))
+          .agg(map_from_entries(array_sort(
+            collect_list(struct(col("event_type"), col("cnt"))))).as("m"))
+        m.select(col("user_id"),
+          size(col("m")).as("n_types"),
+          concat_ws(",", map_keys(col("m"))).as("types"),
+          coalesce(element_at(col("m"), "purchase"), lit(0L)).as("purchases"),
+          coalesce(element_at(col("m"), "view"), lit(0L)).as("views"))
+    },
+
     QueryDef.sql(
       "q_funnel",
       """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS ts_us FROM events),
