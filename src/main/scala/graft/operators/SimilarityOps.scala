@@ -42,6 +42,10 @@ object SimilarityOps {
     * k-means-trained codebook — `ivfTrain` is the training analog). */
   val PqSubspaces = 4
   val PqSubDim = 16
+  // the GATE codebook is deliberately tiny and SEEDED (deterministic,
+  // oracle-replicable); quantization quality comes from pqTrain's
+  // k-means codebook, whose recall the spec measures against the
+  // seeded one. Production uses a trained 256/subspace codebook.
   val PqCentroids = 4
 
   /** Residual codebook seed for IVFADC: the first [[PqCentroids]]
@@ -785,19 +789,76 @@ object SimilarityOps {
         (x, y) => (x - y) * (x - y)),
       lit(0.0), (acc, x) => acc + x)
 
-  /** Per-subspace PQ assignment: (vec_id, sub, code, dmin) — the
-    * argmin over the broadcast codebook, deterministic via the
-    * lexicographic `min(struct(d2, cid))` tie-break. */
-  def pqAssign(e: DataFrame, seedFrom: Int = 0): DataFrame = {
+  /** Per-subspace PQ assignment against an EXPLICIT codebook
+    * (sub, cid, csub): (vec_id, sub, code, dmin) — the argmin over
+    * the broadcast codebook, deterministic via the lexicographic
+    * `min(struct(d2, cid))` tie-break. */
+  def pqAssignWith(e: DataFrame, cb: DataFrame): DataFrame = {
     val ev = e.select(col("vec_id"),
       posexplode(subvecs(col("embedding"))).as(Seq("sub", "esub")))
-    ev.join(broadcast(pqCodebook(e, seedFrom)), "sub")
+    ev.join(broadcast(cb), "sub")
       .select(col("vec_id"), col("sub"),
         sqDist(col("esub"), col("csub")).as("d2"), col("cid"))
       .groupBy(col("vec_id"), col("sub"))
       .agg(min(struct(col("d2").as("d"), col("cid").as("c"))).as("m"))
       .select(col("vec_id"), col("sub"),
         col("m.c").as("code"), col("m.d").as("dmin"))
+  }
+
+  /** Gate-path assignment: codebook seeded from the corpus itself. */
+  def pqAssign(e: DataFrame, seedFrom: Int = 0): DataFrame =
+    pqAssignWith(e, pqCodebook(e, seedFrom))
+
+  /** Per-subspace L2 k-means codebook training (Lloyd) — the trained
+    * counterpart of the gate's SEEDED [[pqCodebook]], mirroring how
+    * [[ivfTrain]] relates to the seeded IVF gate centroids: the gate
+    * stays deterministic and oracle-replicable on seeds, while this
+    * produces the codebook a production index build would store.
+    * Quantization quality is the whole PQ game — the recall spec
+    * measures seeded vs trained side by side.
+    *
+    * Scale: each iteration is one broadcast-join assignment pass +
+    * one (sub, cid, dim)-bounded mean aggregate; the codebook stays
+    * m×k rows; rounds are pinned via [[Materialize.pinIter]] like
+    * every training loop here. Empty cells keep their previous
+    * centroid. Offline index-build utility, not a per-query path. */
+  def pqTrain(e: DataFrame, k: Int = PqCentroids, iters: Int = 5): DataFrame = {
+    val n = e.count()
+    val stride = math.max(1L, n / k)
+    val ev = e.select(col("vec_id"),
+      posexplode(subvecs(col("embedding"))).as(Seq("sub", "esub")))
+      .select(col("vec_id"), col("sub"),
+        col("esub").cast("array<double>").as("esub"))
+      .pinned // reused by every assignment round
+    var cb = ev
+      .filter(col("vec_id") % stride === 0 && col("vec_id") < stride * k)
+      .select(col("vec_id").cast("int").as("cid"), col("sub"),
+        col("esub").as("csub"))
+      .pinnedIter
+    (0 until iters).foreach { _ =>
+      val assigned = ev.join(broadcast(cb), "sub")
+        .select(col("vec_id"), col("sub"), col("esub"),
+          sqDist(col("esub"), col("csub")).as("d2"), col("cid"))
+        .groupBy(col("vec_id"), col("sub"))
+        .agg(min(struct(col("d2").as("d"), col("cid").as("c"))).as("m"),
+          first(col("esub")).as("esub"))
+      val dimCols = (0 until PqSubDim).map(i =>
+        avg(element_at(col("esub"), i + 1)).as(s"d$i"))
+      val means = assigned
+        .select(col("sub"), col("m.c").as("cid"), col("esub"))
+        .groupBy(col("sub"), col("cid"))
+        .agg(dimCols.head, dimCols.tail: _*)
+        .select(col("sub"), col("cid"),
+          array((0 until PqSubDim).map(i => col(s"d$i")): _*).as("new_csub"))
+      val next = cb
+        .join(means, Seq("sub", "cid"), "left_outer")
+        .select(col("sub"), col("cid"),
+          coalesce(col("new_csub"), col("csub")).as("csub"))
+        .pinnedIter
+      Materialize.unpin(cb)
+      cb = next
+    }
+    cb
   }
 
   def pqCodes(e: DataFrame): DataFrame = {
@@ -887,18 +948,24 @@ object SimilarityOps {
     adcTopK(joined, k)
   }
 
-  def pqAdcTopK(e: DataFrame, probes: DataFrame, k: Int): DataFrame = {
+  /** ADC search against an EXPLICIT codebook — used by the gate (on
+    * the seeded codebook) and the recall spec (on a TRAINED one). */
+  def pqAdcTopKWith(e: DataFrame, probes: DataFrame, cb: DataFrame,
+      k: Int): DataFrame = {
     val qs = probes.select(col("query_id"),
       posexplode(subvecs(col("qv"))).as(Seq("sub", "qsub")))
-    val dt = qs.join(broadcast(pqCodebook(e)), "sub")
+    val dt = qs.join(broadcast(cb), "sub")
       .select(col("query_id"), col("sub"), col("cid"),
         sqDist(col("qsub"), col("csub")).as("d"))
-    val joined = pqAssign(e).as("a")
+    val joined = pqAssignWith(e, cb).as("a")
       .join(broadcast(dt).as("t"),
         col("a.sub") === col("t.sub") && col("a.code") === col("t.cid"))
       .select(col("t.query_id"), col("a.vec_id"), col("a.sub"), col("t.d"))
     adcTopK(joined, k)
   }
+
+  def pqAdcTopK(e: DataFrame, probes: DataFrame, k: Int): DataFrame =
+    pqAdcTopKWith(e, probes, pqCodebook(e), k)
 
   /** Shared ADC re-assembly tail for [[pqAdcTopK]] and
     * [[ivfPqSearch]]: pivot the per-subspace lookups into a
