@@ -3,8 +3,13 @@ package graft
 import org.apache.spark.sql.SparkSession
 
 /** Benchmark main: runs every registered query against
-  * SPARK_GRAFT_SF_DIR and prints one JSON line with per-query and
-  * total wall-clock seconds.
+  * SPARK_GRAFT_SF_DIR, writes per-query wall-clock seconds to a JSON
+  * FILE (SPARK_GRAFT_BENCH_OUT, default ./BENCH_QUERIES.json) and
+  * prints ONE compact summary JSON line — total only — as the LAST
+  * stdout line. The registry outgrew the harness's bounded 2000-char
+  * log tail twice (r6: full precision, r8: 103 keys even shortened),
+  * so the per-query map now lives in the file and the printed record
+  * stays O(1) regardless of registry size.
   *
   * Each query is forced through the `noop` sink — unlike `count()`,
   * which lets Spark prune the whole projection away, noop materializes
@@ -14,10 +19,6 @@ import org.apache.spark.sql.SparkSession
   * single-run timings on a shared local box swing ±50% from GC/JIT
   * noise, which made round-over-round comparisons mushy; the median
   * also absorbs the first run's plan-compile + codegen overhead.
-  * Seconds are printed with 2 decimals (trailing zeros stripped) so
-  * the whole JSON line stays under ~1.9 KB — harness logs keep only a
-  * bounded 2000-char tail, and the full-precision line used to
-  * overflow it.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -79,29 +80,26 @@ object Bench {
         else secs.sorted.apply(secs.length / 2)
       name -> median
     }
-    // 1-decimal, trailing-zero-stripped seconds and a basename sf: the
-    // harness log keeps a 2000-char tail and sbt appends ~80 chars after
-    // the JSON line, so every query entry must average < 24 chars for
-    // the line to survive intact. Tenths are plenty: run-to-run noise
-    // exceeds ±0.1 s even under the median-of-3.
     def fmt(v: Double): String =
       if (v < 0) "-1"
       else {
-        val s = String.format(java.util.Locale.ROOT, "%.1f", v)
-        if (s.contains('.')) s.reverse.dropWhile(_ == '0').stripPrefix(".").reverse
-        else s
+        val s = String.format(java.util.Locale.ROOT, "%.2f", v)
+        val t = s.reverse.dropWhile(_ == '0').stripPrefix(".").reverse
+        if (t.isEmpty) "0" else t
       }
-    // bench-only key shortening: every registry name carries the "q_"
-    // prefix, so dropping it in the report saves 2 chars/query (~150
-    // total) of the bounded tail without losing identity; likewise
-    // "multimodal_" → "mm_" (4 queries × 8 chars) — the report must
-    // stay under ~1900 chars for the harness's bounded 2000-char tail
-    val qs = results.map { case (k, v) =>
-      "\"" + k.stripPrefix("q_").replace("multimodal_", "mm_") + "\":" + fmt(v) }
+    // full per-query record → file (unbounded; the log tail is not)
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_QUERIES.json")
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
+    val nFailed = results.count(_._2 < 0)
     val sfLabel = new java.io.File(sfDir).getName
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfLabel"}""")
+    val fileJson =
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfLabel"}"""
+    java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
+      (fileJson + "\n").getBytes("UTF-8"))
+    // compact summary LAST so the bounded tail always captures it whole
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.length},"n_failed":$nFailed,"queries_file":"$outPath","sf":"$sfLabel"}""")
     spark.stop()
   }
 }

@@ -6,16 +6,39 @@ import org.apache.spark.sql.SparkSession
   * pimdb/command.py:38-140, tested in tests/test_command.py):
   *
   * {{{
-  *   pimdbspark [--version] [--help] COMMAND [options]
+  *   pimdbspark [--version] [--help] [--log LEVEL] COMMAND [options]
   *
   *   download <targetFolder> [names...|all|normalized]
-  *            [--force] [--url BASE]
+  *            [--force] [--url BASE] [--dataset-folder DIR]
   *   transfer <dataFolder> [names...|all|normalized]
   *            [--bulk N] [--database URL] [--drop] [--warehouse DIR]
+  *            [--dataset-folder DIR]
   *   build    <dataFolder> [--bulk N] [--database URL] [--drop]
   *            [--warehouse DIR]
   *   query    <dataFolder> <sql | @file.sql> [--file]
   * }}}
+  *
+  * `--log LEVEL` is the reference's ROOT-parser logging control
+  * (command.py:92-100; choices debug, info, sql, warning, default
+  * info) and, like any argparse root option, is rejected after the
+  * COMMAND token. It gates the CLI's own driver-side messages the way
+  * the reference's module logger does, and when EXPLICITLY passed it
+  * also sets the Spark engine log level (debug/sql → DEBUG — "sql"
+  * means "show me the engine's statements", the sqlalchemy-echo
+  * analog; info → INFO; warning → WARN). When absent the engine stays
+  * at WARN rather than the reference's info default: Spark's INFO is
+  * an internal-scheduling firehose, not the reference logger's quiet
+  * per-command progress lines.
+  *
+  * `--dataset-folder`/`-f` is the reference's folder OPTION
+  * (command.py:61-67, on download and transfer; default: current
+  * folder) — with it, reference command lines run verbatim and every
+  * positional is a NAME. The bare-positional folder form stays
+  * supported, and a first positional that is a known dataset name (or
+  * all/normalized) means the folder defaulted to `.` exactly like the
+  * reference. On `query`, `-f` is short for `--file`
+  * (command.py:135), not the folder option — argparse scopes short
+  * flags per sub-parser and so does this.
   *
   * Exit codes match the reference's argparse behavior: 0 for
   * `--help`/`--version` and successful commands, 2 for usage errors
@@ -45,9 +68,22 @@ object Main {
   private val CommandFlags: Map[String, Set[String]] = {
     val loadFlags = Set(
       "--bulk", "-b", "--database", "-d", "--warehouse", "-w", "--drop", "-D")
-    Map("transfer" -> loadFlags, "build" -> loadFlags,
-      "query" -> Set("--file"),
-      "download" -> Set("--force", "-F", "--url", "-u"))
+    // -f is per-sub-parser like argparse: folder on download/transfer
+    // (command.py:61-67), short --file on query (command.py:135)
+    Map("transfer" -> (loadFlags + "--dataset-folder" + "-f"),
+      "build" -> loadFlags,
+      "query" -> Set("--file", "-f"),
+      "download" -> Set("--force", "-F", "--url", "-u", "--dataset-folder", "-f"))
+  }
+
+  /** Reference log levels (command.py:19-20) in severity order; `sql`
+    * maps to debug severity (command.py:271: everything, plus the
+    * engine's statements). */
+  private val LogLevels = Seq("debug", "sql", "info", "warning")
+  private def sparkLevelOf(l: String): String = l match {
+    case "debug" | "sql" => "DEBUG"
+    case "info" => "INFO"
+    case _ => "WARN"
   }
 
   def main(args: Array[String]): Unit = {
@@ -85,7 +121,8 @@ object Main {
       drop: Boolean,
       file: Boolean,
       force: Boolean,
-      url: Option[String]) extends Parsed
+      url: Option[String],
+      logLevel: Option[String]) extends Parsed
 
   private final case class UsageError(message: String) extends Exception(message)
 
@@ -127,6 +164,8 @@ object Main {
     var file = false
     var force = false
     var url: Option[String] = None
+    var logLevel: Option[String] = None
+    var datasetFolder: Option[String] = None
 
     var i = 0
     // argparse-style value slots: the next token is the flag's value
@@ -148,7 +187,7 @@ object Main {
         catch { case _: NumberFormatException =>
           throw UsageError(s"--bulk is '$v' but must be an integer") }
     }
-    val handlers: Map[String, () => Unit] = Map(
+    def handlers(command: Option[String]): Map[String, () => Unit] = Map(
       "--bulk" -> setBulk _, "-b" -> setBulk _,
       "--database" -> (() => database = Some(valueOf("--database"))),
       "-d" -> (() => database = Some(valueOf("--database"))),
@@ -158,15 +197,28 @@ object Main {
       "--file" -> (() => file = true),
       "--force" -> (() => force = true), "-F" -> (() => force = true),
       "--url" -> (() => url = Some(valueOf("--url"))),
-      "-u" -> (() => url = Some(valueOf("--url"))))
+      "-u" -> (() => url = Some(valueOf("--url"))),
+      "--dataset-folder" ->
+        (() => datasetFolder = Some(valueOf("--dataset-folder"))),
+      // -f resolves per sub-parser (CommandFlags already gated it)
+      "-f" -> (() =>
+        if (command.contains("query")) file = true
+        else datasetFolder = Some(valueOf("--dataset-folder"))))
 
     while (i < args.length) {
       args(i) match {
-        // every argparse (sub-)parser answers -h/--help; --version is
-        // defined on the ROOT parser only, so after a command it falls
-        // through to the unknown-flag error like the reference
+        // every argparse (sub-)parser answers -h/--help; --version and
+        // --log are defined on the ROOT parser only, so after a
+        // command they fall through to the unknown-flag error like the
+        // reference
         case "--help" | "-h" => return HelpRequested
         case "--version" if command.isEmpty => return VersionRequested
+        case "--log" if command.isEmpty =>
+          val v = valueOf("--log")
+          if (!LogLevels.contains(v)) throw UsageError(
+            s"argument --log: invalid choice: '$v' " +
+              s"(choose from ${LogLevels.map("'" + _ + "'").mkString(", ")})")
+          logLevel = Some(v)
         case f if f.startsWith("-") =>
           command match {
             case None => throw UsageError(
@@ -175,7 +227,7 @@ object Main {
               throw UsageError(s"unrecognized argument for $c: $f")
             case _ => ()
           }
-          handlers.getOrElse(f,
+          handlers(command).getOrElse(f,
             throw UsageError(s"unrecognized argument: $f")).apply()
         case v if command.isEmpty =>
           if (!Commands.contains(v)) throw UsageError(
@@ -188,10 +240,24 @@ object Main {
     val cmd = command.getOrElse(throw UsageError(
       s"COMMAND must be specified; possible commands are: ${Commands.mkString(", ")}"))
     if (bulk < 1) throw UsageError(s"--bulk is $bulk but must be at least 1")
-    val dataFolder = positionals.headOption.getOrElse(
-      throw UsageError(s"$cmd requires a <dataFolder>"))
-    Cli(cmd, dataFolder, positionals.tail, bulk, database, warehouse, drop,
-      file, force, url)
+    // folder resolution, reference-compatible: --dataset-folder wins
+    // and leaves every positional a NAME; a first positional that IS a
+    // name means the folder defaulted to the current dir (the
+    // reference's default=""); otherwise the repo's original
+    // folder-first positional form applies
+    val knownNames = Set("all", "normalized") ++
+      ImdbDataset.all.map(_.datasetName)
+    val (dataFolder, rest) = datasetFolder match {
+      case Some(f) => (f, positionals)
+      case None => positionals.headOption match {
+        case Some(p) if Set("download", "transfer").contains(cmd) &&
+          knownNames(p) => (".", positionals)
+        case Some(p) => (p, positionals.tail)
+        case None => throw UsageError(s"$cmd requires a <dataFolder>")
+      }
+    }
+    Cli(cmd, dataFolder, rest, bulk, database, warehouse, drop,
+      file, force, url, logLevel)
   }
 
   /** NAME semantics from the reference (command.py:165-177): `all` or
@@ -211,19 +277,26 @@ object Main {
     }
 
   private def run(cli: Cli, session: => SparkSession): Unit = {
+    // driver-side message gate — the reference module logger's role
+    // (command.py:271-272: level applies before the command runs)
+    val infoVisible =
+      LogLevels.indexOf(cli.logLevel.getOrElse("info")) <= LogLevels.indexOf("info")
     // download is pure driver-side I/O (reference parity): no Spark
     if (cli.command == "download") {
       checkedDatasets(cli.positionals).foreach { ds =>
         val fresh = Download.downloadDataset(ds, cli.dataFolder,
           onlyIfNewer = !cli.force,
           baseUrl = cli.url.getOrElse(Download.DatasetBaseUrl))
-        System.err.println(
+        if (infoVisible) System.err.println(
           if (fresh) s"downloaded ${ds.fileName}"
           else s"${ds.fileName} is up to date")
       }
       return
     }
     val spark = session
+    // explicit --log reaches the engine too; the default stays at the
+    // session's own level (WARN from main()) — see the class scaladoc
+    cli.logLevel.foreach(l => spark.sparkContext.setLogLevel(sparkLevelOf(l)))
     val pimdb = Pimdb(spark)
     cli.command match {
       case "transfer" =>
@@ -251,13 +324,14 @@ object Main {
   }
 
   private def usage(): Unit = System.err.println(
-    s"""usage: pimdbspark [--version] [--help] COMMAND [options]
+    s"""usage: pimdbspark [--version] [--help] [--log {${LogLevels.mkString(",")}}] COMMAND [options]
        |
        |commands:
-       |  download <targetFolder> [NAME...|all|normalized] [--force] [--url BASE]
-       |  transfer <dataFolder> [NAME...|all|normalized]
+       |  download [<targetFolder> | --dataset-folder DIR] [NAME...|all|normalized]
+       |           [--force] [--url BASE]
+       |  transfer [<dataFolder> | --dataset-folder DIR] [NAME...|all|normalized]
        |           [--bulk N] [--database URL] [--drop] [--warehouse DIR]
        |  build    <dataFolder> [--bulk N] [--database URL] [--drop]
        |           [--warehouse DIR]
-       |  query    <dataFolder> <sql | @file.sql> [--file]""".stripMargin)
+       |  query    <dataFolder> <sql | @file.sql> [--file | -f]""".stripMargin)
 }

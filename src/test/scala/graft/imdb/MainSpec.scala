@@ -71,6 +71,46 @@ class MainSpec extends SparkSpec {
     assert(code("query", dataDir, "select count(1) as c from title") == 0)
   }
 
+  test("--log is a root-parser option with the reference's choices " +
+    "(command.py:19-20, 92-100)") {
+    // valid levels parse and the command still runs
+    assert(code("--log", "warning", "transfer", dataDir, "title.ratings") == 0)
+    assert(code("--log", "debug", "--version") == 0)
+    // invalid choice is a usage error like argparse
+    assert(code("--log", "nope", "transfer", dataDir) == 2)
+    // value slot: --log cannot swallow a flag-shaped token
+    assert(code("--log", "--version") == 2)
+    // root-only: after the COMMAND it is an unknown sub-parser flag
+    assert(code("transfer", dataDir, "--log", "debug") == 2)
+  }
+
+  test("--dataset-folder/-f supplies the folder and leaves positionals " +
+    "as NAMEs (command.py:61-67)") {
+    assert(code("transfer", "--dataset-folder", dataDir, "title.ratings") == 0)
+    assert(code("transfer", "-f", dataDir, "title.ratings") == 0)
+    assert(spark.table("TitleRatings").count() == 12)
+    // the flag takes a value: a following flag token is a usage error
+    assert(code("transfer", "--dataset-folder") == 2)
+    // build keeps the positional-folder form only (reference build has
+    // no dataset folder — command.py:124-129)
+    assert(code("build", "--dataset-folder", dataDir) == 2)
+  }
+
+  test("a first positional that IS a dataset name means the folder " +
+    "defaulted to the current dir (reference default='')") {
+    // ./title.ratings.tsv.gz does not exist → runtime error (1), NOT
+    // the usage error (2) a missing-folder parse would produce
+    assert(code("transfer", "title.ratings") == 1)
+  }
+
+  test("on query, -f is short for --file (command.py:135), not the folder") {
+    import java.nio.file.Files
+    val f = Files.createTempFile("graft_q", ".sql")
+    Files.write(f, "select count(1) as c from title".getBytes)
+    assert(code("query", dataDir, f.toString, "-f") == 0)
+    assert(code("query", dataDir, f.toString, "--file") == 0)
+  }
+
   test("download from a file:// mirror: cache miss copies, cache hit skips, " +
     "--force refetches (reference command.py:153-162, common.py:155-180)") {
     import java.nio.file.{Files, Paths}
