@@ -72,22 +72,53 @@ object DedupOps {
       val conf = spark.sessionState.conf
       val maxPartBytes = conf.filesMaxPartitionBytes
       val openCost = conf.filesOpenCostInBytes
-      val bytes = df.queryExecution.analyzed.stats.sizeInBytes
-      val padded =
-        (bytes + BigInt(openCost) * files).min(BigInt(Long.MaxValue)).toLong
-      val maxSplit = math.min(maxPartBytes,
-        math.max(openCost, padded / math.max(1, parallelism)))
       val unsplittable = Seq(".gz", ".zst", ".bz2", ".lz4", ".snappy")
-      val splittable = !inputFiles.exists(f =>
-        unsplittable.exists(f.toLowerCase.endsWith))
+      def splittable(name: String): Boolean =
+        !unsplittable.exists(name.toLowerCase.endsWith)
+      // per-file lengths from the scan's ALREADY-CACHED listing (no
+      // extra namenode RPCs) — the estimate must be per file: one
+      // stray .gz in a many-small-files listing contributes ONE
+      // partition, it does not flip the whole corpus to #files (which
+      // overestimated and skipped the repartition this guard exists
+      // to trigger)
+      val perFile: Seq[(String, Long)] = df.queryExecution.analyzed.collect {
+        case l: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+          l.relation
+      }.collect {
+        case h: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+          h.location.listFiles(Nil, Nil).flatMap(pd =>
+            pd.files.map(f => (f.getPath.toString, f.getLen)))
+      }.flatten
       val estSplits =
-        // packed-bin count, NOT max(..., #files): Spark packs many
-        // small files into few partitions, so #files overestimates.
-        // Floor, not ceil — packing fills bins to maxSplit, so the
-        // fractional bin usually folds into the last one; erring low
-        // just repartitions near the threshold, never under-spreads
-        if (splittable) math.max(1L, padded / math.max(1L, maxSplit))
-        else files.toLong // one task per compressed file, however large
+        if (perFile.nonEmpty) {
+          // Spark sizes splits from the WHOLE listing's padded bytes
+          // (FilePartition.maxSplitBytes), then bin-packs; compressed
+          // files are one task each regardless of size
+          val totalPadded = perFile.map { case (_, len) =>
+            BigInt(len) + openCost }.sum.min(BigInt(Long.MaxValue)).toLong
+          val maxSplit = math.min(maxPartBytes,
+            math.max(openCost, totalPadded / math.max(1, parallelism)))
+          val (comp, spl) = perFile.partition(f => !splittable(f._1))
+          val splPadded = spl.map { case (_, len) => BigInt(len) + openCost }
+            .sum.min(BigInt(Long.MaxValue)).toLong
+          // packed-bin floor, not ceil — packing fills bins to
+          // maxSplit, so the fractional bin folds into the last one;
+          // erring low just repartitions near the threshold
+          comp.length.toLong +
+            (if (spl.isEmpty) 0L
+             else math.max(1L, splPadded / math.max(1L, maxSplit)))
+        } else {
+          // non-v1 scan: only aggregate plan stats are available, so
+          // fall back to the corpus-global shape
+          val bytes = df.queryExecution.analyzed.stats.sizeInBytes
+          val padded =
+            (bytes + BigInt(openCost) * files).min(BigInt(Long.MaxValue)).toLong
+          val maxSplit = math.min(maxPartBytes,
+            math.max(openCost, padded / math.max(1, parallelism)))
+          if (inputFiles.forall(splittable))
+            math.max(1L, padded / math.max(1L, maxSplit))
+          else files.toLong
+        }
       if (estSplits < math.max(2, parallelism / 2)) df.repartition(parallelism)
       else df
     }
@@ -378,10 +409,8 @@ object DedupOps {
     * dedup shuffle), and reconstruction is a doc_id-keyed aggregate
     * of the kept hashes. The emitted `kept_hash` fingerprints the
     * deduped document (md5 of the kept paragraph hashes in document
-    * order) without ever moving paragraph text; a production rewrite
-    * joins the (doc_id, idx, keep) decisions back to the doc-local
-    * chunks instead — co-partitioned on doc_id, still no text in the
-    * dedup shuffle.
+    * order) without ever moving paragraph text; [[paragraphRewrite]]
+    * is the production rewrite that emits the surviving text itself.
     *
     * Output: (doc_id, n_paras, n_kept, drop_ratio, kept_hash).
     */
@@ -393,10 +422,11 @@ object DedupOps {
     s"""t AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
        |ch AS (SELECT doc_id,
        |         unnest(list_transform(range(CAST(ceil(len(t) / $ParaTokens.0) AS BIGINT)),
-       |                i -> {'idx': i, 'h': md5(array_to_string(
-       |                        t[i*$ParaTokens+1 : i*$ParaTokens+$ParaTokens], ' '))})) AS s
+       |                i -> {'idx': i, 'p': array_to_string(
+       |                        t[i*$ParaTokens+1 : i*$ParaTokens+$ParaTokens], ' ')})) AS s
        |       FROM t),
-       |c2 AS (SELECT doc_id, CAST(s['idx'] AS INTEGER) AS idx, s['h'] AS h FROM ch)""".stripMargin
+       |c2 AS (SELECT doc_id, CAST(s['idx'] AS INTEGER) AS idx,
+       |              md5(s['p']) AS h, s['p'] AS p FROM ch)""".stripMargin
 
   /** (doc_id, idx, h): every doc's aligned [[ParaTokens]]-token
     * paragraph hashes, in document order. The md5 is computed INSIDE
@@ -404,14 +434,24 @@ object DedupOps {
     * Pure column expressions (no repartitioning), so it also applies
     * verbatim to a STREAMING DataFrame — the ingest screen uses it. */
   def paragraphHashes(docs: DataFrame): DataFrame =
-    docs
-      .select(col("doc_id"), tokens(col("text")).as("t"))
+    paragraphHashesFromTokens(
+      docs.select(col("doc_id"), tokens(col("text")).as("t")))
+
+  /** [[paragraphHashes]] over PRE-TOKENIZED input (doc_id, t:
+    * array&lt;string&gt;) — the entry point for callers that already
+    * hold token arrays (a streaming source, a tokenizer stage). */
+  def paragraphHashesFromTokens(tok: DataFrame): DataFrame =
+    tok
       .select(col("doc_id"),
-        posexplode(transform(
+        // empty/null token arrays yield NO chunks: unguarded,
+        // sequence(0, floor((0-1)/n)) counts DOWN to [0,-1] and emits
+        // garbage rows the oracle's range(ceil(len/n)) never produces
+        // (split() can't return empty, but pre-tokenized input can)
+        posexplode(when(size(col("t")) >= 1, transform(
           sequence(lit(0),
             floor((size(col("t")) - lit(1)) / lit(ParaTokens)).cast("int")),
           i => md5(concat_ws(" ",
-            slice(col("t"), i * ParaTokens + 1, lit(ParaTokens))).cast("binary"))))
+            slice(col("t"), i * ParaTokens + 1, lit(ParaTokens))).cast("binary")))))
           .as(Seq("idx", "h")))
 
   def paragraphDedup(docs: DataFrame): DataFrame = {
@@ -433,6 +473,46 @@ object DedupOps {
           array_sort(collect_list(when(col("keep"),
             struct(col("idx"), col("h"))))),
           x => x.getField("h"))).cast("binary")).as("kept_hash"))
+  }
+
+  /** The production half of [[paragraphDedup]]: REWRITE each document
+    * to its surviving paragraphs (CCNet §3.1 / Dolma both emit the
+    * pruned corpus, not just decisions).
+    *
+    * Scale design: the dedup shuffle stays text-free — the
+    * first-occurrence window still sees only (doc_id, idx, md5)
+    * triples, and the keep decisions then collapse to ONE small row
+    * per document (the sorted kept-idx array, a few ints). Joining
+    * that decision row back to the documents is a doc_id equi-join —
+    * with the corpus stored bucketed on doc_id the text side needs no
+    * exchange (AQE broadcasts the decision side below its threshold
+    * anyway) — and each document rebuilds its surviving text LOCALLY
+    * by re-slicing its own token array at the kept offsets. Document
+    * text never enters any shuffle at any stage.
+    *
+    * Output: (doc_id, n_kept, kept_text); a fully-deduplicated
+    * document keeps an empty string.
+    */
+  def paragraphRewrite(docs: DataFrame): DataFrame = {
+    val firstWins = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("h")).orderBy(col("doc_id"), col("idx"))
+    val decisions = paragraphHashes(spread(docs))
+      .withColumn("keep", row_number().over(firstWins) === 1)
+      .groupBy(col("doc_id"))
+      // when-without-otherwise nulls are skipped by collect_list, so
+      // a fully-dropped doc aggregates to an EMPTY kept-idx array
+      .agg(sort_array(collect_list(when(col("keep"), col("idx"))))
+        .as("kept_idx"))
+    spread(docs)
+      .select(col("doc_id"), tokens(col("text")).as("t"))
+      .join(decisions, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"),
+        coalesce(size(col("kept_idx")), lit(0)).cast("bigint").as("n_kept"),
+        concat_ws(" ", transform(
+          coalesce(col("kept_idx"), array().cast("array<int>")),
+          i => concat_ws(" ",
+            slice(col("t"), i * ParaTokens + 1, lit(ParaTokens)))))
+          .as("kept_text"))
   }
 
   /** Benchmark decontamination: flag corpus documents sharing at
@@ -1080,6 +1160,23 @@ object DedupOps {
          |       md5(coalesce(string_agg(h, '' ORDER BY idx) FILTER (WHERE keep), '')) AS kept_hash
          |FROM d GROUP BY doc_id""".stripMargin) {
       (s, dir) => paragraphDedup(Tables(s, dir, "documents"))
+    },
+
+    // Paragraph-dedup DOCUMENT REWRITE: the corpus a production run
+    // actually emits — each document reduced to its surviving
+    // paragraph text. The oracle rebuilds the identical first-wins
+    // election and reassembles kept paragraphs in document order.
+    QueryDef.sql(
+      "q_dedup_rewrite",
+      s"""WITH $paragraphCtesSql,
+         |d AS (SELECT doc_id, idx, p,
+         |        row_number() OVER (PARTITION BY h ORDER BY doc_id, idx) = 1 AS keep
+         |      FROM c2)
+         |SELECT doc_id,
+         |       CAST(count(*) FILTER (WHERE keep) AS BIGINT) AS n_kept,
+         |       coalesce(string_agg(p, ' ' ORDER BY idx) FILTER (WHERE keep), '') AS kept_text
+         |FROM d GROUP BY doc_id""".stripMargin) {
+      (s, dir) => paragraphRewrite(Tables(s, dir, "documents"))
     }
   )
 }

@@ -54,6 +54,16 @@ object Materialize {
       ds
     } else ds.localCheckpoint()
 
+  /** RDD ids of reliable checkpoints CREATED by [[pinIter]] — the only
+    * datasets whose files [[unpin]] may delete. Without the tag, any
+    * LogicalRDD with a checkpoint file would qualify, including a
+    * caller's own pre-checkpointed input or a pinIter result someone
+    * still holds a second reference to — and deleting those turns
+    * every later use into opaque missing-checkpoint-file task
+    * failures. Bounded: one int per live loop round, removed on unpin. */
+  private val iterPinned =
+    java.util.Collections.synchronizedSet(new java.util.HashSet[Int]())
+
   /** Pin one round of loop-carried state: eagerly materialize AND
     * truncate lineage, so round N's plan never nests round N-1's. */
   def pinIter[T](ds: Dataset[T]): Dataset[T] =
@@ -67,31 +77,49 @@ object Materialize {
               s"iterated pins: set $CheckpointDirKey or " +
               "SparkContext.setCheckpointDir")
         }
-      ds.checkpoint() // eager, durable, lineage-flat
+      val out = ds.checkpoint() // eager, durable, lineage-flat
+      out.queryExecution.analyzed match {
+        case l: org.apache.spark.sql.execution.LogicalRDD =>
+          iterPinned.add(l.rdd.id)
+        case _ => ()
+      }
+      out
     } else ds.localCheckpoint()
 
-  /** Release a [[pin]] or [[pinIter]] once superseded. localCheckpoint
-    * pins are swept by the session's ContextCleaner; persist pins free
-    * their cache entry here. Reliable-checkpoint pins ([[pinIter]]
-    * under clusterSafe) need EXPLICIT file deletion: Spark only
-    * reclaims checkpoint files at application exit (or under the
-    * non-default `spark.cleaner.referenceTracking.cleanCheckpoints`),
-    * so a long-running cluster loop would otherwise leak every
-    * superseded round to durable storage. The checkpointed Dataset's
-    * plan is a LogicalRDD over the checkpointed RDD, so the file path
-    * comes from the already-materialized RDD — no extra job runs. */
+  /** Release a [[pin]] or [[pinIter]] once superseded.
+    *
+    * CONTRACT: the caller must not use `ds` (or anything derived from
+    * it that has not itself been pinned) after unpinning it — under
+    * clusterSafe the backing checkpoint files are DELETED here, and a
+    * later action on the dataset fails with missing-checkpoint-file
+    * task errors. The iterative loops in this repo honor it by being
+    * eager: `pinIter` materializes round N fully before round N-1 is
+    * unpinned.
+    *
+    * localCheckpoint pins are swept by the session's ContextCleaner;
+    * persist pins free their cache entry here. Reliable-checkpoint
+    * pins ([[pinIter]] under clusterSafe) need EXPLICIT file deletion:
+    * Spark only reclaims checkpoint files at application exit (or
+    * under the non-default
+    * `spark.cleaner.referenceTracking.cleanCheckpoints`), so a
+    * long-running cluster loop would otherwise leak every superseded
+    * round to durable storage. Deletion is restricted to datasets
+    * [[pinIter]] itself checkpointed (tag by RDD id): a pre-existing
+    * checkpoint passed IN by a caller is never deleted, its lifecycle
+    * belongs to whoever created it. */
   def unpin(ds: Dataset[_]): Unit =
     if (clusterSafe(ds)) {
       ds.unpersist(blocking = false)
       ds.queryExecution.analyzed match {
-        case l: org.apache.spark.sql.execution.LogicalRDD =>
+        case l: org.apache.spark.sql.execution.LogicalRDD
+            if iterPinned.remove(l.rdd.id) =>
           l.rdd.getCheckpointFile.foreach { dir =>
             val path = new org.apache.hadoop.fs.Path(dir)
             val fs = path.getFileSystem(
               ds.sparkSession.sparkContext.hadoopConfiguration)
             fs.delete(path, true)
           }
-        case _ => // persist pin: cache entry freed above, nothing on disk
+        case _ => // persist pin or foreign checkpoint: nothing to delete
       }
     }
 

@@ -705,39 +705,113 @@ object SimilarityOps {
     }
   )
 
+  /** Cell-population bound for [[semdedupClosestPairs]]: the
+    * within-cell pair join is quadratic in cell population BY DESIGN
+    * (the paper's shape), so — like the Jaccard path's
+    * [[DedupOps.MaxShingleDf]] stop-shingle cap — a hot cell (a
+    * boilerplate-heavy embedding cluster, exactly what dedup targets)
+    * must not pin one reducer with n² pairs. Cells above the bound
+    * sub-split before scoring. Gate cells are orders of magnitude
+    * below it, so the gate's oracle replicates the UNSPLIT shape. */
+  val SemdedupMaxCell = 4096
+
+  /** Sign-band bits for the hot-cell sub-split — axis-plane LSH like
+    * [[LshBits]]: members of a hot cell that could actually be each
+    * other's closest pair agree on nearby sign structure, so the
+    * split preserves the pairs SemDeDup prunes first. */
+  val SemdedupSplitBits = 16
+
+  /** Pair-scoring blocks for [[semdedupClosestPairs]] with the
+    * hot-cell guard applied: (vec_id, centroid_id, blk), where pair
+    * scoring is scoped to equal (centroid_id, blk).
+    *
+    * Cold cells (population ≤ maxCell) form one block — the paper's
+    * exact shape. Hot cells sub-split in two stages, both
+    * deterministic:
+    *  1. a [[SemdedupSplitBits]]-bit sign band of the embedding —
+    *     geometric, so near-duplicates stay together;
+    *  2. any band still above maxCell (its members then share full
+    *     sign structure, i.e. they are near-duplicates of EACH OTHER,
+    *     so any within-chunk pair is a near-top pair and locality no
+    *     longer discriminates) chunks by rank: consecutive
+    *     maxCell-sized runs in vec_id order. The rank window sorts
+    *     one hot band in one task — O(n log n) with spill, the
+    *     bounded cost that replaces the O(n²) pair explosion.
+    *
+    * Per-task pair volume is therefore ≤ maxCell²/2, whatever the
+    * skew. */
+  def semdedupBlocks(
+      e: DataFrame, numCentroids: Int, maxCell: Int): DataFrame = {
+    val centroids = e.filter(col("vec_id") < numCentroids)
+      .select(col("vec_id").as("centroid_id"), col("embedding").as("cv"))
+    // pinned: consumed by the cold branch, the hot branch AND the
+    // caller's size aggregate — without it each consumer repeats the
+    // full assignment pass
+    val cells = ivfAssign(e, centroids)
+      .select(col("vec_id"), col("centroid_id"))
+      .pinned
+    val sizes = cells.groupBy(col("centroid_id"))
+      .agg(count(lit(1)).as("n_cell"))
+    val withSize = cells.join(broadcast(sizes), "centroid_id")
+    val cold = withSize.filter(col("n_cell") <= maxCell)
+      .select(col("vec_id"), col("centroid_id"), lit(0L).as("blk"))
+    val band = (0 until SemdedupSplitBits)
+      .map(j => when(element_at(col("embedding"), j + 1) > 0f,
+        lit(1 << j)).otherwise(lit(0)))
+      .reduce(_ + _)
+    val hotRank = Window.partitionBy(col("centroid_id"), col("band"))
+      .orderBy(col("vec_id"))
+    val hot = withSize.filter(col("n_cell") > maxCell)
+      .join(e.select(col("vec_id"), col("embedding")), "vec_id")
+      .select(col("vec_id"), col("centroid_id"), band.cast("long").as("band"))
+      .withColumn("blk",
+        col("band") * (1L << 32) +
+          floor((row_number().over(hotRank) - lit(1)) / lit(maxCell))
+            .cast("long"))
+      .select(col("vec_id"), col("centroid_id"), col("blk"))
+    cold.union(hot)
+  }
+
   /** The q_semdedup body, named so the gate registration and the
     * seeded-cluster spec drive the same production plan: assign each
     * vector to its nearest of the first `numCentroids` seed vectors,
     * then emit each cell's closest within-cell pair (keep_id <
     * drop_id) plus the cell population. All pairwise work is scoped
-    * inside a cell by the centroid_id equi-join. */
-  def semdedupClosestPairs(e: DataFrame, numCentroids: Int): DataFrame = {
+    * inside a (cell, block) equi-join — [[semdedupBlocks]] bounds
+    * per-task pair volume under skew; on gate data every cell is one
+    * block and the output is the paper's exact closest pair. */
+  def semdedupClosestPairs(e: DataFrame, numCentroids: Int,
+      maxCell: Int = SemdedupMaxCell): DataFrame = {
     val s = e.sparkSession
-    val centroids = e.filter(col("vec_id") < numCentroids)
-      .select(col("vec_id").as("centroid_id"), col("embedding").as("cv"))
-    // pinned: consumed by both pair sides AND the size aggregate —
-    // without it each consumer repeats the full assignment pass
-    val cells = ivfAssign(e, centroids)
-      .select(col("vec_id"), col("centroid_id"))
-      .pinned
-    val sizes = cells.groupBy(col("centroid_id"))
+    val blocks = semdedupBlocks(e, numCentroids, maxCell).pinned
+    // n_members is the ORIGINAL cell population — the sub-split is an
+    // execution detail, not part of the decision record
+    val sizes = blocks.groupBy(col("centroid_id"))
       .agg(count(lit(1)).as("n_members"))
-    val pairs = cells.as("x")
-      .join(cells.as("y"),
+    val pairs = blocks.as("x")
+      .join(blocks.as("y"),
         col("x.centroid_id") === col("y.centroid_id") &&
+          col("x.blk") === col("y.blk") &&
           col("x.vec_id") < col("y.vec_id"))
       .select(col("x.centroid_id").as("centroid_id"),
+        col("x.blk").as("blk"),
         col("x.vec_id").as("keep_id"), col("y.vec_id").as("drop_id"))
       .join(e.select(col("vec_id").as("keep_id"),
         col("embedding").as("ek")), "keep_id")
       .join(e.select(col("vec_id").as("drop_id"),
         col("embedding").as("ed")), "drop_id")
-      .select(col("centroid_id"), col("keep_id"), col("drop_id"),
+      .select(col("centroid_id"), col("blk"), col("keep_id"), col("drop_id"),
         CosineSimilarity(s, col("ek"), col("ed")).as("cos"))
-    // bounded window: rows are within-cell pairs, k cells total
-    val w = Window.partitionBy(col("centroid_id"))
+    // two bounded top-1 stages: per block first (≤ maxCell²/2 rows per
+    // partition), then per cell over the ≤ #blocks block winners — a
+    // hot cell never funnels all its pairs through one window task
+    val perBlock = Window.partitionBy(col("centroid_id"), col("blk"))
       .orderBy(col("cos").desc, col("keep_id"), col("drop_id"))
-    pairs.withColumn("rnk", row_number().over(w)).filter(col("rnk") === 1)
+    val perCell = Window.partitionBy(col("centroid_id"))
+      .orderBy(col("cos").desc, col("keep_id"), col("drop_id"))
+    pairs
+      .withColumn("brnk", row_number().over(perBlock)).filter(col("brnk") === 1)
+      .withColumn("rnk", row_number().over(perCell)).filter(col("rnk") === 1)
       .join(sizes, Seq("centroid_id"))
       .select(col("centroid_id"), col("n_members"), col("keep_id"),
         col("drop_id"), round(col("cos"), 6).as("sim"))
@@ -824,16 +898,29 @@ object SimilarityOps {
     * centroid. Offline index-build utility, not a per-query path. */
   def pqTrain(e: DataFrame, k: Int = PqCentroids, iters: Int = 5): DataFrame = {
     val n = e.count()
+    require(n >= k, s"pqTrain: corpus has $n vectors, need at least k=$k")
     val stride = math.max(1L, n / k)
+    // seed by RANK over the vec_id order, not raw-id modular
+    // arithmetic: on a sparse or offset id space (a filtered corpus)
+    // `vec_id % stride` can select fewer than k — even zero — rows
+    // and silently return a degenerate codebook. The two-phase
+    // surrogate rank is dense 1..n by construction, so ranks
+    // 0, stride, …, (k-1)·stride always exist; one bounded k-row
+    // collect ships the seed ids as a broadcast-joinable set.
+    val seedIds = graft.imdb.SurrogateIds.assignLong(
+        e.select(col("vec_id")), "_rnk", Seq(col("vec_id")))
+      .filter((col("_rnk") - 1) % stride === 0 &&
+        col("_rnk") - 1 < stride * k)
+      .select(col("vec_id"),
+        ((col("_rnk") - 1) / stride).cast("int").as("cid"))
     val ev = e.select(col("vec_id"),
       posexplode(subvecs(col("embedding"))).as(Seq("sub", "esub")))
       .select(col("vec_id"), col("sub"),
         col("esub").cast("array<double>").as("esub"))
       .pinned // reused by every assignment round
     var cb = ev
-      .filter(col("vec_id") % stride === 0 && col("vec_id") < stride * k)
-      .select(col("vec_id").cast("int").as("cid"), col("sub"),
-        col("esub").as("csub"))
+      .join(broadcast(seedIds), "vec_id")
+      .select(col("cid"), col("sub"), col("esub").as("csub"))
       .pinnedIter
     (0 until iters).foreach { _ =>
       val assigned = ev.join(broadcast(cb), "sub")

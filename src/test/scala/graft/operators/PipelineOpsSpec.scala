@@ -646,6 +646,63 @@ class PipelineOpsSpec extends SparkSpec {
     assert(n1 == 3 && k1 == 1L && d1 == 4L && s1 > 0.96 && s1 < 0.98)
   }
 
+  test("semdedup hot-cell guard: a skewed cell sub-splits to bounded " +
+    "blocks, the planted duplicate still wins, cold cells are untouched") {
+    val dims = 64
+    // seeds: 0 = all-positive, 1 = all-negative — maximally separated
+    def const(v: Float) = Array.fill(dims)(v)
+    // 50 near-identical all-positive vectors pile onto cell 0 (the
+    // boilerplate-cluster shape); ids 20/21 are EXACT duplicates
+    // modulus 101 > id span: no two distinct ids repeat a pattern, so
+    // the ONLY exact-cosine-1.0 hot pair is the planted one
+    def noisy(id: Long) = Array.tabulate(dims)(j =>
+      1f + 0.01f * (((id * 31 + j) % 101).toFloat))
+    // the duplicate uses an id-999 noise pattern: identical to each
+    // other (cos exactly 1.0), parallel to NOTHING else in the cell —
+    // in particular not to the all-ones seed vector
+    val hot = (8L until 58L).map(id =>
+      (id, if (id == 20L || id == 21L) noisy(999L) else noisy(id)))
+    // two all-negative vectors give cell 1 a (cold) pair of its own:
+    // 6 hugs the seed (clear closest pair), 7 tilts away
+    val nearSeed1 = { val v = const(-1f); v(0) = -1.05f; v }
+    val tilted = Array.tabulate(dims)(j => if (j < 32) -1f else -0.2f)
+    val e = (Seq(
+      (0L, const(1f)), (1L, const(-1f)),
+      (6L, nearSeed1), (7L, tilted)) ++ hot)
+      .toDF("vec_id", "embedding")
+    val maxCell = 8
+
+    // bounded per-task pair volume: every (cell, block) population is
+    // within the cap, even though cell 0 holds 51 members
+    val blocks = SimilarityOps.semdedupBlocks(e, 2, maxCell)
+    val blockSizes = blocks.groupBy("centroid_id", "blk")
+      .agg(count(lit(1)).as("n")).collect()
+    assert(blockSizes.forall(_.getAs[Long]("n") <= maxCell),
+      blockSizes.mkString(", "))
+    assert(blockSizes.count(_.getLong(0) == 0L) >= 7) // hot cell split
+    assert(blockSizes.count(_.getLong(0) == 1L) == 1) // cold cell: 1 block
+
+    val out = SimilarityOps.semdedupClosestPairs(e, 2, maxCell).collect()
+      .map(r => r.getAs[Long]("centroid_id") ->
+        (r.getAs[Long]("n_members"), r.getAs[Long]("keep_id"),
+          r.getAs[Long]("drop_id"), r.getAs[Double]("sim"))).toMap
+    // the exact-duplicate pair is adjacent in vec_id order, so the
+    // rank-chunked sub-split keeps it in one block and it still wins;
+    // n_members reports the ORIGINAL cell population
+    val (n0, k0, d0, s0) = out(0L)
+    assert(n0 == 51 && k0 == 20L && d0 == 21L && s0 == 1.0)
+    // cold cell: the paper's exact unsplit closest pair
+    val (n1, k1, d1, s1) = out(1L)
+    assert(n1 == 3 && k1 == 1L && d1 == 6L && s1 > 0.999 && s1 <= 1.0)
+
+    // guard OFF (huge cap) agrees on the cold cell and finds the same
+    // duplicate in the hot cell — the split changed cost, not the answer
+    val unsplit = SimilarityOps.semdedupClosestPairs(e, 2, 100000).collect()
+      .map(r => r.getAs[Long]("centroid_id") ->
+        (r.getAs[Long]("keep_id"), r.getAs[Long]("drop_id"))).toMap
+    assert(unsplit(0L) == ((20L, 21L)) && unsplit(1L) == ((1L, 6L)))
+  }
+
   test("quality classifier margins match hand-computed feature values") {
     // doc 1: ttr 1/4, stop_ratio 4/4, atl 12/4 → margin 3.95 → kept
     // doc 2: ttr 3/3, stop_ratio 0, atl 36/3 → margin -0.8 → dropped
@@ -685,6 +742,46 @@ class PipelineOpsSpec extends SparkSpec {
     // the dedup election is partitioning-invariant
     val again = DedupOps.paragraphDedup(docs.repartition(7))
     assert(DedupOps.paragraphDedup(docs).exceptAll(again).isEmpty)
+  }
+
+  test("paragraph rewrite: surviving text matches the election, planted " +
+    "duplicates vanish, empty-token docs survive the chunker guard") {
+    def unit(tag: String) = (1 to DedupOps.ParaTokens)
+      .map(i => s"$tag$i").mkString(" ")
+    val (a, b, c, d) = (unit("a"), unit("b"), unit("c"), unit("d"))
+    val docs = Seq(
+      (1L, s"$a $b"), // first occurrences: kept verbatim
+      (2L, s"$a $c"), // a dropped, c kept → text shrinks to c
+      (3L, s"$a $b"), // exact copy → rewritten to empty string
+      (4L, s"$d $d")  // within-doc dup → one d survives
+    ).toDF("doc_id", "text")
+    val out = DedupOps.paragraphRewrite(docs).collect()
+      .map(r => r.getLong(0) ->
+        (r.getAs[Long]("n_kept"), r.getAs[String]("kept_text"))).toMap
+    assert(out(1L) == (2L, s"$a $b"))
+    assert(out(2L) == (1L, c))
+    assert(out(3L) == (0L, ""))
+    assert(out(4L) == (1L, d))
+    // partitioning-invariant like the decision record
+    val again = DedupOps.paragraphRewrite(docs.repartition(7))
+    assert(DedupOps.paragraphRewrite(docs).exceptAll(again).isEmpty)
+    // rewrite agrees with paragraphDedup's kept counts on real data
+    val corpus = graft.Tables(spark, "/root/testdata/sf0.001", "documents")
+    val viaDedup = DedupOps.paragraphDedup(corpus)
+      .select(col("doc_id"), col("n_kept"))
+    val viaRewrite = DedupOps.paragraphRewrite(corpus)
+      .select(col("doc_id"), col("n_kept"))
+    assert(viaDedup.exceptAll(viaRewrite).isEmpty)
+    // ADVICE guard: a pre-tokenized EMPTY (or null) token array emits
+    // NO chunks — sequence(0, floor((0-1)/n)) used to count backwards
+    // to [0,-1] and emit garbage rows the oracle never produces
+    val pretok = Seq(
+      (1L, Seq.empty[String]),
+      (2L, null: Seq[String]),
+      (3L, Seq("x1", "x2"))).toDF("doc_id", "t")
+    val hashed = DedupOps.paragraphHashesFromTokens(pretok).collect()
+    assert(hashed.map(_.getLong(0)).toSet == Set(3L))
+    assert(hashed.length == 1)
   }
 
   test("paragraph dedup invariant on the gate corpus: kept count equals " +
