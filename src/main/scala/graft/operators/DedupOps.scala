@@ -454,6 +454,20 @@ object DedupOps {
             slice(col("t"), i * ParaTokens + 1, lit(ParaTokens))).cast("binary")))))
           .as(Seq("idx", "h")))
 
+  /** Persist the corpus's DISTINCT paragraph-hash index BUCKETED on
+    * the hash — the [[writeBandIndex]] pattern at paragraph
+    * granularity. The streaming ingest screen (and any recurring
+    * batch screen) probes this table instead of recomputing the
+    * corpus index per run: at 100 TB the index is built once (or
+    * maintained incrementally by appending each accepted batch's new
+    * hashes) and the probe join reads the stored side with no
+    * exchange — the bucketed layout IS the shuffle. */
+  def writeParagraphIndex(
+      docs: DataFrame, tableName: String, numBuckets: Int): Unit =
+    graft.sources.Sources.writeBucketed(
+      paragraphHashes(spread(docs)).select(col("h")).distinct(),
+      tableName, Seq("h"), numBuckets)
+
   def paragraphDedup(docs: DataFrame): DataFrame = {
     val chunks = paragraphHashes(spread(docs))
     val firstWins = org.apache.spark.sql.expressions.Window

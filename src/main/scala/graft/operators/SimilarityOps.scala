@@ -54,6 +54,11 @@ object SimilarityOps {
     * it during object init. */
   val ResidualSeedFrom: Int = NumCentroids
 
+  /** Lloyd rounds for the TRAINED-codebook gate query — fixed and
+    * small so the oracle can unroll the identical iterations as
+    * chained CTEs. Declared BEFORE `all` (oracle interpolation). */
+  val PqTrainGateIters = 2
+
   /** Cross-score corpus (vec_id, embedding) against broadcast probes
     * (query_id, qv): one row per (query, vector) pair with sequential
     * double-precision cosine. */
@@ -702,6 +707,68 @@ object SimilarityOps {
           .select(col("vec_id").as("centroid_id"), col("embedding").as("cv"))
         ivfPqSearch(emb(s, dir), centroids, gateProbes(s, dir),
           NumProbeCells, TopK)
+    },
+
+    // TRAINED-codebook gate: pqTrain's Lloyd loop itself, made
+    // oracle-replicable by quantizing each iteration's centroid means
+    // to 6 dp (both engines compute means of the SAME member sets from
+    // the SAME quantized codebook, so the only cross-engine freedom —
+    // summation order inside avg(), ~1e-15 — is absorbed by the
+    // rounding). Seeds come from the dense two-phase rank, rounds are
+    // fixed, and the oracle unrolls the identical iterations as
+    // chained CTEs: assignment by sequential squared-L2 argmin with
+    // cid tie-break, dim-wise mean, empty cells keep their centroid.
+    // This pins the PRODUCTION training path — seeding, assignment,
+    // update, convergence carry — not just a seeded stand-in.
+    QueryDef.sql(
+      "q_pq_train", {
+        def iter(i: Int): String = {
+          val prev = if (i == 1) "cb0" else s"cb${i - 1}"
+          s"""a$i AS (
+             |  SELECT ev.vec_id, ev.sub, ev.esub, c.cid,
+             |         list_sum(list_transform(range($PqSubDim),
+             |           j -> (ev.esub[j+1] - c.csub[j+1]) * (ev.esub[j+1] - c.csub[j+1]))) AS d2
+             |  FROM ev JOIN $prev c USING (sub)),
+             |b$i AS (
+             |  SELECT vec_id, sub, esub, cid FROM (
+             |    SELECT vec_id, sub, esub, cid,
+             |           row_number() OVER (PARTITION BY vec_id, sub
+             |                              ORDER BY d2, cid) AS rn
+             |    FROM a$i) WHERE rn = 1),
+             |m$i AS (
+             |  SELECT sub, cid, dims.di AS dim, round(avg(esub[dims.di+1]), 6) AS v
+             |  FROM b$i, (SELECT unnest(range($PqSubDim)) AS di) dims
+             |  GROUP BY 1, 2, 3),
+             |cb$i AS (
+             |  SELECT p.sub, p.cid, coalesce(mm.csub, p.csub) AS csub
+             |  FROM $prev p LEFT JOIN
+             |    (SELECT sub, cid, list(v ORDER BY dim) AS csub
+             |     FROM m$i GROUP BY 1, 2) mm USING (sub, cid))""".stripMargin
+        }
+        s"""WITH ev AS (
+           |  SELECT e.vec_id, CAST(s.sub AS INTEGER) AS sub,
+           |         list_transform(
+           |           e.embedding[s.sub*$PqSubDim+1 : s.sub*$PqSubDim+$PqSubDim],
+           |           x -> CAST(x AS DOUBLE)) AS esub
+           |  FROM embeddings e,
+           |       (SELECT unnest(range($PqSubspaces)) AS sub) s),
+           |rk AS (SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS rnk
+           |       FROM embeddings),
+           |par AS (SELECT greatest(
+           |          (SELECT count(*) FROM embeddings) // $PqCentroids, 1) AS stride),
+           |seeds AS (SELECT rk.vec_id, CAST(rk.rnk // par.stride AS INTEGER) AS cid
+           |          FROM rk, par
+           |          WHERE rk.rnk % par.stride = 0
+           |            AND rk.rnk < par.stride * $PqCentroids),
+           |cb0 AS (SELECT ev.sub, s.cid, ev.esub AS csub
+           |        FROM ev JOIN seeds s USING (vec_id)),
+           |${(1 to PqTrainGateIters).map(iter).mkString(",\n")}
+           |SELECT sub, cid, CAST(dims.di AS INTEGER) AS dim,
+           |       csub[dims.di+1] AS v
+           |FROM cb$PqTrainGateIters,
+           |     (SELECT unnest(range($PqSubDim)) AS di) dims""".stripMargin
+      }) {
+      (s, dir) => pqTrainQuantized(emb(s, dir), PqCentroids, PqTrainGateIters)
     }
   )
 
@@ -948,6 +1015,66 @@ object SimilarityOps {
     cb
   }
 
+  /** [[pqTrain]] with per-iteration centroid QUANTIZATION (means
+    * rounded to 6 dp) — the oracle-replicable trained-codebook path
+    * behind `q_pq_train`. Rounding pins the only cross-engine freedom
+    * (summation order inside the dim-wise mean, ~1e-15), so both
+    * engines run every Lloyd round on bit-identical codebooks:
+    * assignments agree because inter-centroid distance gaps are
+    * macroscopic next to ulps, and the 6-dp centroid grid costs
+    * nothing against PQ's own quantization error. Same seeding
+    * (two-phase rank), same argmin tie-break, same empty-cell carry
+    * as [[pqTrain]].
+    *
+    * Output: the trained codebook exploded to (sub, cid, dim, v) —
+    * scalar rows, so the gate hashes plain doubles, not arrays. */
+  def pqTrainQuantized(e: DataFrame, k: Int = PqCentroids,
+      iters: Int = PqTrainGateIters): DataFrame = {
+    val n = e.count()
+    require(n >= k, s"pqTrainQuantized: corpus has $n vectors, need k=$k")
+    val stride = math.max(1L, n / k)
+    val seedIds = graft.imdb.SurrogateIds.assignLong(
+        e.select(col("vec_id")), "_rnk", Seq(col("vec_id")))
+      .filter((col("_rnk") - 1) % stride === 0 &&
+        col("_rnk") - 1 < stride * k)
+      .select(col("vec_id"),
+        ((col("_rnk") - 1) / stride).cast("int").as("cid"))
+    val ev = e.select(col("vec_id"),
+      posexplode(subvecs(col("embedding"))).as(Seq("sub", "esub")))
+      .select(col("vec_id"), col("sub"),
+        col("esub").cast("array<double>").as("esub"))
+      .pinned
+    var cb = ev
+      .join(broadcast(seedIds), "vec_id")
+      .select(col("sub"), col("cid"), col("esub").as("csub"))
+      .pinnedIter
+    (0 until iters).foreach { _ =>
+      val assigned = ev.join(broadcast(cb), "sub")
+        .select(col("vec_id"), col("sub"), col("esub"),
+          sqDist(col("esub"), col("csub")).as("d2"), col("cid"))
+        .groupBy(col("vec_id"), col("sub"))
+        .agg(min(struct(col("d2").as("d"), col("cid").as("c"))).as("m"),
+          first(col("esub")).as("esub"))
+      val dimCols = (0 until PqSubDim).map(i =>
+        round(avg(element_at(col("esub"), i + 1)), 6).as(s"d$i"))
+      val means = assigned
+        .select(col("sub"), col("m.c").as("cid"), col("esub"))
+        .groupBy(col("sub"), col("cid"))
+        .agg(dimCols.head, dimCols.tail: _*)
+        .select(col("sub"), col("cid"),
+          array((0 until PqSubDim).map(i => col(s"d$i")): _*).as("new_csub"))
+      val next = cb
+        .join(means, Seq("sub", "cid"), "left_outer")
+        .select(col("sub"), col("cid"),
+          coalesce(col("new_csub"), col("csub")).as("csub"))
+        .pinnedIter
+      Materialize.unpin(cb)
+      cb = next
+    }
+    cb.select(col("sub"), col("cid"),
+      posexplode(col("csub")).as(Seq("dim", "v")))
+  }
+
   def pqCodes(e: DataFrame): DataFrame = {
     val a = pqAssign(e)
     def codeAt(j: Int): Column =
@@ -1001,8 +1128,13 @@ object SimilarityOps {
     *
     * Output: (query_id, neighbor_id, rnk, adc_dist).
     */
-  def ivfPqSearch(e: DataFrame, centroids: DataFrame, probes: DataFrame,
-      nprobe: Int, k: Int): DataFrame = {
+  /** Index-build half of IVFADC: residual-code the corpus against its
+    * IVF cells. Returns (codes, residual codebook) — codes =
+    * (vec_id, sub, code, dmin, centroid_id), codebook = the exploded
+    * (cid, sub, csub) residual codebook both coding and search-time
+    * distance tables must share. Both are ONE-OFF corpus passes at
+    * 100 TB, stored alongside the data ([[writeIvfPqIndex]]). */
+  def ivfPqIndex(e: DataFrame, centroids: DataFrame): (DataFrame, DataFrame) = {
     val cells = ivfAssign(e, centroids)
       .select(col("vec_id"), col("centroid_id"))
       .pinned // reused: residual build + coded-corpus scan
@@ -1012,10 +1144,20 @@ object SimilarityOps {
         zip_with(col("embedding").cast("array<double>"),
           col("cv").cast("array<double>"), (x, y) => x - y).as("embedding"))
       .pinned // reused: codebook seed + per-subspace coding
-    val codes = pqAssign(rdf, ResidualSeedFrom).join(cells, "vec_id")
+    val cb = pqCodebook(rdf, ResidualSeedFrom)
+    (pqAssignWith(rdf, cb).join(cells, "vec_id"), cb)
+  }
+
+  /** Search half of IVFADC, over EXPLICIT index artifacts — shared by
+    * the in-memory gate path ([[ivfPqSearch]]) and the stored-index
+    * path ([[ivfPqSearchStored]]) so the two cannot drift. */
+  private def ivfPqSearchTail(codes: DataFrame, codebook: DataFrame,
+      centroids: DataFrame, probes: DataFrame, nprobe: Int,
+      k: Int): DataFrame = {
+    val s = probes.sparkSession
     val probeCells = probes.crossJoin(broadcast(centroids))
       .select(col("query_id"), col("qv"), col("centroid_id"), col("cv"),
-        CosineSimilarity(e.sparkSession, col("qv"), col("cv")).as("ccos"))
+        CosineSimilarity(s, col("qv"), col("cv")).as("ccos"))
       .withColumn("crnk", row_number().over(
         Window.partitionBy(col("query_id"))
           .orderBy(col("ccos").desc, col("centroid_id"))))
@@ -1024,7 +1166,7 @@ object SimilarityOps {
       posexplode(subvecs(zip_with(col("qv").cast("array<double>"),
         col("cv").cast("array<double>"), (x, y) => x - y)))
         .as(Seq("sub", "qsub")))
-    val dt = qres.join(broadcast(pqCodebook(rdf, ResidualSeedFrom)), "sub")
+    val dt = qres.join(broadcast(codebook), "sub")
       .select(col("query_id"), col("centroid_id"), col("sub"), col("cid"),
         sqDist(col("qsub"), col("csub")).as("d"))
     val joined = codes.as("a")
@@ -1033,6 +1175,57 @@ object SimilarityOps {
           col("a.sub") === col("t.sub") && col("a.code") === col("t.cid"))
       .select(col("t.query_id"), col("a.vec_id"), col("a.sub"), col("t.d"))
     adcTopK(joined, k)
+  }
+
+  def ivfPqSearch(e: DataFrame, centroids: DataFrame, probes: DataFrame,
+      nprobe: Int, k: Int): DataFrame = {
+    val (codes, cb) = ivfPqIndex(e, centroids)
+    ivfPqSearchTail(codes, cb, centroids, probes, nprobe, k)
+  }
+
+  /** Persist the IVFADC index as stored artifacts — the
+    * [[DedupOps.writeBandIndex]] pattern for the ANN stack, making
+    * "both passes are stored index artifacts, not per-query work"
+    * literal: coarse centroids and the residual codebook land as tiny
+    * dimension tables, and the coded corpus lands PARTITIONED BY IVF
+    * CELL, so a search probing nprobe cells prunes the scan to
+    * nprobe/ncells of the files — the IVF promise enforced by layout,
+    * before a single byte is read. */
+  def writeIvfPqIndex(
+      e: DataFrame, centroids: DataFrame, prefix: String): Unit = {
+    val (codes, cb) = ivfPqIndex(e, centroids)
+    centroids.write.mode("overwrite").format("parquet")
+      .saveAsTable(s"${prefix}_centroids")
+    cb.write.mode("overwrite").format("parquet")
+      .saveAsTable(s"${prefix}_codebook")
+    codes.write.mode("overwrite").format("parquet")
+      .partitionBy("centroid_id").saveAsTable(s"${prefix}_codes")
+  }
+
+  /** IVFADC search probing a STORED [[writeIvfPqIndex]] — per-query
+    * work only: the probed cell ids (queries × nprobe, a bounded
+    * driver scalar like the bloom position set) ship back as a
+    * partition-pruning literal filter, so the code-table scan reads
+    * ONLY the probed cells' files and feeds the broadcast ADC join
+    * with no exchange on the stored side (spec-proven, the
+    * `SourcesSpec` band-index pattern). Results are identical to
+    * [[ivfPqSearch]] on the same corpus — same codebook, same tail. */
+  def ivfPqSearchStored(spark: SparkSession, prefix: String,
+      probes: DataFrame, nprobe: Int, k: Int): DataFrame = {
+    val centroids = spark.table(s"${prefix}_centroids")
+    val codebook = spark.table(s"${prefix}_codebook")
+    val probed = probes.crossJoin(broadcast(centroids))
+      .select(col("query_id"), col("centroid_id"),
+        CosineSimilarity(spark, col("qv"), col("cv")).as("ccos"))
+      .withColumn("crnk", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("ccos").desc, col("centroid_id"))))
+      .filter(col("crnk") <= nprobe)
+      .select(col("centroid_id")).distinct()
+      .collect().map(_.getLong(0)).toSeq
+    val codes = spark.table(s"${prefix}_codes")
+      .filter(col("centroid_id").isInCollection(probed))
+    ivfPqSearchTail(codes, codebook, centroids, probes, nprobe, k)
   }
 
   /** ADC search against an EXPLICIT codebook — used by the gate (on

@@ -117,12 +117,16 @@ object StreamingOps {
     // REAL streaming run: the "newly ingested" doc stream explodes
     // into paragraph hashes MAP-SIDE (DedupOps.paragraphHashes — pure
     // column expressions, no repartition), stream-static LEFT SEMI
-    // joins the stored corpus paragraph index, and each doc sharing
-    // ANY verbatim paragraph with the corpus is quarantined once.
+    // joins the STORED bucketed corpus paragraph index
+    // (DedupOps.writeParagraphIndex), and each doc sharing ANY
+    // verbatim paragraph with the corpus is quarantined once.
     // Stateless screen (the only state is the emit-once dedup on
-    // doc_id); the static index broadcasts per micro-batch — at
-    // 100 TB it is the stored bucketed hash index and the join
-    // co-buckets instead. Oracle = the batch semi-join.
+    // doc_id). The index build here is the one-off (or incrementally
+    // maintained) corpus pass a production pipeline amortizes across
+    // every ingest batch; per-batch work is the batch-sized probe
+    // alone, and the stored side's bucketed layout replaces its
+    // exchange (spec-proven like the band index). Oracle = the batch
+    // semi-join.
     QueryDef.sql(
       "q_stream_ingest_screen",
       s"""WITH ${DedupOps.paragraphCtesSql},
@@ -130,10 +134,11 @@ object StreamingOps {
          |SELECT DISTINCT doc_id FROM c2
          |WHERE doc_id >= ${DedupOps.IncrementalSplit} AND h IN (SELECT h FROM c)""".stripMargin) {
       (s, dir) => withStreamPartitions(s, 8) {
-        val corpusIdx = DedupOps.paragraphHashes(
+        DedupOps.writeParagraphIndex(
           Tables(s, dir, "documents")
-            .filter(col("doc_id") < DedupOps.IncrementalSplit))
-          .select(col("h")).distinct()
+            .filter(col("doc_id") < DedupOps.IncrementalSplit),
+          "graft_para_index", 8)
+        val corpusIdx = s.table("graft_para_index")
         val schema = Tables(s, dir, "documents").schema
         val stream = s.readStream.schema(schema)
           .parquet(EventStreams.streamableDir(s"$dir/documents.parquet"))

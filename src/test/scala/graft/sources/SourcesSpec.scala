@@ -118,4 +118,74 @@ class SourcesSpec extends SparkSpec {
       spark.sql("DROP TABLE IF EXISTS band_index")
     }
   }
+
+  test("stored IVF-PQ index: search prunes the code table to the probed " +
+    "cells, reads it with NO exchange, and matches the in-memory search") {
+    import graft.operators.SimilarityOps
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val emb = graft.Tables(spark, "/root/testdata/sf0.001", "embeddings")
+    val centroids = emb.filter(col("vec_id") < SimilarityOps.NumCentroids)
+      .select(col("vec_id").as("centroid_id"), col("embedding").as("cv"))
+    // two probes × nprobe=2 → at most 4 of the 8 cells probed, so the
+    // partition pruning is visible in file counts
+    val probes = emb.filter(col("vec_id") < 2)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    SimilarityOps.writeIvfPqIndex(emb, centroids, "ivfpq")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val stored = SimilarityOps.ivfPqSearchStored(spark, "ivfpq", probes,
+        SimilarityOps.NumProbeCells, SimilarityOps.TopK)
+      def subtree(p: SparkPlan): Seq[SparkPlan] = p +: p.children.flatMap(subtree)
+      val nodes = subtree(stored.queryExecution.executedPlan)
+      val codeScans = nodes.collect {
+        case f: FileSourceScanExec
+          if f.tableIdentifier.exists(_.table == "ivfpq_codes") => f
+      }
+      assert(codeScans.nonEmpty, "stored code-table scan missing from plan")
+      codeScans.foreach { s =>
+        // partition pruning: the literal probed-cell filter reaches the
+        // scan as a PartitionFilter, and only the probed cells' files
+        // are read (per-query cost nprobe/ncells BEFORE any byte moves)
+        val pf = s.metadata.getOrElse("PartitionFilters", "")
+        assert(pf.contains("centroid_id"), s"no partition pruning: $pf")
+        val allParts = spark.sql("SHOW PARTITIONS ivfpq_codes").count()
+        assert(allParts > s.selectedPartitions.partitionCount,
+          s"scan did not prune: $allParts partitions, " +
+            s"${s.selectedPartitions.partitionCount} selected")
+      }
+      // the stored side feeds the broadcast ADC join with NO exchange:
+      // scoring is map-side over the pruned code files
+      val bhjs = nodes.collect {
+        case j: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+          if subtree(j).exists(codeScans.contains(_)) => j
+      }
+      assert(bhjs.nonEmpty, "broadcast ADC join over the code scan missing:\n" +
+        stored.queryExecution.executedPlan)
+      // only the STREAMED (code-table) side must be exchange-free; the
+      // broadcast side is the tiny probe distance table, whose own
+      // 80-row window shuffle is irrelevant to the stored layout
+      bhjs.foreach { j =>
+        val codeSides = j.children
+          .filter(c => subtree(c).exists(codeScans.contains(_)))
+        assert(codeSides.nonEmpty)
+        codeSides.foreach(c => assert(
+          !subtree(c).exists(_.isInstanceOf[ShuffleExchangeExec]),
+          "stored code side must not shuffle before the ADC join:\n" +
+            stored.queryExecution.executedPlan))
+      }
+      // and the stored path returns exactly the in-memory results
+      val inMem = SimilarityOps.ivfPqSearch(emb, centroids, probes,
+        SimilarityOps.NumProbeCells, SimilarityOps.TopK)
+        .collect().map(_.toSeq).toSet
+      val viaIndex = stored.collect().map(_.toSeq).toSet
+      assert(viaIndex == inMem)
+      assert(viaIndex.nonEmpty)
+    } finally {
+      spark.conf.unset("spark.sql.adaptive.enabled")
+      Seq("ivfpq_centroids", "ivfpq_codebook", "ivfpq_codes")
+        .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    }
+  }
 }

@@ -130,29 +130,73 @@ class EventStreamsSpec extends SparkSpec {
   }
 
   test("streaming ingest screen quarantines exactly the docs sharing a " +
-    "corpus paragraph") {
+    "corpus paragraph, probing the STORED bucketed index") {
     import spark.implicits._
     implicit val sc = spark.sqlContext
     def unit(tag: String) = (1 to graft.operators.DedupOps.ParaTokens)
       .map(i => s"$tag$i").mkString(" ")
     val (a, b, c) = (unit("a"), unit("b"), unit("c"))
-    val corpusIdx = graft.operators.DedupOps.paragraphHashes(
-      Seq((1L, s"$a $b")).toDF("doc_id", "text"))
-      .select(col("h")).distinct()
-    val input = MemoryStream[(Long, String)]
-    input.addData(
-      (10L, s"$c $a"), // shares corpus paragraph a → quarantined
-      (11L, s"$c $c"), // unrelated → clean
-      (12L, s"$b $b")) // shares corpus paragraph b → quarantined
-    val q = graft.operators.DedupOps.paragraphHashes(
-        input.toDF.toDF("doc_id", "text"))
-      .join(corpusIdx, Seq("h"), "left_semi")
-      .select(col("doc_id"))
-      .dropDuplicates("doc_id")
-      .writeStream.format("memory").queryName("screen_test")
-      .outputMode("append").trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination()
-    val out = spark.table("screen_test").collect().map(_.getLong(0)).toSet
-    assert(out == Set(10L, 12L))
+    graft.operators.DedupOps.writeParagraphIndex(
+      Seq((1L, s"$a $b")).toDF("doc_id", "text"), "para_index_test", 4)
+    try {
+      val corpusIdx = spark.table("para_index_test")
+      val input = MemoryStream[(Long, String)]
+      input.addData(
+        (10L, s"$c $a"), // shares corpus paragraph a → quarantined
+        (11L, s"$c $c"), // unrelated → clean
+        (12L, s"$b $b")) // shares corpus paragraph b → quarantined
+      val screen = graft.operators.DedupOps.paragraphHashes(
+          input.toDF.toDF("doc_id", "text"))
+        .join(corpusIdx, Seq("h"), "left_semi")
+        .select(col("doc_id"))
+        .dropDuplicates("doc_id")
+      // the static side IS the stored table, not a recomputed index
+      assert(screen.queryExecution.analyzed.collectLeaves().exists(
+        _.toString.contains("para_index_test")),
+        screen.queryExecution.analyzed)
+      val q = screen
+        .writeStream.format("memory").queryName("screen_test")
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      val out = spark.table("screen_test").collect().map(_.getLong(0)).toSet
+      assert(out == Set(10L, 12L))
+      // the probe join's STORED side needs no exchange: its bucketed
+      // layout replaces the shuffle (batch twin of the same join — the
+      // micro-batch planner reuses the batch physical strategies)
+      import org.apache.spark.sql.execution.SparkPlan
+      import org.apache.spark.sql.execution.FileSourceScanExec
+      import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      try {
+        val batchTwin = graft.operators.DedupOps.paragraphHashes(
+            Seq((10L, s"$c $a")).toDF("doc_id", "text"))
+          .join(spark.table("para_index_test"), Seq("h"), "left_semi")
+        def subtree(p: SparkPlan): Seq[SparkPlan] =
+          p +: p.children.flatMap(subtree)
+        val nodes = subtree(batchTwin.queryExecution.executedPlan)
+        def isIdxScan(p: SparkPlan): Boolean = p match {
+          case f: FileSourceScanExec =>
+            f.tableIdentifier.exists(_.table == "para_index_test")
+          case _ => false
+        }
+        assert(nodes.exists(isIdxScan), "stored index scan missing")
+        val joins = nodes.collect {
+          case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec
+            if subtree(j.right).exists(isIdxScan) => j
+        }
+        assert(joins.nonEmpty, "stored-index semi join missing:\n" +
+          batchTwin.queryExecution.executedPlan)
+        joins.foreach(j => assert(
+          !subtree(j.right).exists(_.isInstanceOf[ShuffleExchangeExec]),
+          "stored index side must not re-shuffle:\n" +
+            batchTwin.queryExecution.executedPlan))
+      } finally {
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.unset("spark.sql.adaptive.enabled")
+      }
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS para_index_test")
+    }
   }
 }
