@@ -1191,6 +1191,78 @@ object DedupOps {
          |       coalesce(string_agg(p, ' ' ORDER BY idx) FILTER (WHERE keep), '') AS kept_text
          |FROM d GROUP BY doc_id""".stripMargin) {
       (s, dir) => paragraphRewrite(Tables(s, dir, "documents"))
+    },
+
+    // Edit-distance confirmation of LSH candidates: exact Levenshtein
+    // distance + normalized similarity for each banded candidate pair
+    // — the character-level verify stage a fuzzy-dedup pipeline runs
+    // AFTER blocking (shingle features miss transpositions and
+    // near-miss typos that edit distance catches). Cost is
+    // O(candidates · len²), bounded by the banding, never corpus-
+    // quadratic; texts ship only for candidate pairs, joined by id.
+    // At 100 TB a length pre-screen (|len_a − len_b| > τ·max ⇒
+    // dist/max > τ) drops hopeless pairs before the quadratic DP —
+    // map-side arithmetic on already-joined lengths.
+    QueryDef.sql(
+      "q_dedup_edit",
+      s"""WITH $candidateCtes
+         |SELECT a, b,
+         |       CAST(levenshtein(da.text, db.text) AS INTEGER) AS edit_dist,
+         |       round(1.0 - levenshtein(da.text, db.text)
+         |             / CAST(greatest(length(da.text), length(db.text)) AS DOUBLE),
+         |             6) AS edit_sim
+         |FROM cand JOIN documents da ON da.doc_id = a
+         |          JOIN documents db ON db.doc_id = b""".stripMargin) {
+      (s, dir) =>
+        val docs = Tables(s, dir, "documents")
+        val txt = docs.select(col("doc_id"), col("text"))
+        val dist = levenshtein(col("ta"), col("tb"))
+        lshCandidatePairs(docs)
+          .join(txt.select(col("doc_id").as("a"), col("text").as("ta")), "a")
+          .join(txt.select(col("doc_id").as("b"), col("text").as("tb")), "b")
+          .select(col("a"), col("b"),
+            dist.as("edit_dist"),
+            round(lit(1.0) - dist.cast("double") /
+              greatest(length(col("ta")), length(col("tb"))).cast("double"), 6)
+              .as("edit_sim"))
+    },
+
+    // Cluster canonicalization: which document SURVIVES each duplicate
+    // cluster — the keep decision a dedup pass actually applies.
+    // Components come from the same star contraction as
+    // q_dedup_clusters_star; the representative is the longest
+    // document (n_chars, doc_id tie-break), the standard "keep the
+    // most complete copy" production heuristic. Only (doc_id,
+    // cluster_id, n_chars) rows move; the keep election is one
+    // bounded window per cluster.
+    QueryDef.sql(
+      "q_dedup_keep_best",
+      s"""WITH RECURSIVE $candidateCtes,
+         |edges AS (SELECT a AS src, b AS dst FROM cand
+         |          UNION ALL SELECT b, a FROM cand),
+         |reach(src, dst) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT r.src, e.dst FROM reach r JOIN edges e ON e.src = r.dst),
+         |lab AS (SELECT src AS doc_id, min(dst) AS cluster_id
+         |        FROM reach GROUP BY src)
+         |SELECT d.doc_id, l.cluster_id, d.n_chars,
+         |       row_number() OVER (PARTITION BY l.cluster_id
+         |                          ORDER BY d.n_chars DESC, d.doc_id) = 1 AS keep
+         |FROM documents d JOIN lab l ON l.doc_id = d.doc_id""".stripMargin) {
+      (s, dir) =>
+        val docs = Tables(s, dir, "documents")
+        val labels = starComponents(lshCandidatePairs(docs))
+          .withColumnRenamed("doc_id", "d2")
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("cluster_id"))
+          .orderBy(col("n_chars").desc, col("doc_id"))
+        docs.select(col("doc_id"), col("n_chars"))
+          .join(labels, col("doc_id") === col("d2"), "left_outer")
+          .select(col("doc_id"),
+            coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"),
+            col("n_chars"))
+          .withColumn("keep", row_number().over(w) === 1)
     }
   )
 }

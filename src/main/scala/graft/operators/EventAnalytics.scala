@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.{QueryDef, Tables}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Event-sequence analytics over the `events` table: the ordered
@@ -29,7 +29,73 @@ object EventAnalytics {
         col("ts_us"))).as("s3"))
   }
 
+  /** Count-Min sketch geometry: [[CmDepth]] pairwise-independent-ish
+    * hash rows of [[CmWidth]] buckets, hashes h_i(k) = ((k·A_i + B_i)
+    * mod [[CmP]]) mod [[CmWidth]] — plain integer arithmetic, so both
+    * engines compute identical buckets and the sketch (and every
+    * estimate drawn from it) is exact-deterministic, unlike
+    * engine-private hash sketches. Declared before `all` (oracle
+    * interpolation). */
+  val CmDepth = 3
+  val CmWidth = 64
+  val CmP = 104729L
+  val CmA: Seq[Long] = Seq(31L, 37L, 41L)
+  val CmB: Seq[Long] = Seq(7L, 11L, 13L)
+
   val all: Seq[QueryDef] = Seq(
+
+    // Count-Min sketch frequency estimation (Cormode & Muthukrishnan
+    // J.Alg'05) with an exact audit: per-user event-count estimates
+    // read from a CmDepth×CmWidth counter table next to the true
+    // counts. The sketch is the 100 TB heavy-hitter screen: counters
+    // are FIXED SIZE (d·w cells, here 192) whatever the key
+    // cardinality, built with one map-side-combinable groupBy and
+    // merged associatively across partitions/streams; estimates then
+    // broadcast-join the tiny sketch. The exact companion pins the
+    // one-sided error invariant (cm_est ≥ exact, over_by = collision
+    // mass) value-for-value — the same audit-column pattern as
+    // q_approx_distinct.
+    QueryDef.sql(
+      "q_sketch_cm", {
+        def aCase(v: Seq[Long]): String =
+          (0 until CmDepth).map(i => s"WHEN $i THEN ${v(i)}")
+            .mkString("CASE i ", " ", " END")
+        s"""WITH b AS (
+           |  SELECT user_id, i,
+           |         ((user_id * ${aCase(CmA)} + ${aCase(CmB)})
+           |          % $CmP) % $CmWidth AS bucket
+           |  FROM events, (SELECT unnest(range($CmDepth)) AS i)),
+           |sk AS (SELECT i, bucket, CAST(count(*) AS BIGINT) AS c
+           |       FROM b GROUP BY 1, 2),
+           |exact AS (SELECT user_id, CAST(count(*) AS BIGINT) AS exact_cnt
+           |          FROM events GROUP BY 1),
+           |kb AS (SELECT DISTINCT user_id, i, bucket FROM b)
+           |SELECT e.user_id, e.exact_cnt,
+           |       min(sk.c) AS cm_est,
+           |       min(sk.c) - e.exact_cnt AS over_by
+           |FROM exact e
+           |JOIN kb ON kb.user_id = e.user_id
+           |JOIN sk ON sk.i = kb.i AND sk.bucket = kb.bucket
+           |GROUP BY e.user_id, e.exact_cnt""".stripMargin
+      }) {
+      (s, dir) =>
+        def bucket(i: Int): Column =
+          pmod(col("user_id") * CmA(i) + CmB(i), lit(CmP)) % CmWidth
+        val buckets = array((0 until CmDepth).map(bucket): _*)
+        val ev = Tables.events(s, dir).select(col("user_id"))
+        val sketch = ev
+          .select(posexplode(buckets).as(Seq("i", "bucket")))
+          .groupBy(col("i"), col("bucket"))
+          .agg(count(lit(1)).as("c"))
+        ev.groupBy(col("user_id")).agg(count(lit(1)).as("exact_cnt"))
+          .select(col("user_id"), col("exact_cnt"),
+            posexplode(buckets).as(Seq("i", "bucket")))
+          .join(broadcast(sketch), Seq("i", "bucket"))
+          .groupBy(col("user_id"), col("exact_cnt"))
+          .agg(min(col("c")).as("cm_est"))
+          .select(col("user_id"), col("exact_cnt"), col("cm_est"),
+            (col("cm_est") - col("exact_cnt")).as("over_by"))
+    },
 
     // Map-typed function surface (SURVEY F8's "map functions"): build
     // a per-user event_type → count MAP in-query (map_from_entries

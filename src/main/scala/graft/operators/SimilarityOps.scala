@@ -59,6 +59,16 @@ object SimilarityOps {
     * chained CTEs. Declared BEFORE `all` (oracle interpolation). */
   val PqTrainGateIters = 2
 
+  /** ADC shortlist size for the two-stage rerank gate query: the
+    * compressed-domain search overfetches RerankShortlist candidates,
+    * then exact cosine re-scores only those. Declared BEFORE `all`
+    * (oracle interpolation). */
+  val RerankShortlist = 10
+
+  /** Per-cell outlier report size for [[all]]'s q_embed_outliers.
+    * Declared BEFORE `all` (oracle interpolation). */
+  val OutlierK = 5
+
   /** Cross-score corpus (vec_id, embedding) against broadcast probes
     * (query_id, qv): one row per (query, vector) pair with sequential
     * double-precision cosine. */
@@ -769,6 +779,124 @@ object SimilarityOps {
            |     (SELECT unnest(range($PqSubDim)) AS di) dims""".stripMargin
       }) {
       (s, dir) => pqTrainQuantized(emb(s, dir), PqCentroids, PqTrainGateIters)
+    },
+
+    // Two-stage ANN serving (shortlist + rerank): the ADC search
+    // overfetches RerankShortlist candidates from the CODE table,
+    // then exact cosine re-scores ONLY those — the standard
+    // compressed-domain serving path (Jégou TPAMI'11 §IV-E): the
+    // corpus is scanned as small ints, and the original floats are
+    // fetched for queries×shortlist rows only. At 100 TB the
+    // shortlist is a tiny broadcast against the id-partitioned
+    // embedding store — the float fetch is a point-lookup join, never
+    // a corpus scan. The oracle replicates shortlist membership and
+    // the exact rerank verbatim.
+    QueryDef.sql(
+      "q_sim_rerank", {
+        val adcSum = (0 until PqSubspaces)
+          .map(j => s"max(CASE WHEN dt.j = $j THEN dd END)")
+          .mkString("\n       + ")
+        s"""WITH $pqCtes,
+           |codes AS (SELECT vec_id, j, m['c'] AS code FROM mn),
+           |q AS (SELECT vec_id AS query_id, embedding AS qv
+           |      FROM embeddings WHERE vec_id < $NumProbes),
+           |qs AS (SELECT query_id, j, qv[j*$PqSubDim+1 : j*$PqSubDim+$PqSubDim] AS qsub
+           |       FROM q CROSS JOIN sub),
+           |dt AS (SELECT query_id, j, cid,
+           |         ${sqDistSql("qsub", "csub")} AS dd
+           |       FROM qs JOIN cs USING (j)),
+           |sc AS (SELECT query_id, vec_id,
+           |         $adcSum AS adc
+           |       FROM codes JOIN dt ON dt.j = codes.j AND dt.cid = codes.code
+           |       GROUP BY query_id, vec_id),
+           |short AS (
+           |  SELECT query_id, vec_id
+           |  FROM (SELECT query_id, vec_id,
+           |               row_number() OVER (PARTITION BY query_id
+           |                                  ORDER BY adc, vec_id) AS srnk
+           |        FROM sc WHERE vec_id <> query_id)
+           |  WHERE srnk <= $RerankShortlist),
+           |rer AS (
+           |  SELECT s.query_id, s.vec_id,
+           |         ${cosSql("q.qv", "e.embedding")} AS cos
+           |  FROM short s
+           |  JOIN embeddings e ON e.vec_id = s.vec_id
+           |  JOIN q ON q.query_id = s.query_id)
+           |SELECT query_id, vec_id AS neighbor_id, CAST(rnk AS INTEGER) AS rnk,
+           |       round(cos, 6) AS sim
+           |FROM (SELECT query_id, vec_id, cos,
+           |             row_number() OVER (PARTITION BY query_id
+           |                                ORDER BY cos DESC, vec_id) AS rnk
+           |      FROM rer)
+           |WHERE rnk <= $TopK""".stripMargin
+      }) {
+      (s, dir) =>
+        val e = emb(s, dir)
+        val probes = gateProbes(s, dir)
+        val shortlist = pqAdcTopK(e, probes, RerankShortlist)
+          .select(col("query_id"), col("neighbor_id"))
+        val reranked = shortlist
+          .join(e.select(col("vec_id").as("neighbor_id"), col("embedding")),
+            "neighbor_id")
+          .join(broadcast(probes), "query_id")
+          .select(col("query_id"), col("neighbor_id"),
+            CosineSimilarity(s, col("qv"), col("embedding")).as("cos"))
+        val w = Window.partitionBy(col("query_id"))
+          .orderBy(col("cos").desc, col("neighbor_id"))
+        reranked.withColumn("rnk", row_number().over(w))
+          .filter(col("rnk") <= TopK)
+          .select(col("query_id"), col("neighbor_id"), col("rnk"),
+            round(col("cos"), 6).as("sim"))
+    },
+
+    // Embedding outlier report: each vector's similarity to its
+    // assigned cell centroid, bottom-OutlierK per cell — the "prune
+    // the vectors that don't belong to their cluster" curation
+    // decision (the complement of SemDeDup's closest-pair prune).
+    // Ranking runs on the UNROUNDED cosine (bit-identical sequential
+    // accumulation on both engines); only the reported sim is
+    // rounded. The per-cell cut is a bounded window — at corpus scale
+    // the same bounded-TopK aggregator as q_topk_per_key applies,
+    // keeping per-cell state at O(k) instead of a full cell sort.
+    QueryDef.sql(
+      "q_embed_outliers",
+      s"""WITH c AS (SELECT vec_id AS centroid_id, embedding AS cv
+         |           FROM embeddings WHERE vec_id < $NumCentroids),
+         |scored AS (
+         |  SELECT e.vec_id, c.centroid_id,
+         |         ${cosSql("cv", "e.embedding")} AS cos
+         |  FROM c CROSS JOIN embeddings e),
+         |cells AS (
+         |  SELECT vec_id, centroid_id, cos
+         |  FROM (SELECT vec_id, centroid_id, cos,
+         |               row_number() OVER (PARTITION BY vec_id
+         |                                  ORDER BY cos DESC, centroid_id) AS arnk
+         |        FROM scored)
+         |  WHERE arnk = 1)
+         |SELECT centroid_id, vec_id, CAST(rnk AS INTEGER) AS rnk,
+         |       round(cos, 6) AS sim
+         |FROM (SELECT centroid_id, vec_id, cos,
+         |             row_number() OVER (PARTITION BY centroid_id
+         |                                ORDER BY cos ASC, vec_id) AS rnk
+         |      FROM cells)
+         |WHERE rnk <= $OutlierK""".stripMargin) {
+      (s, dir) =>
+        val e = emb(s, dir)
+        val centroids = e.filter(col("vec_id") < NumCentroids)
+          .select(col("vec_id").as("centroid_id"), col("embedding").as("cv"))
+        val scored = e.crossJoin(broadcast(centroids))
+          .select(col("vec_id"), col("centroid_id"),
+            CosineSimilarity(s, col("cv"), col("embedding")).as("cos"))
+        val assigned = scored.withColumn("arnk", row_number().over(
+          Window.partitionBy(col("vec_id"))
+            .orderBy(col("cos").desc, col("centroid_id"))))
+          .filter(col("arnk") === 1)
+        assigned.withColumn("rnk", row_number().over(
+          Window.partitionBy(col("centroid_id"))
+            .orderBy(col("cos").asc, col("vec_id"))))
+          .filter(col("rnk") <= OutlierK)
+          .select(col("centroid_id"), col("vec_id"), col("rnk"),
+            round(col("cos"), 6).as("sim"))
     }
   )
 
@@ -1194,6 +1322,9 @@ object SimilarityOps {
   def writeIvfPqIndex(
       e: DataFrame, centroids: DataFrame, prefix: String): Unit = {
     val (codes, cb) = ivfPqIndex(e, centroids)
+    val s = e.sparkSession
+    Seq("centroids", "codebook", "codes")
+      .foreach(t => graft.sources.Sources.dropManaged(s, s"${prefix}_$t"))
     centroids.write.mode("overwrite").format("parquet")
       .saveAsTable(s"${prefix}_centroids")
     cb.write.mode("overwrite").format("parquet")

@@ -75,6 +75,24 @@ object Sources {
     spark.read.jdbc(url, table, new java.util.Properties())
   }
 
+  /** Make a managed-table (re)write idempotent ACROSS JVMs: drop the
+    * catalog entry if present, then remove a stale on-disk location a
+    * PREVIOUS session may have left behind. With an ephemeral
+    * session catalog (fresh driver, same warehouse dir — every
+    * re-run of an index-build job), `SaveMode.Overwrite` alone fails
+    * with LOCATION_ALREADY_EXISTS because the catalog has forgotten
+    * the table while its files persist. A durable metastore makes the
+    * DROP sufficient; the location sweep covers the catalog-lost
+    * case. */
+  def dropManaged(spark: SparkSession, tableName: String): Unit = {
+    spark.sql(s"DROP TABLE IF EXISTS `$tableName`")
+    val path = new org.apache.hadoop.fs.Path(
+      spark.sessionState.catalog.defaultTablePath(
+        org.apache.spark.sql.catalyst.TableIdentifier(tableName)))
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(path)) fs.delete(path, true)
+  }
+
   /** Bucketed + sorted managed table: equi-joins and aggregations on
     * `bucketCols` against another table bucketed the same way run
     * WITHOUT a shuffle — the on-disk layout replaces the exchange.
@@ -82,11 +100,13 @@ object Sources {
     * (SURVEY §4: indexes → partitioning decisions). */
   def writeBucketed(
       df: DataFrame, tableName: String,
-      bucketCols: Seq[String], numBuckets: Int): Unit =
+      bucketCols: Seq[String], numBuckets: Int): Unit = {
+    dropManaged(df.sparkSession, tableName)
     df.write
       .bucketBy(numBuckets, bucketCols.head, bucketCols.tail: _*)
       .sortBy(bucketCols.head, bucketCols.tail: _*)
       .mode(SaveMode.Overwrite)
       .format("parquet")
       .saveAsTable(tableName)
+  }
 }

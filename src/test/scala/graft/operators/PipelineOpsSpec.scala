@@ -1007,4 +1007,161 @@ class PipelineOpsSpec extends SparkSpec {
       }
     } finally out.unpersist()
   }
+
+  test("two-stage rerank: results come from the ADC shortlist and rank " +
+    "by exact cosine; top-1 is exact whenever the shortlist covers it") {
+    val sf = "/root/testdata/sf0.001"
+    val e = graft.Tables(spark, sf, "embeddings")
+    val vecs = e.select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) ->
+        r.getSeq[Float](1).toArray.map(_.toDouble)).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var dp = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        dp += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1
+      }
+      dp / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val probes = e.filter(col("vec_id") < SimilarityOps.NumProbes)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val shortlist = SimilarityOps
+      .pqAdcTopK(e, probes, SimilarityOps.RerankShortlist).collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+      .groupBy(_._1).map { case (q, rs) => q -> rs.map(_._2).toSet }
+    val rows = graft.SparkEntry.queries("q_sim_rerank")(spark, sf).collect()
+    assert(rows.length == SimilarityOps.NumProbes * SimilarityOps.TopK)
+    rows.groupBy(_.getLong(0)).foreach { case (q, rs) =>
+      // membership: reranked neighbors are shortlist members only
+      rs.foreach(r => assert(shortlist(q).contains(r.getLong(1))))
+      // order: the reported ranking IS the exact-cosine ranking of the
+      // shortlist, cross-checked against an independent driver-side
+      // cosine (not the engine expression)
+      val expected = shortlist(q).toSeq
+        .map(id => (cos(vecs(q), vecs(id)), id))
+        .sortBy { case (c, id) => (-c, id) }
+        .take(SimilarityOps.TopK).map(_._2)
+      assert(rs.sortBy(_.getInt(2)).map(_.getLong(1)).toSeq == expected)
+      // serving contract: exact top-1 in shortlist ⇒ rerank returns it
+      val exactTop1 = vecs.toSeq.filter(_._1 != q)
+        .map { case (id, v) => (cos(vecs(q), v), id) }
+        .sortBy { case (c, id) => (-c, id) }.head._2
+      if (shortlist(q).contains(exactTop1))
+        assert(rs.minBy(_.getInt(2)).getLong(1) == exactTop1)
+    }
+  }
+
+  test("embedding outliers: bottom-k of each cell by centroid cosine, " +
+    "ranks contiguous, sims verified against driver-side cosine") {
+    val sf = "/root/testdata/sf0.001"
+    val e = graft.Tables(spark, sf, "embeddings")
+    val vecs = e.select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) ->
+        r.getSeq[Float](1).toArray.map(_.toDouble)).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var dp = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        dp += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1
+      }
+      dp / (math.sqrt(na) * math.sqrt(nb))
+    }
+    // independent assignment: argmax cosine to seed centroids
+    val cents = (0L until SimilarityOps.NumCentroids).map(c => c -> vecs(c))
+    val assign = vecs.keys.map { id =>
+      id -> cents.map { case (c, cv) => (-cos(cv, vecs(id)), c) }.min._2
+    }.toMap
+    val rows = graft.SparkEntry.queries("q_embed_outliers")(spark, sf)
+      .collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getLong(0)).foreach { case (cell, rs) =>
+      val members = assign.filter(_._2 == cell).keys.toSeq
+      assert(rs.length == math.min(SimilarityOps.OutlierK, members.size))
+      assert(rs.map(_.getInt(2)).sorted.toSeq == (1 to rs.length))
+      // the reported vectors ARE the cell's farthest-from-centroid set
+      val expected = members
+        .map(id => (cos(vecs(cell), vecs(id)), id))
+        .sortBy(identity).take(rs.length).map(_._2).toSet
+      assert(rs.map(_.getLong(1)).toSet == expected)
+    }
+  }
+
+  test("keep-best canonicalization: exactly one survivor per cluster, " +
+    "and it is the longest member") {
+    val sf = "/root/testdata/sf0.001"
+    val rows = graft.SparkEntry.queries("q_dedup_keep_best")(spark, sf)
+      .collect()
+    val n = graft.Tables(spark, sf, "documents").count()
+    assert(rows.length == n) // every doc labeled exactly once
+    rows.groupBy(_.getLong(1)).foreach { case (_, members) =>
+      val keepers = members.filter(_.getBoolean(3))
+      assert(keepers.length == 1)
+      val best = members
+        .map(r => (-r.getLong(2), r.getLong(0))).min
+      assert((-keepers.head.getLong(2), keepers.head.getLong(0)) == best)
+    }
+  }
+
+  test("edit-distance confirm: distance matches an independent JVM " +
+    "Levenshtein on the planted near-dup; identical docs score zero") {
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(b.length + 1)(identity)
+      for (i <- 1 to a.length) {
+        var prev = d(0); d(0) = i
+        for (j <- 1 to b.length) {
+          val t = d(j)
+          d(j) = math.min(math.min(d(j) + 1, d(j - 1) + 1),
+            prev + (if (a(i - 1) == b(j - 1)) 0 else 1))
+          prev = t
+        }
+      }
+      d(b.length)
+    }
+    val texts = docs.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val cand = DedupOps.lshCandidatePairs(docs)
+    val confirmed = cand
+      .join(docs.select(col("doc_id").as("a"), col("text").as("ta")), "a")
+      .join(docs.select(col("doc_id").as("b"), col("text").as("tb")), "b")
+      .select(col("a"), col("b"), levenshtein(col("ta"), col("tb"))
+        .as("edit_dist"))
+      .collect()
+    assert(confirmed.nonEmpty)
+    confirmed.foreach { r =>
+      val expected = lev(texts(r.getLong(0)), texts(r.getLong(1)))
+      assert(r.getInt(2) == expected)
+      assert(expected > 0 && expected <= "changed".length)
+    }
+    // degenerate pair: identical strings have distance exactly 0
+    assert(lev(texts(0L), texts(0L)) == 0)
+    val self = docs.select(levenshtein(col("text"), col("text")).as("d"))
+      .agg(max(col("d"))).head.getInt(0)
+    assert(self == 0)
+  }
+
+  test("count-min sketch: estimates match an independent JVM sketch " +
+    "exactly and the one-sided error invariant holds") {
+    val sf = "/root/testdata/sf0.001"
+    val users = graft.Tables.events(spark, sf)
+      .select("user_id").collect().map(_.getLong(0))
+    // plain-Scala reference sketch with the same hash family
+    val sk = Array.fill(EventAnalytics.CmDepth, EventAnalytics.CmWidth)(0L)
+    users.foreach { u =>
+      (0 until EventAnalytics.CmDepth).foreach { i =>
+        val b = (((u * EventAnalytics.CmA(i) + EventAnalytics.CmB(i))
+          % EventAnalytics.CmP) % EventAnalytics.CmWidth).toInt
+        sk(i)(b) += 1
+      }
+    }
+    val exact = users.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val rows = graft.SparkEntry.queries("q_sketch_cm")(spark, sf).collect()
+    assert(rows.length == exact.size)
+    rows.foreach { r =>
+      val u = r.getLong(0)
+      val est = (0 until EventAnalytics.CmDepth).map { i =>
+        sk(i)((((u * EventAnalytics.CmA(i) + EventAnalytics.CmB(i))
+          % EventAnalytics.CmP) % EventAnalytics.CmWidth).toInt)
+      }.min
+      assert(r.getLong(1) == exact(u))
+      assert(r.getLong(2) == est)
+      assert(r.getLong(3) >= 0L) // cm_est >= exact, always
+    }
+  }
 }

@@ -32,7 +32,8 @@ class PlanAuditSpec extends SparkSpec {
     "q_text_perplexity",   // 1-row vocab-size scalar
     "q_sim_bm25",          // 1-row corpus-stats scalar (N, Σdl, dfs)
     "q_select_dsir",       // 1-row distribution-totals scalar (nr, nt)
-    "q_sim_ivfpq"          // 8 coarse centroids (cell assignment + probe)
+    "q_sim_ivfpq",         // 8 coarse centroids (cell assignment + probe)
+    "q_embed_outliers"     // 8 centroids (cell assignment)
   )
 
   private val streaming = Set(
