@@ -42,6 +42,29 @@ object EventAnalytics {
   val CmA: Seq[Long] = Seq(31L, 37L, 41L)
   val CmB: Seq[Long] = Seq(7L, 11L, 13L)
 
+  /** Hash-row i's bucket for `key` — shared by the batch sketch, the
+    * estimate probe, and the STREAMING sketch so the three can never
+    * drift onto different hash families. */
+  def cmBucket(key: Column, i: Int): Column =
+    pmod(key * CmA(i) + CmB(i), lit(CmP)) % CmWidth
+
+  /** All CmDepth buckets for `key`, ready to posexplode. */
+  def cmBuckets(key: Column): Column =
+    array((0 until CmDepth).map(cmBucket(key, _)): _*)
+
+  /** DuckDB replica of the bucket arithmetic, as a `b` CTE over
+    * events × hash rows: (user_id, i, bucket). */
+  def cmBucketsCte: String = {
+    def aCase(v: Seq[Long]): String =
+      (0 until CmDepth).map(i => s"WHEN $i THEN ${v(i)}")
+        .mkString("CASE i ", " ", " END")
+    s"""b AS (
+       |  SELECT user_id, i,
+       |         ((user_id * ${aCase(CmA)} + ${aCase(CmB)})
+       |          % $CmP) % $CmWidth AS bucket
+       |  FROM events, (SELECT unnest(range($CmDepth)) AS i))""".stripMargin
+  }
+
   val all: Seq[QueryDef] = Seq(
 
     // Count-Min sketch frequency estimation (Cormode & Muthukrishnan
@@ -56,32 +79,22 @@ object EventAnalytics {
     // mass) value-for-value — the same audit-column pattern as
     // q_approx_distinct.
     QueryDef.sql(
-      "q_sketch_cm", {
-        def aCase(v: Seq[Long]): String =
-          (0 until CmDepth).map(i => s"WHEN $i THEN ${v(i)}")
-            .mkString("CASE i ", " ", " END")
-        s"""WITH b AS (
-           |  SELECT user_id, i,
-           |         ((user_id * ${aCase(CmA)} + ${aCase(CmB)})
-           |          % $CmP) % $CmWidth AS bucket
-           |  FROM events, (SELECT unnest(range($CmDepth)) AS i)),
-           |sk AS (SELECT i, bucket, CAST(count(*) AS BIGINT) AS c
-           |       FROM b GROUP BY 1, 2),
-           |exact AS (SELECT user_id, CAST(count(*) AS BIGINT) AS exact_cnt
-           |          FROM events GROUP BY 1),
-           |kb AS (SELECT DISTINCT user_id, i, bucket FROM b)
-           |SELECT e.user_id, e.exact_cnt,
-           |       min(sk.c) AS cm_est,
-           |       min(sk.c) - e.exact_cnt AS over_by
-           |FROM exact e
-           |JOIN kb ON kb.user_id = e.user_id
-           |JOIN sk ON sk.i = kb.i AND sk.bucket = kb.bucket
-           |GROUP BY e.user_id, e.exact_cnt""".stripMargin
-      }) {
+      "q_sketch_cm",
+      s"""WITH $cmBucketsCte,
+         |sk AS (SELECT i, bucket, CAST(count(*) AS BIGINT) AS c
+         |       FROM b GROUP BY 1, 2),
+         |exact AS (SELECT user_id, CAST(count(*) AS BIGINT) AS exact_cnt
+         |          FROM events GROUP BY 1),
+         |kb AS (SELECT DISTINCT user_id, i, bucket FROM b)
+         |SELECT e.user_id, e.exact_cnt,
+         |       min(sk.c) AS cm_est,
+         |       min(sk.c) - e.exact_cnt AS over_by
+         |FROM exact e
+         |JOIN kb ON kb.user_id = e.user_id
+         |JOIN sk ON sk.i = kb.i AND sk.bucket = kb.bucket
+         |GROUP BY e.user_id, e.exact_cnt""".stripMargin) {
       (s, dir) =>
-        def bucket(i: Int): Column =
-          pmod(col("user_id") * CmA(i) + CmB(i), lit(CmP)) % CmWidth
-        val buckets = array((0 until CmDepth).map(bucket): _*)
+        val buckets = cmBuckets(col("user_id"))
         val ev = Tables.events(s, dir).select(col("user_id"))
         val sketch = ev
           .select(posexplode(buckets).as(Seq("i", "bucket")))

@@ -154,6 +154,43 @@ object StreamingOps {
       }
     },
 
+    // Streaming Count-Min sketch maintenance as a REAL multi-batch
+    // run: the event stream is split into several files consumed one
+    // per micro-batch (maxFilesPerTrigger=1), and the complete-mode
+    // stateful aggregation folds each batch into the SAME d×w counter
+    // table the batch job builds — the sketch's counter merges are
+    // associative+commutative, so the streamed fixed point equals the
+    // batch sketch over the union of batches (which is the oracle).
+    // Unlike q_stream_dedup, whose state grows with keys inside the
+    // watermark, this state is BOUNDED BY SKETCH GEOMETRY (d·w cells,
+    // 192 here) whatever the key cardinality — the screen you can
+    // afford to keep on an unbounded ingest firehose.
+    QueryDef.sql(
+      "q_stream_cm",
+      s"""WITH ${EventAnalytics.cmBucketsCte}
+         |SELECT CAST(i AS INTEGER) AS i, bucket,
+         |       CAST(count(*) AS BIGINT) AS c
+         |FROM b GROUP BY 1, 2""".stripMargin) {
+      (s, dir) => withStreamPartitions(s, 8) {
+        val ev = Tables.events(s, dir).select(col("user_id"))
+        val tmp = java.nio.file.Files.createTempDirectory("graft_stream_cm")
+        tmp.toFile.deleteOnExit()
+        val inDir = s"$tmp/in"
+        ev.repartition(4).write.mode("overwrite").parquet(inDir)
+        val stream = s.readStream.schema(ev.schema)
+          .option("maxFilesPerTrigger", "1").parquet(inDir)
+        val q = stream
+          .select(posexplode(EventAnalytics.cmBuckets(col("user_id")))
+            .as(Seq("i", "bucket")))
+          .groupBy(col("i"), col("bucket"))
+          .agg(count(lit(1)).as("c"))
+          .writeStream.format("memory").queryName("graft_stream_cm")
+          .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+        s.table("graft_stream_cm")
+      }
+    },
+
     QueryDef.sql(
       "q_sessionize",
       s"""WITH e AS (SELECT user_id, epoch_us(ts) AS us, event_id FROM events),

@@ -199,4 +199,42 @@ class EventStreamsSpec extends SparkSpec {
       spark.sql("DROP TABLE IF EXISTS para_index_test")
     }
   }
+
+  test("streaming count-min sketch merges counters across micro-batches " +
+    "with state bounded by sketch geometry, equal to the batch sketch") {
+    import graft.operators.EventAnalytics
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+
+    val input = MemoryStream[Long]
+    def sketchOf(ds: org.apache.spark.sql.DataFrame) = ds
+      .select(posexplode(EventAnalytics.cmBuckets(col("user_id")))
+        .as(Seq("i", "bucket")))
+      .groupBy(col("i"), col("bucket")).agg(count(lit(1)).as("c"))
+    val q = sketchOf(input.toDF.toDF("user_id"))
+      .writeStream.format("memory").queryName("cm_test")
+      .outputMode("complete").start()
+    // two batches with overlapping keys: the counter merge must fold
+    // batch 2 INTO batch 1's counters, not restart them
+    input.addData(1L, 2L, 2L, 3L)
+    q.processAllAvailable()
+    input.addData(2L, 3L, 3L, 99L)
+    q.processAllAvailable()
+    val batches = q.recentProgress.count(_.numInputRows > 0)
+    assert(batches >= 2, s"expected a real multi-batch run, got $batches")
+    // state is the d×w counter table, NOT per-key rows
+    val stateRows = Option(q.lastProgress).toSeq
+      .flatMap(_.stateOperators).map(_.numRowsTotal).sum
+    assert(stateRows <= EventAnalytics.CmDepth * EventAnalytics.CmWidth,
+      s"state rows $stateRows exceed sketch geometry")
+    q.stop()
+    val got = spark.table("cm_test")
+    val batchTwin = sketchOf(
+      Seq(1L, 2L, 2L, 3L, 2L, 3L, 3L, 99L).toDF("user_id"))
+    assert(got.exceptAll(batchTwin).isEmpty && batchTwin.exceptAll(got).isEmpty)
+    // and the reference invariant: every counter ≥ any member key's
+    // true count (one-sided error of the min-estimate)
+    val total = got.agg(sum(col("c"))).head.getLong(0)
+    assert(total == 8L * EventAnalytics.CmDepth) // each row of d counts all n
+  }
 }
