@@ -1263,6 +1263,92 @@ object DedupOps {
             coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"),
             col("n_chars"))
           .withColumn("keep", row_number().over(w) === 1)
+    },
+
+    // The INGEST DECISION a production pipeline runs on every new
+    // batch against the standing corpus — the stages this repo ships
+    // separately, composed in their production order with one verdict
+    // per new document: exact duplicate of a corpus doc > shares a
+    // verbatim paragraph with the corpus > fails the quality
+    // classifier > accept. `bloom_hit` records the map-side bloom
+    // prefilter next to the exact outcome (its zero-false-negative
+    // contract: every exact_dup doc MUST be a bloom hit — spec-pinned).
+    //
+    // Scale design: every stage is a semi-join on a HASH keyed by
+    // doc_id/h — text never shuffles; the corpus sides (content-hash
+    // set, paragraph index) are the stored artifacts writeBandIndex/
+    // writeParagraphIndex maintain, probed per batch, and the bloom
+    // position set is a constant-size broadcast literal; the quality
+    // stage is per-row map work. Flag assembly is left-semi results
+    // outer-joined back on doc_id — one co-partitioned key end to end.
+    QueryDef.sql(
+      "q_ingest_decide",
+      s"""WITH $paragraphCtesSql,
+         |dh AS (SELECT doc_id, md5(text) AS h FROM documents),
+         |bloom AS (SELECT DISTINCT p FROM (
+         |  SELECT CAST('0x' || substr(h, 1, 6) AS BIGINT) % $BloomBits AS p
+         |  FROM dh WHERE doc_id < $IncrementalSplit
+         |  UNION ALL
+         |  SELECT CAST('0x' || substr(h, 9, 6) AS BIGINT) % $BloomBits
+         |  FROM dh WHERE doc_id < $IncrementalSplit) u),
+         |bh AS (SELECT doc_id,
+         |         CAST('0x' || substr(h, 1, 6) AS BIGINT) % $BloomBits
+         |           IN (SELECT p FROM bloom)
+         |         AND CAST('0x' || substr(h, 9, 6) AS BIGINT) % $BloomBits
+         |           IN (SELECT p FROM bloom) AS bloom_hit
+         |       FROM dh WHERE doc_id >= $IncrementalSplit),
+         |corpus_h AS (SELECT DISTINCT h FROM dh WHERE doc_id < $IncrementalSplit),
+         |exact AS (SELECT DISTINCT doc_id FROM dh
+         |          WHERE doc_id >= $IncrementalSplit
+         |            AND h IN (SELECT h FROM corpus_h)),
+         |corp_p AS (SELECT DISTINCT h FROM c2 WHERE doc_id < $IncrementalSplit),
+         |para AS (SELECT DISTINCT doc_id FROM c2
+         |         WHERE doc_id >= $IncrementalSplit
+         |           AND h IN (SELECT h FROM corp_p)),
+         |${TextOps.clfKeptCte}
+         |SELECT bh.doc_id, bh.bloom_hit,
+         |       CASE WHEN bh.doc_id IN (SELECT doc_id FROM exact) THEN 'exact_dup'
+         |            WHEN bh.doc_id IN (SELECT doc_id FROM para) THEN 'paragraph_dup'
+         |            WHEN NOT clf.kept THEN 'low_quality'
+         |            ELSE 'accept' END AS verdict
+         |FROM bh JOIN clf ON clf.doc_id = bh.doc_id""".stripMargin) {
+      (s, dir) =>
+        val docs = Tables(s, dir, "documents")
+        ingestDecide(
+          docs.filter(col("doc_id") < IncrementalSplit),
+          docs.filter(col("doc_id") >= IncrementalSplit))
     }
   )
+
+  /** The q_ingest_decide body, named so the gate registration and the
+    * planted-fixture spec drive the same composition: one
+    * (doc_id, bloom_hit, verdict) row per batch document, verdict ∈
+    * {exact_dup, paragraph_dup, low_quality, accept} in production
+    * precedence order. See the gate comment for the scale shape. */
+  def ingestDecide(corpus: DataFrame, batch: DataFrame): DataFrame = {
+    def flag(ids: DataFrame, name: String): DataFrame =
+      ids.distinct().withColumn(name, lit(true))
+    val bloomIds = bloomPrefilter(corpus, batch).select(col("doc_id"))
+    val corpusH = corpus
+      .select(md5(col("text").cast("binary")).as("ch")).distinct()
+    val exactIds = batch
+      .select(col("doc_id"), md5(col("text").cast("binary")).as("ch"))
+      .join(corpusH, Seq("ch"), "left_semi").select(col("doc_id"))
+    val corpusP = paragraphHashes(corpus).select(col("h")).distinct()
+    val paraIds = paragraphHashes(batch)
+      .join(corpusP, Seq("h"), "left_semi").select(col("doc_id"))
+    val clf = TextOps.qualityClassifier(batch)
+      .select(col("doc_id"), col("kept"))
+    batch.select(col("doc_id"))
+      .join(flag(bloomIds, "bh"), Seq("doc_id"), "left_outer")
+      .join(flag(exactIds, "ex"), Seq("doc_id"), "left_outer")
+      .join(flag(paraIds, "pa"), Seq("doc_id"), "left_outer")
+      .join(clf, Seq("doc_id"))
+      .select(col("doc_id"),
+        coalesce(col("bh"), lit(false)).as("bloom_hit"),
+        when(coalesce(col("ex"), lit(false)), "exact_dup")
+          .when(coalesce(col("pa"), lit(false)), "paragraph_dup")
+          .when(!col("kept"), "low_quality")
+          .otherwise("accept").as("verdict"))
+  }
 }

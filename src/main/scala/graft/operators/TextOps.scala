@@ -485,6 +485,22 @@ object TextOps {
     }
   )
 
+  /** DuckDB replica of [[qualityClassifier]]'s keep decision as a
+    * `clf` CTE (doc_id, kept) — the margin chain is written in the
+    * SAME left-associated IEEE order as the Spark expressions, so
+    * the decision is bit-identical (see q_quality_clf's notes).
+    * Shared by the classifier gate's composition consumers (the
+    * ingest decision pipeline) so the exported-model arithmetic
+    * cannot fork. */
+  def clfKeptCte: String =
+    s"""clf AS (
+       |  SELECT doc_id,
+       |         $ClfTtrW * (CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks))
+       |       + $ClfStopW * (CAST(len(list_filter(toks, t -> list_contains(${sqlList(Stopwords)}, t))) AS DOUBLE) / len(toks))
+       |       + $ClfAtlW * (CAST(list_sum(list_transform(toks, t -> length(t))) AS DOUBLE) / len(toks))
+       |       + $ClfBias > 0 AS kept
+       |  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents))""".stripMargin
+
   /** The q_quality_clf body, named so the gate registration and the
     * hand-computed-margin spec drive the same production expressions:
     * (doc_id, margin_e6, kept) per input (doc_id, text) row. */

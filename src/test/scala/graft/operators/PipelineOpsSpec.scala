@@ -1136,6 +1136,35 @@ class PipelineOpsSpec extends SparkSpec {
     assert(self == 0)
   }
 
+  test("ingest decision: planted docs hit every verdict in precedence " +
+    "order, and the bloom prefilter never misses an exact duplicate") {
+    import spark.implicits._
+    val pt = DedupOps.ParaTokens
+    def para(tag: String) = (1 to pt).map(i => s"$tag$i").mkString(" ")
+    val base = s"${para("a")} ${para("b")} ${para("c")}"
+    val corpus = Seq((1L, base), (2L, para("z"))).toDF("doc_id", "text")
+    val lowQ = (1 to 4 * pt).map(_ => "zzzzzzzzzz").mkString(" ")
+    val good = (1 to pt).flatMap(i => Seq("the", s"w$i")).mkString(" ")
+    val batch = Seq(
+      (100L, base),                   // verbatim corpus copy
+      (101L, s"${para("q")} ${para("b")}"), // shares one paragraph
+      (102L, lowQ),                   // fresh but junk
+      (103L, good)                    // fresh and clean
+    ).toDF("doc_id", "text")
+    val out = DedupOps.ingestDecide(corpus, batch).collect()
+      .map(r => r.getLong(0) -> ((r.getBoolean(1), r.getString(2)))).toMap
+    assert(out(100L)._2 == "exact_dup")
+    assert(out(101L)._2 == "paragraph_dup")
+    assert(out(102L)._2 == "low_quality")
+    assert(out(103L)._2 == "accept")
+    // the bloom screen's zero-false-negative contract: an exact
+    // duplicate can never be filtered out by the prefilter
+    assert(out(100L)._1, "exact duplicate missed by the bloom prefilter")
+    // precedence: an exact copy also shares paragraphs and would fail
+    // no quality gate — the verdict must still be the FIRST stage
+    assert(out.values.count(_._2 == "exact_dup") == 1)
+  }
+
   test("count-min sketch: estimates match an independent JVM sketch " +
     "exactly and the one-sided error invariant holds") {
     val sf = "/root/testdata/sf0.001"
