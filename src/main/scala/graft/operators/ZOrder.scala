@@ -1,0 +1,106 @@
+package graft.operators
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Z-order (Morton) data layout: interleave the bits of two dimension
+  * keys so that sorting by ONE value clusters the data in BOTH
+  * dimensions at once. This is the storage-layout half of multi-dim
+  * scan pruning at 100 TB: parquet keeps min/max stats per file and
+  * row group, so a corpus laid out by z-value gives every file a
+  * small bounding BOX over (dim_x, dim_y) — a query filtering either
+  * dimension (or both) skips most files on footer stats alone,
+  * where a linear sort clusters only its leading column and leaves
+  * the second dimension's per-file span at ~100% of the domain
+  * (measured in the layout spec). The z-value is plain integer
+  * arithmetic — computed map-side, never shuffled except by the
+  * one range-partitioning exchange any global layout needs.
+  */
+object ZOrder {
+
+  /** Bits interleaved per dimension; 2·ZBits must fit a long. */
+  val ZBits = 16
+
+  /** Morton-interleave the low [[ZBits]] bits of two non-negative
+    * long columns: dim-x bits land at even positions, dim-y at odd.
+    * A flat 2·ZBits-term integer expression — whole-stage-codegen
+    * folds it into straight-line arithmetic, no UDF. */
+  def zValue(zx: Column, zy: Column): Column =
+    (0 until ZBits).map { i =>
+      shiftright(zx, i).bitwiseAND(lit(1L)) * lit(1L << (2 * i)) +
+        shiftright(zy, i).bitwiseAND(lit(1L)) * lit(1L << (2 * i + 1))
+    }.reduce(_ + _)
+
+  /** The same interleave as a DuckDB SQL expression over `x`/`y`. */
+  def zValueSql(x: String, y: String): String =
+    (0 until ZBits).map { i =>
+      s"(($x >> $i) & 1) * (CAST(1 AS BIGINT) << ${2 * i}) + " +
+        s"(($y >> $i) & 1) * (CAST(1 AS BIGINT) << ${2 * i + 1})"
+    }.mkString("", "\n         + ", "")
+
+  /** Write `df` z-ordered on (zx, zy) into `nFiles` range-partitioned,
+    * internally sorted parquet files: the one exchange a global
+    * layout costs, paid at WRITE time so every later scan prunes on
+    * file/row-group min-max stats in BOTH dimensions. The z column is
+    * dropped from the output — it exists to order the writer, not to
+    * be stored.
+    *
+    * Dimensions are NORMALIZED to a common [[ZBits]]-bit scale from
+    * their min/max before interleaving — without this, interleaving
+    * raw values degenerates: whichever dimension has more varying
+    * HIGH bits owns every significant z bit and the "z-order"
+    * collapses to a linear sort on that dimension alone (a 4-bit user
+    * domain against a 10-bit hour domain loses 64:1, measured in
+    * ZOrderSpec). Min/max are one driver-scalar aggregate; heavily
+    * skewed dimensions would swap this for sampled quantile bins
+    * (the repartitionByRange trick per dimension) — same shape, same
+    * single pass. */
+  def writeZOrdered(df: DataFrame, zx: Column, zy: Column,
+      nFiles: Int, path: String): Unit = {
+    val b = df.agg(
+      min(zx).cast("long"), max(zx).cast("long"),
+      min(zy).cast("long"), max(zy).cast("long")).head()
+    def norm(c: Column, lo: Long, hi: Long): Column =
+      if (hi > lo)
+        ((c.cast("double") - lo) * ((1L << ZBits) - 1) / (hi - lo))
+          .cast("long")
+      else lit(0L)
+    df.withColumn("__z", zValue(
+        norm(zx, b.getLong(0), b.getLong(1)),
+        norm(zy, b.getLong(2), b.getLong(3))))
+      .repartitionByRange(nFiles, col("__z"))
+      .sortWithinPartitions(col("__z"))
+      .drop("__z")
+      .write.mode("overwrite").parquet(path)
+  }
+
+  val all: Seq[QueryDef] = Seq(
+
+    // The z-value computation itself, oracle-checked bit for bit:
+    // events keyed by (user_id, event-hour) — the locality pair an
+    // event store queries by ("this user's events this week"). The
+    // layout WRITER that consumes this value is spec-verified for
+    // actual per-file bounding-box shrinkage (ZOrderSpec).
+    QueryDef.sql(
+      "q_zorder_value",
+      s"""WITH k AS (
+         |  SELECT event_id,
+         |         user_id % ${1L << ZBits} AS zx,
+         |         (epoch_us(ts) // 3600000000) % ${1L << ZBits} AS zy
+         |  FROM events)
+         |SELECT event_id, zx, zy,
+         |       ${zValueSql("zx", "zy")}
+         |       AS zval
+         |FROM k""".stripMargin) {
+      (s, dir) =>
+        val k = Tables.events(s, dir).select(
+          col("event_id"),
+          (col("user_id") % (1L << ZBits)).as("zx"),
+          (floor(col("ts_us") / 3600000000L).cast("long") % (1L << ZBits))
+            .as("zy"))
+        k.select(col("event_id"), col("zx"), col("zy"),
+          zValue(col("zx"), col("zy")).as("zval"))
+    }
+  )
+}
