@@ -107,6 +107,42 @@ object CurationOps {
 
   val all: Seq[QueryDef] = Seq(
 
+    // The per-source data card a curation run publishes: volume,
+    // length, language spread, exact-duplicate rate and token mass
+    // per source — the summary table a dataset release ships and an
+    // ingest dashboard watches. One groupBy on source; the exact
+    // distinct-hash count is per-source bounded here and becomes the
+    // two-phase distinct of q_dedup_stats at corpus scale. All
+    // outputs are integer aggregates or single exact-input divisions
+    // rounded once.
+    QueryDef.sql(
+      "q_corpus_card",
+      """SELECT source,
+        |       CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(sum(n_chars) AS BIGINT) AS total_chars,
+        |       round(CAST(sum(n_chars) AS DOUBLE) / count(*), 6) AS mean_chars,
+        |       CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+        |       CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_unique,
+        |       round(1.0 - count(DISTINCT md5(text)) / CAST(count(*) AS DOUBLE), 6)
+        |         AS dup_ratio,
+        |       CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens
+        |FROM documents GROUP BY source""".stripMargin) {
+      (s, dir) =>
+        Tables(s, dir, "documents")
+          .groupBy(col("source"))
+          .agg(
+            count(lit(1)).as("n_docs"),
+            sum(col("n_chars")).as("total_chars"),
+            round(sum(col("n_chars")).cast("double") / count(lit(1)), 6)
+              .as("mean_chars"),
+            countDistinct(col("lang")).as("n_langs"),
+            countDistinct(md5(col("text").cast("binary"))).as("n_unique"),
+            round(lit(1.0) -
+              countDistinct(md5(col("text").cast("binary"))) /
+                count(lit(1)).cast("double"), 6).as("dup_ratio"),
+            sum(size(tokens(col("text")))).as("total_tokens"))
+    },
+
     // Deterministic train/val/test assignment + a reproducible 10%
     // sample flag. Pure map work: membership is a function of doc_id
     // alone, so ingesting the corpus again (or on a different cluster
