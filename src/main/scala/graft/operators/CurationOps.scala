@@ -73,6 +73,13 @@ object CurationOps {
   val PackContext = 2048
   val PackShards = 8
 
+  /** Sliding-window chunking geometry: window length and stride in
+    * tokens (overlap = window - stride). Sized so the synthetic
+    * documents (tens to hundreds of tokens) produce multi-chunk
+    * outputs at every scale factor. */
+  val ChunkWindow = 64
+  val ChunkStride = 32
+
   /** DSIR importance-weighting geometry (Xie et al., NeurIPS 2023):
     * n-gram features hashed into this many buckets — the importance
     * model's size is O(buckets) REGARDLESS of corpus vocabulary, the
@@ -521,6 +528,32 @@ object CurationOps {
               .when(col("h_new").isNull, "removed")
               .when(col("h_old") === col("h_new"), "unchanged")
               .otherwise("changed").as("status"))
+    },
+
+    // Sliding-window context chunking: cut each document into
+    // ChunkWindow-token windows advancing by ChunkStride (overlap =
+    // window - stride), the standard long-document prep for a model
+    // whose context is shorter than the document — every token lands
+    // in at least one window, boundary tokens in two. Emits
+    // (doc_id, chunk_idx, n_tokens, chunk_hash): the hash, not the
+    // text, so downstream chunk-level dedup/contamination joins stay
+    // in hash space. Pure per-document map work — the explode carries
+    // ceil(len/stride)-ish rows per doc and NOTHING shuffles; all
+    // arithmetic is integer so the oracle matches exactly.
+    QueryDef.sql(
+      "q_chunk_sliding",
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+         |           FROM documents),
+         |c AS (SELECT doc_id, toks, len(toks) AS n,
+         |             CASE WHEN len(toks) <= $ChunkWindow THEN 1
+         |                  ELSE CAST(floor((len(toks) - $ChunkWindow + $ChunkStride - 1)
+         |                       / CAST($ChunkStride AS DOUBLE)) AS INTEGER) + 1 END AS nc
+         |      FROM t)
+         |SELECT doc_id, CAST(i AS INTEGER) AS chunk_idx,
+         |       CAST(least($ChunkWindow, n - i * $ChunkStride) AS INTEGER) AS n_tokens,
+         |       md5(array_to_string(toks[i * $ChunkStride + 1 : i * $ChunkStride + $ChunkWindow], ' ')) AS chunk_hash
+         |FROM c, unnest(range(nc)) AS u(i)""".stripMargin) {
+      (s, dir) => slidingChunks(Tables(s, dir, "documents"))
     }
   )
 
@@ -661,5 +694,32 @@ object CurationOps {
       "source", "nprio", "doc_id", cap)
       .select(col("source"), col("doc_id"),
         (-col("nprio")).cast("long").as("prio"), col("rnk"))
+  }
+
+  /** The q_chunk_sliding body (see the gate comment for the scale
+    * shape): one (doc_id, chunk_idx, n_tokens, chunk_hash) row per
+    * window of [[ChunkWindow]] tokens advancing by [[ChunkStride]].
+    * A document of n <= window tokens is exactly one chunk; otherwise
+    * ceil((n - window) / stride) + 1 chunks, so the LAST window always
+    * reaches the final token and no window starts past the end.
+    * Integer arithmetic throughout ([[PipelineOpsSpec]] pins the
+    * coverage/overlap invariants on a planted 150-token doc). */
+  def slidingChunks(docs: org.apache.spark.sql.DataFrame,
+      window: Int = ChunkWindow,
+      stride: Int = ChunkStride): org.apache.spark.sql.DataFrame = {
+    val toks = split(col("text"), " ")
+    val nChunks = when(col("n") <= window, lit(1))
+      .otherwise(floor((col("n") - window + stride - 1).cast("double") / stride)
+        .cast("int") + 1)
+    docs
+      .select(col("doc_id"), toks.as("t"), size(toks).as("n"))
+      .select(col("doc_id"), col("t"), col("n"),
+        explode(sequence(lit(0), nChunks - 1)).as("chunk_idx"))
+      .select(col("doc_id"), col("chunk_idx"),
+        least(lit(window), col("n") - col("chunk_idx") * stride)
+          .cast("int").as("n_tokens"),
+        md5(concat_ws(" ",
+          slice(col("t"), col("chunk_idx") * stride + 1, lit(window)))
+          .cast("binary")).as("chunk_hash"))
   }
 }

@@ -1317,8 +1317,102 @@ object DedupOps {
         ingestDecide(
           docs.filter(col("doc_id") < IncrementalSplit),
           docs.filter(col("doc_id") >= IncrementalSplit))
+    },
+
+    // Cross-source overlap matrix — the data-card companion that
+    // answers "which corpora duplicate each other, and how much"
+    // before a mixing run (q_mix_sources weights assume sources are
+    // distinct populations; this measures where that assumption
+    // breaks). One row per source pair sharing >= 1 shingle: the
+    // MinHash-union estimate next to the exact shingle-set Jaccard.
+    //
+    // Scale design: a source's signature slot is the min of one hash
+    // slice over the UNION of its docs' shingle sets — min is
+    // associative, so it partial-aggregates map-side and only
+    // |sources| x K signature cells shuffle, never shingles; at
+    // 100 TB the estimate IS the decision value (the exact companion
+    // here audits it, and its inverted-index expansion is bounded by
+    // |sources|² per shingle, not doc-count² — no stop-shingle cap
+    // needed at source granularity).
+    QueryDef.sql(
+      "q_source_overlap", {
+        val mh = (0 until MinhashSeeds).map(j =>
+          s"min(substr(sha256(sh), ${j * 8 + 1}, 8)) AS mh$j")
+          .mkString(",\n         ")
+        val agree = (0 until MinhashSeeds)
+          .map(j => s"CASE WHEN sa.mh$j = sb.mh$j THEN 1 ELSE 0 END")
+          .mkString(" + ")
+        s"""WITH srcsh AS (
+           |  SELECT DISTINCT source,
+           |         unnest(list_transform(range(len(toks) - 2),
+           |           i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3])) AS sh
+           |  FROM (SELECT source, string_split(text, ' ') AS toks FROM documents)),
+           |sig AS (
+           |  SELECT source,
+           |         $mh
+           |  FROM srcsh GROUP BY source),
+           |sizes AS (SELECT source, count(*) AS n FROM srcsh GROUP BY source),
+           |pairs AS (
+           |  SELECT x.source AS source_a, y.source AS source_b,
+           |         count(*) AS inter
+           |  FROM srcsh x JOIN srcsh y
+           |    ON x.sh = y.sh AND x.source < y.source
+           |  GROUP BY 1, 2)
+           |SELECT source_a, source_b, CAST(inter AS BIGINT) AS inter,
+           |       CAST($agree AS INTEGER) AS n_agree,
+           |       round(CAST($agree AS DOUBLE) / $MinhashSeeds, 6) AS est_jaccard,
+           |       round(CAST(inter AS DOUBLE) / (za.n + zb.n - inter), 6) AS jaccard
+           |FROM pairs
+           |JOIN sig sa ON sa.source = source_a
+           |JOIN sig sb ON sb.source = source_b
+           |JOIN sizes za ON za.source = source_a
+           |JOIN sizes zb ON zb.source = source_b""".stripMargin
+      }) {
+      (s, dir) => sourceOverlap(Tables(s, dir, "documents"))
     }
   )
+
+  /** Pairwise source-overlap matrix via merged MinHash (see the
+    * q_source_overlap gate comment for the scale shape). The
+    * signature of a source is the element-wise min over its documents'
+    * signatures — the associativity [[DedupOpsSpec]] pins, because it
+    * is what lets a pipeline maintain per-source sketches by merging
+    * per-shard partials instead of re-scanning the corpus. */
+  def sourceOverlap(docs: DataFrame): DataFrame = {
+    val sh = spread(docs)
+      .select(col("source"),
+        explode(array_distinct(shingles(tokens(col("text")), 3))).as("sh"))
+      .distinct()
+      .pinned // feeds the signature agg, the sizes agg and both join sides
+    val sig = sh
+      .select(col("source"), sha2(col("sh").cast("binary"), 256).as("h"))
+      .groupBy(col("source"))
+      .agg(min(substring(col("h"), 1, 8)).as("mh0"),
+        (1 until MinhashSeeds).map(j =>
+          min(substring(col("h"), j * 8 + 1, 8)).as(s"mh$j")): _*)
+    val sizes = sh.groupBy(col("source")).agg(count(lit(1)).as("n"))
+    val pairs = sh.as("x")
+      .join(sh.as("y"),
+        col("x.sh") === col("y.sh") && col("x.source") < col("y.source"))
+      .groupBy(col("x.source").as("source_a"), col("y.source").as("source_b"))
+      .agg(count(lit(1)).as("inter"))
+    val agree = (0 until MinhashSeeds)
+      .map(j => when(col(s"sa.mh$j") === col(s"sb.mh$j"), 1).otherwise(0))
+      .reduce(_ + _)
+    pairs
+      .join(sig.as("sa"), col("source_a") === col("sa.source"))
+      .join(sig.as("sb"), col("source_b") === col("sb.source"))
+      .join(sizes.select(col("source").as("source_a"), col("n").as("na")),
+        "source_a")
+      .join(sizes.select(col("source").as("source_b"), col("n").as("nb")),
+        "source_b")
+      .select(col("source_a"), col("source_b"),
+        col("inter").cast("long").as("inter"),
+        agree.cast("int").as("n_agree"),
+        round(agree.cast("double") / MinhashSeeds, 6).as("est_jaccard"),
+        round(col("inter").cast("double") /
+          (col("na") + col("nb") - col("inter")), 6).as("jaccard"))
+  }
 
   /** The q_ingest_decide body, named so the gate registration and the
     * planted-fixture spec drive the same composition: one

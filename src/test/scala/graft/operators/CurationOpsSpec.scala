@@ -367,4 +367,37 @@ class CurationOpsSpec extends SparkSpec {
         windowForm.exceptAll(out).isEmpty)
     } finally out.unpersist()
   }
+
+  test("sliding chunks: full coverage, stride overlap, and a short doc " +
+    "is exactly one window") {
+    import spark.implicits._
+    val (w, s) = (CurationOps.ChunkWindow, CurationOps.ChunkStride)
+    val long = (1 to 150).map(i => s"w$i").mkString(" ") // 150 tokens
+    val short = (1 to 10).map(i => s"s$i").mkString(" ")
+    val docs = Seq((0L, long), (1L, short)).toDF("doc_id", "text")
+    val rows = CurationOps.slidingChunks(docs).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getString(3)))
+
+    val shortRows = rows.filter(_._1 == 1L)
+    assert(shortRows.length == 1 && shortRows.head._3 == 10)
+
+    // 150 tokens, w=64 s=32: starts 0,32,64,96 → 4 chunks; the last
+    // reaches token 150 (n_tokens 54) and none starts past the end
+    val longRows = rows.filter(_._1 == 0L).sortBy(_._2)
+    assert(longRows.map(_._2).toSeq == (0 until 4))
+    assert(longRows.map(_._3).toSeq == Seq(64, 64, 64, 54))
+    // coverage: consecutive windows overlap by exactly w - s tokens,
+    // so every token index is inside at least one window
+    val spans = longRows.map(r => (r._2 * s + 1, r._2 * s + r._3))
+    assert(spans.head._1 == 1 && spans.last._2 == 150)
+    spans.sliding(2).foreach { case Array((_, e1), (s2, _)) =>
+      assert(s2 <= e1 + 1, "gap between consecutive windows")
+    }
+    // chunk hash is the hash of exactly the window's tokens
+    val toks = long.split(" ")
+    val expect0 = java.security.MessageDigest.getInstance("MD5")
+      .digest(toks.slice(0, 64).mkString(" ").getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    assert(longRows.head._4 == expect0)
+  }
 }

@@ -1193,4 +1193,59 @@ class PipelineOpsSpec extends SparkSpec {
       assert(r.getLong(3) >= 0L) // cm_est >= exact, always
     }
   }
+
+  test("source overlap: merged source signature == element-wise min of " +
+    "per-doc signatures, and exact jaccard matches planted overlap") {
+    // sources A and B each hold 2 docs; A∩B share doc body `common`
+    val common = (1 to 30).map(i => s"shared$i").mkString(" ")
+    val onlyA = (1 to 30).map(i => s"aonly$i").mkString(" ")
+    val onlyB = (1 to 30).map(i => s"bonly$i").mkString(" ")
+    val docs = Seq(
+      (0L, common, "A"), (1L, onlyA, "A"),
+      (2L, common, "B"), (3L, onlyB, "B")
+    ).toDF("doc_id", "text", "source")
+
+    val out = DedupOps.sourceOverlap(docs).collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert(r.getAs[String]("source_a") == "A" &&
+      r.getAs[String]("source_b") == "B")
+    // 28 shingles per 30-token doc; shared set = common's 28, each
+    // source's union = 56 distinct → J = 28 / (56 + 56 - 28)
+    assert(r.getAs[Long]("inter") == 28L)
+    assert(math.abs(r.getAs[Double]("jaccard") - 28.0 / 84.0) < 1e-6)
+    val agree = r.getAs[Int]("n_agree")
+    assert(agree >= 0 && agree <= DedupOps.MinhashSeeds)
+    assert(r.getAs[Double]("est_jaccard") ==
+      agree.toDouble / DedupOps.MinhashSeeds)
+
+    // THE property that makes per-source sketches maintainable at
+    // scale: the union signature equals the element-wise min of the
+    // per-doc signatures (min is associative/commutative), so shard
+    // partials merge without re-scanning text. Compute per-doc sigs
+    // independently and fold them per source.
+    val perDoc = DedupOps.minhashSignatures(DedupOps.shingleSets(
+      docs.select("doc_id", "text")))
+      .join(docs.select("doc_id", "source"), "doc_id")
+    val merged = perDoc.groupBy(col("source"))
+      .agg(min(col("mh0")).as("mh0"),
+        (1 until DedupOps.MinhashSeeds).map(j =>
+          min(col(s"mh$j")).as(s"mh$j")): _*)
+      .collect().map(r0 => r0.getString(0) ->
+        (0 until DedupOps.MinhashSeeds).map(j =>
+          r0.getAs[String](s"mh$j"))).toMap
+    val sh = docs.select(col("source"),
+      explode(array_distinct(graft.functions.TextVec.shingles(
+        split(col("text"), " "), 3))).as("sh")).distinct()
+    val direct = sh
+      .select(col("source"), sha2(col("sh").cast("binary"), 256).as("h"))
+      .groupBy(col("source"))
+      .agg(min(substring(col("h"), 1, 8)).as("mh0"),
+        (1 until DedupOps.MinhashSeeds).map(j =>
+          min(substring(col("h"), j * 8 + 1, 8)).as(s"mh$j")): _*)
+      .collect().map(r0 => r0.getString(0) ->
+        (0 until DedupOps.MinhashSeeds).map(j =>
+          r0.getAs[String](s"mh$j"))).toMap
+    assert(merged == direct)
+  }
 }
