@@ -191,26 +191,60 @@ object StreamingOps {
       }
     },
 
-    QueryDef.sql(
-      "q_sessionize",
-      s"""WITH e AS (SELECT user_id, epoch_us(ts) AS us, event_id FROM events),
-         |flagged AS (
-         |  SELECT user_id, us, event_id,
-         |         CASE WHEN lag(us) OVER w IS NULL
-         |                OR us - lag(us) OVER w > ${EventStreams.SessionGapUs}
-         |              THEN 1 ELSE 0 END AS new_s
-         |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
-         |sess AS (
-         |  SELECT user_id, us,
-         |         CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY us, event_id
-         |                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-         |              AS INTEGER) AS session_id
-         |  FROM flagged)
-         |SELECT user_id, session_id, min(us) AS start_us, max(us) AS end_us,
-         |       count(*) AS n_events
-         |FROM sess GROUP BY 1, 2""".stripMargin) {
+    QueryDef.sql("q_sessionize", sessionizeSql) {
       (s, dir) =>
         EventStreams.sessionizeBatch(Tables.events(s, dir))
+    },
+
+    // The SAME sessionization as a REAL stateful streaming run:
+    // flatMapGroupsWithState over an ordered multi-batch file stream
+    // (time-sliced files, maxFilesPerTrigger=1), with a trailing
+    // punctuation file flushing each user's open session — so the
+    // stream's append-mode output is the COMPLETE session set and the
+    // batch window-SQL oracle hash-checks it row for row. Batch and
+    // stream share one oracle string, making "batch/stream agreement"
+    // structural. State per key is one O(1) session record in the
+    // state store — the shape that survives unbounded keys; the
+    // punctuation marker is the explicit log-rotation boundary a
+    // production ingest emits to flush sessions at file close.
+    QueryDef.sql("q_stream_sessionize", sessionizeSql) {
+      (s, dir) => withStreamPartitions(s, 8) {
+        import s.implicits._
+        val ev = Tables.events(s, dir)
+          .select(col("user_id"), col("ts_us"), col("event_id"))
+        val inDir = EventStreams.timeSlicedDir(
+          ev, nSlices = 4, gapUs = EventStreams.SessionGapUs)
+        val stream = s.readStream.schema(ev.schema)
+          .option("maxFilesPerTrigger", "1").parquet(inDir)
+        val q = EventStreams.sessionizeStream(
+          stream.as[EventStreams.SessionEvent])
+          .writeStream.format("memory").queryName("graft_stream_sess")
+          .outputMode("append").trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+        s.table("graft_stream_sess")
+          .select(col("user_id"), col("session_id"), col("start_us"),
+            col("end_us"), col("n_events"))
+      }
     }
   )
+
+  /** One oracle for q_sessionize AND q_stream_sessionize: the
+    * windowed batch formulation both implementations must reproduce. */
+  private def sessionizeSql: String =
+    s"""WITH e AS (SELECT user_id, epoch_us(ts) AS us, event_id FROM events),
+       |flagged AS (
+       |  SELECT user_id, us, event_id,
+       |         CASE WHEN lag(us) OVER w IS NULL
+       |                OR us - lag(us) OVER w > ${EventStreams.SessionGapUs}
+       |              THEN 1 ELSE 0 END AS new_s
+       |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+       |sess AS (
+       |  SELECT user_id, us,
+       |         CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY us, event_id
+       |                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       |              AS INTEGER) AS session_id
+       |  FROM flagged)
+       |SELECT user_id, session_id, min(us) AS start_us, max(us) AS end_us,
+       |       count(*) AS n_events
+       |FROM sess GROUP BY 1, 2""".stripMargin
 }

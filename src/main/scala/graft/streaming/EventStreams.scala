@@ -77,6 +77,12 @@ object EventStreams {
     * trigger policy — with Trigger.AvailableNow the final state is
     * flushed by the test harness reading remaining state).
     *
+    * A PUNCTUATION event (event_id < 0) closes and clears the key's
+    * open session without starting a new one — the explicit
+    * end-of-stream marker that lets a finite run (or a log-rotation
+    * boundary in production) flush trailing sessions through the
+    * normal output path instead of leaving them in state.
+    *
     * State per key is O(1) — the canonical mapGroupsWithState shape
     * that survives unbounded keys at scale (state store, not heap).
     */
@@ -91,13 +97,19 @@ object EventStreams {
           var st = state.getOption.orNull
           val out = Seq.newBuilder[SessionOut]
           sorted.foreach { e =>
-            if (st == null) st = SessionState(1, e.ts_us, e.ts_us, 1)
+            if (e.event_id < 0) { // punctuation: close, don't open
+              if (st != null) {
+                out += SessionOut(userId, st.sessionId, st.startUs, st.lastUs, st.nEvents)
+                st = null
+              }
+            } else if (st == null) st = SessionState(1, e.ts_us, e.ts_us, 1)
             else if (e.ts_us - st.lastUs > SessionGapUs) {
               out += SessionOut(userId, st.sessionId, st.startUs, st.lastUs, st.nEvents)
               st = SessionState(st.sessionId + 1, e.ts_us, e.ts_us, 1)
             } else st = st.copy(lastUs = e.ts_us, nEvents = st.nEvents + 1)
           }
           if (st != null) state.update(st)
+          else if (state.exists) state.remove()
           out.result().iterator
       }
   }
@@ -168,6 +180,44 @@ object EventStreams {
       d.resolve(java.nio.file.Paths.get(file).getFileName),
       java.nio.file.Paths.get(file))
     d.toString
+  }
+
+  /** Replay `(user_id, ts_us, event_id)` rows as an ORDERED
+    * multi-batch file stream: `nSlices` parquet files covering
+    * consecutive ts_us spans, plus one trailing punctuation file
+    * (event_id = -1 per distinct user, stamped past every session
+    * gap) that flushes open sessions. File mtimes are forced into
+    * slice order so the file source's oldest-first pickup with
+    * maxFilesPerTrigger=1 delivers each user's events in event-time
+    * order across micro-batches — the log-rotation ingest shape. The
+    * min/max probe is a 2-scalar driver collect. */
+  def timeSlicedDir(ev: DataFrame, nSlices: Int, gapUs: Long): String = {
+    val bounds = ev.agg(min(col("ts_us")), max(col("ts_us"))).head()
+    val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
+    val base = java.nio.file.Files.createTempDirectory("graft_stream_slices")
+    base.toFile.deleteOnExit()
+    val inDir = base.resolve("in")
+    java.nio.file.Files.createDirectories(inDir)
+    val span = math.max(1L, (hi - lo) / nSlices + 1)
+    val flush = ev.select(col("user_id")).distinct()
+      .select(col("user_id"), lit(hi + gapUs + 1).as("ts_us"),
+        lit(-1L).as("event_id"))
+    val slices = (0 until nSlices).map(i =>
+      ev.filter(col("ts_us") >= lo + i * span &&
+        col("ts_us") < lo + (i + 1) * span)) :+ flush
+    slices.zipWithIndex.foreach { case (df, i) =>
+      val tmp = base.resolve(s"tmp$i")
+      df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = new java.io.File(tmp.toString).listFiles()
+        .find(f => f.getName.startsWith("part-") &&
+          f.getName.endsWith(".parquet"))
+        .getOrElse(sys.error(s"no part file written for slice $i"))
+      val dest = inDir.resolve(f"slice_$i%02d.parquet")
+      java.nio.file.Files.move(part.toPath, dest)
+      java.nio.file.Files.setLastModifiedTime(dest,
+        java.nio.file.attribute.FileTime.fromMillis(1600000000000L + i * 60000L))
+    }
+    inDir.toString
   }
 
   /** Drain the still-open sessions recorded in `state` after a run —

@@ -43,6 +43,34 @@ class EventStreamsSpec extends SparkSpec {
     assert(missing == lastPerUser)
   }
 
+  test("punctuation markers flush open sessions: stream output equals " +
+    "batch exactly, and state is cleared") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+
+    val events = graft.Tables.events(spark, dir)
+      .select($"user_id", $"ts_us", $"event_id")
+      .as[EventStreams.SessionEvent]
+      .collect().toSeq
+    val maxTs = events.map(_.ts_us).max
+    val flush = events.map(_.user_id).distinct.map(u =>
+      EventStreams.SessionEvent(u, maxTs + EventStreams.SessionGapUs + 1, -1L))
+
+    val input = MemoryStream[EventStreams.SessionEvent]
+    input.addData(events)
+    input.addData(flush) // second micro-batch: end-of-stream punctuation
+    val got = EventStreams.runStreamToBatch(spark, input.toDS(), "sess_punct")
+      .select($"user_id", $"session_id", $"start_us", $"end_us", $"n_events")
+    val batch = EventStreams.sessionizeBatch(graft.Tables(spark, dir, "events"))
+
+    val gotRows = got.collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSet
+    val batchRows = batch.collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSet
+    assert(gotRows == batchRows,
+      "punctuated stream must emit the complete batch session set")
+  }
+
   test("windowed agg on a one-shot stream equals the batch computation") {
     val batchDf = EventStreams.windowedAgg(graft.Tables(spark, dir, "events"))
     val schema = graft.Tables(spark, dir, "events").schema
