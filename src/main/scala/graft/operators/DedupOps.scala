@@ -1369,8 +1369,88 @@ object DedupOps {
            |JOIN sizes zb ON zb.source = source_b""".stripMargin
       }) {
       (s, dir) => sourceOverlap(Tables(s, dir, "documents"))
+    },
+
+    // Measured LSH S-curve: per exact-Jaccard 0.1-bucket, how many
+    // >=1-rare-shingle pairs exist and how many the banded candidate
+    // generator found — the recall telemetry that tunes band
+    // geometry. Shares the signature/band/candidate CTEs with every
+    // other minhash oracle, so the replay is structural.
+    QueryDef.sql(
+      "q_lsh_recall",
+      s"""WITH $candidateCtes,
+         |sh0 AS (
+         |  SELECT DISTINCT doc_id,
+         |         unnest(list_transform(range(len(toks) - 2),
+         |                i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3])) AS sh
+         |  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)),
+         |shc AS (
+         |  SELECT doc_id, sh FROM sh0
+         |  WHERE sh NOT IN (SELECT sh FROM sh0
+         |                   GROUP BY sh HAVING count(*) > $MaxShingleDf)),
+         |pairs AS (
+         |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+         |  FROM shc x JOIN shc y ON x.sh = y.sh AND x.doc_id < y.doc_id),
+         |jx AS (
+         |  SELECT p.a, p.b,
+         |         len(list_intersect(ta.sh, tb.sh)) /
+         |           CAST(len(ta.sh) + len(tb.sh)
+         |                - len(list_intersect(ta.sh, tb.sh)) AS DOUBLE) AS j,
+         |         EXISTS (SELECT 1 FROM cand c
+         |                 WHERE c.a = p.a AND c.b = p.b) AS lsh_found
+         |  FROM pairs p JOIN sets ta ON ta.doc_id = p.a
+         |               JOIN sets tb ON tb.doc_id = p.b)
+         |SELECT CAST(floor(j * 10) AS INTEGER) AS j_bucket,
+         |       CAST(count(*) AS BIGINT) AS n_pairs,
+         |       CAST(count(*) FILTER (WHERE lsh_found) AS BIGINT) AS n_found,
+         |       round(count(*) FILTER (WHERE lsh_found)
+         |             / CAST(count(*) AS DOUBLE), 6) AS recall
+         |FROM jx GROUP BY 1""".stripMargin) {
+      (s, dir) => lshRecallCurve(Tables(s, dir, "documents"))
     }
   )
+
+  /** Measured LSH S-curve: for every pair sharing >= 1 rare shingle,
+    * exact full-set Jaccard bucketed to 0.1, and whether the
+    * banded-MinHash candidate generator surfaced the pair — per
+    * bucket: n_pairs, n_found, recall. The tuning telemetry for band
+    * geometry (more bands → higher recall at low J → more verify
+    * work); the DuckDB oracle replays signatures, banding, the
+    * df cap and the bucket arithmetic bit-for-bit.
+    *
+    * Scale: the denominator join is the capped inverted index (the
+    * q_dedup_ngram_jaccard guard), candidates the single (band,
+    * bucket) equi-join; exact J ships shingle-set arrays only for
+    * qualifying pairs. In production this runs on a SAMPLE of the
+    * corpus — the curve is a property of the estimator, not the
+    * data volume. */
+  def lshRecallCurve(docs: DataFrame): DataFrame = {
+    val sets = shingleSets(docs).pinned // signatures + 2 exact-J joins
+    val cand = candidatePairsFromBands(bandsOf(minhashSignatures(sets)))
+      .withColumn("lsh_found", lit(true))
+    val shAll = shingled(docs).pinned
+    val hot = shAll.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+      .filter(col("df") > MaxShingleDf).select(col("sh"))
+    val sh = shAll.join(broadcast(hot), Seq("sh"), "left_anti")
+    val pairs = sh.as("x")
+      .join(sh.as("y"),
+        col("x.sh") === col("y.sh") && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+      .distinct()
+    val inter = size(array_intersect(col("shs_a"), col("shs_b")))
+    val j = inter.cast("double") /
+      (size(col("shs_a")) + size(col("shs_b")) - inter)
+    pairs
+      .join(sets.select(col("doc_id").as("a"), col("shs").as("shs_a")), "a")
+      .join(sets.select(col("doc_id").as("b"), col("shs").as("shs_b")), "b")
+      .select(col("a"), col("b"), j.as("j"))
+      .join(cand, Seq("a", "b"), "left_outer")
+      .groupBy(floor(col("j") * 10).cast("int").as("j_bucket"))
+      .agg(count(lit(1)).as("n_pairs"),
+        count(col("lsh_found")).as("n_found"))
+      .select(col("j_bucket"), col("n_pairs"), col("n_found"),
+        round(col("n_found").cast("double") / col("n_pairs"), 6).as("recall"))
+  }
 
   /** Pairwise source-overlap matrix via merged MinHash (see the
     * q_source_overlap gate comment for the scale shape). The

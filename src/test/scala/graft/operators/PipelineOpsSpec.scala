@@ -1194,6 +1194,39 @@ class PipelineOpsSpec extends SparkSpec {
     }
   }
 
+  test("lsh recall curve: buckets reconcile with an independent JVM " +
+    "pair inventory and exact duplicates are always found") {
+    val base = (1 to 40).map(i => s"tok$i").mkString(" ")
+    val near = base.replace("tok7", "x") // J ≈ 0.85 → bucket 8
+    val onehit = (1 to 37).map(i => s"z$i").mkString(" ") +
+      " tok1 tok2 tok3" // shares exactly one shingle → bucket 0
+    val d4 = Seq((0L, base), (1L, near), (2L, base), (3L, onehit))
+      .toDF("doc_id", "text")
+
+    val cand = DedupOps.lshCandidatePairs(d4).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    def shs(t: String): Set[String] =
+      t.split(" ").sliding(3).filter(_.length == 3).map(_.mkString(" ")).toSet
+    val texts = Map(0L -> base, 1L -> near, 2L -> base, 3L -> onehit)
+    val expected = (for {
+      a <- texts.keys.toSeq; b <- texts.keys.toSeq if a < b
+      ia = shs(texts(a)); ib = shs(texts(b))
+      inter = (ia & ib).size if inter >= 1
+    } yield {
+      val j = inter.toDouble / (ia.size + ib.size - inter)
+      (math.floor(j * 10).toInt, cand.contains((a, b)))
+    }).toSeq
+    val expByBucket = expected.groupBy(_._1).map { case (k, vs) =>
+      k -> ((vs.size.toLong, vs.count(_._2).toLong)) }
+
+    val got = DedupOps.lshRecallCurve(d4).collect()
+      .map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got == expByBucket)
+    // the J = 1.0 bucket: identical docs have identical signatures,
+    // so every band collides — recall there can never be < 1
+    assert(got(10) == ((1L, 1L)))
+  }
+
   test("source overlap: merged source signature == element-wise min of " +
     "per-doc signatures, and exact jaccard matches planted overlap") {
     // sources A and B each hold 2 docs; A∩B share doc body `common`
