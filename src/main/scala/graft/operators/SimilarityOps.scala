@@ -69,6 +69,12 @@ object SimilarityOps {
     * Declared BEFORE `all` (oracle interpolation). */
   val OutlierK = 5
 
+  /** Matryoshka prefix length (Kusupati et al., NeurIPS'22): MRL-style
+    * embeddings order information by dimension, so the first MrlDim
+    * dims alone support a cheap first-pass ranking. Half the gate's
+    * 64-dim vectors. Declared BEFORE `all` (oracle interpolation). */
+  val MrlDim = 32
+
   /** Cross-score corpus (vec_id, embedding) against broadcast probes
     * (query_id, qv): one row per (query, vector) pair with sequential
     * double-precision cosine. */
@@ -87,6 +93,44 @@ object SimilarityOps {
       .filter(col("rnk") <= k)
       .select(col("query_id"), col("vec_id").as("neighbor_id"), col("rnk"),
         round(col("cos"), 6).as("sim"))
+  }
+
+  /** Matryoshka two-stage audit: shortlist by cosine over the first
+    * [[MrlDim]] dims only, then score the SHORTLIST at full dimension
+    * and flag which full-dimension top-[[TopK]] neighbors the cheap
+    * prefix ranking retained. The adaptive-retrieval serving shape
+    * for MRL-trained embeddings: the prefix scan reads half the
+    * bytes (a dim-pruned column at 100 TB), and full vectors are
+    * touched only for O(shortlist) rows per query. */
+  def matryoshkaTopK(corpus: DataFrame, probes: DataFrame,
+      shortlist: Int, k: Int): DataFrame = {
+    val s = corpus.sparkSession
+    val tCorpus = corpus.select(col("vec_id"),
+      slice(col("embedding"), 1, MrlDim).as("embedding"))
+    val tProbes = probes.select(col("query_id"),
+      slice(col("qv"), 1, MrlDim).as("qv"))
+    val wT = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("vec_id"))
+    val cut = cosineScores(tCorpus, tProbes)
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("rnk", row_number().over(wT))
+      .filter(col("rnk") <= shortlist)
+      .select(col("query_id"), col("vec_id"), col("rnk"),
+        col("cos").as("cos_t"))
+    val fullTop = bruteForceTopK(corpus, probes, k)
+      .select(col("query_id"), col("neighbor_id").as("vec_id"),
+        lit(true).as("hit"))
+    cut
+      .join(corpus.select(col("vec_id"), col("embedding")), "vec_id")
+      .join(broadcast(probes), "query_id")
+      .select(col("query_id"), col("vec_id"), col("rnk"), col("cos_t"),
+        CosineSimilarity(s, col("qv"), col("embedding")).as("cos_f"))
+      .join(fullTop, Seq("query_id", "vec_id"), "left_outer")
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        col("rnk").cast("int").as("rnk"),
+        round(col("cos_t"), 6).as("sim_trunc"),
+        round(col("cos_f"), 6).as("sim_full"),
+        coalesce(col("hit"), lit(false)).as("in_full_topk"))
   }
 
   /** 16-bit sign-bucket per vector (axis-plane LSH for cosine). */
@@ -488,6 +532,50 @@ object SimilarityOps {
          |      FROM scored)
          |WHERE rnk <= $TopK""".stripMargin) {
       (s, dir) => bruteForceTopK(emb(s, dir), gateProbes(s, dir), TopK)
+    },
+
+    // Matryoshka two-stage audit: 32-dim-prefix shortlist of 10,
+    // full-dim exact score on the shortlist only, membership flag
+    // against the full-dim top-3 — measuring what the cheap prefix
+    // ranking retains. The oracle slices the same prefixes and
+    // replays both rankings with the shared sequential-cosine SQL.
+    QueryDef.sql(
+      "q_sim_matryoshka",
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+         |           FROM embeddings WHERE vec_id < $NumProbes),
+         |tq AS (SELECT query_id, qv[1:$MrlDim] AS tqv FROM q),
+         |te AS (SELECT vec_id, embedding[1:$MrlDim] AS temb FROM embeddings),
+         |scored_t AS (
+         |  SELECT tq.query_id, te.vec_id AS neighbor_id,
+         |         ${cosSql("tqv", "temb")} AS cos_t
+         |  FROM tq JOIN te ON te.vec_id <> tq.query_id),
+         |cut AS (SELECT query_id, neighbor_id, cos_t,
+         |               row_number() OVER (PARTITION BY query_id
+         |                                  ORDER BY cos_t DESC, neighbor_id) AS rnk
+         |        FROM scored_t),
+         |scored_f AS (
+         |  SELECT q.query_id, e.vec_id AS neighbor_id,
+         |         ${cosSql("qv", "e.embedding")} AS cos_f
+         |  FROM q JOIN embeddings e ON e.vec_id <> q.query_id),
+         |fullcut AS (
+         |  SELECT query_id, neighbor_id
+         |  FROM (SELECT query_id, neighbor_id,
+         |               row_number() OVER (PARTITION BY query_id
+         |                                  ORDER BY cos_f DESC, neighbor_id) AS rnk
+         |        FROM scored_f)
+         |  WHERE rnk <= $TopK)
+         |SELECT c.query_id, c.neighbor_id, CAST(c.rnk AS INTEGER) AS rnk,
+         |       round(c.cos_t, 6) AS sim_trunc,
+         |       round(f.cos_f, 6) AS sim_full,
+         |       EXISTS (SELECT 1 FROM fullcut fc
+         |               WHERE fc.query_id = c.query_id
+         |                 AND fc.neighbor_id = c.neighbor_id) AS in_full_topk
+         |FROM cut c
+         |JOIN scored_f f ON f.query_id = c.query_id
+         |               AND f.neighbor_id = c.neighbor_id
+         |WHERE c.rnk <= $RerankShortlist""".stripMargin) {
+      (s, dir) =>
+        matryoshkaTopK(emb(s, dir), gateProbes(s, dir), RerankShortlist, TopK)
     },
 
     QueryDef.sql(

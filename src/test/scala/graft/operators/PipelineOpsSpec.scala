@@ -1194,6 +1194,59 @@ class PipelineOpsSpec extends SparkSpec {
     }
   }
 
+  test("matryoshka shortlist: flags reconcile with the exact full-dim " +
+    "top-k and the prefix ranking retains most of it") {
+    val sf = "/root/testdata/sf0.001"
+    val emb = graft.Tables(spark, sf, "embeddings")
+    val probes = emb.filter(col("vec_id") < SimilarityOps.NumProbes)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val out = SimilarityOps.matryoshkaTopK(emb, probes,
+      SimilarityOps.RerankShortlist, SimilarityOps.TopK).collect()
+    // shortlist shape: exactly `shortlist` rows per query, ranks 1..n
+    val byQ = out.groupBy(_.getLong(0))
+    assert(byQ.size == SimilarityOps.NumProbes)
+    byQ.values.foreach { rows =>
+      assert(rows.map(_.getInt(2)).sorted.toSeq ==
+        (1 to SimilarityOps.RerankShortlist))
+    }
+    // in_full_topk reconciles with the independently computed exact cut
+    val full = SimilarityOps.bruteForceTopK(emb, probes, SimilarityOps.TopK)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    out.foreach { r =>
+      val key = (r.getLong(0), r.getLong(1))
+      assert(r.getBoolean(5) == full.contains(key),
+        s"flag mismatch for $key")
+    }
+    // the shortlist IS the prefix ranking: replay the truncated
+    // cosine and its (cos desc, vec_id) tie-break in plain JVM math
+    // and demand the identical (neighbor, rnk) assignment. (A quality
+    // bar on retention would be data-dependent — these synthetic
+    // vectors are not MRL-trained, so the prefix carries no special
+    // information; retention here measures geometry, not a bug.)
+    val vecs = emb.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    def cosPrefix(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < SimilarityOps.MrlDim) {
+        dot += a(i).toDouble * b(i).toDouble
+        na += a(i).toDouble * a(i).toDouble
+        nb += b(i).toDouble * b(i).toDouble
+        i += 1
+      }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    (0L until SimilarityOps.NumProbes).foreach { qid =>
+      val expect = vecs.keys.filter(_ != qid).toSeq
+        .map(v => (v, cosPrefix(vecs(qid), vecs(v))))
+        .sortBy { case (v, c) => (-c, v) }
+        .take(SimilarityOps.RerankShortlist)
+        .zipWithIndex.map { case ((v, _), i) => (v, i + 1) }.toMap
+      val got = out.filter(_.getLong(0) == qid)
+        .map(r => r.getLong(1) -> r.getInt(2)).toMap
+      assert(got == expect, s"prefix ranking mismatch for query $qid")
+    }
+  }
+
   test("lsh recall curve: buckets reconcile with an independent JVM " +
     "pair inventory and exact duplicates are always found") {
     val base = (1 to 40).map(i => s"tok$i").mkString(" ")
