@@ -133,6 +133,31 @@ object SimilarityOps {
         coalesce(col("hit"), lit(false)).as("in_full_topk"))
   }
 
+  /** Hard-negative mining for contrastive training: per query, the
+    * top-k most-similar corpus vectors whose label DIFFERS from the
+    * query's — the negatives that actually move a contrastive loss
+    * (easy negatives are already far). Probes must carry
+    * (query_id, qv, qlabel). Same broadcast-probe scoring shape as
+    * [[bruteForceTopK]]: the label predicate runs before the window,
+    * so rejected same-class rows never enter the per-query heap; at
+    * 100 TB the scan side swaps to the IVF/PQ shortlist exactly like
+    * the other searches. */
+  def hardNegatives(corpus: DataFrame, probes: DataFrame, k: Int): DataFrame = {
+    val s = corpus.sparkSession
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("vec_id"))
+    corpus.crossJoin(broadcast(probes))
+      .filter(col("vec_id") =!= col("query_id") &&
+        col("label") =!= col("qlabel"))
+      .select(col("query_id"), col("vec_id"), col("qlabel"), col("label"),
+        CosineSimilarity(s, col("qv"), col("embedding")).as("cos"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        col("rnk").cast("int").as("rnk"), round(col("cos"), 6).as("sim"),
+        col("qlabel").as("query_label"), col("label").as("neighbor_label"))
+  }
+
   /** 16-bit sign-bucket per vector (axis-plane LSH for cosine). */
   def lshBuckets(emb: DataFrame): DataFrame = {
     val bucket = (0 until LshBits)
@@ -532,6 +557,35 @@ object SimilarityOps {
          |      FROM scored)
          |WHERE rnk <= $TopK""".stripMargin) {
       (s, dir) => bruteForceTopK(emb(s, dir), gateProbes(s, dir), TopK)
+    },
+
+    // Hard-negative mining: per query, the TopK most-similar vectors
+    // of a DIFFERENT label — the contrastive-training batch builder.
+    // Label filter before the window; broadcast probes; k-cut stays
+    // TakeOrderedAndProject-shaped per query partition.
+    QueryDef.sql(
+      "q_sim_hard_negatives",
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv,
+         |                  label AS qlabel
+         |           FROM embeddings WHERE vec_id < $NumProbes),
+         |scored AS (
+         |  SELECT q.query_id, e.vec_id AS neighbor_id,
+         |         q.qlabel AS query_label, e.label AS neighbor_label,
+         |         ${cosSql("qv", "e.embedding")} AS cos
+         |  FROM q JOIN embeddings e
+         |    ON e.vec_id <> q.query_id AND e.label <> q.qlabel)
+         |SELECT query_id, neighbor_id, CAST(rnk AS INTEGER) AS rnk,
+         |       round(cos, 6) AS sim, query_label, neighbor_label
+         |FROM (SELECT query_id, neighbor_id, query_label, neighbor_label, cos,
+         |             row_number() OVER (PARTITION BY query_id
+         |                                ORDER BY cos DESC, neighbor_id) AS rnk
+         |      FROM scored)
+         |WHERE rnk <= $TopK""".stripMargin) {
+      (s, dir) =>
+        val probes = emb(s, dir).filter(col("vec_id") < NumProbes)
+          .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+            col("label").as("qlabel"))
+        hardNegatives(emb(s, dir), probes, TopK)
     },
 
     // Matryoshka two-stage audit: 32-dim-prefix shortlist of 10,

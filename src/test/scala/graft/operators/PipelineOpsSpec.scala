@@ -1247,6 +1247,46 @@ class PipelineOpsSpec extends SparkSpec {
     }
   }
 
+  test("hard negatives: never the query's own label, and the ranking " +
+    "replays exactly in JVM arithmetic") {
+    val sf = "/root/testdata/sf0.001"
+    val emb = graft.Tables(spark, sf, "embeddings")
+    val probes = emb.filter(col("vec_id") < SimilarityOps.NumProbes)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+        col("label").as("qlabel"))
+    val out = SimilarityOps.hardNegatives(emb, probes, SimilarityOps.TopK)
+      .collect()
+    assert(out.nonEmpty)
+    out.foreach(r => assert(r.getInt(4) != r.getInt(5),
+      s"negative shares the query label: $r"))
+
+    val rows = emb.collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray, r.getInt(2)))
+    val byId = rows.map(t => t._1 -> t).toMap
+    def cosF(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        dot += a(i).toDouble * b(i).toDouble
+        na += a(i).toDouble * a(i).toDouble
+        nb += b(i).toDouble * b(i).toDouble
+        i += 1
+      }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    (0L until SimilarityOps.NumProbes).foreach { qid =>
+      val (_, qv, ql) = byId(qid)
+      val expect = rows
+        .filter(t => t._1 != qid && t._3 != ql)
+        .map(t => (t._1, cosF(qv, t._2)))
+        .sortBy { case (v, c) => (-c, v) }
+        .take(SimilarityOps.TopK)
+        .zipWithIndex.map { case ((v, _), i) => (v, i + 1) }.toMap
+      val got = out.filter(_.getLong(0) == qid)
+        .map(r => r.getLong(1) -> r.getInt(2)).toMap
+      assert(got == expect, s"hard-negative ranking mismatch for query $qid")
+    }
+  }
+
   test("lsh recall curve: buckets reconcile with an independent JVM " +
     "pair inventory and exact duplicates are always found") {
     val base = (1 to 40).map(i => s"tok$i").mkString(" ")
