@@ -33,7 +33,9 @@ class PlanAuditSpec extends SparkSpec {
     "q_sim_bm25",          // 1-row corpus-stats scalar (N, Σdl, dfs)
     "q_select_dsir",       // 1-row distribution-totals scalar (nr, nt)
     "q_sim_ivfpq",         // 8 coarse centroids (cell assignment + probe)
-    "q_embed_outliers"     // 8 centroids (cell assignment)
+    "q_embed_outliers",    // 8 centroids (cell assignment)
+    "q_sim_matryoshka",    // 5 probe vectors (prefix scan + rerank)
+    "q_sim_hard_negatives" // 5 probe vectors
   )
 
   private val streaming = Set(
