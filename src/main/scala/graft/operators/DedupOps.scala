@@ -43,6 +43,11 @@ object DedupOps {
     * the "newly ingested" slice (append-only ids). */
   val IncrementalSplit = 400
 
+  /** Paragraphs appearing in at least this many DISTINCT documents
+    * are reported as boilerplate candidates. Declared BEFORE `all`
+    * (oracle interpolation happens at object init). */
+  val MinBoilerplateDf = 3
+
   /** Small single-file inputs arrive as ONE scan partition; per-doc
     * hashing is CPU-bound, so fan it out to the full core count.
     * Guarded: input that already has enough splits (the normal case
@@ -1371,6 +1376,22 @@ object DedupOps {
       (s, dir) => sourceOverlap(Tables(s, dir, "documents"))
     },
 
+    // Boilerplate survey: paragraphs shared by >= MinBoilerplateDf
+    // distinct docs, with occurrence/doc/source counts — the report
+    // that drives corpus-wide paragraph stripping. Shares the
+    // paragraph CTEs with the dedup/ingest-screen oracles.
+    QueryDef.sql(
+      "q_boilerplate",
+      s"""WITH $paragraphCtesSql
+         |SELECT h, CAST(count(*) AS BIGINT) AS n_occ,
+         |       CAST(count(DISTINCT c2.doc_id) AS BIGINT) AS n_docs,
+         |       CAST(count(DISTINCT d.source) AS BIGINT) AS n_sources,
+         |       CAST(min(c2.doc_id) AS BIGINT) AS example_doc
+         |FROM c2 JOIN documents d ON d.doc_id = c2.doc_id
+         |GROUP BY h HAVING count(DISTINCT c2.doc_id) >= $MinBoilerplateDf""".stripMargin) {
+      (s, dir) => boilerplateParagraphs(Tables(s, dir, "documents"))
+    },
+
     // Measured LSH S-curve: per exact-Jaccard 0.1-bucket, how many
     // >=1-rare-shingle pairs exist and how many the banded candidate
     // generator found — the recall telemetry that tunes band
@@ -1409,6 +1430,29 @@ object DedupOps {
       (s, dir) => lshRecallCurve(Tables(s, dir, "documents"))
     }
   )
+
+  /** Boilerplate-paragraph detector (the survey step before CCNet-
+    * style removal): paragraphs repeated across >= [[MinBoilerplateDf]]
+    * distinct documents, with occurrence count, document frequency,
+    * source spread and the earliest example document. Headers,
+    * footers, cookie banners and license blurbs surface here — the
+    * curation decision is then "strip the paragraph corpus-wide",
+    * which [[paragraphDedup]]/[[paragraphRewrite]] executes.
+    *
+    * Scale: only (h, doc_id, source) triples shuffle (the hash is
+    * computed in the per-row transform); the two distinct-counts are
+    * one expand over the same shuffle key; output is the hot set —
+    * tiny by definition. */
+  def boilerplateParagraphs(docs: DataFrame,
+      minDf: Int = MinBoilerplateDf): DataFrame =
+    paragraphHashes(docs.select(col("doc_id"), col("text")))
+      .join(docs.select(col("doc_id"), col("source")), "doc_id")
+      .groupBy(col("h"))
+      .agg(count(lit(1)).as("n_occ"),
+        countDistinct(col("doc_id")).as("n_docs"),
+        countDistinct(col("source")).as("n_sources"),
+        min(col("doc_id")).as("example_doc"))
+      .filter(col("n_docs") >= minDf)
 
   /** Measured LSH S-curve: for every pair sharing >= 1 rare shingle,
     * exact full-set Jaccard bucketed to 0.1, and whether the

@@ -1247,6 +1247,32 @@ class PipelineOpsSpec extends SparkSpec {
     }
   }
 
+  test("boilerplate paragraphs: planted shared header surfaces with " +
+    "exact df/source counts, below-threshold repeats do not") {
+    import spark.implicits._
+    val header = (1 to DedupOps.ParaTokens).map(i => s"h$i").mkString(" ")
+    val pair = (1 to DedupOps.ParaTokens).map(i => s"p$i").mkString(" ")
+    def body(tag: String) =
+      (1 to DedupOps.ParaTokens).map(i => s"$tag$i").mkString(" ")
+    val docs = Seq(
+      (0L, s"$header ${body("a")}", "s1"),
+      (1L, s"$header ${body("b")}", "s1"),
+      (2L, s"$header ${body("c")}", "s2"),
+      (3L, s"$pair ${body("d")}", "s2"), // pair appears in only 2 docs
+      (4L, s"$pair ${body("e")}", "s2")
+    ).toDF("doc_id", "text", "source")
+    val out = DedupOps.boilerplateParagraphs(docs).collect()
+    assert(out.length == 1, s"expected only the header: ${out.toSeq}")
+    val r = out.head
+    assert(r.getAs[Long]("n_occ") == 3L)
+    assert(r.getAs[Long]("n_docs") == 3L)
+    assert(r.getAs[Long]("n_sources") == 2L)
+    assert(r.getAs[Long]("example_doc") == 0L)
+    val expectHash = java.security.MessageDigest.getInstance("MD5")
+      .digest(header.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(r.getAs[String]("h") == expectHash)
+  }
+
   test("hard negatives: never the query's own label, and the ranking " +
     "replays exactly in JVM arithmetic") {
     val sf = "/root/testdata/sf0.001"
