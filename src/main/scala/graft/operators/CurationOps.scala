@@ -542,20 +542,31 @@ object CurationOps {
     // arithmetic is integer so the oracle matches exactly.
     QueryDef.sql(
       "q_chunk_sliding",
-      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
-         |           FROM documents),
-         |c AS (SELECT doc_id, toks, len(toks) AS n,
-         |             CASE WHEN len(toks) <= $ChunkWindow THEN 1
-         |                  ELSE CAST(floor((len(toks) - $ChunkWindow + $ChunkStride - 1)
-         |                       / CAST($ChunkStride AS DOUBLE)) AS INTEGER) + 1 END AS nc
-         |      FROM t)
-         |SELECT doc_id, CAST(i AS INTEGER) AS chunk_idx,
-         |       CAST(least($ChunkWindow, n - i * $ChunkStride) AS INTEGER) AS n_tokens,
-         |       md5(array_to_string(toks[i * $ChunkStride + 1 : i * $ChunkStride + $ChunkWindow], ' ')) AS chunk_hash
-         |FROM c, unnest(range(nc)) AS u(i)""".stripMargin) {
+      s"""WITH $chunkCtesSql
+         |SELECT doc_id, chunk_idx, n_tokens, chunk_hash FROM chunks""".stripMargin) {
       (s, dir) => slidingChunks(Tables(s, dir, "documents"))
     }
   )
+
+  /** Oracle-CTE replica of [[slidingChunks]], exposing
+    * `chunks(doc_id, chunk_idx, n_tokens, chunk_hash)` — shared by
+    * the chunking and chunk-decontamination oracles so the SQL
+    * definition of a "window" cannot fork between them. Defined as a
+    * method (not a val interpolated into `all`) so cross-object
+    * users ([[DedupOps]]) see it regardless of init order. */
+  def chunkCtesSql: String =
+    s"""tch AS (SELECT doc_id, string_split(text, ' ') AS toks
+       |        FROM documents),
+       |cch AS (SELECT doc_id, toks, len(toks) AS n,
+       |             CASE WHEN len(toks) <= $ChunkWindow THEN 1
+       |                  ELSE CAST(floor((len(toks) - $ChunkWindow + $ChunkStride - 1)
+       |                       / CAST($ChunkStride AS DOUBLE)) AS INTEGER) + 1 END AS nc
+       |      FROM tch),
+       |chunks AS (
+       |  SELECT doc_id, CAST(i AS INTEGER) AS chunk_idx,
+       |         CAST(least($ChunkWindow, n - i * $ChunkStride) AS INTEGER) AS n_tokens,
+       |         md5(array_to_string(toks[i * $ChunkStride + 1 : i * $ChunkStride + $ChunkWindow], ' ')) AS chunk_hash
+       |  FROM cch, unnest(range(nc)) AS u(i))""".stripMargin
 
   /** The q_mix_sources body, named so the gate registration and the
     * golden-bucket spec drive the same production expressions:

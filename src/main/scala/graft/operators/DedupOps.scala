@@ -48,6 +48,12 @@ object DedupOps {
     * (oracle interpolation happens at object init). */
   val MinBoilerplateDf = 3
 
+  /** Gate benchmark slice for chunk-level decontamination: doc_id
+    * divisible by this plays the held-out eval set. Chosen so the
+    * synthetic corpus has hits at every scale factor. Declared
+    * BEFORE `all` (oracle interpolation). */
+  val ChunkBenchMod = 7
+
   /** Small single-file inputs arrive as ONE scan partition; per-doc
     * hashing is CPU-bound, so fan it out to the full core count.
     * Guarded: input that already has enough splits (the normal case
@@ -1392,6 +1398,36 @@ object DedupOps {
       (s, dir) => boilerplateParagraphs(Tables(s, dir, "documents"))
     },
 
+    // Chunk-level decontamination: verbatim 64-token-window screen,
+    // alignment-free — corpus side strided windows (shared chunk
+    // CTEs), benchmark side STRIDE-1 windows, so phase-shifted
+    // copies still collide (see chunkContamination's pigeonhole
+    // contract).
+    QueryDef.sql(
+      "q_chunk_contamination",
+      s"""WITH ${CurationOps.chunkCtesSql},
+         |bench AS (
+         |  SELECT DISTINCT md5(array_to_string(
+         |           toks[i + 1 : i + ${CurationOps.ChunkWindow}], ' ')) AS chunk_hash
+         |  FROM (SELECT toks,
+         |               CASE WHEN len(toks) <= ${CurationOps.ChunkWindow} THEN 1
+         |                    ELSE len(toks) - ${CurationOps.ChunkWindow} + 1 END AS nc
+         |        FROM tch WHERE doc_id % $ChunkBenchMod = 0) b,
+         |       unnest(range(nc)) AS u(i))
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_chunks,
+         |       CAST(count(*) FILTER (WHERE chunk_hash IN
+         |              (SELECT chunk_hash FROM bench)) AS BIGINT) AS n_hit,
+         |       count(*) FILTER (WHERE chunk_hash IN
+         |              (SELECT chunk_hash FROM bench)) >= 1 AS contaminated
+         |FROM chunks WHERE doc_id % $ChunkBenchMod <> 0
+         |GROUP BY doc_id""".stripMargin) {
+      (s, dir) =>
+        val docs = Tables(s, dir, "documents")
+        chunkContamination(
+          docs.filter(col("doc_id") % ChunkBenchMod =!= 0),
+          docs.filter(col("doc_id") % ChunkBenchMod === 0))
+    },
+
     // Measured LSH S-curve: per exact-Jaccard 0.1-bucket, how many
     // >=1-rare-shingle pairs exist and how many the banded candidate
     // generator found — the recall telemetry that tunes band
@@ -1453,6 +1489,35 @@ object DedupOps {
         countDistinct(col("source")).as("n_sources"),
         min(col("doc_id")).as("example_doc"))
       .filter(col("n_docs") >= minDf)
+
+  /** Chunk-level benchmark decontamination, ALIGNMENT-FREE: the
+    * corpus side uses stride-[[CurationOps.ChunkStride]] windows
+    * (cheap — ~len/stride hashes per doc), the benchmark side
+    * stride-1 windows (affordable — benchmarks are tiny), so a
+    * corpus-grid window falling anywhere inside a copied span always
+    * finds its verbatim twin in the benchmark hash set whatever the
+    * phase difference. Pigeonhole contract (spec-pinned): ANY
+    * verbatim shared span of >= window + stride - 1 tokens is
+    * caught; grid-vs-grid screens (both sides strided) miss
+    * phase-shifted copies entirely. Per screened doc: total windows,
+    * benchmark-matching windows, contaminated verdict. Complements
+    * the shingle-overlap screen (fuzzy) and the paragraph screen
+    * (verbatim, aligned).
+    *
+    * Scale: both sides reduce to (doc_id, chunk_hash) rows map-side;
+    * the benchmark's distinct hash set is small and broadcasts (AQE
+    * picks that plan here); the corpus side is one aggregate on
+    * doc_id. Text never shuffles. */
+  def chunkContamination(docs: DataFrame, bench: DataFrame): DataFrame = {
+    val benchHashes = CurationOps.slidingChunks(bench, stride = 1)
+      .select(col("chunk_hash").as("bh")).distinct()
+    CurationOps.slidingChunks(docs)
+      .join(benchHashes, col("chunk_hash") === col("bh"), "left_outer")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_chunks"), count(col("bh")).as("n_hit"))
+      .select(col("doc_id"), col("n_chunks"), col("n_hit"),
+        (col("n_hit") >= 1).as("contaminated"))
+  }
 
   /** Measured LSH S-curve: for every pair sharing >= 1 rare shingle,
     * exact full-set Jaccard bucketed to 0.1, and whether the

@@ -1273,6 +1273,29 @@ class PipelineOpsSpec extends SparkSpec {
     assert(r.getAs[String]("h") == expectHash)
   }
 
+  test("chunk contamination: a phase-shifted verbatim span of " +
+    "window+stride-1 tokens is caught, a window-sized one off-grid is " +
+    "not, clean docs are clean") {
+    import spark.implicits._
+    val (w, st) = (CurationOps.ChunkWindow, CurationOps.ChunkStride)
+    val bTokens = (1 to 120).map(i => s"b$i")
+    val bench = Seq((100L, bTokens.mkString(" "))).toDF("doc_id", "text")
+    def filler(tag: String, n: Int) = (1 to n).map(i => s"$tag$i")
+    // X: 95-token (= w + st - 1) span copied at MISALIGNED offset 17 —
+    // pigeonhole guarantees a corpus-grid window inside the span
+    val x = (filler("x", 17) ++ bTokens.slice(10, 105) ++
+      filler("y", 20)).mkString(" ")
+    // Y: exactly window-sized span at offset 17 — no grid window fits
+    // inside it, so the screen (correctly, per contract) misses it
+    val y = (filler("p", 17) ++ bTokens.slice(10, 74) ++
+      filler("q", 40)).mkString(" ")
+    val z = filler("z", 100).mkString(" ")
+    val docs = Seq((0L, x), (1L, y), (2L, z)).toDF("doc_id", "text")
+    val out = DedupOps.chunkContamination(docs, bench).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(3)).toMap
+    assert(out == Map(0L -> true, 1L -> false, 2L -> false))
+  }
+
   test("hard negatives: never the query's own label, and the ranking " +
     "replays exactly in JVM arithmetic") {
     val sf = "/root/testdata/sf0.001"
