@@ -112,6 +112,14 @@ object CurationOps {
   val DeltaNewLower = 10
   val DeltaChangeMod = 7
 
+  /** Token-budget planning: the training run's total token budget
+    * (gate-sized; production passes its own) and the per-source
+    * mixture weights by source-index class (index % 4) — the same
+    * class scheme as [[MixRateUppers]], as plain integers so every
+    * derived quantity stays in exact arithmetic. */
+  val TokenBudget = 1000000L
+  val BudgetWeights = Seq(1L, 2L, 3L, 4L)
+
   val all: Seq[QueryDef] = Seq(
 
     // The per-source data card a curation run publishes: volume,
@@ -545,6 +553,36 @@ object CurationOps {
       s"""WITH $chunkCtesSql
          |SELECT doc_id, chunk_idx, n_tokens, chunk_hash FROM chunks""".stripMargin) {
       (s, dir) => slidingChunks(Tables(s, dir, "documents"))
+    },
+
+    // Token-budget mixture planning: the LLaMA-style table that turns
+    // "weights per source + a token budget" into per-source target
+    // tokens and repeat factors (epochs_x100 > 100 = the source is
+    // repeated / oversampled; < 100 = downsampled). One source-keyed
+    // aggregate over the corpus + a one-row weight-total broadcast —
+    // the plan itself is dimension-table-sized at any corpus scale.
+    QueryDef.sql(
+      "q_token_budget",
+      s"""WITH per AS (
+         |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         |         CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
+         |         CAST(CASE CAST(substr(source, 4) AS INTEGER) % 4
+         |              WHEN 0 THEN ${BudgetWeights(0)}
+         |              WHEN 1 THEN ${BudgetWeights(1)}
+         |              WHEN 2 THEN ${BudgetWeights(2)}
+         |              ELSE ${BudgetWeights(3)} END AS BIGINT) AS weight
+         |  FROM documents GROUP BY source),
+         |tot AS (SELECT CAST(sum(weight) AS BIGINT) AS w_total FROM per)
+         |SELECT source, n_docs, n_tokens, weight,
+         |       CAST(floor($TokenBudget * weight * 1.0 / w_total) AS BIGINT)
+         |         AS target_tokens,
+         |       CAST(floor(CAST(floor($TokenBudget * weight * 1.0 / w_total)
+         |                       AS BIGINT) * 100.0 / n_tokens) AS BIGINT)
+         |         AS epochs_x100,
+         |       CAST(floor($TokenBudget * weight * 1.0 / w_total) AS BIGINT)
+         |         > n_tokens AS oversampled
+         |FROM per CROSS JOIN tot""".stripMargin) {
+      (s, dir) => tokenBudgetPlan(Tables(s, dir, "documents"), TokenBudget)
     }
   )
 
@@ -567,6 +605,42 @@ object CurationOps {
        |         CAST(least($ChunkWindow, n - i * $ChunkStride) AS INTEGER) AS n_tokens,
        |         md5(array_to_string(toks[i * $ChunkStride + 1 : i * $ChunkStride + $ChunkWindow], ' ')) AS chunk_hash
        |  FROM cch, unnest(range(nc)) AS u(i))""".stripMargin
+
+  /** Token-budget mixture planning: given per-source mixture weights
+    * (here derived from the source-index class; production joins a
+    * broadcast weights dimension) and a total token budget, emit the
+    * per-source plan — available mass, the budget share
+    * floor(budget·w/Σw), and the repeat factor epochs_x100 =
+    * floor(target·100/available). epochs_x100 over 100 means the
+    * source must repeat (oversample) to hit its share, the signal a
+    * mixture designer reads before committing to weights that
+    * over-epoch a small source.
+    *
+    * Scale: one groupBy(source) over the corpus (map-side combined
+    * token sums), a |sources|-row aggregate for Σw, broadcast back.
+    * All plan arithmetic is exact: integer operands far below 2^53,
+    * one IEEE division, floor — bit-identical on both engines. */
+  def tokenBudgetPlan(docs: org.apache.spark.sql.DataFrame,
+      budget: Long): org.apache.spark.sql.DataFrame = {
+    val cls = substring(col("source"), 4, 8).cast("int") % 4
+    val weight = when(cls === 0, BudgetWeights(0))
+      .when(cls === 1, BudgetWeights(1))
+      .when(cls === 2, BudgetWeights(2))
+      .otherwise(BudgetWeights(3))
+    val per = docs
+      .select(col("source"), size(split(col("text"), " ")).cast("long").as("toks"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("toks")).as("n_tokens"))
+      .withColumn("weight", weight)
+    val tot = per.agg(sum(col("weight")).as("w_total"))
+    val target = floor(lit(budget) * col("weight") / col("w_total"))
+      .cast("bigint")
+    per.crossJoin(broadcast(tot))
+      .select(col("source"), col("n_docs"), col("n_tokens"), col("weight"),
+        target.as("target_tokens"),
+        floor(target * 100 / col("n_tokens")).cast("bigint").as("epochs_x100"),
+        (target > col("n_tokens")).as("oversampled"))
+  }
 
   /** The q_mix_sources body, named so the gate registration and the
     * golden-bucket spec drive the same production expressions:

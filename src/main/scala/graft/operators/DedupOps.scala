@@ -1428,6 +1428,41 @@ object DedupOps {
           docs.filter(col("doc_id") % ChunkBenchMod === 0))
     },
 
+    // The benchmark-side contamination report: per eval item, how
+    // many of its stride-1 windows appear verbatim in the corpus
+    // window grid and from how many corpus docs — which benchmark
+    // rows are burned. Same window geometry as the corpus-side
+    // screen, so the two verdicts share one definition of "leak".
+    QueryDef.sql(
+      "q_contamination_report",
+      s"""WITH ${CurationOps.chunkCtesSql},
+         |bw AS (
+         |  SELECT doc_id, CAST(i AS INTEGER) AS widx,
+         |         md5(array_to_string(
+         |           toks[i + 1 : i + ${CurationOps.ChunkWindow}], ' ')) AS wh
+         |  FROM (SELECT doc_id, toks,
+         |               CASE WHEN len(toks) <= ${CurationOps.ChunkWindow} THEN 1
+         |                    ELSE len(toks) - ${CurationOps.ChunkWindow} + 1 END AS nc
+         |        FROM tch WHERE doc_id % $ChunkBenchMod = 0) b,
+         |       unnest(range(nc)) AS u(i)),
+         |cw AS (SELECT DISTINCT doc_id AS corpus_doc, chunk_hash AS ch
+         |       FROM chunks WHERE doc_id % $ChunkBenchMod <> 0)
+         |SELECT b.doc_id,
+         |       CAST(count(DISTINCT b.widx) AS BIGINT) AS n_windows,
+         |       CAST(count(DISTINCT CASE WHEN cw.ch IS NOT NULL
+         |                                THEN b.widx END) AS BIGINT) AS n_hit,
+         |       CAST(count(DISTINCT cw.corpus_doc) AS BIGINT) AS n_corpus_docs,
+         |       count(DISTINCT CASE WHEN cw.ch IS NOT NULL
+         |                           THEN b.widx END) >= 1 AS compromised
+         |FROM bw b LEFT JOIN cw ON cw.ch = b.wh
+         |GROUP BY b.doc_id""".stripMargin) {
+      (s, dir) =>
+        val docs = Tables(s, dir, "documents")
+        contaminationReport(
+          docs.filter(col("doc_id") % ChunkBenchMod =!= 0),
+          docs.filter(col("doc_id") % ChunkBenchMod === 0))
+    },
+
     // Measured LSH S-curve: per exact-Jaccard 0.1-bucket, how many
     // >=1-rare-shingle pairs exist and how many the banded candidate
     // generator found — the recall telemetry that tunes band
@@ -1517,6 +1552,43 @@ object DedupOps {
       .agg(count(lit(1)).as("n_chunks"), count(col("bh")).as("n_hit"))
       .select(col("doc_id"), col("n_chunks"), col("n_hit"),
         (col("n_hit") >= 1).as("contaminated"))
+  }
+
+  /** The benchmark-side view of [[chunkContamination]]: for every
+    * EVAL item, how much of it leaked into the training corpus and
+    * from how many distinct corpus documents — the report an eval
+    * owner reads to decide which benchmark rows are burned (the
+    * corpus-side query decides which TRAINING docs to drop; both
+    * decisions come from the same window geometry, pigeonhole
+    * contract and all). Stride-1 windows on the benchmark side,
+    * strided windows on the corpus side — identical hash spaces, so
+    * the two reports can never disagree about a leak.
+    *
+    * Per benchmark doc: total windows, windows found verbatim in the
+    * corpus grid, distinct corpus docs touched, compromised verdict.
+    *
+    * Scale: only (doc_id, chunk_hash) pairs ever move. The corpus
+    * side is the big one here, so unlike the corpus-side screen the
+    * join shuffles corpus hash pairs — at 100 TB the corpus windows
+    * are the stored bucketed artifact (the writeBandIndex pattern),
+    * making this a bench-sized probe of an on-disk index, the same
+    * shape as dedupAgainstIndex. A bench window hitting many corpus
+    * docs fans out, which is why the aggregate counts DISTINCT
+    * window indexes, not joined rows. */
+  def contaminationReport(docs: DataFrame, bench: DataFrame): DataFrame = {
+    val corpusW = CurationOps.slidingChunks(docs)
+      .select(col("doc_id").as("corpus_doc"), col("chunk_hash").as("ch"))
+      .distinct()
+    CurationOps.slidingChunks(bench, stride = 1)
+      .join(corpusW, col("chunk_hash") === col("ch"), "left_outer")
+      .groupBy(col("doc_id"))
+      .agg(
+        countDistinct(col("chunk_idx")).as("n_windows"),
+        countDistinct(when(col("ch").isNotNull, col("chunk_idx")))
+          .as("n_hit"),
+        countDistinct(col("corpus_doc")).as("n_corpus_docs"))
+      .select(col("doc_id"), col("n_windows"), col("n_hit"),
+        col("n_corpus_docs"), (col("n_hit") >= 1).as("compromised"))
   }
 
   /** Measured LSH S-curve: for every pair sharing >= 1 rare shingle,

@@ -65,7 +65,71 @@ object EventAnalytics {
        |  FROM events, (SELECT unnest(range($CmDepth)) AS i))""".stripMargin
   }
 
+  /** Epoch-microseconds per day — cohort granularity for
+    * [[cohortRetention]] (the synthetic event stream spans ~5 weeks,
+    * so day cohorts discriminate at every scale factor; a production
+    * run passes weeks by scaling the constant). */
+  val DayUs = 86400000000L
+
+  /** Classic cohort-retention analysis: users grouped by first-active
+    * day, then for each (cohort, day-offset) how many of the cohort's
+    * users were active — the activation/stickiness table behind every
+    * product dashboard, and for a training-data platform the
+    * "contributor freshness" view of an event/feedback stream.
+    *
+    * Scale: ONE shuffle on user_id builds the per-user active-day
+    * set via a map-side-combinable collect_set (bounded by the time
+    * range, not event volume — 10^2-ish days, not 10^9 events); the
+    * retention matrix aggregate and its cohort-size window then run
+    * on cohortscount×offsets rows, dashboard-sized at any corpus
+    * scale. Integer day/offset arithmetic and an exact-int floor for
+    * the rate, so both engines agree bit-for-bit. */
+  def cohortRetention(events: DataFrame): DataFrame = {
+    val perUser = events
+      .select(col("user_id"), expr(s"ts_us div $DayUs").as("d"))
+      .groupBy(col("user_id"))
+      .agg(collect_set(col("d")).as("days"))
+      .select(col("user_id"), array_min(col("days")).as("cohort_day"),
+        explode(col("days")).as("d"))
+    val ret = perUser
+      .groupBy(col("cohort_day"),
+        (col("d") - col("cohort_day")).as("day_offset"))
+      .agg(count(lit(1)).as("n_users"))
+    // cohort size = the offset-0 count (a user's first day is active
+    // by construction) — read it back with a window over the tiny
+    // retention matrix instead of recomputing the corpus side
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("cohort_day"))
+    ret
+      .withColumn("cohort_size",
+        max(when(col("day_offset") === 0, col("n_users"))).over(w))
+      .select(col("cohort_day"), col("day_offset"), col("n_users"),
+        floor(col("n_users") * 10000 / col("cohort_size")).cast("bigint")
+          .as("retention_x10000"))
+  }
+
   val all: Seq[QueryDef] = Seq(
+
+    // Cohort retention: first-active-day cohorts × day offsets with
+    // per-cohort normalized rates — one user_id shuffle, then
+    // dashboard-sized aggregates (see cohortRetention).
+    QueryDef.sql(
+      "q_cohort_retention",
+      s"""WITH e AS (SELECT user_id, epoch_us(ts) // $DayUs AS d FROM events),
+         |uw AS (SELECT DISTINCT user_id, d FROM e),
+         |c AS (SELECT user_id, min(d) AS cohort_day FROM uw GROUP BY user_id),
+         |r AS (SELECT c.cohort_day, uw.d - c.cohort_day AS day_offset,
+         |             CAST(count(*) AS BIGINT) AS n_users
+         |      FROM uw JOIN c ON uw.user_id = c.user_id
+         |      GROUP BY 1, 2)
+         |SELECT cohort_day, day_offset, n_users,
+         |       CAST(floor(n_users * 10000.0 /
+         |              max(CASE WHEN day_offset = 0 THEN n_users END)
+         |                OVER (PARTITION BY cohort_day)) AS BIGINT)
+         |         AS retention_x10000
+         |FROM r""".stripMargin) {
+      (s, dir) => cohortRetention(Tables.events(s, dir))
+    },
 
     // Count-Min sketch frequency estimation (Cormode & Muthukrishnan
     // J.Alg'05) with an exact audit: per-user event-count estimates

@@ -179,6 +179,34 @@ object SimilarityOps {
       .filter(col("rnk") === 1)
       .select(col("vec_id"), col("centroid_id"), round(col("cos"), 6).as("sim"))
 
+  /** IVF index-health report: per-cell population, integer load
+    * percentage against the uniform ideal (100 = perfectly
+    * balanced), and the assignment-quality envelope (min/max member
+    * similarity to the owning centroid). This is the retrain trigger
+    * for an IVF/IVFADC index: a hot cell makes every probe that
+    * touches it scan a long posting list, a starved cell wastes
+    * nprobe budget, and a falling min_sim says the centroid no
+    * longer represents its members — re-run [[ivfTrain]] when the
+    * report degrades.
+    *
+    * Scale: assignment is the existing broadcast-centroid scan; the
+    * report adds ONE groupBy on centroid_id (k rows out) plus a
+    * one-row corpus-count broadcast. load_pct uses the exact-integer
+    * floor((n_vecs*k*100)/n_total) so both engines agree
+    * bit-for-bit (the operands are exact in double far below 2^53). */
+  def ivfBalance(corpus: DataFrame, centroids: DataFrame, k: Int): DataFrame = {
+    val assign = ivfAssign(corpus, centroids)
+    val total = assign.agg(count(lit(1)).as("n_total"))
+    assign.groupBy(col("centroid_id"))
+      .agg(count(lit(1)).as("n_vecs"),
+        min(col("sim")).as("min_sim"), max(col("sim")).as("max_sim"))
+      .crossJoin(broadcast(total))
+      .select(col("centroid_id"), col("n_vecs"),
+        floor(col("n_vecs") * k * 100 / col("n_total")).cast("bigint")
+          .as("load_pct"),
+        col("min_sim"), col("max_sim"))
+  }
+
   /** IVF centroid training: k-means (Lloyd) iterations with strided
     * seeds (vec_id % (n/k) == 0 — spread across the corpus; first-k
     * seeding collapses when early rows share a cluster; assumes
@@ -1039,6 +1067,39 @@ object SimilarityOps {
           .filter(col("rnk") <= OutlierK)
           .select(col("centroid_id"), col("vec_id"), col("rnk"),
             round(col("cos"), 6).as("sim"))
+    },
+
+    // IVF index-health report: per-cell population, load vs the
+    // uniform ideal, min/max member-to-centroid similarity — the
+    // telemetry that decides when to re-run ivfTrain. One k-row
+    // groupBy over the assignment + a one-row total broadcast.
+    QueryDef.sql(
+      "q_ivf_balance",
+      s"""WITH c AS (SELECT vec_id AS centroid_id, embedding AS cv
+         |           FROM embeddings WHERE vec_id < $NumCentroids),
+         |scored AS (
+         |  SELECT e.vec_id, c.centroid_id,
+         |         ${cosSql("cv", "e.embedding")} AS cos
+         |  FROM c CROSS JOIN embeddings e),
+         |cells AS (
+         |  SELECT vec_id, centroid_id, cos
+         |  FROM (SELECT vec_id, centroid_id, cos,
+         |               row_number() OVER (PARTITION BY vec_id
+         |                                  ORDER BY cos DESC, centroid_id) AS arnk
+         |        FROM scored)
+         |  WHERE arnk = 1),
+         |tot AS (SELECT count(*) AS n_total FROM cells)
+         |SELECT centroid_id, CAST(count(*) AS BIGINT) AS n_vecs,
+         |       CAST(floor(count(*) * $NumCentroids * 100.0 / n_total) AS BIGINT)
+         |         AS load_pct,
+         |       min(round(cos, 6)) AS min_sim,
+         |       max(round(cos, 6)) AS max_sim
+         |FROM cells CROSS JOIN tot
+         |GROUP BY centroid_id, n_total""".stripMargin) {
+      (s, dir) =>
+        val centroids = emb(s, dir).filter(col("vec_id") < NumCentroids)
+          .select(col("vec_id").as("centroid_id"), col("embedding").as("cv"))
+        ivfBalance(emb(s, dir), centroids, NumCentroids)
     }
   )
 

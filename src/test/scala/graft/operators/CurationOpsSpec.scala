@@ -400,4 +400,29 @@ class CurationOpsSpec extends SparkSpec {
       .map("%02x".format(_)).mkString
     assert(longRows.head._4 == expect0)
   }
+
+  test("token budget plan: hand-computed targets and epochs, and the " +
+    "targets never overspend the budget") {
+    import spark.implicits._
+    // src0 → weight 1, src1 → weight 2 (class = index % 4); budget 300
+    def words(tag: String, n: Int) = (1 to n).map(i => s"$tag$i").mkString(" ")
+    val docs = Seq(
+      (0L, "src0", words("a", 10)), (1L, "src0", words("b", 10)),
+      (2L, "src1", words("c", 400))).toDF("doc_id", "source", "text")
+    val out = CurationOps.tokenBudgetPlan(docs, 300L).collect()
+      .map(r => r.getString(0) -> r).toMap
+    // w_total = 3: src0 target floor(300/3)=100 over 20 tokens → 500%
+    assert(out("src0").getLong(1) == 2 && out("src0").getLong(2) == 20)
+    assert(out("src0").getLong(4) == 100 && out("src0").getLong(5) == 500)
+    assert(out("src0").getBoolean(6))
+    // src1 target floor(600/3)=200 over 400 tokens → 50%, no repeat
+    assert(out("src1").getLong(4) == 200 && out("src1").getLong(5) == 50)
+    assert(!out("src1").getBoolean(6))
+    assert(out.values.map(_.getLong(4)).sum <= 300L)
+    // gate shape: every source planned exactly once, spend <= budget
+    val sf = "/root/testdata/sf0.001"
+    val gate = graft.SparkEntry.queries("q_token_budget")(spark, sf).collect()
+    assert(gate.map(_.getString(0)).distinct.length == gate.length)
+    assert(gate.map(_.getLong(4)).sum <= CurationOps.TokenBudget)
+  }
 }

@@ -1084,6 +1084,62 @@ class PipelineOpsSpec extends SparkSpec {
     }
   }
 
+  test("cohort retention: planted cohorts land exactly, offset 0 is " +
+    "always 100%, rates floor against the cohort size") {
+    import spark.implicits._
+    val day = EventAnalytics.DayUs
+    // (user, day) activity; duplicate same-day events must not inflate
+    val ev = Seq(
+      (1L, 0L), (1L, 0L), (1L, 1L), (1L, 2L),
+      (2L, 0L), (2L, 2L),
+      (3L, 1L),
+      (4L, 1L), (4L, 3L), (4L, 3L))
+      .map { case (u, d) => (u, d * day + 123L) }
+      .toDF("user_id", "ts_us")
+    val out = EventAnalytics.cohortRetention(ev).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(out == Map(
+      (0L, 0L) -> (2L, 10000L), (0L, 1L) -> (1L, 5000L),
+      (0L, 2L) -> (2L, 10000L),
+      (1L, 0L) -> (2L, 10000L), (1L, 2L) -> (1L, 5000L)))
+    // gate shape: every cohort's offset-0 rate is exactly 10000 and
+    // no offset ever exceeds the cohort size
+    val sf = "/root/testdata/sf0.001"
+    val gate = graft.SparkEntry.queries("q_cohort_retention")(spark, sf)
+      .collect()
+    assert(gate.nonEmpty)
+    val size = gate.filter(_.getLong(1) == 0L)
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    gate.foreach { r =>
+      if (r.getLong(1) == 0L) assert(r.getLong(3) == 10000L)
+      assert(r.getLong(2) <= size(r.getLong(0)))
+    }
+  }
+
+  test("ivf balance: planted skew lands in load_pct exactly, populations " +
+    "total the corpus, sim envelope is ordered") {
+    import spark.implicits._
+    // 2 centroids on the axes; 6 vectors hug x, 2 hug y → loads 150/50
+    val cents = Seq((0L, Array(1f, 0f)), (1L, Array(0f, 1f)))
+      .toDF("centroid_id", "cv")
+    val vecs = ((0 until 6).map(i => (10L + i, Array(1f, 0.01f * i))) ++
+      (0 until 2).map(i => (20L + i, Array(0.01f * i, 1f))))
+      .toDF("vec_id", "embedding")
+    val out = SimilarityOps.ivfBalance(vecs, cents, 2).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(out.keySet == Set(0L, 1L))
+    assert(out(0L).getLong(1) == 6 && out(1L).getLong(1) == 2)
+    assert(out(0L).getLong(2) == 150 && out(1L).getLong(2) == 50)
+    out.values.foreach(r => assert(r.getDouble(3) <= r.getDouble(4)))
+    // gate shape: cell populations partition the whole corpus
+    val sf = "/root/testdata/sf0.001"
+    val gate = graft.SparkEntry.queries("q_ivf_balance")(spark, sf).collect()
+    val n = graft.Tables(spark, sf, "embeddings").count()
+    assert(gate.map(_.getLong(1)).sum == n)
+    assert(gate.map(_.getLong(0)).distinct.length == gate.length)
+  }
+
   test("keep-best canonicalization: exactly one survivor per cluster, " +
     "and it is the longest member") {
     val sf = "/root/testdata/sf0.001"
@@ -1294,6 +1350,23 @@ class PipelineOpsSpec extends SparkSpec {
     val out = DedupOps.chunkContamination(docs, bench).collect()
       .map(r => r.getLong(0) -> r.getBoolean(3)).toMap
     assert(out == Map(0L -> true, 1L -> false, 2L -> false))
+
+    // the benchmark-side report sees the SAME leak: bench doc 100 is
+    // compromised, by exactly one corpus doc, with >= 1 hit window
+    val rep = DedupOps.contaminationReport(docs, bench).collect()
+    assert(rep.length == 1)
+    val r100 = rep.head
+    assert(r100.getLong(0) == 100L && r100.getBoolean(4))
+    assert(r100.getLong(3) == 1L) // only doc X leaked it
+    assert(r100.getLong(2) >= 1 && r100.getLong(2) < r100.getLong(1))
+    // duality on real data: a leak exists corpus-side iff it exists
+    // bench-side (same hash-set intersection read from both ends)
+    val sf = "/root/testdata/sf0.001"
+    val corpusSide = graft.SparkEntry.queries("q_chunk_contamination")(spark, sf)
+      .collect().exists(_.getBoolean(3))
+    val benchSide = graft.SparkEntry.queries("q_contamination_report")(spark, sf)
+      .collect().exists(_.getBoolean(4))
+    assert(corpusSide == benchSide)
   }
 
   test("hard negatives: never the query's own label, and the ranking " +

@@ -35,7 +35,9 @@ class PlanAuditSpec extends SparkSpec {
     "q_sim_ivfpq",         // 8 coarse centroids (cell assignment + probe)
     "q_embed_outliers",    // 8 centroids (cell assignment)
     "q_sim_matryoshka",    // 5 probe vectors (prefix scan + rerank)
-    "q_sim_hard_negatives" // 5 probe vectors
+    "q_sim_hard_negatives", // 5 probe vectors
+    "q_ivf_balance",       // 8 centroids + 1-row corpus-count scalar
+    "q_token_budget"       // 1-row weight-total scalar
   )
 
   private val streaming = Set(
