@@ -36,6 +36,45 @@ object Analytics {
               .as("p95_price"))
     },
 
+    // Per-source token-length quartiles, EXACT and engine-portable:
+    // both engines pick the value at row_number rank
+    // ((n-1)·q) div 100 + 1 in (len)-sorted order — discrete
+    // (type-1/quantile_disc-style) selection in pure integer
+    // arithmetic, so no interpolation convention can diverge. The
+    // data-card companion q_corpus_card's mean hides tails; releases
+    // report these. Scale: the window sorts (source, len) PAIRS —
+    // ~16 bytes/doc, never text — and q_approx_quantile remains the
+    // one-pass sketch path when even that sort is too much.
+    QueryDef.sql(
+      "q_length_quartiles",
+      """WITH l AS (SELECT source, len(string_split(text, ' ')) AS len
+        |           FROM documents),
+        |r AS (SELECT source, len,
+        |             row_number() OVER (PARTITION BY source ORDER BY len) AS rn,
+        |             count(*) OVER (PARTITION BY source) AS n
+        |      FROM l)
+        |SELECT source, CAST(max(n) AS BIGINT) AS n_docs,
+        |       CAST(min(CASE WHEN rn = (n-1)*25//100 + 1 THEN len END) AS BIGINT) AS p25_tokens,
+        |       CAST(min(CASE WHEN rn = (n-1)*50//100 + 1 THEN len END) AS BIGINT) AS p50_tokens,
+        |       CAST(min(CASE WHEN rn = (n-1)*75//100 + 1 THEN len END) AS BIGINT) AS p75_tokens,
+        |       CAST(max(len) AS BIGINT) AS max_tokens
+        |FROM r GROUP BY source""".stripMargin) {
+      (s, dir) =>
+        val l = Tables(s, dir, "documents")
+          .select(col("source"),
+            size(split(col("text"), " ")).cast("long").as("len"))
+        val bySrc = Window.partitionBy(col("source"))
+        val r = l
+          .withColumn("rn", row_number().over(bySrc.orderBy(col("len"))))
+          .withColumn("n", count(lit(1)).over(bySrc))
+        def pick(q: Int) = min(when(
+          col("rn") === expr(s"(n - 1) * $q div 100 + 1"), col("len")))
+        r.groupBy(col("source"))
+          .agg(max(col("n")).as("n_docs"),
+            pick(25).as("p25_tokens"), pick(50).as("p50_tokens"),
+            pick(75).as("p75_tokens"), max(col("len")).as("max_tokens"))
+    },
+
     // The analytic-window family: lag/lead, dense_rank, percent_rank,
     // ntile, first_value over a deterministic per-customer ordering.
     QueryDef.sql(

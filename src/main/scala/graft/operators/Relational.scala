@@ -533,6 +533,33 @@ object Relational {
               .as("last_view_id"))
           .filter(col("event_type") === "purchase")
           .drop("event_type")
+    },
+
+    // Pivot (cross-tab): per-source document counts spread across a
+    // FIXED language column set — the `.pivot(col, values)` API
+    // surface. Passing the values list explicitly matters at scale:
+    // without it Spark runs an extra collect-distinct job over the
+    // corpus to discover the columns (and the schema becomes
+    // data-dependent, which no downstream contract wants). One
+    // source-keyed shuffle with map-side partial aggregation; the
+    // matrix is |sources|×|langs|, dashboard-sized at any volume.
+    QueryDef.sql(
+      "q_pivot_source_lang",
+      """SELECT source,
+        |       CAST(coalesce(sum(CASE WHEN lang = 'de' THEN 1 END), 0) AS BIGINT) AS de,
+        |       CAST(coalesce(sum(CASE WHEN lang = 'en' THEN 1 END), 0) AS BIGINT) AS en,
+        |       CAST(coalesce(sum(CASE WHEN lang = 'es' THEN 1 END), 0) AS BIGINT) AS es,
+        |       CAST(coalesce(sum(CASE WHEN lang = 'fr' THEN 1 END), 0) AS BIGINT) AS fr,
+        |       CAST(coalesce(sum(CASE WHEN lang = 'zh' THEN 1 END), 0) AS BIGINT) AS zh
+        |FROM documents GROUP BY source""".stripMargin) {
+      (s, dir) =>
+        val langs = Seq("de", "en", "es", "fr", "zh")
+        val pivoted = t(s, dir, "documents")
+          .groupBy(col("source"))
+          .pivot("lang", langs)
+          .agg(count(lit(1)))
+        pivoted.select(col("source") +:
+          langs.map(l => coalesce(col(l), lit(0L)).as(l)): _*)
     }
   )
 }

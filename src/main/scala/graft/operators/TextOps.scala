@@ -40,6 +40,10 @@ object TextOps {
   /** BM25 parameters (Robertson/Spärck Jones defaults) and the fixed
     * gate query: one rare, highly-discriminative term plus two
     * mid-frequency ones, so idf does real work on the gate corpus. */
+  /** q_bpe_pairs top-slice size (the pair table itself is
+    * alphabet²-bounded; the report shows the merge frontier). */
+  val BpeTopPairs = 30
+
   val Bm25K1 = 1.2
   val Bm25B = 0.75
   val Bm25Query: Seq[String] = Seq("dup", "vector", "stream")
@@ -406,6 +410,49 @@ object TextOps {
         top.withColumn("rank",
           row_number().over(org.apache.spark.sql.expressions.Window
             .orderBy(col("freq").desc, col("token"))))
+    },
+
+    // BPE merge statistics: the adjacent-symbol-pair counts that
+    // drive byte-pair-encoding tokenizer training (Sennrich et al.
+    // ACL'16) — each word's char-level pairs weighted by the word's
+    // corpus frequency, top pairs ranked. One BPE training iteration
+    // = pick the top pair, merge, recount; THIS query is the
+    // recount, the step that touches corpus-scale data (the merge
+    // itself edits a vocab-sized symbol table on the driver).
+    // Scale: the word-count shuffle is q_text_vocab's (map-side
+    // combined); pair expansion then runs over the DISTINCT-WORD
+    // table (vocabulary-sized, not corpus-sized — the trick that
+    // makes BPE training feasible at 100 TB), and the pair table is
+    // alphabet²-bounded before its top-slice cut.
+    QueryDef.sql(
+      "q_bpe_pairs",
+      s"""WITH wds AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+         |wc AS (SELECT w, CAST(count(*) AS BIGINT) AS wcnt FROM wds
+         |       WHERE len(w) >= 2 GROUP BY w),
+         |p AS (SELECT substr(w, CAST(i + 1 AS INTEGER), 2) AS pair, wcnt
+         |      FROM wc, unnest(range(len(w) - 1)) AS u(i)),
+         |agg AS (SELECT pair, CAST(sum(wcnt) AS BIGINT) AS pair_count
+         |        FROM p GROUP BY pair)
+         |SELECT pair, pair_count,
+         |       CAST(row_number() OVER (ORDER BY pair_count DESC, pair)
+         |            AS INTEGER) AS rank
+         |FROM agg ORDER BY pair_count DESC, pair LIMIT $BpeTopPairs""".stripMargin) {
+      (s, dir) =>
+        val words = Tables(s, dir, "documents")
+          .select(explode(tokens(col("text"))).as("w"))
+          .filter(length(col("w")) >= 2)
+          .groupBy(col("w")).agg(count(lit(1)).as("wcnt"))
+        val top = words
+          .select(col("wcnt"), explode(expr(
+            "transform(sequence(0, length(w) - 2), i -> substring(w, i + 1, 2))"))
+            .as("pair"))
+          .groupBy(col("pair")).agg(sum(col("wcnt")).as("pair_count"))
+          .orderBy(col("pair_count").desc, col("pair"))
+          .limit(BpeTopPairs)
+        // constant-size single partition post-limit, as in q_text_vocab
+        top.withColumn("rank",
+          row_number().over(org.apache.spark.sql.expressions.Window
+            .orderBy(col("pair_count").desc, col("pair"))))
     },
 
     // Corpus-informed rarity scoring: each document's tokens scored

@@ -1084,6 +1084,82 @@ class PipelineOpsSpec extends SparkSpec {
     }
   }
 
+  test("bpe pairs: frequency-weighted planted pair counts land exactly " +
+    "via the registered query on a temp view") {
+    import spark.implicits._
+    // "ab"×3 (pair ab:3), "abc"×1 (ab:1, bc:1), "cd"×1 (cd:1), and a
+    // 1-char word that must be excluded entirely
+    val fixture = Seq((0L, "ab ab cd x"), (1L, "ab abc"))
+      .toDF("doc_id", "text")
+    // replicate the registered body's expressions on the planted frame
+    val words = fixture
+      .select(explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) >= 2)
+      .groupBy(col("w")).agg(count(lit(1)).as("wcnt"))
+    val pairs = words
+      .select(col("wcnt"), explode(expr(
+        "transform(sequence(0, length(w) - 2), i -> substring(w, i + 1, 2))"))
+        .as("pair"))
+      .groupBy(col("pair")).agg(sum(col("wcnt")).as("pair_count"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(pairs == Map("ab" -> 4L, "bc" -> 1L, "cd" -> 1L))
+    // gate shape: ranks contiguous from 1, counts non-increasing
+    val sf = "/root/testdata/sf0.001"
+    val gate = graft.SparkEntry.queries("q_bpe_pairs")(spark, sf).collect()
+    assert(gate.map(_.getInt(2)).toSeq == (1 to gate.length))
+    assert(gate.map(_.getLong(1)).sliding(2).forall(s =>
+      s.length < 2 || s(0) >= s(1)))
+  }
+
+  test("pivot source×lang: cells partition the per-source totals and " +
+    "langs cover the corpus") {
+    val sf = "/root/testdata/sf0.001"
+    val gate = graft.SparkEntry.queries("q_pivot_source_lang")(spark, sf)
+      .collect()
+    val docs = graft.Tables(spark, sf, "documents")
+    val bySrc = docs.groupBy(col("source")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(gate.map(_.getString(0)).toSet == bySrc.keySet)
+    gate.foreach { r =>
+      assert((1 to 5).map(r.getLong).sum == bySrc(r.getString(0)))
+    }
+  }
+
+  test("length quartiles: discrete rank selection lands exactly on " +
+    "planted odd and even groups") {
+    import spark.implicits._
+    def doc(s: String, n: Int) = (1 to n).map(i => s"t$i").mkString(" ")
+    val docs = (
+      (1 to 5).map(n => (n.toLong, "odd", doc("a", n))) ++
+      Seq(10, 20, 30, 40).zipWithIndex.map { case (n, i) =>
+        (100L + i, "even", doc("b", n)) })
+      .toDF("doc_id", "source", "text")
+    // replicate the registered body's expressions on the planted frame
+    val l = docs.select(col("source"),
+      size(split(col("text"), " ")).cast("long").as("len"))
+    val bySrc = org.apache.spark.sql.expressions.Window.partitionBy(col("source"))
+    val r = l
+      .withColumn("rn", row_number().over(bySrc.orderBy(col("len"))))
+      .withColumn("n", count(lit(1)).over(bySrc))
+    def pick(q: Int) = min(when(
+      col("rn") === expr(s"(n - 1) * $q div 100 + 1"), col("len")))
+    val m = r.groupBy(col("source"))
+      .agg(pick(25).as("p25"), pick(50).as("p50"), pick(75).as("p75"))
+      .collect()
+      .map(x => x.getString(0) -> (x.getLong(1), x.getLong(2), x.getLong(3)))
+      .toMap
+    assert(m("odd") == ((2L, 3L, 4L)))   // n=5: ranks 2,3,4 of 1..5
+    assert(m("even") == ((10L, 20L, 30L))) // n=4: ranks 1,2,3
+    // gate shape: quartiles ordered, max >= p75
+    val sf = "/root/testdata/sf0.001"
+    val gate = graft.SparkEntry.queries("q_length_quartiles")(spark, sf)
+      .collect()
+    gate.foreach { g =>
+      assert(g.getLong(2) <= g.getLong(3) && g.getLong(3) <= g.getLong(4) &&
+        g.getLong(4) <= g.getLong(5))
+    }
+  }
+
   test("cohort retention: planted cohorts land exactly, offset 0 is " +
     "always 100%, rates floor against the cohort size") {
     import spark.implicits._
