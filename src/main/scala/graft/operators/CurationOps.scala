@@ -563,26 +563,39 @@ object CurationOps {
     // the plan itself is dimension-table-sized at any corpus scale.
     QueryDef.sql(
       "q_token_budget",
-      s"""WITH per AS (
-         |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
-         |         CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
-         |         CAST(CASE CAST(substr(source, 4) AS INTEGER) % 4
-         |              WHEN 0 THEN ${BudgetWeights(0)}
-         |              WHEN 1 THEN ${BudgetWeights(1)}
-         |              WHEN 2 THEN ${BudgetWeights(2)}
-         |              ELSE ${BudgetWeights(3)} END AS BIGINT) AS weight
-         |  FROM documents GROUP BY source),
-         |tot AS (SELECT CAST(sum(weight) AS BIGINT) AS w_total FROM per)
-         |SELECT source, n_docs, n_tokens, weight,
-         |       CAST(floor($TokenBudget * weight * 1.0 / w_total) AS BIGINT)
-         |         AS target_tokens,
-         |       CAST(floor(CAST(floor($TokenBudget * weight * 1.0 / w_total)
-         |                       AS BIGINT) * 100.0 / n_tokens) AS BIGINT)
-         |         AS epochs_x100,
-         |       CAST(floor($TokenBudget * weight * 1.0 / w_total) AS BIGINT)
-         |         > n_tokens AS oversampled
-         |FROM per CROSS JOIN tot""".stripMargin) {
+      s"""WITH $budgetCtesSql
+         |SELECT source, n_docs, n_tokens, weight, target_tokens,
+         |       epochs_x100, target_tokens > n_tokens AS oversampled
+         |FROM plan""".stripMargin) {
       (s, dir) => tokenBudgetPlan(Tables(s, dir, "documents"), TokenBudget)
+    },
+
+    // Epoch expansion: MATERIALIZE the token-budget plan — every doc
+    // repeated floor(epochs) times plus one deterministic fractional
+    // copy (4-hex md5 bucket against the fractional rate), so the
+    // emitted copy mass hits each source's target within one doc.
+    // The oversample/undersample step a training run actually
+    // executes, reproducible under any partitioning: the copy count
+    // is a pure function of (doc_id, plan). Only (doc_id, source,
+    // copy_idx) rows are emitted — the text stays in the corpus,
+    // fetched by the final pack/shuffle join.
+    QueryDef.sql(
+      "q_epoch_expand",
+      s"""WITH $budgetCtesSql,
+         |d AS (SELECT doc_id, dd.source, epochs_x100,
+         |        CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)
+         |             AS BIGINT) AS b4
+         |      FROM documents dd JOIN plan ON dd.source = plan.source),
+         |c AS (SELECT doc_id, source,
+         |        epochs_x100 // 100 +
+         |        CASE WHEN b4 * 100 < (epochs_x100 % 100) * 65536
+         |             THEN 1 ELSE 0 END AS n_copies
+         |      FROM d)
+         |SELECT doc_id, source, CAST(i AS BIGINT) AS copy_idx,
+         |       CAST(n_copies AS BIGINT) AS n_copies
+         |FROM c, unnest(range(n_copies)) AS u(i)
+         |WHERE n_copies >= 1""".stripMargin) {
+      (s, dir) => epochExpand(Tables(s, dir, "documents"), TokenBudget)
     }
   )
 
@@ -605,6 +618,62 @@ object CurationOps {
        |         CAST(least($ChunkWindow, n - i * $ChunkStride) AS INTEGER) AS n_tokens,
        |         md5(array_to_string(toks[i * $ChunkStride + 1 : i * $ChunkStride + $ChunkWindow], ' ')) AS chunk_hash
        |  FROM cch, unnest(range(nc)) AS u(i))""".stripMargin
+
+  /** Oracle-CTE replica of [[tokenBudgetPlan]], exposing
+    * `plan(source, n_docs, n_tokens, weight, target_tokens,
+    * epochs_x100)` — shared by the plan and epoch-expansion oracles
+    * so the SQL definition of a source's share cannot fork. */
+  def budgetCtesSql: String = {
+    val target = s"CAST(floor($TokenBudget * weight * 1.0 / w_total) AS BIGINT)"
+    s"""per AS (
+       |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       |         CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
+       |         CAST(CASE CAST(substr(source, 4) AS INTEGER) % 4
+       |              WHEN 0 THEN ${BudgetWeights(0)}
+       |              WHEN 1 THEN ${BudgetWeights(1)}
+       |              WHEN 2 THEN ${BudgetWeights(2)}
+       |              ELSE ${BudgetWeights(3)} END AS BIGINT) AS weight
+       |  FROM documents GROUP BY source),
+       |tot AS (SELECT CAST(sum(weight) AS BIGINT) AS w_total FROM per),
+       |plan AS (
+       |  SELECT source, n_docs, n_tokens, weight, $target AS target_tokens,
+       |         CAST(floor($target * 100.0 / n_tokens) AS BIGINT) AS epochs_x100
+       |  FROM per CROSS JOIN tot)""".stripMargin
+  }
+
+  /** Materialize [[tokenBudgetPlan]]: each doc emitted
+    * floor(epochs_x100/100) times, plus one more copy iff its 4-hex
+    * md5 bucket falls under the fractional rate (b·100 <
+    * frac·65536 — exact integers, engine-portable), so each source's
+    * emitted token mass hits its target to within bucket granularity
+    * and the copy count is a pure function of (doc_id, plan):
+    * re-running on any partitioning reproduces the same multiset.
+    *
+    * Scale: the plan is a |sources|-row broadcast; expansion is
+    * map-side explode of (doc_id, source) pairs — the text column is
+    * NOT carried (the final pack/shuffle fetches it by doc_id), so
+    * an 8× oversampled source repeats 16-byte rows, not documents.
+    *
+    * The explicit n_copies >= 1 filter BEFORE the sequence matters:
+    * Spark's sequence(0, -1) counts backwards (see
+    * [[DedupOps.paragraphHashesFromTokens]]'s guard note). */
+  def epochExpand(docs: org.apache.spark.sql.DataFrame,
+      budget: Long): org.apache.spark.sql.DataFrame = {
+    val plan = tokenBudgetPlan(docs, budget)
+      .select(col("source"), col("epochs_x100"))
+    val b4 = conv(substring(idHash(col("doc_id")), 1, 4), 16, 10)
+      .cast("long")
+    docs.select(col("doc_id"), col("source"))
+      .join(broadcast(plan), "source")
+      .withColumn("n_copies",
+        expr("epochs_x100 div 100") +
+          when(b4 * 100 < (col("epochs_x100") % 100) * 65536, 1L)
+            .otherwise(0L))
+      .filter(col("n_copies") >= 1)
+      .select(col("doc_id"), col("source"),
+        explode(sequence(lit(0L), col("n_copies") - 1)).as("copy_idx"),
+        col("n_copies"))
+  }
 
   /** Token-budget mixture planning: given per-source mixture weights
     * (here derived from the source-index class; production joins a

@@ -425,4 +425,40 @@ class CurationOpsSpec extends SparkSpec {
     assert(gate.map(_.getString(0)).distinct.length == gate.length)
     assert(gate.map(_.getLong(4)).sum <= CurationOps.TokenBudget)
   }
+
+  test("epoch expansion: whole epochs repeat exactly, the fractional " +
+    "copy follows the hash bucket, and the multiset survives " +
+    "repartitioning") {
+    import spark.implicits._
+    def words(tag: String, n: Int) = (1 to n).map(i => s"$tag$i").mkString(" ")
+    // same geometry as the token-budget fixture: src0 → 500% (5 whole
+    // copies, frac 0), src1 → 50% (0 whole, frac 50 → copy iff
+    // b4 < 32768; md5("2")[:4] = 0xc81e = 51230 → doc 2 drops out)
+    val docs = Seq(
+      (0L, "src0", words("a", 10)), (1L, "src0", words("b", 10)),
+      (2L, "src1", words("c", 400))).toDF("doc_id", "source", "text")
+    val out = CurationOps.epochExpand(docs, 300L).collect()
+    val byDoc = out.groupBy(_.getLong(0))
+    assert(byDoc.keySet == Set(0L, 1L))
+    Seq(0L, 1L).foreach { id =>
+      val rows = byDoc(id)
+      assert(rows.length == 5)
+      assert(rows.map(_.getLong(2)).sorted.toSeq == (0L to 4L))
+      assert(rows.forall(_.getLong(3) == 5L))
+    }
+    // partitioning invariance: identical multiset from a reshuffled input
+    val re = CurationOps.epochExpand(docs.repartition(7), 300L).collect()
+    assert(re.map(r => (r.getLong(0), r.getLong(2))).sorted.toSeq ==
+      out.map(r => (r.getLong(0), r.getLong(2))).sorted.toSeq)
+    // gate shape: per-source emitted copies = sum of that source's
+    // n_copies, and every source's copy mass tracks its plan
+    val sf = "/root/testdata/sf0.001"
+    val g = graft.SparkEntry.queries("q_epoch_expand")(spark, sf).collect()
+    assert(g.nonEmpty)
+    g.groupBy(r => (r.getLong(0), r.getLong(3))).foreach {
+      case ((_, n), rows) =>
+        assert(rows.length == n)
+        assert(rows.map(_.getLong(2)).sorted.toSeq == (0L until n))
+    }
+  }
 }

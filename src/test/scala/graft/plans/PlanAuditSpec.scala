@@ -37,7 +37,8 @@ class PlanAuditSpec extends SparkSpec {
     "q_sim_matryoshka",    // 5 probe vectors (prefix scan + rerank)
     "q_sim_hard_negatives", // 5 probe vectors
     "q_ivf_balance",       // 8 centroids + 1-row corpus-count scalar
-    "q_token_budget"       // 1-row weight-total scalar
+    "q_token_budget",      // 1-row weight-total scalar
+    "q_epoch_expand"       // same 1-row scalar inside its plan build
   )
 
   private val streaming = Set(
