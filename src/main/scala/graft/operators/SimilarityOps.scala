@@ -197,13 +197,20 @@ object SimilarityOps {
   def ivfBalance(corpus: DataFrame, centroids: DataFrame, k: Int): DataFrame = {
     val assign = ivfAssign(corpus, centroids)
     val total = assign.agg(count(lit(1)).as("n_total"))
-    assign.groupBy(col("centroid_id"))
-      .agg(count(lit(1)).as("n_vecs"),
-        min(col("sim")).as("min_sim"), max(col("sim")).as("max_sim"))
+    // start from the CENTROIDS, not the assignment: a starved cell
+    // that captured nothing must appear as an explicit zero row —
+    // the exact situation the health report exists to surface
+    centroids.select(col("centroid_id"))
+      .join(
+        assign.groupBy(col("centroid_id"))
+          .agg(count(lit(1)).as("nv"),
+            min(col("sim")).as("min_sim"), max(col("sim")).as("max_sim")),
+        Seq("centroid_id"), "left_outer")
       .crossJoin(broadcast(total))
-      .select(col("centroid_id"), col("n_vecs"),
-        floor(col("n_vecs") * k * 100 / col("n_total")).cast("bigint")
-          .as("load_pct"),
+      .select(col("centroid_id"),
+        coalesce(col("nv"), lit(0L)).as("n_vecs"),
+        floor(coalesce(col("nv"), lit(0L)) * k * 100 / col("n_total"))
+          .cast("bigint").as("load_pct"),
         col("min_sim"), col("max_sim"))
   }
 
@@ -1088,14 +1095,17 @@ object SimilarityOps {
          |                                  ORDER BY cos DESC, centroid_id) AS arnk
          |        FROM scored)
          |  WHERE arnk = 1),
-         |tot AS (SELECT count(*) AS n_total FROM cells)
-         |SELECT centroid_id, CAST(count(*) AS BIGINT) AS n_vecs,
-         |       CAST(floor(count(*) * $NumCentroids * 100.0 / n_total) AS BIGINT)
-         |         AS load_pct,
-         |       min(round(cos, 6)) AS min_sim,
-         |       max(round(cos, 6)) AS max_sim
-         |FROM cells CROSS JOIN tot
-         |GROUP BY centroid_id, n_total""".stripMargin) {
+         |tot AS (SELECT count(*) AS n_total FROM cells),
+         |agg AS (SELECT centroid_id, CAST(count(*) AS BIGINT) AS nv,
+         |               min(round(cos, 6)) AS min_sim,
+         |               max(round(cos, 6)) AS max_sim
+         |        FROM cells GROUP BY centroid_id)
+         |SELECT c.centroid_id, coalesce(nv, 0) AS n_vecs,
+         |       CAST(floor(coalesce(nv, 0) * $NumCentroids * 100.0 / n_total)
+         |            AS BIGINT) AS load_pct,
+         |       min_sim, max_sim
+         |FROM c LEFT JOIN agg ON agg.centroid_id = c.centroid_id
+         |CROSS JOIN tot""".stripMargin) {
       (s, dir) =>
         val centroids = emb(s, dir).filter(col("vec_id") < NumCentroids)
           .select(col("vec_id").as("centroid_id"), col("embedding").as("cv"))

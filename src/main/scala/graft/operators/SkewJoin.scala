@@ -33,7 +33,55 @@ object SkewJoin {
     saltedBig.join(replicated, Seq(key, "_salt")).drop("_salt")
   }
 
+  /** Join-key skew profile — the MEASURE step before reaching for
+    * [[saltedJoin]] or AQE skew handling: one row per profiled key
+    * column with total rows, distinct keys, the hottest key and its
+    * count, the uniform-mean count, and skew_x100 =
+    * floor(max·n_keys·100 / n_rows) — 100 means perfectly uniform,
+    * 30·n_keys means one key owns 30% of the table. The top key is
+    * elected via min(struct(-count, key)), i.e. deterministic
+    * smallest-key tie-break, replayed identically in SQL.
+    *
+    * Scale: the classic two-level aggregate — per-key counts
+    * partial-aggregate map-side, then ONE one-row reduction; nothing
+    * but (key, count) pairs ever shuffle. Run it on the join key
+    * BEFORE sizing salts: the report is the `salts` parameter's
+    * input (spread ≈ skew_x100 / 100 tasks). */
+  def skewProfile(df: DataFrame, key: String): DataFrame = {
+    val counts = df.groupBy(col(key).as("k")).agg(count(lit(1)).as("c"))
+    counts
+      .agg(
+        sum(col("c")).as("n_rows"),
+        count(lit(1)).as("n_keys"),
+        max(col("c")).as("max_count"),
+        min(struct((-col("c")).as("nc"), col("k"))).as("top"))
+      .select(col("n_rows"), col("n_keys"), col("max_count"),
+        floor(col("n_rows") * 100 / col("n_keys")).cast("bigint")
+          .as("mean_x100"),
+        floor(col("max_count") * col("n_keys") * 100 / col("n_rows"))
+          .cast("bigint").as("skew_x100"),
+        col("top.k").as("top_key"))
+  }
+
   val all: Seq[QueryDef] = Seq(
+
+    // The skew report that decides whether the join above needs its
+    // salts (and how many): hottest-key share vs uniform, one row.
+    QueryDef.sql(
+      "q_skew_profile",
+      """WITH c AS (SELECT user_id AS k, CAST(count(*) AS BIGINT) AS c
+        |           FROM events GROUP BY 1),
+        |m AS (SELECT k, c, max(c) OVER () AS mx FROM c)
+        |SELECT CAST(sum(c) AS BIGINT) AS n_rows,
+        |       CAST(count(*) AS BIGINT) AS n_keys,
+        |       CAST(max(c) AS BIGINT) AS max_count,
+        |       CAST(floor(sum(c) * 100.0 / count(*)) AS BIGINT) AS mean_x100,
+        |       CAST(floor(max(c) * count(*) * 100.0 / sum(c)) AS BIGINT)
+        |         AS skew_x100,
+        |       CAST(min(CASE WHEN c = mx THEN k END) AS BIGINT) AS top_key
+        |FROM m""".stripMargin) { (s, dir) =>
+      skewProfile(Tables(s, dir, "events"), "user_id")
+    },
 
     // Salted equi-join over the hottest natural key in the testdata
     // (events.user_id: ~70 events/user). The oracle is the PLAIN join

@@ -1160,6 +1160,25 @@ class PipelineOpsSpec extends SparkSpec {
     }
   }
 
+  test("skew profile: planted counts land exactly and the top-key tie " +
+    "breaks to the smallest key") {
+    import spark.implicits._
+    // keys 10 and 5 tie at 4 rows each, key 9 has 2 → top_key = 5
+    val df = (Seq.fill(4)(10L) ++ Seq.fill(4)(5L) ++ Seq.fill(2)(9L))
+      .toDF("user_id")
+    val r = SkewJoin.skewProfile(df, "user_id").collect().head
+    assert(r.getLong(0) == 10 && r.getLong(1) == 3 && r.getLong(2) == 4)
+    assert(r.getLong(3) == 333) // floor(10*100/3)
+    assert(r.getLong(4) == 120) // floor(4*3*100/10)
+    assert(r.getLong(5) == 5L)
+    // gate shape: skew_x100 >= 100 by definition (max >= mean)
+    val sf = "/root/testdata/sf0.001"
+    val g = graft.SparkEntry.queries("q_skew_profile")(spark, sf)
+      .collect().head
+    assert(g.getLong(4) >= 100)
+    assert(g.getLong(2) * g.getLong(1) >= g.getLong(0))
+  }
+
   test("cohort retention: planted cohorts land exactly, offset 0 is " +
     "always 100%, rates floor against the cohort size") {
     import spark.implicits._
@@ -1196,18 +1215,23 @@ class PipelineOpsSpec extends SparkSpec {
   test("ivf balance: planted skew lands in load_pct exactly, populations " +
     "total the corpus, sim envelope is ordered") {
     import spark.implicits._
-    // 2 centroids on the axes; 6 vectors hug x, 2 hug y → loads 150/50
-    val cents = Seq((0L, Array(1f, 0f)), (1L, Array(0f, 1f)))
-      .toDF("centroid_id", "cv")
+    // centroids on the axes + one anti-diagonal that captures NOTHING;
+    // 6 vectors hug x, 2 hug y → loads 225/75/0 at k=3
+    val cents = Seq((0L, Array(1f, 0f)), (1L, Array(0f, 1f)),
+      (2L, Array(-1f, -1f))).toDF("centroid_id", "cv")
     val vecs = ((0 until 6).map(i => (10L + i, Array(1f, 0.01f * i))) ++
       (0 until 2).map(i => (20L + i, Array(0.01f * i, 1f))))
       .toDF("vec_id", "embedding")
-    val out = SimilarityOps.ivfBalance(vecs, cents, 2).collect()
+    val out = SimilarityOps.ivfBalance(vecs, cents, 3).collect()
       .map(r => r.getLong(0) -> r).toMap
-    assert(out.keySet == Set(0L, 1L))
+    assert(out.keySet == Set(0L, 1L, 2L))
     assert(out(0L).getLong(1) == 6 && out(1L).getLong(1) == 2)
-    assert(out(0L).getLong(2) == 150 && out(1L).getLong(2) == 50)
-    out.values.foreach(r => assert(r.getDouble(3) <= r.getDouble(4)))
+    assert(out(0L).getLong(2) == 225 && out(1L).getLong(2) == 75)
+    // the starved cell appears as an explicit zero row, null envelope
+    assert(out(2L).getLong(1) == 0 && out(2L).getLong(2) == 0)
+    assert(out(2L).isNullAt(3) && out(2L).isNullAt(4))
+    Seq(0L, 1L).foreach(c =>
+      assert(out(c).getDouble(3) <= out(c).getDouble(4)))
     // gate shape: cell populations partition the whole corpus
     val sf = "/root/testdata/sf0.001"
     val gate = graft.SparkEntry.queries("q_ivf_balance")(spark, sf).collect()
