@@ -190,28 +190,30 @@ object SimilarityOps {
     * report degrades.
     *
     * Scale: assignment is the existing broadcast-centroid scan; the
-    * report adds ONE groupBy on centroid_id (k rows out) plus a
-    * one-row corpus-count broadcast. load_pct uses the exact-integer
+    * report adds ONE groupBy on centroid_id (k rows out). Every
+    * vector lands in exactly one cell, so n_total and k are BOTH
+    * derivable from the k-row aggregate (sum/count over a global
+    * window on k rows — a constant-size single partition, never a
+    * second corpus pass). load_pct uses the exact-integer
     * floor((n_vecs*k*100)/n_total) so both engines agree
     * bit-for-bit (the operands are exact in double far below 2^53). */
-  def ivfBalance(corpus: DataFrame, centroids: DataFrame, k: Int): DataFrame = {
-    val assign = ivfAssign(corpus, centroids)
-    val total = assign.agg(count(lit(1)).as("n_total"))
+  def ivfBalance(corpus: DataFrame, centroids: DataFrame): DataFrame = {
     // start from the CENTROIDS, not the assignment: a starved cell
     // that captured nothing must appear as an explicit zero row —
     // the exact situation the health report exists to surface
-    centroids.select(col("centroid_id"))
+    val perCell = centroids.select(col("centroid_id"))
       .join(
-        assign.groupBy(col("centroid_id"))
+        ivfAssign(corpus, centroids).groupBy(col("centroid_id"))
           .agg(count(lit(1)).as("nv"),
             min(col("sim")).as("min_sim"), max(col("sim")).as("max_sim")),
         Seq("centroid_id"), "left_outer")
-      .crossJoin(broadcast(total))
-      .select(col("centroid_id"),
-        coalesce(col("nv"), lit(0L)).as("n_vecs"),
-        floor(coalesce(col("nv"), lit(0L)) * k * 100 / col("n_total"))
-          .cast("bigint").as("load_pct"),
+      .select(col("centroid_id"), coalesce(col("nv"), lit(0L)).as("nv"),
         col("min_sim"), col("max_sim"))
+    val all = Window.partitionBy() // k rows total — constant-size
+    perCell.select(col("centroid_id"), col("nv").as("n_vecs"),
+      floor(col("nv") * count(lit(1)).over(all) * 100 /
+        sum(col("nv")).over(all)).cast("bigint").as("load_pct"),
+      col("min_sim"), col("max_sim"))
   }
 
   /** IVF centroid training: k-means (Lloyd) iterations with strided
@@ -1095,21 +1097,21 @@ object SimilarityOps {
          |                                  ORDER BY cos DESC, centroid_id) AS arnk
          |        FROM scored)
          |  WHERE arnk = 1),
-         |tot AS (SELECT count(*) AS n_total FROM cells),
          |agg AS (SELECT centroid_id, CAST(count(*) AS BIGINT) AS nv,
          |               min(round(cos, 6)) AS min_sim,
          |               max(round(cos, 6)) AS max_sim
-         |        FROM cells GROUP BY centroid_id)
-         |SELECT c.centroid_id, coalesce(nv, 0) AS n_vecs,
-         |       CAST(floor(coalesce(nv, 0) * $NumCentroids * 100.0 / n_total)
+         |        FROM cells GROUP BY centroid_id),
+         |allc AS (SELECT c.centroid_id, coalesce(nv, 0) AS nv, min_sim, max_sim
+         |         FROM c LEFT JOIN agg ON agg.centroid_id = c.centroid_id)
+         |SELECT centroid_id, nv AS n_vecs,
+         |       CAST(floor(nv * count(*) OVER () * 100.0 / sum(nv) OVER ())
          |            AS BIGINT) AS load_pct,
          |       min_sim, max_sim
-         |FROM c LEFT JOIN agg ON agg.centroid_id = c.centroid_id
-         |CROSS JOIN tot""".stripMargin) {
+         |FROM allc""".stripMargin) {
       (s, dir) =>
         val centroids = emb(s, dir).filter(col("vec_id") < NumCentroids)
           .select(col("vec_id").as("centroid_id"), col("embedding").as("cv"))
-        ivfBalance(emb(s, dir), centroids, NumCentroids)
+        ivfBalance(emb(s, dir), centroids)
     }
   )
 

@@ -37,13 +37,13 @@ object TextOps {
   val ClfAtlW = -0.25
   val ClfBias = 0.2
 
-  /** BM25 parameters (Robertson/Spärck Jones defaults) and the fixed
-    * gate query: one rare, highly-discriminative term plus two
-    * mid-frequency ones, so idf does real work on the gate corpus. */
   /** q_bpe_pairs top-slice size (the pair table itself is
     * alphabet²-bounded; the report shows the merge frontier). */
   val BpeTopPairs = 30
 
+  /** BM25 parameters (Robertson/Spärck Jones defaults) and the fixed
+    * gate query: one rare, highly-discriminative term plus two
+    * mid-frequency ones, so idf does real work on the gate corpus. */
   val Bm25K1 = 1.2
   val Bm25B = 0.75
   val Bm25Query: Seq[String] = Seq("dup", "vector", "stream")
@@ -437,22 +437,7 @@ object TextOps {
          |       CAST(row_number() OVER (ORDER BY pair_count DESC, pair)
          |            AS INTEGER) AS rank
          |FROM agg ORDER BY pair_count DESC, pair LIMIT $BpeTopPairs""".stripMargin) {
-      (s, dir) =>
-        val words = Tables(s, dir, "documents")
-          .select(explode(tokens(col("text"))).as("w"))
-          .filter(length(col("w")) >= 2)
-          .groupBy(col("w")).agg(count(lit(1)).as("wcnt"))
-        val top = words
-          .select(col("wcnt"), explode(expr(
-            "transform(sequence(0, length(w) - 2), i -> substring(w, i + 1, 2))"))
-            .as("pair"))
-          .groupBy(col("pair")).agg(sum(col("wcnt")).as("pair_count"))
-          .orderBy(col("pair_count").desc, col("pair"))
-          .limit(BpeTopPairs)
-        // constant-size single partition post-limit, as in q_text_vocab
-        top.withColumn("rank",
-          row_number().over(org.apache.spark.sql.expressions.Window
-            .orderBy(col("pair_count").desc, col("pair"))))
+      (s, dir) => bpePairs(Tables(s, dir, "documents"))
     },
 
     // Corpus-informed rarity scoring: each document's tokens scored
@@ -671,4 +656,30 @@ object TextOps {
        |       round($scores, 6) AS bm25
        |FROM sc ORDER BY bm25 DESC, doc_id LIMIT $Bm25TopK""".stripMargin
   }
+
+  /** The q_bpe_pairs body, named so the gate registration and the
+    * planted-golden spec drive the SAME production expressions (the
+    * q_mix_sources convention): word counts → frequency-weighted
+    * char-pair counts over the distinct-word table → top slice. */
+  def bpePairs(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val top = bpePairCounts(docs)
+      .orderBy(col("pair_count").desc, col("pair"))
+      .limit(BpeTopPairs)
+    // constant-size single partition post-limit, as in q_text_vocab
+    top.withColumn("rank",
+      row_number().over(org.apache.spark.sql.expressions.Window
+        .orderBy(col("pair_count").desc, col("pair"))))
+  }
+
+  /** The un-cut (pair, pair_count) table of [[bpePairs]] — the part
+    * the planted-fixture spec pins value-for-value. */
+  def bpePairCounts(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    docs
+      .select(explode(tokens(col("text"))).as("w"))
+      .filter(length(col("w")) >= 2)
+      .groupBy(col("w")).agg(count(lit(1)).as("wcnt"))
+      .select(col("wcnt"), explode(expr(
+        "transform(sequence(0, length(w) - 2), i -> substring(w, i + 1, 2))"))
+        .as("pair"))
+      .groupBy(col("pair")).agg(sum(col("wcnt")).as("pair_count"))
 }

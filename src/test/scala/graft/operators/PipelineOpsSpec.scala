@@ -1085,22 +1085,14 @@ class PipelineOpsSpec extends SparkSpec {
   }
 
   test("bpe pairs: frequency-weighted planted pair counts land exactly " +
-    "via the registered query on a temp view") {
+    "via the production body") {
     import spark.implicits._
     // "ab"×3 (pair ab:3), "abc"×1 (ab:1, bc:1), "cd"×1 (cd:1), and a
     // 1-char word that must be excluded entirely
     val fixture = Seq((0L, "ab ab cd x"), (1L, "ab abc"))
       .toDF("doc_id", "text")
-    // replicate the registered body's expressions on the planted frame
-    val words = fixture
-      .select(explode(split(col("text"), " ")).as("w"))
-      .filter(length(col("w")) >= 2)
-      .groupBy(col("w")).agg(count(lit(1)).as("wcnt"))
-    val pairs = words
-      .select(col("wcnt"), explode(expr(
-        "transform(sequence(0, length(w) - 2), i -> substring(w, i + 1, 2))"))
-        .as("pair"))
-      .groupBy(col("pair")).agg(sum(col("wcnt")).as("pair_count"))
+    // the PRODUCTION body (named method), not a copy of its expressions
+    val pairs = TextOps.bpePairCounts(fixture)
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(pairs == Map("ab" -> 4L, "bc" -> 1L, "cd" -> 1L))
     // gate shape: ranks contiguous from 1, counts non-increasing
@@ -1134,19 +1126,10 @@ class PipelineOpsSpec extends SparkSpec {
       Seq(10, 20, 30, 40).zipWithIndex.map { case (n, i) =>
         (100L + i, "even", doc("b", n)) })
       .toDF("doc_id", "source", "text")
-    // replicate the registered body's expressions on the planted frame
-    val l = docs.select(col("source"),
-      size(split(col("text"), " ")).cast("long").as("len"))
-    val bySrc = org.apache.spark.sql.expressions.Window.partitionBy(col("source"))
-    val r = l
-      .withColumn("rn", row_number().over(bySrc.orderBy(col("len"))))
-      .withColumn("n", count(lit(1)).over(bySrc))
-    def pick(q: Int) = min(when(
-      col("rn") === expr(s"(n - 1) * $q div 100 + 1"), col("len")))
-    val m = r.groupBy(col("source"))
-      .agg(pick(25).as("p25"), pick(50).as("p50"), pick(75).as("p75"))
+    // the PRODUCTION body (named method), not a copy of its expressions
+    val m = graft.operators.Analytics.lengthQuartiles(docs)
       .collect()
-      .map(x => x.getString(0) -> (x.getLong(1), x.getLong(2), x.getLong(3)))
+      .map(x => x.getString(0) -> (x.getLong(2), x.getLong(3), x.getLong(4)))
       .toMap
     assert(m("odd") == ((2L, 3L, 4L)))   // n=5: ranks 2,3,4 of 1..5
     assert(m("even") == ((10L, 20L, 30L))) // n=4: ranks 1,2,3
@@ -1222,7 +1205,7 @@ class PipelineOpsSpec extends SparkSpec {
     val vecs = ((0 until 6).map(i => (10L + i, Array(1f, 0.01f * i))) ++
       (0 until 2).map(i => (20L + i, Array(0.01f * i, 1f))))
       .toDF("vec_id", "embedding")
-    val out = SimilarityOps.ivfBalance(vecs, cents, 3).collect()
+    val out = SimilarityOps.ivfBalance(vecs, cents).collect()
       .map(r => r.getLong(0) -> r).toMap
     assert(out.keySet == Set(0L, 1L, 2L))
     assert(out(0L).getLong(1) == 6 && out(1L).getLong(1) == 2)
