@@ -1263,16 +1263,13 @@ object DedupOps {
          |FROM documents d JOIN lab l ON l.doc_id = d.doc_id""".stripMargin) {
       (s, dir) =>
         val docs = Tables(s, dir, "documents")
-        val labels = starComponents(lshCandidatePairs(docs))
-          .withColumnRenamed("doc_id", "d2")
+        // the labeling IS dupClustersStar — one composition, so a
+        // tie-break or rename fix there cannot leave this behind
         val w = org.apache.spark.sql.expressions.Window
           .partitionBy(col("cluster_id"))
           .orderBy(col("n_chars").desc, col("doc_id"))
-        docs.select(col("doc_id"), col("n_chars"))
-          .join(labels, col("doc_id") === col("d2"), "left_outer")
-          .select(col("doc_id"),
-            coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"),
-            col("n_chars"))
+        dupClustersStar(docs)
+          .join(docs.select(col("doc_id"), col("n_chars")), "doc_id")
           .withColumn("keep", row_number().over(w) === 1)
     },
 
@@ -1516,7 +1513,10 @@ object DedupOps {
     * tiny by definition. */
   def boilerplateParagraphs(docs: DataFrame,
       minDf: Int = MinBoilerplateDf): DataFrame =
-    paragraphHashes(docs.select(col("doc_id"), col("text")))
+    // spread() like every other paragraph-hash entry point: a
+    // single-file corpus otherwise runs the whole md5 explode in one
+    // scan task
+    paragraphHashes(spread(docs).select(col("doc_id"), col("text")))
       .join(docs.select(col("doc_id"), col("source")), "doc_id")
       .groupBy(col("h"))
       .agg(count(lit(1)).as("n_occ"),

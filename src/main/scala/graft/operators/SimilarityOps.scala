@@ -1306,17 +1306,26 @@ object SimilarityOps {
     * m×k rows; rounds are pinned via [[Materialize.pinIter]] like
     * every training loop here. Empty cells keep their previous
     * centroid. Offline index-build utility, not a per-query path. */
-  def pqTrain(e: DataFrame, k: Int = PqCentroids, iters: Int = 5): DataFrame = {
+  def pqTrain(e: DataFrame, k: Int = PqCentroids, iters: Int = 5): DataFrame =
+    pqLloyd(e, k, iters, "pqTrain", c => avg(c))
+
+  /** The shared Lloyd loop behind [[pqTrain]] and
+    * [[pqTrainQuantized]] — ONE copy of the seeding, assignment,
+    * argmin tie-break and empty-cell carry, parameterized only by
+    * how a dimension mean is finished (`identity` vs 6-dp rounding).
+    *
+    * Seeding is by RANK over the vec_id order, not raw-id modular
+    * arithmetic: on a sparse or offset id space (a filtered corpus)
+    * `vec_id % stride` can select fewer than k — even zero — rows
+    * and silently return a degenerate codebook. The two-phase
+    * surrogate rank is dense 1..n by construction, so ranks
+    * 0, stride, …, (k-1)·stride always exist; one bounded k-row
+    * collect ships the seed ids as a broadcast-joinable set. */
+  private def pqLloyd(e: DataFrame, k: Int, iters: Int, caller: String,
+      meanOf: Column => Column): DataFrame = {
     val n = e.count()
-    require(n >= k, s"pqTrain: corpus has $n vectors, need at least k=$k")
+    require(n >= k, s"$caller: corpus has $n vectors, need at least k=$k")
     val stride = math.max(1L, n / k)
-    // seed by RANK over the vec_id order, not raw-id modular
-    // arithmetic: on a sparse or offset id space (a filtered corpus)
-    // `vec_id % stride` can select fewer than k — even zero — rows
-    // and silently return a degenerate codebook. The two-phase
-    // surrogate rank is dense 1..n by construction, so ranks
-    // 0, stride, …, (k-1)·stride always exist; one bounded k-row
-    // collect ships the seed ids as a broadcast-joinable set.
     val seedIds = graft.imdb.SurrogateIds.assignLong(
         e.select(col("vec_id")), "_rnk", Seq(col("vec_id")))
       .filter((col("_rnk") - 1) % stride === 0 &&
@@ -1330,7 +1339,7 @@ object SimilarityOps {
       .pinned // reused by every assignment round
     var cb = ev
       .join(broadcast(seedIds), "vec_id")
-      .select(col("cid"), col("sub"), col("esub").as("csub"))
+      .select(col("sub"), col("cid"), col("esub").as("csub"))
       .pinnedIter
     (0 until iters).foreach { _ =>
       val assigned = ev.join(broadcast(cb), "sub")
@@ -1340,7 +1349,7 @@ object SimilarityOps {
         .agg(min(struct(col("d2").as("d"), col("cid").as("c"))).as("m"),
           first(col("esub")).as("esub"))
       val dimCols = (0 until PqSubDim).map(i =>
-        avg(element_at(col("esub"), i + 1)).as(s"d$i"))
+        meanOf(element_at(col("esub"), i + 1)).as(s"d$i"))
       val means = assigned
         .select(col("sub"), col("m.c").as("cid"), col("esub"))
         .groupBy(col("sub"), col("cid"))
@@ -1372,51 +1381,10 @@ object SimilarityOps {
     * Output: the trained codebook exploded to (sub, cid, dim, v) —
     * scalar rows, so the gate hashes plain doubles, not arrays. */
   def pqTrainQuantized(e: DataFrame, k: Int = PqCentroids,
-      iters: Int = PqTrainGateIters): DataFrame = {
-    val n = e.count()
-    require(n >= k, s"pqTrainQuantized: corpus has $n vectors, need k=$k")
-    val stride = math.max(1L, n / k)
-    val seedIds = graft.imdb.SurrogateIds.assignLong(
-        e.select(col("vec_id")), "_rnk", Seq(col("vec_id")))
-      .filter((col("_rnk") - 1) % stride === 0 &&
-        col("_rnk") - 1 < stride * k)
-      .select(col("vec_id"),
-        ((col("_rnk") - 1) / stride).cast("int").as("cid"))
-    val ev = e.select(col("vec_id"),
-      posexplode(subvecs(col("embedding"))).as(Seq("sub", "esub")))
-      .select(col("vec_id"), col("sub"),
-        col("esub").cast("array<double>").as("esub"))
-      .pinned
-    var cb = ev
-      .join(broadcast(seedIds), "vec_id")
-      .select(col("sub"), col("cid"), col("esub").as("csub"))
-      .pinnedIter
-    (0 until iters).foreach { _ =>
-      val assigned = ev.join(broadcast(cb), "sub")
-        .select(col("vec_id"), col("sub"), col("esub"),
-          sqDist(col("esub"), col("csub")).as("d2"), col("cid"))
-        .groupBy(col("vec_id"), col("sub"))
-        .agg(min(struct(col("d2").as("d"), col("cid").as("c"))).as("m"),
-          first(col("esub")).as("esub"))
-      val dimCols = (0 until PqSubDim).map(i =>
-        round(avg(element_at(col("esub"), i + 1)), 6).as(s"d$i"))
-      val means = assigned
-        .select(col("sub"), col("m.c").as("cid"), col("esub"))
-        .groupBy(col("sub"), col("cid"))
-        .agg(dimCols.head, dimCols.tail: _*)
-        .select(col("sub"), col("cid"),
-          array((0 until PqSubDim).map(i => col(s"d$i")): _*).as("new_csub"))
-      val next = cb
-        .join(means, Seq("sub", "cid"), "left_outer")
-        .select(col("sub"), col("cid"),
-          coalesce(col("new_csub"), col("csub")).as("csub"))
-        .pinnedIter
-      Materialize.unpin(cb)
-      cb = next
-    }
-    cb.select(col("sub"), col("cid"),
-      posexplode(col("csub")).as(Seq("dim", "v")))
-  }
+      iters: Int = PqTrainGateIters): DataFrame =
+    pqLloyd(e, k, iters, "pqTrainQuantized", c => round(avg(c), 6))
+      .select(col("sub"), col("cid"),
+        posexplode(col("csub")).as(Seq("dim", "v")))
 
   def pqCodes(e: DataFrame): DataFrame = {
     val a = pqAssign(e)

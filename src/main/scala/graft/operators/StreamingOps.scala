@@ -174,7 +174,7 @@ object StreamingOps {
       (s, dir) => withStreamPartitions(s, 8) {
         val ev = Tables.events(s, dir).select(col("user_id"))
         val tmp = java.nio.file.Files.createTempDirectory("graft_stream_cm")
-        tmp.toFile.deleteOnExit()
+        graft.streaming.EventStreams.deleteRecursivelyOnExit(tmp)
         val inDir = s"$tmp/in"
         ev.repartition(4).write.mode("overwrite").parquet(inDir)
         val stream = s.readStream.schema(ev.schema)

@@ -61,6 +61,10 @@ object ZOrder {
     val b = df.agg(
       min(zx).cast("long"), max(zx).cast("long"),
       min(zy).cast("long"), max(zy).cast("long")).head()
+    // an empty input yields an all-null aggregate row — fail with a
+    // descriptive error instead of an opaque NPE from getLong
+    require(!b.isNullAt(0),
+      "writeZOrdered: empty input — nothing to lay out at " + path)
     def norm(c: Column, lo: Long, hi: Long): Column =
       if (hi > lo)
         ((c.cast("double") - lo) * ((1L << ZBits) - 1) / (hi - lo))

@@ -173,9 +173,28 @@ object EventStreams {
       .select(col("event_id"), col("user_id"),
         col("c_mktsegment").as("segment"), col("event_type"))
 
+  /** Register `dir` for RECURSIVE deletion at JVM exit.
+    * `File.deleteOnExit` silently fails on a non-empty directory, so
+    * every temp input a stream fixture writes would otherwise
+    * outlive the JVM — a Bench round plus Verify at three scale
+    * factors would strand several full parquet copies of `events`
+    * in /tmp. Deletion happens at exit (not eagerly) so
+    * lazily-consumed results stay re-readable for the session. */
+  def deleteRecursivelyOnExit(dir: java.nio.file.Path): Unit =
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      def rm(f: java.io.File): Unit = {
+        // never traverse THROUGH a symlink ([[streamableDir]] links
+        // into read-only source data) — unlink the link itself only
+        if (!java.nio.file.Files.isSymbolicLink(f.toPath))
+          Option(f.listFiles()).foreach(_.foreach(rm))
+        f.delete(): Unit
+      }
+      rm(dir.toFile)
+    }))
+
   def streamableDir(file: String): String = {
     val d = java.nio.file.Files.createTempDirectory("graft_stream")
-    d.toFile.deleteOnExit()
+    deleteRecursivelyOnExit(d)
     java.nio.file.Files.createSymbolicLink(
       d.resolve(java.nio.file.Paths.get(file).getFileName),
       java.nio.file.Paths.get(file))
@@ -193,9 +212,11 @@ object EventStreams {
     * min/max probe is a 2-scalar driver collect. */
   def timeSlicedDir(ev: DataFrame, nSlices: Int, gapUs: Long): String = {
     val bounds = ev.agg(min(col("ts_us")), max(col("ts_us"))).head()
+    require(!bounds.isNullAt(0),
+      "timeSlicedDir: empty event input — no stream to slice")
     val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
     val base = java.nio.file.Files.createTempDirectory("graft_stream_slices")
-    base.toFile.deleteOnExit()
+    deleteRecursivelyOnExit(base)
     val inDir = base.resolve("in")
     java.nio.file.Files.createDirectories(inDir)
     val span = math.max(1L, (hi - lo) / nSlices + 1)
