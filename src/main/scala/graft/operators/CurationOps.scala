@@ -120,6 +120,46 @@ object CurationOps {
   val TokenBudget = 1000000L
   val BudgetWeights = Seq(1L, 2L, 3L, 4L)
 
+  /** C4 cleaning rules (`q_clean_c4`), scaled to the synthetic
+    * vocabulary: chunk geometry shared with paragraph dedup, C4's
+    * literal ≥3-words line rule, 'the'/'a' as the function-word
+    * (looks-like-prose) test, the corpus's one rare token as the
+    * bad-words list, and ≥3 surviving chunks for page retention
+    * (C4 uses ≥5 sentences). */
+  val C4ChunkSql: Int = DedupOps.ParaTokens
+  val C4MinChunkTokens = 3
+  val C4FunctionWords = Seq("the", "a")
+  val C4BadWord = "dup"
+  val C4MinKeptChunks = 3
+
+  /** C4-style clean + rewrite — see the `q_clean_c4` QueryDef. */
+  def cleanC4(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val t = tokens(col("text"))
+    val n = DedupOps.ParaTokens
+    // shingles-style non-empty guard: an empty token array must yield
+    // ZERO chunks, not sequence(0,-1)'s backwards garbage
+    val chunks = when(size(t) >= 1, transform(
+      sequence(lit(0), floor((size(t) - lit(1)) / lit(n)).cast("int")),
+      i => slice(t, i * n + 1, lit(n))))
+      .otherwise(array().cast("array<array<string>>"))
+    val keepRule: Column => Column = ch =>
+      size(ch) >= C4MinChunkTokens &&
+        (array_contains(ch, C4FunctionWords(0)) ||
+          array_contains(ch, C4FunctionWords(1))) &&
+        !array_contains(ch, C4BadWord)
+    docs
+      .select(col("doc_id"), chunks.as("chunks"))
+      .select(col("doc_id"), col("chunks"),
+        filter(col("chunks"), keepRule).as("kept"))
+      .select(col("doc_id"),
+        size(col("chunks")).as("n_chunks"),
+        size(col("kept")).as("n_kept"),
+        (size(col("kept")) >= C4MinKeptChunks).cast("int").as("doc_keep"),
+        concat_ws(" ",
+          transform(col("kept"), ch => concat_ws(" ", ch))).as("kept_text"))
+  }
+
   val all: Seq[QueryDef] = Seq(
 
     // The per-source data card a curation run publishes: volume,
@@ -596,6 +636,45 @@ object CurationOps {
          |FROM c, unnest(range(n_copies)) AS u(i)
          |WHERE n_copies >= 1""".stripMargin) {
       (s, dir) => epochExpand(Tables(s, dir, "documents"), TokenBudget)
+    },
+
+    // C4-style rule cleaning WITH document rewrite (Raffel et al.
+    // JMLR'20 §2.2, the en.clean recipe): per-"line" keep rules, then
+    // each page rebuilt from its surviving lines, pages with too few
+    // survivors dropped outright. The gate corpus is single-line
+    // ASCII, so the rules ride the same ParaTokens-chunk geometry as
+    // paragraph dedup (DedupOps.ParaTokens; a production run swaps in
+    // split-on-newline and real rule constants, nothing else
+    // changes): C4's "≥3 words" keeps its literal form on chunks,
+    // "ends in terminal punctuation" becomes "contains a function
+    // word" (the looks-like-prose test this vocabulary can express),
+    // the bad-words list is the rare token 'dup', and "≥5 sentences
+    // per page" becomes ≥C4MinKeptChunks surviving chunks. Scale:
+    // every rule and the rewrite are per-row higher-order-function
+    // expressions — ZERO shuffle, embarrassingly parallel at 100 TB,
+    // and the kept text never leaves its row.
+    QueryDef.sql(
+      "q_clean_c4",
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+         |c AS (SELECT doc_id,
+         |        list_transform(range(CAST(ceil(len(t) / $C4ChunkSql.0) AS BIGINT)),
+         |          i -> t[i*$C4ChunkSql+1 : i*$C4ChunkSql+$C4ChunkSql]) AS chunks
+         |      FROM t),
+         |k AS (SELECT doc_id, chunks,
+         |        list_filter(chunks, ch -> len(ch) >= $C4MinChunkTokens
+         |          AND (list_contains(ch, '${C4FunctionWords(0)}')
+         |               OR list_contains(ch, '${C4FunctionWords(1)}'))
+         |          AND NOT list_contains(ch, '$C4BadWord')) AS kept
+         |      FROM c)
+         |SELECT doc_id,
+         |       CAST(len(chunks) AS INTEGER) AS n_chunks,
+         |       CAST(len(kept) AS INTEGER) AS n_kept,
+         |       CAST(CASE WHEN len(kept) >= $C4MinKeptChunks
+         |            THEN 1 ELSE 0 END AS INTEGER) AS doc_keep,
+         |       coalesce(array_to_string(list_transform(kept,
+         |         ch -> array_to_string(ch, ' ')), ' '), '') AS kept_text
+         |FROM k""".stripMargin) {
+      (s, dir) => cleanC4(Tables(s, dir, "documents"))
     }
   )
 

@@ -71,6 +71,9 @@ object EventAnalytics {
     * run passes weeks by scaling the constant). */
   val DayUs = 86400000000L
 
+  /** Epoch-microseconds per hour — [[all]]'s anomaly-screen bucket. */
+  val HourUs = 3600000000L
+
   /** Classic cohort-retention analysis: users grouped by first-active
     * day, then for each (cohort, day-offset) how many of the cohort's
     * users were active — the activation/stickiness table behind every
@@ -234,6 +237,53 @@ object EventAnalytics {
             count(col("s1")).as("n_signup"),
             count(col("s2")).as("n_view_after_signup"),
             count(col("s3")).as("n_purchase_after_view"))
+    },
+
+    // Ingest-volume anomaly screen: per-type hourly event counts
+    // flagged where |count − mean| > 3σ of that type's hourly series —
+    // the ops-telemetry query every ingestion pipeline runs to catch a
+    // stalled producer or a runaway duplicate storm. The z-test is
+    // done in EXACT integer arithmetic — z² = (c·n − Σc)² vs
+    // 9·(n·Σc² − (Σc)²), widened to decimal(38,0)/HUGEINT for the
+    // squares — so both engines compute identical flags with no float
+    // rounding freedom. Scale: one (type, hour) map-side-combinable
+    // groupBy (output rows = types × hours, dashboard-sized at any
+    // event volume), then the 5-row per-type stats table broadcasts
+    // back onto it — no second shuffle.
+    QueryDef.sql(
+      "q_events_anomaly",
+      s"""WITH h AS (SELECT event_type, epoch_us(ts) // $HourUs AS hr,
+         |                  CAST(count(*) AS BIGINT) AS c
+         |           FROM events GROUP BY 1, 2),
+         |st AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+         |              CAST(sum(c) AS BIGINT) AS sum_c,
+         |              CAST(sum(c * c) AS BIGINT) AS sum_c2
+         |       FROM h GROUP BY 1)
+         |SELECT h.event_type, h.hr, h.c,
+         |       h.c * st.n - st.sum_c AS dev_num,
+         |       CAST(CASE WHEN CAST(h.c * st.n - st.sum_c AS HUGEINT)
+         |                      * (h.c * st.n - st.sum_c)
+         |                    > 9 * (CAST(st.n AS HUGEINT) * st.sum_c2
+         |                           - CAST(st.sum_c AS HUGEINT) * st.sum_c)
+         |                 THEN 1 ELSE 0 END AS INTEGER) AS is_anomaly
+         |FROM h JOIN st ON h.event_type = st.event_type""".stripMargin) {
+      (s, dir) =>
+        val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
+        val h = Tables.events(s, dir)
+          .groupBy(col("event_type"),
+            expr(s"ts_us DIV $HourUs").as("hr"))
+          .agg(count(lit(1)).as("c"))
+        val st = h.groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"), sum(col("c")).as("sum_c"),
+            sum(col("c") * col("c")).as("sum_c2"))
+        val dev = col("c") * col("n") - col("sum_c")
+        val varNum = col("n").cast(d38) * col("sum_c2") -
+          col("sum_c").cast(d38) * col("sum_c")
+        h.join(broadcast(st), "event_type")
+          .select(col("event_type"), col("hr"), col("c"),
+            dev.as("dev_num"),
+            when(dev.cast(d38) * dev.cast(d38) > lit(9) * varNum, 1)
+              .otherwise(0).cast("int").as("is_anomaly"))
     }
   )
 }

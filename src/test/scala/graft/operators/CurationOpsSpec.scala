@@ -461,4 +461,42 @@ class CurationOpsSpec extends SparkSpec {
         assert(rows.map(_.getLong(2)).sorted.toSeq == (0L until n))
     }
   }
+
+  test("c4 clean: each rule fires on its planted chunk, the rewrite " +
+    "keeps document order, and sparse docs are dropped") {
+    import spark.implicits._
+    // chunk geometry is 10 tokens; craft docs chunk-by-chunk
+    val good = "w1 w2 w3 the w5 w6 w7 w8 w9 w10"     // kept
+    val noFn = "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10"      // no 'the'/'a' → drop
+    val bad = "w1 w2 the w4 dup w6 w7 w8 w9 w10"     // blacklist → drop
+    val docs = Seq(
+      // 3 kept chunks (good ×3) → doc_keep=1, rewrite = all three
+      (0L, s"$good $good $good"),
+      // rules fire individually: good, noFn, bad, short-tail "a the"
+      // (2 tokens < 3 → drop) → 1 kept < 3 → doc_keep=0
+      (1L, s"$good $noFn $bad a the"),
+      // short tail that PASSES min-tokens but has no function word
+      (2L, s"$good $good w1 w2 w3 w4"),
+      (3L, "")) // empty text → split gives [""], 1-token chunk, dropped
+      .toDF("doc_id", "text")
+    val out = CurationOps.cleanC4(docs).collect()
+      .map(r => r.getLong(0) ->
+        (r.getInt(1), r.getInt(2), r.getInt(3), r.getString(4))).toMap
+    assert(out(0L) == ((3, 3, 1, s"$good $good $good")))
+    assert(out(1L) == ((4, 1, 0, good)))
+    assert(out(2L) == ((3, 2, 0, s"$good $good")))
+    assert(out(3L) == ((1, 0, 0, "")))
+    // order preservation: kept chunks re-assemble in document order,
+    // not rule order — plant kept chunks around a dropped middle
+    val mid = CurationOps.cleanC4(
+      Seq((9L, s"$good $noFn ${good.replace("w10", "zz")}"))
+        .toDF("doc_id", "text")).collect().head
+    assert(mid.getString(4) == s"$good ${good.replace("w10", "zz")}")
+    // gate shape at sf0.001: the screen discriminates — some docs
+    // kept, some dropped, and n_kept ≤ n_chunks everywhere
+    val g = graft.SparkEntry.queries("q_clean_c4")(spark, sfDir).collect()
+    assert(g.forall(r => r.getInt(2) <= r.getInt(1)))
+    val keeps = g.map(_.getInt(3)).toSet
+    assert(keeps == Set(0, 1))
+  }
 }

@@ -1333,6 +1333,34 @@ class PipelineOpsSpec extends SparkSpec {
     }
   }
 
+  test("events anomaly screen: flags match an independent JVM z-test " +
+    "over exact hourly counts") {
+    val sf = "/root/testdata/sf0.001"
+    val hourly = graft.Tables.events(spark, sf)
+      .select("event_type", "ts_us").collect()
+      .map(r => (r.getString(0), r.getLong(1) / EventAnalytics.HourUs))
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val byType = hourly.groupBy(_._1._1)
+    val rows = graft.SparkEntry.queries("q_events_anomaly")(spark, sf).collect()
+    assert(rows.length == hourly.size)
+    rows.foreach { r =>
+      val (t, hr, c) = (r.getString(0), r.getLong(1), r.getLong(2))
+      assert(hourly((t, hr)) == c)
+      val cs = byType(t).values.toSeq
+      val (n, sumC, sumC2) =
+        (cs.length.toLong, cs.sum, cs.map(x => x * x).sum)
+      val dev = BigInt(c * n - sumC)
+      assert(r.getLong(3) == (c * n - sumC))
+      val expect =
+        if (dev * dev > 9 * (BigInt(n) * sumC2 - BigInt(sumC) * sumC)) 1 else 0
+      assert(r.getInt(4) == expect, s"flag mismatch for ($t,$hr)")
+    }
+    // the screen must actually discriminate at this scale: some hours
+    // flagged, most not (a degenerate all-0/all-1 screen is useless)
+    val flagged = rows.count(_.getInt(4) == 1)
+    assert(flagged > 0 && flagged < rows.length)
+  }
+
   test("matryoshka shortlist: flags reconcile with the exact full-dim " +
     "top-k and the prefix ranking retains most of it") {
     val sf = "/root/testdata/sf0.001"
