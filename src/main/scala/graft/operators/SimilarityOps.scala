@@ -26,6 +26,7 @@ object SimilarityOps {
   val NumCentroids = 8  // vec_id < 8 seed the gate's IVF centroids
   val LshBits = 16      // sign bits of the first 16 dims
   val NumProbeCells = 2 // gate IVF search scans 2 of the 8 cells
+  val LabelNoiseK = 5   // kNN vote size for the label-noise screen
 
   /** Near-dup blocking bands: 2 bands × 8 sign bits (dims 1-16).
     * P(two random vectors collide) ≈ bands/2^bits ≈ 0.8%, so the
@@ -178,6 +179,143 @@ object SimilarityOps {
         Window.partitionBy(col("vec_id")).orderBy(col("cos").desc, col("centroid_id"))))
       .filter(col("rnk") === 1)
       .select(col("vec_id"), col("centroid_id"), round(col("cos"), 6).as("sim"))
+
+  /** Oracle-CTE replica of the full IVFADC pipeline up to the scored
+    * candidates — exposing `q(query_id, qv)` and `sc(query_id,
+    * vec_id, adc)` — shared by the `q_sim_ivfpq` top-k cut and the
+    * `q_sim_rerank` shortlist so the SQL definition of the index and
+    * search cannot fork between them. */
+  private def ivfpqScoredCtes: String = {
+    val adcSum = (0 until PqSubspaces)
+      .map(j => s"max(CASE WHEN dt.j = $j THEN dd END)")
+      .mkString("\n       + ")
+    val rSeedHi = ResidualSeedFrom + PqCentroids
+    s"""c AS (SELECT vec_id AS centroid_id, embedding AS cv
+       |      FROM embeddings WHERE vec_id < $NumCentroids),
+       |ascored AS (SELECT e.vec_id, c.centroid_id,
+       |              ${cosSql("c.cv", "e.embedding")} AS cos
+       |            FROM c CROSS JOIN embeddings e),
+       |cells AS (SELECT vec_id, centroid_id
+       |          FROM (SELECT vec_id, centroid_id,
+       |                       row_number() OVER (PARTITION BY vec_id
+       |                                          ORDER BY cos DESC, centroid_id) AS rnk
+       |                FROM ascored)
+       |          WHERE rnk = 1),
+       |r AS (SELECT e.vec_id, cells.centroid_id,
+       |        list_transform(range(${PqSubspaces * PqSubDim}), i ->
+       |          CAST(e.embedding[i+1] AS DOUBLE) - CAST(c.cv[i+1] AS DOUBLE)) AS rv
+       |      FROM embeddings e
+       |      JOIN cells ON cells.vec_id = e.vec_id
+       |      JOIN c ON c.centroid_id = cells.centroid_id),
+       |sub AS (SELECT unnest(range($PqSubspaces)) AS j),
+       |rcs AS (SELECT cid, j, cv2[j*$PqSubDim+1 : j*$PqSubDim+$PqSubDim] AS csub
+       |        FROM (SELECT vec_id AS cid, rv AS cv2 FROM r
+       |              WHERE vec_id >= $ResidualSeedFrom AND vec_id < $rSeedHi)
+       |        CROSS JOIN sub),
+       |rev AS (SELECT vec_id, centroid_id, j,
+       |          rv[j*$PqSubDim+1 : j*$PqSubDim+$PqSubDim] AS esub
+       |        FROM r CROSS JOIN sub),
+       |rd AS (SELECT vec_id, centroid_id, j, cid,
+       |         ${sqDistSql("esub", "csub")} AS d2
+       |       FROM rev JOIN rcs USING (j)),
+       |codes AS (SELECT vec_id, centroid_id, j, m['c'] AS code
+       |          FROM (SELECT vec_id, centroid_id, j,
+       |                       min({'d': d2, 'c': cid}) AS m
+       |                FROM rd GROUP BY vec_id, centroid_id, j)),
+       |q AS (SELECT vec_id AS query_id, embedding AS qv
+       |      FROM embeddings WHERE vec_id < $NumProbes),
+       |pscored AS (SELECT query_id, qv, centroid_id, cv,
+       |              ${cosSql("qv", "cv")} AS ccos
+       |            FROM q CROSS JOIN c),
+       |pc AS (SELECT query_id, centroid_id, qv, cv
+       |       FROM (SELECT query_id, centroid_id, qv, cv,
+       |                    row_number() OVER (PARTITION BY query_id
+       |                                       ORDER BY ccos DESC, centroid_id) AS crnk
+       |             FROM pscored)
+       |       WHERE crnk <= $NumProbeCells),
+       |qs AS (SELECT query_id, centroid_id, j,
+       |         list_transform(range(${PqSubspaces * PqSubDim}), i ->
+       |           CAST(qv[i+1] AS DOUBLE) - CAST(cv[i+1] AS DOUBLE))
+       |           [j*$PqSubDim+1 : j*$PqSubDim+$PqSubDim] AS qsub
+       |       FROM pc CROSS JOIN sub),
+       |dt AS (SELECT query_id, centroid_id, j, cid,
+       |         ${sqDistSql("qsub", "csub")} AS dd
+       |       FROM qs JOIN rcs USING (j)),
+       |sc AS (SELECT query_id, vec_id,
+       |         $adcSum AS adc
+       |       FROM codes JOIN dt ON dt.centroid_id = codes.centroid_id
+       |                         AND dt.j = codes.j AND dt.cid = codes.code
+       |       GROUP BY query_id, vec_id)""".stripMargin
+  }
+
+  /** ADC shortlist → exact rerank — see the `q_sim_rerank` QueryDef.
+    * The shortlist fetches original vectors by id (point-lookup
+    * join); probes broadcast; final cut is a bounded window. */
+  def ivfPqRerank(e: DataFrame, centroids: DataFrame, probes: DataFrame,
+      nprobe: Int, shortlist: Int, k: Int): DataFrame = {
+    val sl = ivfPqSearch(e, centroids, probes, nprobe, shortlist)
+      .select(col("query_id"), col("neighbor_id"), col("rnk").as("adc_rnk"))
+    sl
+      .join(e.select(col("vec_id").as("neighbor_id"), col("embedding").as("nv")),
+        "neighbor_id")
+      .join(broadcast(probes), "query_id")
+      .select(col("query_id"), col("neighbor_id"), col("adc_rnk"),
+        CosineSimilarity(e.sparkSession, col("qv"), col("nv")).as("cos"))
+      .withColumn("final_rnk", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("cos").desc, col("neighbor_id"))))
+      .filter(col("final_rnk") <= k)
+      .select(col("query_id"), col("neighbor_id"),
+        col("final_rnk").cast("int").as("final_rnk"),
+        col("adc_rnk").cast("int").as("adc_rnk"),
+        round(col("cos"), 6).as("sim"))
+  }
+
+  /** Per-label mean embedding, exploded to (label, dim, centroid,
+    * n_members) — see the `q_label_centroids` QueryDef. Shared by the
+    * prototype classifier (`q_label_predict`). */
+  def labelCentroids(e: DataFrame): DataFrame =
+    e.select(col("label"), posexplode(col("embedding")).as(Seq("dim", "x")))
+      .groupBy(col("label"), col("dim"))
+      .agg(round(avg(col("x").cast("double")), 6).as("centroid"),
+        count(lit(1)).as("n_members"))
+
+  /** kNN-vote label-noise screen — see the `q_label_noise` QueryDef.
+    * Assignment carries (label, embedding) through so the cell-scoped
+    * self-join needs no second corpus pass; the kNN cut and majority
+    * election are bounded windows (≤ cell members, ≤ LabelNoiseK
+    * votes per vector). */
+  def labelNoise(e: DataFrame, centroids: DataFrame, k: Int): DataFrame = {
+    val assigned = e.crossJoin(broadcast(centroids))
+      .select(col("vec_id"), col("label"), col("embedding"), col("centroid_id"),
+        CosineSimilarity(e.sparkSession, col("cv"), col("embedding")).as("cos"))
+      .withColumn("arnk", row_number().over(
+        Window.partitionBy(col("vec_id"))
+          .orderBy(col("cos").desc, col("centroid_id"))))
+      .filter(col("arnk") === 1)
+      .select(col("vec_id"), col("label"), col("embedding"), col("centroid_id"))
+    val nbrs = assigned.select(col("vec_id").as("nbr"),
+      col("label").as("nbr_label"), col("embedding").as("nv"),
+      col("centroid_id"))
+    val knn = assigned.join(nbrs, "centroid_id")
+      .filter(col("vec_id") =!= col("nbr"))
+      .select(col("vec_id"), col("label"), col("centroid_id"),
+        col("nbr"), col("nbr_label"),
+        CosineSimilarity(e.sparkSession, col("embedding"), col("nv")).as("cs"))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy(col("vec_id")).orderBy(col("cs").desc, col("nbr"))))
+      .filter(col("rnk") <= k)
+    knn
+      .groupBy(col("vec_id"), col("label"), col("centroid_id"), col("nbr_label"))
+      .agg(count(lit(1)).as("n_votes"))
+      .withColumn("vrnk", row_number().over(
+        Window.partitionBy(col("vec_id"))
+          .orderBy(col("n_votes").desc, col("nbr_label"))))
+      .filter(col("vrnk") === 1)
+      .select(col("vec_id"), col("label"), col("centroid_id"),
+        col("nbr_label").as("maj_label"), col("n_votes"),
+        (col("label") =!= col("nbr_label")).cast("int").as("noisy"))
+  }
 
   /** IVF index-health report: per-cell population, integer load
     * percentage against the uniform ideal (100 = perfectly
@@ -822,80 +960,57 @@ object SimilarityOps {
     // per-probed-cell distance tables, ADC over probed cells' codes
     // only — the billion-vector production ANN composition.
     QueryDef.sql(
-      "q_sim_ivfpq", {
-        val adcSum = (0 until PqSubspaces)
-          .map(j => s"max(CASE WHEN dt.j = $j THEN dd END)")
-          .mkString("\n       + ")
-        val rSeedHi = ResidualSeedFrom + PqCentroids
-        s"""WITH c AS (SELECT vec_id AS centroid_id, embedding AS cv
-           |           FROM embeddings WHERE vec_id < $NumCentroids),
-           |ascored AS (SELECT e.vec_id, c.centroid_id,
-           |              ${cosSql("c.cv", "e.embedding")} AS cos
-           |            FROM c CROSS JOIN embeddings e),
-           |cells AS (SELECT vec_id, centroid_id
-           |          FROM (SELECT vec_id, centroid_id,
-           |                       row_number() OVER (PARTITION BY vec_id
-           |                                          ORDER BY cos DESC, centroid_id) AS rnk
-           |                FROM ascored)
-           |          WHERE rnk = 1),
-           |r AS (SELECT e.vec_id, cells.centroid_id,
-           |        list_transform(range(${PqSubspaces * PqSubDim}), i ->
-           |          CAST(e.embedding[i+1] AS DOUBLE) - CAST(c.cv[i+1] AS DOUBLE)) AS rv
-           |      FROM embeddings e
-           |      JOIN cells ON cells.vec_id = e.vec_id
-           |      JOIN c ON c.centroid_id = cells.centroid_id),
-           |sub AS (SELECT unnest(range($PqSubspaces)) AS j),
-           |rcs AS (SELECT cid, j, cv2[j*$PqSubDim+1 : j*$PqSubDim+$PqSubDim] AS csub
-           |        FROM (SELECT vec_id AS cid, rv AS cv2 FROM r
-           |              WHERE vec_id >= $ResidualSeedFrom AND vec_id < $rSeedHi)
-           |        CROSS JOIN sub),
-           |rev AS (SELECT vec_id, centroid_id, j,
-           |          rv[j*$PqSubDim+1 : j*$PqSubDim+$PqSubDim] AS esub
-           |        FROM r CROSS JOIN sub),
-           |rd AS (SELECT vec_id, centroid_id, j, cid,
-           |         ${sqDistSql("esub", "csub")} AS d2
-           |       FROM rev JOIN rcs USING (j)),
-           |codes AS (SELECT vec_id, centroid_id, j, m['c'] AS code
-           |          FROM (SELECT vec_id, centroid_id, j,
-           |                       min({'d': d2, 'c': cid}) AS m
-           |                FROM rd GROUP BY vec_id, centroid_id, j)),
-           |q AS (SELECT vec_id AS query_id, embedding AS qv
-           |      FROM embeddings WHERE vec_id < $NumProbes),
-           |pscored AS (SELECT query_id, qv, centroid_id, cv,
-           |              ${cosSql("qv", "cv")} AS ccos
-           |            FROM q CROSS JOIN c),
-           |pc AS (SELECT query_id, centroid_id, qv, cv
-           |       FROM (SELECT query_id, centroid_id, qv, cv,
-           |                    row_number() OVER (PARTITION BY query_id
-           |                                       ORDER BY ccos DESC, centroid_id) AS crnk
-           |             FROM pscored)
-           |       WHERE crnk <= $NumProbeCells),
-           |qs AS (SELECT query_id, centroid_id, j,
-           |         list_transform(range(${PqSubspaces * PqSubDim}), i ->
-           |           CAST(qv[i+1] AS DOUBLE) - CAST(cv[i+1] AS DOUBLE))
-           |           [j*$PqSubDim+1 : j*$PqSubDim+$PqSubDim] AS qsub
-           |       FROM pc CROSS JOIN sub),
-           |dt AS (SELECT query_id, centroid_id, j, cid,
-           |         ${sqDistSql("qsub", "csub")} AS dd
-           |       FROM qs JOIN rcs USING (j)),
-           |sc AS (SELECT query_id, vec_id,
-           |         $adcSum AS adc
-           |       FROM codes JOIN dt ON dt.centroid_id = codes.centroid_id
-           |                         AND dt.j = codes.j AND dt.cid = codes.code
-           |       GROUP BY query_id, vec_id)
-           |SELECT query_id, vec_id AS neighbor_id, CAST(rnk AS INTEGER) AS rnk,
-           |       round(adc, 6) AS adc_dist
-           |FROM (SELECT query_id, vec_id, adc,
-           |             row_number() OVER (PARTITION BY query_id
-           |                                ORDER BY adc, vec_id) AS rnk
-           |      FROM sc WHERE vec_id <> query_id)
-           |WHERE rnk <= $TopK""".stripMargin
-      }) {
+      "q_sim_ivfpq",
+      s"""WITH $ivfpqScoredCtes
+         |SELECT query_id, vec_id AS neighbor_id, CAST(rnk AS INTEGER) AS rnk,
+         |       round(adc, 6) AS adc_dist
+         |FROM (SELECT query_id, vec_id, adc,
+         |             row_number() OVER (PARTITION BY query_id
+         |                                ORDER BY adc, vec_id) AS rnk
+         |      FROM sc WHERE vec_id <> query_id)
+         |WHERE rnk <= $TopK""".stripMargin) {
       (s, dir) =>
         val centroids = emb(s, dir).filter(col("vec_id") < NumCentroids)
           .select(col("vec_id").as("centroid_id"), col("embedding").as("cv"))
         ivfPqSearch(emb(s, dir), centroids, gateProbes(s, dir),
           NumProbeCells, TopK)
+    },
+
+    // Two-stage retrieval: ADC shortlist → EXACT rerank — the
+    // production serving pattern (Jégou §V.C: PQ narrows, exact
+    // distances on the shortlist fix quantization error). The
+    // shortlist (queries × RerankShortlist ids) joins back to the
+    // original vectors BY ID — a point-lookup join against the stored
+    // corpus, touching shortlist-many rows however large the corpus —
+    // and the final cut is a bounded per-query window. Output carries
+    // both ranks, so the reordering the exact stage performs (the
+    // quantization error it recovered) is visible in the result.
+    QueryDef.sql(
+      "q_sim_rerank",
+      s"""WITH $ivfpqScoredCtes,
+         |sl AS (SELECT query_id, vec_id, rnk AS adc_rnk
+         |       FROM (SELECT query_id, vec_id,
+         |                    row_number() OVER (PARTITION BY query_id
+         |                                       ORDER BY adc, vec_id) AS rnk
+         |             FROM sc WHERE vec_id <> query_id)
+         |       WHERE rnk <= $RerankShortlist),
+         |rr AS (SELECT sl.query_id, sl.vec_id, sl.adc_rnk,
+         |              ${cosSql("q.qv", "e.embedding")} AS cos
+         |       FROM sl JOIN q ON q.query_id = sl.query_id
+         |               JOIN embeddings e ON e.vec_id = sl.vec_id)
+         |SELECT query_id, vec_id AS neighbor_id,
+         |       CAST(rn AS INTEGER) AS final_rnk,
+         |       CAST(adc_rnk AS INTEGER) AS adc_rnk, round(cos, 6) AS sim
+         |FROM (SELECT query_id, vec_id, adc_rnk, cos,
+         |             row_number() OVER (PARTITION BY query_id
+         |                                ORDER BY cos DESC, vec_id) AS rn
+         |      FROM rr)
+         |WHERE rn <= $TopK""".stripMargin) {
+      (s, dir) =>
+        val centroids = emb(s, dir).filter(col("vec_id") < NumCentroids)
+          .select(col("vec_id").as("centroid_id"), col("embedding").as("cv"))
+        ivfPqRerank(emb(s, dir), centroids, gateProbes(s, dir),
+          NumProbeCells, RerankShortlist, TopK)
     },
 
     // TRAINED-codebook gate: pqTrain's Lloyd loop itself, made
@@ -1112,6 +1227,141 @@ object SimilarityOps {
         val centroids = emb(s, dir).filter(col("vec_id") < NumCentroids)
           .select(col("vec_id").as("centroid_id"), col("embedding").as("cv"))
         ivfBalance(emb(s, dir), centroids)
+    },
+
+    // Label-noise screen (Confident-Learning/cleanlab shape,
+    // Northcutt et al. JAIR'21, by kNN vote): each vector's
+    // LabelNoiseK nearest neighbors vote; a majority label that
+    // disagrees with the vector's own label flags probable
+    // mislabeling — the pre-training label audit for a classifier
+    // corpus. Scale: neighbors are CELL-SCOPED — the self-join runs
+    // inside IVF cells (the stored-index partitioning at production
+    // scale), so pair volume is Σ|cell|², never corpus², and the
+    // production path inherits the SemDeDup hot-cell sub-split for
+    // skewed cells. Ordering freedoms are pinned: kNN by (cos desc,
+    // nbr id), majority by (votes desc, label) — both engines replay
+    // the identical election. Singleton cells have no neighbors and
+    // drop out of the report on both sides.
+    QueryDef.sql(
+      "q_label_noise",
+      s"""WITH c AS (SELECT vec_id AS centroid_id, embedding AS cv
+         |           FROM embeddings WHERE vec_id < $NumCentroids),
+         |scored AS (
+         |  SELECT e.vec_id, e.label, e.embedding, c.centroid_id,
+         |         ${cosSql("c.cv", "e.embedding")} AS cos
+         |  FROM embeddings e CROSS JOIN c),
+         |cells AS (
+         |  SELECT vec_id, label, embedding, centroid_id
+         |  FROM (SELECT vec_id, label, embedding, centroid_id,
+         |               row_number() OVER (PARTITION BY vec_id
+         |                                  ORDER BY cos DESC, centroid_id) AS arnk
+         |        FROM scored)
+         |  WHERE arnk = 1),
+         |p AS (
+         |  SELECT x.vec_id, x.label, x.centroid_id,
+         |         y.vec_id AS nbr, y.label AS nbr_label,
+         |         ${cosSql("x.embedding", "y.embedding")} AS cs
+         |  FROM cells x JOIN cells y
+         |    ON x.centroid_id = y.centroid_id AND x.vec_id <> y.vec_id),
+         |knn AS (
+         |  SELECT vec_id, label, centroid_id, nbr_label
+         |  FROM (SELECT vec_id, label, centroid_id, nbr_label,
+         |               row_number() OVER (PARTITION BY vec_id
+         |                                  ORDER BY cs DESC, nbr) AS rnk
+         |        FROM p)
+         |  WHERE rnk <= $LabelNoiseK),
+         |v AS (SELECT vec_id, label, centroid_id, nbr_label,
+         |             CAST(count(*) AS BIGINT) AS n_votes
+         |      FROM knn GROUP BY 1, 2, 3, 4)
+         |SELECT vec_id, label, centroid_id, nbr_label AS maj_label, n_votes,
+         |       CAST(CASE WHEN label <> nbr_label THEN 1 ELSE 0 END
+         |            AS INTEGER) AS noisy
+         |FROM (SELECT vec_id, label, centroid_id, nbr_label, n_votes,
+         |             row_number() OVER (PARTITION BY vec_id
+         |                                ORDER BY n_votes DESC, nbr_label) AS vrnk
+         |      FROM v)
+         |WHERE vrnk = 1""".stripMargin) {
+      (s, dir) =>
+        val centroids = emb(s, dir).filter(col("vec_id") < NumCentroids)
+          .select(col("vec_id").as("centroid_id"), col("embedding").as("cv"))
+        labelNoise(emb(s, dir), centroids, LabelNoiseK)
+    },
+
+    // Per-label embedding centroids — the class prototypes behind
+    // nearest-centroid classification, dataset cartography, and the
+    // label-noise screen: mean vector per label, exploded to (label,
+    // dim, centroid) rows. Scale: posexplode inflates rows ×dim, but
+    // the groupBy is map-side combinable down to labels×dims cells
+    // per partition (640 here), so only that bounded grid ever
+    // shuffles — corpus size never appears in the exchange. The 6-dp
+    // rounding is the house float-mean treatment (absorbs ~1e-15
+    // summation-order freedom; q_pq_train's oracle pins the same
+    // convention).
+    QueryDef.sql(
+      "q_label_centroids",
+      """SELECT label, CAST(d.i AS INTEGER) AS dim,
+        |       round(avg(CAST(e.embedding[d.i+1] AS DOUBLE)), 6) AS centroid,
+        |       CAST(count(*) AS BIGINT) AS n_members
+        |FROM embeddings e, unnest(range(len(e.embedding))) AS d(i)
+        |GROUP BY 1, 2""".stripMargin) {
+      (s, dir) => labelCentroids(emb(s, dir))
+    },
+
+    // Nearest-centroid classification audit — the confusion matrix of
+    // the Rocchio/prototype classifier the centroids define: every
+    // vector assigned to its most-cosine-similar label prototype,
+    // then (true label, predicted label) counts. The pre-training
+    // sanity check on a labeled corpus ("are the classes separable at
+    // all, and which pairs bleed into each other") and the aggregate
+    // view of q_label_noise's per-vector flags. Prototypes are the
+    // 6-dp-quantized means CAST TO FLOAT on both engines (IEEE
+    // round-to-nearest is deterministic), so the scoring inputs are
+    // bit-identical cross-engine. Scale: the prototype table is
+    // |labels| rows — built by the bounded-grid centroid aggregate,
+    // broadcast everywhere; assignment is map-side scoring + one
+    // labels²-bounded count. Corpus size appears in no exchange.
+    QueryDef.sql(
+      "q_label_predict",
+      s"""WITH m AS (
+         |  SELECT label, d.i AS dim,
+         |         round(avg(CAST(e.embedding[d.i+1] AS DOUBLE)), 6) AS c
+         |  FROM embeddings e, unnest(range(len(e.embedding))) AS d(i)
+         |  GROUP BY 1, 2),
+         |p AS (SELECT label AS proto_label,
+         |             list(CAST(c AS FLOAT) ORDER BY dim) AS pv
+         |      FROM m GROUP BY 1),
+         |s AS (SELECT e.vec_id, e.label, p.proto_label,
+         |             ${cosSql("p.pv", "e.embedding")} AS cos
+         |      FROM embeddings e CROSS JOIN p),
+         |a AS (SELECT vec_id, label, proto_label
+         |      FROM (SELECT vec_id, label, proto_label,
+         |                   row_number() OVER (PARTITION BY vec_id
+         |                                      ORDER BY cos DESC, proto_label) AS rn
+         |            FROM s)
+         |      WHERE rn = 1)
+         |SELECT label, proto_label AS pred_label,
+         |       CAST(count(*) AS BIGINT) AS n_vecs,
+         |       CAST(CASE WHEN label = proto_label THEN 1 ELSE 0 END
+         |            AS INTEGER) AS is_correct
+         |FROM a GROUP BY 1, 2""".stripMargin) {
+      (s, dir) =>
+        val e = emb(s, dir)
+        val protos = labelCentroids(e)
+          .groupBy(col("label").as("proto_label"))
+          .agg(transform(
+            array_sort(collect_list(struct(col("dim"), col("centroid")))),
+            f => f.getField("centroid").cast("float")).as("pv"))
+        e.crossJoin(broadcast(protos))
+          .select(col("vec_id"), col("label"), col("proto_label"),
+            CosineSimilarity(s, col("pv"), col("embedding")).as("cos"))
+          .withColumn("rn", row_number().over(
+            Window.partitionBy(col("vec_id"))
+              .orderBy(col("cos").desc, col("proto_label"))))
+          .filter(col("rn") === 1)
+          .groupBy(col("label"), col("proto_label").as("pred_label"))
+          .agg(count(lit(1)).as("n_vecs"))
+          .withColumn("is_correct",
+            (col("label") === col("pred_label")).cast("int"))
     }
   )
 

@@ -1333,6 +1333,142 @@ class PipelineOpsSpec extends SparkSpec {
     }
   }
 
+  test("label noise: a planted mislabeled vector is flagged by its " +
+    "neighbors' majority and clean vectors are not") {
+    import spark.implicits._
+    // two tight clusters on orthogonal axes; 8-dim
+    def vecA(eps: Float) = Array(1f, eps, 0f, 0f, 0f, 0f, 0f, 0f)
+    def vecB(eps: Float) = Array(eps, 1f, 0f, 0f, 0f, 0f, 0f, 0f)
+    val rows = Seq(
+      (0L, vecA(0f), 0), (1L, vecB(0f), 1),
+      (2L, vecA(0.01f), 0), (3L, vecA(0.02f), 0), (4L, vecA(0.03f), 0),
+      (5L, vecB(0.01f), 1), (6L, vecB(0.02f), 1), (7L, vecB(0.03f), 1),
+      // planted: sits in cluster A, labeled 1
+      (10L, vecA(0.015f), 1))
+    val e = rows.toDF("vec_id", "embedding", "label")
+    val centroids = e.filter(col("vec_id") < 2)
+      .select(col("vec_id").as("centroid_id"), col("embedding").as("cv"))
+    val out = SimilarityOps.labelNoise(e, centroids, 3).collect()
+      .map(r => r.getLong(0) -> (r.getInt(1), r.getInt(3), r.getInt(5))).toMap
+    // the planted vector: own label 1, neighbor majority 0, flagged
+    assert(out(10L) == ((1, 0, 1)))
+    // every clean member agrees with its cluster
+    (Seq(0L, 2L, 3L, 4L).map(out) ++ Seq(1L, 5L, 6L, 7L).map(out)).foreach {
+      case (own, maj, noisy) => assert(own == maj && noisy == 0)
+    }
+    // gate shape: report covers non-singleton cells, votes bounded by k
+    val g = graft.SparkEntry.queries("q_label_noise")(
+      spark, "/root/testdata/sf0.001").collect()
+    assert(g.nonEmpty)
+    assert(g.forall(r => r.getLong(4) >= 1 &&
+      r.getLong(4) <= SimilarityOps.LabelNoiseK))
+    assert(g.forall(r => (r.getInt(5) == 1) == (r.getInt(1) != r.getInt(3))))
+  }
+
+  test("label centroids: match an independent JVM mean per (label, dim) " +
+    "and the member counts partition the corpus") {
+    val sf = "/root/testdata/sf0.001"
+    val vecs = graft.Tables(spark, sf, "embeddings")
+      .select("label", "embedding").collect()
+      .map(r => (r.getInt(0), r.getSeq[Float](1)))
+    val byLabel = vecs.groupBy(_._1)
+    val rows = graft.SparkEntry.queries("q_label_centroids")(spark, sf).collect()
+    val dim = vecs.head._2.length
+    assert(rows.length == byLabel.size * dim)
+    rows.foreach { r =>
+      val (l, d) = (r.getInt(0), r.getInt(1))
+      val members = byLabel(l)
+      val mean = members.map(_._2(d).toDouble).sum / members.length
+      assert(math.abs(r.getDouble(2) - mean) < 1e-6,
+        s"centroid mismatch at ($l,$d)")
+      assert(r.getLong(3) == members.length)
+    }
+    // member counts over any one dim partition the corpus exactly
+    assert(rows.filter(_.getInt(1) == 0).map(_.getLong(3)).sum == vecs.length)
+  }
+
+  test("ivfpq rerank: final order is the exact cosine order of the ADC " +
+    "shortlist, ranks contiguous, scores non-increasing") {
+    val sf = "/root/testdata/sf0.001"
+    val e = graft.Tables(spark, sf, "embeddings")
+    val probes = e.filter(col("vec_id") < SimilarityOps.NumProbes)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val centroids = e.filter(col("vec_id") < SimilarityOps.NumCentroids)
+      .select(col("vec_id").as("centroid_id"), col("embedding").as("cv"))
+    val shortlist = SimilarityOps.ivfPqSearch(e, centroids, probes,
+      SimilarityOps.NumProbeCells, SimilarityOps.RerankShortlist)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+    val vecs = e.select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var (dot, na, nb) = (0.0, 0.0, 0.0)
+      a.indices.foreach { i =>
+        dot += a(i).toDouble * b(i); na += a(i).toDouble * a(i)
+        nb += b(i).toDouble * b(i)
+      }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val out = SimilarityOps.ivfPqRerank(e, centroids, probes,
+      SimilarityOps.NumProbeCells, SimilarityOps.RerankShortlist,
+      SimilarityOps.TopK).collect()
+    out.groupBy(_.getLong(0)).foreach { case (q, rows) =>
+      // contiguous final ranks 1..k
+      assert(rows.map(_.getInt(2)).sorted.toSeq ==
+        (1 to math.min(SimilarityOps.TopK, shortlist(q).size)))
+      // the winners ARE the exact-cosine top of the shortlist
+      val exactOrder = shortlist(q).toSeq
+        .map(id => (id, cos(vecs(q), vecs(id))))
+        .sortBy { case (id, c) => (-c, id) }
+        .take(SimilarityOps.TopK).map(_._1)
+      assert(rows.sortBy(_.getInt(2)).map(_.getLong(1)).toSeq == exactOrder)
+      // every reranked row came from the shortlist
+      rows.foreach(r => assert(shortlist(q).contains(r.getLong(1))))
+    }
+  }
+
+  test("label predict: confusion matrix matches a JVM replay of the " +
+    "prototype classifier and the classes are separable") {
+    val sf = "/root/testdata/sf0.001"
+    val vecs = graft.Tables(spark, sf, "embeddings")
+      .select("vec_id", "label", "embedding").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getSeq[Float](2).toArray))
+    val dim = vecs.head._3.length
+    // prototypes: 6-dp-quantized means cast to float, as the query pins
+    val protos = vecs.groupBy(_._2).view.mapValues { m =>
+      Array.tabulate(dim) { d =>
+        val mean = m.map(_._3(d).toDouble).sum / m.length
+        (BigDecimal(mean).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+          .toDouble).toFloat
+      }
+    }.toMap
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var (dot, na, nb) = (0.0, 0.0, 0.0)
+      a.indices.foreach { i =>
+        dot += a(i).toDouble * b(i); na += a(i).toDouble * a(i)
+        nb += b(i).toDouble * b(i)
+      }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val expect = vecs.groupBy { case (_, l, v) =>
+      val pred = protos.toSeq
+        .map { case (pl, pv) => (pl, cos(pv, v)) }
+        .minBy { case (pl, c) => (-c, pl) }._1
+      (l, pred)
+    }.view.mapValues(_.length.toLong).toMap
+    val rows = graft.SparkEntry.queries("q_label_predict")(spark, sf).collect()
+    val got = rows.map(r =>
+      (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
+    assert(got == expect)
+    rows.foreach(r =>
+      assert((r.getInt(3) == 1) == (r.getInt(0) == r.getInt(1))))
+    // the classifier must beat chance clearly (10 labels → 10%
+    // random accuracy; the synthetic labels are only weakly clustered)
+    val correct = rows.filter(_.getInt(3) == 1).map(_.getLong(2)).sum
+    assert(correct > vecs.length * 0.2,
+      s"prototype accuracy $correct/${vecs.length} not above chance")
+  }
+
   test("events anomaly screen: flags match an independent JVM z-test " +
     "over exact hourly counts") {
     val sf = "/root/testdata/sf0.001"
