@@ -43,6 +43,15 @@ object DedupOps {
     * the "newly ingested" slice (append-only ids). */
   val IncrementalSplit = 400
 
+  /** Deterministic hash-sample for the LSH recall telemetry
+    * ([[lshRecallCurve]]): keep documents whose md5(doc_id) leads
+    * with a hex digit below this — 4/16 = 25% of docs, ~6% of the
+    * exact-pair denominator join. The S-curve is a property of the
+    * ESTIMATOR (band geometry × Jaccard), not of corpus volume, so
+    * production measures it on a sample; the gate does the same,
+    * with a sample predicate both engines replay bit-for-bit. */
+  val LshRecallSampleHexMax = "4"
+
   /** Paragraphs appearing in at least this many DISTINCT documents
     * are reported as boilerplate candidates. Declared BEFORE `all`
     * (oracle interpolation happens at object init). */
@@ -854,7 +863,12 @@ object DedupOps {
   /** Shared oracle CTEs: minhash signatures → LSH bands → candidate
     * pairs, the exact SQL replica of [[minhashBands]] +
     * [[lshCandidatePairs]]. */
-  private def candidateCtes: String = {
+  private def candidateCtes: String = candidateCtesFrom("documents")
+
+  /** [[candidateCtes]] over an arbitrary (doc_id, text) source CTE —
+    * lets the recall-telemetry oracle run the identical replica on
+    * its deterministic document sample. */
+  private def candidateCtesFrom(src: String): String = {
     val mh = (0 until MinhashSeeds).map(j =>
       s"list_min(list_transform(sh, x -> substr(sha256(x), ${j * 8 + 1}, 8))) AS mh$j")
       .mkString(",\n         ")
@@ -865,7 +879,7 @@ object DedupOps {
        |  SELECT doc_id,
        |         list_distinct(list_transform(range(len(toks) - 2),
        |           i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3])) AS sh
-       |  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)),
+       |  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM $src)),
        |sig AS (
        |  SELECT doc_id,
        |         $mh

@@ -355,9 +355,14 @@ object SimilarityOps {
   }
 
   /** IVF centroid training: k-means (Lloyd) iterations with strided
-    * seeds (vec_id % (n/k) == 0 — spread across the corpus; first-k
-    * seeding collapses when early rows share a cluster; assumes
-    * roughly dense vec_ids). Each iteration is one cross-score pass +
+    * seeds taken by RANK over the vec_id order (ranks 0, stride, …,
+    * (k−1)·stride — spread across the corpus; first-k seeding
+    * collapses when early rows share a cluster). Rank-based seeding
+    * works on sparse or offset id spaces where raw `vec_id % stride`
+    * could select fewer than k rows and silently train a degenerate
+    * codebook; the dense 1..n rank guarantees exactly k seeds
+    * whenever n ≥ k (fail-loud `require` otherwise, plus a
+    * seed-count guard). Each iteration is one cross-score pass +
     * one groupBy-mean, checkpointed so lineage doesn't compound;
     * centroids stay tiny and broadcast. Ties break on centroid_id;
     * mean accumulation order is Spark's, so coordinates can vary in
@@ -378,11 +383,19 @@ object SimilarityOps {
     require(firstRow.nonEmpty, "ivfTrain: empty corpus")
     val dim = firstRow(0).getInt(0)
     val n = corpus.count()
+    require(n >= k, s"ivfTrain: corpus has $n vectors, need at least k=$k")
     val stride = math.max(1L, n / k)
+    val seedIds = graft.imdb.SurrogateIds.assignLong(
+        corpus.select(col("vec_id")), "_rnk", Seq(col("vec_id")))
+      .filter((col("_rnk") - 1) % stride === 0 &&
+        col("_rnk") - 1 < stride * k)
+      .select(col("vec_id"))
     var centroids = corpus
-      .filter(col("vec_id") % stride === 0 && col("vec_id") < stride * k)
+      .join(broadcast(seedIds), "vec_id")
       .select(col("vec_id").as("centroid_id"), col("embedding").as("cv"))
       .pinnedIter
+    require(centroids.count() == k,
+      s"ivfTrain: rank-strided seeding selected ${centroids.count()} of $k seeds")
     (0 until iters).foreach { _ =>
       val assigned = ivfAssign(corpus, centroids)
         .select(col("vec_id"), col("centroid_id"))
@@ -986,7 +999,7 @@ object SimilarityOps {
     // both ranks, so the reordering the exact stage performs (the
     // quantization error it recovered) is visible in the result.
     QueryDef.sql(
-      "q_sim_rerank",
+      "q_sim_rerank_ivf",
       s"""WITH $ivfpqScoredCtes,
          |sl AS (SELECT query_id, vec_id, rnk AS adc_rnk
          |       FROM (SELECT query_id, vec_id,

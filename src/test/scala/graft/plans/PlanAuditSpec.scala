@@ -38,7 +38,9 @@ class PlanAuditSpec extends SparkSpec {
     "q_sim_hard_negatives", // 5 probe vectors
     "q_ivf_balance",       // 8 centroids + 1-row corpus-count scalar
     "q_token_budget",      // 1-row weight-total scalar
-    "q_epoch_expand"       // same 1-row scalar inside its plan build
+    "q_epoch_expand",      // same 1-row scalar inside its plan build
+    "q_label_noise",       // 8 seed centroids (cell assignment)
+    "q_label_predict"      // |labels|-row prototype table (≤ label count)
   )
 
   private val streaming = Set(
