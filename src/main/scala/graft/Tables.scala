@@ -26,22 +26,43 @@ object Tables {
   def registerAll(spark: SparkSession, dir: String): Unit =
     names.foreach(n => apply(spark, dir, n).createOrReplaceTempView(n))
 
+  /** Epoch-micros expression for an event `ts` column, covering every
+    * encoding the driver's testdata has shipped so far:
+    *
+    *  - `LongType` — TIMESTAMP(NANOS) parquet read as a nanos Long
+    *    under `spark.sql.legacy.parquet.nanosAsLong=true`;
+    *  - `TimestampNTZType` — `timestamp[us]` parquet without a
+    *    timezone, which Spark 4 reads as TIMESTAMP_NTZ. `unix_micros`
+    *    only accepts TIMESTAMP_LTZ, so cast first: the sessions pin
+    *    `spark.sql.session.timeZone=UTC`, making the cast interpret
+    *    the naive value as UTC — exactly DuckDB's `epoch_us(ts)` on
+    *    the same file;
+    *  - `TimestampType` (LTZ) — `unix_micros` directly.
+    *
+    * Shared by [[events]] and `EventStreams.tsMicros` so batch and
+    * streaming reads can never drift on the decoding rule again.
+    */
+  def tsUsColumn(dt: org.apache.spark.sql.types.DataType)
+      : org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions.{col, expr, unix_micros}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    dt match {
+      case LongType => expr("ts DIV 1000")
+      case TimestampNTZType => unix_micros(col("ts").cast(TimestampType))
+      case _ => unix_micros(col("ts"))
+    }
+  }
+
   /** `events` with a normalized `ts_us` epoch-microseconds column.
     *
-    * The driver's parquet stores `ts` as TIMESTAMP(NANOS), which Spark 4
-    * only reads as a nanos Long under
-    * `spark.sql.legacy.parquet.nanosAsLong=true` (set in our sessions);
-    * DuckDB reads it as TIMESTAMP_NS. Comparing/ordering on epoch micros
-    * (`ts_us` here, `epoch_us(ts)` in oracle SQL) aligns both engines.
+    * The driver's parquet has stored `ts` as TIMESTAMP(NANOS) (rounds
+    * ≤9) and as timezone-less `timestamp[us]` (round 10+); DuckDB
+    * reads either natively. Comparing/ordering on epoch micros
+    * (`ts_us` here, `epoch_us(ts)` in oracle SQL) aligns both engines
+    * across all encodings — see [[tsUsColumn]].
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
     val e = apply(spark, dir, "events")
-    val us = e.schema("ts").dataType match {
-      case org.apache.spark.sql.types.LongType =>
-        org.apache.spark.sql.functions.expr("ts DIV 1000")
-      case _ => org.apache.spark.sql.functions.unix_micros(
-        org.apache.spark.sql.functions.col("ts"))
-    }
-    e.withColumn("ts_us", us)
+    e.withColumn("ts_us", tsUsColumn(e.schema("ts").dataType))
   }
 }

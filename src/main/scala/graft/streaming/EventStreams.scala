@@ -21,16 +21,11 @@ object EventStreams {
 
   val SessionGapUs: Long = 30L * 60 * 1000 * 1000 // 30 min in micros
 
-  /** Event time as epoch micros from either encoding of `ts`
-    * (TIMESTAMP(NANOS) parquet reads as nanos-Long under
-    * spark.sql.legacy.parquet.nanosAsLong). */
-  def tsMicros(df: DataFrame): DataFrame = {
-    val us = df.schema("ts").dataType match {
-      case org.apache.spark.sql.types.LongType => expr("ts DIV 1000")
-      case _ => unix_micros(col("ts"))
-    }
-    df.withColumn("ts_us", us)
-  }
+  /** Event time as epoch micros from any encoding of `ts` — the
+    * decoding rule lives in [[graft.Tables.tsUsColumn]] so the batch
+    * table loader and this streaming reader can never disagree. */
+  def tsMicros(df: DataFrame): DataFrame =
+    df.withColumn("ts_us", graft.Tables.tsUsColumn(df.schema("ts").dataType))
 
   /** Tumbling-window counts/sums per event_type. Works identically on
     * a batch or streaming DataFrame. */

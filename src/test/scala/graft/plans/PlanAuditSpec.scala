@@ -40,7 +40,8 @@ class PlanAuditSpec extends SparkSpec {
     "q_token_budget",      // 1-row weight-total scalar
     "q_epoch_expand",      // same 1-row scalar inside its plan build
     "q_label_noise",       // 8 seed centroids (cell assignment)
-    "q_label_predict"      // |labels|-row prototype table (≤ label count)
+    "q_label_predict",     // |labels|-row prototype table (≤ label count)
+    "q_sim_rerank_ivf"     // 8 coarse centroids + 5 probes (IVFADC shortlist + rerank)
   )
 
   private val streaming = Set(
@@ -51,12 +52,19 @@ class PlanAuditSpec extends SparkSpec {
     val offenders = scala.collection.mutable.ArrayBuffer.empty[String]
     graft.SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       if (!streaming.contains(name)) {
-        val plan = fn(spark, sfDir).queryExecution.executedPlan.toString
-        if (plan.contains("CartesianProduct"))
-          offenders += s"$name: CartesianProduct"
-        if (plan.contains("BroadcastNestedLoopJoin") &&
-            !constantSideCross.contains(name))
-          offenders += s"$name: unexpected BroadcastNestedLoopJoin"
+        // a query that fails to even build a plan is itself an
+        // offender — recording it (instead of letting the exception
+        // abort the loop) keeps the audit exhaustive, so one broken
+        // query can't mask BNLJ regressions in those sorted after it
+        scala.util.Try(fn(spark, sfDir).queryExecution.executedPlan.toString)
+          .fold(e => offenders += s"$name: plan build failed: ${e.getMessage.linesIterator.next()}",
+            plan => {
+              if (plan.contains("CartesianProduct"))
+                offenders += s"$name: CartesianProduct"
+              if (plan.contains("BroadcastNestedLoopJoin") &&
+                  !constantSideCross.contains(name))
+                offenders += s"$name: unexpected BroadcastNestedLoopJoin"
+            })
       }
     }
     assert(offenders.isEmpty, offenders.mkString("; "))
