@@ -15,17 +15,31 @@ import org.apache.spark.sql.SparkSession
   * which lets Spark prune the whole projection away, noop materializes
   * every output row and column, so the timing covers the real work.
   *
-  * Timing is the MEDIAN of SPARK_GRAFT_BENCH_ITERS runs (default 3):
-  * single-run timings on a shared local box swing ±50% from GC/JIT
-  * noise, which made round-over-round comparisons mushy; the median
-  * also absorbs the first run's plan-compile + codegen overhead.
+  * Timing is the MINIMUM of SPARK_GRAFT_BENCH_ITERS runs (default 3),
+  * with queries whose best-of-3 still exceeds
+  * [[Bench.HeavyThresholdSec]] given SPARK_GRAFT_BENCH_HEAVY_ITERS
+  * extra runs (default 2 more, best-of-5). On a time-shared box,
+  * contention noise is strictly ADDITIVE — a run is never faster than
+  * the work — so the minimum is the best estimator of the query's
+  * true cost; the r9/r10 whipsaw (same code, 1.07 s vs 40.3 s on one
+  * query) showed the median of 3 still passes through whole noisy
+  * windows. The first run's plan-compile + codegen overhead is
+  * absorbed the same way.
   */
 object Bench {
+
+  /** Best-of-3 above this many seconds triggers the extra
+    * heavy-query iterations: cheap queries can't amortize 5 runs,
+    * expensive ones are exactly where box noise distorts rankings. */
+  val HeavyThresholdSec = 5.0
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val iters = math.max(1,
       sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "3").toInt)
+    val heavyExtra = math.max(0,
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_HEAVY_ITERS", "2").toInt)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -64,7 +78,7 @@ object Bench {
       if (wanted.isEmpty) SparkEntry.queries
       else SparkEntry.queries.filter { case (k, _) => wanted(k) }
     val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val secs = (1 to iters).flatMap { _ =>
+      def run(n: Int): Seq[Double] = (1 to n).flatMap { _ =>
         val t0 = System.nanoTime()
         val ok =
           try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
@@ -75,10 +89,18 @@ object Bench {
         quiesce()
         if (ok) Some(sec) else None
       }
-      val median =
-        if (secs.length < iters) -1.0 // any failed run marks the query failed
-        else secs.sorted.apply(secs.length / 2)
-      name -> median
+      val base = run(iters)
+      val best =
+        if (base.length < iters) -1.0 // any failed run marks the query failed
+        else {
+          val b = base.min
+          // heavy query: noise moves rankings most here — buy more
+          // evidence and keep the minimum (contention is additive)
+          if (b > HeavyThresholdSec && heavyExtra > 0)
+            (base ++ run(heavyExtra)).min
+          else b
+        }
+      name -> best
     }
     def fmt(v: Double): String =
       if (v < 0) "-1"

@@ -52,6 +52,12 @@ object DedupOps {
     * with a sample predicate both engines replay bit-for-bit. */
   val LshRecallSampleHexMax = "4"
 
+  /** Minimum normalized edit similarity for the SCREENED verify stage
+    * (q_dedup_edit_screened) — pairs whose length gap alone caps
+    * edit_sim below this never reach the Levenshtein DP. Declared
+    * BEFORE `all` (oracle interpolation at object init). */
+  val EditScreenMinSim = 0.9
+
   /** Paragraphs appearing in at least this many DISTINCT documents
     * are reported as boilerplate candidates. Declared BEFORE `all`
     * (oracle interpolation happens at object init). */
@@ -577,6 +583,13 @@ object DedupOps {
     * graph — the step a real dedup pipeline runs after candidate
     * generation (keep the min-id doc per cluster, drop the rest).
     *
+    * This is the SMALL-GRAPH variant: prefer [[dupClustersStar]] (the
+    * default everywhere else in this module — q_dedup_keep_best
+    * composes on it) whose round count is diameter-independent; this
+    * propagation loop exists for shallow candidate graphs and as an
+    * independent implementation both gates check against the same
+    * oracle fixed point.
+    *
     * Iterative min-label propagation: every round each doc adopts the
     * smallest cluster id among itself and its neighbors; converges in
     * O(component diameter) rounds, and near-dup components are
@@ -865,6 +878,20 @@ object DedupOps {
     * [[lshCandidatePairs]]. */
   private def candidateCtes: String = candidateCtesFrom("documents")
 
+  /** The [[LshRecallSampleHexMax]] hash-sample as a DataFrame filter:
+    * md5 of the decimal doc_id string, leading hex digit below the
+    * cap. [[recallSampleSql]] is the bit-for-bit DuckDB replica (both
+    * engines md5 the UTF-8 bytes of the same decimal rendering). */
+  private def recallSample(docs: DataFrame): DataFrame =
+    docs.filter(
+      substring(md5(col("doc_id").cast("string").cast("binary")), 1, 1)
+        < LshRecallSampleHexMax)
+
+  /** DuckDB replica of [[recallSample]], as a CTE body. */
+  private def recallSampleSql: String =
+    s"""SELECT doc_id, text FROM documents
+       |  WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < '$LshRecallSampleHexMax'""".stripMargin
+
   /** [[candidateCtes]] over an arbitrary (doc_id, text) source CTE —
     * lets the recall-telemetry oracle run the identical replica on
     * its deterministic document sample. */
@@ -1083,9 +1110,12 @@ object DedupOps {
 
     // Duplicate clusters: connected components over the candidate
     // graph, labeled by min reachable doc_id. Spark side is iterative
-    // min-label propagation; the oracle computes the identical fixed
-    // point with a recursive CTE (tiny closed components, so the
-    // transitive closure stays small).
+    // min-label propagation — the SMALL-GRAPH variant (O(diameter)
+    // driver rounds); production pipelines and every composition in
+    // this module use q_dedup_clusters_star's contraction instead.
+    // The oracle computes the identical fixed point with a recursive
+    // CTE (tiny closed components, so the transitive closure stays
+    // small).
     QueryDef.sql(
       "q_dedup_clusters",
       s"""WITH RECURSIVE $candidateCtes,
@@ -1250,6 +1280,29 @@ object DedupOps {
             round(lit(1.0) - dist.cast("double") /
               greatest(length(col("ta")), length(col("tb"))).cast("double"), 6)
               .as("edit_sim"))
+    },
+
+    // The SCREENED edit verify — the production shape of q_dedup_edit:
+    // only pairs at edit_sim >= EditScreenMinSim survive, and Spark
+    // skips the O(len²) DP entirely for pairs whose length gap alone
+    // disqualifies them (levenshtein >= |Δlen| ⇒ edit_sim <= 1 −
+    // |Δlen|/max). The oracle computes EVERY distance and filters
+    // post-hoc, so a screen that ever dropped a qualifying pair would
+    // hash-mismatch — the soundness proof is the gate itself.
+    QueryDef.sql(
+      "q_dedup_edit_screened",
+      s"""WITH $candidateCtes
+         |SELECT a, b,
+         |       CAST(levenshtein(da.text, db.text) AS INTEGER) AS edit_dist,
+         |       round(1.0 - levenshtein(da.text, db.text)
+         |             / CAST(greatest(length(da.text), length(db.text)) AS DOUBLE),
+         |             6) AS edit_sim
+         |FROM cand JOIN documents da ON da.doc_id = a
+         |          JOIN documents db ON db.doc_id = b
+         |WHERE 1.0 - levenshtein(da.text, db.text)
+         |      / CAST(greatest(length(da.text), length(db.text)) AS DOUBLE)
+         |      >= $EditScreenMinSim""".stripMargin) {
+      (s, dir) => editVerify(Tables(s, dir, "documents"), EditScreenMinSim)
     },
 
     // Cluster canonicalization: which document SURVIVES each duplicate
@@ -1477,16 +1530,20 @@ object DedupOps {
     // Measured LSH S-curve: per exact-Jaccard 0.1-bucket, how many
     // >=1-rare-shingle pairs exist and how many the banded candidate
     // generator found — the recall telemetry that tunes band
-    // geometry. Shares the signature/band/candidate CTEs with every
+    // geometry. Runs on the deterministic md5(doc_id) 25% sample in
+    // BOTH engines (the curve measures the estimator, not the
+    // corpus); shares the signature/band/candidate CTEs with every
     // other minhash oracle, so the replay is structural.
     QueryDef.sql(
       "q_lsh_recall",
-      s"""WITH $candidateCtes,
+      s"""WITH docs_sample AS (
+         |  $recallSampleSql),
+         |${candidateCtesFrom("docs_sample")},
          |sh0 AS (
          |  SELECT DISTINCT doc_id,
          |         unnest(list_transform(range(len(toks) - 2),
          |                i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3])) AS sh
-         |  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)),
+         |  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM docs_sample)),
          |shc AS (
          |  SELECT doc_id, sh FROM sh0
          |  WHERE sh NOT IN (SELECT sh FROM sh0
@@ -1605,6 +1662,39 @@ object DedupOps {
         col("n_corpus_docs"), (col("n_hit") >= 1).as("compromised"))
   }
 
+  /** Edit-distance verify with the length pre-screen: a candidate
+    * pair whose length gap alone caps its similarity below `minSim`
+    * never reaches the O(len²) Levenshtein DP — the lower bound
+    * levenshtein(a,b) >= |len(a) − len(b)| gives
+    * edit_sim <= 1 − |Δlen|/max, so `|Δlen| > (1−minSim)·max` is a
+    * sound skip. The screen is map-side arithmetic on already-joined
+    * lengths (the filter precedes the levenshtein projection, so
+    * Spark never evaluates the DP for screened rows), and the final
+    * filter uses the same UNROUNDED expression DuckDB evaluates —
+    * identical IEEE arithmetic on identical integers, so the two
+    * engines agree pair-for-pair.
+    *
+    * At 100 TB this is the difference between `candidates · len²`
+    * and `qualifying-candidates · len²` DP cells: boilerplate-heavy
+    * corpora produce many banded pairs of wildly different lengths
+    * (a page vs its stub), all skipped for the cost of two `length`
+    * calls. */
+  def editVerify(docs: DataFrame, minSim: Double): DataFrame = {
+    val txt = docs.select(col("doc_id"), col("text"))
+    val lenA = length(col("ta")).cast("double")
+    val lenB = length(col("tb")).cast("double")
+    val maxLen = greatest(lenA, lenB)
+    val dist = levenshtein(col("ta"), col("tb"))
+    val sim = lit(1.0) - dist.cast("double") / maxLen
+    lshCandidatePairs(docs)
+      .join(txt.select(col("doc_id").as("a"), col("text").as("ta")), "a")
+      .join(txt.select(col("doc_id").as("b"), col("text").as("tb")), "b")
+      .filter(abs(lenA - lenB) <= (lit(1.0) - minSim) * maxLen)
+      .filter(sim >= minSim)
+      .select(col("a"), col("b"), dist.cast("int").as("edit_dist"),
+        round(sim, 6).as("edit_sim"))
+  }
+
   /** Measured LSH S-curve: for every pair sharing >= 1 rare shingle,
     * exact full-set Jaccard bucketed to 0.1, and whether the
     * banded-MinHash candidate generator surfaced the pair — per
@@ -1613,13 +1703,17 @@ object DedupOps {
     * work); the DuckDB oracle replays signatures, banding, the
     * df cap and the bucket arithmetic bit-for-bit.
     *
-    * Scale: the denominator join is the capped inverted index (the
-    * q_dedup_ngram_jaccard guard), candidates the single (band,
-    * bucket) equi-join; exact J ships shingle-set arrays only for
-    * qualifying pairs. In production this runs on a SAMPLE of the
-    * corpus — the curve is a property of the estimator, not the
-    * data volume. */
-  def lshRecallCurve(docs: DataFrame): DataFrame = {
+    * Scale: the whole computation runs on the deterministic
+    * [[LshRecallSampleHexMax]] hash-sample of the corpus — the curve
+    * is a property of the ESTIMATOR (band geometry × Jaccard), not of
+    * data volume, so the exact-pair denominator (the one
+    * quadratic-ish piece of the dedup surface) is bounded by the
+    * sample, not the corpus. Within the sample the denominator join
+    * is still the capped inverted index (the q_dedup_ngram_jaccard
+    * guard), candidates the single (band, bucket) equi-join; exact J
+    * ships shingle-set arrays only for qualifying pairs. */
+  def lshRecallCurve(allDocs: DataFrame): DataFrame = {
+    val docs = recallSample(allDocs)
     val sets = shingleSets(docs).pinned // signatures + 2 exact-J joins
     val cand = candidatePairsFromBands(bandsOf(minhashSignatures(sets)))
       .withColumn("lsh_found", lit(true))

@@ -567,6 +567,57 @@ object SimilarityOps {
     emb(s, dir).filter(col("vec_id") < NumProbes)
       .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
 
+  /** ONE oracle for q_sim_ivf_search AND q_stream_ann: seed-centroid
+    * IVF assignment, nprobe probe-cell selection, in-cell exact
+    * ranking. The batch operator and the streaming serve path must
+    * land on the identical result, so they share this string the way
+    * the sessionization pair shares its window SQL. */
+  private[operators] def ivfSearchSql: String =
+    s"""WITH c AS (SELECT vec_id AS centroid_id, embedding AS cv
+       |           FROM embeddings WHERE vec_id < $NumCentroids),
+       |q AS (SELECT vec_id AS query_id, embedding AS qv
+       |      FROM embeddings WHERE vec_id < $NumProbes),
+       |cell_scored AS (
+       |  SELECT e.vec_id, c.centroid_id,
+       |         ${cosSql("cv", "e.embedding")}
+       |         AS cos
+       |  FROM c CROSS JOIN embeddings e),
+       |cells AS (
+       |  SELECT vec_id, centroid_id
+       |  FROM (SELECT vec_id, centroid_id,
+       |               row_number() OVER (PARTITION BY vec_id
+       |                                  ORDER BY cos DESC, centroid_id) AS rnk
+       |        FROM cell_scored)
+       |  WHERE rnk = 1),
+       |probe_scored AS (
+       |  SELECT q.query_id, c.centroid_id,
+       |         ${cosSql("qv", "cv")}
+       |         AS ccos
+       |  FROM q CROSS JOIN c),
+       |probes AS (
+       |  SELECT query_id, centroid_id
+       |  FROM (SELECT query_id, centroid_id,
+       |               row_number() OVER (PARTITION BY query_id
+       |                                  ORDER BY ccos DESC, centroid_id) AS crnk
+       |        FROM probe_scored)
+       |  WHERE crnk <= $NumProbeCells),
+       |cand AS (
+       |  SELECT p.query_id, e.vec_id,
+       |         ${cosSql("q.qv", "e.embedding")}
+       |         AS cos
+       |  FROM probes p
+       |  JOIN cells ce ON ce.centroid_id = p.centroid_id
+       |  JOIN embeddings e ON e.vec_id = ce.vec_id
+       |  JOIN q ON q.query_id = p.query_id
+       |  WHERE e.vec_id <> p.query_id)
+       |SELECT query_id, vec_id AS neighbor_id, CAST(rnk AS INTEGER) AS rnk,
+       |       round(cos, 6) AS sim
+       |FROM (SELECT query_id, vec_id, cos,
+       |             row_number() OVER (PARTITION BY query_id
+       |                                ORDER BY cos DESC, vec_id) AS rnk
+       |      FROM cand)
+       |WHERE rnk <= $TopK""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
 
     // Vector hygiene for embedding pipelines: L2 norm and symmetric
@@ -861,52 +912,7 @@ object SimilarityOps {
     // The oracle replicates the cell assignment + probe selection +
     // in-cell ranking verbatim; recall vs the exact q_sim_cosine_topk
     // is measured in the test suite (trained centroids there).
-    QueryDef.sql(
-      "q_sim_ivf_search",
-      s"""WITH c AS (SELECT vec_id AS centroid_id, embedding AS cv
-         |           FROM embeddings WHERE vec_id < $NumCentroids),
-         |q AS (SELECT vec_id AS query_id, embedding AS qv
-         |      FROM embeddings WHERE vec_id < $NumProbes),
-         |cell_scored AS (
-         |  SELECT e.vec_id, c.centroid_id,
-         |         ${cosSql("cv", "e.embedding")}
-         |         AS cos
-         |  FROM c CROSS JOIN embeddings e),
-         |cells AS (
-         |  SELECT vec_id, centroid_id
-         |  FROM (SELECT vec_id, centroid_id,
-         |               row_number() OVER (PARTITION BY vec_id
-         |                                  ORDER BY cos DESC, centroid_id) AS rnk
-         |        FROM cell_scored)
-         |  WHERE rnk = 1),
-         |probe_scored AS (
-         |  SELECT q.query_id, c.centroid_id,
-         |         ${cosSql("qv", "cv")}
-         |         AS ccos
-         |  FROM q CROSS JOIN c),
-         |probes AS (
-         |  SELECT query_id, centroid_id
-         |  FROM (SELECT query_id, centroid_id,
-         |               row_number() OVER (PARTITION BY query_id
-         |                                  ORDER BY ccos DESC, centroid_id) AS crnk
-         |        FROM probe_scored)
-         |  WHERE crnk <= $NumProbeCells),
-         |cand AS (
-         |  SELECT p.query_id, e.vec_id,
-         |         ${cosSql("q.qv", "e.embedding")}
-         |         AS cos
-         |  FROM probes p
-         |  JOIN cells ce ON ce.centroid_id = p.centroid_id
-         |  JOIN embeddings e ON e.vec_id = ce.vec_id
-         |  JOIN q ON q.query_id = p.query_id
-         |  WHERE e.vec_id <> p.query_id)
-         |SELECT query_id, vec_id AS neighbor_id, CAST(rnk AS INTEGER) AS rnk,
-         |       round(cos, 6) AS sim
-         |FROM (SELECT query_id, vec_id, cos,
-         |             row_number() OVER (PARTITION BY query_id
-         |                                ORDER BY cos DESC, vec_id) AS rnk
-         |      FROM cand)
-         |WHERE rnk <= $TopK""".stripMargin) {
+    QueryDef.sql("q_sim_ivf_search", ivfSearchSql) {
       (s, dir) =>
         val centroids = emb(s, dir).filter(col("vec_id") < NumCentroids)
           .select(col("vec_id").as("centroid_id"), col("embedding").as("cv"))
@@ -1777,6 +1783,74 @@ object SimilarityOps {
       .saveAsTable(s"${prefix}_codebook")
     codes.write.mode("overwrite").format("parquet")
       .partitionBy("centroid_id").saveAsTable(s"${prefix}_codes")
+  }
+
+  /** Stored FULL-PRECISION IVF index: every corpus vector tagged with
+    * its nearest centroid and saved bucketed+sorted by centroid_id
+    * via [[graft.sources.Sources.writeBucketed]] — the serving layout
+    * for [[annSearchStored]]: a probe batch joins it on centroid_id
+    * with no exchange on the stored side (the probe side broadcasts).
+    * The PQ twin ([[writeIvfPqIndex]]) trades precision for scan
+    * bytes; this one serves exact in-cell scoring. */
+  def writeIvfIndex(corpus: DataFrame, centroids: DataFrame,
+      tableName: String, numBuckets: Int): Unit =
+    graft.sources.Sources.writeBucketed(
+      corpus.join(
+        ivfAssign(corpus, centroids).select(col("vec_id"), col("centroid_id")),
+        "vec_id")
+        .select(col("vec_id"), col("centroid_id"), col("embedding")),
+      tableName, Seq("centroid_id"), numBuckets)
+
+  /** ANN serve over a STORED [[writeIvfIndex]] table, shaped so the
+    * query batch may be a STREAMING DataFrame — the serving twin of
+    * the streaming ingest screen:
+    *
+    *  - probe-cell selection is pure map-side array arithmetic over
+    *    the centroid CONSTANTS (ncells is index geometry, bounded —
+    *    the same O(constants) driver material as the bloom position
+    *    set): no window function, so it plans inside a micro-batch.
+    *    The comparator reproduces `ccos DESC, centroid_id ASC` —
+    *    [[CosineSimilarity]] keeps the arithmetic bit-identical to
+    *    the batch path and the oracle;
+    *  - the index join BROADCASTS the probe batch (at 100 TB the
+    *    index is the big side; per-trigger work is one map-side pass
+    *    over the stored cells, no state store, no index shuffle);
+    *  - the per-query top-k is the bounded [[graft.functions.TopK]]
+    *    aggregator — k rows of state per query, never whole cells.
+    *
+    * On a batch `queries` input this returns exactly [[ivfSearch]]
+    * (spec-pinned); the q_stream_ann gate runs it as a real stream
+    * against the shared [[ivfSearchSql]] oracle.
+    */
+  def annSearchStored(queries: DataFrame, index: DataFrame,
+      centroids: Seq[(Long, Array[Float])], nprobe: Int, k: Int): DataFrame = {
+    val s = queries.sparkSession
+    val centArr = array(centroids.map { case (id, v) =>
+      struct(lit(id).as("centroid_id"), array(v.map(lit(_)): _*).as("cv"))
+    }: _*)
+    val scored = transform(centArr, c => struct(
+      CosineSimilarity(s, col("qv"), c.getField("cv")).as("ccos"),
+      c.getField("centroid_id").as("centroid_id")))
+    val byCcosDesc = (l: Column, r: Column) =>
+      when(l.getField("ccos") > r.getField("ccos"), lit(-1))
+        .when(l.getField("ccos") < r.getField("ccos"), lit(1))
+        .when(l.getField("centroid_id") < r.getField("centroid_id"), lit(-1))
+        .when(l.getField("centroid_id") > r.getField("centroid_id"), lit(1))
+        .otherwise(lit(0))
+    val probed = queries
+      .select(col("query_id"), col("qv"),
+        explode(slice(array_sort(scored, byCcosDesc), 1, nprobe)).as("pc"))
+      .select(col("query_id"), col("qv"),
+        col("pc.centroid_id").as("probe_centroid"))
+    val cand = broadcast(probed)
+      .join(index, col("probe_centroid") === index("centroid_id"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"),
+        CosineSimilarity(s, col("qv"), col("embedding")).as("cos"),
+        col("vec_id"))
+    graft.functions.TopK.perKey(cand, "query_id", "cos", "vec_id", k)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        col("rnk"), round(col("cos"), 6).as("sim"))
   }
 
   /** IVFADC search probing a STORED [[writeIvfPqIndex]] — per-query

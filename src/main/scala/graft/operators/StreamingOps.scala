@@ -191,6 +191,38 @@ object StreamingOps {
       }
     },
 
+    // Streaming ANN serving against the STORED bucketed IVF index —
+    // the serving twin of q_stream_ingest_screen: the query-vector
+    // stream probes SimilarityOps.writeIvfIndex's centroid-bucketed
+    // corpus, with probe-cell selection done map-side over the
+    // centroid constants (no window, so it plans in a micro-batch),
+    // the probe batch broadcast into the index join (no exchange on
+    // the stored side — spec-proven), and per-query top-k held as
+    // bounded TopKAggregator state (k rows per query). Oracle = the
+    // SAME SQL as q_sim_ivf_search, so "the stream serves exactly
+    // what the batch search computes" is structural.
+    QueryDef.sql("q_stream_ann", SimilarityOps.ivfSearchSql) {
+      (s, dir) => withStreamPartitions(s, 8) {
+        val emb = Tables(s, dir, "embeddings")
+        val centroids = emb.filter(col("vec_id") < SimilarityOps.NumCentroids)
+          .select(col("vec_id").as("centroid_id"), col("embedding").as("cv"))
+        SimilarityOps.writeIvfIndex(emb, centroids, "graft_ivf_index", 8)
+        val centConst = centroids.collect() // 8 rows: index geometry
+          .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).toSeq
+        val stream = s.readStream.schema(emb.schema)
+          .parquet(EventStreams.streamableDir(s"$dir/embeddings.parquet"))
+          .filter(col("vec_id") < SimilarityOps.NumProbes)
+          .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+        val q = SimilarityOps.annSearchStored(stream,
+          s.table("graft_ivf_index"), centConst,
+          SimilarityOps.NumProbeCells, SimilarityOps.TopK)
+          .writeStream.format("memory").queryName("graft_stream_ann")
+          .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+        s.table("graft_stream_ann")
+      }
+    },
+
     QueryDef.sql("q_sessionize", sessionizeSql) {
       (s, dir) =>
         EventStreams.sessionizeBatch(Tables.events(s, dir))

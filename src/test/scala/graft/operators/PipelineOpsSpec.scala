@@ -1658,18 +1658,26 @@ class PipelineOpsSpec extends SparkSpec {
 
   test("lsh recall curve: buckets reconcile with an independent JVM " +
     "pair inventory and exact duplicates are always found") {
+    // doc_ids chosen INSIDE the deterministic md5(doc_id) recall
+    // sample (leading hex of md5("6")/"19"/"21"/"23" is 1/1/3/3 <
+    // '4'); doc 0 (md5 'c…') is OUTSIDE it — a third copy of `base`
+    // that would add J=1.0 pairs if the sample predicate ever
+    // stopped filtering, which the exact bucket counts would catch.
     val base = (1 to 40).map(i => s"tok$i").mkString(" ")
     val near = base.replace("tok7", "x") // J ≈ 0.85 → bucket 8
     val onehit = (1 to 37).map(i => s"z$i").mkString(" ") +
       " tok1 tok2 tok3" // shares exactly one shingle → bucket 0
-    val d4 = Seq((0L, base), (1L, near), (2L, base), (3L, onehit))
+    val d4 = Seq((6L, base), (19L, near), (21L, base), (23L, onehit),
+      (0L, base))
       .toDF("doc_id", "text")
 
     val cand = DedupOps.lshCandidatePairs(d4).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     def shs(t: String): Set[String] =
       t.split(" ").sliding(3).filter(_.length == 3).map(_.mkString(" ")).toSet
-    val texts = Map(0L -> base, 1L -> near, 2L -> base, 3L -> onehit)
+    // the JVM inventory covers the SAMPLED docs only — doc 0's pairs
+    // must not appear in the curve
+    val texts = Map(6L -> base, 19L -> near, 21L -> base, 23L -> onehit)
     val expected = (for {
       a <- texts.keys.toSeq; b <- texts.keys.toSeq if a < b
       ia = shs(texts(a)); ib = shs(texts(b))
@@ -1687,6 +1695,54 @@ class PipelineOpsSpec extends SparkSpec {
     // the J = 1.0 bucket: identical docs have identical signatures,
     // so every band collides — recall there can never be < 1
     assert(got(10) == ((1L, 1L)))
+  }
+
+  test("edit verify screen: output identical to computing every " +
+    "distance then filtering, and the screen path is exercised") {
+    // (1,2): near-dup, qualifies. (1,3): base + a 25% suffix — banded
+    // (the shared 120-token prefix dominates every minhash band) but
+    // its length gap alone caps edit_sim below the threshold, so the
+    // screen must skip its DP *and* that must not change the output.
+    val base = (1 to 120).map(i => s"tok$i").mkString(" ")
+    val near = base.replace("tok7 ", "zz ") // exact token only (not tok70…79)
+    val long = base + " " + (1 to 30).map(i => s"extra$i").mkString(" ")
+    val fix = Seq((1L, base), (2L, near), (3L, long)).toDF("doc_id", "text")
+    val texts = Map(1L -> base, 2L -> near, 3L -> long)
+    val tau = DedupOps.EditScreenMinSim
+
+    val cand = DedupOps.lshCandidatePairs(fix).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(cand.contains((1L, 3L)),
+      "fixture must band (base, long) so the screen has a pair to skip")
+    assert(math.abs(base.length - long.length) > (1 - tau) * long.length,
+      "fixture pair (1,3) must violate the length screen")
+
+    def lev(a: String, b: String): Int = {
+      val prev = Array.range(0, b.length + 1)
+      val cur = new Array[Int](b.length + 1)
+      for (i <- 1 to a.length) {
+        cur(0) = i
+        for (j <- 1 to b.length)
+          cur(j) = math.min(math.min(cur(j - 1) + 1, prev(j) + 1),
+            prev(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+        Array.copy(cur, 0, prev, 0, b.length + 1)
+      }
+      prev(b.length)
+    }
+    val expected = cand.flatMap { case (a, b) =>
+      val d = lev(texts(a), texts(b))
+      val mx = math.max(texts(a).length, texts(b).length).toDouble
+      val sim = 1.0 - d / mx
+      if (sim >= tau)
+        Some((a, b, d,
+          BigDecimal(sim).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble))
+      else None
+    }
+    val got = DedupOps.editVerify(fix, tau).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3)))
+      .toSet
+    assert(got == expected)
+    assert(got.exists(_._1 == 1L), "the qualifying near-dup must survive")
   }
 
   test("source overlap: merged source signature == element-wise min of " +

@@ -119,6 +119,67 @@ class SourcesSpec extends SparkSpec {
     }
   }
 
+  test("stored IVF index: annSearchStored reads the bucketed corpus with " +
+    "NO exchange on the stored side and equals the in-memory ivfSearch") {
+    import graft.operators.SimilarityOps
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val emb = graft.Tables(spark, "/root/testdata/sf0.001", "embeddings")
+    val centroids = emb.filter(col("vec_id") < SimilarityOps.NumCentroids)
+      .select(col("vec_id").as("centroid_id"), col("embedding").as("cv"))
+    val probes = emb.filter(col("vec_id") < SimilarityOps.NumProbes)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    SimilarityOps.writeIvfIndex(emb, centroids, "ivf_index", 4)
+    val centConst = centroids.collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).toSeq
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val served = SimilarityOps.annSearchStored(probes,
+        spark.table("ivf_index"), centConst,
+        SimilarityOps.NumProbeCells, SimilarityOps.TopK)
+      def subtree(p: SparkPlan): Seq[SparkPlan] = p +: p.children.flatMap(subtree)
+      val nodes = subtree(served.queryExecution.executedPlan)
+      def isIndexScan(p: SparkPlan): Boolean = p match {
+        case f: FileSourceScanExec =>
+          f.tableIdentifier.exists(_.table == "ivf_index")
+        case _ => false
+      }
+      val scans = nodes.filter(isIndexScan)
+      assert(scans.nonEmpty, "bucketed ivf_index scan missing from plan")
+      scans.foreach(s => assert(
+        s.asInstanceOf[FileSourceScanExec].metadata.contains("SelectedBucketsCount"),
+        "ivf_index scan is not a bucketed read"))
+      // the probe batch broadcasts; the stored corpus side streams
+      // through the join straight off its buckets — no exchange below
+      // the join on the index branch (the only shuffle in the whole
+      // serve is the k-bounded top-k aggregation above it)
+      val joins = nodes.collect {
+        case j: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+          if subtree(j).exists(isIndexScan) => j
+      }
+      assert(joins.nonEmpty, "broadcast probe join over the index scan " +
+        "missing:\n" + served.queryExecution.executedPlan)
+      joins.foreach { j =>
+        val indexSides = j.children.filter(c => subtree(c).exists(isIndexScan))
+        assert(indexSides.nonEmpty)
+        indexSides.foreach(c => assert(
+          !subtree(c).exists(_.isInstanceOf[ShuffleExchangeExec]),
+          "stored index side must not shuffle before the probe join:\n" +
+            served.queryExecution.executedPlan))
+      }
+      val inMem = SimilarityOps.ivfSearch(emb, centroids, probes,
+        SimilarityOps.NumProbeCells, SimilarityOps.TopK)
+        .collect().map(_.toSeq).toSet
+      val viaIndex = served.collect().map(_.toSeq).toSet
+      assert(viaIndex == inMem)
+      assert(viaIndex.nonEmpty)
+    } finally {
+      spark.conf.unset("spark.sql.adaptive.enabled")
+      spark.sql("DROP TABLE IF EXISTS ivf_index")
+    }
+  }
+
   test("stored IVF-PQ index: search prunes the code table to the probed " +
     "cells, reads it with NO exchange, and matches the in-memory search") {
     import graft.operators.SimilarityOps

@@ -157,6 +157,24 @@ class EventStreamsSpec extends SparkSpec {
     assert(spark.table("enrich_test").count() > 0)
   }
 
+  test("streaming ANN serve (q_stream_ann) equals the batch IVF search " +
+    "over the same stored index") {
+    import graft.operators.SimilarityOps
+    val sf = "/root/testdata/sf0.001"
+    val served = graft.SparkEntry.queries("q_stream_ann")(spark, sf)
+      .collect().map(_.toSeq).toSet
+    val emb = graft.Tables(spark, sf, "embeddings")
+    val centroids = emb.filter(col("vec_id") < SimilarityOps.NumCentroids)
+      .select(col("vec_id").as("centroid_id"), col("embedding").as("cv"))
+    val probes = emb.filter(col("vec_id") < SimilarityOps.NumProbes)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val batch = SimilarityOps.ivfSearch(emb, centroids, probes,
+      SimilarityOps.NumProbeCells, SimilarityOps.TopK)
+      .collect().map(_.toSeq).toSet
+    assert(served == batch)
+    assert(served.nonEmpty)
+  }
+
   test("streaming ingest screen quarantines exactly the docs sharing a " +
     "corpus paragraph, probing the STORED bucketed index") {
     import spark.implicits._
