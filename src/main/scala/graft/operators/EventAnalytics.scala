@@ -12,6 +12,31 @@ import org.apache.spark.sql.functions._
   */
 object EventAnalytics {
 
+  /** ONE oracle for q_funnel AND q_stream_funnel: the batch
+    * formulation both the three-pass aggregation and the stateful
+    * stream must reproduce — batch/stream agreement is structural,
+    * the sessionization-pair pattern. */
+  private[operators] def funnelSql: String =
+    """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS ts_us FROM events),
+      |u1 AS (SELECT user_id,
+      |              min(CASE WHEN event_type = 'signup' THEN ts_us END) AS s1
+      |       FROM e GROUP BY user_id),
+      |u2 AS (SELECT e.user_id, u1.s1,
+      |              min(CASE WHEN event_type = 'view' AND ts_us >= s1
+      |                       THEN ts_us END) AS s2
+      |       FROM e JOIN u1 ON e.user_id = u1.user_id
+      |       GROUP BY e.user_id, u1.s1),
+      |u3 AS (SELECT e.user_id, u2.s1, u2.s2,
+      |              min(CASE WHEN event_type = 'purchase' AND ts_us >= s2
+      |                       THEN ts_us END) AS s3
+      |       FROM e JOIN u2 ON e.user_id = u2.user_id
+      |       GROUP BY e.user_id, u2.s1, u2.s2)
+      |SELECT count(*) AS n_users,
+      |       count(s1) AS n_signup,
+      |       count(s2) AS n_view_after_signup,
+      |       count(s3) AS n_purchase_after_view
+      |FROM u3""".stripMargin
+
   /** Per-user stage timestamps; null = stage never reached in order. */
   def funnelStages(events: DataFrame): DataFrame = {
     val perUser = events
@@ -209,27 +234,7 @@ object EventAnalytics {
           coalesce(element_at(col("m"), "view"), lit(0L)).as("views"))
     },
 
-    QueryDef.sql(
-      "q_funnel",
-      """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS ts_us FROM events),
-        |u1 AS (SELECT user_id,
-        |              min(CASE WHEN event_type = 'signup' THEN ts_us END) AS s1
-        |       FROM e GROUP BY user_id),
-        |u2 AS (SELECT e.user_id, u1.s1,
-        |              min(CASE WHEN event_type = 'view' AND ts_us >= s1
-        |                       THEN ts_us END) AS s2
-        |       FROM e JOIN u1 ON e.user_id = u1.user_id
-        |       GROUP BY e.user_id, u1.s1),
-        |u3 AS (SELECT e.user_id, u2.s1, u2.s2,
-        |              min(CASE WHEN event_type = 'purchase' AND ts_us >= s2
-        |                       THEN ts_us END) AS s3
-        |       FROM e JOIN u2 ON e.user_id = u2.user_id
-        |       GROUP BY e.user_id, u2.s1, u2.s2)
-        |SELECT count(*) AS n_users,
-        |       count(s1) AS n_signup,
-        |       count(s2) AS n_view_after_signup,
-        |       count(s3) AS n_purchase_after_view
-        |FROM u3""".stripMargin) {
+    QueryDef.sql("q_funnel", funnelSql) {
       (s, dir) =>
         funnelStages(Tables.events(s, dir))
           .agg(

@@ -191,6 +191,39 @@ object StreamingOps {
       }
     },
 
+    // The SAME ordered funnel as q_funnel, run as a REAL stateful
+    // streaming query: per-user state is the three stage timestamps
+    // (O(1) per key — the user-journey state machine), events arrive
+    // in event-time order across micro-batches via the time-sliced
+    // file layout, in-batch ties fold stage-first (a view sharing the
+    // signup's timestamp qualifies), and the trailing punctuation
+    // flushes every user's final stage row. The gate then reduces the
+    // per-user stream output to the same four funnel counts the batch
+    // three-pass aggregation produces — ONE shared oracle string, so
+    // batch/stream agreement is structural (the sessionization
+    // pattern).
+    QueryDef.sql("q_stream_funnel", EventAnalytics.funnelSql) {
+      (s, dir) => withStreamPartitions(s, 8) {
+        import s.implicits._
+        val ev = Tables.events(s, dir)
+          .select(col("user_id"), col("ts_us"), col("event_id"),
+            col("event_type"))
+        val inDir = EventStreams.timeSlicedDir(ev, nSlices = 4, gapUs = 1L)
+        val stream = s.readStream.schema(ev.schema)
+          .option("maxFilesPerTrigger", "1").parquet(inDir)
+        val q = EventStreams.funnelStream(
+          stream.as[EventStreams.FunnelEvent])
+          .writeStream.format("memory").queryName("graft_stream_funnel")
+          .outputMode("append").trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+        s.table("graft_stream_funnel")
+          .agg(count(lit(1)).as("n_users"),
+            count(col("s1")).as("n_signup"),
+            count(col("s2")).as("n_view_after_signup"),
+            count(col("s3")).as("n_purchase_after_view"))
+      }
+    },
+
     // Streaming ANN serving against the STORED bucketed IVF index —
     // the serving twin of q_stream_ingest_screen: the query-vector
     // stream probes SimilarityOps.writeIvfIndex's centroid-bucketed

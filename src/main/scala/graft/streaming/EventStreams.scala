@@ -109,6 +109,70 @@ object EventStreams {
       }
   }
 
+  final case class FunnelEvent(
+      user_id: Long, ts_us: Long, event_id: Long, event_type: String)
+  // public: the state/output encoders' generated code reaches the fields
+  final case class FunnelState(
+      s1: Option[Long], s2: Option[Long], s3: Option[Long])
+  final case class FunnelOut(
+      user_id: Long, s1: Option[Long], s2: Option[Long], s3: Option[Long])
+
+  /** Ordered-funnel progression (signup → view-after-signup →
+    * purchase-after-that) as a stateful stream: per-user state is the
+    * three stage timestamps — O(1) per key, the user-journey state
+    * machine every product-analytics pipeline keeps on its event
+    * firehose. A punctuation event (event_id < 0) emits the user's
+    * final stage row and clears the key, so a finite run's append
+    * output is the complete per-user funnel table.
+    *
+    * Exactly the batch semantics of `EventAnalytics.funnelStages`
+    * (s1 = min signup ts; s2 = min view ts ≥ s1; s3 = min purchase
+    * ts ≥ s2), provided each user's events arrive in event-time order
+    * across micro-batches ([[timeSlicedDir]]'s contract). Within a
+    * batch, ties are resolved by sorting (ts, stage, event_id):
+    * a view sharing its timestamp with the signup DOES qualify for
+    * s2 (ts ≥ s1 holds with equality), so earlier stages must fold
+    * first within a tie group — while an earlier-ts view can never
+    * qualify retroactively, which is what makes the greedy O(1) fold
+    * exact. */
+  def funnelStream(events: Dataset[FunnelEvent]): Dataset[FunnelOut] = {
+    import events.sparkSession.implicits._
+    def stagePrio(e: FunnelEvent): Int = e.event_type match {
+      case "signup" => 0
+      case "view" => 1
+      case "purchase" => 2
+      case _ => 3
+    }
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[FunnelState, FunnelOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (userId: Long, rows: Iterator[FunnelEvent], state: GroupState[FunnelState]) =>
+          val sorted = rows.toSeq.sortBy(e => (e.ts_us, stagePrio(e), e.event_id))
+          var st = state.getOption.getOrElse(FunnelState(None, None, None))
+          val out = Seq.newBuilder[FunnelOut]
+          var flushed = false
+          sorted.foreach { e =>
+            if (e.event_id < 0) { // punctuation: emit + clear
+              out += FunnelOut(userId, st.s1, st.s2, st.s3)
+              st = FunnelState(None, None, None)
+              flushed = true
+            } else e.event_type match {
+              case "signup" if st.s1.isEmpty =>
+                st = st.copy(s1 = Some(e.ts_us))
+              case "view" if st.s2.isEmpty && st.s1.exists(_ <= e.ts_us) =>
+                st = st.copy(s2 = Some(e.ts_us))
+              case "purchase" if st.s3.isEmpty && st.s2.exists(_ <= e.ts_us) =>
+                st = st.copy(s3 = Some(e.ts_us))
+              case _ => ()
+            }
+          }
+          if (flushed && st == FunnelState(None, None, None)) {
+            if (state.exists) state.remove()
+          } else state.update(st)
+          out.result().iterator
+      }
+  }
+
   /** Watermarked stream-stream interval join: each purchase matched
     * to the same user's views in the preceding hour. Both sides carry
     * watermarks, so join state is bounded — the state-store holds at
@@ -196,15 +260,19 @@ object EventStreams {
     d.toString
   }
 
-  /** Replay `(user_id, ts_us, event_id)` rows as an ORDERED
+  /** Replay `(user_id, ts_us, event_id, …)` rows as an ORDERED
     * multi-batch file stream: `nSlices` parquet files covering
     * consecutive ts_us spans, plus one trailing punctuation file
     * (event_id = -1 per distinct user, stamped past every session
     * gap) that flushes open sessions. File mtimes are forced into
     * slice order so the file source's oldest-first pickup with
     * maxFilesPerTrigger=1 delivers each user's events in event-time
-    * order across micro-batches — the log-rotation ingest shape. The
-    * min/max probe is a 2-scalar driver collect. */
+    * order across micro-batches — the log-rotation ingest shape; as a
+    * corollary, events sharing a ts_us always land in the SAME slice,
+    * which is what lets stateful consumers resolve event-time ties
+    * inside one micro-batch sort. Columns beyond the required three
+    * ride along (typed nulls in the punctuation rows). The min/max
+    * probe is a 2-scalar driver collect. */
   def timeSlicedDir(ev: DataFrame, nSlices: Int, gapUs: Long): String = {
     val bounds = ev.agg(min(col("ts_us")), max(col("ts_us"))).head()
     require(!bounds.isNullAt(0),
@@ -215,9 +283,12 @@ object EventStreams {
     val inDir = base.resolve("in")
     java.nio.file.Files.createDirectories(inDir)
     val span = math.max(1L, (hi - lo) / nSlices + 1)
+    val extras = ev.columns.filterNot(Set("user_id", "ts_us", "event_id"))
     val flush = ev.select(col("user_id")).distinct()
-      .select(col("user_id"), lit(hi + gapUs + 1).as("ts_us"),
-        lit(-1L).as("event_id"))
+      .select(Seq(col("user_id"), lit(hi + gapUs + 1).as("ts_us"),
+        lit(-1L).as("event_id")) ++
+        extras.map(c => lit(null).cast(ev.schema(c).dataType).as(c)): _*)
+      .select(ev.columns.map(col): _*)
     val slices = (0 until nSlices).map(i =>
       ev.filter(col("ts_us") >= lo + i * span &&
         col("ts_us") < lo + (i + 1) * span)) :+ flush

@@ -157,6 +157,65 @@ class EventStreamsSpec extends SparkSpec {
     assert(spark.table("enrich_test").count() > 0)
   }
 
+  test("streaming funnel: tie-break and ordering semantics match the " +
+    "batch min-aggregation on planted journeys, across micro-batches") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    // u1: all three stages share one timestamp — every >= holds with
+    //     equality, so the full progression must count (stage-first
+    //     tie fold). u2: both views precede the signup in EVENT time —
+    //     neither may qualify retroactively. u3: purchase strictly
+    //     between signup and the qualifying view — reached s2, not s3.
+    val ev = Seq(
+      EventStreams.FunnelEvent(1L, 100L, 10L, "signup"),
+      EventStreams.FunnelEvent(1L, 100L, 11L, "view"),
+      EventStreams.FunnelEvent(1L, 100L, 12L, "purchase"),
+      EventStreams.FunnelEvent(2L, 50L, 20L, "view"),
+      EventStreams.FunnelEvent(2L, 90L, 21L, "view"),
+      EventStreams.FunnelEvent(2L, 100L, 22L, "signup"),
+      EventStreams.FunnelEvent(3L, 100L, 30L, "signup"),
+      EventStreams.FunnelEvent(3L, 120L, 31L, "purchase"),
+      EventStreams.FunnelEvent(3L, 150L, 32L, "view"))
+    val punct = Seq(1L, 2L, 3L).map(u =>
+      EventStreams.FunnelEvent(u, 1000L, -1L, null))
+
+    val input = MemoryStream[EventStreams.FunnelEvent]
+    // event-time-ordered batches, punctuation last — timeSlicedDir's
+    // delivery contract
+    input.addData(ev.filter(_.ts_us <= 100L))
+    input.addData(ev.filter(_.ts_us > 100L))
+    input.addData(punct)
+    val q = EventStreams.funnelStream(input.toDS())
+      .writeStream.format("memory").queryName("funnel_tie_test")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val got = spark.table("funnel_tie_test").collect()
+      .map(r => r.getLong(0) ->
+        ((Option(r.get(1)), Option(r.get(2)), Option(r.get(3)))))
+      .toMap
+    assert(got(1L) == ((Some(100L), Some(100L), Some(100L))))
+    assert(got(2L) == ((Some(100L), None, None)))
+    assert(got(3L) == ((Some(100L), Some(150L), None)))
+
+    // and the batch three-pass aggregation lands on the same stages
+    val batch = graft.operators.EventAnalytics.funnelStages(
+      ev.toDF("user_id", "ts_us", "event_id", "event_type"))
+      .collect()
+      .map(r => r.getLong(0) ->
+        ((Option(r.get(1)), Option(r.get(2)), Option(r.get(3)))))
+      .toMap
+    assert(got == batch)
+  }
+
+  test("streaming funnel gate (q_stream_funnel) equals the batch funnel " +
+    "counts") {
+    val stream = graft.SparkEntry.queries("q_stream_funnel")(spark, dir)
+      .collect().map(_.toSeq).toSeq
+    val batch = graft.SparkEntry.queries("q_funnel")(spark, dir)
+      .collect().map(_.toSeq).toSeq
+    assert(stream.nonEmpty && stream == batch)
+  }
+
   test("streaming ANN serve (q_stream_ann) equals the batch IVF search " +
     "over the same stored index") {
     import graft.operators.SimilarityOps
