@@ -62,4 +62,31 @@ class TablesSpec extends SparkSpec {
       assert(n === 1L, s"$sf: ts_us did not resolve")
     }
   }
+
+  test("testdata column-type contracts the operators assume hold at " +
+    "every scale factor") {
+    // the ts encoding silently changed shape once (r9→r10) and broke
+    // 13 queries; these are the OTHER silent changes that would break
+    // whole families the same way. Fail here, loudly, instead.
+    import org.apache.spark.sql.types._
+    Seq("sf0.001", "sf0.01", "sf0.1").foreach { sf =>
+      val dir = s"/root/testdata/$sf"
+      val emb = Tables(spark, dir, "embeddings").schema
+      // CosineSimilarity (and every ANN gate) requires array<float>
+      assert(emb("embedding").dataType === ArrayType(FloatType),
+        s"$sf: embeddings.embedding is ${emb("embedding").dataType} — " +
+          "every similarity operator assumes array<float>")
+      assert(emb("vec_id").dataType === LongType, s"$sf: vec_id type")
+      val docs = Tables(spark, dir, "documents").schema
+      assert(docs("doc_id").dataType === LongType, s"$sf: doc_id type")
+      assert(docs("text").dataType === StringType, s"$sf: text type")
+      Seq("source", "lang").foreach(c =>
+        assert(docs(c).dataType === StringType, s"$sf: $c type"))
+      val ev = Tables(spark, dir, "events").schema
+      Seq("user_id", "event_id").foreach(c =>
+        assert(ev(c).dataType === LongType, s"$sf: events.$c type"))
+      assert(ev("event_type").dataType === StringType,
+        s"$sf: event_type type")
+    }
+  }
 }
