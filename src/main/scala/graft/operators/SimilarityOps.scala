@@ -26,6 +26,7 @@ object SimilarityOps {
   val NumCentroids = 8  // vec_id < 8 seed the gate's IVF centroids
   val LshBits = 16      // sign bits of the first 16 dims
   val NumProbeCells = 2 // gate IVF search scans 2 of the 8 cells
+  val IvfIngestMod = 5  // vec_id % 5 == 4 plays the newly-arriving slice
   val LabelNoiseK = 5   // kNN vote size for the label-noise screen
 
   /** Near-dup blocking bands: 2 bands × 8 sign bits (dims 1-16).
@@ -566,6 +567,26 @@ object SimilarityOps {
   private def gateProbes(s: SparkSession, dir: String): DataFrame =
     emb(s, dir).filter(col("vec_id") < NumProbes)
       .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+
+  /** Oracle for q_stream_ivf_ingest: seed-centroid assignment of the
+    * "newly arriving" vec_id % [[IvfIngestMod]] slice — the same
+    * cell-ranking CTE shape as [[ivfSearchSql]]'s `cells`, restricted
+    * to the ingest slice. */
+  private[operators] def ivfIngestSql: String =
+    s"""WITH c AS (SELECT vec_id AS centroid_id, embedding AS cv
+       |           FROM embeddings WHERE vec_id < $NumCentroids),
+       |scored AS (
+       |  SELECT e.vec_id, c.centroid_id,
+       |         ${cosSql("cv", "e.embedding")}
+       |         AS cos
+       |  FROM c CROSS JOIN embeddings e
+       |  WHERE e.vec_id % $IvfIngestMod = ${IvfIngestMod - 1})
+       |SELECT vec_id, centroid_id, round(cos, 6) AS sim
+       |FROM (SELECT vec_id, centroid_id, cos,
+       |             row_number() OVER (PARTITION BY vec_id
+       |                                ORDER BY cos DESC, centroid_id) AS rnk
+       |      FROM scored)
+       |WHERE rnk = 1""".stripMargin
 
   /** ONE oracle for q_sim_ivf_search AND q_stream_ann: seed-centroid
     * IVF assignment, nprobe probe-cell selection, in-cell exact
@@ -1822,9 +1843,17 @@ object SimilarityOps {
     * (spec-pinned); the q_stream_ann gate runs it as a real stream
     * against the shared [[ivfSearchSql]] oracle.
     */
-  def annSearchStored(queries: DataFrame, index: DataFrame,
-      centroids: Seq[(Long, Array[Float])], nprobe: Int, k: Int): DataFrame = {
-    val s = queries.sparkSession
+  /** The `n` nearest centroid cells of the `qv` column by cosine,
+    * as a sorted array of (ccos, centroid_id) structs — pure map-side
+    * array arithmetic over the centroid CONSTANTS, the streamable
+    * replacement for the crossJoin+window cell ranking (no window, so
+    * it plans inside a micro-batch). The comparator reproduces
+    * `ccos DESC, centroid_id ASC`; [[CosineSimilarity]] keeps the
+    * arithmetic bit-identical to the batch path and the oracle.
+    * Shared by [[annSearchStored]] (probe-cell selection) and the
+    * q_stream_ivf_ingest cell assignment (n = 1). */
+  private def nearestCellsConst(s: SparkSession,
+      centroids: Seq[(Long, Array[Float])], n: Int): Column = {
     val centArr = array(centroids.map { case (id, v) =>
       struct(lit(id).as("centroid_id"), array(v.map(lit(_)): _*).as("cv"))
     }: _*)
@@ -1837,9 +1866,32 @@ object SimilarityOps {
         .when(l.getField("centroid_id") < r.getField("centroid_id"), lit(-1))
         .when(l.getField("centroid_id") > r.getField("centroid_id"), lit(1))
         .otherwise(lit(0))
+    slice(array_sort(scored, byCcosDesc), 1, n)
+  }
+
+  /** Streaming IVF index ingest: assign each newly arriving vector
+    * (a streaming (vec_id, qv) batch) to its nearest centroid —
+    * STATELESS map-side arithmetic, the write half of the serving
+    * story whose read half is [[annSearchStored]]. In production the
+    * assigned rows append into the [[writeIvfIndex]] bucketed layout
+    * per trigger (foreachBatch); output matches [[ivfAssign]] on the
+    * same slice exactly (spec-pinned + shared-CTE oracle). */
+  def streamIvfIngest(newVectors: DataFrame,
+      centroids: Seq[(Long, Array[Float])]): DataFrame = {
+    val s = newVectors.sparkSession
+    newVectors
+      .select(col("vec_id"),
+        element_at(nearestCellsConst(s, centroids, 1), 1).as("c"))
+      .select(col("vec_id"), col("c.centroid_id").as("centroid_id"),
+        round(col("c.ccos"), 6).as("sim"))
+  }
+
+  def annSearchStored(queries: DataFrame, index: DataFrame,
+      centroids: Seq[(Long, Array[Float])], nprobe: Int, k: Int): DataFrame = {
+    val s = queries.sparkSession
     val probed = queries
       .select(col("query_id"), col("qv"),
-        explode(slice(array_sort(scored, byCcosDesc), 1, nprobe)).as("pc"))
+        explode(nearestCellsConst(s, centroids, nprobe)).as("pc"))
       .select(col("query_id"), col("qv"),
         col("pc.centroid_id").as("probe_centroid"))
     val cand = broadcast(probed)

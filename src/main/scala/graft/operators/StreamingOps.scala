@@ -224,6 +224,33 @@ object StreamingOps {
       }
     },
 
+    // Streaming IVF index INGEST — the write half of the serving
+    // story (q_stream_ann is the read half): newly arriving vectors
+    // stream in, each is assigned its nearest centroid cell by pure
+    // map-side arithmetic over the broadcast centroid constants
+    // (stateless — no state store at all), ready to append into the
+    // writeIvfIndex bucketed layout per trigger. Oracle = the batch
+    // assignment CTE restricted to the ingest slice; the spec
+    // additionally pins stream == ivfAssign on the same slice.
+    QueryDef.sql("q_stream_ivf_ingest", SimilarityOps.ivfIngestSql) {
+      (s, dir) => withStreamPartitions(s, 8) {
+        val emb = Tables(s, dir, "embeddings")
+        val centConst = emb.filter(col("vec_id") < SimilarityOps.NumCentroids)
+          .select(col("vec_id"), col("embedding")).collect()
+          .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).toSeq
+        val stream = s.readStream.schema(emb.schema)
+          .parquet(EventStreams.streamableDir(s"$dir/embeddings.parquet"))
+          .filter(col("vec_id") % SimilarityOps.IvfIngestMod
+            === SimilarityOps.IvfIngestMod - 1)
+          .select(col("vec_id"), col("embedding").as("qv"))
+        val q = SimilarityOps.streamIvfIngest(stream, centConst)
+          .writeStream.format("memory").queryName("graft_stream_ivf_ingest")
+          .outputMode("append").trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+        s.table("graft_stream_ivf_ingest")
+      }
+    },
+
     // Streaming ANN serving against the STORED bucketed IVF index —
     // the serving twin of q_stream_ingest_screen: the query-vector
     // stream probes SimilarityOps.writeIvfIndex's centroid-bucketed

@@ -216,6 +216,23 @@ class EventStreamsSpec extends SparkSpec {
     assert(stream.nonEmpty && stream == batch)
   }
 
+  test("streaming IVF ingest (q_stream_ivf_ingest) assigns cells " +
+    "exactly as the batch ivfAssign on the same slice") {
+    import graft.operators.SimilarityOps
+    val sf = "/root/testdata/sf0.001"
+    val ingested = graft.SparkEntry.queries("q_stream_ivf_ingest")(spark, sf)
+      .collect().map(_.toSeq).toSet
+    val emb = graft.Tables(spark, sf, "embeddings")
+    val centroids = emb.filter(col("vec_id") < SimilarityOps.NumCentroids)
+      .select(col("vec_id").as("centroid_id"), col("embedding").as("cv"))
+    val batch = SimilarityOps.ivfAssign(
+      emb.filter(col("vec_id") % SimilarityOps.IvfIngestMod
+        === SimilarityOps.IvfIngestMod - 1), centroids)
+      .collect().map(_.toSeq).toSet
+    assert(ingested == batch)
+    assert(ingested.nonEmpty)
+  }
+
   test("streaming ANN serve (q_stream_ann) equals the batch IVF search " +
     "over the same stored index") {
     import graft.operators.SimilarityOps
