@@ -16,15 +16,25 @@ import org.apache.spark.sql.SparkSession
   * every output row and column, so the timing covers the real work.
   *
   * Timing is the MINIMUM of SPARK_GRAFT_BENCH_ITERS runs (default 3),
-  * with queries whose best-of-3 still exceeds
-  * [[Bench.HeavyThresholdSec]] given SPARK_GRAFT_BENCH_HEAVY_ITERS
-  * extra runs (default 2 more, best-of-5). On a time-shared box,
-  * contention noise is strictly ADDITIVE — a run is never faster than
-  * the work — so the minimum is the best estimator of the query's
-  * true cost; the r9/r10 whipsaw (same code, 1.07 s vs 40.3 s on one
-  * query) showed the median of 3 still passes through whole noisy
-  * windows. The first run's plan-compile + codegen overhead is
-  * absorbed the same way.
+  * with extra SPARK_GRAFT_BENCH_HEAVY_ITERS runs (default 2 more,
+  * best-of-5) granted to queries whose best-of-3 either exceeds
+  * [[Bench.HeavyThresholdSec]] OR regressed more than
+  * [[Bench.RegressionFactor]]× against the previous round's recorded
+  * value (read from the existing BENCH_QUERIES.json before it is
+  * overwritten) — the r11 lesson: the absolute threshold protected
+  * exactly the wrong queries, letting three sub-3 s queries report
+  * 4–6× box-noise regressions on untouched code. On a time-shared
+  * box, contention noise is strictly ADDITIVE — a run is never faster
+  * than the work — so the minimum is the best estimator of the
+  * query's true cost; the r9/r10 whipsaw (same code, 1.07 s vs 40.3 s
+  * on one query) showed the median of 3 still passes through whole
+  * noisy windows. The first run's plan-compile + codegen overhead is
+  * absorbed the same way. The per-query file records BOTH min
+  * (`queries`, the headline — comparable from r11 on) and median
+  * (`queries_median` — comparable with pre-r11 rounds, and the
+  * steady-state view that keeps recurring costs like GC pressure
+  * visible). ANY failed run — base or extra — marks the query failed:
+  * a timing whose extra iterations crashed is not evidence.
   */
 object Bench {
 
@@ -32,6 +42,12 @@ object Bench {
     * heavy-query iterations: cheap queries can't amortize 5 runs,
     * expensive ones are exactly where box noise distorts rankings. */
   val HeavyThresholdSec = 5.0
+
+  /** Best-of-3 above this multiple of the query's previous-round
+    * recorded value also triggers the extra iterations — small fast
+    * queries sit below the absolute threshold, but a 3× jump on one
+    * is exactly the box-noise signature worth re-measuring. */
+  val RegressionFactor = 3.0
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -66,6 +82,28 @@ object Bench {
       System.gc()
     }
 
+    // previous round's per-query minima (the file this run will
+    // overwrite) — the reference for the regression re-run rule. A
+    // missing/unparsable file just disables the rule (first round,
+    // renamed output). Flat {"name":sec,...} parse; values may be -1.
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_QUERIES.json")
+    val prevPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_PREV", outPath)
+    val prev: Map[String, Double] =
+      try {
+        val txt = new String(java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get(prevPath)), "UTF-8")
+        val body = txt.substring(txt.indexOf("\"queries\":{") + 11)
+        val inner = body.substring(0, body.indexOf('}'))
+        inner.split(',').iterator.flatMap { kv =>
+          kv.split(':') match {
+            case Array(k, v) =>
+              try Some(k.trim.stripPrefix("\"").stripSuffix("\"") -> v.trim.toDouble)
+              catch { case _: NumberFormatException => None }
+            case _ => None
+          }
+        }.toMap
+      } catch { case _: Throwable => Map.empty }
+
     // optional args = subset of query names to time (local iteration);
     // the driver passes none and gets the full registry. A typoed
     // name must fail loudly — an all-typo subset would otherwise
@@ -90,17 +128,30 @@ object Bench {
         if (ok) Some(sec) else None
       }
       val base = run(iters)
-      val best =
-        if (base.length < iters) -1.0 // any failed run marks the query failed
+      val all =
+        if (base.length < iters) Seq.empty // a failed base run fails the query
         else {
           val b = base.min
-          // heavy query: noise moves rankings most here — buy more
-          // evidence and keep the minimum (contention is additive)
-          if (b > HeavyThresholdSec && heavyExtra > 0)
-            (base ++ run(heavyExtra)).min
-          else b
+          // heavy or regressed query: noise moves rankings most here —
+          // buy more evidence and keep the minimum (contention is
+          // additive). "Regressed" = best-of-N above RegressionFactor×
+          // the previous round's recorded minimum for this query.
+          val regressed = prev.get(name).exists(p => p > 0 && b > p * RegressionFactor)
+          if ((b > HeavyThresholdSec || regressed) && heavyExtra > 0) {
+            val extra = run(heavyExtra)
+            // the any-failed-run rule covers EXTRA iterations too: a
+            // query whose re-measurement crashed has no honest timing
+            if (extra.length < heavyExtra) Seq.empty else base ++ extra
+          } else base
         }
-      name -> best
+      name -> all
+    }.map { case (name, all) =>
+      val sorted = all.sorted
+      val med =
+        if (sorted.isEmpty) -1.0
+        else if (sorted.length % 2 == 1) sorted(sorted.length / 2)
+        else (sorted(sorted.length / 2 - 1) + sorted(sorted.length / 2)) / 2
+      (name, if (sorted.isEmpty) -1.0 else sorted.head, med)
     }
     def fmt(v: Double): String =
       if (v < 0) "-1"
@@ -110,14 +161,15 @@ object Bench {
         if (t.isEmpty) "0" else t
       }
     // full per-query record → file (unbounded; the log tail is not)
-    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_QUERIES.json")
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
+    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
-    val total = results.collect { case (_, v) if v >= 0 => v }.sum
+    val qsMed = results.map { case (k, _, m) => "\"" + k + "\":" + fmt(m) }
+      .mkString("{", ",", "}")
+    val total = results.collect { case (_, v, _) if v >= 0 => v }.sum
     val nFailed = results.count(_._2 < 0)
     val sfLabel = new java.io.File(sfDir).getName
     val fileJson =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfLabel"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"queries_median":$qsMed,"sf":"$sfLabel"}"""
     java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
       (fileJson + "\n").getBytes("UTF-8"))
     // compact summary LAST so the bounded tail always captures it whole

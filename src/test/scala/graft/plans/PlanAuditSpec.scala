@@ -57,8 +57,12 @@ class PlanAuditSpec extends SparkSpec {
         // offender — recording it (instead of letting the exception
         // abort the loop) keeps the audit exhaustive, so one broken
         // query can't mask BNLJ regressions in those sorted after it
+        // getMessage may be null (NPE) or empty — extraction must not
+        // itself throw, or it aborts the loop the Try protects
         scala.util.Try(fn(spark, sfDir).queryExecution.executedPlan.toString)
-          .fold(e => offenders += s"$name: plan build failed: ${e.getMessage.linesIterator.next()}",
+          .fold(e => offenders += s"$name: plan build failed: " +
+              String.valueOf(e.getMessage).linesIterator.toSeq.headOption
+                .getOrElse(e.getClass.getName),
             plan => {
               if (plan.contains("CartesianProduct"))
                 offenders += s"$name: CartesianProduct"
