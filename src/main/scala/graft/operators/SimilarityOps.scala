@@ -44,6 +44,10 @@ object SimilarityOps {
     * k-means-trained codebook — `ivfTrain` is the training analog). */
   val PqSubspaces = 4
   val PqSubDim = 16
+
+  /** Full embedding dimensionality of the gate corpus — pinned by
+    * `TablesSpec`'s column-type contracts. */
+  val EmbDim: Int = PqSubspaces * PqSubDim
   // the GATE codebook is deliberately tiny and SEEDED (deterministic,
   // oracle-replicable); quantization quality comes from pqTrain's
   // k-means codebook, whose recall the spec measures against the
@@ -60,6 +64,13 @@ object SimilarityOps {
     * small so the oracle can unroll the identical iterations as
     * chained CTEs. Declared BEFORE `all` (oracle interpolation). */
   val PqTrainGateIters = 2
+
+  /** Lloyd rounds for the TRAINED-centroid stored-index serve gate
+    * (q_ann_trained_serve) — the coarse-IVF analog of
+    * [[PqTrainGateIters]], fixed and small so the oracle unrolls the
+    * identical iterations as chained CTEs. Declared BEFORE `all`
+    * (oracle interpolation). */
+  val IvfTrainGateIters = 2
 
   /** ADC shortlist size for the two-stage rerank gate query: the
     * compressed-domain search overfetches RerankShortlist candidates,
@@ -379,7 +390,22 @@ object SimilarityOps {
     * the dimension/count probes and per-iteration checkpoints do a
     * handful of driver round-trips by design (once per index build).
     */
-  def ivfTrain(corpus: DataFrame, k: Int, iters: Int): DataFrame = {
+  def ivfTrain(corpus: DataFrame, k: Int, iters: Int): DataFrame =
+    ivfLloyd(corpus, k, iters, c => avg(c))
+
+  /** [[ivfTrain]] with per-iteration centroid QUANTIZATION (6-dp
+    * rounded means, then the float cast both variants share) — the
+    * [[pqTrainQuantized]] move applied to the coarse IVF codebook:
+    * both engines compute means of the SAME member sets from the SAME
+    * float-quantized centroids, so the only cross-engine freedom
+    * (summation order inside avg(), ~1e-15) is absorbed by the
+    * rounding and the oracle can replay the training loop exactly.
+    * Behind the q_ann_trained_serve gate. */
+  def ivfTrainQuantized(corpus: DataFrame, k: Int, iters: Int): DataFrame =
+    ivfLloyd(corpus, k, iters, c => round(avg(c), 6))
+
+  private def ivfLloyd(corpus: DataFrame, k: Int, iters: Int,
+      meanOf: Column => Column): DataFrame = {
     val firstRow = corpus.select(size(col("embedding")).as("d")).limit(1).collect()
     require(firstRow.nonEmpty, "ivfTrain: empty corpus")
     val dim = firstRow(0).getInt(0)
@@ -403,7 +429,7 @@ object SimilarityOps {
         .join(corpus.select(col("vec_id"),
           col("embedding").cast("array<double>").as("v")), "vec_id")
       val dimCols = (0 until dim).map(i =>
-        avg(element_at(col("v"), i + 1)).as(s"d$i"))
+        meanOf(element_at(col("v"), i + 1)).as(s"d$i"))
       val means = assigned.groupBy(col("centroid_id"))
         .agg(dimCols.head, dimCols.tail: _*)
         .select(col("centroid_id"),
@@ -588,17 +614,27 @@ object SimilarityOps {
        |      FROM scored)
        |WHERE rnk = 1""".stripMargin
 
-  /** ONE oracle for q_sim_ivf_search AND q_stream_ann: seed-centroid
-    * IVF assignment, nprobe probe-cell selection, in-cell exact
-    * ranking. The batch operator and the streaming serve path must
-    * land on the identical result, so they share this string the way
-    * the sessionization pair shares its window SQL. */
+  /** ONE oracle for q_sim_ivf_search, q_stream_ann AND
+    * q_stream_ann_after_ingest: seed-centroid IVF assignment, nprobe
+    * probe-cell selection, in-cell exact ranking. The batch operator
+    * and both streaming serve paths must land on the identical
+    * result, so they share this string the way the sessionization
+    * pair shares its window SQL. (For the ingest gate the "union of
+    * base corpus + ingest slice" IS the full embeddings table, so the
+    * same SQL is the read-your-writes oracle.) */
   private[operators] def ivfSearchSql: String =
     s"""WITH c AS (SELECT vec_id AS centroid_id, embedding AS cv
        |           FROM embeddings WHERE vec_id < $NumCentroids),
        |q AS (SELECT vec_id AS query_id, embedding AS qv
        |      FROM embeddings WHERE vec_id < $NumProbes),
-       |cell_scored AS (
+       |$ivfSearchBodySql""".stripMargin
+
+  /** The assignment+probe+rank body shared by [[ivfSearchSql]] and
+    * [[ivfTrainedServeSql]] — expects CTEs `c(centroid_id, cv)` and
+    * `q(query_id, qv)` in scope, so the SQL definition of the search
+    * cannot fork between the seeded and the trained gate. */
+  private def ivfSearchBodySql: String =
+    s"""cell_scored AS (
        |  SELECT e.vec_id, c.centroid_id,
        |         ${cosSql("cv", "e.embedding")}
        |         AS cos
@@ -638,6 +674,56 @@ object SimilarityOps {
        |                                ORDER BY cos DESC, vec_id) AS rnk
        |      FROM cand)
        |WHERE rnk <= $TopK""".stripMargin
+
+  /** Oracle for q_ann_trained_serve: the [[ivfTrainQuantized]] Lloyd
+    * loop unrolled as chained CTEs (the q_pq_train move applied to
+    * the coarse IVF codebook — rank-strided seeds, cosine argmax
+    * assignment with centroid_id tie-break, 6-dp-rounded float-cast
+    * dim-wise means, empty/degenerate cells keep their previous
+    * centroid), then the SAME search body as [[ivfSearchSql]] with
+    * `c` bound to the trained centroids instead of the seeds. */
+  private[operators] def ivfTrainedServeSql: String = {
+    def iter(i: Int): String = {
+      val prev = s"tc${i - 1}"
+      s"""ta$i AS (
+         |  SELECT e.vec_id, t.centroid_id,
+         |         ${cosSql("t.cv", "e.embedding")}
+         |         AS cos
+         |  FROM $prev t CROSS JOIN embeddings e),
+         |tb$i AS (
+         |  SELECT vec_id, centroid_id
+         |  FROM (SELECT vec_id, centroid_id,
+         |               row_number() OVER (PARTITION BY vec_id
+         |                                  ORDER BY cos DESC, centroid_id) AS rn
+         |        FROM ta$i) WHERE rn = 1),
+         |tm$i AS (
+         |  SELECT b.centroid_id, dims.di AS dim,
+         |         CAST(round(avg(CAST(e.embedding[dims.di+1] AS DOUBLE)), 6) AS FLOAT) AS v
+         |  FROM tb$i b JOIN embeddings e USING (vec_id),
+         |       (SELECT unnest(range($EmbDim)) AS di) dims
+         |  GROUP BY 1, 2),
+         |tc$i AS (
+         |  SELECT p.centroid_id, coalesce(mm.cv, p.cv) AS cv
+         |  FROM $prev p LEFT JOIN
+         |    (SELECT centroid_id, list(v ORDER BY dim) AS cv
+         |     FROM tm$i GROUP BY 1
+         |     HAVING sum(abs(CAST(v AS DOUBLE))) > 0) mm
+         |    USING (centroid_id))""".stripMargin
+    }
+    s"""WITH rk AS (SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS rnk
+       |           FROM embeddings),
+       |par AS (SELECT greatest(
+       |          (SELECT count(*) FROM embeddings) // $NumCentroids, 1) AS stride),
+       |tc0 AS (SELECT e.vec_id AS centroid_id, e.embedding AS cv
+       |        FROM embeddings e JOIN rk USING (vec_id), par
+       |        WHERE rk.rnk % par.stride = 0
+       |          AND rk.rnk < par.stride * $NumCentroids),
+       |${(1 to IvfTrainGateIters).map(iter).mkString(",\n")},
+       |c AS (SELECT centroid_id, cv FROM tc$IvfTrainGateIters),
+       |q AS (SELECT vec_id AS query_id, embedding AS qv
+       |      FROM embeddings WHERE vec_id < $NumProbes),
+       |$ivfSearchBodySql""".stripMargin
+  }
 
   val all: Seq[QueryDef] = Seq(
 
@@ -939,6 +1025,30 @@ object SimilarityOps {
           .select(col("vec_id").as("centroid_id"), col("embedding").as("cv"))
         ivfSearch(emb(s, dir), centroids, gateProbes(s, dir),
           NumProbeCells, TopK)
+    },
+
+    // The PRODUCTION index-build + serve composition: train the
+    // coarse centroids with the quantized Lloyd loop (so the oracle
+    // can replay training exactly — the q_pq_train move applied to
+    // the coarse codebook), persist the full-precision index bucketed
+    // by the TRAINED cells, and serve a probe batch against the
+    // stored table through the same annSearchStored path q_stream_ann
+    // uses. Until now every serve gate ran on seed centroids
+    // (vec_id < NumCentroids) while the Lloyd loop sat one file over;
+    // this gate closes that gap: train → writeIvfIndex →
+    // annSearchStored with the trained constants, oracle = the
+    // unrolled training iterations feeding the shared search body.
+    // The spec additionally reports trained-vs-seeded recall against
+    // the exact brute-force top-k.
+    QueryDef.sql("q_ann_trained_serve", ivfTrainedServeSql) {
+      (s, dir) =>
+        val trained = ivfTrainQuantized(emb(s, dir), NumCentroids,
+          IvfTrainGateIters)
+        writeIvfIndex(emb(s, dir), trained, "graft_ivf_trained", 8)
+        val centConst = trained.collect()
+          .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).toSeq
+        annSearchStored(gateProbes(s, dir), s.table("graft_ivf_trained"),
+          centConst, NumProbeCells, TopK)
     },
 
     // Product quantization: per-subspace nearest-centroid codes + the
@@ -1822,6 +1932,31 @@ object SimilarityOps {
         .select(col("vec_id"), col("centroid_id"), col("embedding")),
       tableName, Seq("centroid_id"), numBuckets)
 
+  /** APPEND one batch of newly arriving (vec_id, embedding) vectors
+    * into a stored [[writeIvfIndex]] table — the foreachBatch body
+    * that closes the ingest→serve loop: each vector is assigned its
+    * nearest centroid MAP-SIDE over the broadcast centroid constants
+    * (the [[streamIvfIngest]] arithmetic, so the appended cell ids
+    * match the batch [[ivfAssign]] exactly), and the rows land in the
+    * SAME bucketed-by-centroid_id layout, so a serve probing the
+    * updated table still reads it with zero exchange on the stored
+    * side (spec-proven in `SourcesSpec`). The bucket spec must match
+    * the existing table's — Spark rejects a mismatched append, which
+    * is the failure mode you want for an index whose layout IS the
+    * serving contract. */
+  def appendIvfIndex(batch: DataFrame, centroids: Seq[(Long, Array[Float])],
+      tableName: String, numBuckets: Int): Unit =
+    batch.select(col("vec_id"), col("embedding"),
+        col("embedding").as("qv"))
+      .select(col("vec_id"),
+        element_at(nearestCellsConst(batch.sparkSession, centroids, 1), 1)
+          .getField("centroid_id").as("centroid_id"),
+        col("embedding"))
+      .write.mode("append").format("parquet")
+      .bucketBy(numBuckets, "centroid_id")
+      .sortBy("centroid_id")
+      .saveAsTable(tableName)
+
   /** ANN serve over a STORED [[writeIvfIndex]] table, shaped so the
     * query batch may be a STREAMING DataFrame — the serving twin of
     * the streaming ingest screen:
@@ -1860,9 +1995,15 @@ object SimilarityOps {
     val scored = transform(centArr, c => struct(
       CosineSimilarity(s, col("qv"), c.getField("cv")).as("ccos"),
       c.getField("centroid_id").as("centroid_id")))
+    // a NULL ccos (zero-norm or length-mismatched centroid) must sort
+    // LAST like the oracle's ORDER BY cos DESC (NULLS LAST) — without
+    // the coalesce every when() fails and the comparator falls through
+    // to the id tie-break, letting a degenerate centroid sort FIRST
+    val cc = (c: Column) =>
+      coalesce(c.getField("ccos"), lit(Double.NegativeInfinity))
     val byCcosDesc = (l: Column, r: Column) =>
-      when(l.getField("ccos") > r.getField("ccos"), lit(-1))
-        .when(l.getField("ccos") < r.getField("ccos"), lit(1))
+      when(cc(l) > cc(r), lit(-1))
+        .when(cc(l) < cc(r), lit(1))
         .when(l.getField("centroid_id") < r.getField("centroid_id"), lit(-1))
         .when(l.getField("centroid_id") > r.getField("centroid_id"), lit(1))
         .otherwise(lit(0))

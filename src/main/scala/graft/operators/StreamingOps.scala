@@ -255,12 +255,19 @@ object StreamingOps {
     // the serving twin of q_stream_ingest_screen: the query-vector
     // stream probes SimilarityOps.writeIvfIndex's centroid-bucketed
     // corpus, with probe-cell selection done map-side over the
-    // centroid constants (no window, so it plans in a micro-batch),
-    // the probe batch broadcast into the index join (no exchange on
-    // the stored side — spec-proven), and per-query top-k held as
-    // bounded TopKAggregator state (k rows per query). Oracle = the
-    // SAME SQL as q_sim_ivf_search, so "the stream serves exactly
-    // what the batch search computes" is structural.
+    // centroid constants (no window, so it plans in a micro-batch)
+    // and the probe batch broadcast into the index join (no exchange
+    // on the stored side — spec-proven). The sink is the PRODUCTION
+    // serve contract: foreachBatch answers each trigger's queries as
+    // one batch computation against the stored index and emits that
+    // trigger's top-k — memory is bounded by the trigger's query
+    // batch (plus k rows per in-flight query in the bounded TopK
+    // aggregator), never by query history, unlike a complete-mode
+    // memory sink that would hold every past answer forever. Each
+    // query appears in exactly one trigger, so the per-trigger
+    // answers union to the batch result. Oracle = the SAME SQL as
+    // q_sim_ivf_search, so "the stream serves exactly what the batch
+    // search computes" is structural.
     QueryDef.sql("q_stream_ann", SimilarityOps.ivfSearchSql) {
       (s, dir) => withStreamPartitions(s, 8) {
         val emb = Tables(s, dir, "embeddings")
@@ -269,17 +276,68 @@ object StreamingOps {
         SimilarityOps.writeIvfIndex(emb, centroids, "graft_ivf_index", 8)
         val centConst = centroids.collect() // 8 rows: index geometry
           .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).toSeq
+        val outDir = java.nio.file.Files.createTempDirectory("graft_ann_out")
+        EventStreams.deleteRecursivelyOnExit(outDir)
         val stream = s.readStream.schema(emb.schema)
           .parquet(EventStreams.streamableDir(s"$dir/embeddings.parquet"))
           .filter(col("vec_id") < SimilarityOps.NumProbes)
           .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
-        val q = SimilarityOps.annSearchStored(stream,
-          s.table("graft_ivf_index"), centConst,
-          SimilarityOps.NumProbeCells, SimilarityOps.TopK)
-          .writeStream.format("memory").queryName("graft_stream_ann")
-          .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+        val q = stream.writeStream
+          .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+            SimilarityOps.annSearchStored(batch,
+              s.table("graft_ivf_index"), centConst,
+              SimilarityOps.NumProbeCells, SimilarityOps.TopK)
+              .write.mode("append").parquet(s"$outDir/answers")
+          }
+          .trigger(Trigger.AvailableNow()).start()
         q.awaitTermination()
-        s.table("graft_stream_ann")
+        s.read.parquet(s"$outDir/answers")
+      }
+    },
+
+    // The ingest→serve loop CLOSED (read-your-writes): the stored
+    // bucketed IVF index is built WITHOUT the "newly arriving"
+    // vec_id % IvfIngestMod slice, the ingest stream assigns each new
+    // vector its cell map-side (q_stream_ivf_ingest's arithmetic) and
+    // foreachBatch-APPENDS it into the index's bucketed layout per
+    // trigger, and a probe batch is then served against the UPDATED
+    // table through the same annSearchStored path. Oracle = the same
+    // ivfSearchSql over the full embeddings table — which IS the
+    // union of base corpus + ingest slice — so the gate proves the
+    // appended rows are really served, not just assigned. The
+    // appended table's reads stay exchange-free on the stored side
+    // (SourcesSpec pins this post-append).
+    QueryDef.sql("q_stream_ann_after_ingest", SimilarityOps.ivfSearchSql) {
+      (s, dir) => withStreamPartitions(s, 8) {
+        val emb = Tables(s, dir, "embeddings")
+        val centroids = emb.filter(col("vec_id") < SimilarityOps.NumCentroids)
+          .select(col("vec_id").as("centroid_id"), col("embedding").as("cv"))
+        val isIngest = col("vec_id") % SimilarityOps.IvfIngestMod ===
+          SimilarityOps.IvfIngestMod - 1
+        SimilarityOps.writeIvfIndex(emb.filter(!isIngest), centroids,
+          "graft_ivf_live", 8)
+        val centConst = centroids.collect()
+          .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).toSeq
+        // multi-trigger ingest: several files, one append per trigger
+        val slice = emb.filter(isIngest).select(col("vec_id"), col("embedding"))
+        val tmp = java.nio.file.Files.createTempDirectory("graft_ivf_ingest")
+        EventStreams.deleteRecursivelyOnExit(tmp)
+        val inDir = s"$tmp/in"
+        slice.repartition(4).write.mode("overwrite").parquet(inDir)
+        val stream = s.readStream.schema(slice.schema)
+          .option("maxFilesPerTrigger", "1").parquet(inDir)
+        val q = stream.writeStream
+          .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+            SimilarityOps.appendIvfIndex(batch, centConst, "graft_ivf_live", 8)
+          }
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+        // serve against the UPDATED index — the appended vectors must
+        // be reachable candidates or the hashes cannot match
+        val probes = emb.filter(col("vec_id") < SimilarityOps.NumProbes)
+          .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+        SimilarityOps.annSearchStored(probes, s.table("graft_ivf_live"),
+          centConst, SimilarityOps.NumProbeCells, SimilarityOps.TopK)
       }
     },
 

@@ -166,6 +166,43 @@ class PipelineOpsSpec extends SparkSpec {
     assert(ivf.size == exact.size)
   }
 
+  test("trained-centroid stored serve (q_ann_trained_serve) equals the " +
+    "in-memory ivfSearch on the trained centroids; trained-vs-seeded " +
+    "recall reported vs exact top-k") {
+    val sf = "/root/testdata/sf0.001"
+    val emb = graft.Tables(spark, sf, "embeddings")
+    val probes = emb.filter($"vec_id" < SimilarityOps.NumProbes)
+      .select($"vec_id".as("query_id"), $"embedding".as("qv"))
+    try {
+      val served = graft.SparkEntry.queries("q_ann_trained_serve")(spark, sf)
+        .collect().map(_.toSeq).toSet
+      val trained = SimilarityOps.ivfTrainQuantized(emb,
+        SimilarityOps.NumCentroids, SimilarityOps.IvfTrainGateIters)
+      val inMem = SimilarityOps.ivfSearch(emb, trained, probes,
+        SimilarityOps.NumProbeCells, SimilarityOps.TopK)
+        .collect().map(_.toSeq).toSet
+      assert(served == inMem,
+        "stored trained-centroid serve diverged from the in-memory search")
+      assert(served.nonEmpty)
+      // recall telemetry: the reason to train at all. Fixed data ⇒
+      // deterministic, not flaky; isotropic noise keeps both low.
+      def keys(df: DataFrame) =
+        df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val exact = keys(SimilarityOps.bruteForceTopK(emb, probes, SimilarityOps.TopK))
+      val seeded = keys(SimilarityOps.ivfSearch(emb,
+        emb.filter($"vec_id" < SimilarityOps.NumCentroids)
+          .select($"vec_id".as("centroid_id"), $"embedding".as("cv")),
+        probes, SimilarityOps.NumProbeCells, SimilarityOps.TopK))
+      val trainedKeys = served.map(r =>
+        (r(0).asInstanceOf[Long], r(1).asInstanceOf[Long]))
+      val rTrained = (trainedKeys intersect exact).size.toDouble / exact.size
+      val rSeeded = (seeded intersect exact).size.toDouble / exact.size
+      info(f"recall@${SimilarityOps.TopK}: trained=$rTrained%.2f " +
+        f"seeded=$rSeeded%.2f (nprobe=${SimilarityOps.NumProbeCells}/${SimilarityOps.NumCentroids})")
+      assert(rTrained >= 0.2, f"trained recall $rTrained%.2f")
+    } finally spark.sql("DROP TABLE IF EXISTS graft_ivf_trained")
+  }
+
   test("IVF assignment puts every vector in its own cluster's cell") {
     val centroids = vectors.filter($"vec_id" % 25 === 0)
       .select(($"vec_id" / 25).cast("long").as("centroid_id"),

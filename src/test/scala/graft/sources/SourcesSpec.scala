@@ -180,6 +180,78 @@ class SourcesSpec extends SparkSpec {
     }
   }
 
+  test("appended IVF index (the ingest→serve loop): appendIvfIndex keeps " +
+    "the bucketed layout — the post-append serve reads the stored side " +
+    "with NO exchange and the table equals the full-corpus assignment") {
+    import graft.operators.SimilarityOps
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val emb = graft.Tables(spark, "/root/testdata/sf0.001", "embeddings")
+    val centroids = emb.filter(col("vec_id") < SimilarityOps.NumCentroids)
+      .select(col("vec_id").as("centroid_id"), col("embedding").as("cv"))
+    val isIngest = col("vec_id") % SimilarityOps.IvfIngestMod ===
+      SimilarityOps.IvfIngestMod - 1
+    SimilarityOps.writeIvfIndex(emb.filter(!isIngest), centroids,
+      "ivf_append_test", 8)
+    try {
+      val centConst = centroids.collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).toSeq
+      // two appends = two micro-batches of the ingest stream
+      val slice = emb.filter(isIngest).select(col("vec_id"), col("embedding"))
+      SimilarityOps.appendIvfIndex(
+        slice.filter(col("vec_id") < 250), centConst, "ivf_append_test", 8)
+      SimilarityOps.appendIvfIndex(
+        slice.filter(col("vec_id") >= 250), centConst, "ivf_append_test", 8)
+      // content: base + appends == the batch assignment of the FULL corpus
+      val got = spark.table("ivf_append_test")
+        .select(col("vec_id"), col("centroid_id"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val want = SimilarityOps.ivfAssign(emb, centroids)
+        .select(col("vec_id"), col("centroid_id"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == want, "appended index diverged from batch assignment")
+      // plan: the serve over the APPENDED table must still read the
+      // stored side without an exchange — the bucketed layout, not a
+      // shuffle, feeds the probe join
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      try {
+        val probes = emb.filter(col("vec_id") < SimilarityOps.NumProbes)
+          .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+        val served = SimilarityOps.annSearchStored(probes,
+          spark.table("ivf_append_test"), centConst,
+          SimilarityOps.NumProbeCells, SimilarityOps.TopK)
+        def subtree(p: SparkPlan): Seq[SparkPlan] = p +: p.children.flatMap(subtree)
+        val nodes = subtree(served.queryExecution.executedPlan)
+        def isIdxScan(p: SparkPlan): Boolean = p match {
+          case f: FileSourceScanExec =>
+            f.tableIdentifier.exists(_.table == "ivf_append_test")
+          case _ => false
+        }
+        assert(nodes.exists(isIdxScan), "stored index scan missing from plan")
+        val joins = nodes.collect {
+          case j: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+            if subtree(j).exists(isIdxScan) => j
+        }
+        assert(joins.nonEmpty, "broadcast probe join over the index missing:\n" +
+          served.queryExecution.executedPlan)
+        joins.foreach { j =>
+          val idxSides = j.children.filter(c => subtree(c).exists(isIdxScan))
+          assert(idxSides.nonEmpty)
+          idxSides.foreach(c => assert(
+            !subtree(c).exists(_.isInstanceOf[ShuffleExchangeExec]),
+            "appended index side must not shuffle before the probe join:\n" +
+              served.queryExecution.executedPlan))
+        }
+        // and the post-append serve equals the full-corpus in-memory search
+        val inMem = SimilarityOps.ivfSearch(emb, centroids, probes,
+          SimilarityOps.NumProbeCells, SimilarityOps.TopK)
+          .collect().map(_.toSeq).toSet
+        assert(served.collect().map(_.toSeq).toSet == inMem)
+      } finally spark.conf.unset("spark.sql.adaptive.enabled")
+    } finally spark.sql("DROP TABLE IF EXISTS ivf_append_test")
+  }
+
   test("stored IVF-PQ index: search prunes the code table to the probed " +
     "cells, reads it with NO exchange, and matches the in-memory search") {
     import graft.operators.SimilarityOps

@@ -251,6 +251,31 @@ class EventStreamsSpec extends SparkSpec {
     assert(served.nonEmpty)
   }
 
+  test("ingest→serve loop (q_stream_ann_after_ingest): the streamed " +
+    "appends are READ BACK by the serve — equals the batch IVF search " +
+    "over base corpus + ingest slice") {
+    import graft.operators.SimilarityOps
+    val sf = "/root/testdata/sf0.001"
+    val served = graft.SparkEntry.queries("q_stream_ann_after_ingest")(spark, sf)
+      .collect().map(_.toSeq).toSet
+    val emb = graft.Tables(spark, sf, "embeddings")
+    val centroids = emb.filter(col("vec_id") < SimilarityOps.NumCentroids)
+      .select(col("vec_id").as("centroid_id"), col("embedding").as("cv"))
+    val probes = emb.filter(col("vec_id") < SimilarityOps.NumProbes)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val batch = SimilarityOps.ivfSearch(emb, centroids, probes,
+      SimilarityOps.NumProbeCells, SimilarityOps.TopK)
+      .collect().map(_.toSeq).toSet
+    assert(served == batch)
+    assert(served.nonEmpty)
+    // read-your-writes is non-vacuous: at least one served neighbor is
+    // an INGESTED vector (checked against the fixed testdata), so the
+    // equality above cannot hold unless the appends were really read
+    val fromIngest = served.count(r => r(1).asInstanceOf[Long] %
+      SimilarityOps.IvfIngestMod == SimilarityOps.IvfIngestMod - 1)
+    assert(fromIngest > 0, "no served neighbor came from the ingest slice")
+  }
+
   test("streaming ingest screen quarantines exactly the docs sharing a " +
     "corpus paragraph, probing the STORED bucketed index") {
     import spark.implicits._
