@@ -62,60 +62,108 @@ object EventStreams {
   final case class SessionEvent(user_id: Long, ts_us: Long, event_id: Long)
   final case class SessionOut(
       user_id: Long, session_id: Int, start_us: Long, end_us: Long, n_events: Long)
-  // public: the state encoder's generated code must reach the fields
+  // public: the state encoder's generated code must reach the fields.
+  // nEvents == 0 is the post-flush MARKER state: it carries only the
+  // next session ordinal (so a session closed by timeout and the one
+  // the user's next event opens still number consecutively) and is
+  // evicted by its own later timeout if the user never returns.
   final case class SessionState(
       sessionId: Int, startUs: Long, lastUs: Long, nEvents: Long)
 
   /** Streaming gap-sessionization with explicit state: emits each
-    * session when the gap closes it; the open session is emitted on
-    * stream end (processing-time timeout path left to the caller's
-    * trigger policy — with Trigger.AvailableNow the final state is
-    * flushed by the test harness reading remaining state).
+    * session when the gap closes it, and — the no-punctuation
+    * production path — when the EVENT-TIME watermark passes the
+    * session's gap ([[GroupStateTimeout.EventTimeTimeout]]): a user
+    * who simply goes quiet still has their session emitted once the
+    * rest of the stream has moved [[SessionGapUs]] past their last
+    * event. The timeout flush leaves a zero-event MARKER carrying the
+    * next session ordinal (batch numbering must survive the early
+    * emission); the marker is evicted by a second timeout, so state
+    * for departed users is reclaimed, not leaked.
     *
-    * A PUNCTUATION event (event_id < 0) closes and clears the key's
-    * open session without starting a new one — the explicit
-    * end-of-stream marker that lets a finite run (or a log-rotation
-    * boundary in production) flush trailing sessions through the
-    * normal output path instead of leaving them in state.
+    * A PUNCTUATION event (event_id < 0) still closes and clears the
+    * key's open session without starting a new one — the explicit
+    * log-rotation boundary; punctuation and timeout compose (a
+    * punctuation arriving after a timeout flush finds the marker and
+    * emits nothing).
+    *
+    * Exactness relies on [[timeSlicedDir]]'s ordered-delivery
+    * contract: the watermark (0s delay) after batch N is the max
+    * event time of batch N, and any event ≤ that time is already in
+    * batch ≤ N — so a timeout can never fire before an event that
+    * would have continued the session (the timeout would emit exactly
+    * what that event's gap-close would).
     *
     * State per key is O(1) — the canonical mapGroupsWithState shape
     * that survives unbounded keys at scale (state store, not heap).
     */
   def sessionizeStream(events: Dataset[SessionEvent]): Dataset[SessionOut] = {
     import events.sparkSession.implicits._
-    events.groupByKey(_.user_id)
+    val gapMs = SessionGapUs / 1000
+    events
+      .withColumn("event_time", timestamp_micros(col("ts_us")))
+      .withWatermark("event_time", "0 seconds")
+      .as[SessionEvent]
+      .groupByKey(_.user_id)
       .flatMapGroupsWithState[SessionState, SessionOut](
-        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
         (userId: Long, rows: Iterator[SessionEvent], state: GroupState[SessionState]) =>
-          // Within a micro-batch rows are not ordering-guaranteed: sort.
-          val sorted = rows.toSeq.sortBy(e => (e.ts_us, e.event_id))
-          var st = state.getOption.orNull
           val out = Seq.newBuilder[SessionOut]
-          sorted.foreach { e =>
-            if (e.event_id < 0) { // punctuation: close, don't open
-              if (st != null) {
-                out += SessionOut(userId, st.sessionId, st.startUs, st.lastUs, st.nEvents)
-                st = null
-              }
-            } else if (st == null) st = SessionState(1, e.ts_us, e.ts_us, 1)
-            else if (e.ts_us - st.lastUs > SessionGapUs) {
+          if (state.hasTimedOut) {
+            val st = state.get
+            if (st.nEvents > 0) {
+              // watermark passed lastUs + gap: the session is closed by
+              // definition — emit it and keep the numbering marker
               out += SessionOut(userId, st.sessionId, st.startUs, st.lastUs, st.nEvents)
-              st = SessionState(st.sessionId + 1, e.ts_us, e.ts_us, 1)
-            } else st = st.copy(lastUs = e.ts_us, nEvents = st.nEvents + 1)
+              state.update(SessionState(st.sessionId + 1, 0L, 0L, 0L))
+              state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + gapMs + 1)
+            } else state.remove() // marker expired: user really left
+          } else {
+            // Within a micro-batch rows are not ordering-guaranteed: sort.
+            val sorted = rows.toSeq.sortBy(e => (e.ts_us, e.event_id))
+            var st = state.getOption.orNull
+            sorted.foreach { e =>
+              if (e.event_id < 0) { // punctuation: close, don't open
+                if (st != null) {
+                  if (st.nEvents > 0)
+                    out += SessionOut(userId, st.sessionId, st.startUs, st.lastUs, st.nEvents)
+                  st = null
+                }
+              } else if (st == null) st = SessionState(1, e.ts_us, e.ts_us, 1)
+              else if (st.nEvents == 0) // continue numbering past a timeout flush
+                st = SessionState(st.sessionId, e.ts_us, e.ts_us, 1)
+              else if (e.ts_us - st.lastUs > SessionGapUs) {
+                out += SessionOut(userId, st.sessionId, st.startUs, st.lastUs, st.nEvents)
+                st = SessionState(st.sessionId + 1, e.ts_us, e.ts_us, 1)
+              } else st = st.copy(lastUs = e.ts_us, nEvents = st.nEvents + 1)
+            }
+            if (st != null) {
+              // st.nEvents > 0 always holds here: any event activates a
+              // marker and punctuation nulls the state outright
+              state.update(st)
+              state.setTimeoutTimestamp(st.lastUs / 1000 + gapMs + 1)
+            } else if (state.exists) state.remove()
           }
-          if (st != null) state.update(st)
-          else if (state.exists) state.remove()
           out.result().iterator
       }
   }
 
   final case class FunnelEvent(
       user_id: Long, ts_us: Long, event_id: Long, event_type: String)
-  // public: the state/output encoders' generated code reaches the fields
+  // public: the state/output encoders' generated code reaches the
+  // fields. lastUs arms the event-time timeout (the user's quiet clock).
   final case class FunnelState(
-      s1: Option[Long], s2: Option[Long], s3: Option[Long])
+      s1: Option[Long], s2: Option[Long], s3: Option[Long], lastUs: Long)
   final case class FunnelOut(
       user_id: Long, s1: Option[Long], s2: Option[Long], s3: Option[Long])
+
+  /** Default quiet horizon for [[funnelStream]]'s event-time-timeout
+    * flush: ~100 days in micros — far past any real journey, so the
+    * punctuated gate never fires it mid-stream (a funnel row is
+    * one-shot per user; an early fire would split the journey in
+    * two). Pass a small value to flush users who go quiet without a
+    * punctuation marker — the no-punctuation production path. */
+  val FunnelQuietUs: Long = 100L * 24 * 3600 * 1000 * 1000
 
   /** Ordered-funnel progression (signup → view-after-signup →
     * purchase-after-that) as a stateful stream: per-user state is the
@@ -135,7 +183,8 @@ object EventStreams {
     * first within a tie group — while an earlier-ts view can never
     * qualify retroactively, which is what makes the greedy O(1) fold
     * exact. */
-  def funnelStream(events: Dataset[FunnelEvent]): Dataset[FunnelOut] = {
+  def funnelStream(events: Dataset[FunnelEvent],
+      quietUs: Long = FunnelQuietUs): Dataset[FunnelOut] = {
     import events.sparkSession.implicits._
     def stagePrio(e: FunnelEvent): Int = e.event_type match {
       case "signup" => 0
@@ -143,32 +192,52 @@ object EventStreams {
       case "purchase" => 2
       case _ => 3
     }
-    events.groupByKey(_.user_id)
+    val empty = FunnelState(None, None, None, 0L)
+    events
+      .withColumn("event_time", timestamp_micros(col("ts_us")))
+      .withWatermark("event_time", "0 seconds")
+      .as[FunnelEvent]
+      .groupByKey(_.user_id)
       .flatMapGroupsWithState[FunnelState, FunnelOut](
-        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
         (userId: Long, rows: Iterator[FunnelEvent], state: GroupState[FunnelState]) =>
-          val sorted = rows.toSeq.sortBy(e => (e.ts_us, stagePrio(e), e.event_id))
-          var st = state.getOption.getOrElse(FunnelState(None, None, None))
           val out = Seq.newBuilder[FunnelOut]
-          var flushed = false
-          sorted.foreach { e =>
-            if (e.event_id < 0) { // punctuation: emit + clear
-              out += FunnelOut(userId, st.s1, st.s2, st.s3)
-              st = FunnelState(None, None, None)
-              flushed = true
-            } else e.event_type match {
-              case "signup" if st.s1.isEmpty =>
-                st = st.copy(s1 = Some(e.ts_us))
-              case "view" if st.s2.isEmpty && st.s1.exists(_ <= e.ts_us) =>
-                st = st.copy(s2 = Some(e.ts_us))
-              case "purchase" if st.s3.isEmpty && st.s2.exists(_ <= e.ts_us) =>
-                st = st.copy(s3 = Some(e.ts_us))
-              case _ => ()
+          if (state.hasTimedOut) {
+            // the user went quiet for quietUs of EVENT time: emit their
+            // journey-so-far once and reclaim the key — the
+            // no-punctuation flush a real firehose needs
+            val st = state.get
+            out += FunnelOut(userId, st.s1, st.s2, st.s3)
+            state.remove()
+          } else {
+            val sorted = rows.toSeq.sortBy(e => (e.ts_us, stagePrio(e), e.event_id))
+            var st = state.getOption.getOrElse(empty)
+            var flushed = false
+            sorted.foreach { e =>
+              if (e.event_id < 0) { // punctuation: emit + clear
+                out += FunnelOut(userId, st.s1, st.s2, st.s3)
+                st = empty
+                flushed = true
+              } else {
+                e.event_type match {
+                  case "signup" if st.s1.isEmpty =>
+                    st = st.copy(s1 = Some(e.ts_us))
+                  case "view" if st.s2.isEmpty && st.s1.exists(_ <= e.ts_us) =>
+                    st = st.copy(s2 = Some(e.ts_us))
+                  case "purchase" if st.s3.isEmpty && st.s2.exists(_ <= e.ts_us) =>
+                    st = st.copy(s3 = Some(e.ts_us))
+                  case _ => ()
+                }
+                st = st.copy(lastUs = math.max(st.lastUs, e.ts_us))
+              }
+            }
+            if (flushed && st == empty) {
+              if (state.exists) state.remove()
+            } else {
+              state.update(st)
+              state.setTimeoutTimestamp(st.lastUs / 1000 + quietUs / 1000 + 1)
             }
           }
-          if (flushed && st == FunnelState(None, None, None)) {
-            if (state.exists) state.remove()
-          } else state.update(st)
           out.result().iterator
       }
   }

@@ -29,18 +29,32 @@ class EventStreamsSpec extends SparkSpec {
 
     val batch = EventStreams.sessionizeBatch(graft.Tables(spark, dir, "events"))
 
-    // stream (append mode, no timeout) emits only CLOSED sessions; the
-    // final open session per user stays in state ⇒ batch minus stream
-    // = exactly one trailing session per user.
+    // Append-mode stream emits sessions closed by a gap OR flushed by
+    // the event-time timeout (watermark = global max ts after the one
+    // data batch, so every trailing session at least SessionGapUs
+    // quieter than the stream's end flushes in the no-data batch).
+    // Batch minus stream = exactly each user's LAST session IF it is
+    // within the gap of the stream's end (not yet timeout-able).
     val gotRows = got.collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSet
     val batchRows = batch.collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSet
     assert(gotRows.subsetOf(batchRows), "stream emitted a session batch doesn't have")
     val missing = batchRows -- gotRows
-    val users = batch.select("user_id").distinct().count()
-    assert(missing.size == users, s"expected one open (unemitted) session per user, got ${missing.size} for $users users")
-    // and the missing ones are precisely each user's LAST session
+    val maxTs = events.map(_.ts_us).max
     val lastPerUser = batchRows.groupBy(_._1).map { case (_, ss) => ss.maxBy(_._2) }.toSet
-    assert(missing == lastPerUser)
+    // only last sessions may be unemitted, and only when the watermark
+    // has not yet passed their gap (end_us too close to the stream end;
+    // the /1000s mirror the ms resolution of the timeout clock)
+    assert(missing.subsetOf(lastPerUser), "a non-final session went unemitted")
+    missing.foreach { case (u, sid, _, endUs, _) =>
+      assert(endUs / 1000 + EventStreams.SessionGapUs / 1000 + 1 > maxTs / 1000,
+        s"user $u session $sid was timeout-eligible but not emitted")
+    }
+    // and every timeout-eligible trailing session WAS emitted
+    val eligible = lastPerUser.filter { case (_, _, _, endUs, _) =>
+      endUs / 1000 + EventStreams.SessionGapUs / 1000 + 1 <= maxTs / 1000 }
+    assert(eligible.subsetOf(gotRows),
+      "the event-time timeout failed to flush a quiet user's session")
+    assert(eligible.nonEmpty, "fixture has no timeout-eligible session — test is vacuous")
   }
 
   test("punctuation markers flush open sessions: stream output equals " +
@@ -205,6 +219,35 @@ class EventStreamsSpec extends SparkSpec {
         ((Option(r.get(1)), Option(r.get(2)), Option(r.get(3)))))
       .toMap
     assert(got == batch)
+  }
+
+  test("funnel event-time timeout flushes a user with NO punctuation once " +
+    "the watermark passes their quiet horizon; active users stay in state") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    // u1 reaches s2 then goes silent — no punctuation row ever arrives
+    // for them; u2's later events advance the watermark past u1's
+    // quiet horizon, which must flush u1's journey-so-far exactly once
+    val input = MemoryStream[EventStreams.FunnelEvent]
+    input.addData(
+      EventStreams.FunnelEvent(1L, 1000000L, 1L, "signup"),
+      EventStreams.FunnelEvent(1L, 2000000L, 2L, "view"),
+      EventStreams.FunnelEvent(2L, 1000000L, 3L, "view"))
+    input.addData(EventStreams.FunnelEvent(2L, 20000000L, 4L, "view"))
+    val q = EventStreams.funnelStream(input.toDS(), quietUs = 5000000L)
+      .writeStream.format("memory").queryName("funnel_timeout_test")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val rows = spark.table("funnel_timeout_test").collect()
+      .map(r => r.getLong(0) ->
+        ((Option(r.get(1)), Option(r.get(2)), Option(r.get(3)))))
+    assert(rows.count(_._1 == 1L) == 1,
+      s"quiet user must flush exactly once, got: ${rows.mkString(",")}")
+    assert(rows.toMap.apply(1L) == ((Some(1000000L), Some(2000000L), None)))
+    // u2's last event is within the quiet horizon of the final
+    // watermark: still in state, not emitted
+    assert(!rows.exists(_._1 == 2L),
+      "active user flushed before their quiet horizon passed")
   }
 
   test("streaming funnel gate (q_stream_funnel) equals the batch funnel " +
