@@ -22,15 +22,23 @@ object ZOrder {
   /** Bits interleaved per dimension; 2·ZBits must fit a long. */
   val ZBits = 16
 
-  /** Morton-interleave the low [[ZBits]] bits of two non-negative
-    * long columns: dim-x bits land at even positions, dim-y at odd.
-    * A flat 2·ZBits-term integer expression — whole-stage-codegen
-    * folds it into straight-line arithmetic, no UDF. */
-  def zValue(zx: Column, zy: Column): Column =
-    (0 until ZBits).map { i =>
+  /** Bits per dimension for the QUANTILE-BINNED layout writer: 2^QBits
+    * rank bins per dimension — file-level locality needs far fewer
+    * distinct bins than value-level interleaving, and 255 interior
+    * edges keep the per-row binning a short codegen'd array scan. */
+  val QBits = 8
+
+  /** Morton-interleave the low `bits` bits of two non-negative long
+    * columns: dim-x bits land at even positions, dim-y at odd. A flat
+    * 2·bits-term integer expression — whole-stage-codegen folds it
+    * into straight-line arithmetic, no UDF. */
+  def zValueBits(zx: Column, zy: Column, bits: Int): Column =
+    (0 until bits).map { i =>
       shiftright(zx, i).bitwiseAND(lit(1L)) * lit(1L << (2 * i)) +
         shiftright(zy, i).bitwiseAND(lit(1L)) * lit(1L << (2 * i + 1))
     }.reduce(_ + _)
+
+  def zValue(zx: Column, zy: Column): Column = zValueBits(zx, zy, ZBits)
 
   /** The same interleave as a DuckDB SQL expression over `x`/`y`. */
   def zValueSql(x: String, y: String): String =
@@ -52,10 +60,13 @@ object ZOrder {
     * HIGH bits owns every significant z bit and the "z-order"
     * collapses to a linear sort on that dimension alone (a 4-bit user
     * domain against a 10-bit hour domain loses 64:1, measured in
-    * ZOrderSpec). Min/max are one driver-scalar aggregate; heavily
-    * skewed dimensions would swap this for sampled quantile bins
-    * (the repartitionByRange trick per dimension) — same shape, same
-    * single pass. */
+    * ZOrderSpec). Min/max are one driver-scalar aggregate. This is
+    * the right writer for roughly-uniform dimensions; HEAVY-TAILED
+    * dimensions collapse most of their mass into the bottom bins of a
+    * min/max scale (one outlier stretches the domain), degrading the
+    * layout toward a single-dimension sort — use
+    * [[writeZOrderedQuantile]] there (measured head-to-head in
+    * ZOrderSpec). */
   def writeZOrdered(df: DataFrame, zx: Column, zy: Column,
       nFiles: Int, path: String): Unit = {
     val b = df.agg(
@@ -76,6 +87,48 @@ object ZOrder {
       .repartitionByRange(nFiles, col("__z"))
       .sortWithinPartitions(col("__z"))
       .drop("__z")
+      .write.mode("overwrite").parquet(path)
+  }
+
+  /** [[writeZOrdered]] with SAMPLED-QUANTILE bins instead of min/max
+    * normalization: each dimension is mapped to its ≤2^[[QBits]]-bin
+    * RANK position via `approxQuantile` edges (one sampled pass per
+    * Greenwald–Khanna sketch, driver material = ≤2·255 doubles — the
+    * same O(constants) shape as the min/max probe), so a heavy-tailed
+    * dimension spreads its mass evenly across bins instead of
+    * collapsing into the bottom of an outlier-stretched scale. The
+    * per-row binning is a codegen'd scan of the broadcast edge array
+    * (count of edges ≤ value = bin index); duplicate edges from
+    * extreme ties deduplicate into fewer, still-monotone bins. Same
+    * one range-partitioning exchange at write time; every later scan
+    * prunes on footer stats exactly as before. */
+  def writeZOrderedQuantile(df: DataFrame, zx: Column, zy: Column,
+      nFiles: Int, path: String): Unit = {
+    val tagged = df
+      .withColumn("__zx", zx.cast("double"))
+      .withColumn("__zy", zy.cast("double"))
+    val nBins = 1 << QBits
+    val probs = (1 until nBins).map(_.toDouble / nBins).toArray
+    val edges = tagged.stat.approxQuantile(
+      Array("__zx", "__zy"), probs, 0.001)
+    require(edges.forall(_.nonEmpty),
+      "writeZOrderedQuantile: empty input — nothing to lay out at " + path)
+    // Rank bin, RESCALED to the common QBits range: a low-cardinality
+    // dimension yields few distinct edges, and its raw bin index
+    // would only occupy the LOW interleave bits — handing every
+    // significant z bit to the other dimension (the same
+    // degeneration min/max normalization exists to prevent).
+    def bin(c: Column, es: Array[Double]): Column = {
+      val uniq = es.distinct.sorted
+      val arr = array(uniq.map(lit(_)).toIndexedSeq: _*)
+      (size(filter(arr, e => e <= c)).cast("long") *
+        (nBins - 1) / uniq.length)
+    }
+    tagged.withColumn("__z", zValueBits(
+        bin(col("__zx"), edges(0)), bin(col("__zy"), edges(1)), QBits))
+      .repartitionByRange(nFiles, col("__z"))
+      .sortWithinPartitions(col("__z"))
+      .drop("__z", "__zx", "__zy")
       .write.mode("overwrite").parquet(path)
   }
 

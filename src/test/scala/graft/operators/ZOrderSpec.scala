@@ -76,4 +76,59 @@ class ZOrderSpec extends SparkSpec {
     assert(zUser < 0.6, f"z-order user-dim span $zUser%.3f — no locality")
     assert(zHour < 0.6, f"z-order hour-dim span $zHour%.3f — no locality")
   }
+
+  test("quantile-binned z-order survives a heavy-tailed dimension: one " +
+    "outlier stretches the min/max scale into a one-dimension sort, " +
+    "quantile bins keep both dimensions prunable") {
+    // the documented min/max failure mode, planted: the body of the
+    // dimension is the uniform user_id domain, plus ONE far outlier.
+    // min/max normalization maps the whole body to bin 0 (the outlier
+    // owns the scale), so the layout collapses to an hour sort and a
+    // body-value filter must read every file. Rank bins are
+    // outlier-indifferent.
+    val ev = graft.Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id"),
+        floor(col("ts_us") / 3600000000L).cast("long").as("hour"))
+      .withColumn("skewed",
+        when(col("event_id") === 1L, lit(1000000000L))
+          .otherwise(col("user_id")))
+    val tmp = java.nio.file.Files.createTempDirectory("graft_zorder_q")
+    val nFiles = 16
+    ZOrder.writeZOrdered(ev, col("skewed"), col("hour"), nFiles, s"$tmp/mm")
+    ZOrder.writeZOrderedQuantile(ev, col("skewed"), col("hour"),
+      nFiles, s"$tmp/q")
+    // probe workload: 20 rank-spread values from the BODY of the
+    // distribution (what real point/range filters hit)
+    val body = ev.filter(col("event_id") =!= 1L)
+      .select(col("skewed")).distinct().orderBy(col("skewed"))
+      .collect().map(_.getLong(0))
+    val probes = (0 until 20).map(i => body(i * body.length / 20))
+    // fraction of files a point filter must read = files whose
+    // footer [min, max] contains the probe value
+    def meanFilesTouched(path: String): Double = {
+      val stats = spark.read.parquet(path)
+        .groupBy(input_file_name())
+        .agg(min(col("skewed")).as("lo"), max(col("skewed")).as("hi"))
+        .collect().map(r => (r.getLong(1), r.getLong(2)))
+      probes.map(v => stats.count { case (lo, hi) => lo <= v && v <= hi })
+        .sum.toDouble / (probes.length.toDouble * stats.length)
+    }
+    val mm = meanFilesTouched(s"$tmp/mm")
+    val q = meanFilesTouched(s"$tmp/q")
+    info(f"mean files touched by a body-value point filter: " +
+      f"min/max-binned=$mm%.3f quantile-binned=$q%.3f")
+    assert(mm > 0.9,
+      f"planted outlier failed to degrade the min/max layout ($mm%.3f) — " +
+        "fixture no longer exercises the failure mode")
+    assert(q < 0.6, f"quantile layout still reads $q%.3f of files — " +
+      "rank binning lost its locality")
+    // and the second dimension keeps locality under quantile binning
+    val hourDom = ev.agg((max("hour") - min("hour")).cast("double")).head.getDouble(0)
+    val hourSpan = spark.read.parquet(s"$tmp/q")
+      .groupBy(input_file_name())
+      .agg(((max("hour") - min("hour")) / hourDom).as("sh"))
+      .agg(avg("sh")).head.getDouble(0)
+    info(f"quantile layout mean hour-dim file span: $hourSpan%.3f")
+    assert(hourSpan < 0.6, f"hour-dim span $hourSpan%.3f — no locality")
+  }
 }
