@@ -681,14 +681,89 @@ object DedupOps {
     * final labels are exactly [[dupClusters]]'s min-label fixed point
     * — both are oracle-checked against the same recursive CTE.
     */
-  def dupClustersStar(docs: DataFrame): DataFrame = {
-    val labels = starComponents(lshCandidatePairs(docs))
+  def dupClustersStar(docs: DataFrame): DataFrame =
+    labelAllDocs(docs, starComponents(lshCandidatePairs(docs)))
+
+  /** [[dupClustersStar]] with the composition-default SCREENED edit
+    * confirm between blocking and clustering: components form only
+    * over candidate pairs whose normalized edit similarity passes
+    * [[EditScreenMinSim]] ([[screenedEditPairs]]), so a banding
+    * false positive — two docs sharing a bucket by minhash luck or
+    * boilerplate shingles — can no longer chain unrelated documents
+    * into one cluster. This is the production near-dup clustering
+    * shape: block (LSH) → confirm (screened edit) → cluster (star
+    * contraction); the DP runs only on candidates, and within those
+    * only on length-compatible pairs. */
+  def dupClustersVerified(docs: DataFrame): DataFrame =
+    labelAllDocs(docs,
+      starComponents(
+        editVerify(docs, EditScreenMinSim).select(col("a"), col("b"))))
+
+  /** Maintain star-contracted components INCREMENTALLY across ingest
+    * batches: `prevStars` is the previous fixed point as (a =
+    * component-min, b = member) edges — one row per clustered member,
+    * O(clustered nodes), NOT the O(all historical candidate pairs)
+    * edge log — and `newEdges` is this batch's candidate pairs (any
+    * orientation; canonicalized here). Only the AFFECTED subgraph is
+    * re-contracted: each new-edge endpoint is mapped to its existing
+    * component label (itself if unclustered), the touched components'
+    * star edges are peeled off by label, and [[starComponents]] runs
+    * over touched-stars ∪ new-edges alone; untouched components pass
+    * through verbatim. Correct because components are disjoint and
+    * every new edge lands entirely inside the touched set — an
+    * untouched component cannot merge with anything. Per-trigger cost
+    * is O(affected subgraph), corpus-size-independent: the 100 TB
+    * shape for keeping dedup clusters current as a corpus grows.
+    * Result invariant: equals starComponents over the union of ALL
+    * edges ever seen (spec-pinned, including cross-batch merges). */
+  def incrementalStars(prevStars: DataFrame, newEdges: DataFrame): DataFrame = {
+    val edges = newEdges
+      .select(least(col("a"), col("b")).as("a"),
+        greatest(col("a"), col("b")).as("b"))
+      .filter(col("a") =!= col("b")).distinct()
+      .pinned // feeds the endpoint set AND the contraction
+    val ends = edges
+      .select(explode(array(col("a"), col("b"))).as("e")).distinct()
+    val touchedLabels = ends
+      .join(prevStars.select(col("b").as("e"), col("a").as("lbl")),
+        Seq("e"), "left_outer")
+      .select(coalesce(col("lbl"), col("e")).as("a")).distinct()
+      .pinned // both the semi and anti side below
+    val touched = prevStars.join(touchedLabels, Seq("a"), "left_semi")
+    val untouched = prevStars.join(touchedLabels, Seq("a"), "left_anti")
+    // back to EDGE form: drop the centers' self-labels ((c, c) rows —
+    // starComponents emits them for labeling) so the state stays a
+    // clean self-loop-free edge set the next round can contract again
+    starComponents(touched.union(edges))
+      .filter(col("doc_id") =!= col("cluster_id"))
+      .select(col("cluster_id").as("a"), col("doc_id").as("b"))
+      .union(untouched)
+  }
+
+  /** APPEND one ingest batch's minhash bands into a stored
+    * [[writeBandIndex]] table, keeping the (band, bucket) bucketed
+    * layout — the foreachBatch body that lets every later trigger
+    * probe the index exchange-free. The bucket spec must match the
+    * existing table's; Spark rejects a mismatched append, which is
+    * the failure mode you want for an index whose layout IS the
+    * probing contract. */
+  def appendBandIndex(
+      batch: DataFrame, tableName: String, numBuckets: Int): Unit =
+    minhashBands(batch)
+      .write.mode("append").format("parquet")
+      .bucketBy(numBuckets, "band", "bucket")
+      .sortBy("band", "bucket")
+      .saveAsTable(tableName)
+
+  /** Left-joins component labels back onto the full corpus: docs
+    * incident to no (surviving) candidate edge are their own
+    * singleton cluster. */
+  private[operators] def labelAllDocs(docs: DataFrame, labels: DataFrame): DataFrame =
     docs.select(col("doc_id"))
       .join(labels.withColumnRenamed("doc_id", "d2"),
         col("doc_id") === col("d2"), "left_outer")
       .select(col("doc_id"),
         coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
-  }
 
   /** The large-star/small-star iteration itself: undirected edges
     * (a, b) in, (doc_id, cluster_id = component minimum) out, for
@@ -877,6 +952,17 @@ object DedupOps {
     * pairs, the exact SQL replica of [[minhashBands]] +
     * [[lshCandidatePairs]]. */
   private def candidateCtes: String = candidateCtesFrom("documents")
+
+  /** ONE oracle for q_dedup_clusters, q_dedup_clusters_star AND the
+    * streaming q_stream_dedup_clusters: connected components over the
+    * full corpus's candidate graph. All three implementations
+    * (propagation, batch contraction, incremental contraction) must
+    * land on the identical fixed point, so they share this string —
+    * batch/stream agreement is structural, not a copy-paste
+    * invariant. */
+  def clusterClosureSql: String =
+    s"""WITH RECURSIVE $candidateCtes,
+       |$closureSql""".stripMargin
 
   /** The [[LshRecallSampleHexMax]] hash-sample as a DataFrame filter:
     * md5 of the decimal doc_id string, leading hex digit below the
@@ -1117,9 +1203,7 @@ object DedupOps {
     // CTE (tiny closed components, so the transitive closure stays
     // small).
     QueryDef.sql(
-      "q_dedup_clusters",
-      s"""WITH RECURSIVE $candidateCtes,
-         |$closureSql""".stripMargin) {
+      "q_dedup_clusters", clusterClosureSql) {
       (s, dir) => dupClusters(Tables(s, dir, "documents"))
     },
 
@@ -1128,9 +1212,7 @@ object DedupOps {
     // for 100 TB graphs. Both implementations must land on the same
     // fixed point, so this shares the recursive-CTE oracle verbatim.
     QueryDef.sql(
-      "q_dedup_clusters_star",
-      s"""WITH RECURSIVE $candidateCtes,
-         |$closureSql""".stripMargin) {
+      "q_dedup_clusters_star", clusterClosureSql) {
       (s, dir) => dupClustersStar(Tables(s, dir, "documents"))
     },
 
@@ -1340,25 +1422,82 @@ object DedupOps {
           .withColumn("keep", row_number().over(w) === 1)
     },
 
+    // q_dedup_keep_best with the composition-default verify stage in
+    // between: candidates must pass the SCREENED edit confirm
+    // (edit_sim >= EditScreenMinSim via screenedEditPairs) before
+    // they become cluster edges, so a banding false positive cannot
+    // chain unrelated docs into one cluster and drop a good document.
+    // The oracle computes EVERY candidate's Levenshtein and filters
+    // post-hoc — a screen that dropped a qualifying edge would move
+    // docs across clusters and hash-mismatch. Same shuffle shape as
+    // q_dedup_keep_best plus the O(candidates) confirm join; the DP
+    // runs map-side on length-compatible candidate pairs only.
+    QueryDef.sql(
+      "q_dedup_keep_best_verified",
+      s"""WITH RECURSIVE $candidateCtes,
+         |vcand AS (
+         |  SELECT a, b
+         |  FROM cand JOIN documents da ON da.doc_id = a
+         |            JOIN documents db ON db.doc_id = b
+         |  WHERE 1.0 - levenshtein(da.text, db.text)
+         |        / CAST(greatest(length(da.text), length(db.text)) AS DOUBLE)
+         |        >= $EditScreenMinSim),
+         |edges AS (SELECT a AS src, b AS dst FROM vcand
+         |          UNION ALL SELECT b, a FROM vcand),
+         |reach(src, dst) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT r.src, e.dst FROM reach r JOIN edges e ON e.src = r.dst),
+         |lab AS (SELECT src AS doc_id, min(dst) AS cluster_id
+         |        FROM reach GROUP BY src)
+         |SELECT d.doc_id, l.cluster_id, d.n_chars,
+         |       row_number() OVER (PARTITION BY l.cluster_id
+         |                          ORDER BY d.n_chars DESC, d.doc_id) = 1 AS keep
+         |FROM documents d JOIN lab l ON l.doc_id = d.doc_id""".stripMargin) {
+      (s, dir) =>
+        val docs = Tables(s, dir, "documents")
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("cluster_id"))
+          .orderBy(col("n_chars").desc, col("doc_id"))
+        dupClustersVerified(docs)
+          .join(docs.select(col("doc_id"), col("n_chars")), "doc_id")
+          .withColumn("keep", row_number().over(w) === 1)
+    },
+
     // The INGEST DECISION a production pipeline runs on every new
     // batch against the standing corpus — the stages this repo ships
     // separately, composed in their production order with one verdict
     // per new document: exact duplicate of a corpus doc > shares a
-    // verbatim paragraph with the corpus > fails the quality
-    // classifier > accept. `bloom_hit` records the map-side bloom
-    // prefilter next to the exact outcome (its zero-false-negative
-    // contract: every exact_dup doc MUST be a bloom hit — spec-pinned).
+    // verbatim paragraph with the corpus > screened-edit-confirmed
+    // near duplicate of a corpus doc > fails the quality classifier >
+    // accept. `bloom_hit` records the map-side bloom prefilter next
+    // to the exact outcome (its zero-false-negative contract: every
+    // exact_dup doc MUST be a bloom hit — spec-pinned).
     //
     // Scale design: every stage is a semi-join on a HASH keyed by
-    // doc_id/h — text never shuffles; the corpus sides (content-hash
-    // set, paragraph index) are the stored artifacts writeBandIndex/
-    // writeParagraphIndex maintain, probed per batch, and the bloom
-    // position set is a constant-size broadcast literal; the quality
-    // stage is per-row map work. Flag assembly is left-semi results
-    // outer-joined back on doc_id — one co-partitioned key end to end.
+    // doc_id/h — text never shuffles except for confirmed near-dup
+    // CANDIDATES (O(candidates), bounded by the banding); the corpus
+    // sides (content-hash set, paragraph index, band index) are the
+    // stored artifacts writeBandIndex/writeParagraphIndex maintain,
+    // probed per batch, and the bloom position set is a constant-size
+    // broadcast literal; the near-dup tier is the batch bands probing
+    // the corpus band index then the SCREENED edit confirm
+    // (screenedEditPairs — the length gap skips the O(len²) DP
+    // map-side); the quality stage is per-row map work. Flag assembly
+    // is left-semi results outer-joined back on doc_id — one
+    // co-partitioned key end to end.
     QueryDef.sql(
       "q_ingest_decide",
       s"""WITH $paragraphCtesSql,
+         |$candidateCtes,
+         |near AS (
+         |  SELECT DISTINCT b AS doc_id
+         |  FROM cand JOIN documents da ON da.doc_id = a
+         |            JOIN documents db ON db.doc_id = b
+         |  WHERE a < $IncrementalSplit AND b >= $IncrementalSplit
+         |    AND 1.0 - levenshtein(da.text, db.text)
+         |        / CAST(greatest(length(da.text), length(db.text)) AS DOUBLE)
+         |        >= $EditScreenMinSim),
          |dh AS (SELECT doc_id, md5(text) AS h FROM documents),
          |bloom AS (SELECT DISTINCT p FROM (
          |  SELECT CAST('0x' || substr(h, 1, 6) AS BIGINT) % $BloomBits AS p
@@ -1384,6 +1523,7 @@ object DedupOps {
          |SELECT bh.doc_id, bh.bloom_hit,
          |       CASE WHEN bh.doc_id IN (SELECT doc_id FROM exact) THEN 'exact_dup'
          |            WHEN bh.doc_id IN (SELECT doc_id FROM para) THEN 'paragraph_dup'
+         |            WHEN bh.doc_id IN (SELECT doc_id FROM near) THEN 'near_dup'
          |            WHEN NOT clf.kept THEN 'low_quality'
          |            ELSE 'accept' END AS verdict
          |FROM bh JOIN clf ON clf.doc_id = bh.doc_id""".stripMargin) {
@@ -1681,14 +1821,28 @@ object DedupOps {
     * calls. */
   def editVerify(docs: DataFrame, minSim: Double): DataFrame = {
     val txt = docs.select(col("doc_id"), col("text"))
+    screenedEditPairs(lshCandidatePairs(docs), txt, txt, minSim)
+  }
+
+  /** The screened edit confirm over ARBITRARY candidate pairs — the
+    * composition-default verify stage ([[editVerify]] is this over
+    * [[lshCandidatePairs]]; [[ingestDecide]]'s near-dup tier and
+    * q_dedup_keep_best_verified run it over cross-batch / cluster
+    * candidates). `pairs` carries (a, b); texts join by id from
+    * `left`/`right` so text ships only for candidate pairs. The
+    * length pre-screen and the unrounded final filter are identical
+    * to [[editVerify]]'s contract — one implementation, every
+    * composition inherits the DP skip. */
+  def screenedEditPairs(pairs: DataFrame, left: DataFrame,
+      right: DataFrame, minSim: Double): DataFrame = {
     val lenA = length(col("ta")).cast("double")
     val lenB = length(col("tb")).cast("double")
     val maxLen = greatest(lenA, lenB)
     val dist = levenshtein(col("ta"), col("tb"))
     val sim = lit(1.0) - dist.cast("double") / maxLen
-    lshCandidatePairs(docs)
-      .join(txt.select(col("doc_id").as("a"), col("text").as("ta")), "a")
-      .join(txt.select(col("doc_id").as("b"), col("text").as("tb")), "b")
+    pairs
+      .join(left.select(col("doc_id").as("a"), col("text").as("ta")), "a")
+      .join(right.select(col("doc_id").as("b"), col("text").as("tb")), "b")
       .filter(abs(lenA - lenB) <= (lit(1.0) - minSim) * maxLen)
       .filter(sim >= minSim)
       .select(col("a"), col("b"), dist.cast("int").as("edit_dist"),
@@ -1800,17 +1954,34 @@ object DedupOps {
     val corpusP = paragraphHashes(corpus).select(col("h")).distinct()
     val paraIds = paragraphHashes(batch)
       .join(corpusP, Seq("h"), "left_semi").select(col("doc_id"))
+    // Near-dup tier: batch bands probe the corpus band index on
+    // (band, bucket) — in production the corpus side IS the stored
+    // writeBandIndex layout, so the probe is exchange-free — and the
+    // cross candidates go through the SCREENED edit confirm
+    // ([[screenedEditPairs]]): length-gap-disqualified pairs never
+    // reach the O(len²) DP. A batch doc confirmed >= EditScreenMinSim
+    // against any corpus doc is a near duplicate.
+    val crossCand = minhashBands(corpus)
+      .select(col("band"), col("bucket"), col("doc_id").as("a"))
+      .join(minhashBands(batch)
+        .select(col("band"), col("bucket"), col("doc_id").as("b")),
+        Seq("band", "bucket"))
+      .select(col("a"), col("b")).distinct()
+    val nearIds = screenedEditPairs(crossCand, corpus, batch, EditScreenMinSim)
+      .select(col("b").as("doc_id"))
     val clf = TextOps.qualityClassifier(batch)
       .select(col("doc_id"), col("kept"))
     batch.select(col("doc_id"))
       .join(flag(bloomIds, "bh"), Seq("doc_id"), "left_outer")
       .join(flag(exactIds, "ex"), Seq("doc_id"), "left_outer")
       .join(flag(paraIds, "pa"), Seq("doc_id"), "left_outer")
+      .join(flag(nearIds, "nd"), Seq("doc_id"), "left_outer")
       .join(clf, Seq("doc_id"))
       .select(col("doc_id"),
         coalesce(col("bh"), lit(false)).as("bloom_hit"),
         when(coalesce(col("ex"), lit(false)), "exact_dup")
           .when(coalesce(col("pa"), lit(false)), "paragraph_dup")
+          .when(coalesce(col("nd"), lit(false)), "near_dup")
           .when(!col("kept"), "low_quality")
           .otherwise("accept").as("verdict"))
   }

@@ -341,6 +341,80 @@ object StreamingOps {
       }
     },
 
+    // INCREMENTAL duplicate clustering — the streaming twin of
+    // q_dedup_clusters_star, maintained batch by batch the way a
+    // growing corpus's dedup state actually is: the corpus streams in
+    // as ingest slices; each trigger (a) computes the batch's minhash
+    // bands map-side, (b) probes the STORED band index for
+    // cross-batch candidates (exchange-free on the stored side — the
+    // writeBandIndex layout) plus within-batch candidates, (c) folds
+    // the new edges into the star-contracted component state via
+    // DedupOps.incrementalStars — re-contracting ONLY the affected
+    // components, O(affected subgraph) per trigger — and (d) appends
+    // the batch's bands into the index for later triggers. The final
+    // labels must equal the batch contraction over the full corpus:
+    // oracle = the SAME recursive-CTE string as q_dedup_clusters_star
+    // (shared via clusterClosureSql), so "incremental == batch" is
+    // structural. Batch slicing is arbitrary (repartition), which is
+    // the point: components of an edge union are order-independent,
+    // and the spec additionally pins a planted cross-batch merge.
+    QueryDef.sql("q_stream_dedup_clusters", DedupOps.clusterClosureSql) {
+      (s, dir) => withStreamPartitions(s, 8) {
+        val docs = Tables(s, dir, "documents")
+          .select(col("doc_id"), col("text"))
+        // bootstrap: an EMPTY bucketed band index the first trigger
+        // probes (and every trigger appends into)
+        DedupOps.writeBandIndex(docs.filter(lit(false)),
+          "graft_band_live", 8)
+        val tmp = java.nio.file.Files.createTempDirectory("graft_inc_clusters")
+        EventStreams.deleteRecursivelyOnExit(tmp)
+        val inDir = s"$tmp/in"
+        docs.repartition(4).write.mode("overwrite").parquet(inDir)
+        // per-trigger component state: written to stars/<batchId>,
+        // read back next trigger (a table format would swap in place)
+        var starsPath: Option[String] = None
+        val stream = s.readStream.schema(docs.schema)
+          .option("maxFilesPerTrigger", "1").parquet(inDir)
+        val q = stream.writeStream
+          .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+            import Materialize.PinOps
+            val nbp = DedupOps.minhashBands(batch).pinned
+            // probe BEFORE append: cross-batch candidates against all
+            // PRIOR batches; within-batch pairs computed separately.
+            // Orientation is free (incrementalStars canonicalizes) —
+            // ingest slices carry no id-order guarantee. The explicit
+            // refresh drops the session's cached file listing for the
+            // table: this trigger must see every PRIOR trigger's
+            // append, not the listing cached at first read.
+            s.catalog.refreshTable("graft_band_live")
+            val cross = s.table("graft_band_live").as("x")
+              .join(nbp.as("y"),
+                col("x.band") === col("y.band") &&
+                  col("x.bucket") === col("y.bucket") &&
+                  col("x.doc_id") =!= col("y.doc_id"))
+              .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+              .distinct()
+            val newEdges =
+              cross.union(DedupOps.candidatePairsFromBands(nbp))
+            val prev = starsPath
+              .map(p => s.read.parquet(p))
+              .getOrElse(cross.filter(lit(false)))
+            val stars = DedupOps.incrementalStars(prev, newEdges)
+            val out = s"$tmp/stars/$id"
+            stars.write.mode("overwrite").parquet(out)
+            starsPath = Some(out)
+            DedupOps.appendBandIndex(batch, "graft_band_live", 8)
+          }
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+        val finalStars = starsPath
+          .map(p => s.read.parquet(p))
+          .getOrElse(s.range(0).select(col("id").as("a"), col("id").as("b")))
+        DedupOps.labelAllDocs(docs,
+          finalStars.select(col("b").as("doc_id"), col("a").as("cluster_id")))
+      }
+    },
+
     QueryDef.sql("q_sessionize", sessionizeSql) {
       (s, dir) =>
         EventStreams.sessionizeBatch(Tables.events(s, dir))

@@ -445,6 +445,63 @@ class PipelineOpsSpec extends SparkSpec {
     assert(star == prop)
   }
 
+  test("incremental stars: batch-by-batch contraction equals the batch " +
+    "fixed point, including a cross-batch component merge") {
+    // round 1: {1-2}, {10-11}; round 2: {20-21} and grow 2-3;
+    // round 3: 3-10 MERGES the first two components — the hard case:
+    // both existed as contracted stars before any edge linked them.
+    val rounds = Seq(
+      Seq((1L, 2L), (10L, 11L)),
+      Seq((20L, 21L), (3L, 2L)), // reversed orientation on purpose
+      Seq((3L, 10L)))
+    var stars = Seq.empty[(Long, Long)].toDF("a", "b")
+    val seen = scala.collection.mutable.Buffer.empty[(Long, Long)]
+    rounds.foreach { es =>
+      seen ++= es
+      stars = DedupOps.incrementalStars(stars, es.toDF("a", "b"))
+      // invariant after EVERY round: incremental state = batch
+      // contraction over all edges seen so far
+      val batch = DedupOps.starComponents(
+        seen.toSeq.toDF("a", "b")
+          .select(least($"a", $"b").as("a"), greatest($"a", $"b").as("b")))
+        .collect().map(r => (r.getLong(1), r.getLong(0)))
+        .filter(p => p._1 != p._2).toSet // drop center self-labels
+      val inc = stars.collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(inc == batch, s"after edges $seen")
+    }
+    // final shape: {1,2,3,10,11} centered at 1, {20,21} centered at 20
+    val fin = stars.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(fin == Set((1L, 2L), (1L, 3L), (1L, 10L), (1L, 11L), (20L, 21L)))
+  }
+
+  test("verified clusters: a banded candidate failing the screened edit " +
+    "confirm does not merge, while a true near-dup still does") {
+    // doc 2 is doc 1 with its first paragraph rotated to the end:
+    // nearly the same shingle SET (same bands), but Levenshtein pays
+    // the full block move — the classic LSH false positive the edit
+    // confirm exists to reject. Doc 3 is a genuine 1-char near-dup.
+    def para(tag: String) = (1 to 10).map(i => s"$tag$i").mkString(" ")
+    val a = Seq("p", "q", "r", "s").map(para).mkString(" ")
+    val rotated = (Seq("q", "r", "s").map(para) :+ para("p")).mkString(" ")
+    val near = a.replaceFirst("p1 ", "pX ")
+    val docs = Seq((1L, a), (2L, rotated), (3L, near))
+      .toDF("doc_id", "text")
+    // premise: banding really does surface both pairs as candidates
+    val cand = DedupOps.lshCandidatePairs(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(cand.contains((1L, 2L)), s"fixture lost its LSH collision: $cand")
+    assert(cand.contains((1L, 3L)), s"fixture lost its LSH collision: $cand")
+    // unverified star clustering chains all three into one cluster
+    val unverified = DedupOps.dupClustersStar(docs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(unverified == Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+    // the screened confirm keeps the rotation out and the near-dup in
+    val verified = DedupOps.dupClustersVerified(docs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(verified == Map(1L -> 1L, 2L -> 2L, 3L -> 1L))
+  }
+
   test("repetition signals: known duplicate-n-gram ground truth") {
     import graft.functions.TextVec._
     val d = Seq(
@@ -1318,14 +1375,24 @@ class PipelineOpsSpec extends SparkSpec {
     val pt = DedupOps.ParaTokens
     def para(tag: String) = (1 to pt).map(i => s"$tag$i").mkString(" ")
     val base = s"${para("a")} ${para("b")} ${para("c")}"
-    val corpus = Seq((1L, base), (2L, para("z"))).toDF("doc_id", "text")
+    // 4-paragraph doc for the near-dup tier: its edited copy touches
+    // every paragraph (so the paragraph stage can't fire) with 1-char
+    // substitutions at shingle-cheap positions (doc edges + paragraph
+    // starts), keeping minhash banding intact and edit_sim >= 0.9
+    val base4 = Seq("d", "e", "f", "g").map(para).mkString(" ")
+    val near = base4
+      .replaceFirst("d1 ", "dX ").replaceFirst("e1 ", "eX ")
+      .replaceFirst("f1 ", "fX ").replaceFirst(s"g$pt", "gX")
+    val corpus = Seq((1L, base), (2L, para("z")), (3L, base4))
+      .toDF("doc_id", "text")
     val lowQ = (1 to 4 * pt).map(_ => "zzzzzzzzzz").mkString(" ")
     val good = (1 to pt).flatMap(i => Seq("the", s"w$i")).mkString(" ")
     val batch = Seq(
       (100L, base),                   // verbatim corpus copy
       (101L, s"${para("q")} ${para("b")}"), // shares one paragraph
       (102L, lowQ),                   // fresh but junk
-      (103L, good)                    // fresh and clean
+      (103L, good),                   // fresh and clean
+      (104L, near)                    // edited copy: every para touched
     ).toDF("doc_id", "text")
     val out = DedupOps.ingestDecide(corpus, batch).collect()
       .map(r => r.getLong(0) -> ((r.getBoolean(1), r.getString(2)))).toMap
@@ -1333,6 +1400,7 @@ class PipelineOpsSpec extends SparkSpec {
     assert(out(101L)._2 == "paragraph_dup")
     assert(out(102L)._2 == "low_quality")
     assert(out(103L)._2 == "accept")
+    assert(out(104L)._2 == "near_dup")
     // the bloom screen's zero-false-negative contract: an exact
     // duplicate can never be filtered out by the prefilter
     assert(out(100L)._1, "exact duplicate missed by the bloom prefilter")

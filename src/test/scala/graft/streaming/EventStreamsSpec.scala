@@ -319,6 +319,22 @@ class EventStreamsSpec extends SparkSpec {
     assert(fromIngest > 0, "no served neighbor came from the ingest slice")
   }
 
+  test("incremental dedup clustering (q_stream_dedup_clusters): the " +
+    "batch-by-batch star state equals the batch contraction over the " +
+    "full corpus") {
+    import graft.operators.DedupOps
+    val sf = "/root/testdata/sf0.001"
+    val streamed = graft.SparkEntry.queries("q_stream_dedup_clusters")(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val docs = graft.Tables(spark, sf, "documents")
+    val batch = DedupOps.dupClustersStar(docs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(streamed == batch)
+    // non-vacuous: the corpus really has multi-doc clusters, so the
+    // equality exercised cross-batch candidate discovery
+    assert(streamed.groupBy(_._2).exists(_._2.size > 1))
+  }
+
   test("streaming ingest screen quarantines exactly the docs sharing a " +
     "corpus paragraph, probing the STORED bucketed index") {
     import spark.implicits._
