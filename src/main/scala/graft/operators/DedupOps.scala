@@ -1829,22 +1829,36 @@ object DedupOps {
     * [[lshCandidatePairs]]; [[ingestDecide]]'s near-dup tier and
     * q_dedup_keep_best_verified run it over cross-batch / cluster
     * candidates). `pairs` carries (a, b); texts join by id from
-    * `left`/`right` so text ships only for candidate pairs. The
-    * length pre-screen and the unrounded final filter are identical
-    * to [[editVerify]]'s contract — one implementation, every
-    * composition inherits the DP skip. */
+    * `left`/`right` so text ships only for candidate pairs.
+    *
+    * TWO cost cuts, same results as the unscreened verify:
+    *  - the length pre-screen drops pairs whose length gap alone caps
+    *    edit_sim below `minSim` before any DP runs (map-side
+    *    arithmetic on already-joined lengths);
+    *  - the DP itself is BANDED ([[graft.functions.BandedLevenshtein]]
+    *    — Spark's thresholded Levenshtein, O(len·τ) cells instead of
+    *    O(len²)) with the per-pair cap τ = floor((1−minSim)·max)+1.
+    *    The +1 absorbs IEEE rounding of (1−minSim)·max, so a
+    *    qualifying distance is never truncated; an over-admitted
+    *    dist = τ pair is dropped by the exact `sim >= minSim` filter
+    *    — the SAME unrounded expression the DuckDB oracle evaluates,
+    *    so the two engines agree pair-for-pair, and a capped (-1)
+    *    pair is provably non-qualifying (dist > τ ⇒ sim < minSim
+    *    with margin 1/max, orders above double rounding error). */
   def screenedEditPairs(pairs: DataFrame, left: DataFrame,
       right: DataFrame, minSim: Double): DataFrame = {
     val lenA = length(col("ta")).cast("double")
     val lenB = length(col("tb")).cast("double")
     val maxLen = greatest(lenA, lenB)
-    val dist = levenshtein(col("ta"), col("tb"))
+    val tau = (floor((lit(1.0) - minSim) * maxLen) + 1).cast("int")
+    val dist = graft.functions.BandedLevenshtein(
+      pairs.sparkSession, col("ta"), col("tb"), tau)
     val sim = lit(1.0) - dist.cast("double") / maxLen
     pairs
       .join(left.select(col("doc_id").as("a"), col("text").as("ta")), "a")
       .join(right.select(col("doc_id").as("b"), col("text").as("tb")), "b")
       .filter(abs(lenA - lenB) <= (lit(1.0) - minSim) * maxLen)
-      .filter(sim >= minSim)
+      .filter(dist >= 0 && sim >= minSim)
       .select(col("a"), col("b"), dist.cast("int").as("edit_dist"),
         round(sim, 6).as("edit_sim"))
   }

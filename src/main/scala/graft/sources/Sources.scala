@@ -109,4 +109,43 @@ object Sources {
       .format("parquet")
       .saveAsTable(tableName)
   }
+
+  /** Compact a bucketed managed table back to ONE sorted file per
+    * bucket. Every foreachBatch append (`appendIvfIndex`,
+    * `appendBandIndex`) lands up to one new file per bucket per
+    * trigger; bucket pruning and exchange-freedom survive that, but
+    * Spark only trusts the per-bucket SORT when a bucket holds a
+    * single file, so a long-running ingest gradually forfeits the
+    * sort half of the layout (and pays many small reads).
+    *
+    * The writer's bucket id is pmod(murmur3(bucketCols), n) — the
+    * same hash `repartition(n, bucketCols)` uses — so repartitioning
+    * by the bucket columns puts each bucket's rows in exactly one
+    * task, which then writes exactly one sorted file. The input is
+    * read as PLAIN parquet over the table's current files, not via
+    * `spark.table`: the table scan ADVERTISES the bucket layout, so
+    * the optimizer elides a repartition over it as redundant — while
+    * auto-bucketed-scan (no operator needs the distribution here)
+    * actually reads plain size-packed splits that MIX buckets; the
+    * elided shuffle then never re-aligns them and every task writes a
+    * file per bucket it happens to hold, tasks × buckets small files.
+    * The plain read carries no partitioning claim, so the aligning
+    * shuffle survives.
+    *
+    * The rewrite stages through a shadow table swapped in by catalog
+    * rename: a reader sees the old layout or the new, never a
+    * half-written table. The maintenance companion every appended
+    * stored artifact needs at 100 TB; run it off the serving path. */
+  def compactBucketed(spark: SparkSession, tableName: String,
+      bucketCols: Seq[String], numBuckets: Int): Unit = {
+    import org.apache.spark.sql.functions.col
+    val table = spark.table(tableName)
+    val shadow = tableName + "__compact"
+    writeBucketed(
+      spark.read.schema(table.schema).parquet(table.inputFiles: _*)
+        .repartition(numBuckets, bucketCols.map(col): _*),
+      shadow, bucketCols, numBuckets)
+    dropManaged(spark, tableName)
+    spark.sql(s"ALTER TABLE `$shadow` RENAME TO `$tableName`")
+  }
 }

@@ -1369,6 +1369,48 @@ class PipelineOpsSpec extends SparkSpec {
     assert(self == 0)
   }
 
+  test("banded levenshtein: PER-ROW threshold column works, the boundary " +
+    "distance survives, over-cap returns -1, and the banded screened " +
+    "verify equals the unscreened formulation on the gate corpus") {
+    import spark.implicits._
+    import graft.functions.BandedLevenshtein
+    // semantics, pinned per row: ("kitten","sitting") distance is 3
+    val cases = Seq(
+      ("kitten", "sitting", 3), // == cap: must come back exact
+      ("kitten", "sitting", 2), // < cap: capped → -1
+      ("kitten", "sitting", 9), // loose cap: exact
+      ("abc", "abc", 0),        // identity at the tightest cap
+      ("abc", "xyz", 1)         // all-different, capped
+    ).toDF("l", "r", "tau")
+    val got = cases.select(
+      BandedLevenshtein(spark, col("l"), col("r"), col("tau")).as("d"),
+      levenshtein(col("l"), col("r")).as("full"), col("tau"))
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getInt(2)))
+    got.foreach { case (d, full, tau) =>
+      if (full <= tau) assert(d == full, s"cap $tau lost exact distance $full")
+      else assert(d == -1, s"cap $tau should return -1, got $d")
+    }
+    // the banded screened verify (editVerify's production shape) must
+    // reproduce the unscreened filter exactly on real candidates
+    val docs = graft.Tables(spark, "/root/testdata/sf0.001", "documents")
+    val txt = docs.select(col("doc_id"), col("text"))
+    val minSim = DedupOps.EditScreenMinSim
+    val maxLen = greatest(length(col("ta")), length(col("tb"))).cast("double")
+    val full = levenshtein(col("ta"), col("tb"))
+    val fullSim = lit(1.0) - full.cast("double") / maxLen
+    val reference = DedupOps.lshCandidatePairs(docs)
+      .join(txt.select(col("doc_id").as("a"), col("text").as("ta")), "a")
+      .join(txt.select(col("doc_id").as("b"), col("text").as("tb")), "b")
+      .filter(fullSim >= minSim)
+      .select(col("a"), col("b"), full.cast("int").as("edit_dist"),
+        round(fullSim, 6).as("edit_sim"))
+      .collect().map(_.toSeq).toSet
+    val banded = DedupOps.editVerify(docs, minSim)
+      .collect().map(_.toSeq).toSet
+    assert(banded == reference)
+    assert(banded.nonEmpty)
+  }
+
   test("ingest decision: planted docs hit every verdict in precedence " +
     "order, and the bloom prefilter never misses an exact duplicate") {
     import spark.implicits._

@@ -252,6 +252,73 @@ class SourcesSpec extends SparkSpec {
     } finally spark.sql("DROP TABLE IF EXISTS ivf_append_test")
   }
 
+  test("compacted bucketed index: appends multiply files per bucket, " +
+    "compactBucketed restores one sorted file per bucket with identical " +
+    "content and an exchange-free bucketed probe") {
+    import graft.operators.DedupOps
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val docs = graft.Tables(spark, "/root/testdata/sf0.001", "documents")
+      .select(col("doc_id"), col("text"))
+    val nBuckets = 4
+    DedupOps.writeBandIndex(
+      docs.filter(col("doc_id") < 100), "band_compact_test", nBuckets)
+    try {
+      // three streamed appends — each may land a file in every bucket
+      Seq((100, 200), (200, 300), (300, 500)).foreach { case (lo, hi) =>
+        DedupOps.appendBandIndex(
+          docs.filter(col("doc_id") >= lo && col("doc_id") < hi),
+          "band_compact_test", nBuckets)
+      }
+      val before = spark.table("band_compact_test")
+        .collect().map(_.toSeq).toSet
+      val filesBefore = spark.table("band_compact_test").inputFiles.length
+      assert(filesBefore > nBuckets,
+        s"appends should fragment the table, saw $filesBefore files")
+      Sources.compactBucketed(spark, "band_compact_test",
+        Seq("band", "bucket"), nBuckets)
+      // one file per bucket, identical rows
+      val after = spark.table("band_compact_test")
+      assert(after.inputFiles.length == nBuckets,
+        s"expected $nBuckets files post-compaction, got ${after.inputFiles.length}")
+      assert(after.collect().map(_.toSeq).toSet == before)
+      // the probe still reads the compacted table bucketed, no exchange
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      try {
+        val probe = DedupOps.incrementalCandidatePairsStored(
+          spark, "band_compact_test",
+          docs.filter(col("doc_id") >= 450))
+        def subtree(p: SparkPlan): Seq[SparkPlan] = p +: p.children.flatMap(subtree)
+        val nodes = subtree(probe.queryExecution.executedPlan)
+        val scans = nodes.collect {
+          case f: FileSourceScanExec
+            if f.tableIdentifier.exists(_.table == "band_compact_test") => f
+        }
+        assert(scans.nonEmpty, "compacted scan missing from plan")
+        scans.foreach(s => assert(s.metadata.contains("SelectedBucketsCount"),
+          "compacted table scan is not a bucketed read"))
+        nodes.collect {
+          case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j
+          case j: org.apache.spark.sql.execution.joins.ShuffledHashJoinExec => j
+        }.foreach { j =>
+          j.children.filter(c => subtree(c).exists {
+            case f: FileSourceScanExec =>
+              f.tableIdentifier.exists(_.table == "band_compact_test")
+            case _ => false
+          }).foreach(c => assert(
+            !subtree(c).exists(_.isInstanceOf[ShuffleExchangeExec]),
+            "compacted side must not shuffle before its join:\n" +
+              probe.queryExecution.executedPlan))
+        }
+      } finally {
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.unset("spark.sql.adaptive.enabled")
+      }
+    } finally spark.sql("DROP TABLE IF EXISTS band_compact_test")
+  }
+
   test("stored IVF-PQ index: search prunes the code table to the probed " +
     "cells, reads it with NO exchange, and matches the in-memory search") {
     import graft.operators.SimilarityOps
