@@ -206,12 +206,18 @@ object DedupOps {
     * itself: one shuffle on the bucket key, quadratic only within a
     * bucket. */
   def candidatePairsFromBands(bands: DataFrame): DataFrame =
+    minhashBandPairs(bands).distinct()
+
+  /** [[candidatePairsFromBands]] WITHOUT the trailing distinct — for
+    * callers that dedup downstream anyway (the incremental cluster
+    * stream feeds these straight into [[incrementalStars]]' own
+    * canonicalize+distinct, saving one shuffle per trigger). */
+  def minhashBandPairs(bands: DataFrame): DataFrame =
     bands.as("x")
       .join(bands.as("y"),
         col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
-      .distinct()
 
   /** Candidate near-dup pairs (a < b) from the LSH equi-join on
     * (band, bucket) — the scalable candidate generator. */
@@ -720,8 +726,11 @@ object DedupOps {
     val edges = newEdges
       .select(least(col("a"), col("b")).as("a"),
         greatest(col("a"), col("b")).as("b"))
-      .filter(col("a") =!= col("b")).distinct()
+      .filter(col("a") =!= col("b"))
       .pinned // feeds the endpoint set AND the contraction
+    // (no distinct here: starComponents distincts its input, and the
+    // endpoint explode below is distinct-ed — one less shuffle per
+    // maintenance round)
     val ends = edges
       .select(explode(array(col("a"), col("b"))).as("e")).distinct()
     val touchedLabels = ends

@@ -359,13 +359,14 @@ object StreamingOps {
     // the point: components of an edge union are order-independent,
     // and the spec additionally pins a planted cross-batch merge.
     QueryDef.sql("q_stream_dedup_clusters", DedupOps.clusterClosureSql) {
-      (s, dir) => withStreamPartitions(s, 8) {
+      (s, dir) => withStreamPartitions(s, 4) {
         val docs = Tables(s, dir, "documents")
           .select(col("doc_id"), col("text"))
-        // bootstrap: an EMPTY bucketed band index the first trigger
-        // probes (and every trigger appends into)
-        DedupOps.writeBandIndex(docs.filter(lit(false)),
-          "graft_band_live", 8)
+        // the index is created lazily by the FIRST append (saveAsTable
+        // creates with the bucket spec when absent) — cheaper than
+        // bootstrapping an empty bucketed table; the drop keeps
+        // re-runs in one session from probing a previous run's rows
+        graft.sources.Sources.dropManaged(s, "graft_band_live")
         val tmp = java.nio.file.Files.createTempDirectory("graft_inc_clusters")
         EventStreams.deleteRecursivelyOnExit(tmp)
         val inDir = s"$tmp/in"
@@ -385,23 +386,28 @@ object StreamingOps {
             // ingest slices carry no id-order guarantee. The explicit
             // refresh drops the session's cached file listing for the
             // table: this trigger must see every PRIOR trigger's
-            // append, not the listing cached at first read.
-            s.catalog.refreshTable("graft_band_live")
-            val cross = s.table("graft_band_live").as("x")
-              .join(nbp.as("y"),
-                col("x.band") === col("y.band") &&
-                  col("x.bucket") === col("y.bucket") &&
-                  col("x.doc_id") =!= col("y.doc_id"))
-              .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
-              .distinct()
+            // append, not the listing cached at first read. No
+            // distinct on the probe: incrementalStars canonicalizes
+            // AND dedups the union — one shuffle instead of three.
+            val within = DedupOps.minhashBandPairs(nbp)
             val newEdges =
-              cross.union(DedupOps.candidatePairsFromBands(nbp))
+              if (s.catalog.tableExists("graft_band_live")) {
+                s.catalog.refreshTable("graft_band_live")
+                s.table("graft_band_live").as("x")
+                  .join(nbp.as("y"),
+                    col("x.band") === col("y.band") &&
+                      col("x.bucket") === col("y.bucket") &&
+                      col("x.doc_id") =!= col("y.doc_id"))
+                  .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+                  .union(within)
+              } else within // first trigger: nothing stored yet
             val prev = starsPath
               .map(p => s.read.parquet(p))
-              .getOrElse(cross.filter(lit(false)))
+              .getOrElse(within.filter(lit(false)))
             val stars = DedupOps.incrementalStars(prev, newEdges)
             val out = s"$tmp/stars/$id"
-            stars.write.mode("overwrite").parquet(out)
+            // component state is O(clustered nodes) — keep it one file
+            stars.coalesce(1).write.mode("overwrite").parquet(out)
             starsPath = Some(out)
             DedupOps.appendBandIndex(batch, "graft_band_live", 8)
           }
@@ -412,6 +418,41 @@ object StreamingOps {
           .getOrElse(s.range(0).select(col("id").as("a"), col("id").as("b")))
         DedupOps.labelAllDocs(docs,
           finalStars.select(col("b").as("doc_id"), col("a").as("cluster_id")))
+      }
+    },
+
+    // STREAMING per-source admission cap — the online enforcement of
+    // q_source_cap's per-domain quota: documents arrive in append-id
+    // order across micro-batches (orderedSlicedDir staging), each
+    // source admits its first SourceCap docs and drops the rest, with
+    // ONE integer of state per source. Oracle = the batch first-K
+    // election in the same id order, so "the stream admits exactly
+    // what a batch pass over the same order would" is hash-checked.
+    // (q_source_cap's hash-priority election is the re-runnable batch
+    // variant; this is the arrival-order decision a live ingest
+    // makes.) The spec additionally pins a cap boundary falling
+    // INSIDE a later micro-batch.
+    QueryDef.sql(
+      "q_stream_source_cap",
+      s"""SELECT source, doc_id, CAST(rnk AS INTEGER) AS rnk
+         |FROM (SELECT source, doc_id,
+         |        row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rnk
+         |      FROM documents)
+         |WHERE rnk <= ${CurationOps.SourceCap}""".stripMargin) {
+      (s, dir) => withStreamPartitions(s, 8) {
+        import s.implicits._
+        val docs = Tables(s, dir, "documents")
+          .select(col("source"), col("doc_id"))
+        val inDir = EventStreams.orderedSlicedDir(docs, "doc_id", 4)
+        val stream = s.readStream.schema(docs.schema)
+          .option("maxFilesPerTrigger", "1").parquet(inDir)
+        val q = EventStreams.sourceCapStream(
+          stream.as[EventStreams.CapDoc], CurationOps.SourceCap)
+          .writeStream.format("memory").queryName("graft_stream_cap")
+          .outputMode("append").trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+        s.table("graft_stream_cap")
+          .select(col("source"), col("doc_id"), col("rnk").cast("int").as("rnk"))
       }
     },
 

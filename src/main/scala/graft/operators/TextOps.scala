@@ -41,6 +41,12 @@ object TextOps {
     * alphabet²-bounded; the report shows the merge frontier). */
   val BpeTopPairs = 30
 
+  /** q_bpe_train merge rounds — enough for multi-symbol merges to
+    * compose (merged symbols re-enter the pair statistics), small
+    * enough that the unrolled-CTE oracle stays readable. Declared
+    * BEFORE `all` (oracle interpolation at object init). */
+  val BpeTrainRounds = 6
+
   /** BM25 parameters (Robertson/Spärck Jones defaults) and the fixed
     * gate query: one rare, highly-discriminative term plus two
     * mid-frequency ones, so idf does real work on the gate corpus. */
@@ -440,6 +446,30 @@ object TextOps {
       (s, dir) => bpePairs(Tables(s, dir, "documents"))
     },
 
+    // BPE merge TRAINING, the full iterative loop (Sennrich et al.
+    // ACL'16 learn_bpe): start from character symbol sequences over
+    // the distinct-word table, then N rounds of count adjacent symbol
+    // pairs (weighted by word frequency) → pick the max (count desc,
+    // pair asc tie-break) → merge every left-to-right occurrence.
+    // Output is the merge table itself — the tokenizer artifact a
+    // training pipeline ships. q_bpe_pairs is this loop's recount
+    // step in isolation; here merged symbols re-enter the statistics
+    // so later rounds pick multi-char merges.
+    //
+    // Scale: the loop never touches the corpus after the one word
+    // count — every round is a vocab-sized pair aggregate (map-side
+    // combined, alphabet²+merges-bounded output), a LIMIT 1, and a
+    // map-side string rewrite; the driver holds only the N merge
+    // rows. At real merge counts (30k) a production run batches
+    // non-conflicting merges per round or moves the vocab table
+    // driver-side when it fits — the distributed shape is the same.
+    // The oracle unrolls all N rounds as chained CTEs (the pqTrain
+    // pattern), re-deriving each round's best pair with scalar
+    // subqueries — bit-identical tie-breaks, merges and counts.
+    QueryDef.sql("q_bpe_train", bpeTrainSql(BpeTrainRounds)) {
+      (s, dir) => bpeTrain(Tables(s, dir, "documents"), BpeTrainRounds)
+    },
+
     // Corpus-informed rarity scoring: each document's tokens scored
     // by their GLOBAL corpus frequency (mean + rarest) — the exact-
     // arithmetic cousin of CCNet-style LM quality filtering: word
@@ -682,4 +712,95 @@ object TextOps {
         "transform(sequence(0, length(w) - 2), i -> substring(w, i + 1, 2))"))
         .as("pair"))
       .groupBy(col("pair")).agg(sum(col("wcnt")).as("pair_count"))
+
+  /** The q_bpe_train body: `rounds` BPE merge iterations over the
+    * distinct-word table, one (merge_round, sym_a, sym_b, pair_count)
+    * row per learned merge. Words are space-joined symbol strings;
+    * the merge rewrite is a delimited string replace, whose
+    * left-to-right non-overlap semantics ('a a a' + (a,a) → 'aa a')
+    * both engines share — spec-pinned on a planted run. Word state is
+    * pinnedIter per round (loop-carried lineage must stay flat). */
+  def bpeTrain(docs: org.apache.spark.sql.DataFrame, rounds: Int)
+      : org.apache.spark.sql.DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    var words = docs
+      .select(explode(tokens(col("text"))).as("w"))
+      .filter(length(col("w")) >= 2)
+      .groupBy(col("w")).agg(count(lit(1)).as("wcnt"))
+      .select(concat_ws(" ",
+        transform(sequence(lit(0), length(col("w")) - 1),
+          i => col("w").substr(i + 1, lit(1)))).as("syms"),
+        col("wcnt"))
+      .pinnedIter
+    val merges = Seq.newBuilder[(Int, String, String, Long)]
+    for (r <- 1 to rounds) {
+      val sy = split(col("syms"), " ")
+      // fully-merged single-symbol words carry no pairs; the filter
+      // also keeps `sequence` off its backwards-count trap
+      val best = words
+        .filter(size(sy) >= 2)
+        .select(col("wcnt"),
+          explode(transform(sequence(lit(0), size(sy) - 2),
+            i => struct(element_at(sy, i + 1).as("a"),
+              element_at(sy, i + 2).as("b")))).as("p"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(sum(col("wcnt")).as("pair_count"))
+        .orderBy(col("pair_count").desc, col("a"), col("b"))
+        .limit(1).collect()(0)
+      val (a, b, cnt) = (best.getString(0), best.getString(1), best.getLong(2))
+      merges += ((r, a, b, cnt))
+      val stepped = words.select(
+        trim(call_function("replace",
+          concat(lit(" "), col("syms"), lit(" ")),
+          lit(s" $a $b "), lit(s" $a$b "))).as("syms"),
+        col("wcnt")).pinnedIter
+      Materialize.unpin(words)
+      words = stepped
+    }
+    Materialize.unpin(words)
+    merges.result().toDF("merge_round", "sym_a", "sym_b", "pair_count")
+  }
+
+  /** Oracle for q_bpe_train: all `rounds` merge iterations unrolled
+    * as chained CTEs (the pqTrain pattern). Each round re-derives
+    * pair counts from the previous word state, elects the best pair
+    * with the same (count DESC, a, b) order, and applies the same
+    * delimited replace — tie-breaks, merge rewrites and counts are
+    * bit-identical across engines by construction. Every w/b CTE is
+    * MATERIALIZED: each is referenced more than once (wK feeds both
+    * p(K+1) and w(K+1); bK feeds wK's three scalar subqueries and the
+    * final row), so the default inline-on-reference would re-derive
+    * the whole word pipeline per reference — exponential in rounds. */
+  def bpeTrainSql(rounds: Int): String = {
+    val blocks = (1 to rounds).map { k =>
+      s"""p$k AS (
+         |  SELECT sy[CAST(i + 1 AS INTEGER)] AS a,
+         |         sy[CAST(i + 2 AS INTEGER)] AS b, wcnt
+         |  FROM (SELECT string_split(syms, ' ') AS sy, wcnt FROM w${k - 1}),
+         |       unnest(range(len(sy) - 1)) AS u(i)),
+         |b$k AS MATERIALIZED (
+         |  SELECT a, b, CAST(sum(wcnt) AS BIGINT) AS pair_count
+         |  FROM p$k GROUP BY a, b
+         |  ORDER BY pair_count DESC, a, b LIMIT 1),
+         |w$k AS MATERIALIZED (
+         |  SELECT trim(replace(' ' || syms || ' ',
+         |           ' ' || (SELECT a FROM b$k) || ' ' || (SELECT b FROM b$k) || ' ',
+         |           ' ' || (SELECT a FROM b$k) || (SELECT b FROM b$k) || ' ')) AS syms,
+         |         wcnt
+         |  FROM w${k - 1})""".stripMargin
+    }.mkString(",\n")
+    val rows = (1 to rounds).map(k =>
+      s"SELECT CAST($k AS INTEGER) AS merge_round, a AS sym_a, b AS sym_b, pair_count FROM b$k")
+      .mkString("\nUNION ALL\n")
+    s"""WITH w0 AS MATERIALIZED (
+       |  SELECT array_to_string(list_transform(range(length(w)),
+       |           i -> substr(w, CAST(i + 1 AS INTEGER), 1)), ' ') AS syms,
+       |         wcnt
+       |  FROM (SELECT w, CAST(count(*) AS BIGINT) AS wcnt
+       |        FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+       |        WHERE len(w) >= 2 GROUP BY w)),
+       |$blocks
+       |$rows""".stripMargin
+  }
 }

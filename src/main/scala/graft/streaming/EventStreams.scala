@@ -347,10 +347,6 @@ object EventStreams {
     require(!bounds.isNullAt(0),
       "timeSlicedDir: empty event input — no stream to slice")
     val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
-    val base = java.nio.file.Files.createTempDirectory("graft_stream_slices")
-    deleteRecursivelyOnExit(base)
-    val inDir = base.resolve("in")
-    java.nio.file.Files.createDirectories(inDir)
     val span = math.max(1L, (hi - lo) / nSlices + 1)
     val extras = ev.columns.filterNot(Set("user_id", "ts_us", "event_id"))
     val flush = ev.select(col("user_id")).distinct()
@@ -361,6 +357,34 @@ object EventStreams {
     val slices = (0 until nSlices).map(i =>
       ev.filter(col("ts_us") >= lo + i * span &&
         col("ts_us") < lo + (i + 1) * span)) :+ flush
+    writeSliceFiles(slices)
+  }
+
+  /** The [[timeSlicedDir]] staging for streams whose arrival order is
+    * APPEND-ONLY IDS rather than event time: `df` lands as `nSlices`
+    * ordered files sliced by ranges of the Long `orderCol`, so the
+    * file source delivers lower ids in earlier micro-batches. No
+    * punctuation row — callers whose operators decide per-row (the
+    * cap admitter) need no flush. */
+  def orderedSlicedDir(df: DataFrame, orderCol: String, nSlices: Int): String = {
+    val bounds = df.agg(min(col(orderCol)), max(col(orderCol))).head()
+    require(!bounds.isNullAt(0),
+      "orderedSlicedDir: empty input — no stream to slice")
+    val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
+    val span = math.max(1L, (hi - lo) / nSlices + 1)
+    writeSliceFiles((0 until nSlices).map(i =>
+      df.filter(col(orderCol) >= lo + i * span &&
+        col(orderCol) < lo + (i + 1) * span)))
+  }
+
+  /** Stage each slice as ONE parquet file with ascending mod-times so
+    * the file stream source (maxFilesPerTrigger=1) delivers them in
+    * slice order — shared by [[timeSlicedDir]] / [[orderedSlicedDir]]. */
+  private def writeSliceFiles(slices: Seq[DataFrame]): String = {
+    val base = java.nio.file.Files.createTempDirectory("graft_stream_slices")
+    deleteRecursivelyOnExit(base)
+    val inDir = base.resolve("in")
+    java.nio.file.Files.createDirectories(inDir)
     slices.zipWithIndex.foreach { case (df, i) =>
       val tmp = base.resolve(s"tmp$i")
       df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
@@ -374,6 +398,37 @@ object EventStreams {
         java.nio.file.attribute.FileTime.fromMillis(1600000000000L + i * 60000L))
     }
     inDir.toString
+  }
+
+  final case class CapDoc(source: String, doc_id: Long)
+
+  /** STREAMING per-source admission cap — the enforcement half of the
+    * q_source_cap quota, run at ingest: admit each source's first
+    * `cap` documents in arrival order (append-only doc ids; the slice
+    * layout delivers lower ids first, and the in-batch sort restores
+    * id order within a trigger — shuffle order is an artifact), then
+    * drop the rest forever. State per source is ONE integer (the
+    * admitted count) — O(sources) total state whatever the document
+    * volume, and admissions emit immediately (append mode, no
+    * punctuation or timeout needed: the verdict for a document never
+    * depends on later input). The batch q_source_cap elects by hash
+    * priority and is re-runnable; this is the arrival-order online
+    * variant a live firehose needs — same quota, decided as data
+    * lands. */
+  def sourceCapStream(docs: Dataset[CapDoc], cap: Int): DataFrame = {
+    import docs.sparkSession.implicits._
+    docs.groupByKey(_.source)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout)(
+        (source: String, it: Iterator[CapDoc], state: GroupState[Int]) => {
+          val admitted = state.getOption.getOrElse(0)
+          val take = it.toSeq.sortBy(_.doc_id)
+            .take(math.max(0, cap - admitted))
+          if (take.nonEmpty) state.update(admitted + take.size)
+          take.iterator.zipWithIndex.map { case (d, i) =>
+            (source, d.doc_id, admitted + i + 1)
+          }
+        })
+      .toDF("source", "doc_id", "rnk")
   }
 
   /** Drain the still-open sessions recorded in `state` after a run —

@@ -1197,6 +1197,29 @@ class PipelineOpsSpec extends SparkSpec {
       s.length < 2 || s(0) >= s(1)))
   }
 
+  test("bpe train: planted corpus learns the hand-computed merge " +
+    "sequence, including the left-to-right overlap fold and merged " +
+    "symbols re-entering the statistics") {
+    import spark.implicits._
+    // "aaab"×2, "ab"×1:
+    //   round 1: (a,a)=4 beats (a,b)=3 → "aaab" becomes "aa a b"
+    //            (the 'a a a' run folds LEFT-TO-RIGHT: (aa)(a), not (a)(aa))
+    //   round 2: (a,b)=3 beats (aa,a)=2 → "aa ab" / "ab"
+    //   round 3: (aa,ab)=2 — a merge of two MERGED symbols
+    val fixture = Seq((0L, "aaab ab aaab")).toDF("doc_id", "text")
+    val got = TextOps.bpeTrain(fixture, 3).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(got.toSeq == Seq(
+      (1, "a", "a", 4L), (2, "a", "b", 3L), (3, "aa", "ab", 2L)))
+    // gate shape on the real corpus: rounds contiguous, counts
+    // non-increasing (a later merge can never beat an earlier one)
+    val gate = graft.SparkEntry.queries("q_bpe_train")(
+      spark, "/root/testdata/sf0.001").collect()
+    assert(gate.map(_.getInt(0)).toSeq == (1 to TextOps.BpeTrainRounds))
+    assert(gate.map(_.getLong(3)).sliding(2).forall(s =>
+      s.length < 2 || s(0) >= s(1)))
+  }
+
   test("pivot source×lang: cells partition the per-source totals and " +
     "langs cover the corpus") {
     val sf = "/root/testdata/sf0.001"

@@ -319,6 +319,44 @@ class EventStreamsSpec extends SparkSpec {
     assert(fromIngest > 0, "no served neighbor came from the ingest slice")
   }
 
+  test("streaming source cap: the cap boundary falls inside a later " +
+    "micro-batch and the admitted set equals the batch first-K election") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val cap = 3
+    // source A: 5 docs split 2+3 across batches (cap hits mid-batch-2);
+    // source B: 2 docs (under cap); arrival = ascending doc_id
+    val b1 = Seq(EventStreams.CapDoc("A", 1L), EventStreams.CapDoc("A", 2L),
+      EventStreams.CapDoc("B", 10L))
+    val b2 = Seq(EventStreams.CapDoc("A", 3L), EventStreams.CapDoc("A", 4L),
+      EventStreams.CapDoc("A", 5L), EventStreams.CapDoc("B", 11L))
+    val input = MemoryStream[EventStreams.CapDoc]
+    val q = EventStreams.sourceCapStream(input.toDS(), cap)
+      .writeStream.format("memory").queryName("cap_test")
+      .outputMode("append").start()
+    input.addData(b1); q.processAllAvailable()
+    input.addData(b2); q.processAllAvailable()
+    q.stop()
+    val got = spark.table("cap_test").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getInt(2))).toSet
+    assert(got == Set(
+      ("A", 1L, 1), ("A", 2L, 2), ("A", 3L, 3), // 3 admitted: 2 + 1 more
+      ("B", 10L, 1), ("B", 11L, 2))) // B never reaches the cap
+    // gate equality on the real corpus: stream == batch first-K
+    val sf = "/root/testdata/sf0.001"
+    val streamed = graft.SparkEntry.queries("q_stream_source_cap")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2))).toSet
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source")).orderBy(col("doc_id"))
+    val batch = graft.Tables(spark, sf, "documents")
+      .select(col("source"), col("doc_id"),
+        row_number().over(w).as("rnk"))
+      .filter(col("rnk") <= graft.operators.CurationOps.SourceCap)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2))).toSet
+    assert(streamed == batch)
+    assert(streamed.nonEmpty)
+  }
+
   test("incremental dedup clustering (q_stream_dedup_clusters): the " +
     "batch-by-batch star state equals the batch contraction over the " +
     "full corpus") {
