@@ -470,6 +470,19 @@ object TextOps {
       (s, dir) => bpeTrain(Tables(s, dir, "documents"), BpeTrainRounds)
     },
 
+    // BPE ENCODE — apply the trained tokenizer to the whole corpus:
+    // per document, word count and total BPE token count under the
+    // learned merge table. Training touches the vocab; ENCODING
+    // touches all 100 TB, so its shape is the one that matters at
+    // scale: a map-side explode joined against the broadcast
+    // vocabulary state (Heaps-law sublinear), no corpus shuffle on
+    // the skew-heavy word key. Oracle = the same unrolled merge
+    // chain, then a LEFT join of every document word against the
+    // final symbol state.
+    QueryDef.sql("q_bpe_encode", bpeEncodeSql(BpeTrainRounds)) {
+      (s, dir) => bpeEncode(Tables(s, dir, "documents"), BpeTrainRounds)
+    },
+
     // Corpus-informed rarity scoring: each document's tokens scored
     // by their GLOBAL corpus frequency (mean + rarest) — the exact-
     // arithmetic cousin of CCNet-style LM quality filtering: word
@@ -713,24 +726,25 @@ object TextOps {
         .as("pair"))
       .groupBy(col("pair")).agg(sum(col("wcnt")).as("pair_count"))
 
-  /** The q_bpe_train body: `rounds` BPE merge iterations over the
-    * distinct-word table, one (merge_round, sym_a, sym_b, pair_count)
-    * row per learned merge. Words are space-joined symbol strings;
-    * the merge rewrite is a delimited string replace, whose
-    * left-to-right non-overlap semantics ('a a a' + (a,a) → 'aa a')
-    * both engines share — spec-pinned on a planted run. Word state is
-    * pinnedIter per round (loop-carried lineage must stay flat). */
-  def bpeTrain(docs: org.apache.spark.sql.DataFrame, rounds: Int)
-      : org.apache.spark.sql.DataFrame = {
-    val spark = docs.sparkSession
-    import spark.implicits._
+  /** The shared BPE merge loop: `rounds` iterations over the
+    * distinct-word table, returning the learned merge list AND the
+    * final per-word symbol state `(w, syms, wcnt)` — still pinned;
+    * the caller owns the unpin (train discards it, encode derives
+    * from it). Words are space-joined symbol strings; the merge
+    * rewrite is a delimited string replace, whose left-to-right
+    * non-overlap semantics ('a a a' + (a,a) → 'aa a') both engines
+    * share — spec-pinned on a planted run. Word state is pinnedIter
+    * per round (loop-carried lineage must stay flat). */
+  private def bpeLoop(docs: org.apache.spark.sql.DataFrame, rounds: Int)
+      : (Seq[(Int, String, String, Long)], org.apache.spark.sql.DataFrame) = {
     var words = docs
       .select(explode(tokens(col("text"))).as("w"))
       .filter(length(col("w")) >= 2)
       .groupBy(col("w")).agg(count(lit(1)).as("wcnt"))
-      .select(concat_ws(" ",
-        transform(sequence(lit(0), length(col("w")) - 1),
-          i => col("w").substr(i + 1, lit(1)))).as("syms"),
+      .select(col("w"),
+        concat_ws(" ",
+          transform(sequence(lit(0), length(col("w")) - 1),
+            i => col("w").substr(i + 1, lit(1)))).as("syms"),
         col("wcnt"))
       .pinnedIter
     val merges = Seq.newBuilder[(Int, String, String, Long)]
@@ -750,7 +764,7 @@ object TextOps {
         .limit(1).collect()(0)
       val (a, b, cnt) = (best.getString(0), best.getString(1), best.getLong(2))
       merges += ((r, a, b, cnt))
-      val stepped = words.select(
+      val stepped = words.select(col("w"),
         trim(call_function("replace",
           concat(lit(" "), col("syms"), lit(" ")),
           lit(s" $a $b "), lit(s" $a$b "))).as("syms"),
@@ -758,8 +772,48 @@ object TextOps {
       Materialize.unpin(words)
       words = stepped
     }
+    (merges.result(), words)
+  }
+
+  /** The q_bpe_train body: the merge table itself, one
+    * (merge_round, sym_a, sym_b, pair_count) row per learned merge —
+    * the tokenizer artifact a training pipeline ships. */
+  def bpeTrain(docs: org.apache.spark.sql.DataFrame, rounds: Int)
+      : org.apache.spark.sql.DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val (merges, words) = bpeLoop(docs, rounds)
     Materialize.unpin(words)
-    merges.result().toDF("merge_round", "sym_a", "sym_b", "pair_count")
+    merges.toDF("merge_round", "sym_a", "sym_b", "pair_count")
+  }
+
+  /** The q_bpe_encode body: APPLY the trained tokenizer — run the
+    * merge loop, then tokenize every document with the final
+    * word→symbols state: per document, the word count and the total
+    * BPE token count (words below the 2-char training floor encode
+    * as one token each). This is the half of the tokenizer story a
+    * data pipeline actually runs at scale (the merge table is learned
+    * once; the ENCODE touches all 100 TB), and its shape is one
+    * corpus-sized map-side explode joined against the
+    * VOCABULARY-sized symbol state.
+    *
+    * The vocab side is broadcast: distinct word types grow
+    * sublinearly in corpus size (Heaps' law), and the alternative —
+    * shuffling the exploded corpus on the word key — puts "the" and
+    * every other stopword on one reducer; broadcasting the vocabulary
+    * is both the smaller exchange and the skew-proof one. The final
+    * word state stays pinned (the result derives from it — the
+    * Materialize unpin contract). */
+  def bpeEncode(docs: org.apache.spark.sql.DataFrame, rounds: Int)
+      : org.apache.spark.sql.DataFrame = {
+    val (_, words) = bpeLoop(docs, rounds)
+    val vocab = words.select(col("w"),
+      size(split(col("syms"), " ")).as("ntok"))
+    docs.select(col("doc_id"), explode(tokens(col("text"))).as("w"))
+      .join(broadcast(vocab), Seq("w"), "left_outer")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_words"),
+        sum(coalesce(col("ntok"), lit(1)).cast("long")).as("n_tokens"))
   }
 
   /** Oracle for q_bpe_train: all `rounds` merge iterations unrolled
@@ -773,6 +827,18 @@ object TextOps {
     * final row), so the default inline-on-reference would re-derive
     * the whole word pipeline per reference — exponential in rounds. */
   def bpeTrainSql(rounds: Int): String = {
+    val rows = (1 to rounds).map(k =>
+      s"SELECT CAST($k AS INTEGER) AS merge_round, a AS sym_a, b AS sym_b, pair_count FROM b$k")
+      .mkString("\nUNION ALL\n")
+    s"""WITH ${bpeChainSql(rounds)}
+       |$rows""".stripMargin
+  }
+
+  /** The shared w0 → (p1,b1,w1) → … → (pN,bN,wN) CTE chain both BPE
+    * oracles build on: wK is the word symbol state after merge K
+    * (carrying the original word `w` so the encode oracle can join on
+    * it), bK the round's elected merge. */
+  private def bpeChainSql(rounds: Int): String = {
     val blocks = (1 to rounds).map { k =>
       s"""p$k AS (
          |  SELECT sy[CAST(i + 1 AS INTEGER)] AS a,
@@ -784,23 +850,35 @@ object TextOps {
          |  FROM p$k GROUP BY a, b
          |  ORDER BY pair_count DESC, a, b LIMIT 1),
          |w$k AS MATERIALIZED (
-         |  SELECT trim(replace(' ' || syms || ' ',
+         |  SELECT w, trim(replace(' ' || syms || ' ',
          |           ' ' || (SELECT a FROM b$k) || ' ' || (SELECT b FROM b$k) || ' ',
          |           ' ' || (SELECT a FROM b$k) || (SELECT b FROM b$k) || ' ')) AS syms,
          |         wcnt
          |  FROM w${k - 1})""".stripMargin
     }.mkString(",\n")
-    val rows = (1 to rounds).map(k =>
-      s"SELECT CAST($k AS INTEGER) AS merge_round, a AS sym_a, b AS sym_b, pair_count FROM b$k")
-      .mkString("\nUNION ALL\n")
-    s"""WITH w0 AS MATERIALIZED (
-       |  SELECT array_to_string(list_transform(range(length(w)),
+    s"""w0 AS MATERIALIZED (
+       |  SELECT w, array_to_string(list_transform(range(length(w)),
        |           i -> substr(w, CAST(i + 1 AS INTEGER), 1)), ' ') AS syms,
        |         wcnt
        |  FROM (SELECT w, CAST(count(*) AS BIGINT) AS wcnt
        |        FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
        |        WHERE len(w) >= 2 GROUP BY w)),
-       |$blocks
-       |$rows""".stripMargin
+       |$blocks""".stripMargin
   }
+
+  /** Oracle for q_bpe_encode: the same unrolled merge chain, then
+    * every document's words LEFT-joined against the final word state
+    * wN — a word absent from the state (below the 2-char training
+    * floor) encodes as one token — and summed per document. */
+  def bpeEncodeSql(rounds: Int): String =
+    s"""WITH ${bpeChainSql(rounds)},
+       |tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+       |        FROM documents),
+       |enc AS (SELECT t.doc_id,
+       |               CASE WHEN s.syms IS NULL THEN 1
+       |                    ELSE len(string_split(s.syms, ' ')) END AS ntok
+       |        FROM tok t LEFT JOIN w$rounds s ON t.w = s.w)
+       |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+       |       CAST(sum(ntok) AS BIGINT) AS n_tokens
+       |FROM enc GROUP BY doc_id""".stripMargin
 }

@@ -1220,6 +1220,24 @@ class PipelineOpsSpec extends SparkSpec {
       s.length < 2 || s(0) >= s(1)))
   }
 
+  test("bpe encode: planted corpus tokenizes with the learned merges; " +
+    "words below the training floor fall back to one token") {
+    import spark.implicits._
+    // merges learned on this corpus with 2 rounds: (a,a)=6 then
+    // (a,b)=4, so "aaab" → "aa ab" (2 tokens), "ab" → "ab" (1 token),
+    // and the 1-char "x" never enters the state → 1 token fallback
+    val fixture = Seq((0L, "aaab ab aaab"), (1L, "x aaab"))
+      .toDF("doc_id", "text")
+    val got = TextOps.bpeEncode(fixture, 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    assert(got.toSeq == Seq((0L, 3L, 5L), (1L, 2L, 3L)))
+    // gate shape on the real corpus: every word is at least one token
+    val gate = graft.SparkEntry.queries("q_bpe_encode")(
+      spark, "/root/testdata/sf0.001").collect()
+    assert(gate.nonEmpty)
+    assert(gate.forall(r => r.getLong(2) >= r.getLong(1)))
+  }
+
   test("pivot source×lang: cells partition the per-source totals and " +
     "langs cover the corpus") {
     val sf = "/root/testdata/sf0.001"
