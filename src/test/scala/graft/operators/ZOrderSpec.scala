@@ -131,4 +131,51 @@ class ZOrderSpec extends SparkSpec {
     info(f"quantile layout mean hour-dim file span: $hourSpan%.3f")
     assert(hourSpan < 0.6, f"hour-dim span $hourSpan%.3f — no locality")
   }
+
+  test("hilbert index: exhaustive grid walk is a bijection with " +
+    "unit steps, and the gate query matches a JVM reference") {
+    import spark.implicits._
+    // the curve's defining property, checked on EVERY cell of a full
+    // 16x16 grid: consecutive indices are grid-adjacent (Manhattan
+    // distance exactly 1) — the locality guarantee Morton interleave
+    // does not have (its worst jumps cross half the domain)
+    val bits = 4
+    val n = 1 << bits
+    val grid = (for (x <- 0 until n; y <- 0 until n) yield (x, y))
+      .toDF("gx", "gy")
+    val walked = ZOrder.hilbertFrame(grid, col("gx"), col("gy"), bits)
+      .select(col("hval"), col("hx"), col("hy"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+    assert(walked.map(_._1).toSeq == (0L until (n.toLong * n)),
+      "hilbert index is not a bijection onto [0, n^2)")
+    walked.sliding(2).foreach { case Array((_, x1, y1), (_, x2, y2)) =>
+      assert(math.abs(x1 - x2) + math.abs(y1 - y2) == 1,
+        s"non-unit step ($x1,$y1) -> ($x2,$y2)")
+    }
+    // gate query vs an independent JVM xy2d on the real corpus
+    def ref(bits: Int, x0: Long, y0: Long): Long = {
+      var (x, y, d) = (x0, y0, 0L)
+      val nn = 1L << bits
+      var s = nn / 2
+      while (s > 0) {
+        val rx = if ((x & s) > 0) 1L else 0L
+        val ry = if ((y & s) > 0) 1L else 0L
+        d += s * s * ((3 * rx) ^ ry)
+        if (ry == 0) {
+          if (rx == 1) { x = nn - 1 - x; y = nn - 1 - y }
+          val t = x; x = y; y = t
+        }
+        s /= 2
+      }
+      d
+    }
+    val rows = graft.SparkEntry.queries("q_hilbert_value")(spark, dir)
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(3) == ref(ZOrder.HBits, r.getLong(1), r.getLong(2)),
+        s"hilbert mismatch for (${r.getLong(1)}, ${r.getLong(2)})")
+    }
+  }
 }
