@@ -32,6 +32,28 @@ object StreamingOps {
     try body finally s.conf.set(key, prev)
   }
 
+  /** One q_stream_topk leaderboard maintenance round: merge a
+    * trigger's UPDATED cumulative counts into the prior k-row board
+    * and re-take the top k. `max(cnt)` resolves a user present on
+    * both sides to its NEW cumulative count (counts are monotone).
+    * Exactness argument (spec-driven on a planted drop/re-enter
+    * sequence): a user absent from a trigger's updates has an
+    * unchanged count while every kept competitor only grows, so a
+    * user cut from the board can only return through a later update
+    * row — and then it IS in the candidate set. The election is
+    * orderBy+limit (TakeOrderedAndProject); the collect is k rows. */
+  def topkBoardMerge(prior: Seq[(Long, Long)],
+      updates: org.apache.spark.sql.DataFrame, k: Int): Array[(Long, Long)] = {
+    val s = updates.sparkSession
+    import s.implicits._
+    updates.select(col("user_id"), col("cnt"))
+      .union(prior.toDF("user_id", "cnt"))
+      .groupBy(col("user_id")).agg(max(col("cnt")).as("cnt"))
+      .orderBy(col("cnt").desc, col("user_id"))
+      .limit(k).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+  }
+
   val all: Seq[QueryDef] = Seq(
 
     QueryDef.sql(
@@ -188,6 +210,55 @@ object StreamingOps {
           .outputMode("complete").trigger(Trigger.AvailableNow()).start()
         q.awaitTermination()
         s.table("graft_stream_cm")
+      }
+    },
+
+    // CONTINUOUS top-k (leaderboard) over the event stream: per-user
+    // counts as a stateful update-mode aggregation, with the k-row
+    // leaderboard maintained in foreachBatch by merging each
+    // trigger's UPDATED counts into the prior board and re-taking the
+    // top k — O(k) external state however large the corpus. This
+    // merge is EXACT for monotone counts (spec-argued + oracle-
+    // checked): a user absent from a trigger's updates has an
+    // unchanged count while every kept competitor only grows, so
+    // dropping below the k-row cut is irrevocable and the final board
+    // equals the batch top-k. Per trigger the candidate set is
+    // (update rows + k), the election is TakeOrderedAndProject, and
+    // the only driver material is the k-row board — the shape of a
+    // trending/heavy-hitter serve at firehose scale (q_stream_cm is
+    // its approximate sketch-bounded cousin).
+    QueryDef.sql(
+      "q_stream_topk",
+      """WITH c AS (SELECT user_id, CAST(count(*) AS BIGINT) AS cnt
+        |           FROM events GROUP BY user_id),
+        |r AS (SELECT user_id, cnt,
+        |             CAST(row_number() OVER (ORDER BY cnt DESC, user_id)
+        |                  AS INTEGER) AS rnk
+        |      FROM c)
+        |SELECT user_id, cnt, rnk FROM r WHERE rnk <= 10""".stripMargin) {
+      (s, dir) => withStreamPartitions(s, 8) {
+        val k = 10
+        val ev = Tables.events(s, dir).select(col("user_id"))
+        val tmp = java.nio.file.Files.createTempDirectory("graft_stream_topk")
+        EventStreams.deleteRecursivelyOnExit(tmp)
+        val inDir = s"$tmp/in"
+        ev.repartition(4).write.mode("overwrite").parquet(inDir)
+        val stream = s.readStream.schema(ev.schema)
+          .option("maxFilesPerTrigger", "1").parquet(inDir)
+        var board = Array.empty[(Long, Long)]
+        val q = stream
+          .groupBy(col("user_id")).agg(count(lit(1)).as("cnt"))
+          .writeStream.outputMode("update")
+          .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+            board = topkBoardMerge(board.toSeq, batch, k)
+          }
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+        import s.implicits._
+        board.toSeq.toDF("user_id", "cnt")
+          .withColumn("rnk", row_number().over(
+            org.apache.spark.sql.expressions.Window
+              .orderBy(col("cnt").desc, col("user_id"))))
       }
     },
 

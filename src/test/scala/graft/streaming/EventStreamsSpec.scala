@@ -481,4 +481,38 @@ class EventStreamsSpec extends SparkSpec {
     val total = got.agg(sum(col("c"))).head.getLong(0)
     assert(total == 8L * EventAnalytics.CmDepth) // each row of d counts all n
   }
+
+  test("topk leaderboard merge: a user cut from the k-row board " +
+    "re-enters only through an update, and the final board is the " +
+    "batch top-k of a planted drop/re-enter sequence") {
+    import spark.implicits._
+    def upd(rows: (Long, Long)*) = rows.toDF("user_id", "cnt")
+    val k = 2
+    // trigger 1: A=5 B=4 C=3 → C is cut at the k-row boundary
+    val b1 = graft.operators.StreamingOps.topkBoardMerge(Nil, upd(1L -> 5L, 2L -> 4L, 3L -> 3L), k)
+    assert(b1.toSeq == Seq(1L -> 5L, 2L -> 4L))
+    // trigger 2: only C updates (cumulative 6) — re-enters via the
+    // update row, displacing B whose count is unchanged
+    val b2 = graft.operators.StreamingOps.topkBoardMerge(b1.toSeq, upd(3L -> 6L), k)
+    assert(b2.toSeq == Seq(3L -> 6L, 1L -> 5L))
+    // trigger 3: B grows past everyone; A (no update, on the board)
+    // keeps its count through the merge
+    val b3 = graft.operators.StreamingOps.topkBoardMerge(b2.toSeq, upd(2L -> 7L), k)
+    assert(b3.toSeq == Seq(2L -> 7L, 3L -> 6L))
+    // the final board IS the batch top-k of the cumulative counts
+    // (A=5, B=7, C=6), including the irrevocable-drop property: A
+    // fell off at trigger 3 and nothing can bring it back unupdated
+
+    // gate equivalence on the real corpus: stream == batch election
+    val sf = "/root/testdata/sf0.001"
+    val got = graft.SparkEntry.queries("q_stream_topk")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+      .sortBy(_._3)
+    val want = graft.Tables.events(spark, sf)
+      .groupBy(col("user_id")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("user_id")).limit(10)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.map(t => (t._1, t._2)).toSeq == want.toSeq)
+    assert(got.map(_._3).toSeq == (1 to got.length))
+  }
 }
