@@ -987,6 +987,86 @@ object DedupOps {
     s"""SELECT doc_id, text FROM documents
        |  WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < '$LshRecallSampleHexMax'""".stripMargin
 
+  /** q_doc_pagerank iteration count and fixed-point scale: ranks are
+    * BIGINT micro-units (1e12 = rank 1.0) so every engine computes
+    * bit-identical values — integer floor division replaces the
+    * float mass-splitting that would make cross-engine sums
+    * order-dependent. Damping 0.85 is the integer pair (17, 20). */
+  val PrIters = 4
+  val PrScale = 1000000000000L
+
+  /** PageRank over the UNDIRECTED LSH candidate graph — centrality
+    * inside near-duplicate neighborhoods: a document that many
+    * near-dup chains pass through (template hubs, syndicated
+    * boilerplate centers) ranks high, which is the curation signal
+    * for "this cluster has a canonical center" vs "loose chain".
+    * Nodes are docs incident to >= 1 candidate edge (so every node
+    * has degree >= 1 — no dangling-mass machinery), teleport is
+    * (1-d)/n to graph nodes, and each iteration is the classic
+    * sparse matrix-vector product: one equi-join of the adjacency
+    * against the rank/degree state + one groupBy on the receiver —
+    * the candidate SUBGRAPH only, never the corpus. All arithmetic
+    * is fixed-point BIGINT ([[PrScale]] micro-units, floor division
+    * `div` / DuckDB `//`), so the oracle's unrolled-CTE replay is
+    * bit-identical by construction (the ivfTrainQuantized pattern,
+    * taken to integers). Rank state is pinnedIter per round. */
+  def docPagerank(docs: DataFrame, iters: Int): DataFrame =
+    pagerankOnEdges(lshCandidatePairs(docs), iters)
+
+  /** The iteration core of [[docPagerank]] over an explicit (a, b)
+    * undirected edge set — named so the spec can drive a planted
+    * graph through hand-computed fixed-point values. */
+  def pagerankOnEdges(edges: DataFrame, iters: Int): DataFrame = {
+    val adj = edges.select(col("a").as("u"), col("b").as("v"))
+      .union(edges.select(col("b").as("u"), col("a").as("v")))
+      .pinned // feeds degree, the node count, and every iteration
+    val deg = adj.groupBy(col("u")).agg(count(lit(1)).as("deg")).pinned
+    val n = deg.count() // one driver scalar — the graph node count
+    require(n > 0, "docPagerank: no candidate edges — empty graph")
+    val base = (3L * PrScale / n) / 20L // (1-d)/n in micro-units
+    var rank = deg.select(col("u"), lit(PrScale / n).as("r")).pinnedIter
+    for (_ <- 1 to iters) {
+      val stepped = adj.join(rank, "u").join(deg, "u")
+        .select(col("v"), expr("r div deg").as("c"))
+        .groupBy(col("v"))
+        .agg(sum(col("c")).as("s"))
+        .select(col("v").as("u"),
+          (lit(base) + expr("17 * s div 20")).as("r"))
+        .pinnedIter
+      Materialize.unpin(rank)
+      rank = stepped
+    }
+    rank.join(deg, "u")
+      .select(col("u").as("doc_id"), col("deg"), col("r").as("pr_micro"))
+  }
+
+  /** Oracle for q_doc_pagerank: the shared candidate CTEs, then all
+    * [[PrIters]] iterations unrolled as chained MATERIALIZED CTEs
+    * with the same fixed-point integer arithmetic (`//` = `div`). */
+  def docPagerankSql(iters: Int): String = {
+    val baseSql =
+      s"((3 * $PrScale // (SELECT n FROM nn)) // 20)"
+    val rounds = (1 to iters).map { k =>
+      s"""r$k AS MATERIALIZED (
+         |  SELECT adj.v AS u,
+         |         $baseSql + (17 * CAST(sum(pr.r // deg.deg) AS BIGINT)) // 20 AS r
+         |  FROM adj JOIN r${k - 1} pr ON adj.u = pr.u
+         |           JOIN deg ON adj.u = deg.u
+         |  GROUP BY adj.v)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $candidateCtes,
+       |adj AS (SELECT a AS u, b AS v FROM cand
+       |        UNION ALL SELECT b AS u, a AS v FROM cand),
+       |deg AS MATERIALIZED (
+       |  SELECT u, CAST(count(*) AS BIGINT) AS deg FROM adj GROUP BY u),
+       |nn AS MATERIALIZED (SELECT CAST(count(*) AS BIGINT) AS n FROM deg),
+       |r0 AS MATERIALIZED (
+       |  SELECT u, $PrScale // (SELECT n FROM nn) AS r FROM deg),
+       |$rounds
+       |SELECT r$iters.u AS doc_id, deg.deg, r$iters.r AS pr_micro
+       |FROM r$iters JOIN deg ON r$iters.u = deg.u""".stripMargin
+  }
+
   /** [[candidateCtes]] over an arbitrary (doc_id, text) source CTE —
     * lets the recall-telemetry oracle run the identical replica on
     * its deterministic document sample. */
@@ -1223,6 +1303,18 @@ object DedupOps {
     QueryDef.sql(
       "q_dedup_clusters_star", clusterClosureSql) {
       (s, dir) => dupClustersStar(Tables(s, dir, "documents"))
+    },
+
+    // PageRank centrality inside the near-dup candidate graph: which
+    // documents are the HUBS of duplicate neighborhoods (template
+    // centers, syndicated-boilerplate sources) vs loose chain ends —
+    // the ranking a curation pass consults when electing canonical
+    // representatives. Fixed-point BIGINT arithmetic end to end
+    // (micro-unit ranks, floor division), so the unrolled-CTE oracle
+    // is bit-identical with no float sum-order hazard. Per iteration:
+    // one equi-join + one groupBy on the candidate SUBGRAPH.
+    QueryDef.sql("q_doc_pagerank", docPagerankSql(PrIters)) {
+      (s, dir) => docPagerank(Tables(s, dir, "documents"), PrIters)
     },
 
     // SimHash: 16-bit signature from per-token md5 bit votes (hex

@@ -1238,6 +1238,33 @@ class PipelineOpsSpec extends SparkSpec {
     assert(gate.forall(r => r.getLong(2) >= r.getLong(1)))
   }
 
+  test("pagerank on a planted path graph lands on hand-computed " +
+    "fixed-point micro-values; gate mass and hub ordering hold") {
+    import spark.implicits._
+    // path A—B—C: S = 1e12, n = 3, r0 = S/3, base = (3S/3)/20 = S/20.
+    // iter 1 (floor division throughout):
+    //   leaves get r_B div 2 = 166666666666 → 50e9 + (17·that) div 20
+    //   B gets r_A + r_C = 666666666666 → 50e9 + (17·that) div 20
+    val edges = Seq((1L, 2L), (2L, 3L)).toDF("a", "b")
+    val got1 = DedupOps.pagerankOnEdges(edges, 1).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(got1 == Map(
+      1L -> 191666666666L, 2L -> 616666666666L, 3L -> 191666666666L))
+    val got2 = DedupOps.pagerankOnEdges(edges, 2).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(got2 == Map(
+      1L -> 312083333333L, 2L -> 375833333332L, 3L -> 312083333333L))
+    // gate invariants on the real corpus: total mass stays ~1.0
+    // (floor losses only shrink it), symmetric structure aside the
+    // max-degree hub outranks the min-degree fringe
+    val gate = graft.SparkEntry.queries("q_doc_pagerank")(
+      spark, "/root/testdata/sf0.001").collect()
+    assert(gate.nonEmpty)
+    val total = gate.map(_.getLong(2)).sum
+    assert(total <= DedupOps.PrScale && total > DedupOps.PrScale * 9 / 10,
+      s"rank mass $total strayed from ${DedupOps.PrScale}")
+  }
+
   test("pivot source×lang: cells partition the per-source totals and " +
     "langs cover the corpus") {
     val sf = "/root/testdata/sf0.001"
