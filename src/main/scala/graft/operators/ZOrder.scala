@@ -103,7 +103,36 @@ object ZOrder {
     * one range-partitioning exchange at write time; every later scan
     * prunes on footer stats exactly as before. */
   def writeZOrderedQuantile(df: DataFrame, zx: Column, zy: Column,
-      nFiles: Int, path: String): Unit = {
+      nFiles: Int, path: String): Unit =
+    writeCurveOrdered(df, zx, zy, nFiles, path,
+      (d, bx, by) => d.withColumn("__z", zValueBits(bx, by, QBits)))
+
+  /** [[writeZOrderedQuantile]] with the HILBERT index as the layout
+    * key instead of Morton interleave: same sampled-quantile rank
+    * bins, same one range-partitioning exchange — but consecutive
+    * key values are always grid-adjacent, so the per-file bounding
+    * boxes avoid the Morton curve's quadrant-boundary jumps
+    * (measured head-to-head in ZOrderSpec). */
+  def writeHilbertOrdered(df: DataFrame, zx: Column, zy: Column,
+      nFiles: Int, path: String): Unit =
+    writeCurveOrdered(df, zx, zy, nFiles, path, (d, bx, by) =>
+      hilbertFrame(d, bx, by, QBits)
+        .withColumnRenamed("hval", "__z").drop("hx", "hy"))
+
+  /** Shared quantile-binned curve writer: map each dimension to its
+    * ≤2^[[QBits]]-bin RANK position via `approxQuantile` edges (one
+    * sampled pass per Greenwald–Khanna sketch, driver material =
+    * ≤2·255 doubles — the same O(constants) shape as the min/max
+    * probe), so a heavy-tailed dimension spreads its mass evenly
+    * across bins instead of collapsing into the bottom of an
+    * outlier-stretched scale; then order by `curve(binx, biny)` with
+    * the one range-partitioning exchange any global layout needs.
+    * The per-row binning is a codegen'd scan of the broadcast edge
+    * array (count of edges ≤ value = bin index); duplicate edges
+    * from extreme ties deduplicate into fewer, still-monotone bins. */
+  private def writeCurveOrdered(df: DataFrame, zx: Column, zy: Column,
+      nFiles: Int, path: String,
+      curve: (DataFrame, Column, Column) => DataFrame): Unit = {
     val tagged = df
       .withColumn("__zx", zx.cast("double"))
       .withColumn("__zy", zy.cast("double"))
@@ -112,7 +141,7 @@ object ZOrder {
     val edges = tagged.stat.approxQuantile(
       Array("__zx", "__zy"), probs, 0.001)
     require(edges.forall(_.nonEmpty),
-      "writeZOrderedQuantile: empty input — nothing to lay out at " + path)
+      "writeCurveOrdered: empty input — nothing to lay out at " + path)
     // Rank bin, RESCALED to the common QBits range: a low-cardinality
     // dimension yields few distinct edges, and its raw bin index
     // would only occupy the LOW interleave bits — handing every
@@ -124,11 +153,13 @@ object ZOrder {
       (size(filter(arr, e => e <= c)).cast("long") *
         (nBins - 1) / uniq.length)
     }
-    tagged.withColumn("__z", zValueBits(
-        bin(col("__zx"), edges(0)), bin(col("__zy"), edges(1)), QBits))
+    val binned = tagged
+      .withColumn("__bx", bin(col("__zx"), edges(0)))
+      .withColumn("__by", bin(col("__zy"), edges(1)))
+    curve(binned, col("__bx"), col("__by"))
       .repartitionByRange(nFiles, col("__z"))
       .sortWithinPartitions(col("__z"))
-      .drop("__z", "__zx", "__zy")
+      .drop("__z", "__zx", "__zy", "__bx", "__by")
       .write.mode("overwrite").parquet(path)
   }
 

@@ -178,4 +178,40 @@ class ZOrderSpec extends SparkSpec {
         s"hilbert mismatch for (${r.getLong(1)}, ${r.getLong(2)})")
     }
   }
+
+  test("hilbert-ordered files keep fractional bounding boxes in both " +
+    "dimensions — measured head-to-head with the quantile z-order") {
+    val ev = graft.Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id"),
+        floor(col("ts_us") / 3600000000L).cast("long").as("hour"))
+    val tmp = java.nio.file.Files.createTempDirectory("graft_hilbert")
+    val nFiles = 16
+    ZOrder.writeHilbertOrdered(ev, col("user_id"), col("hour"),
+      nFiles, s"$tmp/h")
+    ZOrder.writeZOrderedQuantile(ev, col("user_id"), col("hour"),
+      nFiles, s"$tmp/z")
+    def meanSpans(path: String): (Double, Double) = {
+      val df = spark.read.parquet(path)
+        .select(col("user_id"), col("hour"), input_file_name().as("f"))
+      val dom = df.agg(
+        (max("user_id") - min("user_id")).cast("double").as("du"),
+        (max("hour") - min("hour")).cast("double").as("dh")).head()
+      val r = df.groupBy("f").agg(
+        ((max("user_id") - min("user_id")) / dom.getDouble(0)).as("su"),
+        ((max("hour") - min("hour")) / dom.getDouble(1)).as("sh"))
+        .agg(avg("su"), avg("sh")).head()
+      (r.getDouble(0), r.getDouble(1))
+    }
+    val (hUser, hHour) = meanSpans(s"$tmp/h")
+    val (zUser, zHour) = meanSpans(s"$tmp/z")
+    info(f"mean file span: hilbert user=$hUser%.3f hour=$hHour%.3f; " +
+      f"z-order user=$zUser%.3f hour=$zHour%.3f")
+    // the layout contract: both dimensions prunable from footer stats
+    assert(hUser < 0.6, f"hilbert user-dim span $hUser%.3f — no locality")
+    assert(hHour < 0.6, f"hilbert hour-dim span $hHour%.3f — no locality")
+    // and the curve swap must not cost locality vs Morton overall
+    assert(hUser + hHour <= (zUser + zHour) * 1.15,
+      f"hilbert total span ${hUser + hHour}%.3f worse than morton " +
+        f"${zUser + zHour}%.3f beyond tolerance")
+  }
 }
