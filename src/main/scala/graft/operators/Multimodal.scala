@@ -68,7 +68,64 @@ object Multimodal {
       .toDF("doc_id", "width", "height", "out_w", "out_h")
   }
 
+  /** Two-tier media dedup over (doc_id, text)-shaped input: exact
+    * tier groups on the payload content hash; the perceptual tier
+    * groups on a pHash-style fingerprint of the DECODED features (the
+    * stub's width/height/frames stand in for a real DCT perceptual
+    * hash — the plumbing, groupings and keep elections are the
+    * production shape). Each tier is one hash-groupBy + a hash join
+    * back: only (doc_id, hash) pairs ever shuffle, payloads never
+    * leave their scan partitions — the property that makes media
+    * dedup affordable when payloads are MBs each. A doc is an exact
+    * dup if it loses its content-hash election, a near dup if it
+    * survives exact but loses the perceptual election. */
+  def mediaDedup(docs: DataFrame): DataFrame = {
+    val m = docs.select(
+      col("doc_id"),
+      sha2(encode(col("text"), "UTF-8"), 256).as("content_hash"),
+      md5(concat(
+        (octet_length(encode(col("text"), "UTF-8")) % 640).cast("string"),
+        lit(":"),
+        (octet_length(encode(col("text"), "UTF-8")) % 480).cast("string"),
+        lit(":"),
+        (octet_length(encode(col("text"), "UTF-8")) % 16 + 1).cast("string")))
+        .as("phash"))
+    val exact = m.groupBy(col("content_hash"))
+      .agg(min(col("doc_id")).as("exact_keep"))
+    val perceptual = m.groupBy(col("phash"))
+      .agg(min(col("doc_id")).as("phash_keep"))
+    m.join(exact, "content_hash").join(perceptual, "phash")
+      .select(col("doc_id"), col("content_hash"), col("phash"),
+        col("exact_keep"), col("phash_keep"),
+        (col("doc_id") =!= col("exact_keep")).as("is_exact_dup"),
+        (col("doc_id") === col("exact_keep") &&
+          col("doc_id") =!= col("phash_keep")).as("is_near_dup"))
+  }
+
   val all: Seq[QueryDef] = Seq(
+
+    // Media dedup, both tiers: exact on the content hash, perceptual
+    // on the decoded-feature fingerprint — the dedup pass a 100 TB
+    // media corpus runs BEFORE any expensive model-based screening.
+    QueryDef.sql(
+      "q_multimodal_dedup",
+      """WITH m AS (
+        |  SELECT doc_id, sha256(text) AS content_hash,
+        |         md5(CAST(strlen(text) % 640 AS VARCHAR) || ':' ||
+        |             CAST(strlen(text) % 480 AS VARCHAR) || ':' ||
+        |             CAST(strlen(text) % 16 + 1 AS VARCHAR)) AS phash
+        |  FROM documents),
+        |e AS (SELECT content_hash, CAST(min(doc_id) AS BIGINT) AS exact_keep
+        |      FROM m GROUP BY 1),
+        |p AS (SELECT phash, CAST(min(doc_id) AS BIGINT) AS phash_keep
+        |      FROM m GROUP BY 1)
+        |SELECT m.doc_id, m.content_hash, m.phash, e.exact_keep, p.phash_keep,
+        |       m.doc_id <> e.exact_keep AS is_exact_dup,
+        |       (m.doc_id = e.exact_keep AND m.doc_id <> p.phash_keep)
+        |         AS is_near_dup
+        |FROM m JOIN e USING (content_hash) JOIN p USING (phash)""".stripMargin) {
+      (s, dir) => mediaDedup(Tables(s, dir, "documents"))
+    },
 
     // Metadata extraction expressed as pure column ops over the binary
     // payload (hash, size, stub dimensions) — oracle-checkable.

@@ -1238,6 +1238,24 @@ class PipelineOpsSpec extends SparkSpec {
     assert(gate.forall(r => r.getLong(2) >= r.getLong(1)))
   }
 
+  test("media dedup tiers: planted payloads separate exact dups, " +
+    "perceptual (same decoded fingerprint) dups, and uniques") {
+    import spark.implicits._
+    // 0/1 byte-identical (exact tier); 2 same length as 0 → same stub
+    // fingerprint, different content (perceptual tier); 3 unique
+    val fixture = Seq((0L, "aaaa"), (1L, "aaaa"), (2L, "bbbb"),
+      (3L, "ccccc")).toDF("doc_id", "text")
+    val got = Multimodal.mediaDedup(fixture).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Boolean]("is_exact_dup"), r.getAs[Boolean]("is_near_dup"))))
+      .toMap
+    assert(got == Map(
+      0L -> (false, false), // keeper of both elections
+      1L -> (true, false),  // exact dup — near-dup flag reserved for exact survivors
+      2L -> (false, true),  // content differs, decoded fingerprint collides
+      3L -> (false, false)))
+  }
+
   test("pagerank on a planted path graph lands on hand-computed " +
     "fixed-point micro-values; gate mass and hub ordering hold") {
     import spark.implicits._
