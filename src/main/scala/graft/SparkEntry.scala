@@ -24,7 +24,8 @@ object SparkEntry {
       operators.SkewJoin.all ++
       operators.Multimodal.all ++
       operators.StreamingOps.all ++
-      operators.ZOrder.all
+      operators.ZOrder.all ++
+      operators.WarehouseOps.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * Revenue-per-nation: the 5-way join + aggregate that exercises the

@@ -28,6 +28,8 @@ object SimilarityOps {
   val NumProbeCells = 2 // gate IVF search scans 2 of the 8 cells
   val IvfIngestMod = 5  // vec_id % 5 == 4 plays the newly-arriving slice
   val LabelNoiseK = 5   // kNN vote size for the label-noise screen
+  val KnnGraphK = 4     // neighbor fan-out of the mutual-kNN graph
+  val BitextMineK = 4   // neighborhood size of the margin denominator
 
   /** Near-dup blocking bands: 2 bands × 8 sign bits (dims 1-16).
     * P(two random vectors collide) ≈ bands/2^bits ≈ 0.8%, so the
@@ -327,6 +329,128 @@ object SimilarityOps {
       .select(col("vec_id"), col("label"), col("centroid_id"),
         col("nbr_label").as("maj_label"), col("n_votes"),
         (col("label") =!= col("nbr_label")).cast("int").as("noisy"))
+  }
+
+  /** Nearest-centroid cell assignment that CARRIES the embedding
+    * through — the blocking step [[knnGraph]], [[bitextMine]] and
+    * [[labelNoise]] share: one broadcast-centroid scan, argmax by
+    * (cos desc, centroid_id), output (vec_id, embedding,
+    * centroid_id). Never a corpus shuffle — the window partitions by
+    * vec_id over the k-fanout scored rows. */
+  private def cellMembers(e: DataFrame, centroids: DataFrame): DataFrame =
+    e.crossJoin(broadcast(centroids))
+      .select(col("vec_id"), col("embedding"), col("centroid_id"),
+        CosineSimilarity(e.sparkSession, col("cv"), col("embedding")).as("cos"))
+      .withColumn("arnk", row_number().over(
+        Window.partitionBy(col("vec_id"))
+          .orderBy(col("cos").desc, col("centroid_id"))))
+      .filter(col("arnk") === 1)
+      .select(col("vec_id"), col("embedding"), col("centroid_id"))
+
+  /** Mutual-kNN graph over the embedding corpus, cell-blocked: each
+    * vector's top-k cosine neighbors WITHIN its centroid cell, kept
+    * only when the edge is reciprocal (b in a's top-k AND a in b's).
+    * Emits each undirected edge once (a < b).
+    *
+    * The mutual-kNN graph is the standard input artifact for
+    * graph-based corpus analysis — NN-Descent-style refinement,
+    * community detection, and the [[DedupOps]] PageRank/star passes
+    * all start from exactly this edge list. Scale: pair volume is
+    * Σ|cell|² (never global n²) and inherits the SemDeDup hot-cell
+    * sub-split treatment when a cell outgrows [[SemdedupMaxCell]];
+    * the kNN cut is a bounded per-vector window inside the cell
+    * partitioning. */
+  def knnGraph(e: DataFrame, centroids: DataFrame, k: Int): DataFrame = {
+    val cells = cellMembers(e, centroids)
+    val knn = cells.join(
+      cells.select(col("vec_id").as("nbr"), col("embedding").as("nv"),
+        col("centroid_id")),
+      "centroid_id")
+      .filter(col("vec_id") =!= col("nbr"))
+      .select(col("vec_id"), col("centroid_id"), col("nbr"),
+        CosineSimilarity(e.sparkSession, col("embedding"), col("nv")).as("cs"))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy(col("vec_id")).orderBy(col("cs").desc, col("nbr"))))
+      .filter(col("rnk") <= k)
+      .select(col("vec_id"), col("centroid_id"), col("nbr"), col("cs"))
+    knn.as("f")
+      .join(knn.select(col("vec_id").as("r_vec"), col("nbr").as("r_nbr")),
+        col("f.vec_id") === col("r_nbr") && col("f.nbr") === col("r_vec"))
+      .filter(col("f.vec_id") < col("f.nbr"))
+      .select(col("f.vec_id").as("a"), col("f.nbr").as("b"),
+        round(col("f.cs"), 6).as("sim"), col("f.centroid_id").as("cell"))
+  }
+
+  /** Margin-based bitext mining (Artetxe & Schwenk, ACL'19 §3):
+    * between two sides of the corpus (here the deterministic vec_id
+    * parity split standing in for two languages' encoder outputs),
+    * score every same-cell cross pair by cosine normalized by the
+    * mean of both endpoints' k-NN neighborhoods —
+    * margin = cos(x,y) / ((meanK_fwd(x) + meanK_bwd(y)) / 2) —
+    * which suppresses hub vectors that are near everything. Emits
+    * each A-side vector's best-margin match with a mutual-best flag
+    * (the pair each side elects the other — the high-precision mining
+    * rule).
+    *
+    * Determinism: the k-NN means fold in (cos, id)-sorted order on
+    * both engines (sort_array + sequential aggregate here, list(...
+    * ORDER BY) + list_sum in the oracle), so no float sum-order
+    * divergence; zero/negative denominators are filtered identically
+    * before the division. Scale: pairs are cell-blocked (Σ|Acell|·
+    * |Bcell|), the neighborhood means are bounded k-row folds, and
+    * both elections are per-key windows over the pair set — corpus
+    * text and full embeddings never shuffle, only (id, cell, cos)
+    * triples. */
+  def bitextMine(e: DataFrame, centroids: DataFrame, k: Int): DataFrame = {
+    val cells = cellMembers(e, centroids)
+    val aSide = cells.filter(col("vec_id") % 2 === 0)
+      .select(col("vec_id").as("a_id"), col("embedding").as("av"),
+        col("centroid_id"))
+    val bSide = cells.filter(col("vec_id") % 2 === 1)
+      .select(col("vec_id").as("b_id"), col("embedding").as("bv"),
+        col("centroid_id"))
+    val pairs = aSide.join(bSide, "centroid_id")
+      .select(col("a_id"), col("b_id"),
+        CosineSimilarity(e.sparkSession, col("av"), col("bv")).as("cos"))
+      .pinned
+    def nbrMean(idCol: String, otherCol: String, out: String): DataFrame =
+      pairs
+        .withColumn("rnk", row_number().over(
+          Window.partitionBy(col(idCol))
+            .orderBy(col("cos").desc, col(otherCol))))
+        .filter(col("rnk") <= k)
+        .groupBy(col(idCol))
+        .agg(
+          sort_array(collect_list(struct(col("cos"), col(otherCol)))).as("lst"),
+          count(lit(1)).as("n"))
+        .select(col(idCol),
+          (aggregate(col("lst"), lit(0.0),
+            (acc, x) => acc + x.getField("cos")) / col("n").cast("double"))
+            .as(out))
+    val margins = pairs
+      .join(nbrMean("a_id", "b_id", "fmean"), "a_id")
+      .join(nbrMean("b_id", "a_id", "bmean"), "b_id")
+      .filter(col("fmean") + col("bmean") > 0)
+      .select(col("a_id"), col("b_id"), col("cos"),
+        (col("cos") / ((col("fmean") + col("bmean")) / 2)).as("margin"))
+      .pinned
+    val bestA = margins
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("a_id"))
+          .orderBy(col("margin").desc, col("b_id"))))
+      .filter(col("rn") === 1)
+    val bestB = margins
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("b_id"))
+          .orderBy(col("margin").desc, col("a_id"))))
+      .filter(col("rn") === 1)
+      .select(col("a_id").as("r_a"), col("b_id").as("r_b"))
+    bestA
+      .join(bestB,
+        col("a_id") === col("r_a") && col("b_id") === col("r_b"), "left")
+      .select(col("a_id"), col("b_id"), round(col("cos"), 6).as("cos"),
+        round(col("margin"), 6).as("margin"),
+        col("r_a").isNotNull.as("is_mutual"))
   }
 
   /** IVF index-health report: per-cell population, integer load
@@ -1512,6 +1636,130 @@ object SimilarityOps {
           .agg(count(lit(1)).as("n_vecs"))
           .withColumn("is_correct",
             (col("label") === col("pred_label")).cast("int"))
+    },
+
+    // Mutual-kNN graph, cell-blocked: each vector's top-K cosine
+    // neighbors within its centroid cell, kept only when reciprocal,
+    // one row per undirected edge. The input artifact for NN-Descent
+    // refinement / community detection / the PageRank representative
+    // signal. Pair volume Σ|cell|² (SemDeDup hot-cell treatment at
+    // scale), kNN cut a bounded per-vector window, the mutual check
+    // one self-equi-join on (a,b) edge ids — never text, never full
+    // embeddings past the cell join.
+    QueryDef.sql(
+      "q_knn_graph",
+      s"""WITH c AS (SELECT vec_id AS centroid_id, embedding AS cv
+         |           FROM embeddings WHERE vec_id < $NumCentroids),
+         |scored AS (
+         |  SELECT e.vec_id, e.embedding, c.centroid_id,
+         |         ${cosSql("c.cv", "e.embedding")} AS cos
+         |  FROM embeddings e CROSS JOIN c),
+         |cells AS (
+         |  SELECT vec_id, embedding, centroid_id
+         |  FROM (SELECT vec_id, embedding, centroid_id,
+         |               row_number() OVER (PARTITION BY vec_id
+         |                                  ORDER BY cos DESC, centroid_id) AS arnk
+         |        FROM scored)
+         |  WHERE arnk = 1),
+         |p AS (
+         |  SELECT x.vec_id, x.centroid_id, y.vec_id AS nbr,
+         |         ${cosSql("x.embedding", "y.embedding")} AS cs
+         |  FROM cells x JOIN cells y
+         |    ON x.centroid_id = y.centroid_id AND x.vec_id <> y.vec_id),
+         |knn AS (
+         |  SELECT vec_id, centroid_id, nbr, cs
+         |  FROM (SELECT vec_id, centroid_id, nbr, cs,
+         |               row_number() OVER (PARTITION BY vec_id
+         |                                  ORDER BY cs DESC, nbr) AS rnk
+         |        FROM p)
+         |  WHERE rnk <= $KnnGraphK)
+         |SELECT f.vec_id AS a, f.nbr AS b, round(f.cs, 6) AS sim,
+         |       f.centroid_id AS cell
+         |FROM knn f JOIN knn r ON f.vec_id = r.nbr AND f.nbr = r.vec_id
+         |WHERE f.vec_id < f.nbr""".stripMargin) { (s, dir) =>
+      val e = emb(s, dir)
+      knnGraph(e,
+        e.filter(col("vec_id") < NumCentroids)
+          .select(col("vec_id").as("centroid_id"), col("embedding").as("cv")),
+        KnnGraphK)
+    },
+
+    // Margin-based bitext mining (Artetxe & Schwenk ACL'19): cosine
+    // normalized by both endpoints' k-NN neighborhood means, per-A
+    // best-margin election with a mutual-best flag — the parallel-
+    // corpus mining rule that suppresses hub vectors. The parity
+    // split stands in for the two languages' encoder outputs; at
+    // scale the pair set is cell-blocked and the elections are
+    // windows over bounded (id, cos) pairs. The neighborhood means
+    // fold in (cos, id)-sorted order on BOTH engines, so no float
+    // sum-order divergence.
+    QueryDef.sql(
+      "q_bitext_mine",
+      s"""WITH c AS (SELECT vec_id AS centroid_id, embedding AS cv
+         |           FROM embeddings WHERE vec_id < $NumCentroids),
+         |scored AS (
+         |  SELECT e.vec_id, e.embedding, c.centroid_id,
+         |         ${cosSql("c.cv", "e.embedding")} AS cos
+         |  FROM embeddings e CROSS JOIN c),
+         |cells AS (
+         |  SELECT vec_id, embedding, centroid_id
+         |  FROM (SELECT vec_id, embedding, centroid_id,
+         |               row_number() OVER (PARTITION BY vec_id
+         |                                  ORDER BY cos DESC, centroid_id) AS arnk
+         |        FROM scored)
+         |  WHERE arnk = 1),
+         |p AS (
+         |  SELECT x.vec_id AS a_id, y.vec_id AS b_id,
+         |         ${cosSql("x.embedding", "y.embedding")} AS cos
+         |  FROM cells x JOIN cells y ON x.centroid_id = y.centroid_id
+         |  WHERE x.vec_id % 2 = 0 AND y.vec_id % 2 = 1),
+         |fk AS (SELECT a_id, b_id, cos
+         |       FROM (SELECT a_id, b_id, cos,
+         |                    row_number() OVER (PARTITION BY a_id
+         |                                       ORDER BY cos DESC, b_id) AS rnk
+         |             FROM p)
+         |       WHERE rnk <= $BitextMineK),
+         |fm AS (SELECT a_id,
+         |              list_sum(list(cos ORDER BY cos, b_id))
+         |                / CAST(count(*) AS DOUBLE) AS fmean
+         |       FROM fk GROUP BY a_id),
+         |bk AS (SELECT a_id, b_id, cos
+         |       FROM (SELECT a_id, b_id, cos,
+         |                    row_number() OVER (PARTITION BY b_id
+         |                                       ORDER BY cos DESC, a_id) AS rnk
+         |             FROM p)
+         |       WHERE rnk <= $BitextMineK),
+         |bm AS (SELECT b_id,
+         |              list_sum(list(cos ORDER BY cos, a_id))
+         |                / CAST(count(*) AS DOUBLE) AS bmean
+         |       FROM bk GROUP BY b_id),
+         |m AS (SELECT p.a_id, p.b_id, p.cos,
+         |             p.cos / ((fm.fmean + bm.bmean) / 2) AS margin
+         |      FROM p JOIN fm ON p.a_id = fm.a_id
+         |             JOIN bm ON p.b_id = bm.b_id
+         |      WHERE fm.fmean + bm.bmean > 0),
+         |best AS (SELECT a_id, b_id, cos, margin
+         |         FROM (SELECT a_id, b_id, cos, margin,
+         |                      row_number() OVER (PARTITION BY a_id
+         |                                         ORDER BY margin DESC, b_id) AS rn
+         |               FROM m)
+         |         WHERE rn = 1),
+         |bestb AS (SELECT a_id, b_id
+         |          FROM (SELECT a_id, b_id,
+         |                       row_number() OVER (PARTITION BY b_id
+         |                                          ORDER BY margin DESC, a_id) AS rn
+         |                FROM m)
+         |          WHERE rn = 1)
+         |SELECT f.a_id, f.b_id, round(f.cos, 6) AS cos,
+         |       round(f.margin, 6) AS margin,
+         |       r.a_id IS NOT NULL AS is_mutual
+         |FROM best f LEFT JOIN bestb r
+         |  ON f.a_id = r.a_id AND f.b_id = r.b_id""".stripMargin) { (s, dir) =>
+      val e = emb(s, dir)
+      bitextMine(e,
+        e.filter(col("vec_id") < NumCentroids)
+          .select(col("vec_id").as("centroid_id"), col("embedding").as("cv")),
+        BitextMineK)
     }
   )
 

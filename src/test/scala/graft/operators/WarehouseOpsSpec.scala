@@ -1,0 +1,79 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class WarehouseOpsSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  test("merge upsert: updates overwrite, deletes drop, inserts add, " +
+    "untouched rows pass through as keep") {
+    val base = Seq((1L, "one"), (2L, "two"), (3L, "three"), (4L, "four"))
+      .toDF("doc_id", "text")
+    val changes = Seq(
+      (2L, Option("two v2"), "update"),
+      (3L, Option.empty[String], "delete"),
+      (9L, Option("nine"), "insert"))
+      .toDF("doc_id", "new_payload", "op")
+    val out = WarehouseOps.mergeUpsert(base, changes, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+      .toSet
+    assert(out == Set(
+      (1L, "keep", "one"),
+      (2L, "update", "two v2"),
+      (4L, "keep", "four"),
+      (9L, "insert", "nine")))
+  }
+
+  test("scd2 history: consecutive runs collapse into versions, validity " +
+    "is contiguous, same-ts ties order by the tie column, exactly one " +
+    "current version per key") {
+    val events = Seq(
+      // user 1: A A B A — three versions
+      (1L, "A", 10L, 1L), (1L, "A", 20L, 2L), (1L, "B", 30L, 3L),
+      (1L, "A", 40L, 4L),
+      // user 2: tie at ts=10 resolved by event_id — A then B
+      (2L, "B", 10L, 6L), (2L, "A", 10L, 5L))
+      .toDF("user_id", "attr", "ts_us", "event_id")
+    val out = WarehouseOps
+      .scd2History(events, "user_id", "attr", "ts_us", "event_id")
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+        if (r.isNullAt(4)) -1L else r.getLong(4), r.getBoolean(5)))
+      .toSet
+    assert(out == Set(
+      (1L, "A", 1L, 10L, 30L, false),
+      (1L, "B", 2L, 30L, 40L, false),
+      (1L, "A", 3L, 40L, -1L, true),
+      (2L, "A", 1L, 10L, 10L, false),
+      (2L, "B", 2L, 10L, -1L, true)))
+  }
+
+  test("scd2 history on real events: valid_to chains to the next " +
+    "version's valid_from and every user has exactly one open version") {
+    val sf = "/root/testdata/sf0.001"
+    val hist = WarehouseOps.scd2History(
+      graft.Tables.events(spark, sf)
+        .select(col("user_id"), col("event_type"), col("ts_us"),
+          col("event_id")),
+      "user_id", "event_type", "ts_us", "event_id")
+    val rows = hist.collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getLong(0)).foreach { case (user, vs) =>
+      val sorted = vs.sortBy(_.getLong(2))
+      // versions are 1..n dense
+      assert(sorted.map(_.getLong(2)).toSeq == (1L to sorted.length).toSeq)
+      // contiguity: each version's valid_to is the next valid_from
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(!a.isNullAt(4) && a.getLong(4) == b.getLong(3),
+            s"validity gap for user $user")
+        case _ => ()
+      }
+      assert(vs.count(_.getBoolean(5)) == 1,
+        s"user $user must have exactly one current version")
+      assert(sorted.last.isNullAt(4) && sorted.last.getBoolean(5))
+    }
+  }
+}

@@ -41,7 +41,9 @@ class PlanAuditSpec extends SparkSpec {
     "q_epoch_expand",      // same 1-row scalar inside its plan build
     "q_label_noise",       // 8 seed centroids (cell assignment)
     "q_label_predict",     // |labels|-row prototype table (≤ label count)
-    "q_sim_rerank_ivf"     // 8 coarse centroids + 5 probes (IVFADC shortlist + rerank)
+    "q_sim_rerank_ivf",    // 8 coarse centroids + 5 probes (IVFADC shortlist + rerank)
+    "q_knn_graph",         // 8 seed centroids (cell assignment)
+    "q_bitext_mine"        // 8 seed centroids (cell assignment)
   )
 
   private val streaming = Set(
