@@ -237,6 +237,35 @@ object Analytics {
             count(lit(1)).as("cnt"))
           .select(col("o_orderstatus"), col("o_orderpriority"),
             col("g_status"), col("g_prio"), col("cnt"))
+    },
+
+    // Time-RANGE window frame: per event, the same user's activity in
+    // the trailing hour — the rate/velocity feature every
+    // event-pipeline feature store computes. RANGE (not ROWS) frames
+    // include all ts peers, identically on both engines; the summed
+    // measure is per-element integer cents so no float sum-order can
+    // diverge between Spark's frame iteration and DuckDB's segment
+    // tree. One user_id shuffle; frame state is bounded by an hour of
+    // one user's events.
+    QueryDef.sql(
+      "q_window_trailing",
+      """SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+        |       CAST(count(*) OVER w AS BIGINT) AS n_trailing,
+        |       CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) OVER w
+        |            AS BIGINT) AS cents_trailing,
+        |       round(max(value) OVER w, 2) AS max_trailing
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+        |             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)""".stripMargin) {
+      (s, dir) =>
+        val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"))
+          .rangeBetween(-3600000000L, Window.currentRow)
+        Tables.events(s, dir)
+          .select(col("user_id"), col("event_id"), col("ts_us"),
+            count(lit(1)).over(w).as("n_trailing"),
+            sum(round(col("value") * 100, 0).cast("long")).over(w)
+              .as("cents_trailing"),
+            round(max(col("value")).over(w), 2).as("max_trailing"))
     }
   )
 

@@ -289,6 +289,62 @@ object EventAnalytics {
             dev.as("dev_num"),
             when(dev.cast(d38) * dev.cast(d38) > lit(9) * varNum, 1)
               .otherwise(0).cast("int").as("is_anomaly"))
+    },
+
+    // Spark's NATIVE session_window aggregation over the same event
+    // stream the custom sessionizers handle — the declarative form a
+    // Spark-first user reaches for before writing state code, and it
+    // works unchanged under readStream (watermark + append mode).
+    // Semantics differ from q_sessionize's split rule by design:
+    // session_window merges events whose [ts, ts+gap) windows
+    // OVERLAP, i.e. splits when the gap is >= 30 min (half-open),
+    // where the custom pair splits on > — the oracle mirrors the
+    // native >= rule, and window.end is last_ts + gap by definition.
+    // One user_id+session shuffle; the merge is Spark's own
+    // session-window state logic, not a window function.
+    QueryDef.sql("q_session_window", sessionWindowSql) { (s, dir) =>
+      sessionWindowAgg(Tables.events(s, dir))
     }
   )
+
+  /** ONE oracle for q_session_window AND q_stream_session_window —
+    * the lag/sum replica of Spark's native session_window merge rule
+    * (split when the gap is >= 30 min; window.end = last_ts + gap). */
+  private[operators] def sessionWindowSql: String =
+    s"""WITH e AS (SELECT user_id, epoch_us(ts) AS us, event_id FROM events),
+       |g AS (SELECT user_id, us, event_id,
+       |             CASE WHEN lag(us) OVER w IS NULL
+       |                    OR us - lag(us) OVER w >= ${graft.streaming.EventStreams.SessionGapUs}
+       |                  THEN 1 ELSE 0 END AS brk
+       |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+       |f AS (SELECT user_id, us,
+       |             CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY us, event_id
+       |                                 ROWS UNBOUNDED PRECEDING) AS INTEGER) AS sid
+       |      FROM g)
+       |SELECT user_id, min(us) AS session_start_us,
+       |       max(us) + ${graft.streaming.EventStreams.SessionGapUs} AS session_end_us,
+       |       count(*) AS n_events
+       |FROM f GROUP BY user_id, sid""".stripMargin
+
+  /** The native session_window aggregation both gates run — batch
+    * directly, streaming under watermark+append (the expression is
+    * identical; that's the point of the declarative form). */
+  private[operators] def sessionWindowAgg(
+      ev: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    sessionWindowAggOnTime(
+      ev.withColumn("event_time", timestamp_micros(col("ts_us"))))
+
+  /** The session_window body over an `event_time` timestamp column —
+    * shared so the streaming gate can watermark THAT column first
+    * (append mode requires the aggregated time column to carry the
+    * watermark). */
+  private[operators] def sessionWindowAggOnTime(
+      ev: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    ev.groupBy(col("user_id"),
+      session_window(col("event_time"), "30 minutes").as("w"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"),
+        unix_micros(col("w.start")).as("session_start_us"),
+        unix_micros(col("w.end")).as("session_end_us"),
+        col("n_events"))
 }

@@ -569,6 +569,111 @@ object StreamingOps {
           .select(col("user_id"), col("session_id"), col("start_us"),
             col("end_us"), col("n_events"))
       }
+    },
+
+    // STREAMING CDC apply — the q_merge_upsert statement run as a
+    // real change-log stream: the change batch arrives as ordered
+    // micro-batches and a foreachBatch fold applies each one to the
+    // STORED provenance snapshot (read current → mergeApplyCdc →
+    // write next version), the per-trigger loop a warehouse's
+    // continuous-refresh pipeline runs. The final snapshot's ledger
+    // is gated against the SAME oracle string as the single-shot
+    // batch merge, so "N incremental applies == one batch merge" is
+    // structural (each key changes once — the compacted-change-log
+    // contract). At 100 TB the snapshot is the bucketed stored table
+    // and each apply shuffles only its micro-batch.
+    QueryDef.sql("q_stream_merge", WarehouseOps.mergeSql) {
+      (s, dir) => withStreamPartitions(s, 8) {
+        val docs = Tables(s, dir, "documents")
+        val tmp = java.nio.file.Files.createTempDirectory("graft_stream_merge")
+        EventStreams.deleteRecursivelyOnExit(tmp)
+        val v0 = s"$tmp/snap/0"
+        docs.select(col("doc_id"), lit("keep").as("op"),
+          col("text").as("payload"))
+          .write.mode("overwrite").parquet(v0)
+        var snapPath = v0
+        val changes = WarehouseOps.gateChanges(docs)
+        val inDir = EventStreams.orderedSlicedDir(changes, "doc_id", 3)
+        val stream = s.readStream.schema(changes.schema)
+          .option("maxFilesPerTrigger", "1").parquet(inDir)
+        val q = stream.writeStream
+          .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+            val next = s"$tmp/snap/${id + 1}"
+            WarehouseOps.mergeApplyCdc(s.read.parquet(snapPath), batch)
+              .write.mode("overwrite").parquet(next)
+            snapPath = next
+          }
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+        s.read.parquet(snapPath)
+          .select(col("doc_id"), col("op"),
+            md5(col("payload").cast("binary")).as("content_hash"),
+            length(col("payload")).cast("long").as("n_chars"))
+      }
+    },
+
+    // The SAME SCD2 derivation as q_scd2_history, run as a REAL
+    // stateful stream: per-user state is the one OPEN attribute
+    // version (O(1) per key), closed versions emit the moment the
+    // attribute changes, and the trailing punctuation flushes each
+    // user's open version with is_current=true — so the append-mode
+    // output is the complete type-2 history and the batch window
+    // oracle hash-checks it row for row (ONE shared oracle string —
+    // the sessionize/funnel pattern). The EventTimeTimeout path
+    // flushes users who go quiet without punctuation (spec-pinned).
+    QueryDef.sql("q_stream_scd2", WarehouseOps.scd2Sql) {
+      (s, dir) => withStreamPartitions(s, 8) {
+        import s.implicits._
+        val ev = Tables.events(s, dir)
+          .select(col("user_id"), col("ts_us"), col("event_id"),
+            col("event_type"))
+        val inDir = EventStreams.timeSlicedDir(ev, nSlices = 4, gapUs = 1L)
+        val stream = s.readStream.schema(ev.schema)
+          .option("maxFilesPerTrigger", "1").parquet(inDir)
+        val q = EventStreams.scd2Stream(stream.as[EventStreams.Scd2Event])
+          .writeStream.format("memory").queryName("graft_stream_scd2")
+          .outputMode("append").trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+        s.table("graft_stream_scd2")
+          .select(col("user_id"), col("attr"), col("version"),
+            col("valid_from_us"), col("valid_to_us"), col("is_current"))
+      }
+    },
+
+    // Spark's NATIVE session_window aggregation as a REAL streaming
+    // run — the declarative twin of the hand-written stateful
+    // sessionizers: the SAME expression as the batch q_session_window
+    // (one shared body + oracle string), under watermark + append
+    // mode. Sessions emit when the watermark passes their end, so the
+    // punctuation must move the CLOCK: it is stamped a 10 s margin
+    // past hi+gap and flows INTO the aggregation (a pre-agg filter on
+    // event_id would be pushed below the EventTimeWatermark node by
+    // the optimizer and the watermark would never advance — found the
+    // hard way). Each user's punctuation forms its own session
+    // strictly AFTER every real one (its ts is ≥ gap past any real
+    // event), which the watermark never passes — never emitted, and
+    // dropped post-hoc by the start <= hi cut as belt-and-braces. The
+    // second flush trigger gives the state store the batch AFTER the
+    // watermark update in which to evict the final real sessions.
+    QueryDef.sql("q_stream_session_window", EventAnalytics.sessionWindowSql) {
+      (s, dir) => withStreamPartitions(s, 8) {
+        val ev = Tables.events(s, dir)
+          .select(col("user_id"), col("ts_us"), col("event_id"))
+        val hi = ev.agg(max(col("ts_us"))).head().getLong(0)
+        val inDir = EventStreams.timeSlicedDir(ev, nSlices = 4,
+          gapUs = EventStreams.SessionGapUs + 10000000L, flushSlices = 2)
+        val stream = s.readStream.schema(ev.schema)
+          .option("maxFilesPerTrigger", "1").parquet(inDir)
+        val q = EventAnalytics.sessionWindowAggOnTime(
+          stream
+            .withColumn("event_time", timestamp_micros(col("ts_us")))
+            .withWatermark("event_time", "0 seconds"))
+          .writeStream.format("memory").queryName("graft_stream_sw")
+          .outputMode("append").trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+        s.table("graft_stream_sw")
+          .filter(col("session_start_us") <= hi)
+      }
     }
   )
 

@@ -30,6 +30,71 @@ import org.apache.spark.sql.functions._
   */
 object WarehouseOps {
 
+  /** ONE oracle for q_merge_upsert AND q_stream_merge: the batch
+    * full-outer formulation both the single-shot merge and the
+    * per-trigger streaming CDC fold must reproduce — sharing the
+    * string makes batch/stream agreement structural. */
+  private[operators] val mergeSql: String =
+    """WITH ch AS (
+      |  SELECT doc_id, text || ' [rev2]' AS new_text, 'update' AS op
+      |  FROM documents WHERE doc_id % 10 IN (0, 1)
+      |  UNION ALL
+      |  SELECT doc_id, NULL, 'delete' FROM documents WHERE doc_id % 10 = 2
+      |  UNION ALL
+      |  SELECT doc_id + 1000000, 'ins ' || text, 'insert'
+      |  FROM documents WHERE doc_id % 10 = 3)
+      |SELECT coalesce(b.doc_id, c.doc_id) AS doc_id,
+      |       coalesce(c.op, 'keep') AS op,
+      |       md5(coalesce(c.new_text, b.text)) AS content_hash,
+      |       CAST(len(coalesce(c.new_text, b.text)) AS BIGINT) AS n_chars
+      |FROM documents b FULL OUTER JOIN ch c ON b.doc_id = c.doc_id
+      |WHERE c.op IS NULL OR c.op <> 'delete'""".stripMargin
+
+  /** ONE oracle for q_scd2_history AND q_stream_scd2 — the batch
+    * window formulation the stateful stream must reproduce row for
+    * row. */
+  private[operators] val scd2Sql: String =
+    """WITH o AS (SELECT user_id, event_type AS attr, epoch_us(ts) AS ts_us,
+      |                  event_id
+      |           FROM events),
+      |g AS (SELECT user_id, attr, ts_us, event_id,
+      |             CASE WHEN lag(attr) OVER (PARTITION BY user_id
+      |                                       ORDER BY ts_us, event_id) IS NULL
+      |                    OR lag(attr) OVER (PARTITION BY user_id
+      |                                       ORDER BY ts_us, event_id) <> attr
+      |                  THEN 1 ELSE 0 END AS chg
+      |      FROM o),
+      |f AS (SELECT user_id, attr, ts_us, chg,
+      |             CAST(sum(chg)
+      |                  OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+      |                        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS version
+      |      FROM g),
+      |s AS (SELECT user_id, attr, version, ts_us AS valid_from_us
+      |      FROM f WHERE chg = 1)
+      |SELECT user_id, attr, version, valid_from_us,
+      |       lead(valid_from_us) OVER (PARTITION BY user_id
+      |                                 ORDER BY version) AS valid_to_us,
+      |       lead(valid_from_us) OVER (PARTITION BY user_id
+      |                                 ORDER BY version) IS NULL AS is_current
+      |FROM s""".stripMargin
+
+  /** The deterministic gate change batch both merge gates derive from
+    * the documents table — (doc_id, new_payload, op). */
+  private[operators] def gateChanges(docs: DataFrame): DataFrame = {
+    val updates = docs.filter(col("doc_id") % 10 <= 1)
+      .select(col("doc_id"),
+        concat(col("text"), lit(" [rev2]")).as("new_payload"),
+        lit("update").as("op"))
+    val deletes = docs.filter(col("doc_id") % 10 === 2)
+      .select(col("doc_id"), lit(null).cast("string").as("new_payload"),
+        lit("delete").as("op"))
+    val inserts = docs.filter(col("doc_id") % 10 === 3)
+      .select((col("doc_id") + 1000000L).as("doc_id"),
+        concat(lit("ins "), col("text")).as("new_payload"),
+        lit("insert").as("op"))
+    updates.union(deletes).union(inserts)
+  }
+
   /** Apply a CDC change batch (op ∈ insert/update/delete) to a base
     * snapshot keyed by `keyCol`. Update rows replace `payloadCol`,
     * delete rows drop the key, insert rows add it; untouched base
@@ -76,6 +141,24 @@ object WarehouseOps {
       .withColumn("is_current", col("valid_to_us").isNull)
   }
 
+  /** One streaming-CDC fold round: apply a change micro-batch to a
+    * PROVENANCE-carrying snapshot (key, op, payload) — the per-trigger
+    * statement of a foreachBatch CDC apply. Unlike [[mergeUpsert]]
+    * (whose base has no op column), the fold keeps the op a key
+    * acquired in an EARLIER trigger when a later trigger leaves it
+    * untouched, so the final snapshot's ledger equals the single-shot
+    * batch merge whatever the batch slicing — provided each key
+    * changes at most once across the stream, the CDC-compacted
+    * change-log contract. */
+  def mergeApplyCdc(snapshot: DataFrame, batch: DataFrame): DataFrame =
+    snapshot.join(
+      batch.select(col("doc_id"), col("new_payload"), col("op").as("c_op")),
+      Seq("doc_id"), "full_outer")
+      .filter(col("c_op").isNull || col("c_op") =!= "delete")
+      .select(col("doc_id"),
+        coalesce(col("c_op"), col("op")).as("op"),
+        coalesce(col("new_payload"), col("payload")).as("payload"))
+
   val all: Seq[QueryDef] = Seq(
 
     // CDC MERGE: a deterministic change batch derived from the corpus
@@ -87,36 +170,9 @@ object WarehouseOps {
     // At 100 TB the base side is the bucketed stored snapshot and
     // only the change batch moves; the same statement shape is what a
     // foreachBatch streaming CDC apply runs per trigger.
-    QueryDef.sql(
-      "q_merge_upsert",
-      """WITH ch AS (
-        |  SELECT doc_id, text || ' [rev2]' AS new_text, 'update' AS op
-        |  FROM documents WHERE doc_id % 10 IN (0, 1)
-        |  UNION ALL
-        |  SELECT doc_id, NULL, 'delete' FROM documents WHERE doc_id % 10 = 2
-        |  UNION ALL
-        |  SELECT doc_id + 1000000, 'ins ' || text, 'insert'
-        |  FROM documents WHERE doc_id % 10 = 3)
-        |SELECT coalesce(b.doc_id, c.doc_id) AS doc_id,
-        |       coalesce(c.op, 'keep') AS op,
-        |       md5(coalesce(c.new_text, b.text)) AS content_hash,
-        |       CAST(len(coalesce(c.new_text, b.text)) AS BIGINT) AS n_chars
-        |FROM documents b FULL OUTER JOIN ch c ON b.doc_id = c.doc_id
-        |WHERE c.op IS NULL OR c.op <> 'delete'""".stripMargin) { (s, dir) =>
+    QueryDef.sql("q_merge_upsert", mergeSql) { (s, dir) =>
       val docs = Tables(s, dir, "documents")
-      val updates = docs.filter(col("doc_id") % 10 <= 1)
-        .select(col("doc_id"),
-          concat(col("text"), lit(" [rev2]")).as("new_payload"),
-          lit("update").as("op"))
-      val deletes = docs.filter(col("doc_id") % 10 === 2)
-        .select(col("doc_id"), lit(null).cast("string").as("new_payload"),
-          lit("delete").as("op"))
-      val inserts = docs.filter(col("doc_id") % 10 === 3)
-        .select((col("doc_id") + 1000000L).as("doc_id"),
-          concat(lit("ins "), col("text")).as("new_payload"),
-          lit("insert").as("op"))
-      mergeUpsert(docs, updates.union(deletes).union(inserts),
-        "doc_id", "text")
+      mergeUpsert(docs, gateChanges(docs), "doc_id", "text")
         .select(col("doc_id"), col("op"),
           md5(col("payload").cast("binary")).as("content_hash"),
           length(col("payload")).cast("long").as("n_chars"))
@@ -128,31 +184,7 @@ object WarehouseOps {
     // the dimension-table shape a warehouse keeps instead of
     // overwriting the current value. One user_id shuffle; the rows
     // entering it are (user, attr, ts_us, event_id) — never props.
-    QueryDef.sql(
-      "q_scd2_history",
-      """WITH o AS (SELECT user_id, event_type AS attr, epoch_us(ts) AS ts_us,
-        |                  event_id
-        |           FROM events),
-        |g AS (SELECT user_id, attr, ts_us, event_id,
-        |             CASE WHEN lag(attr) OVER (PARTITION BY user_id
-        |                                       ORDER BY ts_us, event_id) IS NULL
-        |                    OR lag(attr) OVER (PARTITION BY user_id
-        |                                       ORDER BY ts_us, event_id) <> attr
-        |                  THEN 1 ELSE 0 END AS chg
-        |      FROM o),
-        |f AS (SELECT user_id, attr, ts_us, chg,
-        |             CAST(sum(chg)
-        |                  OVER (PARTITION BY user_id ORDER BY ts_us, event_id
-        |                        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS version
-        |      FROM g),
-        |s AS (SELECT user_id, attr, version, ts_us AS valid_from_us
-        |      FROM f WHERE chg = 1)
-        |SELECT user_id, attr, version, valid_from_us,
-        |       lead(valid_from_us) OVER (PARTITION BY user_id
-        |                                 ORDER BY version) AS valid_to_us,
-        |       lead(valid_from_us) OVER (PARTITION BY user_id
-        |                                 ORDER BY version) IS NULL AS is_current
-        |FROM s""".stripMargin) { (s, dir) =>
+    QueryDef.sql("q_scd2_history", scd2Sql) { (s, dir) =>
       scd2History(
         Tables.events(s, dir)
           .select(col("user_id"), col("event_type"), col("ts_us"),

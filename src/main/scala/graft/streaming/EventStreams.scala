@@ -242,6 +242,83 @@ object EventStreams {
       }
   }
 
+  final case class Scd2Event(
+      user_id: Long, ts_us: Long, event_id: Long, event_type: String)
+  // public: the state/output encoders' generated code reaches the
+  // fields. lastUs arms the event-time timeout (the user's quiet clock).
+  final case class Scd2State(
+      attr: String, version: Long, validFromUs: Long, lastUs: Long)
+  final case class Scd2Out(
+      user_id: Long, attr: String, version: Long, valid_from_us: Long,
+      valid_to_us: Option[Long], is_current: Boolean)
+
+  /** Default quiet horizon for [[scd2Stream]]'s event-time-timeout
+    * flush — same contract as [[FunnelQuietUs]]: far past any gate
+    * event span, so the punctuated gate never fires it mid-stream. */
+  val Scd2QuietUs: Long = 100L * 24 * 3600 * 1000 * 1000
+
+  /** SCD type-2 dimension maintenance as a stateful stream: per-user
+    * state is the OPEN attribute version — (attr, version,
+    * valid_from), O(1) per key. An attribute change emits the closed
+    * version immediately (its valid_to is the new version's
+    * valid_from — exactly the batch lead() window); a punctuation
+    * event (event_id < 0) emits the still-open version with
+    * is_current=true and clears the key, so a finite punctuated run's
+    * append output equals `WarehouseOps.scd2History` row for row
+    * (ONE shared oracle string — q_scd2_history / q_stream_scd2).
+    *
+    * The no-punctuation production path: EventTimeTimeout fires once
+    * the watermark moves `quietUs` past the user's last event and
+    * emits their open version once, reclaiming the key — the
+    * departed-key flush a real firehose needs (a user who later
+    * returns starts a fresh history, the same emit-once contract as
+    * [[funnelStream]]'s timeout). Exact batch parity holds on the
+    * punctuated layout; in-batch ties fold by (ts_us, event_id), the
+    * batch window's total order. */
+  def scd2Stream(events: Dataset[Scd2Event],
+      quietUs: Long = Scd2QuietUs): Dataset[Scd2Out] = {
+    import events.sparkSession.implicits._
+    events
+      .withColumn("event_time", timestamp_micros(col("ts_us")))
+      .withWatermark("event_time", "0 seconds")
+      .as[Scd2Event]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[Scd2State, Scd2Out](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (userId: Long, rows: Iterator[Scd2Event], state: GroupState[Scd2State]) =>
+          val out = Seq.newBuilder[Scd2Out]
+          if (state.hasTimedOut) {
+            val st = state.get
+            out += Scd2Out(userId, st.attr, st.version, st.validFromUs,
+              None, is_current = true)
+            state.remove()
+          } else {
+            val sorted = rows.toSeq.sortBy(e => (e.ts_us, e.event_id))
+            var st = state.getOption.orNull
+            sorted.foreach { e =>
+              if (e.event_id < 0) { // punctuation: emit open version, clear
+                if (st != null) {
+                  out += Scd2Out(userId, st.attr, st.version, st.validFromUs,
+                    None, is_current = true)
+                  st = null
+                }
+              } else if (st == null)
+                st = Scd2State(e.event_type, 1L, e.ts_us, e.ts_us)
+              else if (e.event_type != st.attr) {
+                out += Scd2Out(userId, st.attr, st.version, st.validFromUs,
+                  Some(e.ts_us), is_current = false)
+                st = Scd2State(e.event_type, st.version + 1, e.ts_us, e.ts_us)
+              } else st = st.copy(lastUs = e.ts_us)
+            }
+            if (st != null) {
+              state.update(st)
+              state.setTimeoutTimestamp(st.lastUs / 1000 + quietUs / 1000 + 1)
+            } else if (state.exists) state.remove()
+          }
+          out.result().iterator
+      }
+  }
+
   /** Watermarked stream-stream interval join: each purchase matched
     * to the same user's views in the preceding hour. Both sides carry
     * watermarks, so join state is bounded — the state-store holds at
@@ -342,7 +419,8 @@ object EventStreams {
     * inside one micro-batch sort. Columns beyond the required three
     * ride along (typed nulls in the punctuation rows). The min/max
     * probe is a 2-scalar driver collect. */
-  def timeSlicedDir(ev: DataFrame, nSlices: Int, gapUs: Long): String = {
+  def timeSlicedDir(ev: DataFrame, nSlices: Int, gapUs: Long,
+      flushSlices: Int = 1): String = {
     val bounds = ev.agg(min(col("ts_us")), max(col("ts_us"))).head()
     require(!bounds.isNullAt(0),
       "timeSlicedDir: empty event input — no stream to slice")
@@ -354,9 +432,15 @@ object EventStreams {
         lit(-1L).as("event_id")) ++
         extras.map(c => lit(null).cast(ev.schema(c).dataType).as(c)): _*)
       .select(ev.columns.map(col): _*)
+    // flushSlices > 1 replays the punctuation as EXTRA trailing
+    // triggers: watermark-EVICTION consumers (native session_window
+    // in append mode) only evict during the batch AFTER the one whose
+    // data advanced the watermark, so they need one more trigger to
+    // flush final state — a second punctuation is a no-op for the
+    // stateful flatMapGroupsWithState consumers (state already clear)
     val slices = (0 until nSlices).map(i =>
       ev.filter(col("ts_us") >= lo + i * span &&
-        col("ts_us") < lo + (i + 1) * span)) :+ flush
+        col("ts_us") < lo + (i + 1) * span)) ++ Seq.fill(flushSlices)(flush)
     writeSliceFiles(slices)
   }
 

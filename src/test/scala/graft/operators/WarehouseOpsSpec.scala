@@ -26,6 +26,33 @@ class WarehouseOpsSpec extends SparkSpec {
       (9L, "insert", "nine")))
   }
 
+  test("CDC fold: per-trigger applies preserve earlier-trigger " +
+    "provenance and reach the single-shot merge result") {
+    val base = Seq((1L, "one"), (2L, "two"), (3L, "three"))
+      .toDF("doc_id", "text")
+    val snap0 = base.select(col("doc_id"), lit("keep").as("op"),
+      col("text").as("payload"))
+    val b1 = Seq((2L, Option("two v2"), "update"))
+      .toDF("doc_id", "new_payload", "op")
+    val b2 = Seq((3L, Option.empty[String], "delete"),
+      (9L, Option("nine"), "insert"))
+      .toDF("doc_id", "new_payload", "op")
+    val folded = WarehouseOps.mergeApplyCdc(
+      WarehouseOps.mergeApplyCdc(snap0, b1), b2)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+      .toSet
+    // doc 2's 'update' op from trigger 1 survives trigger 2 untouched
+    assert(folded == Set(
+      (1L, "keep", "one"),
+      (2L, "update", "two v2"),
+      (9L, "insert", "nine")))
+    val single = WarehouseOps.mergeUpsert(base, b1.union(b2),
+      "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+      .toSet
+    assert(folded == single)
+  }
+
   test("scd2 history: consecutive runs collapse into versions, validity " +
     "is contiguous, same-ts ties order by the tie column, exactly one " +
     "current version per key") {

@@ -515,4 +515,98 @@ class EventStreamsSpec extends SparkSpec {
     assert(got.map(t => (t._1, t._2)).toSeq == want.toSeq)
     assert(got.map(_._3).toSeq == (1 to got.length))
   }
+
+  test("streaming SCD2: planted run-collapse, same-ts tie and change " +
+    "journeys match the batch history across micro-batches") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    // u1: A A B A — three versions, the middle change crossing a
+    // micro-batch boundary. u2: a same-ts tie (event_id order decides
+    // which attr opens version 1). u3: constant attr — one version.
+    val ev = Seq(
+      EventStreams.Scd2Event(1L, 10L, 1L, "A"),
+      EventStreams.Scd2Event(1L, 20L, 2L, "A"),
+      EventStreams.Scd2Event(1L, 130L, 3L, "B"),
+      EventStreams.Scd2Event(1L, 140L, 4L, "A"),
+      EventStreams.Scd2Event(2L, 10L, 6L, "B"),
+      EventStreams.Scd2Event(2L, 10L, 5L, "A"),
+      EventStreams.Scd2Event(3L, 50L, 7L, "C"),
+      EventStreams.Scd2Event(3L, 160L, 8L, "C"))
+    val punct = Seq(1L, 2L, 3L).map(u =>
+      EventStreams.Scd2Event(u, 1000L, -1L, null))
+    val input = MemoryStream[EventStreams.Scd2Event]
+    input.addData(ev.filter(_.ts_us <= 100L))
+    input.addData(ev.filter(_.ts_us > 100L))
+    input.addData(punct)
+    val q = EventStreams.scd2Stream(input.toDS())
+      .writeStream.format("memory").queryName("scd2_tie_test")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+        if (r.isNullAt(4)) -1L else r.getLong(4), r.getBoolean(5))
+    val got = spark.table("scd2_tie_test").collect().map(key).toSet
+    assert(got == Set(
+      (1L, "A", 1L, 10L, 130L, false),
+      (1L, "B", 2L, 130L, 140L, false),
+      (1L, "A", 3L, 140L, -1L, true),
+      (2L, "A", 1L, 10L, 10L, false),
+      (2L, "B", 2L, 10L, -1L, true),
+      (3L, "C", 1L, 50L, -1L, true)))
+    // and the batch derivation lands on the same history
+    val batch = graft.operators.WarehouseOps.scd2History(
+      ev.toDF(), // case-class field names ride along
+      "user_id", "event_type", "ts_us", "event_id")
+      .select(col("user_id"), col("attr"), col("version"),
+        col("valid_from_us"), col("valid_to_us"), col("is_current"))
+      .collect().map(key).toSet
+    assert(got == batch)
+  }
+
+  test("SCD2 event-time timeout flushes a quiet user's open version " +
+    "once; active users stay in state") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    // u1 goes silent with an open version and never gets punctuation;
+    // u2's later events advance the watermark past u1's quiet horizon
+    val input = MemoryStream[EventStreams.Scd2Event]
+    input.addData(
+      EventStreams.Scd2Event(1L, 1000000L, 1L, "A"),
+      EventStreams.Scd2Event(1L, 2000000L, 2L, "B"),
+      EventStreams.Scd2Event(2L, 1000000L, 3L, "A"))
+    input.addData(EventStreams.Scd2Event(2L, 20000000L, 4L, "A"))
+    val q = EventStreams.scd2Stream(input.toDS(), quietUs = 5000000L)
+      .writeStream.format("memory").queryName("scd2_timeout_test")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val rows = spark.table("scd2_timeout_test").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getBoolean(5)))
+    // u1: the A->B change closed version 1 normally; the timeout then
+    // flushed the open B version exactly once as current
+    assert(rows.count(t => t._1 == 1L && t._2 == "B" && t._4) == 1,
+      s"quiet user's open version must flush exactly once: ${rows.mkString(",")}")
+    assert(rows.contains((1L, "A", 1L, false)))
+    // u2's last event is inside the quiet horizon: still in state
+    assert(!rows.exists(_._1 == 2L),
+      "active user flushed before their quiet horizon passed")
+  }
+
+  test("streaming SCD2 gate (q_stream_scd2) equals the batch history " +
+    "(q_scd2_history) row for row") {
+    def rows(name: String) =
+      graft.SparkEntry.queries(name)(spark, dir).collect()
+        .map(_.toSeq).toSet
+    val stream = rows("q_stream_scd2")
+    assert(stream.nonEmpty && stream == rows("q_scd2_history"))
+  }
+
+  test("streaming CDC merge gate (q_stream_merge) equals the one-shot " +
+    "batch merge (q_merge_upsert), provenance included") {
+    def rows(name: String) =
+      graft.SparkEntry.queries(name)(spark, dir).collect()
+        .map(_.toSeq).toSet
+    val stream = rows("q_stream_merge")
+    assert(stream.nonEmpty && stream == rows("q_merge_upsert"))
+  }
 }
