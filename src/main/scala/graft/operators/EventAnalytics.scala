@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.{QueryDef, Tables}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Event-sequence analytics over the `events` table: the ordered
@@ -304,6 +305,76 @@ object EventAnalytics {
     // session-window state logic, not a window function.
     QueryDef.sql("q_session_window", sessionWindowSql) { (s, dir) =>
       sessionWindowAgg(Tables.events(s, dir))
+    },
+
+    // Time-series gap fill with linear interpolation: each event
+    // type's hourly ingest-volume series, densified over its own
+    // [min, max] hour span, missing hours linearly interpolated
+    // between the nearest observed neighbors — the regularization
+    // step every downstream forecaster/anomaly model assumes. Engine
+    // parity by construction: interpolation runs on the ALREADY
+    // 2dp-ROUNDED hourly values (both engines interpolate identical
+    // inputs with the identical expression tree, so the doubles
+    // match bit for bit before the final 4dp round). Scale: one
+    // (type, hour) groupBy — map-side combinable — then every window
+    // runs on the types × hours grid, dashboard-sized however large
+    // the event volume; interior gaps always have both neighbors
+    // because the span ends are observed hours.
+    QueryDef.sql(
+      "q_timeseries_fill",
+      s"""WITH hourly AS (
+         |  SELECT event_type, epoch_us(ts) // $HourUs AS hr,
+         |         round(sum(value), 2) AS v
+         |  FROM events GROUP BY 1, 2),
+         |b AS (SELECT event_type, min(hr) AS lo, max(hr) AS hi
+         |      FROM hourly GROUP BY 1),
+         |grid AS (SELECT event_type, unnest(range(lo, hi + 1)) AS hr FROM b),
+         |j AS (SELECT g.event_type, g.hr, h.v
+         |      FROM grid g LEFT JOIN hourly h
+         |        ON g.event_type = h.event_type AND g.hr = h.hr),
+         |f AS (SELECT event_type, hr, v,
+         |             last_value(v IGNORE NULLS) OVER wp AS pv,
+         |             last_value(CASE WHEN v IS NOT NULL THEN hr END IGNORE NULLS)
+         |               OVER wp AS ph,
+         |             first_value(v IGNORE NULLS) OVER wn AS nv,
+         |             first_value(CASE WHEN v IS NOT NULL THEN hr END IGNORE NULLS)
+         |               OVER wn AS nh
+         |      FROM j
+         |      WINDOW wp AS (PARTITION BY event_type ORDER BY hr
+         |                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         |             wn AS (PARTITION BY event_type ORDER BY hr
+         |                    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+         |SELECT event_type, hr,
+         |       CASE WHEN v IS NOT NULL THEN v
+         |            ELSE round(pv + (nv - pv) * (hr - ph) / (nh - ph), 4)
+         |       END AS value_filled,
+         |       v IS NULL AS is_filled
+         |FROM f""".stripMargin) { (s, dir) =>
+      val hourly = Tables.events(s, dir)
+        .groupBy(col("event_type"), expr(s"ts_us DIV $HourUs").as("hr"))
+        .agg(round(sum(col("value")), 2).as("v"))
+      val grid = hourly.groupBy(col("event_type"))
+        .agg(min(col("hr")).as("lo"), max(col("hr")).as("hi"))
+        .select(col("event_type"), explode(sequence(col("lo"), col("hi"))).as("hr"))
+      val wp = Window.partitionBy(col("event_type")).orderBy(col("hr"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wn = Window.partitionBy(col("event_type")).orderBy(col("hr"))
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      grid.join(hourly, Seq("event_type", "hr"), "left")
+        .select(col("event_type"), col("hr"), col("v"),
+          last(col("v"), ignoreNulls = true).over(wp).as("pv"),
+          last(when(col("v").isNotNull, col("hr")), ignoreNulls = true)
+            .over(wp).as("ph"),
+          first(col("v"), ignoreNulls = true).over(wn).as("nv"),
+          first(when(col("v").isNotNull, col("hr")), ignoreNulls = true)
+            .over(wn).as("nh"))
+        .select(col("event_type"), col("hr"),
+          when(col("v").isNotNull, col("v"))
+            .otherwise(round(
+              col("pv") + (col("nv") - col("pv")) *
+                (col("hr") - col("ph")) / (col("nh") - col("ph")), 4))
+            .as("value_filled"),
+          col("v").isNull.as("is_filled"))
     }
   )
 

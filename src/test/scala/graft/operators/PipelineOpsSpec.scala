@@ -2146,4 +2146,33 @@ class PipelineOpsSpec extends SparkSpec {
     // real data, while every margin stays positive-finite
     assert(got.values.forall(v => v._3 > 0 && !v._3.isInfinite))
   }
+
+  test("timeseries fill: each series is dense over its span with " +
+    "observed endpoints, and every filled hour replays the linear " +
+    "interpolation of its observed neighbors exactly") {
+    val sf = "/root/testdata/sf0.001"
+    val out = graft.SparkEntry.queries("q_timeseries_fill")(spark, sf)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+        r.getBoolean(3)))
+    assert(out.nonEmpty)
+    assert(out.exists(_._4), "no gap was filled — the test is vacuous")
+    out.groupBy(_._1).foreach { case (tpe, rows) =>
+      val sorted = rows.sortBy(_._2)
+      // dense grid, observed endpoints (the span is defined by data)
+      assert(sorted.map(_._2).toSeq ==
+        (sorted.head._2 to sorted.last._2).toSeq, s"$tpe grid has holes")
+      assert(!sorted.head._4 && !sorted.last._4,
+        s"$tpe span endpoint was interpolated")
+      val observed = sorted.filter(!_._4).map(t => (t._2, t._3))
+      sorted.filter(_._4).foreach { case (_, hr, v, _) =>
+        val (ph, pv) = observed.filter(_._1 < hr).maxBy(_._1)
+        val (nh, nv) = observed.filter(_._1 > hr).minBy(_._1)
+        val expect = BigDecimal(pv + (nv - pv) * (hr - ph) / (nh - ph))
+          .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+        assert(v == expect,
+          s"$tpe hour $hr: interpolated $v, JVM replay $expect")
+      }
+    }
+  }
 }
