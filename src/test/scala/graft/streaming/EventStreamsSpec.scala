@@ -609,4 +609,13 @@ class EventStreamsSpec extends SparkSpec {
     val stream = rows("q_stream_merge")
     assert(stream.nonEmpty && stream == rows("q_merge_upsert"))
   }
+
+  test("native session_window streaming gate (q_stream_session_window) " +
+    "equals the batch gate (q_session_window) row for row") {
+    def rows(name: String) =
+      graft.SparkEntry.queries(name)(spark, dir).collect()
+        .map(_.toSeq).toSet
+    val stream = rows("q_stream_session_window")
+    assert(stream.nonEmpty && stream == rows("q_session_window"))
+  }
 }
