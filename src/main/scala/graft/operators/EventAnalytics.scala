@@ -307,6 +307,37 @@ object EventAnalytics {
       sessionWindowAgg(Tables.events(s, dir))
     },
 
+    // Mergeable HLL distinct counting (Apache DataSketches, bundled
+    // with Spark 4): per-source document-hash cardinality from a
+    // sketch whose partials merge associatively — THE 100 TB distinct
+    // path: map-side sketches, one lgK-bounded merge per group, and
+    // stored per-day sketches union into rolling windows without
+    // rescanning (the cross-run composability exact distinct can
+    // never have). The gate audits the accuracy contract against the
+    // exact count (the oracle's TRUE column is the assertion: an
+    // estimate drifting past 5% flips the flag and fails the hash) —
+    // same audit pattern as q_sketch_cm's one-sided-error column;
+    // the spec additionally pins the partial-union path's determinism
+    // and its own 5% bound (union is NOT register-exact vs one pass —
+    // the HLL_8 union gadget can settle the HLL_4 target a hair
+    // differently — but it IS deterministic and equally accurate).
+    QueryDef.sql(
+      "q_sketch_hll",
+      """SELECT source,
+        |       CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_exact,
+        |       TRUE AS hll_within_5pct
+        |FROM documents GROUP BY source""".stripMargin) { (s, dir) =>
+      Tables(s, dir, "documents")
+        .groupBy(col("source"))
+        .agg(
+          countDistinct(md5(col("text").cast("binary"))).as("n_exact"),
+          hll_sketch_estimate(
+            hll_sketch_agg(md5(col("text").cast("binary")))).as("est"))
+        .select(col("source"), col("n_exact"),
+          (abs(col("est") - col("n_exact")) * 20 <= col("n_exact"))
+            .as("hll_within_5pct"))
+    },
+
     // Time-series gap fill with linear interpolation: each event
     // type's hourly ingest-volume series, densified over its own
     // [min, max] hour span, missing hours linearly interpolated

@@ -606,6 +606,64 @@ object SimilarityOps {
         round(col("cos"), 6).as("sim"))
   }
 
+  /** Measured IVF recall-vs-nprobe curve: for every probe depth
+    * 1..maxProbe, recall@k of the nprobe-limited search against the
+    * brute-force top-k — the dial a deployment turns to trade scan
+    * fraction for recall, MEASURED on the index's own data rather
+    * than assumed (the ANN twin of [[DedupOps]]' LSH S-curve).
+    *
+    * One scored table serves every depth: each (query, corpus) pair
+    * carries its cell's probe rank for that query, so depth d's
+    * result set is just `cell_rank <= d` + the per-query top-k window
+    * — the corpus is scanned ONCE for the whole curve, not once per
+    * depth, and the spec pins each depth's rows to an independent
+    * [[ivfSearch]] run. Recall is exact-integer (hits·100 div
+    * relevant) so both engines agree bit for bit. */
+  def ivfRecallCurve(e: DataFrame, centroids: DataFrame, k: Int,
+      maxProbe: Int): DataFrame = {
+    val s = e.sparkSession
+    val probes = e.filter(col("vec_id") < NumProbes)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val cells = ivfAssign(e, centroids)
+      .select(col("vec_id"), col("centroid_id"))
+    val probeRanks = probes.crossJoin(broadcast(centroids))
+      .select(col("query_id"), col("centroid_id"),
+        CosineSimilarity(s, col("qv"), col("cv")).as("ccos"))
+      .withColumn("crnk", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("ccos").desc, col("centroid_id"))))
+      .select(col("query_id"), col("centroid_id"), col("crnk"))
+    val scored = e.join(cells, "vec_id")
+      .crossJoin(broadcast(probes))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"), col("centroid_id"),
+        CosineSimilarity(s, col("qv"), col("embedding")).as("cos"))
+      .join(broadcast(probeRanks), Seq("query_id", "centroid_id"))
+      .pinned
+    def topk(d: DataFrame): DataFrame = d
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("cos").desc, col("vec_id"))))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("vec_id"))
+    val bf = topk(scored).pinned
+    val nRel = bf.agg(count(lit(1)).as("n_relevant"))
+    val runs = (1 to maxProbe).map(np =>
+      topk(scored.filter(col("crnk") <= np))
+        .select(lit(np).cast("int").as("nprobe"), col("query_id"),
+          col("vec_id")))
+      .reduce(_ union _)
+    runs
+      .join(bf.withColumn("hit", lit(1)),
+        Seq("query_id", "vec_id"), "left")
+      .groupBy(col("nprobe"))
+      .agg(count(lit(1)).as("n_returned"),
+        sum(coalesce(col("hit"), lit(0))).as("n_hits"))
+      .crossJoin(broadcast(nRel))
+      .select(col("nprobe"), col("n_returned"), col("n_hits"),
+        expr("n_hits * 100 DIV n_relevant").as("recall_pct"))
+  }
+
   /** (vec_id, band, bucket) sign-bit LSH bands for near-dup blocking:
     * band `b` hashes dims [b·bits, (b+1)·bits) into a `bits`-bit
     * bucket. Pure map-side work; the bucket is the only shuffle key
@@ -1760,6 +1818,82 @@ object SimilarityOps {
         e.filter(col("vec_id") < NumCentroids)
           .select(col("vec_id").as("centroid_id"), col("embedding").as("cv")),
         BitextMineK)
+    },
+
+    // Measured IVF recall-vs-nprobe curve — the "how many cells must
+    // I probe" tuning table, computed from ONE corpus scan (each
+    // scored pair carries its cell's probe rank, so every depth is a
+    // filter + bounded window over the same table). Exact-integer
+    // recall; spec pins each depth against an independent ivfSearch
+    // run, monotone recall, and 100% at full probe depth.
+    QueryDef.sql(
+      "q_ivf_recall_curve", {
+        val runs = (1 to NumCentroids).map(np =>
+          s"""  SELECT $np AS nprobe, query_id, vec_id
+             |  FROM (SELECT query_id, vec_id,
+             |               row_number() OVER (PARTITION BY query_id
+             |                                  ORDER BY cos DESC, vec_id) AS rnk
+             |        FROM sc WHERE crnk <= $np)
+             |  WHERE rnk <= $TopK""".stripMargin)
+          .mkString("\n  UNION ALL\n")
+        s"""WITH c AS (SELECT vec_id AS centroid_id, embedding AS cv
+           |           FROM embeddings WHERE vec_id < $NumCentroids),
+           |asg AS (
+           |  SELECT e.vec_id, c.centroid_id,
+           |         ${cosSql("c.cv", "e.embedding")} AS cos
+           |  FROM embeddings e CROSS JOIN c),
+           |cells AS (
+           |  SELECT vec_id, centroid_id
+           |  FROM (SELECT vec_id, centroid_id,
+           |               row_number() OVER (PARTITION BY vec_id
+           |                                  ORDER BY cos DESC, centroid_id) AS arnk
+           |        FROM asg)
+           |  WHERE arnk = 1),
+           |q AS (SELECT vec_id AS query_id, embedding AS qv
+           |      FROM embeddings WHERE vec_id < $NumProbes),
+           |pc AS (
+           |  SELECT query_id, centroid_id,
+           |         row_number() OVER (PARTITION BY query_id
+           |                            ORDER BY ccos DESC, centroid_id) AS crnk
+           |  FROM (SELECT q.query_id, c.centroid_id,
+           |               ${cosSql("q.qv", "c.cv")} AS ccos
+           |        FROM q CROSS JOIN c)),
+           |sc AS (
+           |  SELECT q.query_id, e.vec_id,
+           |         ${cosSql("q.qv", "e.embedding")} AS cos,
+           |         pc.crnk
+           |  FROM embeddings e
+           |  JOIN cells ON e.vec_id = cells.vec_id
+           |  CROSS JOIN q
+           |  JOIN pc ON pc.query_id = q.query_id
+           |         AND pc.centroid_id = cells.centroid_id
+           |  WHERE e.vec_id <> q.query_id),
+           |bf AS (SELECT query_id, vec_id
+           |       FROM (SELECT query_id, vec_id,
+           |                    row_number() OVER (PARTITION BY query_id
+           |                                       ORDER BY cos DESC, vec_id) AS rnk
+           |             FROM sc)
+           |       WHERE rnk <= $TopK),
+           |nr AS (SELECT count(*) AS n_relevant FROM bf),
+           |runs AS (
+           |$runs
+           |)
+           |SELECT CAST(r.nprobe AS INTEGER) AS nprobe,
+           |       CAST(count(*) AS BIGINT) AS n_returned,
+           |       CAST(sum(CASE WHEN bf.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+           |            AS BIGINT) AS n_hits,
+           |       CAST(sum(CASE WHEN bf.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+           |            * 100 // max(nr.n_relevant) AS BIGINT) AS recall_pct
+           |FROM runs r
+           |LEFT JOIN bf ON r.query_id = bf.query_id AND r.vec_id = bf.vec_id
+           |CROSS JOIN nr
+           |GROUP BY r.nprobe""".stripMargin
+      }) { (s, dir) =>
+      val e = emb(s, dir)
+      ivfRecallCurve(e,
+        e.filter(col("vec_id") < NumCentroids)
+          .select(col("vec_id").as("centroid_id"), col("embedding").as("cv")),
+        TopK, NumCentroids)
     }
   )
 

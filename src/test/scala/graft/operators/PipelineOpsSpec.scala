@@ -2147,6 +2147,70 @@ class PipelineOpsSpec extends SparkSpec {
     assert(got.values.forall(v => v._3 > 0 && !v._3.isInfinite))
   }
 
+  test("hll sketch distinct: the partial-union path is deterministic " +
+    "and both it and the single pass sit within 5% of exact") {
+    val sf = "/root/testdata/sf0.001"
+    val docs = graft.Tables(spark, sf, "documents")
+    val h = md5(col("text").cast("binary"))
+    // partial aggregation path: two disjoint halves, sketched apart,
+    // merged. NOT asserted register-equal to the single pass:
+    // DataSketches' union gadget runs HLL_8 and the HLL_4 target can
+    // settle a hair differently across the sparse→dense transition
+    // (measured: 499 vs 501 on this corpus) — the composability
+    // contract is determinism + bounded error, which IS pinned.
+    def merged(): Long = docs.withColumn("half", col("doc_id") % 2)
+      .groupBy(col("half")).agg(hll_sketch_agg(h).as("sk"))
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("est"))
+      .head().getLong(0)
+    val m1 = merged()
+    assert(m1 == merged(), "partial-union estimate is nondeterministic")
+    val single = docs.agg(hll_sketch_estimate(hll_sketch_agg(h)).as("est"))
+      .head().getLong(0)
+    val exact = docs.agg(countDistinct(h).as("n")).head().getLong(0)
+    assert(math.abs(m1 - exact) * 20 <= exact,
+      s"union estimate $m1 drifted >5% from exact $exact")
+    assert(math.abs(single - exact) * 20 <= exact,
+      s"single-pass estimate $single drifted >5% from exact $exact")
+    // and the gate flag holds on every source
+    val out = graft.SparkEntry.queries("q_sketch_hll")(spark, sf).collect()
+    assert(out.nonEmpty && out.forall(_.getBoolean(2)))
+  }
+
+  test("ivf recall curve: every depth's result set equals an " +
+    "independent ivfSearch run, recall is monotone in nprobe, and " +
+    "full probe depth recovers brute force exactly") {
+    val sf = "/root/testdata/sf0.001"
+    val e = graft.Tables(spark, sf, "embeddings")
+    val cents = e.filter(col("vec_id") < SimilarityOps.NumCentroids)
+      .select(col("vec_id").as("centroid_id"), col("embedding").as("cv"))
+    val probes = e.filter(col("vec_id") < SimilarityOps.NumProbes)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val curve = SimilarityOps.ivfRecallCurve(e, cents,
+      SimilarityOps.TopK, SimilarityOps.NumCentroids)
+      .collect().map(r => r.getInt(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(curve.keySet == (1 to SimilarityOps.NumCentroids).toSet)
+    // recall monotone in probe depth, exact at full depth
+    (1 until SimilarityOps.NumCentroids).foreach(np =>
+      assert(curve(np)._3 <= curve(np + 1)._3,
+        s"recall fell from nprobe=$np to ${np + 1}"))
+    assert(curve(SimilarityOps.NumCentroids)._3 == 100L,
+      "full probe depth must recover brute force")
+    // each depth's returned/hit counts replay from an INDEPENDENT
+    // ivfSearch + bruteForceTopK composition
+    val bf = SimilarityOps.bruteForceTopK(e, probes, SimilarityOps.TopK)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    Seq(1, 3, SimilarityOps.NumCentroids).foreach { np =>
+      val got = SimilarityOps.ivfSearch(e, cents, probes, np,
+        SimilarityOps.TopK)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(curve(np)._1 == got.size.toLong,
+        s"n_returned diverges from ivfSearch at nprobe=$np")
+      assert(curve(np)._2 == got.count(bf).toLong,
+        s"n_hits diverges from ivfSearch∩bruteForce at nprobe=$np")
+    }
+  }
+
   test("timeseries fill: each series is dense over its span with " +
     "observed endpoints, and every filled hour replays the linear " +
     "interpolation of its observed neighbors exactly") {

@@ -77,6 +77,42 @@ class WarehouseOpsSpec extends SparkSpec {
       (2L, "B", 2L, 10L, -1L, true)))
   }
 
+  test("scd2 history: 200 random attribute sequences replay a pure-JVM " +
+    "run-collapse reference exactly (seeded property test)") {
+    val rnd = new scala.util.Random(13)
+    val attrs = Array("A", "B", "C")
+    val events = (1 to 200).flatMap { user =>
+      val n = 1 + rnd.nextInt(12)
+      (0 until n).map { i =>
+        // ts in coarse steps so same-ts ties occur; event_id breaks them
+        (user.toLong, attrs(rnd.nextInt(attrs.length)),
+          (rnd.nextInt(5) * 10).toLong, (user * 100 + i).toLong)
+      }
+    }
+    val got = WarehouseOps.scd2History(
+      events.toDF("user_id", "attr", "ts_us", "event_id"),
+      "user_id", "attr", "ts_us", "event_id")
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+        if (r.isNullAt(4)) -1L else r.getLong(4), r.getBoolean(5)))
+      .toSet
+    // JVM reference: sort by (ts, event_id), collapse runs, chain validity
+    val expect = events.groupBy(_._1).flatMap { case (user, evs) =>
+      val runs = evs.sortBy(e => (e._3, e._4))
+        .foldLeft(List.empty[(String, Long)]) { (acc, e) =>
+          acc match {
+            case (a, _) :: _ if a == e._2 => acc
+            case _ => (e._2, e._3) :: acc
+          }
+        }.reverse
+      runs.zipWithIndex.map { case ((attr, from), i) =>
+        val to = if (i + 1 < runs.length) runs(i + 1)._2 else -1L
+        (user, attr, (i + 1).toLong, from, to, to == -1L)
+      }
+    }.toSet
+    assert(got == expect)
+  }
+
   test("scd2 history on real events: valid_to chains to the next " +
     "version's valid_from and every user has exactly one open version") {
     val sf = "/root/testdata/sf0.001"

@@ -43,7 +43,8 @@ class PlanAuditSpec extends SparkSpec {
     "q_label_predict",     // |labels|-row prototype table (≤ label count)
     "q_sim_rerank_ivf",    // 8 coarse centroids + 5 probes (IVFADC shortlist + rerank)
     "q_knn_graph",         // 8 seed centroids (cell assignment)
-    "q_bitext_mine"        // 8 seed centroids (cell assignment)
+    "q_bitext_mine",       // 8 seed centroids (cell assignment)
+    "q_ivf_recall_curve"   // 8 centroids + 5 probes + 1-row relevant-count scalar
   )
 
   private val streaming = Set(

@@ -610,6 +610,47 @@ class EventStreamsSpec extends SparkSpec {
     assert(stream.nonEmpty && stream == rows("q_merge_upsert"))
   }
 
+  test("stateful streams run unchanged under the RocksDB state store " +
+    "— the provider a production cluster deploys — with output equal " +
+    "to the default provider") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    def run(name: String): Set[(Long, Int, Long, Long, Long)] = {
+      val input = MemoryStream[EventStreams.SessionEvent]
+      input.addData(
+        EventStreams.SessionEvent(1L, 1000000L, 1L),
+        EventStreams.SessionEvent(1L, 2000000L, 2L),
+        EventStreams.SessionEvent(2L, 1000000L, 3L))
+      // second batch: u1 beyond the gap (new session), then punctuation
+      input.addData(
+        EventStreams.SessionEvent(1L,
+          2000000L + EventStreams.SessionGapUs + 1L, 4L))
+      input.addData(
+        EventStreams.SessionEvent(1L, 9000000000L, -1L),
+        EventStreams.SessionEvent(2L, 9000000000L, -1L))
+      val q = EventStreams.sessionizeStream(input.toDS())
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      spark.table(name).collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3),
+          r.getLong(4))).toSet
+    }
+    val hdfs = run("rocksdb_ref_default")
+    try {
+      spark.conf.set(key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      val rocks = run("rocksdb_under_test")
+      assert(rocks.nonEmpty && rocks == hdfs,
+        "RocksDB-backed run diverged from the default state store")
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   test("native session_window streaming gate (q_stream_session_window) " +
     "equals the batch gate (q_session_window) row for row") {
     def rows(name: String) =
