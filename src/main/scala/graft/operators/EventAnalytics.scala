@@ -321,12 +321,7 @@ object EventAnalytics {
     // and its own 5% bound (union is NOT register-exact vs one pass —
     // the HLL_8 union gadget can settle the HLL_4 target a hair
     // differently — but it IS deterministic and equally accurate).
-    QueryDef.sql(
-      "q_sketch_hll",
-      """SELECT source,
-        |       CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_exact,
-        |       TRUE AS hll_within_5pct
-        |FROM documents GROUP BY source""".stripMargin) { (s, dir) =>
+    QueryDef.sql("q_sketch_hll", hllAuditSql) { (s, dir) =>
       Tables(s, dir, "documents")
         .groupBy(col("source"))
         .agg(
@@ -408,6 +403,18 @@ object EventAnalytics {
           col("v").isNull.as("is_filled"))
     }
   )
+
+  /** ONE oracle for q_sketch_hll AND q_stream_hll: the accuracy
+    * contract both the batch sketch and the stream-maintained sketch
+    * must meet — an estimate drifting past 5% flips the flag and
+    * fails the hash gate. A `def`, not a `val`: it is referenced from
+    * `all` ABOVE this point, and a val would still be null there
+    * (object init order). */
+  private[operators] def hllAuditSql: String =
+    """SELECT source,
+      |       CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_exact,
+      |       TRUE AS hll_within_5pct
+      |FROM documents GROUP BY source""".stripMargin
 
   /** ONE oracle for q_session_window AND q_stream_session_window —
     * the lag/sum replica of Spark's native session_window merge rule

@@ -674,6 +674,41 @@ object StreamingOps {
         s.table("graft_stream_sw")
           .filter(col("session_start_us") <= hi)
       }
+    },
+
+    // STREAMING HLL maintenance — the sketch-state cousin of
+    // q_stream_cm for DISTINCT counting: documents arrive as ordered
+    // micro-batches and each source's HLL sketch is maintained as
+    // complete-mode aggregation state (the TypedImperativeAggregate
+    // merges batch partials into the standing register set — the
+    // associative-merge property IS the state-update rule, so state
+    // per source is one lgK-bounded sketch whatever the document
+    // volume). The audit joins the final streamed estimates against
+    // the batch exact counts — ONE oracle string shared with
+    // q_sketch_hll, so "the stream's sketch meets the same accuracy
+    // contract as the batch sketch" is structural.
+    QueryDef.sql("q_stream_hll", EventAnalytics.hllAuditSql) {
+      (s, dir) => withStreamPartitions(s, 8) {
+        val docs = Tables(s, dir, "documents")
+          .select(col("source"), col("doc_id"), col("text"))
+        val inDir = EventStreams.orderedSlicedDir(docs, "doc_id", 3)
+        val stream = s.readStream.schema(docs.schema)
+          .option("maxFilesPerTrigger", "1").parquet(inDir)
+        val q = stream.groupBy(col("source"))
+          .agg(hll_sketch_agg(md5(col("text").cast("binary"))).as("sk"))
+          .select(col("source"), hll_sketch_estimate(col("sk")).as("est"))
+          .writeStream.format("memory").queryName("graft_stream_hll")
+          .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+        val exact = Tables(s, dir, "documents")
+          .groupBy(col("source"))
+          .agg(countDistinct(md5(col("text").cast("binary"))).as("n_exact"))
+        s.table("graft_stream_hll")
+          .join(exact, "source")
+          .select(col("source"), col("n_exact"),
+            (abs(col("est") - col("n_exact")) * 20 <= col("n_exact"))
+              .as("hll_within_5pct"))
+      }
     }
   )
 

@@ -184,6 +184,43 @@ object WarehouseOps {
     // the dimension-table shape a warehouse keeps instead of
     // overwriting the current value. One user_id shuffle; the rows
     // entering it are (user, attr, ts_us, event_id) — never props.
+    // Point-in-time dimension lookup — SCD2's purpose: every event
+    // joined to the attribute version VALID AT its timestamp
+    // (valid_from <= ts < valid_to, open version catches the tail).
+    // A change event lands in the version it OPENS (its ts is the new
+    // valid_from and the old valid_to — half-open on both engines).
+    // The join is equi on the dimension key plus a range predicate,
+    // so it plans as a hash join + filter; at 100 TB both sides
+    // co-partition on the key (the dimension side is version-list
+    // sized, not event-sized). This is the history-correct
+    // training-data join a temporal feature store runs instead of
+    // leaking TODAY's attribute onto YESTERDAY's example.
+    QueryDef.sql(
+      "q_scd2_point_in_time",
+      s"""WITH v AS (
+         |$scd2Sql
+         |)
+         |SELECT e.event_id, e.user_id, epoch_us(e.ts) AS ts_us,
+         |       v.attr, v.version
+         |FROM events e JOIN v ON e.user_id = v.user_id
+         |  AND epoch_us(e.ts) >= v.valid_from_us
+         |  AND (v.valid_to_us IS NULL OR epoch_us(e.ts) < v.valid_to_us)""".stripMargin) {
+      (s, dir) =>
+        val ev = Tables.events(s, dir)
+        val v = scd2History(
+          ev.select(col("user_id"), col("event_type"), col("ts_us"),
+            col("event_id")),
+          "user_id", "event_type", "ts_us", "event_id")
+          .select(col("user_id").as("v_user"), col("attr"), col("version"),
+            col("valid_from_us"), col("valid_to_us"))
+        ev.join(v,
+          col("user_id") === col("v_user") &&
+            col("ts_us") >= col("valid_from_us") &&
+            (col("valid_to_us").isNull || col("ts_us") < col("valid_to_us")))
+          .select(col("event_id"), col("user_id"), col("ts_us"),
+            col("attr"), col("version"))
+    },
+
     QueryDef.sql("q_scd2_history", scd2Sql) { (s, dir) =>
       scd2History(
         Tables.events(s, dir)

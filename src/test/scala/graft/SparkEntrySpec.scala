@@ -26,6 +26,13 @@ class SparkEntrySpec extends SparkSpec {
     // if one ever becomes unavoidable
     val rowsOnly = q.keySet -- o.keySet
     assert(rowsOnly.isEmpty, s"query without oracle: $rowsOnly")
+    // an oracle can be NON-NULL yet null-valued if a shared SQL val is
+    // declared below the `all` list that references it (object init
+    // order) — Verify would then NPE serializing oracle_sql.json and
+    // zero the whole round's correctness
+    val broken = o.filter { case (_, sql) => sql == null || sql.trim.isEmpty }
+    assert(broken.isEmpty,
+      s"null/empty oracle SQL (init-order bug?): ${broken.keySet}")
     // queries is built map-wise from module Seqs — a duplicated name
     // would silently shadow an operator and shrink gate coverage
     val names = Seq(
@@ -34,7 +41,8 @@ class SparkEntrySpec extends SparkSpec {
       operators.TextOps.all, operators.CurationOps.all,
       operators.DedupOps.all, operators.SimilarityOps.all,
       operators.SkewJoin.all, operators.Multimodal.all,
-      operators.StreamingOps.all).flatten.map(_.name)
+      operators.StreamingOps.all, operators.ZOrder.all,
+      operators.WarehouseOps.all).flatten.map(_.name)
     assert(names.distinct.length == names.length,
       s"duplicate query names: ${names.diff(names.distinct).distinct}")
   }

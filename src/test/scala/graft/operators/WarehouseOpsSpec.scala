@@ -113,6 +113,33 @@ class WarehouseOpsSpec extends SparkSpec {
     assert(got == expect)
   }
 
+  test("scd2 point-in-time lookup is TOTAL and UNIQUE: every event " +
+    "matches exactly one version, and a change event lands in the " +
+    "version it opens") {
+    val sf = "/root/testdata/sf0.001"
+    val out = graft.SparkEntry.queries("q_scd2_point_in_time")(spark, sf)
+      .collect()
+    val nEvents = graft.Tables(spark, sf, "events").count()
+    assert(out.length.toLong == nEvents, "lookup must be total")
+    assert(out.map(_.getLong(0)).distinct.length == out.length,
+      "an event matched more than one version")
+    // a change event's looked-up attr is its OWN event_type (it opens
+    // the version) — true for every event that IS a version boundary
+    val hist = graft.SparkEntry.queries("q_scd2_history")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(3)) -> r.getString(1))
+      .toMap
+    val ev = graft.Tables.events(spark, sf)
+      .select(col("event_id"), col("user_id"), col("ts_us"),
+        col("event_type")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val boundary = ev.filter(e => hist.contains((e._2, e._3)) &&
+      hist((e._2, e._3)) == e._4)
+    assert(boundary.nonEmpty)
+    val byId = out.map(r => r.getLong(0) -> r.getString(3)).toMap
+    boundary.foreach(e => assert(byId(e._1) == e._4,
+      s"boundary event ${e._1} did not land in the version it opens"))
+  }
+
   test("scd2 history on real events: valid_to chains to the next " +
     "version's valid_from and every user has exactly one open version") {
     val sf = "/root/testdata/sf0.001"

@@ -52,7 +52,8 @@ class PlanAuditSpec extends SparkSpec {
     "q_stream_ingest_screen", "q_stream_cm", "q_stream_ann",
     "q_stream_funnel", "q_stream_ivf_ingest", "q_stream_ann_after_ingest",
     "q_stream_dedup_clusters", "q_stream_source_cap", "q_stream_topk",
-    "q_stream_merge", "q_stream_scd2", "q_stream_session_window")
+    "q_stream_merge", "q_stream_scd2", "q_stream_session_window",
+    "q_stream_hll")
 
   test("no gate plan nests two data-sized inputs (BNLJ/Cartesian audit)") {
     val offenders = scala.collection.mutable.ArrayBuffer.empty[String]

@@ -651,6 +651,108 @@ class EventStreamsSpec extends SparkSpec {
     }
   }
 
+  test("sessionize stream RESUMES from its checkpoint: stop after the " +
+    "early slices, restart against the same checkpoint, and the two " +
+    "runs' combined output equals the batch sessionization exactly") {
+    import spark.implicits._
+    // planted so a session is GUARANTEED to straddle the restart:
+    // u1's 25-min steps span both slices (one 4-event session); u2
+    // closes one session inside slice 0 (phase 1 emits something),
+    // leaves one open across the boundary, and opens a last one late.
+    // base is a realistic epoch — event times at epoch 0 collide with
+    // the initial watermark value and are dropped as late
+    val m = 60L * 1000 * 1000 // one minute in micros
+    val base = 1700000000000000L
+    val ev = Seq(
+      (1L, base, 1L), (1L, base + 25 * m, 2L), (1L, base + 50 * m, 3L),
+      (1L, base + 75 * m, 4L),
+      (2L, base, 5L), (2L, base + 33 * m, 6L), (2L, base + 90 * m, 7L))
+      .toDF("user_id", "ts_us", "event_id")
+    val inDir = EventStreams.timeSlicedDir(
+      ev, nSlices = 2, gapUs = EventStreams.SessionGapUs)
+    val boundary = base + 45 * m // (hi - lo) / 2 puts the slice cut here
+    val cp = java.nio.file.Files.createTempDirectory("graft_cp").toString
+    // hold back the later slices to simulate a crash/redeploy boundary
+    val in = new java.io.File(inDir)
+    val hold = java.nio.file.Files.createTempDirectory("graft_hold")
+    val files = in.listFiles().sortBy(_.getName)
+    val (early, late) = files.splitAt(1)
+    assert(early.nonEmpty && late.nonEmpty)
+    val moved = late.map { f =>
+      val t = f.toPath.getFileName
+      val mtime = java.nio.file.Files.getLastModifiedTime(f.toPath)
+      java.nio.file.Files.move(f.toPath, hold.resolve(t))
+      (t, mtime)
+    }
+    // memory sink cannot recover from a checkpoint — use the
+    // fault-tolerant FILE sink, exactly as a production redeploy would
+    val outDir = java.nio.file.Files
+      .createTempDirectory("graft_cp_out").toString
+    def phase(): Unit = {
+      val stream = spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1").parquet(inDir)
+      val q = EventStreams.sessionizeStream(
+        stream.as[EventStreams.SessionEvent])
+        .writeStream.format("parquet")
+        .option("path", outDir)
+        .option("checkpointLocation", cp)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    def read(): Array[(Long, Int, Long, Long, Long)] =
+      spark.read.parquet(outDir).collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3),
+          r.getLong(4)))
+    phase()
+    val out1 = read()
+    assert(out1.nonEmpty, "phase 1 emitted nothing — boundary too early")
+    // "redeploy": the held-back slices arrive, SAME checkpoint — the
+    // state store must restore open sessions across the restart
+    moved.foreach { case (t, mtime) =>
+      val dest = in.toPath.resolve(t)
+      java.nio.file.Files.move(hold.resolve(t), dest)
+      java.nio.file.Files.setLastModifiedTime(dest, mtime)
+    }
+    phase()
+    val all = read()
+    val out2 = {
+      val seen = out1.toSet
+      all.filterNot(seen)
+    }
+    assert(all.length == all.distinct.length &&
+      all.length == out1.length + out2.length,
+      "a session was emitted by BOTH runs — exactly-once broken")
+    val combined = all.toSet
+    // batch truth on the planted events: u1 one 4-event session,
+    // u2 three single-event sessions (33 min and 57 min gaps split)
+    assert(combined == Set(
+      (1L, 1, base, base + 75 * m, 4L),
+      (2L, 1, base, base, 1L),
+      (2L, 2, base + 33 * m, base + 33 * m, 1L),
+      (2L, 3, base + 90 * m, base + 90 * m, 1L)),
+      "restart-combined stream output diverged from batch sessionization")
+    // the restart actually mattered: phase 2 emitted sessions whose
+    // span STARTS before the boundary (state restored, not rebuilt)
+    assert(out2.exists(_._3 < boundary),
+      "no session straddled the restart — the recovery was vacuous")
+  }
+
+  test("streaming HLL gate (q_stream_hll): deterministic across runs " +
+    "and every source meets the 5% audit — same contract as the " +
+    "batch sketch gate") {
+    def run() = graft.SparkEntry.queries("q_stream_hll")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getBoolean(2)))
+      .toSet
+    val first = run()
+    assert(first.nonEmpty && first.forall(_._3))
+    assert(first == run(), "stream-maintained sketch is nondeterministic")
+    assert(first == graft.SparkEntry.queries("q_sketch_hll")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getBoolean(2)))
+      .toSet, "stream audit diverged from the batch sketch audit")
+  }
+
   test("native session_window streaming gate (q_stream_session_window) " +
     "equals the batch gate (q_session_window) row for row") {
     def rows(name: String) =
