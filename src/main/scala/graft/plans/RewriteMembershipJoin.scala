@@ -70,6 +70,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
   def apply(e: SparkSessionExtensions): Unit = {
     e.injectOptimizerRule(_ => RewriteMembershipJoin)
+    e.injectOptimizerRule(_ => PushLevenshteinScreen)
     e.injectFunction((
       FunctionIdentifier(CosineSimilarity.FunctionName),
       new ExpressionInfo(classOf[CosineSimilarity].getCanonicalName,

@@ -1,0 +1,85 @@
+package graft.plans
+
+import graft.SparkSpec
+import org.apache.spark.sql.catalyst.expressions.Levenshtein
+import org.apache.spark.sql.functions._
+
+/** The screen rule is injected via spark.sql.extensions in the shared
+  * test session, so `optimizedPlan` here reflects the cluster deploy.
+  */
+class PushLevenshteinScreenSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  // file-backed, not a LocalRelation: the optimizer constant-folds a
+  // filter over local rows into a pre-evaluated relation and the plan
+  // under test would vanish
+  private lazy val pairs = {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_lev_pairs").toString
+    Seq(
+      ("kitten", "sitting"),   // distance 3
+      ("abc", "abd"),          // distance 1
+      ("abc", "abc"),          // distance 0
+      ("a", "abcdefgh"),       // length gap 7 — screen disqualifies at k=3
+      (null.asInstanceOf[String], "x"), // null left
+      ("x", null.asInstanceOf[String])) // null right
+      .toDF("a", "b").write.mode("overwrite").parquet(dir)
+    spark.read.parquet(dir)
+  }
+
+  test("levenshtein(a,b) <= k rewrites to length screen + banded DP " +
+    "in the optimized plan") {
+    val df = pairs.filter("levenshtein(a, b) <= 3")
+    val optimized = df.queryExecution.optimizedPlan
+    val levs = optimized.expressions.flatMap(_.collect {
+      case l: Levenshtein => l
+    })
+    assert(levs.nonEmpty, "Levenshtein vanished from the plan")
+    assert(levs.forall(_.threshold.isDefined),
+      s"unbounded Levenshtein survived the rewrite:\n$optimized")
+    assert(optimized.toString.contains("length"),
+      s"length screen missing from the rewritten predicate:\n$optimized")
+  }
+
+  test("rewritten predicates keep exact result semantics on boundary, " +
+    "length-gap and null rows, for <=, <, and flipped forms") {
+    // expected via driver-side reference distance (classic DP)
+    def lev(x: String, y: String): Int = {
+      val d = Array.tabulate(x.length + 1, y.length + 1)((i, j) =>
+        if (i == 0) j else if (j == 0) i else 0)
+      for (i <- 1 to x.length; j <- 1 to y.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (x(i - 1) == y(j - 1)) 0 else 1))
+      d(x.length)(y.length)
+    }
+    val rows = pairs.collect().map(r => (r.getString(0), r.getString(1)))
+    def expect(pred: Int => Boolean): Set[(String, String)] =
+      rows.filter { case (a, b) =>
+        a != null && b != null && pred(lev(a, b))
+      }.toSet
+    def got(sql: String): Set[(String, String)] =
+      pairs.filter(sql).collect()
+        .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(got("levenshtein(a, b) <= 3") == expect(_ <= 3))
+    assert(got("levenshtein(a, b) <= 2") == expect(_ <= 2))
+    assert(got("levenshtein(a, b) < 3") == expect(_ < 3))
+    assert(got("3 >= levenshtein(a, b)") == expect(_ <= 3))
+    assert(got("3 > levenshtein(a, b)") == expect(_ < 3))
+    // the screen actually fires: the length-gap row is excluded even
+    // though it never reaches the DP
+    assert(!got("levenshtein(a, b) <= 3").contains(("a", "abcdefgh")))
+  }
+
+  test("already-thresholded levenshtein is left alone") {
+    val df = pairs.filter("levenshtein(a, b, 5) <= 3")
+    val optimized = df.queryExecution.optimizedPlan
+    val levs = optimized.expressions.flatMap(_.collect {
+      case l: Levenshtein => l
+    })
+    // exactly the user's banded call — no screen injected, no
+    // double-banding
+    assert(levs.nonEmpty && !optimized.toString.contains("abs(("),
+      s"rule touched an already-thresholded call:\n$optimized")
+  }
+}
