@@ -333,6 +333,63 @@ object EventAnalytics {
             .as("hll_within_5pct"))
     },
 
+    // Per-type ingest-volume TREND: ordinary-least-squares slope of
+    // daily event counts in EXACT integer arithmetic — the
+    // "is this source growing or dying" screen next to the 3σ hourly
+    // anomaly flag. Days are re-based to each type's first day so the
+    // OLS sums stay small; slope = (nΣxy − ΣxΣy)/(nΣx² − (Σx)²) is
+    // carried as an exact integer fraction plus a floor-divided
+    // slope_x100, so both engines agree bit for bit (the
+    // q_events_anomaly discipline). One map-side-combinable
+    // (type, day) groupBy, then everything runs on the dashboard-
+    // sized per-type day table.
+    QueryDef.sql(
+      "q_volume_trend",
+      s"""WITH d AS (
+         |  SELECT event_type, epoch_us(ts) // ${24 * HourUs} AS day,
+         |         CAST(count(*) AS BIGINT) AS c
+         |  FROM events GROUP BY 1, 2),
+         |r AS (SELECT event_type,
+         |             day - min(day) OVER (PARTITION BY event_type) AS x,
+         |             c
+         |      FROM d),
+         |s AS (SELECT event_type,
+         |             CAST(count(*) AS BIGINT) AS n,
+         |             sum(x) AS sx, sum(c) AS sy,
+         |             sum(x * c) AS sxy, sum(x * x) AS sxx
+         |      FROM r GROUP BY 1)
+         |SELECT event_type, n AS n_days,
+         |       CAST(n * sxy - sx * sy AS BIGINT) AS slope_num,
+         |       CAST(n * sxx - sx * sx AS BIGINT) AS slope_den,
+         |       CAST(CASE WHEN n * sxx - sx * sx <> 0
+         |                 THEN (100 * (n * sxy - sx * sy))
+         |                      // (n * sxx - sx * sx)
+         |                 ELSE 0 END AS BIGINT) AS slope_x100,
+         |       n * sxy - sx * sy > 0 AS rising
+         |FROM s""".stripMargin) { (s, dir) =>
+      val d = Tables.events(s, dir)
+        .groupBy(col("event_type"),
+          expr(s"ts_us DIV ${24 * HourUs}").as("day"))
+        .agg(count(lit(1)).as("c"))
+      val r = d.select(col("event_type"),
+        (col("day") - min(col("day")).over(
+          Window.partitionBy(col("event_type")))).as("x"),
+        col("c"))
+      val st = r.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("x")).as("sx"), sum(col("c")).as("sy"),
+          sum(col("x") * col("c")).as("sxy"),
+          sum(col("x") * col("x")).as("sxx"))
+      val num = col("n") * col("sxy") - col("sx") * col("sy")
+      val den = col("n") * col("sxx") - col("sx") * col("sx")
+      st.select(col("event_type"), col("n").as("n_days"),
+        num.as("slope_num"), den.as("slope_den"),
+        when(den =!= 0, expr(
+          "(100 * (n * sxy - sx * sy)) DIV (n * sxx - sx * sx)"))
+          .otherwise(0L).as("slope_x100"),
+        (num > 0).as("rising"))
+    },
+
     // Time-series gap fill with linear interpolation: each event
     // type's hourly ingest-volume series, densified over its own
     // [min, max] hour span, missing hours linearly interpolated

@@ -2147,6 +2147,39 @@ class PipelineOpsSpec extends SparkSpec {
     assert(got.values.forall(v => v._3 > 0 && !v._3.isInfinite))
   }
 
+  test("volume trend: the OLS slope fraction replays exactly in JVM " +
+    "integer arithmetic, including a negative (declining) slope") {
+    val sf = "/root/testdata/sf0.001"
+    val dayUs = 24L * 3600 * 1000 * 1000
+    val got = graft.SparkEntry.queries("q_volume_trend")(spark, sf)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getBoolean(5))).toMap
+    assert(got.nonEmpty)
+    val ev = graft.Tables.events(spark, sf)
+      .select(col("event_type"), col("ts_us")).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val expect = ev.groupBy(_._1).map { case (tpe, rows) =>
+      val byDay = rows.groupBy(_._2 / dayUs).map { case (d, v) =>
+        (d, v.length.toLong)
+      }.toSeq
+      val minDay = byDay.map(_._1).min
+      val xs = byDay.map { case (d, c) => (d - minDay, c) }
+      val n = xs.length.toLong
+      val sx = xs.map(_._1).sum; val sy = xs.map(_._2).sum
+      val sxy = xs.map(t => t._1 * t._2).sum
+      val sxx = xs.map(t => t._1 * t._1).sum
+      val num = n * sxy - sx * sy
+      val den = n * sxx - sx * sx
+      // Scala Long division truncates toward zero — the same rule as
+      // Spark DIV and DuckDB // (both verified truncating)
+      tpe -> (n, num, den, if (den != 0) 100 * num / den else 0L, num > 0)
+    }
+    assert(got == expect, "trend fractions diverge from the JVM OLS")
+    assert(got.values.exists(!_._5) && got.values.exists(_._5),
+      "fixture lacks both rising and declining types — test weakened")
+  }
+
   test("hll sketch distinct: the partial-union path is deterministic " +
     "and both it and the single pass sit within 5% of exact") {
     val sf = "/root/testdata/sf0.001"

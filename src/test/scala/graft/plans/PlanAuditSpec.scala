@@ -81,6 +81,29 @@ class PlanAuditSpec extends SparkSpec {
     assert(offenders.isEmpty, offenders.mkString("; "))
   }
 
+  test("hot scan paths plan inside WholeStageCodegen spans") {
+    // scan→filter→project→partial-agg chains must fuse into generated
+    // code — a non-codegen Expression or UDF in the hot path breaks
+    // the span and costs an iterator boundary per row at 100 TB.
+    // Representative corpus-scan-heavy gates, one per family. AQE
+    // materializes codegen only at execution, so run the query first;
+    // codegen'd operators then print with the `*(stageId)` prefix.
+    Seq("q_agg_groupby", "q_filter_isin", "q_dedup_exact",
+      "q_text_quality", "q_clean_c4", "q_merge_upsert",
+      "q_volume_trend").foreach { name =>
+      val df = graft.SparkEntry.queries(name)(spark, sfDir)
+      df.collect() // drive THIS plan through AQE to its final form
+      val plan = df.queryExecution.executedPlan.toString
+      // exchange-free plans skip the AdaptiveSparkPlan wrapper; when
+      // it IS present, only the final plan shows real codegen stages
+      assert(!plan.contains("AdaptiveSparkPlan") ||
+        plan.contains("isFinalPlan=true"),
+        s"$name plan not finalized:\n$plan")
+      assert(plan.contains("*("),
+        s"$name lost whole-stage codegen:\n$plan")
+    }
+  }
+
   test("k-cut queries use TakeOrderedAndProject, never a global sort") {
     // the SCALE.md claim for every orderBy+limit shape: a
     // per-partition heap + k-row driver merge. A regression to
