@@ -333,6 +333,32 @@ object EventAnalytics {
             .as("hll_within_5pct"))
     },
 
+    // Mergeable Misra–Gries frequent items (the fourth classic
+    // sketch next to count-min / HLL / approx-quantile): per-source
+    // char-trigram heavy hitters — the top-n-gram table the langid
+    // profile (q_text_langid) is built from, computed with k counters
+    // of state per source instead of a full (source, gram) shuffle of
+    // an unbounded key space. Partials merge associatively
+    // (Mergeable Summaries, PODS'12), so the same aggregator is a
+    // valid streaming-aggregation state. The summary CONTENT is
+    // partition-order-dependent, so the gate hashes only the
+    // order-independent consequences of the MG guarantees, each a
+    // theorem the oracle asserts as TRUE: the sketch's exact item
+    // total; every exact heavy hitter (count > n/(k+1), the oracle's
+    // n_heavy column counts them — 4-5 per source at k=99 on this
+    // corpus) present in the summary; and est ≤ true ≤ est + n/(k+1)
+    // for each. The exact audit side is gate-only scaffolding — at
+    // 100 TB you'd audit on a sample (the q_lsh_recall discipline);
+    // the sketch itself never shuffles more than 20 × k counters.
+    QueryDef.sql("q_sketch_freq", freqAuditSql) { (s, dir) =>
+      val docs = Tables(s, dir, "documents")
+      freqAudit(
+        docs.groupBy(col("source"))
+          .agg(graft.functions.FrequentItems
+            .sketch(trigrams(col("text")), FreqK).as("mg")),
+        docs)
+    },
+
     // Per-type ingest-volume TREND: ordinary-least-squares slope of
     // daily event counts in EXACT integer arithmetic — the
     // "is this source growing or dying" screen next to the 3σ hourly
@@ -460,6 +486,81 @@ object EventAnalytics {
           col("v").isNull.as("is_filled"))
     }
   )
+
+  /** Misra–Gries counter budget for q_sketch_freq: heavy-hitter
+    * threshold n/(k+1) = 1% of each source's trigram mass — measured
+    * against this corpus (top trigram ≈ 2%, vocab ≈ 365/source), k=99
+    * leaves 4-5 true heavies per source at every SF while the sketch
+    * holds well under a third of the vocabulary, so the
+    * decrement/merge-trim paths genuinely run. (A `final val`
+    * literal — constant-folded, so the `all` val above can read it
+    * during object init, same trap as the oracle `def`s.) */
+  private[operators] final val FreqK = 99
+
+  /** Char 3-shingles of `text`, 1-based — the oracle's scalar
+    * generate_series + substr list, guarded because Spark's
+    * `sequence(1, len)` DESCENDS when len < 1 where DuckDB's returns
+    * empty. */
+  private[operators] def trigrams(text: Column): Column =
+    when(length(text) >= 3,
+      transform(sequence(lit(1), length(text) - 2),
+        i => text.substr(i, lit(3))))
+      .otherwise(array().cast("array<string>"))
+
+  /** ONE oracle for q_sketch_freq AND q_stream_freq: the exact
+    * trigram totals plus the MG guarantee flags, which hold for any
+    * partitioning / merge tree / micro-batching by theorem — an
+    * implementation bug (a lost count, a dropped heavy hitter, a
+    * broken merge) flips a flag and fails the hash. */
+  private[operators] def freqAuditSql: String =
+    s"""WITH g AS (SELECT source,
+       |             unnest(list_transform(generate_series(1, length(text) - 2),
+       |                                   i -> substr(text, i, 3))) AS g
+       |           FROM documents),
+       |c AS (SELECT source, g, CAST(count(*) AS BIGINT) AS c
+       |      FROM g GROUP BY 1, 2),
+       |n AS (SELECT source, CAST(sum(c) AS BIGINT) AS n_grams
+       |      FROM c GROUP BY 1)
+       |SELECT n.source, n.n_grams, TRUE AS sketch_n_ok,
+       |       CAST(coalesce(sum(CASE WHEN c.c * ${FreqK + 1} > n.n_grams
+       |                              THEN 1 END), 0) AS BIGINT) AS n_heavy,
+       |       TRUE AS all_heavy_found, TRUE AS under_bound_ok
+       |FROM n LEFT JOIN c ON n.source = c.source
+       |GROUP BY 1, 2""".stripMargin
+
+  /** Shared audit body for q_sketch_freq AND q_stream_freq: joins a
+    * per-source MG sketch `(source, mg: struct(n, items))` — however
+    * it was maintained — to the exact trigram inventory and emits
+    * ONLY order-independent consequences of the MG guarantees. The
+    * exact side is gate scaffolding (sample it at corpus scale); the
+    * sketch side broadcast-joins as 20 × k counters. */
+  private[operators] def freqAudit(sk: DataFrame,
+      docs: DataFrame): DataFrame = {
+    val exact = docs
+      .select(col("source"), explode(trigrams(col("text"))).as("g"))
+      .groupBy(col("source"), col("g"))
+      .agg(count(lit(1)).as("c"))
+    val tot = exact.groupBy(col("source"))
+      .agg(sum(col("c")).as("n_grams"))
+    val flags = exact.join(tot, "source")
+      .where(col("c") * (FreqK + 1) > col("n_grams"))
+      .join(broadcast(sk), "source")
+      .select(col("source"), col("c"), col("n_grams"),
+        element_at(col("mg.items"), col("g")).as("est"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_heavy"),
+        bool_and(col("est").isNotNull).as("all_heavy_found"),
+        bool_and(col("est").isNotNull && col("est") <= col("c") &&
+          (col("c") - col("est")) * (FreqK + 1) <= col("n_grams"))
+          .as("under_bound_ok"))
+    tot.join(broadcast(sk), "source")
+      .join(flags, Seq("source"), "left")
+      .select(col("source"), col("n_grams"),
+        (col("mg.n") === col("n_grams")).as("sketch_n_ok"),
+        coalesce(col("n_heavy"), lit(0L)).as("n_heavy"),
+        coalesce(col("all_heavy_found"), lit(true)).as("all_heavy_found"),
+        coalesce(col("under_bound_ok"), lit(true)).as("under_bound_ok"))
+  }
 
   /** ONE oracle for q_sketch_hll AND q_stream_hll: the accuracy
     * contract both the batch sketch and the stream-maintained sketch

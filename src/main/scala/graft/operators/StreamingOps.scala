@@ -709,6 +709,33 @@ object StreamingOps {
             (abs(col("est") - col("n_exact")) * 20 <= col("n_exact"))
               .as("hll_within_5pct"))
       }
+    },
+
+    // STREAMING Misra–Gries maintenance — the heavy-hitter cousin of
+    // q_stream_hll: each source's k-counter summary is complete-mode
+    // aggregation state, batch partials folding in through the
+    // aggregator's MERGE path (the Mergeable Summaries rule IS the
+    // state update, so micro-batching is just another merge tree and
+    // the guarantees survive by the same theorem). The audit body and
+    // oracle are SHARED with q_sketch_freq, so "the stream's summary
+    // meets the same guarantees as the batch summary" is structural.
+    QueryDef.sql("q_stream_freq", EventAnalytics.freqAuditSql) {
+      (s, dir) => withStreamPartitions(s, 8) {
+        val docs = Tables(s, dir, "documents")
+          .select(col("source"), col("doc_id"), col("text"))
+        val inDir = EventStreams.orderedSlicedDir(docs, "doc_id", 3)
+        val stream = s.readStream.schema(docs.schema)
+          .option("maxFilesPerTrigger", "1").parquet(inDir)
+        val q = stream.groupBy(col("source"))
+          .agg(graft.functions.FrequentItems
+            .sketch(EventAnalytics.trigrams(col("text")),
+              EventAnalytics.FreqK).as("mg"))
+          .writeStream.format("memory").queryName("graft_stream_freq")
+          .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+        EventAnalytics.freqAudit(s.table("graft_stream_freq"),
+          Tables(s, dir, "documents"))
+      }
     }
   )
 

@@ -2180,6 +2180,69 @@ class PipelineOpsSpec extends SparkSpec {
       "fixture lacks both rising and declining types — test weakened")
   }
 
+  test("misra-gries: guarantees hold for every partitioning and merge " +
+    "tree of an adversarial stream, and the trim paths really run") {
+    import graft.functions.{FrequentItems, FrequentItemsAggregator}
+    val k = 4
+    val agg = new FrequentItemsAggregator(k)
+    // planted heavies (35% + 15%) over a long tail of singletons —
+    // tail cardinality >> k forces the decrement path, and merging
+    // partials with disjoint tails forces the merge-trim path
+    val rng = new scala.util.Random(7)
+    val stream = rng.shuffle(
+      Seq.fill(70)("hot") ++ Seq.fill(30)("warm") ++
+        (0 until 100).map(i => s"tail$i"))
+    val truth = stream.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val n = stream.size.toLong
+    (0 until 20).foreach { trial =>
+      val r = new scala.util.Random(trial)
+      // random chop into 1..8 partitions, each reduced in 1..5 chunks,
+      // then merged left or right at random — an arbitrary merge tree
+      val parts = stream.grouped(1 + r.nextInt(25)).toSeq
+      val bufs = parts.map { p =>
+        p.grouped(1 + r.nextInt(5)).foldLeft(agg.zero)(agg.reduce)
+      }
+      val merged = bufs.reduce { (a, b) =>
+        if (r.nextBoolean()) agg.merge(a, b) else agg.merge(b, a)
+      }
+      assert(merged.n == n)
+      assert(merged.items.size <= k)
+      truth.foreach { case (item, c) =>
+        val est = merged.items.getOrElse(item, 0L)
+        assert(est <= c && c - est <= n / (k + 1),
+          s"trial $trial: $item est=$est true=$c")
+        if (c * (k + 1) > n)
+          assert(merged.items.contains(item),
+            s"trial $trial: heavy hitter $item lost")
+      }
+    }
+    // exact when the key space fits: no decrement can ever fire
+    val small = Seq.fill(5)("a") ++ Seq.fill(3)("b")
+    val exact = agg.reduce(agg.zero, small)
+    assert(exact.items == Map("a" -> 5L, "b" -> 3L) && exact.n == 8)
+  }
+
+  test("sketch freq gate: flags all true, heavies exist (not vacuous), " +
+    "and the sketch is genuinely smaller than the trigram vocabulary") {
+    val sf = "/root/testdata/sf0.001"
+    val rows = graft.SparkEntry.queries("q_sketch_freq")(spark, sf).collect()
+    assert(rows.length == 20)
+    assert(rows.forall(_.getBoolean(2)), "sketch_n_ok")
+    assert(rows.forall(_.getBoolean(4)), "all_heavy_found")
+    assert(rows.forall(_.getBoolean(5)), "under_bound_ok")
+    assert(rows.map(_.getLong(3)).sum > 0, "no heavy hitters anywhere — " +
+      "the membership audit is vacuous; re-tune FreqK to the corpus")
+    // the sketch must compress: distinct trigrams per source must
+    // exceed k, else MG is just an exact map and the test is weak
+    val vocab = graft.Tables(spark, sf, "documents")
+      .select(col("source"),
+        explode(EventAnalytics.trigrams(col("text"))).as("g"))
+      .groupBy(col("source"))
+      .agg(countDistinct(col("g")).as("v")).collect()
+    assert(vocab.forall(_.getLong(1) > EventAnalytics.FreqK),
+      "trigram vocab no longer exceeds FreqK — sketch runs exact")
+  }
+
   test("hll sketch distinct: the partial-union path is deterministic " +
     "and both it and the single pass sit within 5% of exact") {
     val sf = "/root/testdata/sf0.001"
