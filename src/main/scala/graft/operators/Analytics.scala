@@ -239,6 +239,38 @@ object Analytics {
             col("g_status"), col("g_prio"), col("cnt"))
     },
 
+    // ARBITRARY grouping sets (A6 family): the asymmetric set list
+    // {(status, priority), (status), (priority)} — producible by
+    // neither ROLLUP (which would add the grand total) nor CUBE
+    // (which would add both extras) — through Spark 4's native
+    // `Dataset.groupingSets`, with the standard grouping_id bit
+    // vector (bit i set when grouping column i is aggregated away)
+    // disambiguating the null-vs-aggregated cases on both engines.
+    // One shuffle: grouping sets expand map-side (Expand operator),
+    // partial-aggregate, then exchange once on the expanded keys.
+    QueryDef.sql(
+      "q_grouping_sets",
+      """SELECT o_orderstatus, o_orderpriority,
+        |       CAST(grouping_id(o_orderstatus, o_orderpriority)
+        |            AS INTEGER) AS gid,
+        |       count(*) AS cnt
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+        |                        (o_orderstatus), (o_orderpriority))""".stripMargin) {
+      (s, dir) =>
+        Tables(s, dir, "orders")
+          .groupingSets(
+            Seq(Seq(col("o_orderstatus"), col("o_orderpriority")),
+              Seq(col("o_orderstatus")), Seq(col("o_orderpriority"))),
+            col("o_orderstatus"), col("o_orderpriority"))
+          .agg(
+            grouping_id(col("o_orderstatus"), col("o_orderpriority"))
+              .cast("int").as("gid"),
+            count(lit(1)).as("cnt"))
+          .select(col("o_orderstatus"), col("o_orderpriority"),
+            col("gid"), col("cnt"))
+    },
+
     // Time-RANGE window frame: per event, the same user's activity in
     // the trailing hour — the rate/velocity feature every
     // event-pipeline feature store computes. RANGE (not ROWS) frames
