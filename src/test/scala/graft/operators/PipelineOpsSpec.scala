@@ -2243,6 +2243,35 @@ class PipelineOpsSpec extends SparkSpec {
       "trigram vocab no longer exceeds FreqK — sketch runs exact")
   }
 
+  test("ams f2 sketch: estimate and exact moment replay exactly in JVM " +
+    "integer arithmetic, and the sketch is accurate on this corpus") {
+    val sf = "/root/testdata/sf0.001"
+    val P = EventAnalytics.CmP
+    val got = graft.SparkEntry.queries("q_sketch_ams")(spark, sf)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getBoolean(4))).toMap
+    val ev = graft.Tables.events(spark, sf)
+      .select(col("event_type"), col("user_id")).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val expect = ev.groupBy(_._1).map { case (tpe, rows) =>
+      val cnt = rows.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+      val f2 = cnt.values.map(c => c * c).sum
+      val estX = (0 until EventAnalytics.AmsD).map { i =>
+        val z = cnt.map { case (u, c) =>
+          val v = (u * EventAnalytics.AmsA(i) + EventAnalytics.AmsB(i)) % P
+          (if ((v * v % P) % 2 == 0) c else -c)
+        }.sum
+        z * z
+      }.sum
+      val w2x = estX * 2 >= f2 * EventAnalytics.AmsD &&
+        estX <= f2 * 2 * EventAnalytics.AmsD
+      tpe -> (f2, estX, estX / EventAnalytics.AmsD, w2x)
+    }
+    assert(got == expect, "AMS estimate diverges from the JVM replay")
+    assert(got.values.forall(_._4),
+      "AMS drifted outside 2x of exact F2 — hash family degraded")
+  }
+
   test("hll sketch distinct: the partial-union path is deterministic " +
     "and both it and the single pass sit within 5% of exact") {
     val sf = "/root/testdata/sf0.001"
