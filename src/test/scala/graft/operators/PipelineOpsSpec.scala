@@ -2243,6 +2243,41 @@ class PipelineOpsSpec extends SparkSpec {
       "trigram vocab no longer exceeds FreqK — sketch runs exact")
   }
 
+  test("nn-descent: the graph bootstraps from random to high recall " +
+    "vs brute-force kNN, and the lift comes from the rounds") {
+    val sf = "/root/testdata/sf0.001"
+    val e = graft.Tables(spark, sf, "embeddings")
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
+    val k = SimilarityOps.NNDescentK
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < a.length) {
+        d += a(i).toDouble * b(i); na += a(i).toDouble * a(i)
+        nb += b(i).toDouble * b(i); i += 1
+      }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val bf = e.map { case (v, ev) =>
+      v -> e.filter(_._1 != v)
+        .map { case (u, eu) => (u, cos(ev, eu)) }
+        .sortBy { case (u, c) => (-c, u) }.take(k).map(_._1).toSet
+    }.toMap
+    def recall(g: Map[Long, Set[Long]]): Double =
+      g.map { case (v, nbrs) => nbrs.intersect(bf(v)).size.toDouble / k }
+        .sum / g.size
+    def graph(rounds: Int): Map[Long, Set[Long]] =
+      SimilarityOps.nnDescent(
+        graft.Tables(spark, sf, "embeddings"), k, rounds)
+        .collect().map(r => (r.getLong(0), r.getLong(2)))
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val rInit = recall(graph(0))
+    val rFull = recall(graph(SimilarityOps.NNDescentRounds))
+    assert(rInit < 0.1, s"init recall $rInit — 'random' init isn't")
+    assert(rFull > 0.85, s"converged recall $rFull below 0.85")
+  }
+
   test("ams f2 sketch: estimate and exact moment replay exactly in JVM " +
     "integer arithmetic, and the sketch is accurate on this corpus") {
     val sf = "/root/testdata/sf0.001"
