@@ -119,6 +119,60 @@ object EventAnalytics {
     v.indices.map(i => s"WHEN $i THEN ${v(i)}")
       .mkString("CASE i ", " ", " END")
 
+  /** The AmsD sign-sum aggregate columns (z0..z63) over a frame with
+    * a user_id column — shared by the batch gate and the STREAMING
+    * maintenance (each sum is associative, so it is also a valid
+    * streaming-aggregation state). */
+  private[operators] def amsZSums: Seq[Column] =
+    (0 until AmsD).map(i => sum(amsSign(col("user_id"), i)).as(s"z$i"))
+
+  /** Shared audit body for q_sketch_ams AND q_stream_ams: square the
+    * maintained z columns into the estimate and join the exact-F2
+    * companion computed from `ev` (the one user-level shuffle — gate
+    * scaffolding, sampled at corpus scale). */
+  private[operators] def amsAudit(z: DataFrame, ev: DataFrame): DataFrame = {
+    val est = z.select(col("event_type"),
+      (0 until AmsD).map(i => col(s"z$i") * col(s"z$i"))
+        .reduce(_ + _).as(s"ams_x$AmsD"))
+    val f2 = ev.groupBy(col("event_type"), col("user_id"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("event_type"))
+      .agg(sum(col("c") * col("c")).as("f2_exact"))
+    f2.join(broadcast(est), "event_type")
+      .select(col("event_type"), col("f2_exact"), col(s"ams_x$AmsD"),
+        expr(s"ams_x$AmsD DIV $AmsD").as("ams_est"),
+        (col(s"ams_x$AmsD") * 2 >= col("f2_exact") * AmsD &&
+          col(s"ams_x$AmsD") <= col("f2_exact") * (2 * AmsD))
+          .as("within_2x"))
+  }
+
+  /** ONE oracle for q_sketch_ams AND q_stream_ams: the deterministic
+    * estimate replayed value-for-value plus the exact F2 companion —
+    * the within_2x flag is computed, not asserted, on both engines. */
+  private[operators] def amsAuditSql: String =
+    s"""WITH v AS (
+       |  SELECT event_type, i,
+       |         ((user_id * ${amsCase(AmsA)}
+       |           + ${amsCase(AmsB)}) % $CmP) AS v
+       |  FROM events, (SELECT unnest(range($AmsD)) AS i)),
+       |z AS (
+       |  SELECT event_type, i,
+       |         CAST(sum(CASE WHEN ((v * v) % $CmP) % 2 = 0
+       |                       THEN 1 ELSE -1 END) AS BIGINT) AS z
+       |  FROM v GROUP BY 1, 2),
+       |est AS (SELECT event_type, CAST(sum(z * z) AS BIGINT) AS ams_x$AmsD
+       |        FROM z GROUP BY 1),
+       |c AS (SELECT event_type, user_id, CAST(count(*) AS BIGINT) AS c
+       |      FROM events GROUP BY 1, 2),
+       |f2 AS (SELECT event_type, CAST(sum(c * c) AS BIGINT) AS f2_exact
+       |       FROM c GROUP BY 1)
+       |SELECT f2.event_type, f2.f2_exact, est.ams_x$AmsD,
+       |       est.ams_x$AmsD // $AmsD AS ams_est,
+       |       est.ams_x$AmsD * 2 >= f2.f2_exact * $AmsD
+       |         AND est.ams_x$AmsD <= f2.f2_exact * ${2 * AmsD}
+       |         AS within_2x
+       |FROM f2 JOIN est ON f2.event_type = est.event_type""".stripMargin
+
   /** All CmDepth buckets for `key`, ready to posexplode. */
   def cmBuckets(key: Column): Column =
     array((0 until CmDepth).map(cmBucket(key, _)): _*)
@@ -262,49 +316,11 @@ object EventAnalytics {
     // scaffolding, and the within_2x flag is COMPUTED on both sides,
     // not asserted. Estimator std √(2/AmsD)·F2 ≈ 0.18·F2 at D=64, so
     // the ±2× band is >5σ wide (measured 0.86-1.26× at every SF).
-    QueryDef.sql(
-      "q_sketch_ams",
-      s"""WITH v AS (
-         |  SELECT event_type, i,
-         |         ((user_id * ${amsCase(AmsA)}
-         |           + ${amsCase(AmsB)}) % $CmP) AS v
-         |  FROM events, (SELECT unnest(range($AmsD)) AS i)),
-         |z AS (
-         |  SELECT event_type, i,
-         |         CAST(sum(CASE WHEN ((v * v) % $CmP) % 2 = 0
-         |                       THEN 1 ELSE -1 END) AS BIGINT) AS z
-         |  FROM v GROUP BY 1, 2),
-         |est AS (SELECT event_type, CAST(sum(z * z) AS BIGINT) AS ams_x$AmsD
-         |        FROM z GROUP BY 1),
-         |c AS (SELECT event_type, user_id, CAST(count(*) AS BIGINT) AS c
-         |      FROM events GROUP BY 1, 2),
-         |f2 AS (SELECT event_type, CAST(sum(c * c) AS BIGINT) AS f2_exact
-         |       FROM c GROUP BY 1)
-         |SELECT f2.event_type, f2.f2_exact, est.ams_x$AmsD,
-         |       est.ams_x$AmsD // $AmsD AS ams_est,
-         |       est.ams_x$AmsD * 2 >= f2.f2_exact * $AmsD
-         |         AND est.ams_x$AmsD <= f2.f2_exact * ${2 * AmsD}
-         |         AS within_2x
-         |FROM f2 JOIN est ON f2.event_type = est.event_type""".stripMargin) {
-      (s, dir) =>
-        val ev = Tables.events(s, dir)
-        val zSums = (0 until AmsD).map(i =>
-          sum(amsSign(col("user_id"), i)).as(s"z$i"))
-        val est = ev.groupBy(col("event_type"))
-          .agg(zSums.head, zSums.tail: _*)
-          .select(col("event_type"),
-            (0 until AmsD).map(i => col(s"z$i") * col(s"z$i"))
-              .reduce(_ + _).as(s"ams_x$AmsD"))
-        val f2 = ev.groupBy(col("event_type"), col("user_id"))
-          .agg(count(lit(1)).as("c"))
-          .groupBy(col("event_type"))
-          .agg(sum(col("c") * col("c")).as("f2_exact"))
-        f2.join(broadcast(est), "event_type")
-          .select(col("event_type"), col("f2_exact"), col(s"ams_x$AmsD"),
-            expr(s"ams_x$AmsD DIV $AmsD").as("ams_est"),
-            (col(s"ams_x$AmsD") * 2 >= col("f2_exact") * AmsD &&
-              col(s"ams_x$AmsD") <= col("f2_exact") * (2 * AmsD))
-              .as("within_2x"))
+    QueryDef.sql("q_sketch_ams", amsAuditSql) { (s, dir) =>
+      val ev = Tables.events(s, dir)
+      amsAudit(
+        ev.groupBy(col("event_type")).agg(amsZSums.head, amsZSums.tail: _*),
+        ev)
     },
 
     // Map-typed function surface (SURVEY F8's "map functions"): build

@@ -736,6 +736,36 @@ object StreamingOps {
         EventAnalytics.freqAudit(s.table("graft_stream_freq"),
           Tables(s, dir, "documents"))
       }
+    },
+
+    // STREAMING AMS maintenance — the F2/self-join-size statistic
+    // kept live off the firehose: the 64 sign-sums are plain
+    // associative SUM aggregation state (types × 64 bigints, the
+    // cheapest state in this file), so the stream maintains exactly
+    // the batch sketch with no per-key state at all. Audit body and
+    // oracle SHARED with q_sketch_ams — and since the estimate is
+    // deterministic, stream == batch is value-for-value, not
+    // flag-level. This is the optimizer-statistics feed: join-size
+    // estimates that are always current without rescanning history.
+    QueryDef.sql("q_stream_ams", EventAnalytics.amsAuditSql) {
+      (s, dir) => withStreamPartitions(s, 8) {
+        val ev = Tables.events(s, dir)
+          .select(col("event_type"), col("user_id"))
+        val tmp = java.nio.file.Files.createTempDirectory("graft_stream_ams")
+        graft.streaming.EventStreams.deleteRecursivelyOnExit(tmp)
+        val inDir = s"$tmp/in"
+        ev.repartition(4).write.mode("overwrite").parquet(inDir)
+        val stream = s.readStream.schema(ev.schema)
+          .option("maxFilesPerTrigger", "1").parquet(inDir)
+        val zs = EventAnalytics.amsZSums
+        val q = stream.groupBy(col("event_type"))
+          .agg(zs.head, zs.tail: _*)
+          .writeStream.format("memory").queryName("graft_stream_ams")
+          .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+        EventAnalytics.amsAudit(s.table("graft_stream_ams"),
+          Tables.events(s, dir))
+      }
     }
   )
 
