@@ -146,6 +146,32 @@ object EventAnalytics {
           .as("within_2x"))
   }
 
+  /** The two-proportion drift screen body over an `ev` frame with
+    * (event_type, ts_us) — factored so the spec can plant a drifting
+    * fixture through the identical arithmetic. */
+  private[operators] def driftTwoProp(ev: DataFrame): DataFrame = {
+    val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    val span = ev.agg((min(col("ts_us")) + max(col("ts_us"))).as("mm"))
+    val c = ev.crossJoin(broadcast(span))
+      .select(col("event_type"),
+        when(col("ts_us") * 2 < col("mm"), 0).otherwise(1).as("half"))
+      .groupBy(col("event_type"))
+      .agg(sum(when(col("half") === 0, 1L).otherwise(0L)).as("r_cnt"),
+        sum(when(col("half") === 1, 1L).otherwise(0L)).as("l_cnt"))
+    val t = c.agg(sum(col("r_cnt")).as("rt"), sum(col("l_cnt")).as("lt"))
+    val dev = col("r_cnt") * col("lt") - col("l_cnt") * col("rt")
+    c.crossJoin(broadcast(t))
+      .select(col("event_type"), col("r_cnt"), col("l_cnt"),
+        dev.as("dev_num"),
+        when(dev.cast(d38) * dev.cast(d38) *
+            (col("rt") + col("lt")).cast(d38) >
+            lit(9) * col("rt").cast(d38) * col("lt").cast(d38) *
+              (col("r_cnt") + col("l_cnt")).cast(d38) *
+              (col("rt") + col("lt") - col("r_cnt") - col("l_cnt"))
+                .cast(d38),
+          1).otherwise(0).cast("int").as("drifted"))
+  }
+
   /** ONE oracle for q_sketch_ams AND q_stream_ams: the deterministic
     * estimate replayed value-for-value plus the exact F2 companion —
     * the within_2x flag is computed, not asserted, on both engines. */
@@ -534,6 +560,47 @@ object EventAnalytics {
           "(100 * (n * sxy - sx * sy)) DIV (n * sxx - sx * sx)"))
           .otherwise(0L).as("slope_x100"),
         (num > 0).as("rising"))
+    },
+
+    // Distribution-DRIFT screen: per event type, the pooled
+    // two-proportion z-test between a reference window (first half of
+    // the stream's time range) and the live window (second half) —
+    // the "did the event mix shift" monitor every ingest pipeline
+    // pairs with the volume trend. All in EXACT integer arithmetic:
+    // the half-split is 2·ts < min+max (no division), and z² > 9
+    // (3σ) is cross-multiplied to
+    // (r·L − l·R)²·(R+L) > 9·R·L·(r+l)·(R+L−r−l), widened to
+    // decimal(38,0)/HUGEINT — so flags are bit-identical
+    // cross-engine, computed not asserted. One (type, half)
+    // map-side-combinable groupBy; the two one-row totals broadcast.
+    QueryDef.sql(
+      "q_drift_2prop",
+      """WITH b AS (SELECT event_type,
+        |                  CASE WHEN 2 * epoch_us(ts) <
+        |                         (SELECT min(epoch_us(ts)) + max(epoch_us(ts))
+        |                          FROM events)
+        |                       THEN 0 ELSE 1 END AS half
+        |           FROM events),
+        |c AS (SELECT event_type,
+        |             CAST(sum(CASE WHEN half = 0 THEN 1 ELSE 0 END)
+        |                  AS BIGINT) AS r_cnt,
+        |             CAST(sum(CASE WHEN half = 1 THEN 1 ELSE 0 END)
+        |                  AS BIGINT) AS l_cnt
+        |      FROM b GROUP BY 1),
+        |t AS (SELECT CAST(sum(r_cnt) AS BIGINT) AS rt,
+        |             CAST(sum(l_cnt) AS BIGINT) AS lt FROM c)
+        |SELECT c.event_type, c.r_cnt, c.l_cnt,
+        |       c.r_cnt * t.lt - c.l_cnt * t.rt AS dev_num,
+        |       CAST(CASE WHEN
+        |              CAST(c.r_cnt * t.lt - c.l_cnt * t.rt AS HUGEINT)
+        |                * (c.r_cnt * t.lt - c.l_cnt * t.rt)
+        |                * (t.rt + t.lt)
+        |            > 9 * CAST(t.rt AS HUGEINT) * t.lt
+        |                * (c.r_cnt + c.l_cnt)
+        |                * (t.rt + t.lt - c.r_cnt - c.l_cnt)
+        |            THEN 1 ELSE 0 END AS INTEGER) AS drifted
+        |FROM c, t""".stripMargin) { (s, dir) =>
+      driftTwoProp(Tables.events(s, dir))
     },
 
     // Time-series gap fill with linear interpolation: each event

@@ -2243,6 +2243,51 @@ class PipelineOpsSpec extends SparkSpec {
       "trigram vocab no longer exceeds FreqK — sketch runs exact")
   }
 
+  test("drift screen: planted mix shift is flagged, stationary types " +
+    "are not, and the gate replays exactly in JVM arithmetic") {
+    // planted fixture: 'surge' jumps 60 → 240 while 'fade' falls
+    // 240 → 60 (half totals stay equal, so the stationary types'
+    // SHARES are exactly unchanged — this is a composition test: an
+    // unbalanced surge shifts every other type's share too, and a
+    // big enough sample rightly flags those; verified before
+    // balancing). The 3σ two-proportion test must flag exactly the
+    // two movers.
+    val rows =
+      (0 until 300).map(i => ("steady", i.toLong)) ++
+        (0 until 300).map(i => ("steady", 1000L + i)) ++
+        (0 until 3000).map(i => ("bulk", i.toLong % 1000)) ++
+        (0 until 3000).map(i => ("bulk", 1000L + i % 1000)) ++
+        (0 until 60).map(i => ("surge", i.toLong)) ++
+        (0 until 240).map(i => ("surge", 1000L + i)) ++
+        (0 until 240).map(i => ("fade", i.toLong)) ++
+        (0 until 60).map(i => ("fade", 1000L + i))
+    val planted = EventAnalytics.driftTwoProp(
+      rows.toDF("event_type", "ts_us")).collect()
+      .map(r => r.getString(0) -> r.getInt(4)).toMap
+    assert(planted == Map("steady" -> 0, "bulk" -> 0,
+      "surge" -> 1, "fade" -> 1))
+    // gate replay at sf0.001: every column from exact JVM integers
+    val sf = "/root/testdata/sf0.001"
+    val got = graft.SparkEntry.queries("q_drift_2prop")(spark, sf)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getInt(4))).toMap
+    val ev = graft.Tables.events(spark, sf)
+      .select(col("event_type"), col("ts_us")).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val mm = ev.map(_._2).min + ev.map(_._2).max
+    val c = ev.groupBy(_._1).view.mapValues { rs =>
+      (rs.count(_._2 * 2 < mm).toLong, rs.count(_._2 * 2 >= mm).toLong)
+    }.toMap
+    val (rt, lt) = (c.values.map(_._1).sum, c.values.map(_._2).sum)
+    val expect = c.map { case (tpe, (r, l)) =>
+      val dev = BigInt(r) * lt - BigInt(l) * rt
+      val drift = if (dev * dev * (rt + lt) >
+        BigInt(9) * rt * lt * (r + l) * (rt + lt - r - l)) 1 else 0
+      tpe -> (r, l, dev.toLong, drift)
+    }
+    assert(got == expect, "drift columns diverge from the JVM replay")
+  }
+
   test("nn-descent: the graph bootstraps from random to high recall " +
     "vs brute-force kNN, and the lift comes from the rounds") {
     val sf = "/root/testdata/sf0.001"
