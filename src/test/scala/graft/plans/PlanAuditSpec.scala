@@ -44,21 +44,22 @@ class PlanAuditSpec extends SparkSpec {
     "q_sim_rerank_ivf",    // 8 coarse centroids + 5 probes (IVFADC shortlist + rerank)
     "q_knn_graph",         // 8 seed centroids (cell assignment)
     "q_bitext_mine",       // 8 seed centroids (cell assignment)
-    "q_ivf_recall_curve"   // 8 centroids + 5 probes + 1-row relevant-count scalar
+    "q_ivf_recall_curve",  // 8 centroids + 5 probes + 1-row relevant-count scalar
+    "q_drift_2prop"        // two 1-row scalars (time-span midpoint, half totals)
   )
 
-  private val streaming = Set(
-    "q_stream_window", "q_stream_join", "q_stream_dedup", "q_stream_enrich",
-    "q_stream_ingest_screen", "q_stream_cm", "q_stream_ann",
-    "q_stream_funnel", "q_stream_ivf_ingest", "q_stream_ann_after_ingest",
-    "q_stream_dedup_clusters", "q_stream_source_cap", "q_stream_topk",
-    "q_stream_merge", "q_stream_scd2", "q_stream_session_window",
-    "q_stream_hll")
+  // every q_stream_* gate: its query function executes a REAL
+  // micro-batch run (covered by its own spec), so "building the plan"
+  // here would run the stream and audit only the final memory-table
+  // scan — name-prefix membership so a new streaming gate can't be
+  // forgotten from this list
+  private def streaming(name: String): Boolean =
+    name.startsWith("q_stream_")
 
   test("no gate plan nests two data-sized inputs (BNLJ/Cartesian audit)") {
     val offenders = scala.collection.mutable.ArrayBuffer.empty[String]
     graft.SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
-      if (!streaming.contains(name)) {
+      if (!streaming(name)) {
         // a query that fails to even build a plan is itself an
         // offender — recording it (instead of letting the exception
         // abort the loop) keeps the audit exhaustive, so one broken
@@ -102,6 +103,41 @@ class PlanAuditSpec extends SparkSpec {
       assert(plan.contains("*("),
         s"$name lost whole-stage codegen:\n$plan")
     }
+  }
+
+  test("a selective dim filter injects a runtime bloom filter into " +
+    "the fact scan") {
+    import org.apache.spark.sql.functions._
+    // At 100 TB the fact side of a selective dim join should be
+    // pruned BEFORE its shuffle: InjectRuntimeFilter rewrites the
+    // fact scan's filter to might_contain(bloom_agg(dim join keys)),
+    // dropping non-qualifying fact rows at the scan instead of
+    // shuffling them. The thresholds are sized for clusters
+    // (creation side ≤ 10MB plan-estimated, application side scan
+    // ≥ 10GB), so pin them to make the optimizer's decision visible
+    // at test scale — the ASSERTION is that the rewrite fires at
+    // all, i.e. the session's optimizer has the rule and our query
+    // shapes don't defeat it.
+    val confs = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "10GB",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val li = graft.Tables(spark, sfDir, "lineitem")
+      val ord = graft.Tables(spark, sfDir, "orders")
+        .filter(col("o_orderpriority") === "1-URGENT")
+      val j = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderpriority")).agg(count(lit(1)).as("cnt"))
+      val plan = j.queryExecution.optimizedPlan.toString
+      assert(plan.contains("might_contain"),
+        s"no runtime bloom filter injected into the fact side:\n$plan")
+      // and the pruned join still answers correctly
+      assert(j.collect().map(_.getLong(1)).sum > 0)
+    } finally saved.foreach { case (k, vOpt) =>
+      vOpt.fold(spark.conf.unset(k))(spark.conf.set(k, _)) }
   }
 
   test("k-cut queries use TakeOrderedAndProject, never a global sort") {
