@@ -836,6 +836,39 @@ object SimilarityOps {
 
   /** DuckDB cosine over list columns `a`,`b` — sequential
     * left-to-right accumulation, bit-identical to [[CosineSimilarity]]. */
+  /** RRF geometry: the standard k=60 dampener and the integer scale
+    * that replaces 1/(60+rank) floats with exact 1e9 // (60+rank). */
+  val RrfK = 60
+  val RrfScale = 1000000000L
+
+  /** Oracle for q_sim_rrf: the shared BM25 lex CTEs + the dense
+    * cosine list for probe 0 + the exact-integer fusion. */
+  private def rrfSql: String = {
+    val k = graft.operators.TextOps.Bm25TopK
+    s"""${graft.operators.TextOps.bm25LexCtes},
+       |den AS (SELECT vec_id AS doc_id, drnk FROM (
+       |          SELECT e.vec_id,
+       |                 CAST(row_number() OVER (
+       |                        ORDER BY ${cosSql("q.qv", "e.embedding")}
+       |                          DESC, e.vec_id)
+       |                      AS INTEGER) AS drnk
+       |          FROM embeddings e
+       |          CROSS JOIN (SELECT embedding AS qv FROM embeddings
+       |                      WHERE vec_id = 0) q
+       |          WHERE e.vec_id <> 0)
+       |        WHERE drnk <= $k),
+       |f AS (SELECT coalesce(l.doc_id, d.doc_id) AS doc_id,
+       |             l.lrnk, d.drnk
+       |      FROM lex l FULL OUTER JOIN den d ON l.doc_id = d.doc_id)
+       |SELECT doc_id, lrnk AS lex_rank, drnk AS dense_rank,
+       |       CAST(coalesce($RrfScale // ($RrfK + lrnk), 0)
+       |            + coalesce($RrfScale // ($RrfK + drnk), 0)
+       |            AS BIGINT) AS rrf_x1e9,
+       |       CAST(row_number() OVER (ORDER BY rrf_x1e9 DESC, doc_id)
+       |            AS INTEGER) AS rnk
+       |FROM f""".stripMargin
+  }
+
   /** Oracle for q_knn_descent: the init hash plus every refinement
     * round unrolled as chained CTEs — UNION (not UNION ALL)
     * replicates the Spark side's distinct() on B(v) and the candidate
@@ -1874,6 +1907,42 @@ object SimilarityOps {
     // vec_id equi-joins, the k-cut a bounded window.
     QueryDef.sql("q_knn_descent", nnDescentSql) { (s, dir) =>
       nnDescent(emb(s, dir), NNDescentK, NNDescentRounds)
+    },
+
+    // Reciprocal-rank fusion (Cormack et al., SIGIR'09) — the
+    // standard hybrid-retrieval combiner: the BM25 lexical top-15
+    // (q_sim_bm25's exact list, shared SQL pieces) fused with the
+    // dense cosine top-15 for probe 0 (doc and vector ids are the
+    // shared key, the q_ann_filter convention) by
+    // rrf = Σ_lists 1e9 // (60 + rank) — INTEGER division, so the
+    // fused score is exact and both engines hash value-for-value
+    // (the float 1/(60+r) form would be the same ranking; the
+    // scaled-integer form removes the last float from the path).
+    // Docs appearing in one list score on that list alone (the
+    // standard convention). Scale: each list is already a bounded
+    // top-k, so fusion is a full-outer join + window over ≤2k rows —
+    // per-query work is O(k), whatever the corpus.
+    QueryDef.sql("q_sim_rrf", rrfSql) { (s, dir) =>
+      val lex = graft.operators.TextOps
+        .bm25TopK(DedupOps.spread(Tables(s, dir, "documents")))
+        .select(col("doc_id"), col("bm25"))
+        // bounded single-partition window: ranks a k-row list
+        .withColumn("lrnk", row_number().over(
+          Window.orderBy(col("bm25").desc, col("doc_id"))).cast("int"))
+      val dense = bruteForceTopK(emb(s, dir),
+        gateProbes(s, dir).filter(col("query_id") === 0),
+        graft.operators.TextOps.Bm25TopK)
+        .select(col("neighbor_id").as("doc_id"),
+          col("rnk").cast("int").as("drnk"))
+      val rrf =
+        coalesce(expr(s"$RrfScale DIV ($RrfK + lrnk)").cast("long"), lit(0L)) +
+          coalesce(expr(s"$RrfScale DIV ($RrfK + drnk)").cast("long"), lit(0L))
+      lex.select(col("doc_id"), col("lrnk"))
+        .join(dense, Seq("doc_id"), "full_outer")
+        .select(col("doc_id"), col("lrnk").as("lex_rank"),
+          col("drnk").as("dense_rank"), rrf.as("rrf_x1e9"))
+        .withColumn("rnk", row_number().over(
+          Window.orderBy(col("rrf_x1e9").desc, col("doc_id"))).cast("int"))
     },
 
     // Margin-based bitext mining (Artetxe & Schwenk ACL'19): cosine

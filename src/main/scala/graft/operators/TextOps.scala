@@ -671,6 +671,17 @@ object TextOps {
   /** The q_sim_bm25 oracle, generated from the same constants and
     * query terms as [[bm25TopK]] so the two can't drift. */
   def bm25OracleSql: String = {
+    val (ctes, tfAliases, scores) = bm25SqlPieces
+    s"""$ctes
+       |SELECT doc_id, $tfAliases,
+       |       round($scores, 6) AS bm25
+       |FROM sc ORDER BY bm25 DESC, doc_id LIMIT $Bm25TopK""".stripMargin
+  }
+
+  /** (CTE preamble `t, st, sc`, tf-alias list, score expression) —
+    * the BM25 SQL pieces shared by the gate oracle and the RRF
+    * hybrid-fusion oracle so the scoring SQL cannot fork. */
+  private def bm25SqlPieces: (String, String, String) = {
     val dfs = Bm25Query.zipWithIndex.map { case (q, i) =>
       s"CAST(count(*) FILTER (WHERE list_contains(t, '$q')) AS BIGINT) AS df$i"
     }.mkString(",\n              ")
@@ -686,18 +697,33 @@ object TextOps {
     }.mkString("\n  + ")
     val tfAliases = Bm25Query.zipWithIndex
       .map { case (q, i) => s"tf$i AS tf_$q" }.mkString(", ")
-    s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
-       |st AS (SELECT CAST(count(*) AS BIGINT) AS n,
-       |              CAST(sum(len(t)) AS BIGINT) AS sum_dl,
-       |              $dfs
-       |       FROM t),
-       |sc AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS dl,
-       |              $tfs,
-       |              n, sum_dl, $dfNames
-       |       FROM t CROSS JOIN st)
-       |SELECT doc_id, $tfAliases,
-       |       round($scores, 6) AS bm25
-       |FROM sc ORDER BY bm25 DESC, doc_id LIMIT $Bm25TopK""".stripMargin
+    val ctes =
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+         |st AS (SELECT CAST(count(*) AS BIGINT) AS n,
+         |              CAST(sum(len(t)) AS BIGINT) AS sum_dl,
+         |              $dfs
+         |       FROM t),
+         |sc AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS dl,
+         |              $tfs,
+         |              n, sum_dl, $dfNames
+         |       FROM t CROSS JOIN st)""".stripMargin
+    (ctes, tfAliases, scores)
+  }
+
+  /** The BM25 ranked list as CTEs ending in `lex(doc_id, bm25, lrnk)`
+    * with lrnk ≤ [[Bm25TopK]] — the lexical half of the RRF oracle;
+    * rank on the ROUNDED score with doc_id tie-break, exactly as
+    * [[bm25TopK]] orders its limit. */
+  def bm25LexCtes: String = {
+    val (ctes, _, scores) = bm25SqlPieces
+    s"""$ctes,
+       |lexall AS (SELECT doc_id, round($scores, 6) AS bm25 FROM sc),
+       |lex AS (SELECT doc_id, bm25, lrnk FROM (
+       |          SELECT doc_id, bm25,
+       |                 CAST(row_number() OVER (ORDER BY bm25 DESC, doc_id)
+       |                      AS INTEGER) AS lrnk
+       |          FROM lexall)
+       |        WHERE lrnk <= $Bm25TopK)""".stripMargin
   }
 
   /** The q_bpe_pairs body, named so the gate registration and the
