@@ -150,14 +150,51 @@ object EventAnalytics {
     * (event_type, ts_us) — factored so the spec can plant a drifting
     * fixture through the identical arithmetic. */
   private[operators] def driftTwoProp(ev: DataFrame): DataFrame = {
-    val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
     val span = ev.agg((min(col("ts_us")) + max(col("ts_us"))).as("mm"))
-    val c = ev.crossJoin(broadcast(span))
+    driftFlags(ev.crossJoin(broadcast(span))
       .select(col("event_type"),
         when(col("ts_us") * 2 < col("mm"), 0).otherwise(1).as("half"))
       .groupBy(col("event_type"))
       .agg(sum(when(col("half") === 0, 1L).otherwise(0L)).as("r_cnt"),
-        sum(when(col("half") === 1, 1L).otherwise(0L)).as("l_cnt"))
+        sum(when(col("half") === 1, 1L).otherwise(0L)).as("l_cnt")))
+  }
+
+  /** ONE oracle for q_drift_2prop AND q_stream_drift: the exact
+    * integer two-proportion flags both the batch screen and the
+    * stream-maintained counts must reproduce. */
+  private[operators] def driftSql: String =
+    """WITH b AS (SELECT event_type,
+      |                  CASE WHEN 2 * epoch_us(ts) <
+      |                         (SELECT min(epoch_us(ts)) + max(epoch_us(ts))
+      |                          FROM events)
+      |                       THEN 0 ELSE 1 END AS half
+      |           FROM events),
+      |c AS (SELECT event_type,
+      |             CAST(sum(CASE WHEN half = 0 THEN 1 ELSE 0 END)
+      |                  AS BIGINT) AS r_cnt,
+      |             CAST(sum(CASE WHEN half = 1 THEN 1 ELSE 0 END)
+      |                  AS BIGINT) AS l_cnt
+      |      FROM b GROUP BY 1),
+      |t AS (SELECT CAST(sum(r_cnt) AS BIGINT) AS rt,
+      |             CAST(sum(l_cnt) AS BIGINT) AS lt FROM c)
+      |SELECT c.event_type, c.r_cnt, c.l_cnt,
+      |       c.r_cnt * t.lt - c.l_cnt * t.rt AS dev_num,
+      |       CAST(CASE WHEN
+      |              CAST(c.r_cnt * t.lt - c.l_cnt * t.rt AS HUGEINT)
+      |                * (c.r_cnt * t.lt - c.l_cnt * t.rt)
+      |                * (t.rt + t.lt)
+      |            > 9 * CAST(t.rt AS HUGEINT) * t.lt
+      |                * (c.r_cnt + c.l_cnt)
+      |                * (t.rt + t.lt - c.r_cnt - c.l_cnt)
+      |            THEN 1 ELSE 0 END AS INTEGER) AS drifted
+      |FROM c, t""".stripMargin
+
+  /** The flag arithmetic over a `(event_type, r_cnt, l_cnt)` counts
+    * frame — shared by the batch gate and the STREAMING maintenance
+    * (whose counts are streaming-aggregation state), so the exact
+    * integer test cannot fork between them. */
+  private[operators] def driftFlags(c: DataFrame): DataFrame = {
+    val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
     val t = c.agg(sum(col("r_cnt")).as("rt"), sum(col("l_cnt")).as("lt"))
     val dev = col("r_cnt") * col("lt") - col("l_cnt") * col("rt")
     c.crossJoin(broadcast(t))
@@ -573,33 +610,7 @@ object EventAnalytics {
     // decimal(38,0)/HUGEINT — so flags are bit-identical
     // cross-engine, computed not asserted. One (type, half)
     // map-side-combinable groupBy; the two one-row totals broadcast.
-    QueryDef.sql(
-      "q_drift_2prop",
-      """WITH b AS (SELECT event_type,
-        |                  CASE WHEN 2 * epoch_us(ts) <
-        |                         (SELECT min(epoch_us(ts)) + max(epoch_us(ts))
-        |                          FROM events)
-        |                       THEN 0 ELSE 1 END AS half
-        |           FROM events),
-        |c AS (SELECT event_type,
-        |             CAST(sum(CASE WHEN half = 0 THEN 1 ELSE 0 END)
-        |                  AS BIGINT) AS r_cnt,
-        |             CAST(sum(CASE WHEN half = 1 THEN 1 ELSE 0 END)
-        |                  AS BIGINT) AS l_cnt
-        |      FROM b GROUP BY 1),
-        |t AS (SELECT CAST(sum(r_cnt) AS BIGINT) AS rt,
-        |             CAST(sum(l_cnt) AS BIGINT) AS lt FROM c)
-        |SELECT c.event_type, c.r_cnt, c.l_cnt,
-        |       c.r_cnt * t.lt - c.l_cnt * t.rt AS dev_num,
-        |       CAST(CASE WHEN
-        |              CAST(c.r_cnt * t.lt - c.l_cnt * t.rt AS HUGEINT)
-        |                * (c.r_cnt * t.lt - c.l_cnt * t.rt)
-        |                * (t.rt + t.lt)
-        |            > 9 * CAST(t.rt AS HUGEINT) * t.lt
-        |                * (c.r_cnt + c.l_cnt)
-        |                * (t.rt + t.lt - c.r_cnt - c.l_cnt)
-        |            THEN 1 ELSE 0 END AS INTEGER) AS drifted
-        |FROM c, t""".stripMargin) { (s, dir) =>
+    QueryDef.sql("q_drift_2prop", driftSql) { (s, dir) =>
       driftTwoProp(Tables.events(s, dir))
     },
 

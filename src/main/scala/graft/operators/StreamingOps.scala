@@ -766,6 +766,42 @@ object StreamingOps {
         EventAnalytics.amsAudit(s.table("graft_stream_ams"),
           Tables.events(s, dir))
       }
+    },
+
+    // STREAMING drift monitor — the two-proportion composition screen
+    // kept live: per-(type, half) counts are plain streaming
+    // aggregation state (the half split against the broadcastable
+    // reference midpoint is map-side arithmetic per row), and the
+    // exact-integer flag arithmetic runs over the types-row standing
+    // counts after every trigger. Flag body AND oracle SHARED with
+    // q_drift_2prop, so stream-maintained == batch is structural. In
+    // production the midpoint constant generalizes to "reference
+    // window vs current window" with the reference counts loaded as
+    // a static side.
+    QueryDef.sql("q_stream_drift", EventAnalytics.driftSql) {
+      (s, dir) => withStreamPartitions(s, 8) {
+        val ev = Tables.events(s, dir)
+          .select(col("event_type"), col("ts_us"))
+        val mm = ev.agg(min(col("ts_us")) + max(col("ts_us")))
+          .head().getLong(0) // bounded 1-row scalar: the split constant
+        val tmp =
+          java.nio.file.Files.createTempDirectory("graft_stream_drift")
+        graft.streaming.EventStreams.deleteRecursivelyOnExit(tmp)
+        val inDir = s"$tmp/in"
+        ev.repartition(4).write.mode("overwrite").parquet(inDir)
+        val stream = s.readStream.schema(ev.schema)
+          .option("maxFilesPerTrigger", "1").parquet(inDir)
+        val q = stream
+          .select(col("event_type"),
+            when(col("ts_us") * 2 < mm, 0).otherwise(1).as("half"))
+          .groupBy(col("event_type"))
+          .agg(sum(when(col("half") === 0, 1L).otherwise(0L)).as("r_cnt"),
+            sum(when(col("half") === 1, 1L).otherwise(0L)).as("l_cnt"))
+          .writeStream.format("memory").queryName("graft_stream_drift")
+          .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+        EventAnalytics.driftFlags(s.table("graft_stream_drift"))
+      }
     }
   )
 
