@@ -271,6 +271,33 @@ object Analytics {
             col("gid"), col("cnt"))
     },
 
+    // ANALYZE-style optimizer statistics (the ANALYZE TABLE ...
+    // COMPUTE STATISTICS FOR COLUMNS shape): one stats row per column
+    // — rows, non-nulls, exact NDV, min/max — the table a cost-based
+    // optimizer's join-reorder and broadcast decisions read, and the
+    // static companion of q_sketch_ams's live join-size feed. ONE
+    // corpus pass: the multi-column exact countDistinct plans as a
+    // single aggregate over an Expand (rows × columns — the standard
+    // Spark shape); at 100 TB swap countDistinct for
+    // approx_count_distinct and the Expand disappears into plain
+    // partial aggregates. min/max stringify through decimal(12,2)
+    // for the double column so both engines format identically.
+    QueryDef.sql("q_table_stats", tableStatsSql) { (s, dir) =>
+      val aggs = StatsCols.flatMap { case (c, t) =>
+        val v = statsVal(c, t)
+        Seq(count(v).as(s"nn_$c"), countDistinct(v).as(s"ndv_$c"),
+          min(v).cast("string").as(s"min_$c"),
+          max(v).cast("string").as(s"max_$c"))
+      }
+      val a = Tables(s, dir, "orders")
+        .agg(count(lit(1)).as("n"), aggs: _*)
+      a.select(explode(array(StatsCols.map { case (c, _) =>
+        struct(lit(c).as("col_name"), col("n").as("n_rows"),
+          col(s"nn_$c").as("n_notnull"), col(s"ndv_$c").as("ndv"),
+          col(s"min_$c").as("min_val"), col(s"max_$c").as("max_val"))
+      }: _*)).as("r")).select(col("r.*"))
+    },
+
     // Time-RANGE window frame: per event, the same user's activity in
     // the trailing hour — the rate/velocity feature every
     // event-pipeline feature store computes. RANGE (not ROWS) frames
@@ -319,5 +346,40 @@ object Analytics {
       .agg(max(col("n")).as("n_docs"),
         pick(25).as("p25_tokens"), pick(50).as("p50_tokens"),
         pick(75).as("p75_tokens"), max(col("len")).as("max_tokens"))
+  }
+
+  /** q_table_stats columns with a stringification tag — "dec" routes
+    * min/max through decimal(12,2) so double formatting agrees
+    * cross-engine. One list drives the Spark aggregates AND the
+    * generated oracle, so a column retag cannot desynchronize them.
+    * A `def`: `all` above reads it during object init (the oracle
+    * `def` convention — a val here would still be null there). */
+  private def StatsCols: Seq[(String, String)] = Seq(
+    "o_orderkey" -> "raw", "o_custkey" -> "raw",
+    "o_orderstatus" -> "raw", "o_totalprice" -> "dec",
+    "o_orderpriority" -> "raw")
+
+  private def statsVal(c: String, t: String) =
+    if (t == "dec") col(c).cast("decimal(12,2)") else col(c)
+
+  /** Generated oracle for q_table_stats: the same per-column stats as
+    * a one-row aggregate fanned out by UNION ALL. */
+  private def tableStatsSql: String = {
+    val aggs = StatsCols.map { case (c, t) =>
+      val v = if (t == "dec") s"CAST($c AS DECIMAL(12,2))" else c
+      s"""CAST(count($v) AS BIGINT) AS nn_$c,
+         |  CAST(count(DISTINCT $v) AS BIGINT) AS ndv_$c,
+         |  CAST(min($v) AS VARCHAR) AS min_$c,
+         |  CAST(max($v) AS VARCHAR) AS max_$c""".stripMargin
+    }.mkString(",\n  ")
+    val rows = StatsCols.map { case (c, _) =>
+      s"""SELECT '$c' AS col_name, n AS n_rows, nn_$c AS n_notnull,
+         |       ndv_$c AS ndv, min_$c AS min_val, max_$c AS max_val
+         |FROM a""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH a AS (SELECT CAST(count(*) AS BIGINT) AS n,
+       |  $aggs
+       |FROM orders)
+       |$rows""".stripMargin
   }
 }

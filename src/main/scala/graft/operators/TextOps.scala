@@ -151,6 +151,43 @@ object TextOps {
       (s, dir) => qualityClassifier(Tables(s, dir, "documents"))
     },
 
+    // Per-source quality-PERCENTILE pruning (the FineWeb/DCLM release
+    // recipe): rank every document within its source by classifier
+    // margin and keep the top half — a per-source cut, so one noisy
+    // source cannot crowd out the others' budget the way a global
+    // margin threshold would. Composes the exported-model margins of
+    // q_quality_clf (same expressions via qualityClassifier, same
+    // floor(·1e6) integerization, so both engines rank identical
+    // keys). One source shuffle; the rank and the per-source count
+    // are windows over that one partitioning.
+    QueryDef.sql(
+      "q_quality_prune",
+      s"""WITH $clfMarginCte,
+         |j AS (SELECT d.doc_id, d.source, m.margin_e6
+         |      FROM documents d JOIN clfm m ON d.doc_id = m.doc_id),
+         |r AS (SELECT doc_id, source, margin_e6,
+         |             CAST(row_number() OVER (PARTITION BY source
+         |                    ORDER BY margin_e6 DESC, doc_id)
+         |                  AS INTEGER) AS rnk,
+         |             CAST(count(*) OVER (PARTITION BY source)
+         |                  AS BIGINT) AS n_docs
+         |      FROM j)
+         |SELECT doc_id, source, margin_e6, rnk,
+         |       rnk * 2 <= n_docs AS kept_top_half
+         |FROM r""".stripMargin) { (s, dir) =>
+      val docs = Tables(s, dir, "documents")
+      val bySrc =
+        org.apache.spark.sql.expressions.Window.partitionBy(col("source"))
+      docs.select(col("doc_id"), col("source"))
+        .join(qualityClassifier(docs).select(col("doc_id"),
+          col("margin_e6")), "doc_id")
+        .withColumn("rnk", row_number().over(
+          bySrc.orderBy(col("margin_e6").desc, col("doc_id"))).cast("int"))
+        .withColumn("n_docs", count(lit(1)).over(bySrc))
+        .select(col("doc_id"), col("source"), col("margin_e6"), col("rnk"),
+          (col("rnk") * 2 <= col("n_docs")).as("kept_top_half"))
+    },
+
     // Language identification: stopword-marker voting with a fixed
     // priority tie-break (en > es > de > fr).
     QueryDef.sql(
@@ -567,6 +604,27 @@ object TextOps {
     * Shared by the classifier gate's composition consumers (the
     * ingest decision pipeline) so the exported-model arithmetic
     * cannot fork. */
+  /** The classifier margin as CTEs ending in `clfm(doc_id,
+    * margin_e6)` — the exact feature expressions and left-associated
+    * weight chain of the q_quality_clf oracle with the same
+    * floor(·1e6) integerization, shared by the percentile-prune
+    * oracle so the margin arithmetic cannot fork. */
+  def clfMarginCte: String =
+    s"""clff AS (
+       |  SELECT doc_id,
+       |         CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) AS ttr,
+       |         CAST(len(list_filter(toks, t -> list_contains(${sqlList(Stopwords)}, t))) AS DOUBLE)
+       |           / len(toks) AS stop_ratio,
+       |         CAST(list_sum(list_transform(toks, t -> length(t))) AS DOUBLE)
+       |           / len(toks) AS atl
+       |  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)),
+       |clfm AS (
+       |  SELECT doc_id,
+       |         CAST(floor(($ClfTtrW * ttr + $ClfStopW * stop_ratio
+       |                      + $ClfAtlW * atl + $ClfBias) * 1000000.0)
+       |              AS BIGINT) AS margin_e6
+       |  FROM clff)""".stripMargin
+
   def clfKeptCte: String =
     s"""clf AS (
        |  SELECT doc_id,
