@@ -841,6 +841,22 @@ object SimilarityOps {
   val RrfK = 60
   val RrfScale = 1000000000L
 
+  /** The RRF combine over two ranked lists `(doc_id, lrnk)` /
+    * `(doc_id, drnk)` — factored so the spec can plant an OVERLAPPING
+    * pair of lists (the gate corpus's lexical and dense lists are
+    * disjoint, so the both-lists sum path would otherwise go
+    * unexercised). Docs in one list score on that list alone. */
+  def rrfFuse(lex: DataFrame, dense: DataFrame): DataFrame = {
+    val rrf =
+      coalesce(expr(s"$RrfScale DIV ($RrfK + lrnk)").cast("long"), lit(0L)) +
+        coalesce(expr(s"$RrfScale DIV ($RrfK + drnk)").cast("long"), lit(0L))
+    lex.join(dense, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"), col("lrnk").as("lex_rank"),
+        col("drnk").as("dense_rank"), rrf.as("rrf_x1e9"))
+      .withColumn("rnk", row_number().over(
+        Window.orderBy(col("rrf_x1e9").desc, col("doc_id"))).cast("int"))
+  }
+
   /** Oracle for q_sim_rrf: the shared BM25 lex CTEs + the dense
     * cosine list for probe 0 + the exact-integer fusion. */
   private def rrfSql: String = {
@@ -1929,20 +1945,13 @@ object SimilarityOps {
         // bounded single-partition window: ranks a k-row list
         .withColumn("lrnk", row_number().over(
           Window.orderBy(col("bm25").desc, col("doc_id"))).cast("int"))
+        .select(col("doc_id"), col("lrnk"))
       val dense = bruteForceTopK(emb(s, dir),
         gateProbes(s, dir).filter(col("query_id") === 0),
         graft.operators.TextOps.Bm25TopK)
         .select(col("neighbor_id").as("doc_id"),
           col("rnk").cast("int").as("drnk"))
-      val rrf =
-        coalesce(expr(s"$RrfScale DIV ($RrfK + lrnk)").cast("long"), lit(0L)) +
-          coalesce(expr(s"$RrfScale DIV ($RrfK + drnk)").cast("long"), lit(0L))
-      lex.select(col("doc_id"), col("lrnk"))
-        .join(dense, Seq("doc_id"), "full_outer")
-        .select(col("doc_id"), col("lrnk").as("lex_rank"),
-          col("drnk").as("dense_rank"), rrf.as("rrf_x1e9"))
-        .withColumn("rnk", row_number().over(
-          Window.orderBy(col("rrf_x1e9").desc, col("doc_id"))).cast("int"))
+      rrfFuse(lex, dense)
     },
 
     // Margin-based bitext mining (Artetxe & Schwenk ACL'19): cosine

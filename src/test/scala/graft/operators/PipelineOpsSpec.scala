@@ -2243,6 +2243,22 @@ class PipelineOpsSpec extends SparkSpec {
       "trigram vocab no longer exceeds FreqK — sketch runs exact")
   }
 
+  test("rrf fusion: overlapping docs sum both reciprocal ranks and " +
+    "outrank single-list docs; one-list docs score on that list alone") {
+    // doc 10 is rank 2 lexically AND rank 3 densely; doc 20 lex-only
+    // rank 1; doc 30 dense-only rank 1; doc 40 dense rank 2
+    val lex = Seq((20L, 1), (10L, 2)).toDF("doc_id", "lrnk")
+    val dense = Seq((30L, 1), (40L, 2), (10L, 3)).toDF("doc_id", "drnk")
+    val got = SimilarityOps.rrfFuse(lex, dense).collect()
+      .map(r => r.getLong(0) -> (r.getLong(3), r.getInt(4))).toMap
+    def t(r: Int): Long = 1000000000L / (60 + r)
+    assert(got(10L) == (t(2) + t(3), 1),
+      "overlap doc must sum both lists and take rank 1")
+    assert(got(20L) == (t(1), 2) && got(30L) == (t(1), 3),
+      "single-list docs score on their one rank; doc_id breaks the tie")
+    assert(got(40L) == (t(2), 4))
+  }
+
   test("drift screen: planted mix shift is flagged, stationary types " +
     "are not, and the gate replays exactly in JVM arithmetic") {
     // planted fixture: 'surge' jumps 60 → 240 while 'fade' falls
