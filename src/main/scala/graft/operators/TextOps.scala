@@ -151,6 +151,45 @@ object TextOps {
       (s, dir) => qualityClassifier(Tables(s, dir, "documents"))
     },
 
+    // WINNOWING fingerprints (Schleimer–Wilkerson–Aiken, SIGMOD'03 —
+    // the MOSS document-fingerprinting standard): hash every char
+    // 5-gram, slide a window of 4 hashes, keep each window's minimum
+    // (rightmost on ties — the paper's robustness rule), dedupe. The
+    // guarantee: any shared substring of ≥ k+w-1 = 8 chars yields a
+    // shared fingerprint, while storage is ~2/(w+1) of the grams —
+    // the position-robust near-dup signature next to the fixed-stride
+    // q_text_fingerprint. Cross-engine trick: (hash, pos) pairs are
+    // encoded as (h << 20) | (2^20-1 − pos), so ONE plain min
+    // implements "min hash, rightmost position on ties" — no fold,
+    // identical integer arithmetic on both engines. Everything is
+    // per-row higher-order functions: ZERO shuffle, text never
+    // leaves its row. (Position encoding caps documents at 2^20
+    // grams — widen the shift for longer documents.)
+    QueryDef.sql(
+      "q_text_winnow",
+      s"""WITH e AS (
+         |  SELECT doc_id,
+         |         list_transform(generate_series(1, length(text) - ${WinnowK - 1}),
+         |           i -> (CAST('0x' || substr(md5(substr(text, i, $WinnowK)), 1, 6)
+         |                      AS BIGINT) << $WinnowPosBits) + ($WinnowPosMax - i)) AS encs
+         |  FROM documents),
+         |s AS (
+         |  SELECT doc_id, CAST(len(encs) AS INTEGER) AS n_grams,
+         |         CAST(greatest(len(encs) - ${WinnowW - 1}, 0) AS INTEGER)
+         |           AS n_windows,
+         |         list_distinct(list_transform(
+         |           generate_series(1, len(encs) - ${WinnowW - 1}),
+         |           p -> list_min(list_slice(encs, p, p + ${WinnowW - 1}))))
+         |           AS sel
+         |  FROM e)
+         |SELECT doc_id, n_grams, n_windows,
+         |       CAST(len(sel) AS INTEGER) AS n_fp,
+         |       CAST(coalesce(list_sum(list_transform(sel,
+         |              x -> x >> $WinnowPosBits)), 0) AS BIGINT) AS fp_sum
+         |FROM s""".stripMargin) { (s, dir) =>
+      winnowFingerprints(Tables(s, dir, "documents"))
+    },
+
     // Per-source quality-PERCENTILE pruning (the FineWeb/DCLM release
     // recipe): rank every document within its source by classifier
     // margin and keep the top half — a per-source cut, so one noisy
@@ -604,6 +643,45 @@ object TextOps {
     * Shared by the classifier gate's composition consumers (the
     * ingest decision pipeline) so the exported-model arithmetic
     * cannot fork. */
+  /** Winnowing geometry (Schleimer et al. SIGMOD'03): char
+    * [[WinnowK]]-grams, windows of [[WinnowW]] hashes, guarantee
+    * threshold t = k+w-1 = 8 shared chars. Packing (hash, pos) as
+    * (h << 20) | (2^20-1-pos) makes plain min pick
+    * min-hash-rightmost-pos; decode is a bit shift — pure integer
+    * semantics on both engines. */
+  // final val literals: `all` interpolates them during object init,
+  // where a plain val would still be 0 (the FreqK lesson)
+  final val WinnowK = 5
+  final val WinnowW = 4
+  final val WinnowPosBits = 20
+  final val WinnowPosMax = 1048575L // (1 << WinnowPosBits) - 1
+
+  /** The q_text_winnow body over a (doc_id, text) frame — named so
+    * the planted-shared-substring spec drives the same expressions. */
+  def winnowFingerprints(docs: DataFrame): DataFrame = {
+    val nGrams = length(col("text")) - (WinnowK - 1)
+    // Spark's sequence(1, n) DESCENDS for n < 1 where DuckDB's
+    // generate_series returns empty — guard short texts explicitly
+    val encs = when(nGrams >= 1,
+      transform(sequence(lit(1), nGrams), i =>
+        shiftleft(conv(substring(md5(col("text").substr(i, lit(WinnowK))
+          .cast("binary")), 1, 6), 16, 10).cast("long"), WinnowPosBits) +
+          (lit(WinnowPosMax) - i)))
+      .otherwise(array().cast("array<bigint>"))
+    val nWin = greatest(size(col("encs")) - (WinnowW - 1), lit(0))
+    docs.select(col("doc_id"), encs.as("encs"))
+      .select(col("doc_id"), size(col("encs")).as("n_grams"),
+        nWin.cast("int").as("n_windows"),
+        when(nWin >= 1,
+          array_distinct(transform(sequence(lit(1), nWin), p =>
+            array_min(slice(col("encs"), p, lit(WinnowW))))))
+          .otherwise(array().cast("array<bigint>")).as("sel"))
+      .select(col("doc_id"), col("n_grams"), col("n_windows"),
+        size(col("sel")).as("n_fp"),
+        aggregate(col("sel"), lit(0L),
+          (a, x) => a + shiftright(x, WinnowPosBits)).as("fp_sum"))
+  }
+
   /** The classifier margin as CTEs ending in `clfm(doc_id,
     * margin_e6)` — the exact feature expressions and left-associated
     * weight chain of the q_quality_clf oracle with the same

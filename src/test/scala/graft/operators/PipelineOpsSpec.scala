@@ -2243,6 +2243,45 @@ class PipelineOpsSpec extends SparkSpec {
       "trigram vocab no longer exceeds FreqK — sketch runs exact")
   }
 
+  test("winnowing: JVM replay is exact, a shared >= t substring " +
+    "guarantees a shared fingerprint, unrelated docs share none") {
+    import graft.operators.TextOps._
+    val shared = "the quick brown fox jumps over the lazy dog"
+    val a = s"alpha preamble text $shared and a tail"
+    val b = s"completely different opening $shared closing words"
+    val c = "nothing in common with either of the others at all zzz"
+    val got = winnowFingerprints(
+      Seq((1L, a), (2L, b), (3L, c)).toDF("doc_id", "text"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getInt(1), r.getInt(2), r.getInt(3), r.getLong(4))).toMap
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def winnow(text: String): Set[Long] = {
+      val encs = (1 to text.length - (WinnowK - 1)).map { i =>
+        (java.lang.Long.parseLong(
+          md5hex(text.substring(i - 1, i - 1 + WinnowK)).take(6), 16)
+          << WinnowPosBits) + (WinnowPosMax - i)
+      }
+      (1 to encs.length - (WinnowW - 1))
+        .map(p => encs.slice(p - 1, p - 1 + WinnowW).min).toSet
+    }
+    Seq(1L -> a, 2L -> b, 3L -> c).foreach { case (id, t) =>
+      val sel = winnow(t)
+      val nGrams = t.length - (WinnowK - 1)
+      assert(got(id) == (nGrams, nGrams - (WinnowW - 1), sel.size,
+        sel.toSeq.map(_ >> WinnowPosBits).sum),
+        s"doc $id diverges from the JVM winnow replay")
+    }
+    // the SIGMOD'03 guarantee: a shared substring of >= k+w-1 chars
+    // always yields at least one shared fingerprint HASH (positions
+    // differ, so compare the decoded hash sets)
+    def hashes(t: String): Set[Long] = winnow(t).map(_ >> WinnowPosBits)
+    assert((hashes(a) & hashes(b)).nonEmpty, "guarantee violated")
+    assert((hashes(a) & hashes(c)).isEmpty &&
+      (hashes(b) & hashes(c)).isEmpty, "unrelated docs collide")
+  }
+
   test("rrf fusion: overlapping docs sum both reciprocal ranks and " +
     "outrank single-list docs; one-list docs score on that list alone") {
     // doc 10 is rank 2 lexically AND rank 3 densely; doc 20 lex-only
