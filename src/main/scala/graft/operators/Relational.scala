@@ -560,6 +560,36 @@ object Relational {
           .agg(count(lit(1)))
         pivoted.select(col("source") +:
           langs.map(l => coalesce(col(l), lit(0L)).as(l)): _*)
+    },
+
+    // Native UNPIVOT (Spark 4's `Dataset.unpivot`/melt — the inverse
+    // reshape of `.pivot`): the q_pivot_source_lang cross-tab melted
+    // back to long (source, lang, cnt) rows. Round-tripping through
+    // BOTH reshapes pins that neither direction loses or invents
+    // cells (zero-count cells materialize explicitly in the wide
+    // form and survive the melt). Unpivot is an Expand — map-side,
+    // no extra shuffle beyond the pivot's own aggregate.
+    QueryDef.sql(
+      "q_unpivot",
+      """WITH w AS (SELECT source,
+        |       CAST(coalesce(sum(CASE WHEN lang = 'de' THEN 1 END), 0) AS BIGINT) AS de,
+        |       CAST(coalesce(sum(CASE WHEN lang = 'en' THEN 1 END), 0) AS BIGINT) AS en,
+        |       CAST(coalesce(sum(CASE WHEN lang = 'es' THEN 1 END), 0) AS BIGINT) AS es,
+        |       CAST(coalesce(sum(CASE WHEN lang = 'fr' THEN 1 END), 0) AS BIGINT) AS fr,
+        |       CAST(coalesce(sum(CASE WHEN lang = 'zh' THEN 1 END), 0) AS BIGINT) AS zh
+        |FROM documents GROUP BY source)
+        |SELECT source, lang, cnt
+        |FROM w UNPIVOT INCLUDE NULLS (cnt FOR lang IN (de, en, es, fr, zh))""".stripMargin) {
+      (s, dir) =>
+        val langs = Seq("de", "en", "es", "fr", "zh")
+        val pivoted = t(s, dir, "documents")
+          .groupBy(col("source"))
+          .pivot("lang", langs)
+          .agg(count(lit(1)))
+          .select(col("source") +:
+            langs.map(l => coalesce(col(l), lit(0L)).as(l)): _*)
+        pivoted.unpivot(Array(col("source")), langs.map(col).toArray,
+          "lang", "cnt")
     }
   )
 }
