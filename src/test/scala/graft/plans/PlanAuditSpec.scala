@@ -91,7 +91,8 @@ class PlanAuditSpec extends SparkSpec {
     // codegen'd operators then print with the `*(stageId)` prefix.
     Seq("q_agg_groupby", "q_filter_isin", "q_dedup_exact",
       "q_text_quality", "q_clean_c4", "q_merge_upsert",
-      "q_volume_trend").foreach { name =>
+      "q_volume_trend", "q_sketch_ams", "q_table_stats",
+      "q_text_winnow").foreach { name =>
       val df = graft.SparkEntry.queries(name)(spark, sfDir)
       df.collect() // drive THIS plan through AQE to its final form
       val plan = df.queryExecution.executedPlan.toString
