@@ -103,17 +103,24 @@ object SimilarityOps {
       .select(col("query_id"), col("vec_id"),
         CosineSimilarity(corpus.sparkSession, col("qv"), col("embedding")).as("cos"))
 
-  /** Exact top-k neighbors per probe (excluding self-matches). */
-  def bruteForceTopK(corpus: DataFrame, probes: DataFrame, k: Int): DataFrame = {
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos").desc, col("vec_id"))
-    cosineScores(corpus, probes)
-      .filter(col("vec_id") =!= col("query_id"))
-      .withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= k)
+  /** Exact top-k neighbors per probe (excluding self-matches).
+    *
+    * The k-cut is the bounded [[graft.functions.TopKAggregator]] —
+    * NOT a `row_number` window: a window partitioned by query_id
+    * would shuffle EVERY scored (query, vector) row into |queries|
+    * reducers (the whole corpus × probe fanout through one
+    * exchange), where the aggregator ships k-row digests per
+    * (partition, query) and merges them — at 100 TB the difference
+    * between shuffling the scored corpus and shuffling
+    * |queries|·k·partitions rows. Same rows, same (cos DESC, vec_id)
+    * order, same ranks (the TopK spec pins aggregator ≡ window). */
+  def bruteForceTopK(corpus: DataFrame, probes: DataFrame, k: Int): DataFrame =
+    graft.functions.TopK.perKey(
+      cosineScores(corpus, probes)
+        .filter(col("vec_id") =!= col("query_id")),
+      "query_id", "cos", "vec_id", k)
       .select(col("query_id"), col("vec_id").as("neighbor_id"), col("rnk"),
         round(col("cos"), 6).as("sim"))
-  }
 
   /** Matryoshka two-stage audit: shortlist by cosine over the first
     * [[MrlDim]] dims only, then score the SHORTLIST at full dimension
