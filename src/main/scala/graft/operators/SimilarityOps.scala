@@ -136,12 +136,12 @@ object SimilarityOps {
       slice(col("embedding"), 1, MrlDim).as("embedding"))
     val tProbes = probes.select(col("query_id"),
       slice(col("qv"), 1, MrlDim).as("qv"))
-    val wT = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos").desc, col("vec_id"))
-    val cut = cosineScores(tCorpus, tProbes)
-      .filter(col("vec_id") =!= col("query_id"))
-      .withColumn("rnk", row_number().over(wT))
-      .filter(col("rnk") <= shortlist)
+    // bounded TopK digest cut, not a per-query window — the prefix
+    // scan is corpus-sized, the same argument as bruteForceTopK
+    val cut = graft.functions.TopK.perKey(
+      cosineScores(tCorpus, tProbes)
+        .filter(col("vec_id") =!= col("query_id")),
+      "query_id", "cos", "vec_id", shortlist)
       .select(col("query_id"), col("vec_id"), col("rnk"),
         col("cos").as("cos_t"))
     val fullTop = bruteForceTopK(corpus, probes, k)
@@ -171,17 +171,20 @@ object SimilarityOps {
     * the other searches. */
   def hardNegatives(corpus: DataFrame, probes: DataFrame, k: Int): DataFrame = {
     val s = corpus.sparkSession
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos").desc, col("vec_id"))
-    corpus.crossJoin(broadcast(probes))
+    // bounded TopK digest cut (the bruteForceTopK argument); the cut
+    // carries only (cos, vec_id), so the labels rejoin AFTER it —
+    // a k×|queries|-row point lookup, not a corpus shuffle
+    val scored = corpus.crossJoin(broadcast(probes))
       .filter(col("vec_id") =!= col("query_id") &&
         col("label") =!= col("qlabel"))
-      .select(col("query_id"), col("vec_id"), col("qlabel"), col("label"),
+      .select(col("query_id"), col("vec_id"),
         CosineSimilarity(s, col("qv"), col("embedding")).as("cos"))
-      .withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= k)
+    graft.functions.TopK.perKey(scored, "query_id", "cos", "vec_id", k)
+      .join(corpus.select(col("vec_id"), col("label")), "vec_id")
+      .join(broadcast(probes.select(col("query_id"), col("qlabel"))),
+        "query_id")
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
-        col("rnk").cast("int").as("rnk"), round(col("cos"), 6).as("sim"),
+        col("rnk"), round(col("cos"), 6).as("sim"),
         col("qlabel").as("query_label"), col("label").as("neighbor_label"))
   }
 
@@ -2702,14 +2705,16 @@ object SimilarityOps {
   private def adcTopK(joined: DataFrame, k: Int): DataFrame = {
     def distAt(j: Int): Column = max(when(col("sub") === j, col("d")))
     val adc = (0 until PqSubspaces).map(distAt).reduceLeft(_ + _)
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("adc"), col("vec_id"))
-    joined.groupBy(col("query_id"), col("vec_id"))
-      .agg(adc.as("adc"))
-      .filter(col("vec_id") =!= col("query_id"))
-      .withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= k)
+    // bounded TopK digest cut over the (corpus-sized) code table —
+    // the aggregator ranks ord DESC, so the ASC distance cut feeds
+    // it NEGATED (IEEE negation is exact; ties still break vec_id)
+    graft.functions.TopK.perKey(
+      joined.groupBy(col("query_id"), col("vec_id"))
+        .agg(adc.as("adc"))
+        .filter(col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id"), (-col("adc")).as("negadc")),
+      "query_id", "negadc", "vec_id", k)
       .select(col("query_id"), col("vec_id").as("neighbor_id"), col("rnk"),
-        round(col("adc"), 6).as("adc_dist"))
+        round(-col("negadc"), 6).as("adc_dist"))
   }
 }

@@ -45,7 +45,8 @@ class PlanAuditSpec extends SparkSpec {
     "q_knn_graph",         // 8 seed centroids (cell assignment)
     "q_bitext_mine",       // 8 seed centroids (cell assignment)
     "q_ivf_recall_curve",  // 8 centroids + 5 probes + 1-row relevant-count scalar
-    "q_drift_2prop"        // two 1-row scalars (time-span midpoint, half totals)
+    "q_drift_2prop",       // two 1-row scalars (time-span midpoint, half totals)
+    "q_sim_rrf"            // bm25's 1-row corpus-stats scalar + 5 probe vectors
   )
 
   // every q_stream_* gate: its query function executes a REAL
