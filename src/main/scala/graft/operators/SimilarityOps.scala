@@ -677,13 +677,13 @@ object SimilarityOps {
       .join(cells, "vec_id")
       .join(broadcast(probeCells), col("centroid_id") === col("probe_centroid"))
       .filter(col("vec_id") =!= col("query_id"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos").desc, col("vec_id"))
-    candidates
-      .select(col("query_id"), col("vec_id"),
-        CosineSimilarity(corpus.sparkSession, col("qv"), col("embedding")).as("cos"))
-      .withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= k)
+    // bounded TopK digest cut — the candidate set is a corpus
+    // fraction (the probed cells), the bruteForceTopK argument
+    graft.functions.TopK.perKey(
+      candidates.select(col("query_id"), col("vec_id"),
+        CosineSimilarity(corpus.sparkSession, col("qv"), col("embedding"))
+          .as("cos")),
+      "query_id", "cos", "vec_id", k)
       .select(col("query_id"), col("vec_id").as("neighbor_id"), col("rnk"),
         round(col("cos"), 6).as("sim"))
   }
@@ -722,11 +722,9 @@ object SimilarityOps {
         CosineSimilarity(s, col("qv"), col("embedding")).as("cos"))
       .join(broadcast(probeRanks), Seq("query_id", "centroid_id"))
       .pinned
-    def topk(d: DataFrame): DataFrame = d
-      .withColumn("rnk", row_number().over(
-        Window.partitionBy(col("query_id"))
-          .orderBy(col("cos").desc, col("vec_id"))))
-      .filter(col("rnk") <= k)
+    def topk(d: DataFrame): DataFrame = graft.functions.TopK.perKey(
+      d.select(col("query_id"), col("cos"), col("vec_id")),
+      "query_id", "cos", "vec_id", k)
       .select(col("query_id"), col("vec_id"))
     val bf = topk(scored).pinned
     val nRel = bf.agg(count(lit(1)).as("n_relevant"))
