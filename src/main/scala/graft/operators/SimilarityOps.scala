@@ -907,7 +907,7 @@ object SimilarityOps {
          |             % (SELECT count(*) FROM embeddings) AS nbr
          |    FROM embeddings, (SELECT unnest(range(${k + 2})) AS r))
          |  WHERE v <> nbr),
-         |g0 AS (
+         |g0 AS MATERIALIZED (
          |  SELECT v, nbr, cs FROM (
          |    SELECT p.v, p.nbr, ${cosSql("ea.embedding", "eb.embedding")} AS cs,
          |           row_number() OVER (PARTITION BY p.v
@@ -916,12 +916,12 @@ object SimilarityOps {
          |              JOIN embeddings eb ON eb.vec_id = p.nbr)
          |  WHERE rnk <= $k)""".stripMargin
     val rounds = (1 to NNDescentRounds).map { r =>
-      s"""b$r AS (SELECT v, nbr FROM g${r - 1}
+      s"""b$r AS MATERIALIZED (SELECT v, nbr FROM g${r - 1}
          |        UNION SELECT nbr AS v, v AS nbr FROM g${r - 1}),
-         |c$r AS (SELECT x.v, y.nbr FROM b$r x JOIN b$r y ON x.nbr = y.v
+         |c$r AS MATERIALIZED (SELECT x.v, y.nbr FROM b$r x JOIN b$r y ON x.nbr = y.v
          |        WHERE x.v <> y.nbr
          |        UNION SELECT v, nbr FROM g${r - 1}),
-         |g$r AS (
+         |g$r AS MATERIALIZED (
          |  SELECT v, nbr, cs FROM (
          |    SELECT p.v, p.nbr, ${cosSql("ea.embedding", "eb.embedding")} AS cs,
          |           row_number() OVER (PARTITION BY p.v

@@ -571,6 +571,49 @@ object StreamingOps {
       }
     },
 
+    // The SAME sessionizer on Spark 4's transformWithState — the
+    // arbitrary-state API that supersedes flatMapGroupsWithState
+    // (named typed ValueState + explicit event-time timers with a
+    // one-live-timer-per-key discipline, see
+    // EventStreams.SessionTwsProcessor). THREE implementations now
+    // share sessionizeSql: the batch window SQL, the fMGWS stream,
+    // and this TWS stream — the migration proof that moving state
+    // code to the new API changes no output row. transformWithState
+    // requires the RocksDB state store, so the gate pins the provider
+    // for the run (and restores it), doubling as the RocksDB path's
+    // gate-level exercise.
+    QueryDef.sql("q_stream_sessionize_tws", sessionizeSql) {
+      (s, dir) => withStreamPartitions(s, 8) {
+        import s.implicits._
+        val key = "spark.sql.streaming.stateStore.providerClass"
+        val prev = s.conf.getOption(key)
+        s.conf.set(key, "org.apache.spark.sql.execution.streaming" +
+          ".state.RocksDBStateStoreProvider")
+        try {
+          val ev = Tables.events(s, dir)
+            .select(col("user_id"), col("ts_us"), col("event_id"))
+          val inDir = EventStreams.timeSlicedDir(
+            ev, nSlices = 4, gapUs = EventStreams.SessionGapUs)
+          val stream = s.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", "1").parquet(inDir)
+          val q = EventStreams.sessionizeStreamTws(
+            stream.as[EventStreams.SessionEvent])
+            .writeStream.format("memory").queryName("graft_stream_sess_tws")
+            .outputMode("append").trigger(Trigger.AvailableNow()).start()
+          q.awaitTermination()
+          s.table("graft_stream_sess_tws")
+            .select(col("user_id"), col("session_id"), col("start_us"),
+              col("end_us"), col("n_events"))
+            // the memory sink outlives the conf restore below: pin
+            // the rows so downstream reads don't re-plan the stream
+            .localCheckpoint()
+        } finally prev match {
+          case Some(v) => s.conf.set(key, v)
+          case None => s.conf.unset(key)
+        }
+      }
+    },
+
     // STREAMING CDC apply — the q_merge_upsert statement run as a
     // real change-log stream: the change batch arrives as ordered
     // micro-batches and a foreachBatch fold applies each one to the

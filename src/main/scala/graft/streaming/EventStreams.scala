@@ -148,6 +148,107 @@ object EventStreams {
       }
   }
 
+  /** [[SessionTwsProcessor]]'s state: the fMGWS session record plus
+    * the currently-armed timer deadline — carrying the deadline in
+    * state is what upholds the one-live-timer-per-key invariant
+    * (every re-arm can delete its predecessor by value). */
+  final case class TwsSessionState(
+      sessionId: Int, startUs: Long, lastUs: Long, nEvents: Long,
+      armedMs: Long)
+
+  /** The SAME gap sessionizer on Spark 4's `transformWithState` —
+    * the arbitrary-state API that supersedes flatMapGroupsWithState:
+    * named typed state ([[TwsSessionState]] in a `ValueState`) plus
+    * EXPLICIT event-time timers instead of the single implicit
+    * timeout slot. Timer discipline: exactly one live timer per key —
+    * the armed deadline lives in the state, every re-arm deletes the
+    * previous one by value, the firing timer consumes itself, and a
+    * fire is acted on only when its expiry equals the state's armed
+    * deadline. Fold semantics are byte-for-byte [[sessionizeStream]]'s
+    * (same sort, same punctuation/gap/marker rules), so TWS == fMGWS
+    * == the batch window SQL — pinned by the gate (shared oracle) and
+    * the spec. Requires the RocksDB state store provider (a
+    * transformWithState constraint); the gate sets it for the run. */
+  def sessionizeStreamTws(events: Dataset[SessionEvent]): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    events
+      .withColumn("event_time", timestamp_micros(col("ts_us")))
+      .withWatermark("event_time", "0 seconds")
+      .as[SessionEvent]
+      .groupByKey(_.user_id)
+      .transformWithState(new SessionTwsProcessor(),
+        org.apache.spark.sql.streaming.TimeMode.EventTime(),
+        OutputMode.Append())
+  }
+
+  class SessionTwsProcessor extends org.apache.spark.sql.streaming
+      .StatefulProcessor[Long, SessionEvent, SessionOut] {
+    import org.apache.spark.sql.streaming.{ExpiredTimerInfo, TTLConfig,
+      TimeMode, TimerValues, ValueState}
+    @transient private var st: ValueState[TwsSessionState] = _
+    private val gapMs = SessionGapUs / 1000
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[TwsSessionState]("session",
+        org.apache.spark.sql.Encoders.product[TwsSessionState],
+        TTLConfig.NONE)
+
+    private def deadline(lastUs: Long): Long = lastUs / 1000 + gapMs + 1
+
+    override def handleInputRows(userId: Long,
+        rows: Iterator[SessionEvent],
+        tv: TimerValues): Iterator[SessionOut] = {
+      val out = Seq.newBuilder[SessionOut]
+      val sorted = rows.toSeq.sortBy(e => (e.ts_us, e.event_id))
+      var cur: TwsSessionState = if (st.exists()) st.get() else null
+      val oldArm = if (cur != null) cur.armedMs else -1L
+      sorted.foreach { e =>
+        if (e.event_id < 0) { // punctuation: close, don't open
+          if (cur != null) {
+            if (cur.nEvents > 0)
+              out += SessionOut(userId, cur.sessionId, cur.startUs,
+                cur.lastUs, cur.nEvents)
+            cur = null
+          }
+        } else if (cur == null)
+          cur = TwsSessionState(1, e.ts_us, e.ts_us, 1, 0L)
+        else if (cur.nEvents == 0) // continue numbering past a flush
+          cur = TwsSessionState(cur.sessionId, e.ts_us, e.ts_us, 1, 0L)
+        else if (e.ts_us - cur.lastUs > SessionGapUs) {
+          out += SessionOut(userId, cur.sessionId, cur.startUs,
+            cur.lastUs, cur.nEvents)
+          cur = TwsSessionState(cur.sessionId + 1, e.ts_us, e.ts_us, 1, 0L)
+        } else cur = cur.copy(lastUs = e.ts_us, nEvents = cur.nEvents + 1)
+      }
+      if (oldArm > 0) getHandle.deleteTimer(oldArm)
+      if (cur != null) {
+        // rows are never empty here, so a surviving state is an
+        // active session (markers either became active or were
+        // punctuated away) — arm its gap deadline
+        val arm = deadline(cur.lastUs)
+        st.update(cur.copy(armedMs = arm))
+        getHandle.registerTimer(arm)
+      } else if (st.exists()) st.clear()
+      out.result().iterator
+    }
+
+    override def handleExpiredTimer(userId: Long, tv: TimerValues,
+        info: ExpiredTimerInfo): Iterator[SessionOut] = {
+      if (!st.exists()) return Iterator.empty
+      val s = st.get()
+      if (info.getExpiryTimeInMs != s.armedMs) return Iterator.empty
+      if (s.nEvents > 0) {
+        // watermark passed lastUs + gap: closed by definition — emit
+        // and keep a numbering marker with its own quiet horizon
+        val arm = tv.getCurrentWatermarkInMs + gapMs + 1
+        st.update(TwsSessionState(s.sessionId + 1, 0L, 0L, 0L, arm))
+        getHandle.registerTimer(arm)
+        Iterator.single(
+          SessionOut(userId, s.sessionId, s.startUs, s.lastUs, s.nEvents))
+      } else { st.clear(); Iterator.empty } // marker horizon passed
+    }
+  }
+
   final case class FunnelEvent(
       user_id: Long, ts_us: Long, event_id: Long, event_type: String)
   // public: the state/output encoders' generated code reaches the

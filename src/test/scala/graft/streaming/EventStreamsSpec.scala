@@ -57,6 +57,46 @@ class EventStreamsSpec extends SparkSpec {
     assert(eligible.nonEmpty, "fixture has no timeout-eligible session — test is vacuous")
   }
 
+  test("transformWithState sessionizer == flatMapGroupsWithState " +
+    "sessionizer on the corpus, timers included, under RocksDB") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val events = graft.Tables.events(spark, dir)
+      .select($"user_id", $"ts_us", $"event_id")
+      .as[EventStreams.SessionEvent]
+      .collect().toSeq.sortBy(e => (e.ts_us, e.event_id))
+    // two event-time-ordered batches: state carries sessions across
+    // the trigger boundary, and the closing no-data batch fires the
+    // event-time timers for every quiet trailing session
+    val (b1, b2) = events.splitAt(events.size / 2)
+    def run(name: String,
+        f: org.apache.spark.sql.Dataset[EventStreams.SessionEvent] =>
+          org.apache.spark.sql.Dataset[EventStreams.SessionOut]) = {
+      val input = MemoryStream[EventStreams.SessionEvent]
+      input.addData(b1); input.addData(b2)
+      val q = f(input.toDS()).writeStream.format("memory")
+        .queryName(name).outputMode("append")
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      spark.table(name).collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3),
+          r.getLong(4))).toSet
+    }
+    val fmgws = run("tws_ref_fmgws", EventStreams.sessionizeStream)
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    try {
+      spark.conf.set(key, "org.apache.spark.sql.execution.streaming" +
+        ".state.RocksDBStateStoreProvider")
+      val tws = run("tws_under_test", EventStreams.sessionizeStreamTws)
+      assert(tws.nonEmpty && tws == fmgws,
+        "transformWithState diverged from flatMapGroupsWithState")
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   test("punctuation markers flush open sessions: stream output equals " +
     "batch exactly, and state is cleared") {
     import spark.implicits._
