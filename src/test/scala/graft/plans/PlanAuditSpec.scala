@@ -107,6 +107,31 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("filters and projections reach the parquet scan: PushedFilters " +
+    "carries the predicate, ReadSchema carries only the used columns") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    // the scan-efficiency contract behind every gate: a predicate
+    // evaluated after a full-row scan, or a scan materializing
+    // columns the query never touches, multiplies 100 TB of IO
+    val df = graft.Tables(spark, sfDir, "lineitem")
+      .filter(col("l_quantity") > 40)
+      .select(col("l_orderkey"), col("l_quantity"))
+    def subtree(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.SparkPlan] =
+      p +: p.children.flatMap(subtree)
+    val scans = subtree(df.queryExecution.executedPlan)
+      .collect { case f: FileSourceScanExec => f }
+    assert(scans.nonEmpty, "no file scan in plan")
+    val meta = scans.head.metadata
+    assert(meta.getOrElse("PushedFilters", "").contains("GreaterThan(l_quantity"),
+      s"filter not pushed to the scan: ${meta.get("PushedFilters")}")
+    val rs = meta.getOrElse("ReadSchema", "")
+    assert(rs.contains("l_orderkey") && rs.contains("l_quantity") &&
+      !rs.contains("l_comment") && !rs.contains("l_extendedprice"),
+      s"scan reads more than the projected columns: $rs")
+  }
+
   test("a selective dim filter injects a runtime bloom filter into " +
     "the fact scan") {
     import org.apache.spark.sql.functions._
