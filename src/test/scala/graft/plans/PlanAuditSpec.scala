@@ -167,6 +167,42 @@ class PlanAuditSpec extends SparkSpec {
       vOpt.fold(spark.conf.unset(k))(spark.conf.set(k, _)) }
   }
 
+  test("AQE splits a skewed join partition at runtime (skew=true in " +
+    "the final sort-merge join)") {
+    import org.apache.spark.sql.functions._
+    // the OTHER half of the skew story: q_join_skew_salted is the
+    // explicit rewrite, AQE's skew-join is the runtime one — a
+    // straggler partition detected from map output sizes is split
+    // into parallel sub-joins with the matching side replicated.
+    // Thresholds are cluster-sized; pin them down so the planted
+    // hot key (90% of rows on one key) trips the detector locally.
+    val confs = Seq(
+      "spark.sql.adaptive.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "32KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "16KB",
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "false",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val left = spark.range(0, 200000)
+        .select(when(col("id") % 10 < 9, 0L).otherwise(col("id"))
+          .as("k"), col("id").as("payload"))
+      val right = spark.range(0, 100).select(col("id").as("k"),
+        (col("id") * 2).as("attr"))
+      val j = left.join(right, "k")
+      // drive THIS frame's plan through AQE (count() would execute
+      // its own aggregate plan instead — the codegen-audit lesson)
+      assert(j.collect().length > 0)
+      val plan = j.queryExecution.executedPlan.toString
+      assert(plan.contains("isFinalPlan=true"), s"AQE did not finalize:\n$plan")
+      assert(plan.contains("skew=true"),
+        s"AQE skew-join did not split the hot partition:\n$plan")
+    } finally saved.foreach { case (k, vOpt) =>
+      vOpt.fold(spark.conf.unset(k))(spark.conf.set(k, _)) }
+  }
+
   test("k-cut queries use TakeOrderedAndProject, never a global sort") {
     // the SCALE.md claim for every orderBy+limit shape: a
     // per-partition heap + k-row driver merge. A regression to
