@@ -650,6 +650,50 @@ class EventStreamsSpec extends SparkSpec {
     assert(stream.nonEmpty && stream == rows("q_merge_upsert"))
   }
 
+  test("a custom-UDAF streaming aggregation (Misra-Gries buffers as " +
+    "state) runs unchanged under RocksDB: guarantees hold and match " +
+    "the default provider") {
+    // the sketch streams keep a CUSTOM Aggregator buffer (a case
+    // class with a Map field) as streaming-aggregation state — a
+    // different state-store codepath than fMGWS/TWS records, so the
+    // provider-equivalence proof must cover it too
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    def run(name: String): Map[String, (Long, Boolean)] = {
+      val input = MemoryStream[(String, Seq[String])]
+      // two batches so the standing sketch really merges partials:
+      // "hot" is heavy in both, the tail differs per batch
+      input.addData(("s", Seq.fill(30)("hot") ++ (0 to 9).map("a" + _)))
+      input.addData(("s", Seq.fill(20)("hot") ++ (0 to 9).map("b" + _)))
+      val q = input.toDS().toDF("source", "toks")
+        .groupBy(col("source"))
+        .agg(graft.functions.FrequentItems.sketch(col("toks"), 4).as("mg"))
+        .writeStream.format("memory").queryName(name)
+        .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      spark.table(name).collect().map { r =>
+        val mg = r.getStruct(1)
+        val items = mg.getMap[String, Long](1)
+        (r.getString(0), (mg.getLong(0), items.contains("hot")))
+      }.toMap
+    }
+    val hdfs = run("mg_rocks_ref")
+    try {
+      spark.conf.set(key, "org.apache.spark.sql.execution.streaming" +
+        ".state.RocksDBStateStoreProvider")
+      val rocks = run("mg_rocks_test")
+      // n is exact and the planted heavy hitter (71% > n/(k+1)=14%)
+      // must be present under BOTH providers
+      assert(rocks == hdfs && rocks("s") == (70L, true),
+        s"RocksDB sketch state diverged: $rocks vs $hdfs")
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   test("stateful streams run unchanged under the RocksDB state store " +
     "— the provider a production cluster deploys — with output equal " +
     "to the default provider") {
