@@ -516,6 +516,52 @@ object EventAnalytics {
             .as("hll_within_5pct"))
     },
 
+    // ROLLING-window distinct via HLL sketch UNION — the
+    // composability the plain sketch gate only claims, demonstrated:
+    // per-(type, hour) sketches are built ONCE, and every trailing
+    // 3-hour distinct-user count comes from unioning three standing
+    // sketches (a RANGE window over sketch blobs) — history is never
+    // rescanned, which is the property that lets a 100 TB pipeline
+    // keep per-day sketches and answer any window after the fact.
+    // The exact audit side rewrites the hour-range join as a bounded
+    // explode (e.hr BETWEEN h-2 AND h ⇔ h ∈ {hr, hr+1, hr+2} — the
+    // chunk_sliding trick), so it shuffles 3× (type, hour, user)
+    // triples instead of range-joining the corpus. Audit discipline
+    // = q_sketch_hll's: the 5% contract is the hashed flag.
+    QueryDef.sql(
+      "q_sketch_hll_rolling",
+      s"""WITH e AS (SELECT event_type, user_id,
+         |                  epoch_us(ts) // $HourUs AS hr FROM events),
+         |h AS (SELECT DISTINCT event_type, hr FROM e),
+         |x AS (SELECT h.event_type, h.hr,
+         |             CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_exact
+         |      FROM h JOIN e ON e.event_type = h.event_type
+         |                   AND e.hr BETWEEN h.hr - 2 AND h.hr
+         |      GROUP BY 1, 2)
+         |SELECT event_type, hr, n_exact, TRUE AS hll_within_5pct
+         |FROM x""".stripMargin) { (s, dir) =>
+      val e = Tables.events(s, dir)
+        .select(col("event_type"), col("user_id"),
+          expr(s"ts_us DIV $HourUs").as("hr"))
+      val hourly = e.groupBy(col("event_type"), col("hr"))
+        .agg(hll_sketch_agg(col("user_id")).as("sk"))
+      val w = Window.partitionBy(col("event_type"))
+        .orderBy(col("hr")).rangeBetween(-2, 0)
+      val est = hourly.select(col("event_type"), col("hr"),
+        hll_sketch_estimate(hll_union_agg(col("sk")).over(w)).as("est"))
+      val exact = e
+        .select(col("event_type"), col("user_id"),
+          explode(array(col("hr"), col("hr") + 1, col("hr") + 2)).as("h"))
+        .join(e.select(col("event_type"), col("hr").as("h")).distinct(),
+          Seq("event_type", "h"))
+        .groupBy(col("event_type"), col("h").as("hr"))
+        .agg(countDistinct(col("user_id")).as("n_exact"))
+      exact.join(est, Seq("event_type", "hr"))
+        .select(col("event_type"), col("hr"), col("n_exact"),
+          (abs(col("est") - col("n_exact")) * 20 <= col("n_exact"))
+            .as("hll_within_5pct"))
+    },
+
     // Mergeable Misra–Gries frequent items (the fourth classic
     // sketch next to count-min / HLL / approx-quantile): per-source
     // char-trigram heavy hitters — the top-n-gram table the langid
