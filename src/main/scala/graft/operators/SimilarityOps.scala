@@ -844,6 +844,87 @@ object SimilarityOps {
 
   /** DuckDB cosine over list columns `a`,`b` — sequential
     * left-to-right accumulation, bit-identical to [[CosineSimilarity]]. */
+  /** Sign-bit word `w` (0 or 1) of `v`: dims 32w+1..32w+32 packed
+    * into bits 0..31 of a BIGINT — 32-bit words because DuckDB
+    * overflow-checks `1 << 63`, and two popcounts cost the same as
+    * one. Shared by [[binaryQuantRerank]]'s corpus and query sides. */
+  private def signWord(v: Column, w: Int): Column =
+    (0 until 32).map { j =>
+      when(element_at(v, w * 32 + j + 1) > 0f, lit(1L << j)).otherwise(0L)
+    }.reduce(_ + _)
+
+  /** q_sim_binary body: Hamming-shortlist over the packed sign words,
+    * exact-cosine rerank of the shortlist. Output carries both phases
+    * (ham + bq_rnk from the integer phase, final_rnk + sim from the
+    * rerank) so the compression's ranking error is visible. */
+  def binaryQuantRerank(corpus: DataFrame, probes: DataFrame,
+      shortlist: Int, k: Int): DataFrame = {
+    val s = corpus.sparkSession
+    val packed = corpus.select(col("vec_id"),
+      signWord(col("embedding"), 0).as("b0"),
+      signWord(col("embedding"), 1).as("b1"))
+    val qPacked = probes.select(col("query_id"),
+      signWord(col("qv"), 0).as("q0"), signWord(col("qv"), 1).as("q1"))
+    val ham = bit_count(col("b0").bitwiseXOR(col("q0"))) +
+      bit_count(col("b1").bitwiseXOR(col("q1")))
+    val cut = graft.functions.TopK.perKey(
+      packed.crossJoin(broadcast(qPacked))
+        .filter(col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id"),
+          (-ham).cast("double").as("negham")),
+      "query_id", "negham", "vec_id", shortlist)
+      .select(col("query_id"), col("vec_id"),
+        (-col("negham")).cast("int").as("ham"), col("rnk").as("bq_rnk"))
+    graft.functions.TopK.perKey(
+      cut
+        .join(corpus.select(col("vec_id"), col("embedding")), "vec_id")
+        .join(broadcast(probes), "query_id")
+        .select(col("query_id"), col("vec_id"),
+          CosineSimilarity(s, col("qv"), col("embedding")).as("cos")),
+      "query_id", "cos", "vec_id", k)
+      .join(cut, Seq("query_id", "vec_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        col("rnk").as("final_rnk"), col("bq_rnk"), col("ham"),
+        round(col("cos"), 6).as("sim"))
+  }
+
+  /** Oracle for q_sim_binary: the same packing, popcounts, cuts and
+    * rerank as chained CTEs — the shortlist phase is pure integer
+    * arithmetic, so it hash-compares value-for-value. */
+  private def binaryQuantSql: String = {
+    def wordSql(v: String, w: Int): String =
+      s"""CAST(list_sum(list_transform(range(32),
+         |  j -> CASE WHEN $v[${w * 32} + j + 1] > 0
+         |            THEN (1::BIGINT << j) ELSE 0 END)) AS BIGINT)""".stripMargin
+    s"""WITH p AS (SELECT vec_id, ${wordSql("embedding", 0)} AS b0,
+       |                  ${wordSql("embedding", 1)} AS b1
+       |           FROM embeddings),
+       |q AS (SELECT vec_id AS query_id, embedding AS qv,
+       |             ${wordSql("embedding", 0)} AS q0,
+       |             ${wordSql("embedding", 1)} AS q1
+       |      FROM embeddings WHERE vec_id < $NumProbes),
+       |h AS (SELECT q.query_id, p.vec_id,
+       |             CAST(bit_count(xor(p.b0, q.q0))
+       |                  + bit_count(xor(p.b1, q.q1)) AS INTEGER) AS ham
+       |      FROM p CROSS JOIN q WHERE p.vec_id <> q.query_id),
+       |cut AS (SELECT query_id, vec_id, ham, bq_rnk FROM (
+       |          SELECT query_id, vec_id, ham,
+       |                 CAST(row_number() OVER (PARTITION BY query_id
+       |                        ORDER BY ham, vec_id) AS INTEGER) AS bq_rnk
+       |          FROM h)
+       |        WHERE bq_rnk <= $RerankShortlist),
+       |r AS (SELECT c.query_id, c.vec_id, c.ham, c.bq_rnk,
+       |             ${cosSql("q.qv", "e.embedding")} AS cos,
+       |             CAST(row_number() OVER (PARTITION BY c.query_id
+       |                    ORDER BY ${cosSql("q.qv", "e.embedding")}
+       |                      DESC, c.vec_id) AS INTEGER) AS final_rnk
+       |      FROM cut c JOIN embeddings e ON e.vec_id = c.vec_id
+       |                 JOIN q ON q.query_id = c.query_id)
+       |SELECT query_id, vec_id AS neighbor_id, final_rnk, bq_rnk, ham,
+       |       round(cos, 6) AS sim
+       |FROM r WHERE final_rnk <= $TopK""".stripMargin
+  }
+
   /** RRF geometry: the standard k=60 dampener and the integer scale
     * that replaces 1/(60+rank) floats with exact 1e9 // (60+rank). */
   val RrfK = 60
@@ -1931,6 +2012,24 @@ object SimilarityOps {
     // vec_id equi-joins, the k-cut a bounded window.
     QueryDef.sql("q_knn_descent", nnDescentSql) { (s, dir) =>
       nnDescent(emb(s, dir), NNDescentK, NNDescentRounds)
+    },
+
+    // BINARY quantization + Hamming shortlist + exact rerank — the
+    // 1-bit-per-dimension compression modern vector stores ship as
+    // their cheapest tier (32× smaller than float32; Hamming distance
+    // approximates angle for mean-centered-ish vectors): each
+    // embedding packs into two 32-bit sign words, candidate scoring
+    // is bit_count(xor) per word — pure INTEGER arithmetic, so the
+    // shortlist is deterministic and hash-exact across engines, with
+    // no float in the path until the exact-cosine rerank of the
+    // bounded shortlist (the q_sim_rerank two-stage shape). At 100 TB
+    // the packed words are a 500 GB column scanned with SIMD-friendly
+    // popcounts while the float vectors are touched only for
+    // shortlist×queries point lookups. Shortlist cut = bounded TopK
+    // aggregator (ASC Hamming feeds it negated).
+    QueryDef.sql("q_sim_binary", binaryQuantSql) { (s, dir) =>
+      binaryQuantRerank(emb(s, dir), gateProbes(s, dir),
+        RerankShortlist, TopK)
     },
 
     // Reciprocal-rank fusion (Cormack et al., SIGIR'09) — the

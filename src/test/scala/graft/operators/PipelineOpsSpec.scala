@@ -2243,6 +2243,42 @@ class PipelineOpsSpec extends SparkSpec {
       "trigram vocab no longer exceeds FreqK — sketch runs exact")
   }
 
+  test("binary quantization: sign words and hamming shortlist replay " +
+    "exactly in JVM bit arithmetic; rerank is exact-cosine over it") {
+    val sf = "/root/testdata/sf0.001"
+    val e = graft.Tables(spark, sf, "embeddings")
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    def pack(v: Array[Float], w: Int): Long =
+      (0 until 32).map(j => if (v(w * 32 + j) > 0f) 1L << j else 0L).sum
+    def ham(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+    val got = SimilarityOps.binaryQuantRerank(
+      graft.Tables(spark, sf, "embeddings"),
+      graft.Tables(spark, sf, "embeddings")
+        .filter(col("vec_id") < SimilarityOps.NumProbes)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qv")),
+      SimilarityOps.RerankShortlist, SimilarityOps.TopK).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getInt(3),
+        r.getInt(4)))
+    assert(got.nonEmpty)
+    got.groupBy(_._1).foreach { case (q, rows) =>
+      val (q0, q1) = (pack(e(q), 0), pack(e(q), 1))
+      // the shortlist the JVM derives from pure bit arithmetic
+      val sl = e.toSeq.filter(_._1 != q).map { case (v, ev) =>
+        (v, ham(pack(ev, 0), q0) + ham(pack(ev, 1), q1))
+      }.sortBy { case (v, h) => (h, v) }
+        .take(SimilarityOps.RerankShortlist).toMap
+      rows.foreach { case (_, nbr, _, bqRnk, h) =>
+        assert(sl.get(nbr).contains(h),
+          s"query $q: neighbor $nbr ham=$h not in the JVM shortlist")
+        assert(bqRnk <= SimilarityOps.RerankShortlist)
+      }
+      // rerank contract: emitted final ranks are contiguous from 1
+      assert(rows.map(_._3).sorted.toSeq ==
+        (1 to SimilarityOps.TopK).toSeq)
+    }
+  }
+
   test("winnowing: JVM replay is exact, a shared >= t substring " +
     "guarantees a shared fingerprint, unrelated docs share none") {
     import graft.operators.TextOps._
