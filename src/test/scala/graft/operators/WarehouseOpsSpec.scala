@@ -7,6 +7,35 @@ class WarehouseOpsSpec extends SparkSpec {
 
   import spark.implicits._
 
+  test("observe() collects in-flight data-quality metrics during the " +
+    "job itself — no second pass over the corpus") {
+    // the production-observability contract: a pipeline's row counts /
+    // null rates / mass totals ride along inside the SAME job via the
+    // CollectMetrics node, instead of a second full scan per metric —
+    // at 100 TB the difference between free counters and doubling IO
+    import org.apache.spark.sql.functions._
+    val docs = graft.Tables(spark, "/root/testdata/sf0.001", "documents")
+    val observed = docs
+      .observe("ingest_quality",
+        count(lit(1)).as("n_rows"),
+        count(col("text")).as("n_text_notnull"),
+        sum(length(col("text"))).as("char_mass"))
+      .filter(col("lang") === "en")
+    // the action must drive THIS frame's QueryExecution — count()
+    // would execute its own aggregate plan whose metrics this frame
+    // never sees (the codegen-audit lesson)
+    val kept = observed.collect().length
+    val metrics = observed.queryExecution.observedMetrics("ingest_quality")
+    val exact = docs.agg(count(lit(1)), count(col("text")),
+      sum(length(col("text")))).head()
+    assert(metrics.getLong(0) == exact.getLong(0) &&
+      metrics.getLong(1) == exact.getLong(1) &&
+      metrics.getLong(2) == exact.getLong(2),
+      s"observed metrics diverge from a dedicated pass: $metrics vs $exact")
+    assert(kept > 0 && kept < metrics.getLong(0),
+      "filter should keep a strict subset — metrics cover PRE-filter rows")
+  }
+
   test("merge upsert: updates overwrite, deletes drop, inserts add, " +
     "untouched rows pass through as keep") {
     val base = Seq((1L, "one"), (2L, "two"), (3L, "three"), (4L, "four"))
