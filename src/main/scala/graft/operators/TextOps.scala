@@ -167,27 +167,40 @@ object TextOps {
     // grams — widen the shift for longer documents.)
     QueryDef.sql(
       "q_text_winnow",
-      s"""WITH e AS (
-         |  SELECT doc_id,
-         |         list_transform(generate_series(1, length(text) - ${WinnowK - 1}),
-         |           i -> (CAST('0x' || substr(md5(substr(text, i, $WinnowK)), 1, 6)
-         |                      AS BIGINT) << $WinnowPosBits) + ($WinnowPosMax - i)) AS encs
-         |  FROM documents),
-         |s AS (
-         |  SELECT doc_id, CAST(len(encs) AS INTEGER) AS n_grams,
-         |         CAST(greatest(len(encs) - ${WinnowW - 1}, 0) AS INTEGER)
-         |           AS n_windows,
-         |         list_distinct(list_transform(
-         |           generate_series(1, len(encs) - ${WinnowW - 1}),
-         |           p -> list_min(list_slice(encs, p, p + ${WinnowW - 1}))))
-         |           AS sel
-         |  FROM e)
+      s"""WITH $winnowSelCtes
          |SELECT doc_id, n_grams, n_windows,
          |       CAST(len(sel) AS INTEGER) AS n_fp,
          |       CAST(coalesce(list_sum(list_transform(sel,
          |              x -> x >> $WinnowPosBits)), 0) AS BIGINT) AS fp_sum
          |FROM s""".stripMargin) { (s, dir) =>
       winnowFingerprints(Tables(s, dir, "documents"))
+    },
+
+    // Winnowing fingerprints AS the dedup candidate generator — the
+    // MOSS composition: pairs sharing >= 20 non-hub fingerprint
+    // hashes (df <= 50; the tiny gate vocabulary mass-produces hub
+    // 5-grams, the stop-shingle problem) are the long-shared-span
+    // near-dups (measured: genuine pairs share 40-64 survivors,
+    // noise shares 1-2 — clean separation). Scale = the shingle/band
+    // index shape: explode → df-capped inverted index → one fp
+    // equi-join, pair volume Σ df², never n². A fourth independent
+    // candidate generator next to MinHash bands, SimHash and the
+    // inverted shingle index — each with different blind spots.
+    QueryDef.sql(
+      "q_dedup_winnow",
+      s"""WITH $winnowSelCtes,
+         |f AS (SELECT DISTINCT doc_id,
+         |             unnest(list_transform(sel,
+         |               x -> x >> $WinnowPosBits)) AS fp
+         |      FROM s),
+         |d AS (SELECT fp FROM f GROUP BY fp
+         |      HAVING count(*) BETWEEN 2 AND $WinnowPairCap),
+         |p AS (SELECT x.doc_id AS a, y.doc_id AS b
+         |      FROM f x JOIN d USING (fp) JOIN f y USING (fp)
+         |      WHERE x.doc_id < y.doc_id)
+         |SELECT a, b, CAST(count(*) AS BIGINT) AS n_shared
+         |FROM p GROUP BY 1, 2 HAVING count(*) >= $WinnowPairMin""".stripMargin) {
+      (s, dir) => winnowPairs(Tables(s, dir, "documents"))
     },
 
     // Per-source quality-PERCENTILE pruning (the FineWeb/DCLM release
@@ -655,10 +668,47 @@ object TextOps {
   final val WinnowW = 4
   final val WinnowPosBits = 20
   final val WinnowPosMax = 1048575L // (1 << WinnowPosBits) - 1
+  // winnow dedup-candidate thresholds: df cap 50 drops the
+  // hub fingerprints this corpus's tiny vocabulary mass-produces,
+  // min 20 shared keeps exactly the long-shared-span pairs (measured:
+  // genuine near-dups share 40-64 survivors, noise shares 1-2)
+  final val WinnowPairCap = 50
+  final val WinnowPairMin = 20
+
+  /** The winnow selection as CTEs ending in
+    * `s(doc_id, n_grams, n_windows, sel)` — ONE SQL body shared by
+    * the q_text_winnow oracle and the q_dedup_winnow candidate
+    * oracle, so the fingerprint definition cannot fork. */
+  def winnowSelCtes: String =
+    s"""e AS (
+       |  SELECT doc_id,
+       |         list_transform(generate_series(1, length(text) - ${WinnowK - 1}),
+       |           i -> (CAST('0x' || substr(md5(substr(text, i, $WinnowK)), 1, 6)
+       |                      AS BIGINT) << $WinnowPosBits) + ($WinnowPosMax - i)) AS encs
+       |  FROM documents),
+       |s AS (
+       |  SELECT doc_id, CAST(len(encs) AS INTEGER) AS n_grams,
+       |         CAST(greatest(len(encs) - ${WinnowW - 1}, 0) AS INTEGER)
+       |           AS n_windows,
+       |         list_distinct(list_transform(
+       |           generate_series(1, len(encs) - ${WinnowW - 1}),
+       |           p -> list_min(list_slice(encs, p, p + ${WinnowW - 1}))))
+       |           AS sel
+       |  FROM e)""".stripMargin
 
   /** The q_text_winnow body over a (doc_id, text) frame — named so
     * the planted-shared-substring spec drives the same expressions. */
-  def winnowFingerprints(docs: DataFrame): DataFrame = {
+  def winnowFingerprints(docs: DataFrame): DataFrame =
+    winnowSel(docs)
+      .select(col("doc_id"), col("n_grams"), col("n_windows"),
+        size(col("sel")).as("n_fp"),
+        aggregate(col("sel"), lit(0L),
+          (a, x) => a + shiftright(x, WinnowPosBits)).as("fp_sum"))
+
+  /** The winnow selection per document — (doc_id, n_grams,
+    * n_windows, sel) with sel the distinct encoded picks; ONE body
+    * shared by the stats gate and the dedup candidate generator. */
+  def winnowSel(docs: DataFrame): DataFrame = {
     val nGrams = length(col("text")) - (WinnowK - 1)
     // Spark's sequence(1, n) DESCENDS for n < 1 where DuckDB's
     // generate_series returns empty — guard short texts explicitly
@@ -676,10 +726,30 @@ object TextOps {
           array_distinct(transform(sequence(lit(1), nWin), p =>
             array_min(slice(col("encs"), p, lit(WinnowW))))))
           .otherwise(array().cast("array<bigint>")).as("sel"))
-      .select(col("doc_id"), col("n_grams"), col("n_windows"),
-        size(col("sel")).as("n_fp"),
-        aggregate(col("sel"), lit(0L),
-          (a, x) => a + shiftright(x, WinnowPosBits)).as("fp_sum"))
+  }
+
+  /** Winnowing fingerprint dedup-candidate generation (the MOSS use
+    * of the fingerprints): documents sharing ≥ [[WinnowPairMin]]
+    * fingerprint HASHES after dropping hub fingerprints (document
+    * frequency > [[WinnowPairCap]] — this corpus's 30-word vocabulary
+    * makes common 5-grams near-universal, the stop-shingle problem).
+    * Same scale shape as the shingle/band indexes: one explode to
+    * (doc, fp), a df-capped inverted index, one equi-join on fp —
+    * pair volume Σ df² over surviving fingerprints, never n². */
+  def winnowPairs(docs: DataFrame): DataFrame = {
+    val fp = winnowSel(docs)
+      .select(col("doc_id"),
+        explode(array_distinct(transform(col("sel"),
+          x => shiftright(x, WinnowPosBits)))).as("fp"))
+    val keep = fp.groupBy(col("fp")).agg(count(lit(1)).as("df"))
+      .filter(col("df") >= 2 && col("df") <= WinnowPairCap)
+      .select(col("fp"))
+    val indexed = fp.join(keep, "fp")
+    indexed.as("x").join(indexed.as("y"),
+      col("x.fp") === col("y.fp") && col("x.doc_id") < col("y.doc_id"))
+      .groupBy(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= WinnowPairMin)
   }
 
   /** The classifier margin as CTEs ending in `clfm(doc_id,

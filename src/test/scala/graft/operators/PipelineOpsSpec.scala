@@ -2243,6 +2243,22 @@ class PipelineOpsSpec extends SparkSpec {
       "trigram vocab no longer exceeds FreqK — sketch runs exact")
   }
 
+  test("winnow pairs: the planted near-dup is a candidate, the " +
+    "unrelated doc is not, and the gate finds real corpus pairs") {
+    // docs fixture: 0/1 share 39 of 40 tokens (long common spans on
+    // both sides of the edit), 2 is unrelated
+    val pairs = graft.operators.TextOps.winnowPairs(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(pairs.contains((0L, 1L)),
+      "planted near-dup not surfaced by winnow fingerprints")
+    assert(pairs.keySet == Set((0L, 1L)),
+      s"unrelated docs paired: ${pairs.keySet}")
+    assert(pairs((0L, 1L)) >= graft.operators.TextOps.WinnowPairMin)
+    val gate = graft.SparkEntry.queries("q_dedup_winnow")(
+      spark, "/root/testdata/sf0.001").collect()
+    assert(gate.nonEmpty, "no winnow candidates on the corpus — vacuous")
+  }
+
   test("binary quantization: sign words and hamming shortlist replay " +
     "exactly in JVM bit arithmetic; rerank is exact-cosine over it") {
     val sf = "/root/testdata/sf0.001"
