@@ -974,6 +974,124 @@ object SimilarityOps {
        |FROM f""".stripMargin
   }
 
+  val LabelPropRounds = 3 // label-propagation spread rounds
+  val LabelPropSeedMod = 5 // vec_id % 5 == 0 keep their true label
+
+  /** Semi-supervised label propagation (Zhu & Ghahramani '02 shape)
+    * over the mutual-kNN graph: 20% of vectors keep their label as
+    * SEEDS, every unlabeled vector adopts the majority label of its
+    * labeled neighbors (count DESC, label ASC tie-break), assigned
+    * labels FREEZE — three rounds spread pseudo-labels outward along
+    * the graph. The weak-supervision step that turns a small labeled
+    * set into corpus-scale training labels. Per round: one edge join
+    * against the labeled frontier + one (v, label) groupBy + a
+    * per-vertex argmax window — graph-sized, never n²; round state
+    * is pinIter-checkpointed. Everything is integer counts + string
+    * tie-breaks, so the oracle unrolls the rounds bit-identically. */
+  def labelPropagate(e: DataFrame, edges: DataFrame,
+      rounds: Int): DataFrame = {
+    val adj = edges.select(col("a").as("v"), col("b").as("n"))
+      .union(edges.select(col("b").as("v"), col("a").as("n")))
+    var lab = Materialize.pinIter(e.select(col("vec_id"),
+      when(col("vec_id") % LabelPropSeedMod === 0, col("label")).as("lab"),
+      when(col("vec_id") % LabelPropSeedMod === 0, lit("seed")).as("src")))
+    for (r <- 1 to rounds) {
+      val votes = adj
+        .join(lab.filter(col("lab").isNotNull)
+          .select(col("vec_id").as("n"), col("lab").as("nlab")), "n")
+        .groupBy(col("v"), col("nlab")).agg(count(lit(1)).as("c"))
+      val win = votes.withColumn("rk", row_number().over(
+        Window.partitionBy(col("v")).orderBy(col("c").desc, col("nlab"))))
+        .filter(col("rk") === 1)
+        .select(col("v").as("vec_id"), col("nlab"))
+      val next = Materialize.pinIter(
+        lab.join(win, Seq("vec_id"), "left")
+          .select(col("vec_id"),
+            coalesce(col("lab"), col("nlab")).as("lab"),
+            coalesce(col("src"),
+              when(col("nlab").isNotNull, lit(s"round$r"))).as("src")))
+      Materialize.unpin(lab)
+      lab = next
+    }
+    lab.join(e.select(col("vec_id"), col("label")), "vec_id")
+      .select(col("vec_id"), col("lab").as("label_pred"),
+        coalesce(col("src"), lit("none")).as("assigned"),
+        coalesce(col("lab") === col("label"), lit(false)).as("is_correct"))
+  }
+
+  /** Oracle for q_label_propagate: the shared kNN edge CTEs + the
+    * rounds unrolled (materialized — each round is referenced twice
+    * by the next, the nn-descent inlining lesson). */
+  private def labelPropagateSql: String = {
+    val init =
+      s"""adj AS (SELECT a AS v, b AS n FROM edges
+         |        UNION ALL SELECT b AS v, a AS n FROM edges),
+         |l0 AS MATERIALIZED (
+         |  SELECT vec_id,
+         |         CASE WHEN vec_id % $LabelPropSeedMod = 0 THEN label END AS lab,
+         |         CASE WHEN vec_id % $LabelPropSeedMod = 0 THEN 'seed' END AS src
+         |  FROM embeddings)""".stripMargin
+    val rounds = (1 to LabelPropRounds).map { r =>
+      s"""v$r AS (SELECT adj.v, l.lab AS nlab, count(*) AS c
+         |        FROM adj JOIN l${r - 1} l
+         |          ON l.vec_id = adj.n AND l.lab IS NOT NULL
+         |        GROUP BY 1, 2),
+         |w$r AS (SELECT v AS vec_id, nlab FROM (
+         |          SELECT v, nlab,
+         |                 row_number() OVER (PARTITION BY v
+         |                                    ORDER BY c DESC, nlab) AS rk
+         |          FROM v$r)
+         |        WHERE rk = 1),
+         |l$r AS MATERIALIZED (
+         |  SELECT l.vec_id, coalesce(l.lab, w.nlab) AS lab,
+         |         coalesce(l.src, CASE WHEN w.nlab IS NOT NULL
+         |                              THEN 'round$r' END) AS src
+         |  FROM l${r - 1} l LEFT JOIN w$r w USING (vec_id))""".stripMargin
+    }
+    s"""WITH $knnEdgeCtes,
+       |${(init +: rounds).mkString(",\n")}
+       |SELECT l.vec_id, l.lab AS label_pred,
+       |       coalesce(l.src, 'none') AS assigned,
+       |       coalesce(l.lab = e.label, FALSE) AS is_correct
+       |FROM l$LabelPropRounds l JOIN embeddings e USING (vec_id)""".stripMargin
+  }
+
+  /** The cell-blocked mutual-kNN edge list as CTEs ending in
+    * `edges(a, b, sim, cell)` — ONE SQL body shared by the
+    * q_knn_graph oracle and the label-propagation oracle so the
+    * graph definition cannot fork. */
+  private def knnEdgeCtes: String =
+    s"""c AS (SELECT vec_id AS centroid_id, embedding AS cv
+       |      FROM embeddings WHERE vec_id < $NumCentroids),
+       |scored AS (
+       |  SELECT e.vec_id, e.embedding, c.centroid_id,
+       |         ${cosSql("c.cv", "e.embedding")} AS cos
+       |  FROM embeddings e CROSS JOIN c),
+       |cells AS (
+       |  SELECT vec_id, embedding, centroid_id
+       |  FROM (SELECT vec_id, embedding, centroid_id,
+       |               row_number() OVER (PARTITION BY vec_id
+       |                                  ORDER BY cos DESC, centroid_id) AS arnk
+       |        FROM scored)
+       |  WHERE arnk = 1),
+       |p AS (
+       |  SELECT x.vec_id, x.centroid_id, y.vec_id AS nbr,
+       |         ${cosSql("x.embedding", "y.embedding")} AS cs
+       |  FROM cells x JOIN cells y
+       |    ON x.centroid_id = y.centroid_id AND x.vec_id <> y.vec_id),
+       |knn AS (
+       |  SELECT vec_id, centroid_id, nbr, cs
+       |  FROM (SELECT vec_id, centroid_id, nbr, cs,
+       |               row_number() OVER (PARTITION BY vec_id
+       |                                  ORDER BY cs DESC, nbr) AS rnk
+       |        FROM p)
+       |  WHERE rnk <= $KnnGraphK),
+       |edges AS (
+       |  SELECT f.vec_id AS a, f.nbr AS b, round(f.cs, 6) AS sim,
+       |         f.centroid_id AS cell
+       |  FROM knn f JOIN knn r ON f.vec_id = r.nbr AND f.nbr = r.vec_id
+       |  WHERE f.vec_id < f.nbr)""".stripMargin
+
   /** Oracle for q_knn_descent: the init hash plus every refinement
     * round unrolled as chained CTEs — UNION (not UNION ALL)
     * replicates the Spark side's distinct() on B(v) and the candidate
@@ -1963,40 +2081,37 @@ object SimilarityOps {
     // embeddings past the cell join.
     QueryDef.sql(
       "q_knn_graph",
-      s"""WITH c AS (SELECT vec_id AS centroid_id, embedding AS cv
-         |           FROM embeddings WHERE vec_id < $NumCentroids),
-         |scored AS (
-         |  SELECT e.vec_id, e.embedding, c.centroid_id,
-         |         ${cosSql("c.cv", "e.embedding")} AS cos
-         |  FROM embeddings e CROSS JOIN c),
-         |cells AS (
-         |  SELECT vec_id, embedding, centroid_id
-         |  FROM (SELECT vec_id, embedding, centroid_id,
-         |               row_number() OVER (PARTITION BY vec_id
-         |                                  ORDER BY cos DESC, centroid_id) AS arnk
-         |        FROM scored)
-         |  WHERE arnk = 1),
-         |p AS (
-         |  SELECT x.vec_id, x.centroid_id, y.vec_id AS nbr,
-         |         ${cosSql("x.embedding", "y.embedding")} AS cs
-         |  FROM cells x JOIN cells y
-         |    ON x.centroid_id = y.centroid_id AND x.vec_id <> y.vec_id),
-         |knn AS (
-         |  SELECT vec_id, centroid_id, nbr, cs
-         |  FROM (SELECT vec_id, centroid_id, nbr, cs,
-         |               row_number() OVER (PARTITION BY vec_id
-         |                                  ORDER BY cs DESC, nbr) AS rnk
-         |        FROM p)
-         |  WHERE rnk <= $KnnGraphK)
-         |SELECT f.vec_id AS a, f.nbr AS b, round(f.cs, 6) AS sim,
-         |       f.centroid_id AS cell
-         |FROM knn f JOIN knn r ON f.vec_id = r.nbr AND f.nbr = r.vec_id
-         |WHERE f.vec_id < f.nbr""".stripMargin) { (s, dir) =>
+      s"""WITH $knnEdgeCtes
+         |SELECT a, b, sim, cell FROM edges""".stripMargin) { (s, dir) =>
       val e = emb(s, dir)
       knnGraph(e,
         e.filter(col("vec_id") < NumCentroids)
           .select(col("vec_id").as("centroid_id"), col("embedding").as("cv")),
         KnnGraphK)
+    },
+
+    // Semi-supervised label propagation over the mutual-kNN graph
+    // (Zhu & Ghahramani shape): 20% seeds spread pseudo-labels to
+    // their graph neighborhoods over three frozen-majority rounds —
+    // the weak-supervision step that turns a small labeled set into
+    // corpus-scale training labels. Integer votes + string tie-breaks
+    // only, so the unrolled oracle is bit-identical; graph CTEs are
+    // SHARED with q_knn_graph so the two can't fork. Honesty note:
+    // this corpus's labels are geometry-free (top-1-neighbor
+    // same-label rate == chance, measured), so the gate's is_correct
+    // rate is chance BY CONSTRUCTION — the gate pins the mechanism
+    // (spread order, freezing, tie-breaks, coverage); the spec pins
+    // the semantics on a planted signal graph where propagation is
+    // exact.
+    QueryDef.sql("q_label_propagate", labelPropagateSql) { (s, dir) =>
+      val e = emb(s, dir)
+      labelPropagate(e,
+        knnGraph(e,
+          e.filter(col("vec_id") < NumCentroids)
+            .select(col("vec_id").as("centroid_id"),
+              col("embedding").as("cv")),
+          KnnGraphK),
+        LabelPropRounds)
     },
 
     // NN-Descent kNN-graph construction (Dong et al., WWW'11): the

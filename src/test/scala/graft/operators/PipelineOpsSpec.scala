@@ -2243,6 +2243,34 @@ class PipelineOpsSpec extends SparkSpec {
       "trigram vocab no longer exceeds FreqK — sketch runs exact")
   }
 
+  test("label propagation: planted chain spreads round by round, " +
+    "assigned labels freeze, and equal votes break by label order") {
+    // path 0-1-2-3 from seed 0 ("a"): round r labels vertex r.
+    // vertex 6 sees seeds 5 ("b") and 10 ("c") with one vote each →
+    // tie-break takes "b". vertex 7 hangs off 6 → gets "b" in round
+    // 2 (frozen 6 keeps "b" regardless of later neighbors).
+    // true labels are set to the EXPECTED spread so is_correct
+    // doubles as the assertion on label_pred values.
+    val e = Seq(
+      (0L, "a"), (1L, "a"), (2L, "a"), (3L, "a"),
+      (5L, "b"), (10L, "c"), (6L, "b"), (7L, "b"),
+      (11L, "x") // isolated: must end 'none' with NULL prediction
+    ).toDF("vec_id", "label")
+    val edges = Seq((0L, 1L), (1L, 2L), (2L, 3L),
+      (5L, 6L), (6L, 10L), (6L, 7L)).toDF("a", "b")
+    val got = SimilarityOps.labelPropagate(e, edges, 3).collect()
+      .map(r => r.getLong(0) ->
+        (Option(r.getString(1)), r.getString(2), r.getBoolean(3))).toMap
+    assert(got(0L) == (Some("a"), "seed", true))
+    assert(got(1L) == (Some("a"), "round1", true))
+    assert(got(2L) == (Some("a"), "round2", true))
+    assert(got(3L) == (Some("a"), "round3", true))
+    assert(got(6L) == (Some("b"), "round1", true),
+      "tie between b and c must break to the smaller label")
+    assert(got(7L) == (Some("b"), "round2", true))
+    assert(got(11L) == (None, "none", false))
+  }
+
   test("winnow pairs: the planted near-dup is a candidate, the " +
     "unrelated doc is not, and the gate finds real corpus pairs") {
     // docs fixture: 0/1 share 39 of 40 tokens (long common spans on
