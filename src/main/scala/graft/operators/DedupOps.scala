@@ -1070,6 +1070,41 @@ object DedupOps {
   /** [[candidateCtes]] over an arbitrary (doc_id, text) source CTE —
     * lets the recall-telemetry oracle run the identical replica on
     * its deterministic document sample. */
+  /** Wide-SimHash banded Hamming pairs as CTEs ending in
+    * `swcand(a, b, hamming)` (<= SimhashMaxHamming applied) — ONE
+    * SQL body shared by the q_dedup_simhash_pairs oracle and the
+    * generator-ensemble oracle. CTE names are sw-prefixed so they
+    * compose with [[candidateCtes]] in one WITH. */
+  private def simhashPairCtes: String = {
+    val votes = (0 until SimhashWideBits).map(b =>
+      s"sum(CASE WHEN (CAST('0x' || substr(md5(tok), ${b / 4 + 1}, 1) AS INTEGER) >> ${b % 4}) & 1 = 1 THEN 1 ELSE -1 END) AS v$b")
+      .mkString(",\n               ")
+    val bits = (0 until SimhashWideBits).map(b =>
+      s"CASE WHEN v$b > 0 THEN (CAST(1 AS BIGINT) << $b) ELSE CAST(0 AS BIGINT) END")
+      .mkString(" + ")
+    val bands = (0 until SimhashNumBands).map(b =>
+      s"SELECT doc_id, $b AS band, (simhash >> ${b * SimhashBandBits}) & ${(1L << SimhashBandBits) - 1} AS bval FROM swsh")
+      .mkString("\n           UNION ALL ")
+    s"""swsh AS (
+       |  SELECT doc_id, CAST($bits AS BIGINT) AS simhash
+       |  FROM (SELECT doc_id,
+       |               $votes
+       |        FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+       |              FROM documents)
+       |        GROUP BY doc_id)),
+       |swbands AS (
+       |           $bands),
+       |swcand AS (
+       |  SELECT a, b, hamming FROM (
+       |    SELECT DISTINCT x.doc_id AS a, y.doc_id AS b,
+       |           CAST(bit_count(xor(sa.simhash, sb.simhash)) AS INTEGER) AS hamming
+       |    FROM swbands x JOIN swbands y
+       |      ON x.band = y.band AND x.bval = y.bval AND x.doc_id < y.doc_id
+       |    JOIN swsh sa ON sa.doc_id = x.doc_id
+       |    JOIN swsh sb ON sb.doc_id = y.doc_id)
+       |  WHERE hamming <= $SimhashMaxHamming)""".stripMargin
+  }
+
   private def candidateCtesFrom(src: String): String = {
     val mh = (0 until MinhashSeeds).map(j =>
       s"list_min(list_transform(sh, x -> substr(sha256(x), ${j * 8 + 1}, 8))) AS mh$j")
@@ -1341,35 +1376,58 @@ object DedupOps {
     // The oracle replays the nibble-bit votes, the band split and the
     // Hamming filter, so the approximate blocking hash-matches.
     QueryDef.sql(
-      "q_dedup_simhash_pairs", {
-        val votes = (0 until SimhashWideBits).map(b =>
-          s"sum(CASE WHEN (CAST('0x' || substr(md5(tok), ${b / 4 + 1}, 1) AS INTEGER) >> ${b % 4}) & 1 = 1 THEN 1 ELSE -1 END) AS v$b")
-          .mkString(",\n               ")
-        val bits = (0 until SimhashWideBits).map(b =>
-          s"CASE WHEN v$b > 0 THEN (CAST(1 AS BIGINT) << $b) ELSE CAST(0 AS BIGINT) END")
-          .mkString(" + ")
-        val bands = (0 until SimhashNumBands).map(b =>
-          s"SELECT doc_id, $b AS band, (simhash >> ${b * SimhashBandBits}) & ${(1L << SimhashBandBits) - 1} AS bval FROM sh")
-          .mkString("\n           UNION ALL ")
-        s"""WITH sh AS (
-           |  SELECT doc_id, CAST($bits AS BIGINT) AS simhash
-           |  FROM (SELECT doc_id,
-           |               $votes
-           |        FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
-           |              FROM documents)
-           |        GROUP BY doc_id)),
-           |bands AS (
-           |           $bands),
-           |cand AS (
-           |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
-           |  FROM bands x JOIN bands y
-           |    ON x.band = y.band AND x.bval = y.bval AND x.doc_id < y.doc_id)
-           |SELECT a, b,
-           |       CAST(bit_count(xor(sa.simhash, sb.simhash)) AS INTEGER) AS hamming
-           |FROM cand JOIN sh sa ON sa.doc_id = a JOIN sh sb ON sb.doc_id = b
-           |WHERE bit_count(xor(sa.simhash, sb.simhash)) <= $SimhashMaxHamming""".stripMargin
-      }) {
+      "q_dedup_simhash_pairs",
+      s"""WITH $simhashPairCtes
+         |SELECT a, b, hamming FROM swcand""".stripMargin) {
       (s, dir) => simhashHammingPairs(Tables(s, dir, "documents"))
+    },
+
+    // Candidate-generator ENSEMBLE with provenance: the union of the
+    // three token-level blockers — MinHash bands, wide-SimHash bands,
+    // winnowing fingerprints — one row per candidate pair with a flag
+    // per generator and the agreement count. The dedup-ops
+    // observability view: which blocker finds what (each has
+    // different blind spots — MinHash sees set overlap, SimHash sees
+    // weighted-token drift, winnowing sees contiguous spans), and
+    // n_generators is the precision dial a pipeline thresholds
+    // instead of re-verifying everything. The three candidate CTEs
+    // are the SAME shared SQL bodies as their own gates, so the
+    // ensemble can never disagree with its members. Cost: the three
+    // generators' own index shuffles + one (a, b) groupBy of the
+    // candidate union — still Σ bucket², never n².
+    QueryDef.sql(
+      "q_dedup_ensemble",
+      s"""WITH $candidateCtes,
+         |$simhashPairCtes,
+         |${graft.operators.TextOps.winnowPairCtes},
+         |u AS (
+         |  SELECT a, b, TRUE AS mh, FALSE AS sh2, FALSE AS wn FROM cand
+         |  UNION ALL SELECT a, b, FALSE, TRUE, FALSE FROM swcand
+         |  UNION ALL SELECT a, b, FALSE, FALSE, TRUE FROM wpairs)
+         |SELECT a, b,
+         |       bool_or(mh) AS by_minhash, bool_or(sh2) AS by_simhash,
+         |       bool_or(wn) AS by_winnow,
+         |       CAST(CAST(bool_or(mh) AS INTEGER)
+         |            + CAST(bool_or(sh2) AS INTEGER)
+         |            + CAST(bool_or(wn) AS INTEGER) AS INTEGER)
+         |         AS n_generators
+         |FROM u GROUP BY 1, 2""".stripMargin) { (s, dir) =>
+      val docs = Tables(s, dir, "documents").pinned
+      def tag(df: DataFrame, m: Boolean, h: Boolean, w: Boolean) =
+        df.select(col("a"), col("b"), lit(m).as("mh"),
+          lit(h).as("sh2"), lit(w).as("wn"))
+      tag(lshCandidatePairs(docs), m = true, h = false, w = false)
+        .union(tag(simhashHammingPairs(docs).select(col("a"), col("b")),
+          m = false, h = true, w = false))
+        .union(tag(graft.operators.TextOps.winnowPairs(docs)
+          .select(col("a"), col("b")), m = false, h = false, w = true))
+        .groupBy(col("a"), col("b"))
+        .agg(bool_or(col("mh")).as("by_minhash"),
+          bool_or(col("sh2")).as("by_simhash"),
+          bool_or(col("wn")).as("by_winnow"))
+        .withColumn("n_generators",
+          (col("by_minhash").cast("int") + col("by_simhash").cast("int") +
+            col("by_winnow").cast("int")).cast("int"))
     },
 
     // MinHash-estimated Jaccard next to the exact value for every LSH

@@ -188,18 +188,8 @@ object TextOps {
     // inverted shingle index — each with different blind spots.
     QueryDef.sql(
       "q_dedup_winnow",
-      s"""WITH $winnowSelCtes,
-         |f AS (SELECT DISTINCT doc_id,
-         |             unnest(list_transform(sel,
-         |               x -> x >> $WinnowPosBits)) AS fp
-         |      FROM s),
-         |d AS (SELECT fp FROM f GROUP BY fp
-         |      HAVING count(*) BETWEEN 2 AND $WinnowPairCap),
-         |p AS (SELECT x.doc_id AS a, y.doc_id AS b
-         |      FROM f x JOIN d USING (fp) JOIN f y USING (fp)
-         |      WHERE x.doc_id < y.doc_id)
-         |SELECT a, b, CAST(count(*) AS BIGINT) AS n_shared
-         |FROM p GROUP BY 1, 2 HAVING count(*) >= $WinnowPairMin""".stripMargin) {
+      s"""WITH $winnowPairCtes
+         |SELECT a, b, n_shared FROM wpairs""".stripMargin) {
       (s, dir) => winnowPairs(Tables(s, dir, "documents"))
     },
 
@@ -695,6 +685,25 @@ object TextOps {
        |           p -> list_min(list_slice(encs, p, p + ${WinnowW - 1}))))
        |           AS sel
        |  FROM e)""".stripMargin
+
+  /** The winnow candidate pairs as CTEs ending in
+    * `wpairs(a, b, n_shared)` — shared by the q_dedup_winnow oracle
+    * and the generator-ensemble oracle. CTE names are w-prefixed to
+    * compose with the minhash/simhash CTEs in one WITH. */
+  def winnowPairCtes: String =
+    s"""$winnowSelCtes,
+       |wf AS (SELECT DISTINCT doc_id,
+       |              unnest(list_transform(sel,
+       |                x -> x >> $WinnowPosBits)) AS fp
+       |       FROM s),
+       |wd AS (SELECT fp FROM wf GROUP BY fp
+       |       HAVING count(*) BETWEEN 2 AND $WinnowPairCap),
+       |wp AS (SELECT x.doc_id AS a, y.doc_id AS b
+       |       FROM wf x JOIN wd USING (fp) JOIN wf y USING (fp)
+       |       WHERE x.doc_id < y.doc_id),
+       |wpairs AS (SELECT a, b, CAST(count(*) AS BIGINT) AS n_shared
+       |           FROM wp GROUP BY 1, 2
+       |           HAVING count(*) >= $WinnowPairMin)""".stripMargin
 
   /** The q_text_winnow body over a (doc_id, text) frame — named so
     * the planted-shared-substring spec drives the same expressions. */
