@@ -974,6 +974,68 @@ object SimilarityOps {
        |FROM f""".stripMargin
   }
 
+  val KCenterK = 8 // greedy k-center coreset size (incl. the seed)
+
+  /** Greedy k-center coreset selection (Gonzalez '85 2-approximation
+    * — the facility-location shape data-efficient-training selection
+    * uses): start from a seed, repeatedly add the vector FARTHEST
+    * from the current centers (minimum max-cosine, vec_id
+    * tie-break). The selected subset maximizes coverage diversity —
+    * the "pick k representative documents" primitive for coreset
+    * pruning and annotation budgeting. Per round: one broadcast-
+    * centers scan + a (vec_id) max-aggregate + a 1-row argmin
+    * (bounded driver collect, like the centroid constants); k-1
+    * rounds total — linear in the corpus per round, never pairwise.
+    * Deterministic: exact cosine + id tie-breaks, so the oracle
+    * unrolls the same greedy rounds. */
+  def kCenterSelect(e: DataFrame, k: Int): DataFrame = {
+    val s = e.sparkSession
+    import s.implicits._
+    var centers = Vector(0L) // seed: vec_id 0
+    var picked = Vector((0, 0L, Option.empty[Double]))
+    for (r <- 1 until k) {
+      val cdf = e.filter(col("vec_id").isin(centers: _*))
+        .select(col("vec_id").as("cid"), col("embedding").as("cv"))
+      val far = e.filter(!col("vec_id").isin(centers: _*))
+        .crossJoin(broadcast(cdf))
+        .select(col("vec_id"),
+          CosineSimilarity(s, col("cv"), col("embedding")).as("cos"))
+        .groupBy(col("vec_id")).agg(max(col("cos")).as("maxsim"))
+        .orderBy(col("maxsim").asc, col("vec_id"))
+        .limit(1).head() // bounded: ONE row per round
+      centers = centers :+ far.getLong(0)
+      picked = picked :+ ((r, far.getLong(0), Some(far.getDouble(1))))
+    }
+    picked.toDF("rnd", "center_id", "max_sim_raw")
+      .select(col("rnd").cast("int").as("rnd"), col("center_id"),
+        round(col("max_sim_raw"), 6).as("max_sim_to_prior"))
+  }
+
+  /** Oracle for q_select_kcenter: the greedy rounds unrolled —
+    * materialized (each round's center set feeds the next). */
+  private def kCenterSql: String = {
+    val rounds = (1 until KCenterK).map { r =>
+      s"""f$r AS MATERIALIZED (
+         |  SELECT e.vec_id, max(${cosSql("e.embedding", "c.embedding")}) AS maxsim
+         |  FROM embeddings e JOIN embeddings c
+         |    ON c.vec_id IN (SELECT cid FROM c${r - 1})
+         |  WHERE e.vec_id NOT IN (SELECT cid FROM c${r - 1})
+         |  GROUP BY e.vec_id),
+         |s$r AS MATERIALIZED (
+         |  SELECT vec_id, maxsim FROM f$r ORDER BY maxsim, vec_id LIMIT 1),
+         |c$r AS (SELECT cid FROM c${r - 1}
+         |        UNION ALL SELECT vec_id FROM s$r)""".stripMargin
+    }
+    val outRows =
+      s"""SELECT 0 AS rnd, CAST(0 AS BIGINT) AS center_id,
+         |       CAST(NULL AS DOUBLE) AS max_sim_to_prior""".stripMargin +:
+        (1 until KCenterK).map(r =>
+          s"SELECT $r, vec_id, round(maxsim, 6) FROM s$r")
+    s"""WITH c0 AS (SELECT CAST(0 AS BIGINT) AS cid),
+       |${rounds.mkString(",\n")}
+       |${outRows.mkString("\nUNION ALL\n")}""".stripMargin
+  }
+
   val LabelPropRounds = 3 // label-propagation spread rounds
   val LabelPropSeedMod = 5 // vec_id % 5 == 0 keep their true label
 
@@ -2088,6 +2150,16 @@ object SimilarityOps {
         e.filter(col("vec_id") < NumCentroids)
           .select(col("vec_id").as("centroid_id"), col("embedding").as("cv")),
         KnnGraphK)
+    },
+
+    // Greedy k-center coreset selection (Gonzalez '85): the k most
+    // coverage-diverse vectors, picked by iterated farthest-first —
+    // the "representative subset" primitive for coreset pruning and
+    // annotation budgeting. Each round scans once against the
+    // broadcast center set; the max_sim_to_prior column is the
+    // coverage radius shrinking round by round.
+    QueryDef.sql("q_select_kcenter", kCenterSql) { (s, dir) =>
+      kCenterSelect(emb(s, dir), KCenterK)
     },
 
     // Semi-supervised label propagation over the mutual-kNN graph

@@ -2243,6 +2243,42 @@ class PipelineOpsSpec extends SparkSpec {
       "trigram vocab no longer exceeds FreqK — sketch runs exact")
   }
 
+  test("k-center selection: the greedy farthest-first choice replays " +
+    "exactly in JVM arithmetic and the coverage radius is monotone") {
+    val sf = "/root/testdata/sf0.001"
+    val e = graft.Tables(spark, sf, "embeddings")
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        d += a(i).toDouble * b(i); na += a(i).toDouble * a(i)
+        nb += b(i).toDouble * b(i); i += 1
+      }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    var centers = Vector(0L)
+    var expect = Vector.empty[(Int, Long)]
+    (1 until SimilarityOps.KCenterK).foreach { r =>
+      val (far, _) = e.toSeq.filterNot(kv => centers.contains(kv._1))
+        .map { case (v, ev) =>
+          (v, centers.map(c => cos(e(c), ev)).max)
+        }.minBy { case (v, m) => (m, v) }
+      centers = centers :+ far
+      expect = expect :+ ((r, far))
+    }
+    val got = SimilarityOps.kCenterSelect(
+      graft.Tables(spark, sf, "embeddings"), SimilarityOps.KCenterK)
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    assert(got.toVector == ((0, 0L) +: expect),
+      "greedy selection diverges from the JVM replay")
+    val sims = SimilarityOps.kCenterSelect(
+      graft.Tables(spark, sf, "embeddings"), SimilarityOps.KCenterK)
+      .collect().filter(!_.isNullAt(2)).sortBy(_.getInt(0)).map(_.getDouble(2))
+    assert(sims.zip(sims.tail).forall { case (a, b) => a <= b },
+      "coverage radius must shrink (max_sim non-decreasing) round by round")
+  }
+
   test("label propagation: planted chain spreads round by round, " +
     "assigned labels freeze, and equal votes break by label order") {
     // path 0-1-2-3 from seed 0 ("a"): round r labels vertex r.
