@@ -46,7 +46,11 @@ class PlanAuditSpec extends SparkSpec {
     "q_bitext_mine",       // 8 seed centroids (cell assignment)
     "q_ivf_recall_curve",  // 8 centroids + 5 probes + 1-row relevant-count scalar
     "q_drift_2prop",       // two 1-row scalars (time-span midpoint, half totals)
-    "q_sim_rrf"            // bm25's 1-row corpus-stats scalar + 5 probe vectors
+    "q_sim_rrf",           // bm25's 1-row corpus-stats scalar + 5 probe vectors
+    "q_sim_binary"         // 5 packed probe rows (Hamming scan) + 5 probes (rerank)
+    // (q_label_propagate / q_select_kcenter have constant-side
+    // crosses too, but they run inside pinIter checkpoints / the
+    // driver greedy loop, so the audited FINAL plan never shows them)
   )
 
   // every q_stream_* gate: its query function executes a REAL
