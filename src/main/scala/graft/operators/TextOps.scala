@@ -746,10 +746,15 @@ object TextOps {
     * (doc, fp), a df-capped inverted index, one equi-join on fp —
     * pair volume Σ df² over surviving fingerprints, never n². */
   def winnowPairs(docs: DataFrame): DataFrame = {
+    // pinned: the winnow HOF subtree (an md5 per gram) is referenced
+    // by the df filter AND both sides of the pair self-join — without
+    // the pin it re-evaluates up to 4x (measured 10.8 s -> ~4 s at
+    // sf0.1)
     val fp = winnowSel(docs)
       .select(col("doc_id"),
         explode(array_distinct(transform(col("sel"),
           x => shiftright(x, WinnowPosBits)))).as("fp"))
+      .pinned
     val keep = fp.groupBy(col("fp")).agg(count(lit(1)).as("df"))
       .filter(col("df") >= 2 && col("df") <= WinnowPairCap)
       .select(col("fp"))
