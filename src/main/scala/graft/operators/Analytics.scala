@@ -354,12 +354,12 @@ object Analytics {
     * generated oracle, so a column retag cannot desynchronize them.
     * A `def`: `all` above reads it during object init (the oracle
     * `def` convention — a val here would still be null there). */
-  private def StatsCols: Seq[(String, String)] = Seq(
+  private[operators] def StatsCols: Seq[(String, String)] = Seq(
     "o_orderkey" -> "raw", "o_custkey" -> "raw",
     "o_orderstatus" -> "raw", "o_totalprice" -> "dec",
     "o_orderpriority" -> "raw")
 
-  private def statsVal(c: String, t: String) =
+  private[operators] def statsVal(c: String, t: String) =
     if (t == "dec") col(c).cast("decimal(12,2)") else col(c)
 
   /** Generated oracle for q_table_stats: the same per-column stats as

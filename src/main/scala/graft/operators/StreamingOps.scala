@@ -845,8 +845,78 @@ object StreamingOps {
         q.awaitTermination()
         EventAnalytics.driftFlags(s.table("graft_stream_drift"))
       }
+    },
+
+    // STREAMING ANALYZE — live optimizer statistics: the q_table_stats
+    // columns maintained as one global streaming aggregation
+    // (count / non-null / min / max are associative; exact NDV is
+    // not, so the stream keeps a DataSketches HLL per column — the
+    // q_sketch_hll discipline). The stats a cost-based optimizer
+    // reads are always current without rescanning history; the audit
+    // computes the exact NDV batch-side and hashes the 5% contract
+    // flag next to the value-exact columns.
+    QueryDef.sql("q_stream_stats", streamStatsSql) {
+      (s, dir) => withStreamPartitions(s, 8) {
+        val o = Tables(s, dir, "orders")
+        val tmp = java.nio.file.Files.createTempDirectory("graft_stream_stats")
+        graft.streaming.EventStreams.deleteRecursivelyOnExit(tmp)
+        val inDir = s"$tmp/in"
+        o.repartition(4).write.mode("overwrite").parquet(inDir)
+        val stream = s.readStream.schema(o.schema)
+          .option("maxFilesPerTrigger", "1").parquet(inDir)
+        val aggs = Analytics.StatsCols.flatMap { case (c, t) =>
+          val v = Analytics.statsVal(c, t)
+          Seq(count(v).as(s"nn_$c"),
+            min(v).cast("string").as(s"min_$c"),
+            max(v).cast("string").as(s"max_$c"),
+            hll_sketch_agg(v.cast("string")).as(s"sk_$c"))
+        }
+        val q = stream.groupBy()
+          .agg(count(lit(1)).as("n"), aggs: _*)
+          .writeStream.format("memory").queryName("graft_stream_stats")
+          .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+        val a = s.table("graft_stream_stats")
+        val exact = o.agg(count(lit(1)).as("xn"),
+          Analytics.StatsCols.map { case (c, t) =>
+            countDistinct(Analytics.statsVal(c, t)).as(s"xndv_$c")
+          }: _*)
+        a.crossJoin(broadcast(exact))
+          .select(explode(array(Analytics.StatsCols.map { case (c, _) =>
+            struct(lit(c).as("col_name"), col("n").as("n_rows"),
+              col(s"nn_$c").as("n_notnull"),
+              col(s"xndv_$c").as("ndv_exact"),
+              col(s"min_$c").as("min_val"), col(s"max_$c").as("max_val"),
+              (abs(hll_sketch_estimate(col(s"sk_$c")) - col(s"xndv_$c")) * 20
+                <= col(s"xndv_$c")).as("ndv_within_5pct"))
+          }: _*)).as("r")).select(col("r.*"))
+      }
     }
   )
+
+  /** Oracle for q_stream_stats: the exact per-column statistics plus
+    * the TRUE 5%-NDV-contract flag (the q_sketch_hll audit
+    * discipline) — generated from the SAME column list as
+    * q_table_stats so the two stats surfaces cannot fork. */
+  private def streamStatsSql: String = {
+    val aggs = Analytics.StatsCols.map { case (c, t) =>
+      val v = if (t == "dec") s"CAST($c AS DECIMAL(12,2))" else c
+      s"""CAST(count($v) AS BIGINT) AS nn_$c,
+         |  CAST(count(DISTINCT $v) AS BIGINT) AS ndv_$c,
+         |  CAST(min($v) AS VARCHAR) AS min_$c,
+         |  CAST(max($v) AS VARCHAR) AS max_$c""".stripMargin
+    }.mkString(",\n  ")
+    val rows = Analytics.StatsCols.map { case (c, _) =>
+      s"""SELECT '$c' AS col_name, n AS n_rows, nn_$c AS n_notnull,
+         |       ndv_$c AS ndv_exact, min_$c AS min_val, max_$c AS max_val,
+         |       TRUE AS ndv_within_5pct
+         |FROM a""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH a AS (SELECT CAST(count(*) AS BIGINT) AS n,
+       |  $aggs
+       |FROM orders)
+       |$rows""".stripMargin
+  }
 
   /** One oracle for q_sessionize AND q_stream_sessionize: the
     * windowed batch formulation both implementations must reproduce. */
