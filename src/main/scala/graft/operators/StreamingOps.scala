@@ -295,6 +295,45 @@ object StreamingOps {
       }
     },
 
+    // The funnel state machine on transformWithState — the second
+    // stateful operator ported to Spark 4's arbitrary-state API
+    // (q_stream_sessionize_tws is the first), under the RocksDB
+    // provider the API requires, sharing funnelSql with the batch
+    // aggregation AND the fMGWS stream: a three-way agreement that
+    // the state-API migration changes no output for the one-shot-
+    // journey shape either.
+    QueryDef.sql("q_stream_funnel_tws", EventAnalytics.funnelSql) {
+      (s, dir) => withStreamPartitions(s, 8) {
+        import s.implicits._
+        val key = "spark.sql.streaming.stateStore.providerClass"
+        val prev = s.conf.getOption(key)
+        s.conf.set(key, "org.apache.spark.sql.execution.streaming" +
+          ".state.RocksDBStateStoreProvider")
+        try {
+          val ev = Tables.events(s, dir)
+            .select(col("user_id"), col("ts_us"), col("event_id"),
+              col("event_type"))
+          val inDir = EventStreams.timeSlicedDir(ev, nSlices = 4, gapUs = 1L)
+          val stream = s.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", "1").parquet(inDir)
+          val q = EventStreams.funnelStreamTws(
+            stream.as[EventStreams.FunnelEvent])
+            .writeStream.format("memory").queryName("graft_stream_funnel_tws")
+            .outputMode("append").trigger(Trigger.AvailableNow()).start()
+          q.awaitTermination()
+          s.table("graft_stream_funnel_tws")
+            .agg(count(lit(1)).as("n_users"),
+              count(col("s1")).as("n_signup"),
+              count(col("s2")).as("n_view_after_signup"),
+              count(col("s3")).as("n_purchase_after_view"))
+            .localCheckpoint()
+        } finally prev match {
+          case Some(v) => s.conf.set(key, v)
+          case None => s.conf.unset(key)
+        }
+      }
+    },
+
     // Streaming IVF index INGEST — the write half of the serving
     // story (q_stream_ann is the read half): newly arriving vectors
     // stream in, each is assigned its nearest centroid cell by pure

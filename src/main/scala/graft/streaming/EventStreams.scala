@@ -343,6 +343,99 @@ object EventStreams {
       }
   }
 
+  /** [[FunnelTwsProcessor]]'s state: the fMGWS funnel record plus the
+    * armed timer deadline (the [[TwsSessionState]] discipline —
+    * exactly one live timer per key, deletable by value). */
+  final case class TwsFunnelState(
+      s1: Option[Long], s2: Option[Long], s3: Option[Long], lastUs: Long,
+      armedMs: Long)
+
+  /** The SAME funnel state machine on `transformWithState` — the
+    * second stateful operator ported to Spark 4's arbitrary-state
+    * API, so the migration proof covers both the multi-emission shape
+    * (sessionize) and the one-shot-journey shape (funnel). Fold
+    * semantics are byte-for-byte [[funnelStream]]'s; the quiet-horizon
+    * timeout becomes an explicit event-time timer. */
+  def funnelStreamTws(events: Dataset[FunnelEvent],
+      quietUs: Long = FunnelQuietUs): Dataset[FunnelOut] = {
+    import events.sparkSession.implicits._
+    events
+      .withColumn("event_time", timestamp_micros(col("ts_us")))
+      .withWatermark("event_time", "0 seconds")
+      .as[FunnelEvent]
+      .groupByKey(_.user_id)
+      .transformWithState(new FunnelTwsProcessor(quietUs),
+        org.apache.spark.sql.streaming.TimeMode.EventTime(),
+        OutputMode.Append())
+  }
+
+  class FunnelTwsProcessor(quietUs: Long) extends org.apache.spark.sql
+      .streaming.StatefulProcessor[Long, FunnelEvent, FunnelOut] {
+    import org.apache.spark.sql.streaming.{ExpiredTimerInfo, TTLConfig,
+      TimeMode, TimerValues, ValueState}
+    @transient private var st: ValueState[TwsFunnelState] = _
+    private val quietMs = quietUs / 1000
+    private val empty = TwsFunnelState(None, None, None, 0L, -1L)
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[TwsFunnelState]("funnel",
+        org.apache.spark.sql.Encoders.product[TwsFunnelState],
+        TTLConfig.NONE)
+
+    private def stagePrio(e: FunnelEvent): Int = e.event_type match {
+      case "signup" => 0
+      case "view" => 1
+      case "purchase" => 2
+      case _ => 3
+    }
+
+    override def handleInputRows(userId: Long, rows: Iterator[FunnelEvent],
+        tv: TimerValues): Iterator[FunnelOut] = {
+      val out = Seq.newBuilder[FunnelOut]
+      val sorted = rows.toSeq.sortBy(e => (e.ts_us, stagePrio(e), e.event_id))
+      var cur = if (st.exists()) st.get() else empty
+      val oldArm = cur.armedMs
+      var flushed = false
+      sorted.foreach { e =>
+        if (e.event_id < 0) { // punctuation: emit + clear
+          out += FunnelOut(userId, cur.s1, cur.s2, cur.s3)
+          cur = empty
+          flushed = true
+        } else {
+          e.event_type match {
+            case "signup" if cur.s1.isEmpty =>
+              cur = cur.copy(s1 = Some(e.ts_us))
+            case "view" if cur.s2.isEmpty && cur.s1.exists(_ <= e.ts_us) =>
+              cur = cur.copy(s2 = Some(e.ts_us))
+            case "purchase" if cur.s3.isEmpty && cur.s2.exists(_ <= e.ts_us) =>
+              cur = cur.copy(s3 = Some(e.ts_us))
+            case _ => ()
+          }
+          cur = cur.copy(lastUs = math.max(cur.lastUs, e.ts_us))
+        }
+      }
+      if (oldArm > 0) getHandle.deleteTimer(oldArm)
+      if (flushed && cur == empty) {
+        if (st.exists()) st.clear()
+      } else {
+        val arm = cur.lastUs / 1000 + quietMs + 1
+        st.update(cur.copy(armedMs = arm))
+        getHandle.registerTimer(arm)
+      }
+      out.result().iterator
+    }
+
+    override def handleExpiredTimer(userId: Long, tv: TimerValues,
+        info: ExpiredTimerInfo): Iterator[FunnelOut] = {
+      if (!st.exists()) return Iterator.empty
+      val s = st.get()
+      if (info.getExpiryTimeInMs != s.armedMs) return Iterator.empty
+      // quiet past the horizon: emit the journey-so-far, reclaim
+      st.clear()
+      Iterator.single(FunnelOut(userId, s.s1, s.s2, s.s3))
+    }
+  }
+
   final case class Scd2Event(
       user_id: Long, ts_us: Long, event_id: Long, event_type: String)
   // public: the state/output encoders' generated code reaches the

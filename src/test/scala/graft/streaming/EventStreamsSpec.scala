@@ -650,6 +650,48 @@ class EventStreamsSpec extends SparkSpec {
     assert(stream.nonEmpty && stream == rows("q_merge_upsert"))
   }
 
+  test("transformWithState funnel == flatMapGroupsWithState funnel " +
+    "on the corpus, quiet-horizon timers included, under RocksDB") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val events = graft.Tables.events(spark, dir)
+      .select($"user_id", $"ts_us", $"event_id", $"event_type")
+      .as[EventStreams.FunnelEvent]
+      .collect().toSeq.sortBy(e => (e.ts_us, e.event_id))
+    val (b1, b2) = events.splitAt(events.size / 2)
+    // a small quiet horizon so the closing no-data batch fires the
+    // event-time flush for every user (no punctuation needed)
+    val quiet = 60L * 1000000L
+    def run(name: String,
+        f: org.apache.spark.sql.Dataset[EventStreams.FunnelEvent] =>
+          org.apache.spark.sql.Dataset[EventStreams.FunnelOut]) = {
+      val input = MemoryStream[EventStreams.FunnelEvent]
+      input.addData(b1); input.addData(b2)
+      val q = f(input.toDS()).writeStream.format("memory")
+        .queryName(name).outputMode("append")
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      spark.table(name).collect()
+        .map(r => (r.getLong(0), Option(r.get(1)), Option(r.get(2)),
+          Option(r.get(3)))).toSet
+    }
+    val fmgws = run("ftws_ref",
+      EventStreams.funnelStream(_, quietUs = quiet))
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    try {
+      spark.conf.set(key, "org.apache.spark.sql.execution.streaming" +
+        ".state.RocksDBStateStoreProvider")
+      val tws = run("ftws_test",
+        EventStreams.funnelStreamTws(_, quietUs = quiet))
+      assert(tws.nonEmpty && tws == fmgws,
+        "transformWithState funnel diverged from flatMapGroupsWithState")
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   test("a custom-UDAF streaming aggregation (Misra-Gries buffers as " +
     "state) runs unchanged under RocksDB: guarantees hold and match " +
     "the default provider") {
