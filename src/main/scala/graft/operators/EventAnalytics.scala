@@ -645,6 +645,50 @@ object EventAnalytics {
         (num > 0).as("rising"))
     },
 
+    // Per-user engagement CADENCE: the inter-event gap distribution —
+    // n_gaps, min/max, and the EXACT median gap by discrete-rank
+    // selection (the q_length_quartiles integer discipline, so no
+    // interpolation convention can diverge). The session-gap/churn
+    // tuning input: sessionization thresholds and quiet horizons are
+    // set from exactly this table. One user_id shuffle; the lag and
+    // rank windows and the aggregate all share that partitioning,
+    // and user_id is the high-cardinality key so no reducer sees
+    // more than one user's events.
+    QueryDef.sql(
+      "q_events_dwell",
+      """WITH g AS (
+        |  SELECT user_id,
+        |         epoch_us(ts) - lag(epoch_us(ts))
+        |           OVER (PARTITION BY user_id
+        |                 ORDER BY epoch_us(ts), event_id) AS gap
+        |  FROM events),
+        |r AS (SELECT user_id, gap,
+        |             row_number() OVER (PARTITION BY user_id
+        |                                ORDER BY gap) AS rn,
+        |             count(*) OVER (PARTITION BY user_id) AS n
+        |      FROM g WHERE gap IS NOT NULL)
+        |SELECT user_id, CAST(max(n) AS BIGINT) AS n_gaps,
+        |       CAST(min(gap) AS BIGINT) AS min_gap_us,
+        |       CAST(min(CASE WHEN rn = (n-1)*50//100 + 1 THEN gap END)
+        |            AS BIGINT) AS p50_gap_us,
+        |       CAST(max(gap) AS BIGINT) AS max_gap_us
+        |FROM r GROUP BY user_id""".stripMargin) { (s, dir) =>
+      val byUser = Window.partitionBy(col("user_id"))
+      val g = Tables.events(s, dir)
+        .select(col("user_id"),
+          (col("ts_us") - lag(col("ts_us"), 1).over(
+            byUser.orderBy(col("ts_us"), col("event_id")))).as("gap"))
+        .filter(col("gap").isNotNull)
+      g.withColumn("rn", row_number().over(byUser.orderBy(col("gap"))))
+        .withColumn("n", count(lit(1)).over(byUser))
+        .groupBy(col("user_id"))
+        .agg(max(col("n")).as("n_gaps"),
+          min(col("gap")).as("min_gap_us"),
+          min(when(col("rn") === expr("(n - 1) * 50 div 100 + 1"),
+            col("gap"))).as("p50_gap_us"),
+          max(col("gap")).as("max_gap_us"))
+    },
+
     // Distribution-DRIFT screen: per event type, the pooled
     // two-proportion z-test between a reference window (first half of
     // the stream's time range) and the live window (second half) —
