@@ -61,6 +61,15 @@ class PlanAuditSpec extends SparkSpec {
   private def streaming(name: String): Boolean =
     name.startsWith("q_stream_")
 
+  test("the registry is closed: every query has an oracle, every " +
+    "oracle has a query, and names are unique gate identifiers") {
+    val q = graft.SparkEntry.queries.keySet
+    val o = graft.SparkEntry.oracleSql.keySet
+    assert(q == o, s"query/oracle drift: only-query=${(q -- o).toSeq.sorted
+      .mkString(",")} only-oracle=${(o -- q).toSeq.sorted.mkString(",")}")
+    assert(q.forall(_.startsWith("q_")), "gate names must be q_-prefixed")
+  }
+
   test("no gate plan nests two data-sized inputs (BNLJ/Cartesian audit)") {
     val offenders = scala.collection.mutable.ArrayBuffer.empty[String]
     graft.SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
