@@ -2307,6 +2307,23 @@ class PipelineOpsSpec extends SparkSpec {
     assert(got(11L) == (None, "none", false))
   }
 
+  test("winnowing boundaries: texts shorter than one gram or one " +
+    "window yield empty fingerprints, not errors or descending seqs") {
+    import graft.operators.TextOps._
+    val got = winnowFingerprints(Seq(
+      (1L, ""), (2L, "abc"),            // shorter than one 5-gram
+      (3L, "abcdefg"),                  // 3 grams, under one window
+      (4L, "abcdefgh")                  // exactly one window
+    ).toDF("doc_id", "text")).collect()
+      .map(r => r.getLong(0) -> (r.getInt(1), r.getInt(2), r.getInt(3)))
+      .toMap
+    assert(got(1L) == (0, 0, 0) && got(2L) == (0, 0, 0))
+    assert(got(3L) == (3, 0, 0),
+      "3 grams < window size must select nothing")
+    assert(got(4L) == (4, 1, 1),
+      "the t = k+w-1 = 8-char minimum must yield exactly one pick")
+  }
+
   test("winnow pairs: the planted near-dup is a candidate, the " +
     "unrelated doc is not, and the gate finds real corpus pairs") {
     // docs fixture: 0/1 share 39 of 40 tokens (long common spans on
