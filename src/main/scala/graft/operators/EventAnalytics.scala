@@ -709,32 +709,34 @@ object EventAnalytics {
     // [min, max] hour span, missing hours linearly interpolated
     // between the nearest observed neighbors — the regularization
     // step every downstream forecaster/anomaly model assumes. Engine
-    // parity by construction: interpolation runs on the ALREADY
-    // 2dp-ROUNDED hourly values (both engines interpolate identical
-    // inputs with the identical expression tree, so the doubles
-    // match bit for bit before the final 4dp round). Scale: one
-    // (type, hour) groupBy — map-side combinable — then every window
-    // runs on the types × hours grid, dashboard-sized however large
-    // the event volume; interior gaps always have both neighbors
-    // because the span ends are observed hours.
+    // parity by construction: the hourly series is EXACT INTEGER
+    // CENTS (per-element round(value·100) summed as BIGINT — the
+    // q_window_trailing discipline, so no float sum order can
+    // diverge between Spark's partial aggregation and DuckDB's), and
+    // interpolation runs on those exact integers with the identical
+    // IEEE expression tree, so the doubles match bit for bit. Scale:
+    // one (type, hour) groupBy — map-side combinable — then every
+    // window runs on the types × hours grid, dashboard-sized however
+    // large the event volume; interior gaps always have both
+    // neighbors because the span ends are observed hours.
     QueryDef.sql(
       "q_timeseries_fill",
       s"""WITH hourly AS (
          |  SELECT event_type, epoch_us(ts) // $HourUs AS hr,
-         |         round(sum(value), 2) AS v
+         |         CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS c
          |  FROM events GROUP BY 1, 2),
          |b AS (SELECT event_type, min(hr) AS lo, max(hr) AS hi
          |      FROM hourly GROUP BY 1),
          |grid AS (SELECT event_type, unnest(range(lo, hi + 1)) AS hr FROM b),
-         |j AS (SELECT g.event_type, g.hr, h.v
+         |j AS (SELECT g.event_type, g.hr, h.c
          |      FROM grid g LEFT JOIN hourly h
          |        ON g.event_type = h.event_type AND g.hr = h.hr),
-         |f AS (SELECT event_type, hr, v,
-         |             last_value(v IGNORE NULLS) OVER wp AS pv,
-         |             last_value(CASE WHEN v IS NOT NULL THEN hr END IGNORE NULLS)
+         |f AS (SELECT event_type, hr, c,
+         |             last_value(c IGNORE NULLS) OVER wp AS pc,
+         |             last_value(CASE WHEN c IS NOT NULL THEN hr END IGNORE NULLS)
          |               OVER wp AS ph,
-         |             first_value(v IGNORE NULLS) OVER wn AS nv,
-         |             first_value(CASE WHEN v IS NOT NULL THEN hr END IGNORE NULLS)
+         |             first_value(c IGNORE NULLS) OVER wn AS nc,
+         |             first_value(CASE WHEN c IS NOT NULL THEN hr END IGNORE NULLS)
          |               OVER wn AS nh
          |      FROM j
          |      WINDOW wp AS (PARTITION BY event_type ORDER BY hr
@@ -742,14 +744,14 @@ object EventAnalytics {
          |             wn AS (PARTITION BY event_type ORDER BY hr
          |                    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
          |SELECT event_type, hr,
-         |       CASE WHEN v IS NOT NULL THEN v
-         |            ELSE round(pv + (nv - pv) * (hr - ph) / (nh - ph), 4)
+         |       CASE WHEN c IS NOT NULL THEN c / 100.0
+         |            ELSE round((pc + (nc - pc) * (hr - ph) / (nh - ph)) / 100.0, 4)
          |       END AS value_filled,
-         |       v IS NULL AS is_filled
+         |       c IS NULL AS is_filled
          |FROM f""".stripMargin) { (s, dir) =>
       val hourly = Tables.events(s, dir)
         .groupBy(col("event_type"), expr(s"ts_us DIV $HourUs").as("hr"))
-        .agg(round(sum(col("value")), 2).as("v"))
+        .agg(sum(round(col("value") * 100, 0).cast("long")).as("c"))
       val grid = hourly.groupBy(col("event_type"))
         .agg(min(col("hr")).as("lo"), max(col("hr")).as("hi"))
         .select(col("event_type"), explode(sequence(col("lo"), col("hi"))).as("hr"))
@@ -758,20 +760,21 @@ object EventAnalytics {
       val wn = Window.partitionBy(col("event_type")).orderBy(col("hr"))
         .rowsBetween(Window.currentRow, Window.unboundedFollowing)
       grid.join(hourly, Seq("event_type", "hr"), "left")
-        .select(col("event_type"), col("hr"), col("v"),
-          last(col("v"), ignoreNulls = true).over(wp).as("pv"),
-          last(when(col("v").isNotNull, col("hr")), ignoreNulls = true)
+        .select(col("event_type"), col("hr"), col("c"),
+          last(col("c"), ignoreNulls = true).over(wp).as("pc"),
+          last(when(col("c").isNotNull, col("hr")), ignoreNulls = true)
             .over(wp).as("ph"),
-          first(col("v"), ignoreNulls = true).over(wn).as("nv"),
-          first(when(col("v").isNotNull, col("hr")), ignoreNulls = true)
+          first(col("c"), ignoreNulls = true).over(wn).as("nc"),
+          first(when(col("c").isNotNull, col("hr")), ignoreNulls = true)
             .over(wn).as("nh"))
         .select(col("event_type"), col("hr"),
-          when(col("v").isNotNull, col("v"))
+          when(col("c").isNotNull, col("c") / lit(100.0))
             .otherwise(round(
-              col("pv") + (col("nv") - col("pv")) *
-                (col("hr") - col("ph")) / (col("nh") - col("ph")), 4))
+              (col("pc") + (col("nc") - col("pc")) *
+                (col("hr") - col("ph")) / (col("nh") - col("ph"))) / lit(100.0),
+              4))
             .as("value_filled"),
-          col("v").isNull.as("is_filled"))
+          col("c").isNull.as("is_filled"))
     }
   )
 

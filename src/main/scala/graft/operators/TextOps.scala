@@ -159,12 +159,13 @@ object TextOps {
     // shared fingerprint, while storage is ~2/(w+1) of the grams —
     // the position-robust near-dup signature next to the fixed-stride
     // q_text_fingerprint. Cross-engine trick: (hash, pos) pairs are
-    // encoded as (h << 20) | (2^20-1 − pos), so ONE plain min
+    // encoded as (h << 32) | (2^32-1 − pos), so ONE plain min
     // implements "min hash, rightmost position on ties" — no fold,
     // identical integer arithmetic on both engines. Everything is
     // per-row higher-order functions: ZERO shuffle, text never
-    // leaves its row. (Position encoding caps documents at 2^20
-    // grams — widen the shift for longer documents.)
+    // leaves its row. (24-bit hash + 32-bit position = 56 bits: no
+    // overflow for any document under 2^32 grams, past every
+    // engine's single-value limit.)
     QueryDef.sql(
       "q_text_winnow",
       s"""WITH $winnowSelCtes
@@ -649,15 +650,20 @@ object TextOps {
   /** Winnowing geometry (Schleimer et al. SIGMOD'03): char
     * [[WinnowK]]-grams, windows of [[WinnowW]] hashes, guarantee
     * threshold t = k+w-1 = 8 shared chars. Packing (hash, pos) as
-    * (h << 20) | (2^20-1-pos) makes plain min pick
+    * (h << 32) | (2^32-1-pos) makes plain min pick
     * min-hash-rightmost-pos; decode is a bit shift — pure integer
-    * semantics on both engines. */
+    * semantics on both engines. The 24-bit hash (6 hex chars) plus
+    * 32 position bits occupies bits 0..55 of the BIGINT, so the
+    * packing cannot overflow for any document under 2^32 grams —
+    * past every engine's single-value size limit, so no runtime
+    * guard is needed (a 20-bit field would have gone NEGATIVE at a
+    * mere 1M grams, silently corrupting the min ordering). */
   // final val literals: `all` interpolates them during object init,
   // where a plain val would still be 0 (the FreqK lesson)
   final val WinnowK = 5
   final val WinnowW = 4
-  final val WinnowPosBits = 20
-  final val WinnowPosMax = 1048575L // (1 << WinnowPosBits) - 1
+  final val WinnowPosBits = 32
+  final val WinnowPosMax = 4294967295L // (1L << WinnowPosBits) - 1
   // winnow dedup-candidate thresholds: df cap 50 drops the
   // hub fingerprints this corpus's tiny vocabulary mass-produces,
   // min 20 shared keeps exactly the long-shared-span pairs (measured:

@@ -41,7 +41,7 @@ object WarehouseOps {
       |  UNION ALL
       |  SELECT doc_id, NULL, 'delete' FROM documents WHERE doc_id % 10 = 2
       |  UNION ALL
-      |  SELECT doc_id + 1000000, 'ins ' || text, 'insert'
+      |  SELECT -doc_id - 1, 'ins ' || text, 'insert'
       |  FROM documents WHERE doc_id % 10 = 3)
       |SELECT coalesce(b.doc_id, c.doc_id) AS doc_id,
       |       coalesce(c.op, 'keep') AS op,
@@ -79,7 +79,12 @@ object WarehouseOps {
       |FROM s""".stripMargin
 
   /** The deterministic gate change batch both merge gates derive from
-    * the documents table — (doc_id, new_payload, op). */
+    * the documents table — (doc_id, new_payload, op). Insert keys are
+    * `-doc_id - 1`: base doc_ids are non-negative at every scale
+    * factor, so the negated key space cannot collide with an existing
+    * base row no matter how large the corpus grows (a fixed positive
+    * offset would silently turn inserts into overwrites past that
+    * many rows, mislabeling the provenance ledger). */
   private[operators] def gateChanges(docs: DataFrame): DataFrame = {
     val updates = docs.filter(col("doc_id") % 10 <= 1)
       .select(col("doc_id"),
@@ -89,7 +94,7 @@ object WarehouseOps {
       .select(col("doc_id"), lit(null).cast("string").as("new_payload"),
         lit("delete").as("op"))
     val inserts = docs.filter(col("doc_id") % 10 === 3)
-      .select((col("doc_id") + 1000000L).as("doc_id"),
+      .select((-col("doc_id") - 1L).as("doc_id"),
         concat(lit("ins "), col("text")).as("new_payload"),
         lit("insert").as("op"))
     updates.union(deletes).union(inserts)

@@ -33,6 +33,14 @@ import org.apache.spark.sql.types.IntegerType
   * equivalent `<= k-1` (integer distances). Strict upper bounds from
   * either side (`k >= lev`, `k > lev`) are normalized the same way.
   *
+  * Strict-bound wrap guard: `k - 1` underflows when k = Int.MinValue,
+  * turning an always-false predicate near-always-true (non-ANSI) or
+  * throwing (ANSI). A foldable k equal to Int.MinValue skips the
+  * rewrite entirely; a non-foldable k is wrapped in
+  * `k > Int.MinValue AND screened(k-1)` — the And short-circuits
+  * before the Subtract evaluates, and null-in-null-out is preserved
+  * (null k makes both conjuncts null, as the original was).
+  *
   * Registered by [[GraftExtensions]] alongside
   * [[RewriteMembershipJoin]]; `PushLevenshteinScreenSpec` pins the
   * plan shape and result equality on boundary/null/length-gap rows.
@@ -49,15 +57,34 @@ object PushLevenshteinScreen extends Rule[LogicalPlan] {
       LessThanOrEqual(Abs(Subtract(Length(a), Length(b))), t),
       GreaterThanOrEqual(Levenshtein(a, b, Some(t)), Literal(0)))
 
+  /** `k - 1` for the strict-bound normalization, guarded against
+    * Int.MinValue underflow. Foldable k: decrement at rewrite time
+    * (None = degenerate `< MinValue`, skip the rewrite — it is
+    * already always false/null and never worth screening). Other k:
+    * `k > MinValue AND screened(k-1)`; And short-circuits to false
+    * before the Subtract can wrap or throw.
+    */
+  private def strictScreened(
+      a: Expression, b: Expression, k: Expression): Option[Expression] =
+    k match {
+      case Literal(v: Int, IntegerType) =>
+        if (v == Int.MinValue) None
+        else Some(screened(a, b, Literal(v - 1)))
+      case _ =>
+        Some(And(
+          GreaterThan(k, Literal(Int.MinValue)),
+          screened(a, b, Subtract(k, Literal(1)))))
+    }
+
   private def rewrite(cond: Expression): Expression = cond.transformUp {
     case LessThanOrEqual(l @ Levenshtein(a, b, None), k) if eligible(l, k) =>
       screened(a, b, k)
     case GreaterThanOrEqual(k, l @ Levenshtein(a, b, None)) if eligible(l, k) =>
       screened(a, b, k)
-    case LessThan(l @ Levenshtein(a, b, None), k) if eligible(l, k) =>
-      screened(a, b, Subtract(k, Literal(1)))
-    case GreaterThan(k, l @ Levenshtein(a, b, None)) if eligible(l, k) =>
-      screened(a, b, Subtract(k, Literal(1)))
+    case orig @ LessThan(l @ Levenshtein(a, b, None), k) if eligible(l, k) =>
+      strictScreened(a, b, k).getOrElse(orig)
+    case orig @ GreaterThan(k, l @ Levenshtein(a, b, None)) if eligible(l, k) =>
+      strictScreened(a, b, k).getOrElse(orig)
   }
 
   def apply(plan: LogicalPlan): LogicalPlan = plan.transform {

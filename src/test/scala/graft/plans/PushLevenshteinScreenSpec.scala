@@ -71,6 +71,31 @@ class PushLevenshteinScreenSpec extends SparkSpec {
     assert(!got("levenshtein(a, b) <= 3").contains(("a", "abcdefgh")))
   }
 
+  test("strict bound at Int.MinValue cannot wrap: foldable k skips " +
+    "the rewrite, non-foldable k short-circuits to empty") {
+    // foldable degenerate bound: lev < Int.MinValue is always
+    // false/null; an unguarded k-1 would wrap to Int.MaxValue and
+    // keep EVERY row
+    val degenerate = pairs.filter(s"levenshtein(a, b) < ${Int.MinValue}")
+    assert(degenerate.count() == 0,
+      "lev < Int.MinValue must keep no rows")
+    val optimized = degenerate.queryExecution.optimizedPlan
+    assert(!optimized.toString.contains(Int.MaxValue.toString),
+      s"k-1 wrapped to Int.MaxValue in the plan:\n$optimized")
+    // non-foldable k: a column bound hits the guarded path — rows
+    // whose k IS Int.MinValue drop, normal bounds still screen
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_lev_kcol").toString
+    Seq(("kitten", "sitting", Int.MinValue), ("kitten", "sitting", 4),
+      ("abc", "abd", Int.MinValue), ("abc", "abd", 2))
+      .toDF("a", "b", "k").write.mode("overwrite").parquet(dir)
+    val got = spark.read.parquet(dir)
+      .filter("levenshtein(a, b) < k")
+      .collect().map(r => (r.getString(0), r.getInt(2))).toSet
+    assert(got == Set(("kitten", 4), ("abc", 2)),
+      s"guarded column-bound rewrite returned $got")
+  }
+
   test("already-thresholded levenshtein is left alone") {
     val df = pairs.filter("levenshtein(a, b, 5) <= 3")
     val optimized = df.queryExecution.optimizedPlan
