@@ -482,20 +482,26 @@ object StreamingOps {
           .select(col("doc_id"), col("text"))
         // the index is created lazily by the FIRST append (saveAsTable
         // creates with the bucket spec when absent) — cheaper than
-        // bootstrapping an empty bucketed table; the drop keeps
+        // bootstrapping an empty bucketed table; the drops keep
         // re-runs in one session from probing a previous run's rows
         graft.sources.Sources.dropManaged(s, "graft_band_live")
+        graft.sources.Sources.dropManaged(s, "graft_stars_live")
         val tmp = java.nio.file.Files.createTempDirectory("graft_inc_clusters")
         EventStreams.deleteRecursivelyOnExit(tmp)
         val inDir = s"$tmp/in"
         docs.repartition(4).write.mode("overwrite").parquet(inDir)
-        // per-trigger component state: written to stars/<batchId>,
-        // read back next trigger (a table format would swap in place)
-        var starsPath: Option[String] = None
+        // per-trigger component state: a BUCKETED managed table keyed
+        // on the star root, replaced per trigger through the
+        // swapBucketed shadow-table rename — the new fixed point is
+        // derived FROM the old table and lands as numBuckets parallel
+        // sorted files, so state persistence scales with the cluster
+        // (a coalesce(1) file here would single-task billions of
+        // clustered rows at 100 TB) and a reader always sees a
+        // complete fixed point
         val stream = s.readStream.schema(docs.schema)
           .option("maxFilesPerTrigger", "1").parquet(inDir)
         val q = stream.writeStream
-          .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+          .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
             import Materialize.PinOps
             val nbp = DedupOps.minhashBands(batch).pinned
             // probe BEFORE append: cross-batch candidates against all
@@ -519,21 +525,21 @@ object StreamingOps {
                   .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
                   .union(within)
               } else within // first trigger: nothing stored yet
-            val prev = starsPath
-              .map(p => s.read.parquet(p))
-              .getOrElse(within.filter(lit(false)))
-            val stars = DedupOps.incrementalStars(prev, newEdges)
-            val out = s"$tmp/stars/$id"
-            // component state is O(clustered nodes) — keep it one file
-            stars.coalesce(1).write.mode("overwrite").parquet(out)
-            starsPath = Some(out)
+            val prev =
+              if (s.catalog.tableExists("graft_stars_live"))
+                s.table("graft_stars_live")
+              else within.filter(lit(false))
+            graft.sources.Sources.swapBucketed(
+              DedupOps.incrementalStars(prev, newEdges),
+              "graft_stars_live", Seq("a"), 8)
             DedupOps.appendBandIndex(batch, "graft_band_live", 8)
           }
           .trigger(Trigger.AvailableNow()).start()
         q.awaitTermination()
-        val finalStars = starsPath
-          .map(p => s.read.parquet(p))
-          .getOrElse(s.range(0).select(col("id").as("a"), col("id").as("b")))
+        val finalStars =
+          if (s.catalog.tableExists("graft_stars_live"))
+            s.table("graft_stars_live")
+          else s.range(0).select(col("id").as("a"), col("id").as("b"))
         DedupOps.labelAllDocs(docs,
           finalStars.select(col("b").as("doc_id"), col("a").as("cluster_id")))
       }

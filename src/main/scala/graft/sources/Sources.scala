@@ -110,6 +110,33 @@ object Sources {
       .saveAsTable(tableName)
   }
 
+  /** Atomically REPLACE `tableName` with `df`'s rows in the bucketed
+    * layout — the read-modify-swap a per-trigger state table needs:
+    * `df` may be DERIVED FROM the current `tableName` contents (the
+    * shadow version is fully materialized before the old table is
+    * dropped, so the lineage reads the old files intact), and a
+    * concurrent reader sees the old fixed point or the new, never a
+    * half-written table. The repartition aligns rows to the writer's
+    * bucket hash (pmod(murmur3(bucketCols), n) — same as
+    * `repartition`'s), so the write runs as `numBuckets` PARALLEL
+    * tasks each producing its bucket's one sorted file: state
+    * persistence scales with the cluster instead of funnelling
+    * through a single task, and the next trigger's read is a
+    * bucketed scan (per-key joins on `bucketCols` need no exchange
+    * on the state side). This is the state-maintenance twin of
+    * [[compactBucketed]] (same staging + catalog-rename swap),
+    * distinguished by rewriting CONTENT rather than layout. */
+  def swapBucketed(df: DataFrame, tableName: String,
+      bucketCols: Seq[String], numBuckets: Int): Unit = {
+    import org.apache.spark.sql.functions.col
+    val spark = df.sparkSession
+    val shadow = tableName + "__next"
+    writeBucketed(df.repartition(numBuckets, bucketCols.map(col): _*),
+      shadow, bucketCols, numBuckets)
+    dropManaged(spark, tableName)
+    spark.sql(s"ALTER TABLE `$shadow` RENAME TO `$tableName`")
+  }
+
   /** Compact a bucketed managed table back to ONE sorted file per
     * bucket. Every foreachBatch append (`appendIvfIndex`,
     * `appendBandIndex`) lands up to one new file per bucket per

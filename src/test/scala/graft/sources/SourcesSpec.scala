@@ -319,6 +319,54 @@ class SourcesSpec extends SparkSpec {
     } finally spark.sql("DROP TABLE IF EXISTS band_compact_test")
   }
 
+  test("swapBucketed state table: the write is multi-task (one sorted " +
+    "file per bucket, never one file), the read is bucketed, and a new " +
+    "version derived FROM the old table swaps in atomically") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.SparkPlan
+    val nBuckets = 4
+    val v1 = (0L until 64L).map(i => (i % 8, i)).toDF("a", "b")
+    try {
+      Sources.swapBucketed(v1, "stars_state_test", Seq("a"), nBuckets)
+      val t1 = spark.table("stars_state_test")
+      // multi-task write: one file per NON-EMPTY bucket (murmur3 may
+      // leave a bucket keyless), never a coalesce(1) single file
+      assert(t1.inputFiles.length > 1 && t1.inputFiles.length <= nBuckets,
+        s"state write must land up to $nBuckets parallel files, " +
+          s"got ${t1.inputFiles.length}")
+      // the state read advertises the bucket layout (non-adaptive
+      // plan so the scan node is inspectable deterministically)
+      def subtree(p: SparkPlan): Seq[SparkPlan] =
+        p +: p.children.flatMap(subtree)
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      val scans =
+        try subtree(t1.groupBy(col("a")).agg(count(lit(1)))
+          .queryExecution.executedPlan).collect {
+          case f: FileSourceScanExec
+            if f.tableIdentifier.exists(_.table == "stars_state_test") => f
+        }
+        finally spark.conf.unset("spark.sql.adaptive.enabled")
+      assert(scans.nonEmpty &&
+        scans.forall(_.metadata.contains("SelectedBucketsCount")),
+        "state table scan is not a bucketed read")
+      // read-modify-swap: next version DERIVED FROM the current table
+      // (the incrementalStars per-trigger shape) — the shadow staging
+      // must materialize before the old files are dropped
+      val v2 = spark.table("stars_state_test")
+        .select(col("a"), (col("b") + 1000L).as("b"))
+        .union(Seq((99L, 1L)).toDF("a", "b"))
+      Sources.swapBucketed(v2, "stars_state_test", Seq("a"), nBuckets)
+      val after = spark.table("stars_state_test")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val expect = (0L until 64L).map(i => (i % 8, i + 1000L)).toSet + ((99L, 1L))
+      assert(after == expect, "swapped-in state diverged from the derivation")
+      val files2 = spark.table("stars_state_test").inputFiles.length
+      assert(files2 > 1 && files2 <= nBuckets)
+      assert(!spark.catalog.tableExists("stars_state_test__next"),
+        "shadow table must not survive the swap")
+    } finally spark.sql("DROP TABLE IF EXISTS stars_state_test")
+  }
+
   test("stored IVF-PQ index: search prunes the code table to the probed " +
     "cells, reads it with NO exchange, and matches the in-memory search") {
     import graft.operators.SimilarityOps
