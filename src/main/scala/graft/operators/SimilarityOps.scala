@@ -976,36 +976,66 @@ object SimilarityOps {
 
   val KCenterK = 8 // greedy k-center coreset size (incl. the seed)
 
+  /** One incremental k-center coverage fold: update the running
+    * max-sim-to-centers frame `best(vec_id, embedding, maxsim)` with
+    * the round's NEW center — a ONE-ROW broadcast frame `(cv)`. Pure
+    * map-side arithmetic (broadcast 1-row join + greatest), no
+    * aggregate: the spec pins that shape, because re-aggregating
+    * against ALL centers each round is the O(k²·n) trap this fold
+    * exists to avoid. */
+  def kCenterUpdate(best: DataFrame, newCenter: DataFrame): DataFrame =
+    best.crossJoin(broadcast(newCenter))
+      .select(col("vec_id"), col("embedding"),
+        greatest(col("maxsim"),
+          CosineSimilarity(best.sparkSession, col("cv"), col("embedding")))
+          .as("maxsim"))
+
   /** Greedy k-center coreset selection (Gonzalez '85 2-approximation
     * — the facility-location shape data-efficient-training selection
     * uses): start from a seed, repeatedly add the vector FARTHEST
     * from the current centers (minimum max-cosine, vec_id
     * tie-break). The selected subset maximizes coverage diversity —
     * the "pick k representative documents" primitive for coreset
-    * pruning and annotation budgeting. Per round: one broadcast-
-    * centers scan + a (vec_id) max-aggregate + a 1-row argmin
-    * (bounded driver collect, like the centroid constants); k-1
-    * rounds total — linear in the corpus per round, never pairwise.
-    * Deterministic: exact cosine + id tie-breaks, so the oracle
-    * unrolls the same greedy rounds. */
+    * pruning and annotation budgeting.
+    *
+    * INCREMENTAL coverage maintenance: Gonzalez's loop only needs
+    * each round's NEW center — max-sim to all centers is the running
+    * max — so the per-vector coverage frame folds ONE 1-row
+    * broadcast center per round ([[kCenterUpdate]]) and the argmin
+    * is a 1-row bounded collect over it. Total work is O(k·n)
+    * cosines; the recompute-all-centers-each-round formulation is
+    * O(k²·n), a 500× overhead at the k≈1000 coreset sizes selection
+    * actually runs at. max is exact on doubles, so the running fold
+    * equals the all-centers max value for value and the unrolled
+    * oracle is unchanged. Deterministic: exact cosine + id
+    * tie-breaks. */
   def kCenterSelect(e: DataFrame, k: Int): DataFrame = {
     val s = e.sparkSession
     import s.implicits._
-    var centers = Vector(0L) // seed: vec_id 0
+    def centerVec(id: Long): DataFrame =
+      e.filter(col("vec_id") === id).select(col("embedding").as("cv"))
     var picked = Vector((0, 0L, Option.empty[Double]))
+    // seed coverage from center 0 (greatest(-Inf, cos) = cos), then
+    // one fold per round; pinnedIter keeps lineage flat across rounds
+    var best = kCenterUpdate(
+      e.filter(col("vec_id") =!= 0L)
+        .select(col("vec_id"), col("embedding"),
+          lit(Double.NegativeInfinity).as("maxsim")),
+      centerVec(0L)).pinnedIter
     for (r <- 1 until k) {
-      val cdf = e.filter(col("vec_id").isin(centers: _*))
-        .select(col("vec_id").as("cid"), col("embedding").as("cv"))
-      val far = e.filter(!col("vec_id").isin(centers: _*))
-        .crossJoin(broadcast(cdf))
-        .select(col("vec_id"),
-          CosineSimilarity(s, col("cv"), col("embedding")).as("cos"))
-        .groupBy(col("vec_id")).agg(max(col("cos")).as("maxsim"))
+      val far = best.select(col("vec_id"), col("maxsim"))
         .orderBy(col("maxsim").asc, col("vec_id"))
         .limit(1).head() // bounded: ONE row per round
-      centers = centers :+ far.getLong(0)
-      picked = picked :+ ((r, far.getLong(0), Some(far.getDouble(1))))
+      val cid = far.getLong(0)
+      picked = picked :+ ((r, cid, Some(far.getDouble(1))))
+      if (r < k - 1) {
+        val stepped = kCenterUpdate(
+          best.filter(col("vec_id") =!= cid), centerVec(cid)).pinnedIter
+        Materialize.unpin(best)
+        best = stepped
+      }
     }
+    Materialize.unpin(best)
     picked.toDF("rnd", "center_id", "max_sim_raw")
       .select(col("rnd").cast("int").as("rnd"), col("center_id"),
         round(col("max_sim_raw"), 6).as("max_sim_to_prior"))

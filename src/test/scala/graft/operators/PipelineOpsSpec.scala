@@ -2279,6 +2279,46 @@ class PipelineOpsSpec extends SparkSpec {
       "coverage radius must shrink (max_sim non-decreasing) round by round")
   }
 
+  test("k-center incremental fold: each round joins a ONE-row broadcast " +
+    "center with no aggregate, and the running max equals the " +
+    "all-centers max") {
+    val sf = "/root/testdata/sf0.001"
+    val e = graft.Tables(spark, sf, "embeddings")
+    val cv = e.filter(col("vec_id") === 3L).select(col("embedding").as("cv"))
+    assert(cv.count() == 1, "the round's center side must be ONE row")
+    val best0 = e.filter(col("vec_id") =!= 0L && col("vec_id") =!= 3L)
+      .select(col("vec_id"), col("embedding"),
+        lit(Double.NegativeInfinity).as("maxsim"))
+    val up = SimilarityOps.kCenterUpdate(
+      SimilarityOps.kCenterUpdate(best0,
+        e.filter(col("vec_id") === 0L).select(col("embedding").as("cv"))),
+      cv)
+    val plan = up.queryExecution.executedPlan.toString
+    // the O(k²·n) trap re-aggregated max(cos) over ALL centers every
+    // round; the fold must stay aggregate-free map-side arithmetic
+    assert(!plan.contains("HashAggregate") && !plan.contains("SortAggregate"),
+      s"incremental coverage fold must not aggregate:\n$plan")
+    assert(plan.contains("BroadcastNestedLoopJoin"),
+      s"center fold must be a broadcast join of the 1-row side:\n$plan")
+    // running fold == max over the center set, value for value
+    val viaFold = up.collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    val emb = e.select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        d += a(i).toDouble * b(i); na += a(i).toDouble * a(i)
+        nb += b(i).toDouble * b(i); i += 1
+      }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    viaFold.foreach { case (v, m) =>
+      val exact = Seq(0L, 3L).map(c => cos(emb(c), emb(v))).max
+      assert(m == exact, s"vec $v: fold $m != all-centers max $exact")
+    }
+  }
+
   test("label propagation: planted chain spreads round by round, " +
     "assigned labels freeze, and equal votes break by label order") {
     // path 0-1-2-3 from seed 0 ("a"): round r labels vertex r.
