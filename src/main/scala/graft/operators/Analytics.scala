@@ -2,7 +2,7 @@ package graft.operators
 
 import graft.{QueryDef, Tables}
 import graft.operators.Materialize.PinOps
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -283,19 +283,7 @@ object Analytics {
     // partial aggregates. min/max stringify through decimal(12,2)
     // for the double column so both engines format identically.
     QueryDef.sql("q_table_stats", tableStatsSql) { (s, dir) =>
-      val aggs = StatsCols.flatMap { case (c, t) =>
-        val v = statsVal(c, t)
-        Seq(count(v).as(s"nn_$c"), countDistinct(v).as(s"ndv_$c"),
-          min(v).cast("string").as(s"min_$c"),
-          max(v).cast("string").as(s"max_$c"))
-      }
-      val a = Tables(s, dir, "orders")
-        .agg(count(lit(1)).as("n"), aggs: _*)
-      a.select(explode(array(StatsCols.map { case (c, _) =>
-        struct(lit(c).as("col_name"), col("n").as("n_rows"),
-          col(s"nn_$c").as("n_notnull"), col(s"ndv_$c").as("ndv"),
-          col(s"min_$c").as("min_val"), col(s"max_$c").as("max_val"))
-      }: _*)).as("r")).select(col("r.*"))
+      tableStats(Tables(s, dir, "orders"), StatsCols)
     },
 
     // Time-RANGE window frame: per event, the same user's activity in
@@ -361,6 +349,85 @@ object Analytics {
 
   private[operators] def statsVal(c: String, t: String) =
     if (t == "dec") col(c).cast("decimal(12,2)") else col(c)
+
+  /** The per-column ANALYZE statistics of `df` — the q_table_stats
+    * body, factored so the SAME computation both serves the gate and
+    * feeds the session catalog ([[feedCatalogStats]]): one stats row
+    * per column with rows / non-nulls / exact NDV / min / max. */
+  def tableStats(df: DataFrame, cols: Seq[(String, String)]): DataFrame = {
+    val aggs = cols.flatMap { case (c, t) =>
+      val v = statsVal(c, t)
+      Seq(count(v).as(s"nn_$c"), countDistinct(v).as(s"ndv_$c"),
+        min(v).cast("string").as(s"min_$c"),
+        max(v).cast("string").as(s"max_$c"))
+    }
+    val a = df.agg(count(lit(1)).as("n"), aggs: _*)
+    a.select(explode(array(cols.map { case (c, _) =>
+      struct(lit(c).as("col_name"), col("n").as("n_rows"),
+        col(s"nn_$c").as("n_notnull"), col(s"ndv_$c").as("ndv"),
+        col(s"min_$c").as("min_val"), col(s"max_$c").as("max_val"))
+    }: _*)).as("r")).select(col("r.*"))
+  }
+
+  /** Feed a [[tableStats]] frame INTO the session catalog as the
+    * statistics of `tableName`, closing the ANALYZE loop: collected
+    * stats become `CatalogStatistics` (row count, a row-width-derived
+    * logical size, and per-column NDV / null-count / numeric min-max)
+    * that Catalyst's size estimation and CBO actually READ — with
+    * `spark.sql.cbo.enabled`, a join side whose ROW-based size fits
+    * under `autoBroadcastJoinThreshold` flips to broadcast-hash even
+    * when its on-disk footprint (the no-stats fallback estimate) says
+    * otherwise. That correction matters exactly where streaming
+    * ingest leaves a dimension fragmented across many small files:
+    * per-file overhead inflates the disk sum far past the logical
+    * size, and without fed stats the optimizer sort-merge-joins a
+    * dimension that comfortably broadcasts (StatsFeedSpec pins the
+    * flip both ways). The collect is one row per COLUMN —
+    * dictionary-sized, never data-sized.
+    *
+    * min/max feed only for numeric columns (the catalog's external
+    * string form round-trips through the column's own type; string
+    * min/max are not part of Spark's column-stat contract). */
+  def feedCatalogStats(
+      spark: SparkSession, tableName: String, stats: DataFrame): Unit = {
+    import org.apache.spark.sql.catalyst.TableIdentifier
+    import org.apache.spark.sql.catalyst.catalog.{CatalogColumnStat, CatalogStatistics}
+    val rows = stats.collect()
+    require(rows.nonEmpty, s"empty stats frame for $tableName")
+    val byCol = rows.map(r => r.getString(0) -> r).toMap
+    val nRows = rows.head.getLong(1)
+    val schema = spark.table(tableName).schema
+    val colStats = schema.flatMap { f =>
+      byCol.get(f.name).map { r =>
+        val numeric =
+          f.dataType.isInstanceOf[org.apache.spark.sql.types.NumericType]
+        f.name -> CatalogColumnStat(
+          distinctCount = Some(BigInt(r.getLong(3))),
+          min = if (numeric) Option(r.getString(4)) else None,
+          max = if (numeric) Option(r.getString(5)) else None,
+          nullCount = Some(BigInt(nRows - r.getLong(2))))
+      }
+    }.toMap
+    val rowWidth = schema.map(_.dataType.defaultSize).sum + 8
+    spark.sessionState.catalog.alterTableStats(
+      TableIdentifier(tableName),
+      Some(CatalogStatistics(
+        sizeInBytes = BigInt(nRows) * rowWidth,
+        rowCount = Some(BigInt(nRows)),
+        colStats = colStats)))
+    // drop the cached relation: already-resolved plans hold the OLD
+    // (possibly absent) stats
+    spark.catalog.refreshTable(tableName)
+  }
+
+  /** ANALYZE a catalog table end to end: [[tableStats]] over its
+    * current rows, fed back via [[feedCatalogStats]] — the engine's
+    * `ANALYZE TABLE t COMPUTE STATISTICS FOR ALL COLUMNS`. */
+  def analyzeTable(spark: SparkSession, tableName: String): Unit = {
+    val df = spark.table(tableName)
+    feedCatalogStats(spark, tableName,
+      tableStats(df, df.schema.map(_.name -> "raw")))
+  }
 
   /** Generated oracle for q_table_stats: the same per-column stats as
     * a one-row aggregate fanned out by UNION ALL. */

@@ -1,0 +1,83 @@
+package graft.plans
+
+import graft.SparkSpec
+import graft.operators.Analytics
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, SortMergeJoinExec}
+import org.apache.spark.sql.functions._
+
+/** The ANALYZE loop closed: collected table statistics must CHANGE an
+  * optimizer decision, not just sit in a gate result. The scenario is
+  * the one streaming ingest actually produces — a dimension table
+  * fragmented across many small files, whose on-disk footprint (the
+  * optimizer's no-stats size estimate) is dominated by per-file
+  * overhead and lands far above the logical data size. Without fed
+  * stats the join sort-merges; after `Analytics.analyzeTable` the
+  * row-count-based estimate fits under the broadcast threshold and
+  * the SAME query plans a broadcast-hash join.
+  */
+class StatsFeedSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def joinPlan(): SparkPlan = {
+    val fact = (0L until 5000L).map(i => (i % 1000, i)).toDF("k", "v")
+    fact.join(spark.table("stats_dim_frag"), Seq("k"))
+      .groupBy(col("k")).agg(count(lit(1)).as("n"))
+      .queryExecution.executedPlan
+  }
+
+  private def subtree(p: SparkPlan): Seq[SparkPlan] =
+    p +: p.children.flatMap(subtree)
+
+  test("fed ANALYZE stats flip a fragmented dimension join from " +
+    "sort-merge to broadcast-hash; without stats it stays sort-merge") {
+    // a 1000-row dimension fragmented into 64 files: logical size is
+    // ~16 KB, on-disk size is dominated by 64 parquet footers
+    (0L until 1000L).map(i => (i, i * 7)).toDF("k", "dim_payload")
+      .repartition(64)
+      .write.mode("overwrite").format("parquet")
+      .saveAsTable("stats_dim_frag")
+    val onDisk = spark.table("stats_dim_frag").inputFiles.map { f =>
+      new java.io.File(new java.net.URI(f)).length
+    }.sum
+    // threshold sits BETWEEN the logical size and the disk footprint,
+    // derived from the measured footprint so the test cannot rot if
+    // parquet overhead shifts
+    val threshold = onDisk / 2
+    val logical = 1000L * (8 + 8 + 8)
+    assert(logical < threshold,
+      s"fixture broken: logical $logical !< threshold $threshold")
+    spark.conf.set("spark.sql.cbo.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", threshold.toString)
+    try {
+      // WITHOUT stats: the estimate is the file-size sum -> too big
+      val before = subtree(joinPlan())
+      assert(before.exists(_.isInstanceOf[SortMergeJoinExec]) &&
+        !before.exists(_.isInstanceOf[BroadcastHashJoinExec]),
+        s"no-stats plan should sort-merge (disk=$onDisk > $threshold):\n" +
+          before.head)
+      // feed OUR collected stats; the row-based estimate now fits
+      Analytics.analyzeTable(spark, "stats_dim_frag")
+      val after = subtree(joinPlan())
+      assert(after.exists(_.isInstanceOf[BroadcastHashJoinExec]),
+        s"fed stats must flip the join to broadcast-hash:\n${after.head}")
+      // and the fed stats are the collected truth, visible in the
+      // catalog the way ANALYZE TABLE's would be
+      val cat = spark.sessionState.catalog.getTableMetadata(
+        org.apache.spark.sql.catalyst.TableIdentifier("stats_dim_frag"))
+      val st = cat.stats.get
+      assert(st.rowCount.contains(BigInt(1000)))
+      assert(st.colStats("k").distinctCount.contains(BigInt(1000)))
+      assert(st.colStats("k").min.contains("0") &&
+        st.colStats("k").max.contains("999"))
+      assert(st.colStats("dim_payload").nullCount.contains(BigInt(0)))
+    } finally {
+      spark.conf.unset("spark.sql.cbo.enabled")
+      spark.conf.unset("spark.sql.adaptive.enabled")
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      spark.sql("DROP TABLE IF EXISTS stats_dim_frag")
+    }
+  }
+}
