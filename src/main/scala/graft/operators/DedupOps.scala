@@ -585,107 +585,27 @@ object DedupOps {
       .filter(col("shared_shingles") >= minShared)
   }
 
-  /** Duplicate clusters: connected components over the LSH candidate
-    * graph — the step a real dedup pipeline runs after candidate
-    * generation (keep the min-id doc per cluster, drop the rest).
-    *
-    * This is the SMALL-GRAPH variant: prefer [[dupClustersStar]] (the
-    * default everywhere else in this module — q_dedup_keep_best
-    * composes on it) whose round count is diameter-independent; this
-    * propagation loop exists for shallow candidate graphs and as an
-    * independent implementation both gates check against the same
-    * oracle fixed point.
-    *
-    * Iterative min-label propagation: every round each doc adopts the
-    * smallest cluster id among itself and its neighbors; converges in
-    * O(component diameter) rounds, and near-dup components are
-    * shallow by construction (they exist because docs are mutually
-    * similar). Each round is one equi-join + groupBy — every shuffle
-    * keyed on doc_id, labels checkpointed so lineage stays flat. The
-    * per-round convergence check is one driver scalar, the standard
-    * shape for iterative graph algorithms (offline path, not
-    * per-query).
-    *
-    * Docs with no candidate edge keep themselves as cluster_id, so the
-    * output is total over the corpus.
-    */
-  def dupClusters(docs: DataFrame): DataFrame = {
-    val pairs = lshCandidatePairs(docs)
-    val edges = pairs.select(col("a").as("src"), col("b").as("dst"))
-      .union(pairs.select(col("b").as("src"), col("a").as("dst")))
-      .pinnedIter
-    // iterate only over docs with at least one candidate edge — the
-    // vast majority are singletons and rejoin after convergence; the
-    // loop's per-round jobs then run on the (tiny) candidate subgraph
-    var labels = edges.select(col("src").as("doc_id")).distinct()
-      .withColumn("cluster_id", col("doc_id"))
-      .pinnedIter
-
-    def propagate(ls: DataFrame): DataFrame = {
-      val nbrMin = edges
-        .join(ls.select(col("doc_id").as("nbr"), col("cluster_id").as("nbr_label")),
-          col("dst") === col("nbr"))
-        .groupBy(col("src")).agg(min(col("nbr_label")).as("nbr_min"))
-      ls.join(nbrMin, ls("doc_id") === nbrMin("src"), "left_outer")
-        .select(ls("doc_id"),
-          least(col("cluster_id"), coalesce(col("nbr_min"), col("cluster_id")))
-            .as("cluster_id"))
-    }
-
-    // Convergence via the label-sum invariant: least() makes every
-    // per-row label monotonically non-increasing, so the EXACT integer
-    // sum of labels strictly decreases iff any label changed — one
-    // tiny aggregate over the checkpointed round instead of a
-    // stepped⋈previous join per round (one fewer shuffle per round,
-    // same fixed point).
-    // (decimal(38,0) sum: exact and unwrappable even when ids are
-    // 64-bit hashes across billions of rows — a wrapped long sum
-    // could fake convergence)
-    def labelSumOf(ls: DataFrame): java.math.BigDecimal = ls
-      .agg(coalesce(sum(col("cluster_id").cast("decimal(38,0)")),
-        lit(0).cast("decimal(38,0)")))
-      .collect()(0).getDecimal(0)
-    // seeded with the INITIAL sum so an already-converged first round
-    // (labels = own ids on an edgeless or star-shaped input) stops
-    // after one round instead of a mandatory second
-    var prevSum = labelSumOf(labels)
-    var changed = true
-    while (changed) {
-      // two hops per convergence check: labels travel 2 edges per
-      // round, halving the driver round-trips vs check-every-hop
-      val stepped = propagate(propagate(labels)).pinnedIter
-      val labelSum = labelSumOf(stepped)
-      changed = labelSum.compareTo(prevSum) < 0
-      prevSum = labelSum
-      Materialize.unpin(labels) // stepped is already materialized
-      labels = stepped
-    }
-    Materialize.unpin(edges)
-    docs.select(col("doc_id"))
-      .join(labels.select(col("doc_id").as("d2"), col("cluster_id")),
-        col("doc_id") === col("d2"), "left_outer")
-      .select(col("doc_id"),
-        coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
-  }
-
   /** Connected components via alternating large-star / small-star
     * (Kiveris et al., "Connected Components in MapReduce and Beyond",
-    * SoCC'14) — the high-diameter-safe alternative to per-hop label
-    * propagation in [[dupClusters]]: each round contracts whole
+    * SoCC'14) — the high-diameter-safe algorithm and THE duplicate
+    * clustering in this engine: each round contracts whole
     * neighborhoods onto their local minimum instead of moving labels
     * one edge, so convergence takes O(log²) rounds in the component
-    * DIAMETER-independent sense (the paper's bound) versus
-    * O(diameter) hops. On a 100 TB corpus where a boilerplate chain
-    * strings thousands of near-dup docs into a long path, the
-    * propagation loop pays one driver round-trip per 2 hops; this
-    * pays ~4 rounds total.
+    * DIAMETER-independent sense (the paper's bound) versus the
+    * O(diameter) hops per-edge label propagation pays. On a 100 TB
+    * corpus where a boilerplate chain strings thousands of near-dup
+    * docs into a long path, a propagation loop pays one driver
+    * round-trip per 2 hops; this pays ~4 rounds total. (The
+    * O(diameter) min-label loop lives in the TEST SUITE only —
+    * `MinLabelClusters` — as an independent cross-check
+    * implementation, never on a production path.)
     *
     * Each half-round is two shuffles on doc_id (a groupBy for the
     * neighborhood min + an equi-join to re-emit edges) and edges are
     * checkpointed per round to keep lineage flat. The fixed point is
-    * a star per component centered at the component minimum, so the
-    * final labels are exactly [[dupClusters]]'s min-label fixed point
-    * — both are oracle-checked against the same recursive CTE.
+    * a star per component centered at the component minimum —
+    * oracle-checked against TWO independent recursive-CTE
+    * formulations ([[clusterClosureSql]] and [[clusterClosureSql2]]).
     */
   def dupClustersStar(docs: DataFrame): DataFrame =
     labelAllDocs(docs, starComponents(lshCandidatePairs(docs)))
@@ -962,16 +882,36 @@ object DedupOps {
     * [[lshCandidatePairs]]. */
   private def candidateCtes: String = candidateCtesFrom("documents")
 
-  /** ONE oracle for q_dedup_clusters, q_dedup_clusters_star AND the
-    * streaming q_stream_dedup_clusters: connected components over the
-    * full corpus's candidate graph. All three implementations
-    * (propagation, batch contraction, incremental contraction) must
-    * land on the identical fixed point, so they share this string —
-    * batch/stream agreement is structural, not a copy-paste
-    * invariant. */
+  /** ONE oracle for q_dedup_clusters_star AND the streaming
+    * q_stream_dedup_clusters: connected components over the full
+    * corpus's candidate graph. Both implementations (batch
+    * contraction, incremental contraction) must land on the
+    * identical fixed point, so they share this string — batch/stream
+    * agreement is structural, not a copy-paste invariant. */
   def clusterClosureSql: String =
     s"""WITH RECURSIVE $candidateCtes,
        |$closureSql""".stripMargin
+
+  /** A SECOND, independently-derived oracle formulation of the same
+    * components for q_dedup_clusters: instead of seeding reachability
+    * from every document ([[closureSql]]'s reach(doc, doc) base
+    * case), this closes the EDGE set transitively (conn = everything
+    * reachable from an edge endpoint) and attaches singletons through
+    * a LEFT JOIN + least() against the corpus. Two formulations, one
+    * Spark implementation: a bug in either SQL derivation or in the
+    * contraction breaks one of the two gates. */
+  def clusterClosureSql2: String =
+    s"""WITH RECURSIVE $candidateCtes,
+       |edges AS (SELECT a AS src, b AS dst FROM cand
+       |          UNION ALL SELECT b, a FROM cand),
+       |conn(a, b) AS (
+       |  SELECT src, dst FROM edges
+       |  UNION
+       |  SELECT c.a, e.dst FROM conn c JOIN edges e ON e.src = c.b)
+       |SELECT d.doc_id,
+       |       least(d.doc_id, coalesce(min(c.b), d.doc_id)) AS cluster_id
+       |FROM documents d LEFT JOIN conn c ON c.a = d.doc_id
+       |GROUP BY d.doc_id""".stripMargin
 
   /** The [[LshRecallSampleHexMax]] hash-sample as a DataFrame filter:
     * md5 of the decimal doc_id string, leading hex digit below the
@@ -1319,22 +1259,22 @@ object DedupOps {
     },
 
     // Duplicate clusters: connected components over the candidate
-    // graph, labeled by min reachable doc_id. Spark side is iterative
-    // min-label propagation — the SMALL-GRAPH variant (O(diameter)
-    // driver rounds); production pipelines and every composition in
-    // this module use q_dedup_clusters_star's contraction instead.
-    // The oracle computes the identical fixed point with a recursive
-    // CTE (tiny closed components, so the transitive closure stays
-    // small).
+    // graph, labeled by min reachable doc_id, computed by alternating
+    // large-star/small-star contraction — the O(log²)-round,
+    // diameter-independent algorithm for 100 TB graphs, checked here
+    // against the SECOND independent oracle derivation
+    // (edge-closure + singleton LEFT JOIN). The formerly gated
+    // O(diameter) min-label propagation now lives test-side only
+    // (MinLabelClusters cross-checks the same fixed point).
     QueryDef.sql(
-      "q_dedup_clusters", clusterClosureSql) {
-      (s, dir) => dupClusters(Tables(s, dir, "documents"))
+      "q_dedup_clusters", clusterClosureSql2) {
+      (s, dir) => dupClustersStar(Tables(s, dir, "documents"))
     },
 
-    // Same components, computed by alternating large-star/small-star
-    // contraction — the O(log²)-round, diameter-independent algorithm
-    // for 100 TB graphs. Both implementations must land on the same
-    // fixed point, so this shares the recursive-CTE oracle verbatim.
+    // Same components against the FIRST oracle formulation
+    // (reach-from-every-node transitive closure) — also shared
+    // verbatim by the incremental streaming twin, so batch, stream
+    // and both SQL derivations must all agree on one fixed point.
     QueryDef.sql(
       "q_dedup_clusters_star", clusterClosureSql) {
       (s, dir) => dupClustersStar(Tables(s, dir, "documents"))

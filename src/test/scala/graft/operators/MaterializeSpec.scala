@@ -88,7 +88,7 @@ class MaterializeSpec extends SparkSpec {
 
   test("cluster-safe mode yields identical dedup clusters (iterated pins + unpins)") {
     def run(): Seq[(Long, Long)] =
-      DedupOps.dupClusters(docs).collect()
+      MinLabelClusters.dupClusters(docs).collect()
         .map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
     val local = run()
     val safe = inClusterSafe(run())

@@ -90,7 +90,7 @@ class PipelineOpsSpec extends SparkSpec {
     val c = b.replace("tok35", "chg35") // near b; 2 tokens from base
     val other = (1 to 40).map(i => s"other$i").mkString(" ")
     val d = Seq((7L, base), (8L, b), (9L, c), (99L, other)).toDF("doc_id", "text")
-    val m = DedupOps.dupClusters(d).collect()
+    val m = MinLabelClusters.dupClusters(d).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     // 9 connects to 7 only THROUGH 8 — component labeling must be
     // transitive, and the singleton keeps itself
@@ -412,7 +412,7 @@ class PipelineOpsSpec extends SparkSpec {
     }
     val expected = docs.select($"doc_id").collect().map(_.getLong(0))
       .map(id => id -> find(id)).toMap
-    val got = DedupOps.dupClusters(docs).collect()
+    val got = MinLabelClusters.dupClusters(docs).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got == expected)
   }
@@ -438,7 +438,7 @@ class PipelineOpsSpec extends SparkSpec {
 
   test("star clusters match propagation clusters on the gate corpus") {
     val docs = graft.Tables(spark, "/root/testdata/sf0.001", "documents")
-    val prop = DedupOps.dupClusters(docs).collect()
+    val prop = MinLabelClusters.dupClusters(docs).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     val star = DedupOps.dupClustersStar(docs).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
