@@ -1243,13 +1243,14 @@ object SimilarityOps {
     emb(s, dir).filter(col("vec_id") < NumProbes)
       .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
 
-  /** Oracle for q_stream_ivf_ingest: seed-centroid assignment of the
-    * "newly arriving" vec_id % [[IvfIngestMod]] slice — the same
-    * cell-ranking CTE shape as [[ivfSearchSql]]'s `cells`, restricted
-    * to the ingest slice. */
+  /** Oracle for q_stream_ivf_ingest: TRAINED-centroid assignment of
+    * the "newly arriving" vec_id % [[IvfIngestMod]] slice — the same
+    * cell-ranking shape as [[ivfTrainedServeSql]]'s `cells`,
+    * restricted to the ingest slice, over the same trained codebook
+    * the serve gates probe (the write and read halves of the serving
+    * story share one geometry). */
   private[operators] def ivfIngestSql: String =
-    s"""WITH c AS (SELECT vec_id AS centroid_id, embedding AS cv
-       |           FROM embeddings WHERE vec_id < $NumCentroids),
+    s"""WITH $ivfTrainedCtes,
        |scored AS (
        |  SELECT e.vec_id, c.centroid_id,
        |         ${cosSql("cv", "e.embedding")}
@@ -1263,25 +1264,10 @@ object SimilarityOps {
        |      FROM scored)
        |WHERE rnk = 1""".stripMargin
 
-  /** ONE oracle for q_sim_ivf_search, q_stream_ann AND
-    * q_stream_ann_after_ingest: seed-centroid IVF assignment, nprobe
-    * probe-cell selection, in-cell exact ranking. The batch operator
-    * and both streaming serve paths must land on the identical
-    * result, so they share this string the way the sessionization
-    * pair shares its window SQL. (For the ingest gate the "union of
-    * base corpus + ingest slice" IS the full embeddings table, so the
-    * same SQL is the read-your-writes oracle.) */
-  private[operators] def ivfSearchSql: String =
-    s"""WITH c AS (SELECT vec_id AS centroid_id, embedding AS cv
-       |           FROM embeddings WHERE vec_id < $NumCentroids),
-       |q AS (SELECT vec_id AS query_id, embedding AS qv
-       |      FROM embeddings WHERE vec_id < $NumProbes),
-       |$ivfSearchBodySql""".stripMargin
-
-  /** The assignment+probe+rank body shared by [[ivfSearchSql]] and
-    * [[ivfTrainedServeSql]] — expects CTEs `c(centroid_id, cv)` and
-    * `q(query_id, qv)` in scope, so the SQL definition of the search
-    * cannot fork between the seeded and the trained gate. */
+  /** The assignment+probe+rank body of the IVF search oracle —
+    * expects CTEs `c(centroid_id, cv)` and `q(query_id, qv)` in
+    * scope, so the SQL definition of the search cannot fork across
+    * the gates that bind different codebooks to it. */
   private def ivfSearchBodySql: String =
     s"""cell_scored AS (
        |  SELECT e.vec_id, c.centroid_id,
@@ -1324,14 +1310,15 @@ object SimilarityOps {
        |      FROM cand)
        |WHERE rnk <= $TopK""".stripMargin
 
-  /** Oracle for q_ann_trained_serve: the [[ivfTrainQuantized]] Lloyd
-    * loop unrolled as chained CTEs (the q_pq_train move applied to
-    * the coarse IVF codebook — rank-strided seeds, cosine argmax
-    * assignment with centroid_id tie-break, 6-dp-rounded float-cast
-    * dim-wise means, empty/degenerate cells keep their previous
-    * centroid), then the SAME search body as [[ivfSearchSql]] with
-    * `c` bound to the trained centroids instead of the seeds. */
-  private[operators] def ivfTrainedServeSql: String = {
+  /** The [[ivfTrainQuantized]] Lloyd loop unrolled as chained CTEs
+    * ending in the trained codebook `c(centroid_id, cv)` (the
+    * q_pq_train move applied to the coarse IVF codebook —
+    * rank-strided seeds, cosine argmax assignment with centroid_id
+    * tie-break, 6-dp-rounded float-cast dim-wise means,
+    * empty/degenerate cells keep their previous centroid). EVERY
+    * IVF-family oracle binds its body to this one training chain, so
+    * the gates all serve the geometry production would serve. */
+  private def ivfTrainedCtes: String = {
     def iter(i: Int): String = {
       val prev = s"tc${i - 1}"
       s"""ta$i AS (
@@ -1359,7 +1346,7 @@ object SimilarityOps {
          |     HAVING sum(abs(CAST(v AS DOUBLE))) > 0) mm
          |    USING (centroid_id))""".stripMargin
     }
-    s"""WITH rk AS (SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS rnk
+    s"""rk AS (SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS rnk
        |           FROM embeddings),
        |par AS (SELECT greatest(
        |          (SELECT count(*) FROM embeddings) // $NumCentroids, 1) AS stride),
@@ -1368,11 +1355,24 @@ object SimilarityOps {
        |        WHERE rk.rnk % par.stride = 0
        |          AND rk.rnk < par.stride * $NumCentroids),
        |${(1 to IvfTrainGateIters).map(iter).mkString(",\n")},
-       |c AS (SELECT centroid_id, cv FROM tc$IvfTrainGateIters),
+       |c AS (SELECT centroid_id, cv FROM tc$IvfTrainGateIters)""".stripMargin
+  }
+
+  /** ONE oracle for q_sim_ivf_search, q_ann_trained_serve,
+    * q_stream_ann AND q_stream_ann_after_ingest: the unrolled
+    * [[ivfTrainedCtes]] training feeding the shared search body. The
+    * in-memory search, the stored-index serve, and both streaming
+    * serve paths must land on the identical result, so all four
+    * share this string the way the sessionization family shares its
+    * window SQL — and every one of them serves the TRAINED codebook,
+    * not the vec_id<k seeds. (For the after-ingest gate the "union
+    * of base corpus + ingest slice" IS the full embeddings table, so
+    * the same SQL is the read-your-writes oracle.) */
+  private[operators] def ivfTrainedServeSql: String =
+    s"""WITH $ivfTrainedCtes,
        |q AS (SELECT vec_id AS query_id, embedding AS qv
        |      FROM embeddings WHERE vec_id < $NumProbes),
        |$ivfSearchBodySql""".stripMargin
-  }
 
   val all: Seq[QueryDef] = Seq(
 
@@ -1663,16 +1663,20 @@ object SimilarityOps {
         ivfAssign(emb(s, dir), centroids)
     },
 
-    // IVF probe search over the seed centroids: each query scans only
-    // its NumProbeCells nearest cells (nprobe/ncells of the corpus).
-    // The oracle replicates the cell assignment + probe selection +
-    // in-cell ranking verbatim; recall vs the exact q_sim_cosine_topk
-    // is measured in the test suite (trained centroids there).
-    QueryDef.sql("q_sim_ivf_search", ivfSearchSql) {
+    // IVF probe search over the TRAINED centroids: each query scans
+    // only its NumProbeCells nearest cells (nprobe/ncells of the
+    // corpus). The oracle unrolls the same quantized Lloyd training
+    // and replicates the cell assignment + probe selection + in-cell
+    // ranking verbatim — the in-memory member of the four-way
+    // ivfTrainedServeSql family (in-memory, stored serve, stream
+    // serve, stream serve-after-ingest all on one codebook); recall
+    // vs brute force is reported by q_ivf_recall_curve on the SAME
+    // trained geometry.
+    QueryDef.sql("q_sim_ivf_search", ivfTrainedServeSql) {
       (s, dir) =>
-        val centroids = emb(s, dir).filter(col("vec_id") < NumCentroids)
-          .select(col("vec_id").as("centroid_id"), col("embedding").as("cv"))
-        ivfSearch(emb(s, dir), centroids, gateProbes(s, dir),
+        val trained = ivfTrainQuantized(emb(s, dir), NumCentroids,
+          IvfTrainGateIters)
+        ivfSearch(emb(s, dir), trained, gateProbes(s, dir),
           NumProbeCells, TopK)
     },
 
@@ -1682,13 +1686,10 @@ object SimilarityOps {
     // the coarse codebook), persist the full-precision index bucketed
     // by the TRAINED cells, and serve a probe batch against the
     // stored table through the same annSearchStored path q_stream_ann
-    // uses. Until now every serve gate ran on seed centroids
-    // (vec_id < NumCentroids) while the Lloyd loop sat one file over;
-    // this gate closes that gap: train → writeIvfIndex →
-    // annSearchStored with the trained constants, oracle = the
-    // unrolled training iterations feeding the shared search body.
-    // The spec additionally reports trained-vs-seeded recall against
-    // the exact brute-force top-k.
+    // uses — the stored-index member of the ivfTrainedServeSql
+    // family (the whole serve family now runs this codebook). The
+    // spec additionally reports trained-vs-seeded recall against the
+    // exact brute-force top-k.
     QueryDef.sql("q_ann_trained_serve", ivfTrainedServeSql) {
       (s, dir) =>
         val trained = ivfTrainQuantized(emb(s, dir), NumCentroids,
@@ -2357,11 +2358,13 @@ object SimilarityOps {
     },
 
     // Measured IVF recall-vs-nprobe curve — the "how many cells must
-    // I probe" tuning table, computed from ONE corpus scan (each
-    // scored pair carries its cell's probe rank, so every depth is a
-    // filter + bounded window over the same table). Exact-integer
-    // recall; spec pins each depth against an independent ivfSearch
-    // run, monotone recall, and 100% at full probe depth.
+    // I probe" tuning table for the TRAINED serving geometry (the
+    // same codebook every ivfTrainedServeSql gate probes), computed
+    // from ONE corpus scan (each scored pair carries its cell's
+    // probe rank, so every depth is a filter + bounded window over
+    // the same table). Exact-integer recall; spec pins each depth
+    // against an independent ivfSearch run, monotone recall, and
+    // 100% at full probe depth.
     QueryDef.sql(
       "q_ivf_recall_curve", {
         val runs = (1 to NumCentroids).map(np =>
@@ -2372,8 +2375,7 @@ object SimilarityOps {
              |        FROM sc WHERE crnk <= $np)
              |  WHERE rnk <= $TopK""".stripMargin)
           .mkString("\n  UNION ALL\n")
-        s"""WITH c AS (SELECT vec_id AS centroid_id, embedding AS cv
-           |           FROM embeddings WHERE vec_id < $NumCentroids),
+        s"""WITH $ivfTrainedCtes,
            |asg AS (
            |  SELECT e.vec_id, c.centroid_id,
            |         ${cosSql("c.cv", "e.embedding")} AS cos
@@ -2427,8 +2429,7 @@ object SimilarityOps {
       }) { (s, dir) =>
       val e = emb(s, dir)
       ivfRecallCurve(e,
-        e.filter(col("vec_id") < NumCentroids)
-          .select(col("vec_id").as("centroid_id"), col("embedding").as("cv")),
+        ivfTrainQuantized(e, NumCentroids, IvfTrainGateIters),
         TopK, NumCentroids)
     }
   )
@@ -2894,7 +2895,7 @@ object SimilarityOps {
     *
     * On a batch `queries` input this returns exactly [[ivfSearch]]
     * (spec-pinned); the q_stream_ann gate runs it as a real stream
-    * against the shared [[ivfSearchSql]] oracle.
+    * against the shared [[ivfTrainedServeSql]] oracle.
     */
   /** The `n` nearest centroid cells of the `qv` column by cosine,
     * as a sorted array of (ccos, centroid_id) structs — pure map-side

@@ -337,16 +337,18 @@ object StreamingOps {
     // Streaming IVF index INGEST — the write half of the serving
     // story (q_stream_ann is the read half): newly arriving vectors
     // stream in, each is assigned its nearest centroid cell by pure
-    // map-side arithmetic over the broadcast centroid constants
-    // (stateless — no state store at all), ready to append into the
-    // writeIvfIndex bucketed layout per trigger. Oracle = the batch
-    // assignment CTE restricted to the ingest slice; the spec
-    // additionally pins stream == ivfAssign on the same slice.
+    // map-side arithmetic over the broadcast TRAINED-centroid
+    // constants (stateless — no state store at all), ready to append
+    // into the writeIvfIndex bucketed layout per trigger. Oracle =
+    // the unrolled-Lloyd training + assignment CTE restricted to the
+    // ingest slice — the same codebook the serve gates probe; the
+    // spec additionally pins stream == ivfAssign on the same slice.
     QueryDef.sql("q_stream_ivf_ingest", SimilarityOps.ivfIngestSql) {
       (s, dir) => withStreamPartitions(s, 8) {
         val emb = Tables(s, dir, "embeddings")
-        val centConst = emb.filter(col("vec_id") < SimilarityOps.NumCentroids)
-          .select(col("vec_id"), col("embedding")).collect()
+        val centConst = SimilarityOps.ivfTrainQuantized(emb,
+          SimilarityOps.NumCentroids, SimilarityOps.IvfTrainGateIters)
+          .collect() // NumCentroids rows: index geometry
           .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).toSeq
         val stream = s.readStream.schema(emb.schema)
           .parquet(EventStreams.streamableDir(s"$dir/embeddings.parquet"))
@@ -376,13 +378,14 @@ object StreamingOps {
     // memory sink that would hold every past answer forever. Each
     // query appears in exactly one trigger, so the per-trigger
     // answers union to the batch result. Oracle = the SAME SQL as
-    // q_sim_ivf_search, so "the stream serves exactly what the batch
-    // search computes" is structural.
-    QueryDef.sql("q_stream_ann", SimilarityOps.ivfSearchSql) {
+    // q_sim_ivf_search — the trained-codebook serve family — so "the
+    // stream serves exactly what the batch search computes" is
+    // structural.
+    QueryDef.sql("q_stream_ann", SimilarityOps.ivfTrainedServeSql) {
       (s, dir) => withStreamPartitions(s, 8) {
         val emb = Tables(s, dir, "embeddings")
-        val centroids = emb.filter(col("vec_id") < SimilarityOps.NumCentroids)
-          .select(col("vec_id").as("centroid_id"), col("embedding").as("cv"))
+        val centroids = SimilarityOps.ivfTrainQuantized(emb,
+          SimilarityOps.NumCentroids, SimilarityOps.IvfTrainGateIters)
         SimilarityOps.writeIvfIndex(emb, centroids, "graft_ivf_index", 8)
         val centConst = centroids.collect() // 8 rows: index geometry
           .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).toSeq
@@ -412,16 +415,20 @@ object StreamingOps {
     // foreachBatch-APPENDS it into the index's bucketed layout per
     // trigger, and a probe batch is then served against the UPDATED
     // table through the same annSearchStored path. Oracle = the same
-    // ivfSearchSql over the full embeddings table — which IS the
-    // union of base corpus + ingest slice — so the gate proves the
-    // appended rows are really served, not just assigned. The
-    // appended table's reads stay exchange-free on the stored side
-    // (SourcesSpec pins this post-append).
-    QueryDef.sql("q_stream_ann_after_ingest", SimilarityOps.ivfSearchSql) {
+    // ivfTrainedServeSql over the full embeddings table — which IS
+    // the union of base corpus + ingest slice — so the gate proves
+    // the appended rows are really served, not just assigned. The
+    // trained codebook comes from the FULL corpus (geometry is
+    // trained ahead of serving; the ingest slice arriving later does
+    // not retrain it mid-stream). The appended table's reads stay
+    // exchange-free on the stored side (SourcesSpec pins this
+    // post-append).
+    QueryDef.sql("q_stream_ann_after_ingest",
+      SimilarityOps.ivfTrainedServeSql) {
       (s, dir) => withStreamPartitions(s, 8) {
         val emb = Tables(s, dir, "embeddings")
-        val centroids = emb.filter(col("vec_id") < SimilarityOps.NumCentroids)
-          .select(col("vec_id").as("centroid_id"), col("embedding").as("cv"))
+        val centroids = SimilarityOps.ivfTrainQuantized(emb,
+          SimilarityOps.NumCentroids, SimilarityOps.IvfTrainGateIters)
         val isIngest = col("vec_id") % SimilarityOps.IvfIngestMod ===
           SimilarityOps.IvfIngestMod - 1
         SimilarityOps.writeIvfIndex(emb.filter(!isIngest), centroids,

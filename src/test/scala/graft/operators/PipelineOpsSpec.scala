@@ -146,7 +146,10 @@ class PipelineOpsSpec extends SparkSpec {
     assert(ivf == exact)
   }
 
-  test("gate IVF search (seed centroids, nprobe=2/8) reports recall vs exact top-k") {
+  // the gate family serves TRAINED centroids; the seeded run here is
+  // the recall FLOOR the trained-vs-seeded telemetry below compares to
+  test("seed-centroid IVF search (nprobe=2/8) reports the recall floor " +
+    "vs exact top-k") {
     val emb = graft.Tables(spark, "/root/testdata/sf0.001", "embeddings")
     val probes = emb.filter($"vec_id" < SimilarityOps.NumProbes)
       .select($"vec_id".as("query_id"), $"embedding".as("qv"))
@@ -2665,7 +2668,15 @@ class PipelineOpsSpec extends SparkSpec {
       sorted.filter(_._4).foreach { case (_, hr, v, _) =>
         val (ph, pv) = observed.filter(_._1 < hr).maxBy(_._1)
         val (nh, nv) = observed.filter(_._1 > hr).minBy(_._1)
-        val expect = BigDecimal(pv + (nv - pv) * (hr - ph) / (nh - ph))
+        // observed values are exact integer CENTS over 100; recover
+        // the cents and replay the gate's integer-seeded expression
+        // tree op for op: ((nc-pc)*(hr-ph))/(nh-ph) as double, + pc,
+        // / 100, round 4dp
+        val pc = math.round(pv * 100)
+        val nc = math.round(nv * 100)
+        val interp =
+          (pc + ((nc - pc) * (hr - ph)).toDouble / (nh - ph)) / 100.0
+        val expect = BigDecimal(interp)
           .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
         assert(v == expect,
           s"$tpe hour $hr: interpolated $v, JVM replay $expect")
