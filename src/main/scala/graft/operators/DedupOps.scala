@@ -882,6 +882,17 @@ object DedupOps {
     * [[lshCandidatePairs]]. */
   private def candidateCtes: String = candidateCtesFrom("documents")
 
+  /** ONE oracle for q_dedup_incremental AND the streaming
+    * q_stream_index_lifecycle: the full candidate set restricted to
+    * pairs whose newer side is in the new slice — identical by
+    * construction to "incremental == full-recompute restricted to
+    * the increment", however the stored index was built (one-shot
+    * write, fragmented appends, or appends + compaction). Sharing
+    * the string makes that lifecycle-independence structural. */
+  def incrementalCandSql: String =
+    s"""WITH $candidateCtes
+       |SELECT a, b FROM cand WHERE b >= $IncrementalSplit""".stripMargin
+
   /** ONE oracle for q_dedup_clusters_star AND the streaming
     * q_stream_dedup_clusters: connected components over the full
     * corpus's candidate graph. Both implementations (batch
@@ -1178,10 +1189,7 @@ object DedupOps {
     // to pairs whose newer side is in the new slice: identical by
     // construction, which is the point (incremental == full-recompute
     // restricted to the increment).
-    QueryDef.sql(
-      "q_dedup_incremental",
-      s"""WITH $candidateCtes
-         |SELECT a, b FROM cand WHERE b >= $IncrementalSplit""".stripMargin) {
+    QueryDef.sql("q_dedup_incremental", incrementalCandSql) {
       (s, dir) =>
         val docs = Tables(s, dir, "documents")
         val existing = docs.filter(col("doc_id") < IncrementalSplit)

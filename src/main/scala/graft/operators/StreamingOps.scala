@@ -552,6 +552,49 @@ object StreamingOps {
       }
     },
 
+    // The FULL stored-index lifecycle in one gate: ingest →
+    // fragmented appends → compaction → exchange-free probe. The
+    // existing-corpus slice streams in as 4 ingest batches, each
+    // foreachBatch-appending its minhash bands into the bucketed
+    // band index (every append lands up to one new file per bucket —
+    // exactly how a long-running ingest fragments a stored
+    // artifact); Sources.compactBucketed then rewrites the table to
+    // one sorted file per bucket through the shadow-table swap, and
+    // the "new" slice probes the COMPACTED index through the same
+    // incrementalCandidatePairsStored path the daily dedup job runs.
+    // Oracle = the SAME string as q_dedup_incremental, so "the
+    // candidate set does not depend on how the index was built —
+    // one-shot, fragmented, or compacted" is structural. The spec
+    // additionally pins 1 file/bucket post-compact, identical probe
+    // results before/after compaction, and appends continuing AFTER
+    // a compaction staying probe-visible.
+    QueryDef.sql("q_stream_index_lifecycle", DedupOps.incrementalCandSql) {
+      (s, dir) => withStreamPartitions(s, 8) {
+        val docs = Tables(s, dir, "documents")
+          .select(col("doc_id"), col("text"))
+        val existing = docs.filter(col("doc_id") < DedupOps.IncrementalSplit)
+        graft.sources.Sources.dropManaged(s, "graft_band_lc")
+        val tmp = java.nio.file.Files.createTempDirectory("graft_idx_lc")
+        EventStreams.deleteRecursivelyOnExit(tmp)
+        val inDir = s"$tmp/in"
+        existing.repartition(4).write.mode("overwrite").parquet(inDir)
+        val stream = s.readStream.schema(existing.schema)
+          .option("maxFilesPerTrigger", "1").parquet(inDir)
+        val q = stream.writeStream
+          .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+            DedupOps.appendBandIndex(batch, "graft_band_lc", 8)
+          }
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+        // the maintenance pass a long-running ingest schedules off
+        // the serving path: back to one sorted file per bucket
+        graft.sources.Sources.compactBucketed(
+          s, "graft_band_lc", Seq("band", "bucket"), 8)
+        DedupOps.incrementalCandidatePairsStored(s, "graft_band_lc",
+          docs.filter(col("doc_id") >= DedupOps.IncrementalSplit))
+      }
+    },
+
     // STREAMING per-source admission cap — the online enforcement of
     // q_source_cap's per-domain quota: documents arrive in append-id
     // order across micro-batches (orderedSlicedDir staging), each

@@ -319,6 +319,50 @@ class SourcesSpec extends SparkSpec {
     } finally spark.sql("DROP TABLE IF EXISTS band_compact_test")
   }
 
+  test("index lifecycle: fragmented appends -> compact -> append again; " +
+    "probe results identical before/after compaction, 1 file/bucket " +
+    "post-compact, post-compact appends stay probe-visible") {
+    import graft.operators.DedupOps
+    val docs = graft.Tables(spark, "/root/testdata/sf0.001", "documents")
+      .select(col("doc_id"), col("text"))
+    val nBuckets = 4
+    val probe = docs.filter(col("doc_id") >= 450)
+    def probePairs(): Set[(Long, Long)] =
+      DedupOps.incrementalCandidatePairsStored(spark, "band_lc_test", probe)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    try {
+      // ingest as four fragmented appends (first one creates the table)
+      Seq((0, 100), (100, 200), (200, 300), (300, 400)).foreach {
+        case (lo, hi) => DedupOps.appendBandIndex(
+          docs.filter(col("doc_id") >= lo && col("doc_id") < hi),
+          "band_lc_test", nBuckets)
+      }
+      assert(spark.table("band_lc_test").inputFiles.length > nBuckets,
+        "appends should fragment the table")
+      val before = probePairs()
+      assert(before.nonEmpty)
+      Sources.compactBucketed(spark, "band_lc_test",
+        Seq("band", "bucket"), nBuckets)
+      // one sorted file per bucket, and the SAME probe answers
+      assert(spark.table("band_lc_test").inputFiles.length == nBuckets,
+        "compaction must land exactly one file per bucket")
+      assert(probePairs() == before,
+        "compaction changed probe results")
+      // live appends continue AFTER a compaction and are probe-visible
+      DedupOps.appendBandIndex(
+        docs.filter(col("doc_id") >= 400 && col("doc_id") < 450),
+        "band_lc_test", nBuckets)
+      spark.catalog.refreshTable("band_lc_test")
+      val after = probePairs()
+      assert(before.subsetOf(after), "append lost prior candidates")
+      val expected = DedupOps.incrementalCandidatePairs(
+        DedupOps.minhashBands(docs.filter(col("doc_id") < 450)), probe)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(after == expected,
+        "post-compact append is not serving the full corpus")
+    } finally spark.sql("DROP TABLE IF EXISTS band_lc_test")
+  }
+
   test("swapBucketed state table: the write is multi-task (one sorted " +
     "file per bucket, never one file), the read is bucketed, and a new " +
     "version derived FROM the old table swaps in atomically") {
