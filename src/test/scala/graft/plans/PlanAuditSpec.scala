@@ -96,6 +96,47 @@ class PlanAuditSpec extends SparkSpec {
     assert(offenders.isEmpty, offenders.mkString("; "))
   }
 
+  /** Gates allowed an UNPARTITIONED window — each one's window input
+    * is k-row BOUNDED, so the single-task funnel is constant work:
+    * the justification is the bound, not the warning being familiar. */
+  private val boundedWindow = Map(
+    "q_surrogate_ids" -> "distinct-name dictionary (vocabulary-sized)",
+    "q_sim_rrf" -> "two k-row ranked lists, k = Bm25TopK",
+    "q_ivf_balance" -> "NumCentroids cell-summary rows",
+    "q_text_vocab" -> "<= 100 rows post TakeOrderedAndProject limit",
+    "q_bpe_pairs" -> "<= BpeTopPairs rows post TakeOrderedAndProject limit")
+
+  test("unpartitioned windows run only over bounded inputs: every " +
+    "WindowExec with an empty partitionSpec is on the justified " +
+    "allowlist") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    // an unpartitioned window funnels its WHOLE input through one
+    // task — the scale-killer WindowExec warns about. Legitimate only
+    // for k-row-bounded inputs; this audit freezes the set so a new
+    // data-sized unpartitioned window can't hide in the (expected)
+    // warning noise of the bench tail.
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    val offenders = scala.collection.mutable.ArrayBuffer.empty[String]
+    try {
+      graft.SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+        if (!streaming(name)) {
+          scala.util.Try(fn(spark, sfDir).queryExecution.executedPlan)
+            .fold(e => offenders += s"$name: plan build failed: " +
+                String.valueOf(e.getMessage).linesIterator.toSeq.headOption
+                  .getOrElse(e.getClass.getName),
+              plan => {
+                val unpart = plan.collect {
+                  case w: WindowExec if w.partitionSpec.isEmpty => w
+                }
+                if (unpart.nonEmpty && !boundedWindow.contains(name))
+                  offenders += s"$name: ${unpart.size} unpartitioned window(s)"
+              })
+        }
+      }
+    } finally spark.conf.unset("spark.sql.adaptive.enabled")
+    assert(offenders.isEmpty, offenders.mkString("; "))
+  }
+
   test("hot scan paths plan inside WholeStageCodegen spans") {
     // scan→filter→project→partial-agg chains must fuse into generated
     // code — a non-codegen Expression or UDF in the hot path breaks
