@@ -306,8 +306,10 @@ class EventStreamsSpec extends SparkSpec {
     val ingested = graft.SparkEntry.queries("q_stream_ivf_ingest")(spark, sf)
       .collect().map(_.toSeq).toSet
     val emb = graft.Tables(spark, sf, "embeddings")
-    val centroids = emb.filter(col("vec_id") < SimilarityOps.NumCentroids)
-      .select(col("vec_id").as("centroid_id"), col("embedding").as("cv"))
+    // a FRESH training run, not the gate's cached codebook — the
+    // equality below then also pins that the cache is the training
+    val centroids = SimilarityOps.ivfTrainQuantized(emb,
+      SimilarityOps.NumCentroids, SimilarityOps.IvfTrainGateIters)
     val batch = SimilarityOps.ivfAssign(
       emb.filter(col("vec_id") % SimilarityOps.IvfIngestMod
         === SimilarityOps.IvfIngestMod - 1), centroids)
@@ -323,8 +325,8 @@ class EventStreamsSpec extends SparkSpec {
     val served = graft.SparkEntry.queries("q_stream_ann")(spark, sf)
       .collect().map(_.toSeq).toSet
     val emb = graft.Tables(spark, sf, "embeddings")
-    val centroids = emb.filter(col("vec_id") < SimilarityOps.NumCentroids)
-      .select(col("vec_id").as("centroid_id"), col("embedding").as("cv"))
+    val centroids = SimilarityOps.ivfTrainQuantized(emb,
+      SimilarityOps.NumCentroids, SimilarityOps.IvfTrainGateIters)
     val probes = emb.filter(col("vec_id") < SimilarityOps.NumProbes)
       .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
     val batch = SimilarityOps.ivfSearch(emb, centroids, probes,
@@ -342,8 +344,8 @@ class EventStreamsSpec extends SparkSpec {
     val served = graft.SparkEntry.queries("q_stream_ann_after_ingest")(spark, sf)
       .collect().map(_.toSeq).toSet
     val emb = graft.Tables(spark, sf, "embeddings")
-    val centroids = emb.filter(col("vec_id") < SimilarityOps.NumCentroids)
-      .select(col("vec_id").as("centroid_id"), col("embedding").as("cv"))
+    val centroids = SimilarityOps.ivfTrainQuantized(emb,
+      SimilarityOps.NumCentroids, SimilarityOps.IvfTrainGateIters)
     val probes = emb.filter(col("vec_id") < SimilarityOps.NumProbes)
       .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
     val batch = SimilarityOps.ivfSearch(emb, centroids, probes,
