@@ -353,11 +353,18 @@ object Analytics {
   /** The per-column ANALYZE statistics of `df` — the q_table_stats
     * body, factored so the SAME computation both serves the gate and
     * feeds the session catalog ([[feedCatalogStats]]): one stats row
-    * per column with rows / non-nulls / exact NDV / min / max. */
-  def tableStats(df: DataFrame, cols: Seq[(String, String)]): DataFrame = {
+    * per column with rows / non-nulls / NDV / min / max.
+    * `exact = false` swaps the exact multi-column countDistinct (an
+    * Expand pass — rows × columns) for approx_count_distinct, which
+    * collapses to plain map-side partial aggregates: the 100 TB
+    * maintenance-path mode (optimizer statistics tolerate HLL error;
+    * the gate keeps the exact mode so the oracle can replay it). */
+  def tableStats(df: DataFrame, cols: Seq[(String, String)],
+      exact: Boolean = true): DataFrame = {
     val aggs = cols.flatMap { case (c, t) =>
       val v = statsVal(c, t)
-      Seq(count(v).as(s"nn_$c"), countDistinct(v).as(s"ndv_$c"),
+      val ndv = if (exact) countDistinct(v) else approx_count_distinct(v)
+      Seq(count(v).as(s"nn_$c"), ndv.as(s"ndv_$c"),
         min(v).cast("string").as(s"min_$c"),
         max(v).cast("string").as(s"max_$c"))
     }
@@ -422,11 +429,15 @@ object Analytics {
 
   /** ANALYZE a catalog table end to end: [[tableStats]] over its
     * current rows, fed back via [[feedCatalogStats]] — the engine's
-    * `ANALYZE TABLE t COMPUTE STATISTICS FOR ALL COLUMNS`. */
-  def analyzeTable(spark: SparkSession, tableName: String): Unit = {
+    * `ANALYZE TABLE t COMPUTE STATISTICS FOR ALL COLUMNS`.
+    * `exact = false` is the maintenance-path mode (approx NDV, no
+    * Expand) a compaction pass runs after rewriting a stored
+    * artifact. */
+  def analyzeTable(spark: SparkSession, tableName: String,
+      exact: Boolean = true): Unit = {
     val df = spark.table(tableName)
     feedCatalogStats(spark, tableName,
-      tableStats(df, df.schema.map(_.name -> "raw")))
+      tableStats(df, df.schema.map(_.name -> "raw"), exact))
   }
 
   /** Generated oracle for q_table_stats: the same per-column stats as

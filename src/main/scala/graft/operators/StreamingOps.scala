@@ -565,9 +565,13 @@ object StreamingOps {
           .trigger(Trigger.AvailableNow()).start()
         q.awaitTermination()
         // the maintenance pass a long-running ingest schedules off
-        // the serving path: back to one sorted file per bucket
+        // the serving path: back to one sorted file per bucket, then
+        // refresh the optimizer statistics of the rewritten artifact
+        // (approx-NDV mode — the 100 TB maintenance path) so the
+        // catalog the next probe plans against is current
         graft.sources.Sources.compactBucketed(
           s, "graft_band_lc", Seq("band", "bucket"), 8)
+        Analytics.analyzeTable(s, "graft_band_lc", exact = false)
         DedupOps.incrementalCandidatePairsStored(s, "graft_band_lc",
           docs.filter(col("doc_id") >= DedupOps.IncrementalSplit))
       }

@@ -348,6 +348,19 @@ class SourcesSpec extends SparkSpec {
         "compaction must land exactly one file per bucket")
       assert(probePairs() == before,
         "compaction changed probe results")
+      // the maintenance pass refreshes optimizer stats of the
+      // rewritten artifact (approx-NDV mode): the catalog the next
+      // probe plans against carries the true row count
+      graft.operators.Analytics.analyzeTable(
+        spark, "band_lc_test", exact = false)
+      val st = spark.sessionState.catalog.getTableMetadata(
+        org.apache.spark.sql.catalyst.TableIdentifier("band_lc_test"))
+        .stats.get
+      assert(st.rowCount.contains(
+        BigInt(spark.table("band_lc_test").count())),
+        "post-compact ANALYZE must record the true row count")
+      assert(st.colStats.contains("band"),
+        "post-compact ANALYZE must record column statistics")
       // live appends continue AFTER a compaction and are probe-visible
       DedupOps.appendBandIndex(
         docs.filter(col("doc_id") >= 400 && col("doc_id") < 450),
