@@ -221,6 +221,36 @@ object CurationOps {
           (b < SampleUpper).as("in_sample_10pct"))
     },
 
+    // LEAKAGE-SAFE train/val/test split: q_sample_split's hash
+    // assignment keyed on the near-dup CLUSTER id instead of the doc
+    // id, so a cluster of near-duplicates can never straddle splits —
+    // the classic evaluation-contamination bug (a test doc whose
+    // near-copy sits in train) structurally cannot happen: every
+    // member inherits its cluster's split. Composition: the star
+    // contraction supplies (doc_id, cluster_id); the split is then
+    // the same pure md5-bucket map work as q_sample_split, and
+    // singletons (cluster_id = own id) degrade to exactly the
+    // per-doc split. Oracle = the shared closure CTEs + the same
+    // CASE, so the label definition and the assignment rule both
+    // come from one place.
+    QueryDef.sql(
+      "q_split_leakage_safe",
+      s"""WITH RECURSIVE ${DedupOps.clusterLabelCtes}
+         |SELECT doc_id, cluster_id,
+         |       CASE WHEN substr(md5(CAST(cluster_id AS VARCHAR)), 1, 2)
+         |                 < '$TrainUpper' THEN 'train'
+         |            WHEN substr(md5(CAST(cluster_id AS VARCHAR)), 1, 2)
+         |                 < '$ValUpper' THEN 'val'
+         |            ELSE 'test' END AS split
+         |FROM lab""".stripMargin) { (s, dir) =>
+      val b = bucket(col("cluster_id"))
+      DedupOps.dupClustersStar(Tables(s, dir, "documents"))
+        .select(col("doc_id"), col("cluster_id"),
+          when(b < TrainUpper, "train")
+            .when(b < ValUpper, "val")
+            .otherwise("test").as("split"))
+    },
+
     // Stratified downsampling: per-language keep rates through the
     // same hash buckets — the standard move for rebalancing a corpus
     // dominated by one language without losing reproducibility.

@@ -867,15 +867,29 @@ object DedupOps {
     * cluster queries (propagation and star) append this to
     * [[candidateCtes]], making "same oracle" structural rather than a
     * copy-paste invariant. */
-  private def closureSql: String =
+  private def closureCtes: String =
     """edges AS (SELECT a AS src, b AS dst FROM cand
       |          UNION ALL SELECT b, a FROM cand),
       |reach(src, dst) AS (
       |  SELECT doc_id, doc_id FROM documents
       |  UNION
-      |  SELECT r.src, e.dst FROM reach r JOIN edges e ON e.src = r.dst)
-      |SELECT src AS doc_id, min(dst) AS cluster_id
-      |FROM reach GROUP BY src""".stripMargin
+      |  SELECT r.src, e.dst FROM reach r JOIN edges e ON e.src = r.dst),
+      |lab AS (SELECT src AS doc_id, min(dst) AS cluster_id
+      |        FROM reach GROUP BY src)""".stripMargin
+
+  private def closureSql: String =
+    s"""$closureCtes
+       |SELECT doc_id, cluster_id FROM lab""".stripMargin
+
+  /** The full candidate→component derivation as CTEs ending in
+    * `lab(doc_id, cluster_id)` — for oracles that COMPOSE on the
+    * cluster labels (the leakage-safe split keys its assignment on
+    * the cluster id). Built from the same candidate and closure
+    * pieces as [[clusterClosureSql]], so the label definition cannot
+    * fork between the clustering gates and their compositions. */
+  def clusterLabelCtes: String =
+    s"""$candidateCtes,
+       |$closureCtes""".stripMargin
 
   /** Shared oracle CTEs: minhash signatures → LSH bands → candidate
     * pairs, the exact SQL replica of [[minhashBands]] +

@@ -31,6 +31,26 @@ class CurationOpsSpec extends SparkSpec {
     } finally out.unpersist()
   }
 
+  test("leakage-safe split: every near-dup cluster lands whole in ONE " +
+    "split, and singletons match the per-doc assignment exactly") {
+    val out = q("q_split_leakage_safe").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    // no cluster straddles splits — the leakage property itself
+    val perCluster = out.groupBy(_._2).view.mapValues(_.map(_._3).toSet)
+    perCluster.foreach { case (c, splits) =>
+      assert(splits.size == 1, s"cluster $c straddles splits: $splits")
+    }
+    // non-vacuous: the corpus really has a multi-member cluster
+    assert(out.groupBy(_._2).exists(_._2.length > 1),
+      "no multi-member cluster — the leakage property is untested")
+    // singletons (cluster_id = own doc_id) degrade to the per-doc rule
+    val perDoc = q("q_sample_split").collect()
+      .map(r => r.getLong(0) -> r.getString(3)).toMap
+    out.filter { case (d, c, _) => d == c }.foreach { case (d, _, s) =>
+      assert(s == perDoc(d), s"singleton $d diverges from q_sample_split")
+    }
+  }
+
   test("stratified sampling downsamples the dominant language harder") {
     val docs = graft.Tables(spark, sfDir, "documents")
     val kept = q("q_sample_stratified")
