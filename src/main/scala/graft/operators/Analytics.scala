@@ -399,11 +399,38 @@ object Analytics {
       spark: SparkSession, tableName: String, stats: DataFrame): Unit = {
     import org.apache.spark.sql.catalyst.TableIdentifier
     import org.apache.spark.sql.catalyst.catalog.{CatalogColumnStat, CatalogStatistics}
+    import org.apache.spark.sql.types.{BinaryType, StringType}
     val rows = stats.collect()
     require(rows.nonEmpty, s"empty stats frame for $tableName")
     val byCol = rows.map(r => r.getString(0) -> r).toMap
     val nRows = rows.head.getLong(1)
     val schema = spark.table(tableName).schema
+    // var-width columns get MEASURED average/max byte lengths (one
+    // tiny extra aggregate): sizing them by dataType.defaultSize
+    // (20 bytes for ANY string) would underestimate a text-heavy
+    // dimension by orders of magnitude and wrongly flip a multi-GB
+    // table to broadcast — the inverse of the fragmented-files
+    // overestimate this feed exists to correct (spec pins both
+    // directions)
+    val varCols = schema.filter(f =>
+      f.dataType == StringType || f.dataType == BinaryType)
+    val lenOf = (c: String) => schema(c).dataType match {
+      case StringType => expr(s"octet_length(`$c`)")
+      case _ => length(col(c))
+    }
+    val measured: Map[String, (Long, Long)] =
+      if (varCols.isEmpty || nRows == 0) Map.empty
+      else {
+        val aggs = varCols.flatMap(f => Seq(
+          ceil(avg(lenOf(f.name))).cast("long").as(s"avg_${f.name}"),
+          max(lenOf(f.name)).cast("long").as(s"max_${f.name}")))
+        val r = spark.table(tableName).agg(aggs.head, aggs.tail: _*).head()
+        varCols.zipWithIndex.map { case (f, i) =>
+          f.name -> (
+            if (r.isNullAt(2 * i)) (0L, 0L)
+            else (r.getLong(2 * i), r.getLong(2 * i + 1)))
+        }.toMap
+      }
     val colStats = schema.flatMap { f =>
       byCol.get(f.name).map { r =>
         val numeric =
@@ -412,10 +439,14 @@ object Analytics {
           distinctCount = Some(BigInt(r.getLong(3))),
           min = if (numeric) Option(r.getString(4)) else None,
           max = if (numeric) Option(r.getString(5)) else None,
-          nullCount = Some(BigInt(nRows - r.getLong(2))))
+          nullCount = Some(BigInt(nRows - r.getLong(2))),
+          avgLen = measured.get(f.name).map(_._1),
+          maxLen = measured.get(f.name).map(_._2))
       }
     }.toMap
-    val rowWidth = schema.map(_.dataType.defaultSize).sum + 8
+    val rowWidth = schema.map(f =>
+      measured.get(f.name).map(_._1).getOrElse(
+        f.dataType.defaultSize.toLong)).sum + 8
     spark.sessionState.catalog.alterTableStats(
       TableIdentifier(tableName),
       Some(CatalogStatistics(

@@ -488,9 +488,16 @@ object StreamingOps {
         // complete fixed point
         val stream = s.readStream.schema(docs.schema)
           .option("maxFilesPerTrigger", "1").parquet(inDir)
+        // "state table absent" is only legitimate before the FIRST
+        // swap: after that it means a failed swap was somehow
+        // swallowed, and restarting the components from empty would
+        // be a silent wrong answer — fail the trigger loudly instead
+        var stateSwapped = false
         val q = stream.writeStream
           .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
             import Materialize.PinOps
+            require(!stateSwapped || s.catalog.tableExists("graft_stars_live"),
+              "component state table vanished after a successful swap")
             val nbp = DedupOps.minhashBands(batch).pinned
             // probe BEFORE append: cross-batch candidates against all
             // PRIOR batches; within-batch pairs computed separately.
@@ -520,6 +527,7 @@ object StreamingOps {
             graft.sources.Sources.swapBucketed(
               DedupOps.incrementalStars(prev, newEdges),
               "graft_stars_live", Seq("a"), 8)
+            stateSwapped = true
             DedupOps.appendBandIndex(batch, "graft_band_live", 8)
           }
           .trigger(Trigger.AvailableNow()).start()

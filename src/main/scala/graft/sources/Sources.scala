@@ -110,22 +110,29 @@ object Sources {
       .saveAsTable(tableName)
   }
 
-  /** Atomically REPLACE `tableName` with `df`'s rows in the bucketed
-    * layout — the read-modify-swap a per-trigger state table needs:
-    * `df` may be DERIVED FROM the current `tableName` contents (the
-    * shadow version is fully materialized before the old table is
-    * dropped, so the lineage reads the old files intact), and a
-    * concurrent reader sees the old fixed point or the new, never a
-    * half-written table. The repartition aligns rows to the writer's
-    * bucket hash (pmod(murmur3(bucketCols), n) — same as
-    * `repartition`'s), so the write runs as `numBuckets` PARALLEL
-    * tasks each producing its bucket's one sorted file: state
-    * persistence scales with the cluster instead of funnelling
-    * through a single task, and the next trigger's read is a
-    * bucketed scan (per-key joins on `bucketCols` need no exchange
-    * on the state side). This is the state-maintenance twin of
-    * [[compactBucketed]] (same staging + catalog-rename swap),
-    * distinguished by rewriting CONTENT rather than layout. */
+  /** REPLACE `tableName` with `df`'s rows in the bucketed layout —
+    * the read-modify-swap a per-trigger state table needs: `df` may
+    * be DERIVED FROM the current `tableName` contents (the shadow
+    * version is fully materialized before the old table is dropped,
+    * so the lineage reads the old files intact), and a reader sees
+    * the old fixed point, the new one, or — in the drop→rename
+    * window — a clean TABLE-NOT-FOUND, never a half-written table.
+    * A failed rename propagates (failing the caller's trigger); the
+    * catalog is never left pointing at partial data, and a leftover
+    * `__next` shadow from a crashed swap is reclaimed by the next
+    * swap's own dropManaged. Callers maintaining must-not-reset
+    * state should treat "table absent after the first swap" as an
+    * error, not an empty restart (the dedup-clusters gate does).
+    * The repartition aligns rows to the writer's bucket hash
+    * (pmod(murmur3(bucketCols), n) — same as `repartition`'s), so
+    * the write runs as `numBuckets` PARALLEL tasks each producing
+    * its bucket's one sorted file: state persistence scales with the
+    * cluster instead of funnelling through a single task, and the
+    * next trigger's read is a bucketed scan (per-key joins on
+    * `bucketCols` need no exchange on the state side). This is the
+    * state-maintenance twin of [[compactBucketed]] (same staging +
+    * catalog-rename swap), distinguished by rewriting CONTENT rather
+    * than layout. */
   def swapBucketed(df: DataFrame, tableName: String,
       bucketCols: Seq[String], numBuckets: Int): Unit = {
     import org.apache.spark.sql.functions.col

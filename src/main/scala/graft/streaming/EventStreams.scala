@@ -595,22 +595,34 @@ object EventStreams {
     * functions of the testdata, but the bench times every gate 3-5
     * iterations — re-writing identical slice files per iteration was
     * a third of the streaming subtotal. Keyed on the canonicalized
-    * input plan (which embeds the source path, so scale factors
-    * never collide) plus the staging parameters. Staged dirs are
-    * READ-ONLY to their consumers (the file-stream source), so reuse
-    * across runs is safe; per-run OUTPUT dirs must never come
-    * through here. */
+    * input plan PLUS the sorted input-file list: canonicalization
+    * strips paths and column names (two scale factors of the same
+    * table canonicalize byte-identically — measured), so the file
+    * list is what actually distinguishes datasets. Inputs with NO
+    * files (in-memory spec fixtures) are NEVER memoized — local
+    * frames with one schema would all share a key, and spec fixtures
+    * are allowed to mutate their private staged dirs (the
+    * checkpoint-resume spec does). Staged dirs handed to gates are
+    * READ-ONLY to their consumers (the file-stream source); per-run
+    * OUTPUT dirs must never come through here. */
   private val stagedDirs =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
-  private def memoStaged(key: String)(build: => String): String =
-    stagedDirs.computeIfAbsent(key, _ => build)
+  private def memoStaged(key: Option[String])(build: => String): String =
+    key match {
+      case Some(k) => stagedDirs.computeIfAbsent(k, _ => build)
+      case None => build
+    }
 
-  private def planKey(df: DataFrame): String =
-    df.queryExecution.analyzed.canonicalized.toString
+  private def planKey(df: DataFrame): Option[String] = {
+    val files = df.inputFiles
+    if (files.isEmpty) None
+    else Some(df.queryExecution.analyzed.canonicalized.toString +
+      "|" + files.sorted.mkString(","))
+  }
 
   def streamableDir(file: String): String =
-    memoStaged(s"link|$file") {
+    memoStaged(Some(s"link|$file")) {
       val d = java.nio.file.Files.createTempDirectory("graft_stream")
       deleteRecursivelyOnExit(d)
       java.nio.file.Files.createSymbolicLink(
@@ -623,7 +635,7 @@ object EventStreams {
     * maxFilesPerTrigger=1 multi-batch input shape for fixtures whose
     * arrival order doesn't matter (sketches, counts, drift). */
   def stagedParquet(df: DataFrame, parts: Int): String =
-    memoStaged(s"flat|$parts|${planKey(df)}") {
+    memoStaged(planKey(df).map(k => s"flat|$parts|$k")) {
       val base = java.nio.file.Files.createTempDirectory("graft_stream_flat")
       deleteRecursivelyOnExit(base)
       val inDir = s"$base/in"
@@ -646,7 +658,7 @@ object EventStreams {
     * probe is a 2-scalar driver collect. */
   def timeSlicedDir(ev: DataFrame, nSlices: Int, gapUs: Long,
       flushSlices: Int = 1): String = memoStaged(
-    s"time|$nSlices|$gapUs|$flushSlices|${planKey(ev)}") {
+    planKey(ev).map(k => s"time|$nSlices|$gapUs|$flushSlices|$k")) {
     val bounds = ev.agg(min(col("ts_us")), max(col("ts_us"))).head()
     require(!bounds.isNullAt(0),
       "timeSlicedDir: empty event input — no stream to slice")
@@ -677,7 +689,7 @@ object EventStreams {
     * punctuation row — callers whose operators decide per-row (the
     * cap admitter) need no flush. */
   def orderedSlicedDir(df: DataFrame, orderCol: String, nSlices: Int): String =
-      memoStaged(s"ord|$orderCol|$nSlices|${planKey(df)}") {
+      memoStaged(planKey(df).map(k => s"ord|$orderCol|$nSlices|$k")) {
     val bounds = df.agg(min(col(orderCol)), max(col(orderCol))).head()
     require(!bounds.isNullAt(0),
       "orderedSlicedDir: empty input — no stream to slice")

@@ -70,29 +70,47 @@ class PlanAuditSpec extends SparkSpec {
     assert(q.forall(_.startsWith("q_")), "gate names must be q_-prefixed")
   }
 
-  test("no gate plan nests two data-sized inputs (BNLJ/Cartesian audit)") {
+  test("no gate plan nests two data-sized inputs or runs a data-sized " +
+    "unpartitioned window (BNLJ/Cartesian/WindowExec audit, one plan " +
+    "build per gate)") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    // ONE registry sweep serves all three checks — several gate
+    // bodies run eager driver work (training loops, contractions,
+    // index writes) just to BUILD their plan, so a second sweep
+    // would double the heaviest part of the suite. AQE is disabled
+    // so the physical tree is directly inspectable (joins and
+    // windows appear identically in the static plan).
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
     val offenders = scala.collection.mutable.ArrayBuffer.empty[String]
-    graft.SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
-      if (!streaming(name)) {
-        // a query that fails to even build a plan is itself an
-        // offender — recording it (instead of letting the exception
-        // abort the loop) keeps the audit exhaustive, so one broken
-        // query can't mask BNLJ regressions in those sorted after it
-        // getMessage may be null (NPE) or empty — extraction must not
-        // itself throw, or it aborts the loop the Try protects
-        scala.util.Try(fn(spark, sfDir).queryExecution.executedPlan.toString)
-          .fold(e => offenders += s"$name: plan build failed: " +
-              String.valueOf(e.getMessage).linesIterator.toSeq.headOption
-                .getOrElse(e.getClass.getName),
-            plan => {
-              if (plan.contains("CartesianProduct"))
-                offenders += s"$name: CartesianProduct"
-              if (plan.contains("BroadcastNestedLoopJoin") &&
-                  !constantSideCross.contains(name))
-                offenders += s"$name: unexpected BroadcastNestedLoopJoin"
-            })
+    try {
+      graft.SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+        if (!streaming(name)) {
+          // a query that fails to even build a plan is itself an
+          // offender — recording it (instead of letting the exception
+          // abort the loop) keeps the audit exhaustive, so one broken
+          // query can't mask regressions in those sorted after it.
+          // getMessage may be null (NPE) or empty — extraction must
+          // not itself throw, or it aborts the loop the Try protects
+          scala.util.Try(fn(spark, sfDir).queryExecution.executedPlan)
+            .fold(e => offenders += s"$name: plan build failed: " +
+                String.valueOf(e.getMessage).linesIterator.toSeq.headOption
+                  .getOrElse(e.getClass.getName),
+              plan => {
+                val s = plan.toString
+                if (s.contains("CartesianProduct"))
+                  offenders += s"$name: CartesianProduct"
+                if (s.contains("BroadcastNestedLoopJoin") &&
+                    !constantSideCross.contains(name))
+                  offenders += s"$name: unexpected BroadcastNestedLoopJoin"
+                val unpart = plan.collect {
+                  case w: WindowExec if w.partitionSpec.isEmpty => w
+                }
+                if (unpart.nonEmpty && !boundedWindow.contains(name))
+                  offenders += s"$name: ${unpart.size} unpartitioned window(s)"
+              })
+        }
       }
-    }
+    } finally spark.conf.unset("spark.sql.adaptive.enabled")
     assert(offenders.isEmpty, offenders.mkString("; "))
   }
 
@@ -105,37 +123,6 @@ class PlanAuditSpec extends SparkSpec {
     "q_ivf_balance" -> "NumCentroids cell-summary rows",
     "q_text_vocab" -> "<= 100 rows post TakeOrderedAndProject limit",
     "q_bpe_pairs" -> "<= BpeTopPairs rows post TakeOrderedAndProject limit")
-
-  test("unpartitioned windows run only over bounded inputs: every " +
-    "WindowExec with an empty partitionSpec is on the justified " +
-    "allowlist") {
-    import org.apache.spark.sql.execution.window.WindowExec
-    // an unpartitioned window funnels its WHOLE input through one
-    // task — the scale-killer WindowExec warns about. Legitimate only
-    // for k-row-bounded inputs; this audit freezes the set so a new
-    // data-sized unpartitioned window can't hide in the (expected)
-    // warning noise of the bench tail.
-    spark.conf.set("spark.sql.adaptive.enabled", "false")
-    val offenders = scala.collection.mutable.ArrayBuffer.empty[String]
-    try {
-      graft.SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
-        if (!streaming(name)) {
-          scala.util.Try(fn(spark, sfDir).queryExecution.executedPlan)
-            .fold(e => offenders += s"$name: plan build failed: " +
-                String.valueOf(e.getMessage).linesIterator.toSeq.headOption
-                  .getOrElse(e.getClass.getName),
-              plan => {
-                val unpart = plan.collect {
-                  case w: WindowExec if w.partitionSpec.isEmpty => w
-                }
-                if (unpart.nonEmpty && !boundedWindow.contains(name))
-                  offenders += s"$name: ${unpart.size} unpartitioned window(s)"
-              })
-        }
-      }
-    } finally spark.conf.unset("spark.sql.adaptive.enabled")
-    assert(offenders.isEmpty, offenders.mkString("; "))
-  }
 
   test("hot scan paths plan inside WholeStageCodegen spans") {
     // scan→filter→project→partial-agg chains must fuse into generated

@@ -80,4 +80,60 @@ class StatsFeedSpec extends SparkSpec {
       spark.sql("DROP TABLE IF EXISTS stats_dim_frag")
     }
   }
+
+  test("fed stats size var-width columns by MEASURED bytes: a text-heavy " +
+    "dimension is not wrongly flipped to broadcast by the 20-byte " +
+    "string default") {
+    // ~1 KB of poorly-compressible text per row: the dataType
+    // defaultSize estimate (20 B/string) would claim ~72 KB for a
+    // ~2 MB table and broadcast it — the inverse failure of the
+    // fragmented-dimension case above
+    val payload = (r: Long) => (0 until 64)
+      .map(i => ((r * 131 + i * 7919) % 100000).toString).mkString(" ")
+    (0L until 2000L).map(i => (i % 1000, payload(i)))
+      .toDF("k", "text_payload")
+      .write.mode("overwrite").format("parquet")
+      .saveAsTable("stats_dim_text")
+    spark.conf.set("spark.sql.cbo.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "500KB")
+    try {
+      Analytics.analyzeTable(spark, "stats_dim_text")
+      val st = spark.sessionState.catalog.getTableMetadata(
+        org.apache.spark.sql.catalyst.TableIdentifier("stats_dim_text"))
+        .stats.get
+      val avgLen = st.colStats("text_payload").avgLen.get
+      assert(avgLen > 200, s"measured avgLen $avgLen is not the real width")
+      assert(st.sizeInBytes > 500 * 1024,
+        s"fed size ${st.sizeInBytes} must reflect measured row bytes")
+      // the join must actually CARRY the text column — when the query
+      // prunes it away, broadcasting the surviving 8-byte key column
+      // is the right call and column pruning makes the estimate small
+      // honestly
+      // broadcasting the (genuinely small) fact side is fine; the
+      // failure this pins is the DIM landing on the build side
+      import org.apache.spark.sql.execution.FileSourceScanExec
+      import org.apache.spark.sql.execution.exchange.BroadcastExchangeExec
+      val fact = (0L until 5000L).map(i => (i % 1000, i)).toDF("k", "v")
+      val plan = subtree(fact
+        .join(spark.table("stats_dim_text"), Seq("k"))
+        .groupBy(col("k"))
+        .agg(max(length(col("text_payload"))).as("w"))
+        .queryExecution.executedPlan)
+      val dimBroadcast = plan.collect {
+        case b: BroadcastExchangeExec if subtree(b).exists {
+          case f: FileSourceScanExec =>
+            f.tableIdentifier.exists(_.table == "stats_dim_text")
+          case _ => false
+        } => b
+      }
+      assert(dimBroadcast.isEmpty,
+        s"text-heavy dim must never be the broadcast side:\n${plan.head}")
+    } finally {
+      spark.conf.unset("spark.sql.cbo.enabled")
+      spark.conf.unset("spark.sql.adaptive.enabled")
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      spark.sql("DROP TABLE IF EXISTS stats_dim_text")
+    }
+  }
 }
