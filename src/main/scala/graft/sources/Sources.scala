@@ -115,14 +115,18 @@ object Sources {
     * be DERIVED FROM the current `tableName` contents (the shadow
     * version is fully materialized before the old table is dropped,
     * so the lineage reads the old files intact), and a reader sees
-    * the old fixed point, the new one, or — in the drop→rename
-    * window — a clean TABLE-NOT-FOUND, never a half-written table.
-    * A failed rename propagates (failing the caller's trigger); the
-    * catalog is never left pointing at partial data, and a leftover
-    * `__next` shadow from a crashed swap is reclaimed by the next
-    * swap's own dropManaged. Callers maintaining must-not-reset
-    * state should treat "table absent after the first swap" as an
-    * error, not an empty restart (the dedup-clusters gate does).
+    * the old fixed point, the new one, or — in the window between
+    * the two catalog RENAMES — a clean TABLE-NOT-FOUND, never a
+    * half-written table. The swap is rename-away → rename-in →
+    * drop-after: the old version's (possibly large) file deletion
+    * happens AFTER the new table is live, so the not-found window is
+    * two O(1) catalog renames, not a recursive delete. A failed
+    * rename propagates (failing the caller's trigger); the catalog
+    * is never left pointing at partial data, and leftover `__next` /
+    * `__old` tables from a crashed swap are reclaimed by the next
+    * swap. Callers maintaining must-not-reset state should treat
+    * "table absent after the first swap" as an error, not an empty
+    * restart (the dedup-clusters gate does).
     * The repartition aligns rows to the writer's bucket hash
     * (pmod(murmur3(bucketCols), n) — same as `repartition`'s), so
     * the write runs as `numBuckets` PARALLEL tasks each producing
@@ -138,10 +142,14 @@ object Sources {
     import org.apache.spark.sql.functions.col
     val spark = df.sparkSession
     val shadow = tableName + "__next"
+    val old = tableName + "__old"
     writeBucketed(df.repartition(numBuckets, bucketCols.map(col): _*),
       shadow, bucketCols, numBuckets)
-    dropManaged(spark, tableName)
+    dropManaged(spark, old) // reclaim a crashed prior swap's leftover
+    val had = spark.catalog.tableExists(tableName)
+    if (had) spark.sql(s"ALTER TABLE `$tableName` RENAME TO `$old`")
     spark.sql(s"ALTER TABLE `$shadow` RENAME TO `$tableName`")
+    if (had) dropManaged(spark, old)
   }
 
   /** Compact a bucketed managed table back to ONE sorted file per
@@ -175,11 +183,18 @@ object Sources {
     import org.apache.spark.sql.functions.col
     val table = spark.table(tableName)
     val shadow = tableName + "__compact"
+    val old = tableName + "__old"
     writeBucketed(
       spark.read.schema(table.schema).parquet(table.inputFiles: _*)
         .repartition(numBuckets, bucketCols.map(col): _*),
       shadow, bucketCols, numBuckets)
-    dropManaged(spark, tableName)
+    // same rename-away -> rename-in -> drop-after sequence as
+    // swapBucketed: the fragmented old files are deleted AFTER the
+    // compacted table is live, so the not-found window is two O(1)
+    // catalog renames rather than a recursive delete
+    dropManaged(spark, old)
+    spark.sql(s"ALTER TABLE `$tableName` RENAME TO `$old`")
     spark.sql(s"ALTER TABLE `$shadow` RENAME TO `$tableName`")
+    dropManaged(spark, old)
   }
 }

@@ -421,6 +421,8 @@ class SourcesSpec extends SparkSpec {
       assert(files2 > 1 && files2 <= nBuckets)
       assert(!spark.catalog.tableExists("stars_state_test__next"),
         "shadow table must not survive the swap")
+      assert(!spark.catalog.tableExists("stars_state_test__old"),
+        "renamed-away old version must be dropped after the swap")
     } finally spark.sql("DROP TABLE IF EXISTS stars_state_test")
   }
 
