@@ -282,6 +282,43 @@ object ZOrder {
             .as("uy"))
         hilbertFrame(k, col("ux"), col("uy"), HBits)
           .select(col("event_id"), col("hx"), col("hy"), col("hval"))
+    },
+
+    // The layout family's PAYOFF, end to end: write the events
+    // z-ordered on (user_id, ts), build the file-level min/max
+    // MANIFEST (the table-format data-skipping metadata —
+    // sources/Manifest.scala), prune the FILE LIST against a box
+    // query, and answer from the surviving files only. The oracle is
+    // the plain full-table filter, so "pruning never changes
+    // results" is hash-checked; pruning EFFECTIVENESS (files
+    // actually dropped, thanks to the curve layout's tight per-file
+    // boxes) is spec-measured where file counts are controlled. The
+    // box is SF-independent: a fixed user band × the lower half of
+    // the time span (the midpoint is a 2-scalar driver probe,
+    // mirrored as a scalar subquery in the oracle).
+    QueryDef.sql(
+      "q_manifest_skip",
+      """WITH b AS (SELECT (min(epoch_us(ts)) + max(epoch_us(ts))) // 2 AS mid
+        |           FROM events)
+        |SELECT event_id, user_id, epoch_us(ts) AS ts_us
+        |FROM events, b
+        |WHERE user_id BETWEEN 10 AND 50 AND epoch_us(ts) <= b.mid""".stripMargin) {
+      (s, dir) =>
+        val ev = Tables.events(s, dir)
+          .select(col("event_id"), col("user_id"), col("ts_us"))
+        val mm = ev.agg(min(col("ts_us")) + max(col("ts_us"))).head()
+        val mid = mm.getLong(0) / 2
+        val path = graft.streaming.EventStreams.stagedDir(ev, "zord") {
+          dir => writeZOrderedQuantile(ev, col("user_id"), col("ts_us"),
+            16, dir)
+        }
+        val laid = s.read.schema(ev.schema).parquet(path)
+        val manifest = graft.sources.Manifest.build(
+          laid, Seq("user_id", "ts_us"))
+        graft.sources.Manifest.prunedRead(s, laid.schema, manifest,
+          Map("user_id" -> ((10L, 50L)), "ts_us" -> ((Long.MinValue, mid))))
+          .filter(col("user_id").between(10, 50) && col("ts_us") <= mid)
+          .select(col("event_id"), col("user_id"), col("ts_us"))
     }
   )
 }

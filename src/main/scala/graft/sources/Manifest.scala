@@ -1,0 +1,58 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+/** File-level min/max MANIFEST for a stored parquet dataset — the
+  * table-format data-skipping primitive (what Iceberg/Delta keep in
+  * their metadata layer) for plain parquet dirs: one manifest row
+  * per file with per-column min/max, built in ONE scan and consulted
+  * at query time to prune the FILE LIST before a scan is planned.
+  *
+  * Parquet footers already give ROW-GROUP pruning inside each file
+  * Spark decides to open; the manifest removes whole files from the
+  * listing, which is the lever that matters at 100 TB where opening
+  * a footer per file is itself a metadata storm. Composes with the
+  * [[graft.operators.ZOrder]] writers: a space-filling-curve layout
+  * is precisely what makes per-file bounding boxes tight enough for
+  * box queries to drop most files (measured in ZOrderSpec).
+  */
+object Manifest {
+
+  /** Build the manifest over `df`'s files: (file, n_rows,
+    * min_c/max_c per requested column). One scan, map-side combined
+    * down to |files| rows — the groupBy key is the file each row
+    * came from, so the exchange carries one partial per (task,
+    * file). Rebuild after layout maintenance (compaction, re-sort);
+    * an append-only ingest can instead append the new files' rows. */
+  def build(df: DataFrame, cols: Seq[String]): DataFrame = {
+    val aggs = count(lit(1)).as("n_rows") +: cols.flatMap(c =>
+      Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c")))
+    df.groupBy(input_file_name().as("file"))
+      .agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Read ONLY the files whose per-column [min, max] envelope
+    * INTERSECTS the query box (`ranges`: column -> inclusive
+    * [lo, hi]). Pruning is conservative — a file is dropped only
+    * when some queried column's range is provably disjoint — so the
+    * pruned scan plus the original predicate returns exactly the
+    * unpruned result (the gate hash-checks this against a plain
+    * full-table oracle). The collected file list is manifest-sized
+    * (one row per FILE — this is the table-format metadata read,
+    * bounded driver material by design). Callers still apply the
+    * row-level predicate: the manifest prunes files, not rows. */
+  def prunedRead(spark: SparkSession, schema: StructType,
+      manifest: DataFrame, ranges: Map[String, (Long, Long)]): DataFrame = {
+    val keep = ranges.map { case (c, (lo, hi)) =>
+      col(s"max_$c") >= lo && col(s"min_$c") <= hi
+    }.reduce(_ && _)
+    val files = manifest.filter(keep)
+      .select(col("file")).collect().map(_.getString(0))
+    if (files.isEmpty)
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    else spark.read.schema(schema).parquet(files.toIndexedSeq: _*)
+  }
+}

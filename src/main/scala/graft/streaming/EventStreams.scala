@@ -635,12 +635,24 @@ object EventStreams {
     * maxFilesPerTrigger=1 multi-batch input shape for fixtures whose
     * arrival order doesn't matter (sketches, counts, drift). */
   def stagedParquet(df: DataFrame, parts: Int): String =
-    memoStaged(planKey(df).map(k => s"flat|$parts|$k")) {
-      val base = java.nio.file.Files.createTempDirectory("graft_stream_flat")
+    stagedDir(df, s"flat$parts") { dir =>
+      df.repartition(parts).write.mode("overwrite").parquet(dir)
+    }
+
+  /** Generic once-per-JVM staging: run `build` into a fresh temp dir
+    * the first time this (input, tag) pair is seen, reuse the dir
+    * afterwards — for any deterministic derived layout a gate would
+    * otherwise rebuild every bench iteration (the z-ordered manifest
+    * fixture uses this). Same memo rules as the slicers: file-less
+    * inputs are never memoized, staged dirs are read-only to their
+    * consumers. */
+  def stagedDir(df: DataFrame, tag: String)(build: String => Unit): String =
+    memoStaged(planKey(df).map(k => s"$tag|$k")) {
+      val base = java.nio.file.Files.createTempDirectory(s"graft_$tag")
       deleteRecursivelyOnExit(base)
-      val inDir = s"$base/in"
-      df.repartition(parts).write.mode("overwrite").parquet(inDir)
-      inDir
+      val dir = s"$base/out"
+      build(dir)
+      dir
     }
 
   /** Replay `(user_id, ts_us, event_id, …)` rows as an ORDERED

@@ -77,6 +77,43 @@ class ZOrderSpec extends SparkSpec {
     assert(zHour < 0.6, f"z-order hour-dim span $zHour%.3f — no locality")
   }
 
+  test("manifest data skipping: a box query over the z-ordered layout " +
+    "DROPS files, drops only provably-disjoint files, and the pruned " +
+    "read plus predicate equals the full scan exactly") {
+    import graft.sources.Manifest
+    val ev = graft.Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id"), col("ts_us"))
+    val tmp = java.nio.file.Files.createTempDirectory("graft_manifest")
+    val nFiles = 16
+    ZOrder.writeZOrderedQuantile(ev, col("user_id"), col("ts_us"),
+      nFiles, s"$tmp/z")
+    val laid = spark.read.schema(ev.schema).parquet(s"$tmp/z")
+    val manifest = Manifest.build(laid, Seq("user_id", "ts_us"))
+    assert(manifest.count() == nFiles)
+    // a corner box: low user band x lower half of the time span
+    val mm = ev.agg(min(col("ts_us")) + max(col("ts_us"))).head()
+    val mid = mm.getLong(0) / 2
+    val ranges = Map("user_id" -> ((5L, 25L)), "ts_us" -> ((Long.MinValue, mid)))
+    val pruned = Manifest.prunedRead(spark, laid.schema, manifest, ranges)
+    val prunedFiles = pruned.inputFiles.length
+    info(s"manifest pruning: $prunedFiles of $nFiles files read")
+    assert(prunedFiles < nFiles,
+      "the curve layout + manifest must drop at least one file")
+    assert(prunedFiles > 0)
+    // conservative pruning: every DROPPED file is provably disjoint
+    val dropped = manifest.filter(
+      !(col("max_user_id") >= 5L && col("min_user_id") <= 25L &&
+        col("min_ts_us") <= mid))
+      .collect()
+    assert(dropped.length == nFiles - prunedFiles)
+    // exactness: pruned + predicate == full scan + predicate
+    def answer(d: org.apache.spark.sql.DataFrame) = d
+      .filter(col("user_id").between(5, 25) && col("ts_us") <= mid)
+      .collect().map(r => r.getLong(0)).toSet
+    assert(answer(pruned) == answer(ev), "pruning changed the answer")
+    assert(answer(ev).nonEmpty, "vacuous box — fixture broken")
+  }
+
   test("quantile-binned z-order survives a heavy-tailed dimension: one " +
     "outlier stretches the min/max scale into a one-dimension sort, " +
     "quantile bins keep both dimensions prunable") {
