@@ -32,6 +32,46 @@ object Multimodal {
       encode(col("text"), "UTF-8").as("payload"),
       col("source").as("media_source"))
 
+  /** PNG signature bytes (the 8-byte magic every PNG starts with). */
+  private[operators] val PngMagic = Array[Byte](
+    0x89.toByte, 'P', 'N', 'G', '\r', '\n', 0x1a, '\n')
+  private[operators] val PngMagicHex = "89504E470D0A1A0A"
+
+  /** The media table CONTAINERIZED: each payload carries a real
+    * PNG-shaped header — the 8-byte signature followed by 4-byte
+    * big-endian width and height (IHDR's first fields), dimensions
+    * derived deterministically from doc_id — ahead of the body
+    * bytes. Built with pure column expressions (int → 8 hex chars →
+    * unhex = the big-endian byte encode), so the fixture itself is
+    * engine-replayable. */
+  def mediaWithHeader(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "documents").select(
+      col("doc_id"),
+      concat(
+        lit(PngMagic),
+        unhex(lpad(hex((col("doc_id") % 1000 + 1).cast("int")), 8, "0")),
+        unhex(lpad(hex((col("doc_id") % 777 + 1).cast("int")), 8, "0")),
+        encode(col("text"), "UTF-8")).as("payload"))
+
+  /** REAL binary container-header parsing — no stub anywhere in this
+    * path: validate the 8-byte PNG signature and decode the two
+    * 4-byte big-endian IHDR dimension fields straight out of the
+    * payload with codegen'd byte arithmetic (substring on binary →
+    * hex → base-16 conv). This is the production shape for
+    * sidecar-less media ingest: header metadata (magic, dimensions,
+    * byte size) is extractable at full scan speed without any codec,
+    * and only payloads whose header QUALIFIES ever reach the
+    * expensive decode stage. */
+  def parseHeader(framed: DataFrame): DataFrame =
+    framed.select(
+      col("doc_id"),
+      (hex(substring(col("payload"), 1, 8)) === PngMagicHex).as("magic_ok"),
+      conv(hex(substring(col("payload"), 9, 4)), 16, 10)
+        .cast("long").as("width"),
+      conv(hex(substring(col("payload"), 13, 4)), 16, 10)
+        .cast("long").as("height"),
+      length(col("payload")).cast("long").as("n_bytes"))
+
   /** Partition-batched decode via the stub; real plumbing, fake codec. */
   def decodeFeatures(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -125,6 +165,24 @@ object Multimodal {
         |         AS is_near_dup
         |FROM m JOIN e USING (content_hash) JOIN p USING (phash)""".stripMargin) {
       (s, dir) => mediaDedup(Tables(s, dir, "documents"))
+    },
+
+    // REAL container-header parse — the no-stub member of this
+    // family: payloads carry an actual PNG-shaped header (signature +
+    // big-endian IHDR dimensions) and the gate validates the magic
+    // and decodes the dimension fields with pure codegen'd byte
+    // arithmetic. The oracle DERIVES the expected fields from doc_id
+    // independently (not by replaying the parse), so the gate proves
+    // header-encode → header-parse is the identity on every field —
+    // plus the byte count seam (16-byte header + UTF-8 body).
+    QueryDef.sql(
+      "q_media_header",
+      """SELECT doc_id, TRUE AS magic_ok,
+        |       CAST(doc_id % 1000 + 1 AS BIGINT) AS width,
+        |       CAST(doc_id % 777 + 1 AS BIGINT) AS height,
+        |       CAST(16 + strlen(text) AS BIGINT) AS n_bytes
+        |FROM documents""".stripMargin) {
+      (s, dir) => parseHeader(mediaWithHeader(s, dir))
     },
 
     // Metadata extraction expressed as pure column ops over the binary

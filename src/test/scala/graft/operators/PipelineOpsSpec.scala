@@ -1259,6 +1259,38 @@ class PipelineOpsSpec extends SparkSpec {
       3L -> (false, false)))
   }
 
+  test("container-header parse: a hand-built PNG header round-trips " +
+    "its dimension fields, and a corrupted magic is flagged — no stub " +
+    "in this path") {
+    import spark.implicits._
+    // byte-exact fixture: the real PNG signature, width 800 / height
+    // 600 as big-endian IHDR fields, 5 body bytes
+    val sig = Array[Byte](0x89.toByte, 'P', 'N', 'G', '\r', '\n', 0x1a, '\n')
+    def be(v: Int): Array[Byte] = Array(
+      (v >> 24).toByte, (v >> 16).toByte, (v >> 8).toByte, v.toByte)
+    val good = sig ++ be(800) ++ be(600) ++ "hello".getBytes("UTF-8")
+    val corrupt = good.clone(); corrupt(0) = 0x00 // break the magic
+    val got = Multimodal.parseHeader(
+      Seq((1L, good), (2L, corrupt)).toDF("doc_id", "payload"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getBoolean(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got(1L) == ((true, 800L, 600L, 21L)),
+      s"good header parsed as ${got(1L)}")
+    assert(!got(2L)._1, "corrupted magic must not validate")
+    // the dimension fields still decode positionally on the corrupt
+    // row — a real pipeline quarantines on magic_ok, it doesn't crash
+    assert(got(2L)._2 == 800L && got(2L)._3 == 600L)
+    // and the gate fixture's encode -> parse is the identity corpus-wide
+    val gate = Multimodal.parseHeader(
+      Multimodal.mediaWithHeader(spark, "/root/testdata/sf0.001"))
+      .collect()
+    assert(gate.nonEmpty && gate.forall(_.getBoolean(1)))
+    gate.foreach { r =>
+      assert(r.getLong(2) == r.getLong(0) % 1000 + 1 &&
+        r.getLong(3) == r.getLong(0) % 777 + 1)
+    }
+  }
+
   test("pagerank on a planted path graph lands on hand-computed " +
     "fixed-point micro-values; gate mass and hub ordering hold") {
     import spark.implicits._
