@@ -35,7 +35,10 @@ object Multimodal {
   /** PNG signature bytes (the 8-byte magic every PNG starts with). */
   private[operators] val PngMagic = Array[Byte](
     0x89.toByte, 'P', 'N', 'G', '\r', '\n', 0x1a, '\n')
-  private[operators] val PngMagicHex = "89504E470D0A1A0A"
+  // derived, not hand-maintained: the encode and the validate cannot
+  // drift apart
+  private[operators] val PngMagicHex =
+    PngMagic.map(b => f"$b%02X").mkString
 
   /** The media table CONTAINERIZED: each payload carries a real
     * PNG-shaped header — the 8-byte signature followed by 4-byte

@@ -307,8 +307,12 @@ object ZOrder {
         val ev = Tables.events(s, dir)
           .select(col("event_id"), col("user_id"), col("ts_us"))
         val mm = ev.agg(min(col("ts_us")) + max(col("ts_us"))).head()
+        require(!mm.isNullAt(0),
+          "q_manifest_skip: empty events input — no span to probe")
         val mid = mm.getLong(0) / 2
-        val path = graft.streaming.EventStreams.stagedDir(ev, "zord") {
+        // tag encodes the writer's nFiles: the stagedDir memo keys on
+        // (tag, input) only
+        val path = graft.streaming.EventStreams.stagedDir(ev, "zord16") {
           dir => writeZOrderedQuantile(ev, col("user_id"), col("ts_us"),
             16, dir)
         }

@@ -45,9 +45,11 @@ object Manifest {
     * row-level predicate: the manifest prunes files, not rows. */
   def prunedRead(spark: SparkSession, schema: StructType,
       manifest: DataFrame, ranges: Map[String, (Long, Long)]): DataFrame = {
+    // no constrained columns = no pruning possible: keep every file
+    // (the conservative default), not an empty-reduce crash
     val keep = ranges.map { case (c, (lo, hi)) =>
       col(s"max_$c") >= lo && col(s"min_$c") <= hi
-    }.reduce(_ && _)
+    }.reduceOption(_ && _).getOrElse(lit(true))
     val files = manifest.filter(keep)
       .select(col("file")).collect().map(_.getString(0))
     if (files.isEmpty)

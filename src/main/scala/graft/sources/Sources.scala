@@ -148,6 +148,11 @@ object Sources {
     dropManaged(spark, old) // reclaim a crashed prior swap's leftover
     val had = spark.catalog.tableExists(tableName)
     if (had) spark.sql(s"ALTER TABLE `$tableName` RENAME TO `$old`")
+    // catalog forgot the table but a DEAD session's files may still
+    // sit at its location (the ephemeral-catalog re-run case
+    // dropManaged exists for) — sweep them or the rename-in lands on
+    // a non-empty directory
+    else dropManaged(spark, tableName)
     spark.sql(s"ALTER TABLE `$shadow` RENAME TO `$tableName`")
     if (had) dropManaged(spark, old)
   }

@@ -643,8 +643,13 @@ object EventStreams {
     * the first time this (input, tag) pair is seen, reuse the dir
     * afterwards — for any deterministic derived layout a gate would
     * otherwise rebuild every bench iteration (the z-ordered manifest
-    * fixture uses this). Same memo rules as the slicers: file-less
-    * inputs are never memoized, staged dirs are read-only to their
+    * fixture uses this). The memo keys on (tag, input plan, input
+    * files) ONLY — the build closure is opaque — so `tag` MUST
+    * encode every parameter the build depends on (stagedParquet
+    * encodes its file count as `flat$parts`; the z-order site as
+    * `zord16`), or two callers sharing a tag would silently share
+    * one layout. Same memo rules as the slicers: file-less inputs
+    * are never memoized, staged dirs are read-only to their
     * consumers. */
   def stagedDir(df: DataFrame, tag: String)(build: String => Unit): String =
     memoStaged(planKey(df).map(k => s"$tag|$k")) {

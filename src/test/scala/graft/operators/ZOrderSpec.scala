@@ -84,6 +84,7 @@ class ZOrderSpec extends SparkSpec {
     val ev = graft.Tables.events(spark, dir)
       .select(col("event_id"), col("user_id"), col("ts_us"))
     val tmp = java.nio.file.Files.createTempDirectory("graft_manifest")
+    graft.streaming.EventStreams.deleteRecursivelyOnExit(tmp)
     val nFiles = 16
     ZOrder.writeZOrderedQuantile(ev, col("user_id"), col("ts_us"),
       nFiles, s"$tmp/z")

@@ -84,8 +84,9 @@ class PushLevenshteinScreenSpec extends SparkSpec {
       s"k-1 wrapped to Int.MaxValue in the plan:\n$optimized")
     // non-foldable k: a column bound hits the guarded path — rows
     // whose k IS Int.MinValue drop, normal bounds still screen
-    val dir = java.nio.file.Files
-      .createTempDirectory("graft_lev_kcol").toString
+    val dirPath = java.nio.file.Files.createTempDirectory("graft_lev_kcol")
+    graft.streaming.EventStreams.deleteRecursivelyOnExit(dirPath)
+    val dir = dirPath.toString
     Seq(("kitten", "sitting", Int.MinValue), ("kitten", "sitting", 4),
       ("abc", "abd", Int.MinValue), ("abc", "abd", 2))
       .toDF("a", "b", "k").write.mode("overwrite").parquet(dir)

@@ -426,6 +426,30 @@ class SourcesSpec extends SparkSpec {
     } finally spark.sql("DROP TABLE IF EXISTS stars_state_test")
   }
 
+  test("swapBucketed sweeps a dead session's stale files when the " +
+    "catalog has forgotten the table (ephemeral-catalog re-run case)") {
+    import org.apache.spark.sql.catalyst.TableIdentifier
+    // simulate: catalog knows nothing, but files sit at the table's
+    // managed location — the state a fresh driver inherits from a
+    // crashed predecessor against a persistent warehouse dir
+    val loc = new org.apache.hadoop.fs.Path(
+      spark.sessionState.catalog.defaultTablePath(
+        TableIdentifier("stars_stale_test")))
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(loc)
+    val stale = new org.apache.hadoop.fs.Path(loc, "stale.parquet")
+    fs.create(stale).close()
+    try {
+      assert(!spark.catalog.tableExists("stars_stale_test"))
+      Sources.swapBucketed((0L until 16L).map(i => (i % 4, i))
+        .toDF("a", "b"), "stars_stale_test", Seq("a"), 2)
+      // the swap must have vacated the stale location and serve
+      // exactly the new rows
+      assert(spark.table("stars_stale_test").count() == 16)
+      assert(!fs.exists(stale), "dead session's file survived the swap")
+    } finally spark.sql("DROP TABLE IF EXISTS stars_stale_test")
+  }
+
   test("stored IVF-PQ index: search prunes the code table to the probed " +
     "cells, reads it with NO exchange, and matches the in-memory search") {
     import graft.operators.SimilarityOps
