@@ -585,6 +585,37 @@ object StreamingOps {
       }
     },
 
+    // STREAMING manifest maintenance — the append-only half of
+    // q_manifest_skip's data-skipping story: the z-ordered layout's
+    // files arrive as ingest triggers (4 files per trigger), and
+    // each trigger appends ONLY ITS OWN files' min/max rows into the
+    // standing manifest — per-trigger work is the new files' stats,
+    // never a rescan of history, which is how table formats keep
+    // skipping metadata current under continuous ingest. The final
+    // pruned read answers through the incrementally-built manifest;
+    // oracle = the SAME plain box-filter string as q_manifest_skip,
+    // so "incrementally-maintained manifest == one-shot manifest ==
+    // no manifest at all" is structural.
+    QueryDef.sql("q_stream_manifest", ZOrder.manifestSkipSql) {
+      (s, dir) => withStreamPartitions(s, 8) {
+        val (laid, mid) = ZOrder.manifestGateLayout(s, dir)
+        val tmp = java.nio.file.Files.createTempDirectory("graft_stream_mani")
+        EventStreams.deleteRecursivelyOnExit(tmp)
+        val maniDir = s"$tmp/manifest" // per-run OUTPUT state, not staging
+        val stream = s.readStream.schema(laid.schema)
+          .option("maxFilesPerTrigger", "4")
+          .parquet(laid.inputFiles.head.replaceAll("/[^/]*$", ""))
+        val q = stream.writeStream
+          .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+            graft.sources.Manifest.build(batch, ZOrder.ManifestCols)
+              .write.mode("append").parquet(maniDir)
+          }
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+        ZOrder.manifestAnswer(s, laid, s.read.parquet(maniDir), mid)
+      }
+    },
+
     // STREAMING per-source admission cap — the online enforcement of
     // q_source_cap's per-domain quota: documents arrive in append-id
     // order across micro-batches (orderedSlicedDir staging), each

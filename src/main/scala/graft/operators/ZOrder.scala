@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.{QueryDef, Tables}
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Z-order (Morton) data layout: interleave the bits of two dimension
@@ -296,33 +296,53 @@ object ZOrder {
     // box is SF-independent: a fixed user band × the lower half of
     // the time span (the midpoint is a 2-scalar driver probe,
     // mirrored as a scalar subquery in the oracle).
-    QueryDef.sql(
-      "q_manifest_skip",
-      """WITH b AS (SELECT (min(epoch_us(ts)) + max(epoch_us(ts))) // 2 AS mid
-        |           FROM events)
-        |SELECT event_id, user_id, epoch_us(ts) AS ts_us
-        |FROM events, b
-        |WHERE user_id BETWEEN 10 AND 50 AND epoch_us(ts) <= b.mid""".stripMargin) {
-      (s, dir) =>
-        val ev = Tables.events(s, dir)
-          .select(col("event_id"), col("user_id"), col("ts_us"))
-        val mm = ev.agg(min(col("ts_us")) + max(col("ts_us"))).head()
-        require(!mm.isNullAt(0),
-          "q_manifest_skip: empty events input — no span to probe")
-        val mid = mm.getLong(0) / 2
-        // tag encodes the writer's nFiles: the stagedDir memo keys on
-        // (tag, input) only
-        val path = graft.streaming.EventStreams.stagedDir(ev, "zord16") {
-          dir => writeZOrderedQuantile(ev, col("user_id"), col("ts_us"),
-            16, dir)
-        }
-        val laid = s.read.schema(ev.schema).parquet(path)
-        val manifest = graft.sources.Manifest.build(
-          laid, Seq("user_id", "ts_us"))
-        graft.sources.Manifest.prunedRead(s, laid.schema, manifest,
-          Map("user_id" -> ((10L, 50L)), "ts_us" -> ((Long.MinValue, mid))))
-          .filter(col("user_id").between(10, 50) && col("ts_us") <= mid)
-          .select(col("event_id"), col("user_id"), col("ts_us"))
+    QueryDef.sql("q_manifest_skip", manifestSkipSql) { (s, dir) =>
+      val (laid, mid) = manifestGateLayout(s, dir)
+      manifestAnswer(s, laid,
+        graft.sources.Manifest.build(laid, ManifestCols), mid)
     }
   )
+
+  /** Columns the manifest gates track. */
+  private[operators] val ManifestCols = Seq("user_id", "ts_us")
+
+  /** ONE oracle for q_manifest_skip AND the streaming
+    * q_stream_manifest: the plain full-table box filter — the
+    * manifest (however built: one-shot or incrementally appended
+    * per ingest trigger) must never change an answer, so both gates
+    * share this string (the batch/stream convention). */
+  private[operators] def manifestSkipSql: String =
+    """WITH b AS (SELECT (min(epoch_us(ts)) + max(epoch_us(ts))) // 2 AS mid
+      |           FROM events)
+      |SELECT event_id, user_id, epoch_us(ts) AS ts_us
+      |FROM events, b
+      |WHERE user_id BETWEEN 10 AND 50 AND epoch_us(ts) <= b.mid""".stripMargin
+
+  /** The shared gate fixture: the events projection staged ONCE per
+    * JVM as the 16-file z-ordered layout, plus the time-span
+    * midpoint (a 2-scalar driver probe — mirrored as the oracle's
+    * scalar subquery). Returns (laid frame, midpoint). */
+  private[operators] def manifestGateLayout(
+      s: SparkSession, dir: String): (DataFrame, Long) = {
+    val ev = Tables.events(s, dir)
+      .select(col("event_id"), col("user_id"), col("ts_us"))
+    val mm = ev.agg(min(col("ts_us")) + max(col("ts_us"))).head()
+    require(!mm.isNullAt(0),
+      "manifest gate: empty events input — no span to probe")
+    // tag encodes the writer's nFiles: the stagedDir memo keys on
+    // (tag, input) only
+    val path = graft.streaming.EventStreams.stagedDir(ev, "zord16") {
+      d => writeZOrderedQuantile(ev, col("user_id"), col("ts_us"), 16, d)
+    }
+    (s.read.schema(ev.schema).parquet(path), mm.getLong(0) / 2)
+  }
+
+  /** The shared gate answer: prune files through the manifest, then
+    * apply the row-level box predicate. */
+  private[operators] def manifestAnswer(s: SparkSession, laid: DataFrame,
+      manifest: DataFrame, mid: Long): DataFrame =
+    graft.sources.Manifest.prunedRead(s, laid.schema, manifest,
+      Map("user_id" -> ((10L, 50L)), "ts_us" -> ((Long.MinValue, mid))))
+      .filter(col("user_id").between(10, 50) && col("ts_us") <= mid)
+      .select(col("event_id"), col("user_id"), col("ts_us"))
 }
