@@ -598,13 +598,13 @@ object StreamingOps {
     // no manifest at all" is structural.
     QueryDef.sql("q_stream_manifest", ZOrder.manifestSkipSql) {
       (s, dir) => withStreamPartitions(s, 8) {
-        val (laid, mid) = ZOrder.manifestGateLayout(s, dir)
+        val (laid, laidDir, mid) = ZOrder.manifestGateLayout(s, dir)
         val tmp = java.nio.file.Files.createTempDirectory("graft_stream_mani")
         EventStreams.deleteRecursivelyOnExit(tmp)
         val maniDir = s"$tmp/manifest" // per-run OUTPUT state, not staging
         val stream = s.readStream.schema(laid.schema)
           .option("maxFilesPerTrigger", "4")
-          .parquet(laid.inputFiles.head.replaceAll("/[^/]*$", ""))
+          .parquet(laidDir)
         val q = stream.writeStream
           .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
             graft.sources.Manifest.build(batch, ZOrder.ManifestCols)

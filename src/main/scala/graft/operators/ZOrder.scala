@@ -297,7 +297,7 @@ object ZOrder {
     // the time span (the midpoint is a 2-scalar driver probe,
     // mirrored as a scalar subquery in the oracle).
     QueryDef.sql("q_manifest_skip", manifestSkipSql) { (s, dir) =>
-      val (laid, mid) = manifestGateLayout(s, dir)
+      val (laid, _, mid) = manifestGateLayout(s, dir)
       manifestAnswer(s, laid,
         graft.sources.Manifest.build(laid, ManifestCols), mid)
     }
@@ -321,9 +321,10 @@ object ZOrder {
   /** The shared gate fixture: the events projection staged ONCE per
     * JVM as the 16-file z-ordered layout, plus the time-span
     * midpoint (a 2-scalar driver probe — mirrored as the oracle's
-    * scalar subquery). Returns (laid frame, midpoint). */
+    * scalar subquery). Returns (laid frame, layout dir, midpoint) —
+    * the dir so the streaming twin can file-stream the same layout. */
   private[operators] def manifestGateLayout(
-      s: SparkSession, dir: String): (DataFrame, Long) = {
+      s: SparkSession, dir: String): (DataFrame, String, Long) = {
     val ev = Tables.events(s, dir)
       .select(col("event_id"), col("user_id"), col("ts_us"))
     val mm = ev.agg(min(col("ts_us")) + max(col("ts_us"))).head()
@@ -334,7 +335,7 @@ object ZOrder {
     val path = graft.streaming.EventStreams.stagedDir(ev, "zord16") {
       d => writeZOrderedQuantile(ev, col("user_id"), col("ts_us"), 16, d)
     }
-    (s.read.schema(ev.schema).parquet(path), mm.getLong(0) / 2)
+    (s.read.schema(ev.schema).parquet(path), path, mm.getLong(0) / 2)
   }
 
   /** The shared gate answer: prune files through the manifest, then
