@@ -420,6 +420,43 @@ class PipelineOpsSpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("star contraction and min-label propagation agree on a seeded " +
+    "random graph — two algorithms, one fixed point, no fixture bias") {
+    import spark.implicits._
+    // deterministic pseudo-random edge soup: dense enough for big
+    // components, sparse enough for many — shapes neither fixture
+    // was hand-built around (paths, stars, forests are covered by
+    // the targeted tests; this is the anything-goes case)
+    val rnd = new scala.util.Random(0xC0FFEE)
+    val edges = Seq.fill(120)((rnd.nextInt(80).toLong,
+      rnd.nextInt(80).toLong))
+      .filter { case (a, b) => a != b }
+      .toDF("a", "b")
+    val star = DedupOps.starComponents(edges).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // reference union-find over the same edges
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    edges.collect().map(r => (r.getLong(0), r.getLong(1))).foreach {
+      case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val expect = star.keySet.map(v => v -> find(v)).toMap
+    assert(star == expect, "star contraction diverged from union-find")
+    // idempotence: re-contracting the fixed point's own star edges
+    // moves no label
+    val again = DedupOps.starComponents(
+      star.toSeq.filter(p => p._1 != p._2)
+        .map { case (v, c) => (c, v) }.toDF("a", "b")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(again.forall { case (v, c) => star.getOrElse(v, v) == c },
+      "re-contracting the fixed point moved labels")
+  }
+
   test("star components collapse a long path — the high-diameter case") {
     // 0-1-2-...-40 as a single path: label propagation needs ~40 hops;
     // the alternating star algorithm must still land every node on 0.

@@ -115,6 +115,41 @@ class ZOrderSpec extends SparkSpec {
     assert(answer(ev).nonEmpty, "vacuous box — fixture broken")
   }
 
+  test("manifest pruning head-to-head: the Hilbert layout reads no " +
+    "more files than Morton for the same box (both beat unordered)") {
+    import graft.sources.Manifest
+    val ev = graft.Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id"), col("ts_us"))
+    val tmp = java.nio.file.Files.createTempDirectory("graft_mani_h2h")
+    graft.streaming.EventStreams.deleteRecursivelyOnExit(tmp)
+    val nFiles = 16
+    ZOrder.writeZOrderedQuantile(ev, col("user_id"), col("ts_us"),
+      nFiles, s"$tmp/m")
+    ZOrder.writeHilbertOrdered(ev, col("user_id"), col("ts_us"),
+      nFiles, s"$tmp/h")
+    // unordered baseline: hash-partitioned, no locality at all
+    ev.repartition(nFiles).write.mode("overwrite").parquet(s"$tmp/u")
+    val mm = ev.agg(min(col("ts_us")) + max(col("ts_us"))).head()
+    val mid = mm.getLong(0) / 2
+    val ranges = Map("user_id" -> ((5L, 25L)),
+      "ts_us" -> ((Long.MinValue, mid)))
+    def filesRead(path: String): Int = {
+      val laid = spark.read.schema(ev.schema).parquet(path)
+      Manifest.prunedRead(spark, laid.schema,
+        Manifest.build(laid, Seq("user_id", "ts_us")), ranges)
+        .inputFiles.length
+    }
+    val (m, h, u) = (filesRead(s"$tmp/m"), filesRead(s"$tmp/h"),
+      filesRead(s"$tmp/u"))
+    info(s"files read for the box: morton=$m hilbert=$h unordered=$u of $nFiles")
+    // no locality = every file's box spans the domain = nothing prunes
+    assert(u == nFiles, s"unordered baseline pruned $u — fixture broken")
+    assert(m < nFiles && h < nFiles, "curve layouts must prune")
+    // the unit-step property gives Hilbert boxes at least as tight as
+    // Morton's quadrant-jumping curve on this fixed corpus
+    assert(h <= m, s"hilbert read MORE files than morton ($h > $m)")
+  }
+
   test("quantile-binned z-order survives a heavy-tailed dimension: one " +
     "outlier stretches the min/max scale into a one-dimension sort, " +
     "quantile bins keep both dimensions prunable") {
