@@ -358,21 +358,50 @@ object Analytics {
     * Expand pass — rows × columns) for approx_count_distinct, which
     * collapses to plain map-side partial aggregates: the 100 TB
     * maintenance-path mode (optimizer statistics tolerate HLL error;
-    * the gate keeps the exact mode so the oracle can replay it). */
+    * the gate keeps the exact mode so the oracle can replay it).
+    * `withLengths = true` additionally folds avg/max byte-length
+    * aggregates for var-width (string/binary) columns into the SAME
+    * aggregate pass, surfacing them as nullable `avg_len`/`max_len`
+    * stats-row fields — so [[feedCatalogStats]] can size those
+    * columns without a second scan of the table (the gate keeps the
+    * default so its oracle schema is untouched). */
   def tableStats(df: DataFrame, cols: Seq[(String, String)],
-      exact: Boolean = true): DataFrame = {
+      exact: Boolean = true, withLengths: Boolean = false): DataFrame = {
+    import org.apache.spark.sql.types.{BinaryType, StringType}
+    val varWidth: Set[String] =
+      if (!withLengths) Set.empty
+      else df.schema.collect {
+        case f if f.dataType == StringType || f.dataType == BinaryType =>
+          f.name
+      }.toSet
+    val lenOf = (c: String) =>
+      if (df.schema(c).dataType == StringType) expr(s"octet_length(`$c`)")
+      else length(col(c))
     val aggs = cols.flatMap { case (c, t) =>
       val v = statsVal(c, t)
       val ndv = if (exact) countDistinct(v) else approx_count_distinct(v)
-      Seq(count(v).as(s"nn_$c"), ndv.as(s"ndv_$c"),
+      val base = Seq(count(v).as(s"nn_$c"), ndv.as(s"ndv_$c"),
         min(v).cast("string").as(s"min_$c"),
         max(v).cast("string").as(s"max_$c"))
+      if (varWidth(c))
+        base ++ Seq(
+          ceil(avg(lenOf(c))).cast("long").as(s"avglen_$c"),
+          max(lenOf(c)).cast("long").as(s"maxlen_$c"))
+      else base
     }
     val a = df.agg(count(lit(1)).as("n"), aggs: _*)
+    val lenFields = (c: String) =>
+      if (!withLengths) Nil
+      else if (varWidth(c))
+        Seq(col(s"avglen_$c").as("avg_len"), col(s"maxlen_$c").as("max_len"))
+      else
+        Seq(lit(null).cast("long").as("avg_len"),
+          lit(null).cast("long").as("max_len"))
     a.select(explode(array(cols.map { case (c, _) =>
-      struct(lit(c).as("col_name"), col("n").as("n_rows"),
+      struct(Seq(lit(c).as("col_name"), col("n").as("n_rows"),
         col(s"nn_$c").as("n_notnull"), col(s"ndv_$c").as("ndv"),
-        col(s"min_$c").as("min_val"), col(s"max_$c").as("max_val"))
+        col(s"min_$c").as("min_val"), col(s"max_$c").as("max_val")) ++
+        lenFields(c): _*)
     }: _*)).as("r")).select(col("r.*"))
   }
 
@@ -399,37 +428,27 @@ object Analytics {
       spark: SparkSession, tableName: String, stats: DataFrame): Unit = {
     import org.apache.spark.sql.catalyst.TableIdentifier
     import org.apache.spark.sql.catalyst.catalog.{CatalogColumnStat, CatalogStatistics}
-    import org.apache.spark.sql.types.{BinaryType, StringType}
     val rows = stats.collect()
     require(rows.nonEmpty, s"empty stats frame for $tableName")
     val byCol = rows.map(r => r.getString(0) -> r).toMap
     val nRows = rows.head.getLong(1)
     val schema = spark.table(tableName).schema
-    // var-width columns get MEASURED average/max byte lengths (one
-    // tiny extra aggregate): sizing them by dataType.defaultSize
-    // (20 bytes for ANY string) would underestimate a text-heavy
-    // dimension by orders of magnitude and wrongly flip a multi-GB
-    // table to broadcast — the inverse of the fragmented-files
-    // overestimate this feed exists to correct (spec pins both
-    // directions)
-    val varCols = schema.filter(f =>
-      f.dataType == StringType || f.dataType == BinaryType)
-    val lenOf = (c: String) => schema(c).dataType match {
-      case StringType => expr(s"octet_length(`$c`)")
-      case _ => length(col(c))
-    }
+    // var-width columns get MEASURED average/max byte lengths: sizing
+    // them by dataType.defaultSize (20 bytes for ANY string) would
+    // underestimate a text-heavy dimension by orders of magnitude and
+    // wrongly flip a multi-GB table to broadcast — the inverse of the
+    // fragmented-files overestimate this feed exists to correct (spec
+    // pins both directions). The measurements ride IN the stats frame
+    // (`tableStats(withLengths = true)` folds them into the one
+    // aggregate pass), so ANALYZE stays a single table scan plus a
+    // dictionary-sized collect — no second scan here.
+    val hasLens = stats.schema.fieldNames.contains("avg_len")
+    val lenIdx = if (hasLens) stats.schema.fieldIndex("avg_len") else -1
     val measured: Map[String, (Long, Long)] =
-      if (varCols.isEmpty || nRows == 0) Map.empty
-      else {
-        val aggs = varCols.flatMap(f => Seq(
-          ceil(avg(lenOf(f.name))).cast("long").as(s"avg_${f.name}"),
-          max(lenOf(f.name)).cast("long").as(s"max_${f.name}")))
-        val r = spark.table(tableName).agg(aggs.head, aggs.tail: _*).head()
-        varCols.zipWithIndex.map { case (f, i) =>
-          f.name -> (
-            if (r.isNullAt(2 * i)) (0L, 0L)
-            else (r.getLong(2 * i), r.getLong(2 * i + 1)))
-        }.toMap
+      if (!hasLens) Map.empty
+      else byCol.collect {
+        case (c, r) if !r.isNullAt(lenIdx) =>
+          c -> (r.getLong(lenIdx), r.getLong(lenIdx + 1))
       }
     val colStats = schema.flatMap { f =>
       byCol.get(f.name).map { r =>
@@ -453,9 +472,98 @@ object Analytics {
         sizeInBytes = BigInt(nRows) * rowWidth,
         rowCount = Some(BigInt(nRows)),
         colStats = colStats)))
+    // record the row count THIS full analyze measured, separately
+    // from the (append-bumped) live rowCount: the growth baseline
+    // [[maintainStatsOnAppend]] decides re-ANALYZE against
+    val cat = spark.sessionState.catalog
+    val meta = cat.getTableMetadata(TableIdentifier(tableName))
+    cat.alterTable(meta.copy(properties =
+      meta.properties + (AnalyzedRowsProp -> nRows.toString)))
     // drop the cached relation: already-resolved plans hold the OLD
     // (possibly absent) stats
     spark.catalog.refreshTable(tableName)
+  }
+
+  /** Row count recorded by the last FULL analyze, as a table
+    * property — the denominator of the append-growth ratio. */
+  private val AnalyzedRowsProp = "graft.stats.analyzedRows"
+
+  /** Appended-rows fraction past which an append triggers a full
+    * re-ANALYZE instead of a row-count bump: NDV/min-max drift
+    * roughly with volume, so half-again growth is where the stale
+    * column stats start misleading the optimizer more than a scan
+    * costs to fix. */
+  val StatsRefreshFraction = 0.5
+
+  /** Snapshot the append target's catalog statistics BEFORE a write
+    * wipes them (see [[maintainStatsOnAppend]]). None when the table
+    * does not exist yet or was never analyzed. */
+  def preAppendStats(spark: SparkSession, tableName: String)
+      : Option[org.apache.spark.sql.catalyst.catalog.CatalogStatistics] =
+    if (!spark.catalog.tableExists(tableName)) None
+    else spark.sessionState.catalog.getTableMetadata(
+      org.apache.spark.sql.catalyst.TableIdentifier(
+        graft.sources.Sources.physicalName(spark, tableName))).stats
+
+  /** Keep catalog statistics CURRENT under appends — the maintenance
+    * every long-running ingest needs between compactions (the append
+    * paths otherwise serve increasingly stale estimates until
+    * someone compacts). Called by the append wrappers
+    * ([[graft.operators.DedupOps.appendBandIndex]],
+    * [[graft.operators.SimilarityOps.appendIvfIndex]]) with the
+    * observed appended row count:
+    *
+    *  - never-analyzed table → no-op (there is no estimate to keep
+    *    fresh, and silently paying an ANALYZE scan per trigger on a
+    *    table nobody asked to analyze is the wrong default);
+    *  - analyzed table → bump rowCount and scale sizeInBytes by the
+    *    OBSERVED increment (exact, zero scan — two catalog ops);
+    *  - bumped count grown ≥ [[StatsRefreshFraction]] past the last
+    *    full analyze → re-ANALYZE (approx-NDV maintenance mode),
+    *    resetting the baseline, so per-column NDV/min-max never lag
+    *    volume by more than the fraction.
+    *
+    * Resolution goes through the version pointer, so the stats land
+    * on the physical table the reads actually plan against.
+    *
+    * `pre` is the snapshot [[preAppendStats]] took BEFORE the write:
+    * Spark's insert path wipes a table's catalog statistics as stale
+    * (`CommandUtils.updateTableStats` with size-auto-update off), so
+    * by the time this runs the catalog says None — the pre-append
+    * snapshot is the truth the bump extends. */
+  def maintainStatsOnAppend(
+      spark: SparkSession, tableName: String, appendedRows: Long,
+      pre: Option[org.apache.spark.sql.catalyst.catalog.CatalogStatistics])
+      : Unit = {
+    import org.apache.spark.sql.catalyst.TableIdentifier
+    import org.apache.spark.sql.catalyst.catalog.CatalogStatistics
+    val phys = graft.sources.Sources.physicalName(spark, tableName)
+    val cat = spark.sessionState.catalog
+    val meta = cat.getTableMetadata(TableIdentifier(phys))
+    pre.foreach { st =>
+      val oldRows = st.rowCount.map(_.toLong).getOrElse(0L)
+      val newRows = oldRows + appendedRows
+      val baseline = meta.properties.get(AnalyzedRowsProp)
+        .flatMap(_.toLongOption).getOrElse(oldRows)
+      // max(1, ...) keeps an analyzed-at-empty baseline from pinning
+      // the bump path forever (0 + 0.5*0 would never trigger)
+      val threshold =
+        baseline + math.max(1L, (baseline * StatsRefreshFraction).toLong)
+      if (appendedRows > 0 && newRows >= threshold) {
+        analyzeTable(spark, tableName, exact = false)
+      } else if (appendedRows > 0) {
+        val newSize =
+          if (oldRows > 0)
+            st.sizeInBytes * BigInt(newRows) / BigInt(oldRows)
+          else st.sizeInBytes
+        cat.alterTableStats(TableIdentifier(phys),
+          Some(CatalogStatistics(
+            sizeInBytes = newSize,
+            rowCount = Some(BigInt(newRows)),
+            colStats = st.colStats)))
+        spark.catalog.refreshTable(phys)
+      }
+    }
   }
 
   /** ANALYZE a catalog table end to end: [[tableStats]] over its
@@ -466,9 +574,15 @@ object Analytics {
     * artifact. */
   def analyzeTable(spark: SparkSession, tableName: String,
       exact: Boolean = true): Unit = {
-    val df = spark.table(tableName)
-    feedCatalogStats(spark, tableName,
-      tableStats(df, df.schema.map(_.name -> "raw"), exact))
+    // versioned tables: stats belong on the PHYSICAL version the
+    // pointer view serves (CBO reads them off the underlying
+    // relation when the view inlines); plain tables resolve to
+    // themselves
+    val phys = graft.sources.Sources.physicalName(spark, tableName)
+    val df = spark.table(phys)
+    feedCatalogStats(spark, phys,
+      tableStats(df, df.schema.map(_.name -> "raw"), exact,
+        withLengths = true))
   }
 
   /** Generated oracle for q_table_stats: the same per-column stats as

@@ -672,17 +672,32 @@ object DedupOps {
   /** APPEND one ingest batch's minhash bands into a stored
     * [[writeBandIndex]] table, keeping the (band, bucket) bucketed
     * layout — the foreachBatch body that lets every later trigger
-    * probe the index exchange-free. The bucket spec must match the
-    * existing table's; Spark rejects a mismatched append, which is
-    * the failure mode you want for an index whose layout IS the
-    * probing contract. */
+    * probe the index exchange-free. Resolution, lazy creation (the
+    * first append creates version 1 plus the pointer view) and the
+    * layout-mismatch failure mode are
+    * [[graft.sources.Sources.appendBucketed]]'s. */
   def appendBandIndex(
       batch: DataFrame, tableName: String, numBuckets: Int): Unit =
-    minhashBands(batch)
-      .write.mode("append").format("parquet")
-      .bucketBy(numBuckets, "band", "bucket")
-      .sortBy("band", "bucket")
-      .saveAsTable(tableName)
+    appendBands(minhashBands(batch), tableName, numBuckets)
+
+  /** [[appendBandIndex]] for a caller that ALREADY banded the batch
+    * (the incremental cluster trigger pins the bands for its probe —
+    * re-shingling the batch just to append would pay the whole
+    * minhash pass twice per trigger). */
+  def appendBands(
+      bands: DataFrame, tableName: String, numBuckets: Int): Unit = {
+    val pre = Analytics.preAppendStats(bands.sparkSession, tableName)
+    // keep catalog estimates current between compactions: the count
+    // is observed on the write itself (no extra scan) and only when
+    // a stats snapshot exists to extend (no-op — and no listener-bus
+    // wait — on a never-analyzed table)
+    val appended = graft.sources.Sources.appendBucketed(
+      bands, tableName, Seq("band", "bucket"), numBuckets,
+      observeCount = pre.isDefined)
+    if (pre.isDefined)
+      Analytics.maintainStatsOnAppend(
+        bands.sparkSession, tableName, appended, pre)
+  }
 
   /** Left-joins component labels back onto the full corpus: docs
     * incident to no (surviving) candidate edge are their own
@@ -702,6 +717,7 @@ object DedupOps {
   def starComponents(pairs: DataFrame): DataFrame = {
     // canonical undirected edges, a < b; self-loops never enter
     var edges = pairs.select(col("a"), col("b")).distinct().pinnedIter
+    var prevCount = edges.count()
 
     // One star half-round, exactly Kiveris et al.'s operators.
     // Large-star keys every edge by BOTH endpoints (each node sees
@@ -737,17 +753,16 @@ object DedupOps {
 
     // Converged when a full (large, small) round leaves the edge set
     // unchanged — checked exactly: equal counts + empty difference.
-    // Rounds are O(log² n) worst case, ~2-3 in practice. The previous
-    // round's count is carried in a local so each round pays one
-    // count job (+ the except only when counts tie), not a recount of
-    // the already-checkpointed previous edges. The paper's
-    // termination proof covers these operators directly; the round
-    // cap stays as a belt so any defect surfaces as a loud failure
-    // instead of looping the driver forever.
+    // Rounds are O(log² n) worst case, ~2-3 in practice. Counts ride
+    // the pin jobs as observe() metrics (pinIterCounted), so a round
+    // pays ONE job (the pin) plus the except only when counts tie —
+    // the per-trigger job floor the incremental stream cares about.
+    // The paper's termination proof covers these operators directly;
+    // the round cap stays as a belt so any defect surfaces as a loud
+    // failure instead of looping the driver forever.
     val maxRounds = 64
     var converged = false
     var rounds = 0
-    var prevCount = edges.count()
     while (!converged) {
       rounds += 1
       require(rounds <= maxRounds,
@@ -816,11 +831,17 @@ object DedupOps {
     * (map-side partial aggregation — per-doc state is 60 longs), bit
     * assembly on the aggregated row. Everything before the groupBy is
     * per-token map work; only (doc_id, votes) shuffles. */
-  def simhashWide(docs: DataFrame): DataFrame = {
-    val toks = spread(docs)
+  def simhashWide(docs: DataFrame): DataFrame =
+    simhashWideFromHashed(spread(docs)
       .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
       .withColumn("h", md5(col("tok")))
-    val votes = toks.groupBy(col("doc_id"))
+      .select(col("doc_id"), col("h")))
+
+  /** [[simhashWide]] from already-hashed (doc_id, h = md5(token))
+    * rows — factored so the generator-ensemble's shared fingerprint
+    * pass hashes each token exactly once across families. */
+  def simhashWideFromHashed(tokHashed: DataFrame): DataFrame = {
+    val votes = tokHashed.groupBy(col("doc_id"))
       .agg(sum(simhashWideVote(col("h"), 0)).as("v0"),
         (1 until SimhashWideBits)
           .map(b => sum(simhashWideVote(col("h"), b)).as(s"v$b")): _*)
@@ -838,8 +859,13 @@ object DedupOps {
     * all-pairs comparison anywhere; candidate volume is governed by
     * the band width (15 bits ⇒ 2^15 buckets per band), the knob a
     * 100 TB run widens to keep buckets small. */
-  def simhashHammingPairs(docs: DataFrame): DataFrame = {
-    val sh = simhashWide(docs).pinned // banded + probed twice
+  def simhashHammingPairs(docs: DataFrame): DataFrame =
+    simhashHammingPairsFromSig(simhashWide(docs).pinned)
+
+  /** The band-blocked Hamming join over an already-pinned
+    * (doc_id, simhash) frame (banded + probed twice) — factored for
+    * the generator-ensemble's shared fingerprint pass. */
+  def simhashHammingPairsFromSig(sh: DataFrame): DataFrame = {
     val bandCols = (0 until SimhashNumBands).map { b =>
       struct(lit(b).as("band"),
         shiftright(col("simhash"), b * SimhashBandBits)
@@ -860,6 +886,66 @@ object DedupOps {
       .select(col("a"), col("b"),
         bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).cast("int").as("hamming"))
       .filter(col("hamming") <= SimhashMaxHamming)
+  }
+
+  /** The candidate-generator ENSEMBLE (q_dedup_ensemble body) off
+    * ONE shared fingerprint pass: a single projection over the
+    * corpus tokenizes once and computes all three families' hashes —
+    * sha-256'd shingles (minhash input), md5'd tokens (wide-simhash
+    * input) and encoded 5-gram picks (winnow input) — materialized
+    * as ONE pinned frame the three band joins then read. Before the
+    * factoring each generator re-read the corpus pin and re-ran its
+    * own tokenize+hash subtree from raw text (three eager pin jobs,
+    * two redundant tokenizations); now the corpus text is touched
+    * exactly once, which is also the plan a 100 TB run stores: one
+    * fingerprint artifact, three cheap index derivations. Family
+    * values are bit-identical to the standalone generators (the
+    * factored FromHashed / FromSig / FromFp bodies are the SAME
+    * expressions), so the ensemble still shares their oracles. */
+  def ensemblePairs(docs: DataFrame): DataFrame = {
+    import graft.operators.TextOps
+    val toks = tokens(col("text"))
+    val base = spread(docs)
+      .select(col("doc_id"),
+        transform(array_distinct(shingles(toks, 3)),
+          s => sha2(s.cast("binary"), 256)).as("hs"),
+        transform(toks, t => md5(t)).as("th"),
+        TextOps.winnowEncs(col("text")).as("encs"))
+      .select(col("doc_id"), col("hs"), col("th"),
+        TextOps.winnowSelOf(col("encs")).as("sel"))
+      .pinned
+    // minhash leg: signature slices over the pre-hashed shingles
+    val sig = base.select(
+      col("doc_id") +:
+        (0 until MinhashSeeds).map(j =>
+          array_min(transform(col("hs"), h => substring(h, j * 8 + 1, 8)))
+            .as(s"mh$j")): _*)
+    val mh = candidatePairsFromBands(bandsOf(sig).pinned)
+    // wide-simhash leg: vote aggregation over the pre-hashed tokens
+    val sh2 = simhashHammingPairsFromSig(
+      simhashWideFromHashed(
+        base.select(col("doc_id"), explode(col("th")).as("h"))).pinned)
+      .select(col("a"), col("b"))
+    // winnow leg: df-capped inverted index over the pre-selected picks
+    val wn = TextOps.winnowPairsFromFp(
+      base.select(col("doc_id"),
+        explode(array_distinct(transform(col("sel"),
+          x => shiftright(x, TextOps.WinnowPosBits)))).as("fp"))
+        .pinned)
+      .select(col("a"), col("b"))
+    def tag(df: DataFrame, m: Boolean, h: Boolean, w: Boolean) =
+      df.select(col("a"), col("b"), lit(m).as("mh"),
+        lit(h).as("sh2"), lit(w).as("wn"))
+    tag(mh, m = true, h = false, w = false)
+      .union(tag(sh2, m = false, h = true, w = false))
+      .union(tag(wn, m = false, h = false, w = true))
+      .groupBy(col("a"), col("b"))
+      .agg(bool_or(col("mh")).as("by_minhash"),
+        bool_or(col("sh2")).as("by_simhash"),
+        bool_or(col("wn")).as("by_winnow"))
+      .withColumn("n_generators",
+        (col("by_minhash").cast("int") + col("by_simhash").cast("int") +
+          col("by_winnow").cast("int")).cast("int"))
   }
 
   /** Shared oracle closure: candidate pairs → undirected edges →
@@ -1374,22 +1460,7 @@ object DedupOps {
          |            + CAST(bool_or(wn) AS INTEGER) AS INTEGER)
          |         AS n_generators
          |FROM u GROUP BY 1, 2""".stripMargin) { (s, dir) =>
-      val docs = Tables(s, dir, "documents").pinned
-      def tag(df: DataFrame, m: Boolean, h: Boolean, w: Boolean) =
-        df.select(col("a"), col("b"), lit(m).as("mh"),
-          lit(h).as("sh2"), lit(w).as("wn"))
-      tag(lshCandidatePairs(docs), m = true, h = false, w = false)
-        .union(tag(simhashHammingPairs(docs).select(col("a"), col("b")),
-          m = false, h = true, w = false))
-        .union(tag(graft.operators.TextOps.winnowPairs(docs)
-          .select(col("a"), col("b")), m = false, h = false, w = true))
-        .groupBy(col("a"), col("b"))
-        .agg(bool_or(col("mh")).as("by_minhash"),
-          bool_or(col("sh2")).as("by_simhash"),
-          bool_or(col("wn")).as("by_winnow"))
-        .withColumn("n_generators",
-          (col("by_minhash").cast("int") + col("by_simhash").cast("int") +
-            col("by_winnow").cast("int")).cast("int"))
+      ensemblePairs(Tables(s, dir, "documents"))
     },
 
     // MinHash-estimated Jaccard next to the exact value for every LSH

@@ -123,6 +123,14 @@ object Materialize {
       }
     }
 
+  // NOTE (measured): fusing an iterative loop's convergence count
+  // into the pin via observe() is a NET LOSS — Observation.get waits
+  // on the async execution-listener bus, and that wait exceeded the
+  // count() job it replaced on checkpointed data (q_stream_dedup_
+  // clusters 18.6s -> 21.0s when tried). observe() pays off only
+  // where the count rides an action the caller must wait on anyway
+  // (Sources.appendBucketed's stats maintenance).
+
   /** Postfix syntax so call sites read like the `localCheckpoint()`
     * they replace: `df.pinned` / `df.pinnedIter`. */
   implicit final class PinOps[T](private val ds: Dataset[T]) extends AnyVal {

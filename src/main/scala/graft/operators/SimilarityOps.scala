@@ -2887,17 +2887,25 @@ object SimilarityOps {
     * is the failure mode you want for an index whose layout IS the
     * serving contract. */
   def appendIvfIndex(batch: DataFrame, centroids: Seq[(Long, Array[Float])],
-      tableName: String, numBuckets: Int): Unit =
-    batch.select(col("vec_id"), col("embedding"),
-        col("embedding").as("qv"))
-      .select(col("vec_id"),
-        element_at(nearestCellsConst(batch.sparkSession, centroids, 1), 1)
-          .getField("centroid_id").as("centroid_id"),
-        col("embedding"))
-      .write.mode("append").format("parquet")
-      .bucketBy(numBuckets, "centroid_id")
-      .sortBy("centroid_id")
-      .saveAsTable(tableName)
+      tableName: String, numBuckets: Int): Unit = {
+    val pre = Analytics.preAppendStats(batch.sparkSession, tableName)
+    // keep catalog estimates current between compactions: the count
+    // is observed on the write itself (no extra scan) and only when
+    // a stats snapshot exists to extend (no-op — and no listener-bus
+    // wait — on a never-analyzed table)
+    val appended = graft.sources.Sources.appendBucketed(
+      batch.select(col("vec_id"), col("embedding"),
+          col("embedding").as("qv"))
+        .select(col("vec_id"),
+          element_at(nearestCellsConst(batch.sparkSession, centroids, 1), 1)
+            .getField("centroid_id").as("centroid_id"),
+          col("embedding")),
+      tableName, Seq("centroid_id"), numBuckets,
+      observeCount = pre.isDefined)
+    if (pre.isDefined)
+      Analytics.maintainStatsOnAppend(
+        batch.sparkSession, tableName, appended, pre)
+  }
 
   /** ANN serve over a STORED [[writeIvfIndex]] table, shaped so the
     * query batch may be a STREAMING DataFrame — the serving twin of

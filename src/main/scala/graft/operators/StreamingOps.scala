@@ -471,21 +471,22 @@ object StreamingOps {
       (s, dir) => withStreamPartitions(s, 4) {
         val docs = Tables(s, dir, "documents")
           .select(col("doc_id"), col("text"))
-        // the index is created lazily by the FIRST append (saveAsTable
-        // creates with the bucket spec when absent) — cheaper than
-        // bootstrapping an empty bucketed table; the drops keep
-        // re-runs in one session from probing a previous run's rows
-        graft.sources.Sources.dropManaged(s, "graft_band_live")
-        graft.sources.Sources.dropManaged(s, "graft_stars_live")
+        // the index is created lazily by the FIRST append
+        // (appendBucketed creates version 1 plus the pointer view
+        // when absent) — cheaper than bootstrapping an empty bucketed
+        // table; the drops keep re-runs in one session from probing a
+        // previous run's rows
+        graft.sources.Sources.dropVersioned(s, "graft_band_live")
+        graft.sources.Sources.dropVersioned(s, "graft_stars_live")
         val inDir = EventStreams.stagedParquet(docs, 4)
         // per-trigger component state: a BUCKETED managed table keyed
-        // on the star root, replaced per trigger through the
-        // swapBucketed shadow-table rename — the new fixed point is
-        // derived FROM the old table and lands as numBuckets parallel
-        // sorted files, so state persistence scales with the cluster
-        // (a coalesce(1) file here would single-task billions of
-        // clustered rows at 100 TB) and a reader always sees a
-        // complete fixed point
+        // on the star root, replaced per trigger through
+        // swapBucketed's version-pointer flip — the new fixed point
+        // is derived FROM the old version and lands as numBuckets
+        // parallel sorted files, so state persistence scales with the
+        // cluster (a coalesce(1) file here would single-task billions
+        // of clustered rows at 100 TB) and a reader always resolves a
+        // complete fixed point through the pointer view
         val stream = s.readStream.schema(docs.schema)
           .option("maxFilesPerTrigger", "1").parquet(inDir)
         // "state table absent" is only legitimate before the FIRST
@@ -509,9 +510,17 @@ object StreamingOps {
             // distinct on the probe: incrementalStars canonicalizes
             // AND dedups the union — one shuffle instead of three.
             val within = DedupOps.minhashBandPairs(nbp)
+            // the explicit refresh must run on THIS session: appends
+            // ran inside foreachBatch, whose batch session is a CLONE
+            // with its own relation cache — appendBucketed's own
+            // refresh invalidates the clone's listing, not the outer
+            // session's, and a stale listing here silently loses
+            // cross-batch candidates. Resolve through the pointer so
+            // the refresh hits the physical relation actually scanned.
             val newEdges =
               if (s.catalog.tableExists("graft_band_live")) {
-                s.catalog.refreshTable("graft_band_live")
+                s.catalog.refreshTable(
+                  graft.sources.Sources.physicalName(s, "graft_band_live"))
                 s.table("graft_band_live").as("x")
                   .join(nbp.as("y"),
                     col("x.band") === col("y.band") &&
@@ -528,7 +537,10 @@ object StreamingOps {
               DedupOps.incrementalStars(prev, newEdges),
               "graft_stars_live", Seq("a"), 8)
             stateSwapped = true
-            DedupOps.appendBandIndex(batch, "graft_band_live", 8)
+            // append the PINNED bands — the probe already computed
+            // them; re-banding the raw batch would run the whole
+            // shingle+hash pass a second time per trigger
+            DedupOps.appendBands(nbp, "graft_band_live", 8)
           }
           .trigger(Trigger.AvailableNow()).start()
         q.awaitTermination()
@@ -562,7 +574,7 @@ object StreamingOps {
         val docs = Tables(s, dir, "documents")
           .select(col("doc_id"), col("text"))
         val existing = docs.filter(col("doc_id") < DedupOps.IncrementalSplit)
-        graft.sources.Sources.dropManaged(s, "graft_band_lc")
+        graft.sources.Sources.dropVersioned(s, "graft_band_lc")
         val inDir = EventStreams.stagedParquet(existing, 4)
         val stream = s.readStream.schema(existing.schema)
           .option("maxFilesPerTrigger", "1").parquet(inDir)

@@ -720,27 +720,40 @@ object TextOps {
         aggregate(col("sel"), lit(0L),
           (a, x) => a + shiftright(x, WinnowPosBits)).as("fp_sum"))
 
+  /** The encoded 5-gram stream of one document as a Column — the
+    * winnow input, factored so the generator-ensemble's shared
+    * fingerprint pass computes it in the SAME projection as the
+    * other families' hashes. */
+  def winnowEncs(text: Column): Column = {
+    val nGrams = length(text) - (WinnowK - 1)
+    // Spark's sequence(1, n) DESCENDS for n < 1 where DuckDB's
+    // generate_series returns empty — guard short texts explicitly
+    when(nGrams >= 1,
+      transform(sequence(lit(1), nGrams), i =>
+        shiftleft(conv(substring(md5(text.substr(i, lit(WinnowK))
+          .cast("binary")), 1, 6), 16, 10).cast("long"), WinnowPosBits) +
+          (lit(WinnowPosMax) - i)))
+      .otherwise(array().cast("array<bigint>"))
+  }
+
+  /** The window-minimum selection over a [[winnowEncs]] column. */
+  def winnowSelOf(encs: Column): Column = {
+    val nWin = greatest(size(encs) - (WinnowW - 1), lit(0))
+    when(nWin >= 1,
+      array_distinct(transform(sequence(lit(1), nWin), p =>
+        array_min(slice(encs, p, lit(WinnowW))))))
+      .otherwise(array().cast("array<bigint>"))
+  }
+
   /** The winnow selection per document — (doc_id, n_grams,
     * n_windows, sel) with sel the distinct encoded picks; ONE body
     * shared by the stats gate and the dedup candidate generator. */
   def winnowSel(docs: DataFrame): DataFrame = {
-    val nGrams = length(col("text")) - (WinnowK - 1)
-    // Spark's sequence(1, n) DESCENDS for n < 1 where DuckDB's
-    // generate_series returns empty — guard short texts explicitly
-    val encs = when(nGrams >= 1,
-      transform(sequence(lit(1), nGrams), i =>
-        shiftleft(conv(substring(md5(col("text").substr(i, lit(WinnowK))
-          .cast("binary")), 1, 6), 16, 10).cast("long"), WinnowPosBits) +
-          (lit(WinnowPosMax) - i)))
-      .otherwise(array().cast("array<bigint>"))
     val nWin = greatest(size(col("encs")) - (WinnowW - 1), lit(0))
-    docs.select(col("doc_id"), encs.as("encs"))
+    docs.select(col("doc_id"), winnowEncs(col("text")).as("encs"))
       .select(col("doc_id"), size(col("encs")).as("n_grams"),
         nWin.cast("int").as("n_windows"),
-        when(nWin >= 1,
-          array_distinct(transform(sequence(lit(1), nWin), p =>
-            array_min(slice(col("encs"), p, lit(WinnowW))))))
-          .otherwise(array().cast("array<bigint>")).as("sel"))
+        winnowSelOf(col("encs")).as("sel"))
   }
 
   /** Winnowing fingerprint dedup-candidate generation (the MOSS use
@@ -751,16 +764,21 @@ object TextOps {
     * Same scale shape as the shingle/band indexes: one explode to
     * (doc, fp), a df-capped inverted index, one equi-join on fp —
     * pair volume Σ df² over surviving fingerprints, never n². */
-  def winnowPairs(docs: DataFrame): DataFrame = {
+  def winnowPairs(docs: DataFrame): DataFrame =
     // pinned: the winnow HOF subtree (an md5 per gram) is referenced
     // by the df filter AND both sides of the pair self-join — without
     // the pin it re-evaluates up to 4x (measured 10.8 s -> ~4 s at
     // sf0.1)
-    val fp = winnowSel(docs)
+    winnowPairsFromFp(winnowSel(docs)
       .select(col("doc_id"),
         explode(array_distinct(transform(col("sel"),
           x => shiftright(x, WinnowPosBits)))).as("fp"))
-      .pinned
+      .pinned)
+
+  /** The df-capped inverted-index pair join over an already-pinned
+    * (doc_id, fp) frame — factored so the generator-ensemble's
+    * shared fingerprint pass can feed it without re-winnowing. */
+  def winnowPairsFromFp(fp: DataFrame): DataFrame = {
     val keep = fp.groupBy(col("fp")).agg(count(lit(1)).as("df"))
       .filter(col("df") >= 2 && col("df") <= WinnowPairCap)
       .select(col("fp"))

@@ -110,51 +110,228 @@ object Sources {
       .saveAsTable(tableName)
   }
 
+  // ---------------------------------------------------------------
+  // Versioned tables: `tableName` is a VIEW (the version POINTER)
+  // over physical bucketed tables `tableName__v<N>`. A swap writes
+  // the next version COMPLETELY, then repoints the view with ONE
+  // atomic catalog operation (CREATE OR REPLACE VIEW), so a
+  // concurrent reader resolving `spark.table(tableName)` always sees
+  // the old version or the new one — never TABLE-NOT-FOUND, never
+  // partial data. A version's catalog entry is only created after
+  // its files are fully written (saveAsTable commits metadata last),
+  // so a version that EXISTS is complete by construction; a crash
+  // between write and repoint leaves the pointer at the previous
+  // complete version (the caller simply re-derives — the orphan is
+  // reclaimed at the next swap), which is also the cross-JVM
+  // recovery story: a restarted process resolves the pointer and
+  // finds must-not-reset state intact. The last `retain` versions
+  // survive each swap, giving snapshot reads ([[readVersion]]) and
+  // version diffs without a log-structured table format.
+  // ---------------------------------------------------------------
+
+  private def versionName(tableName: String, v: Int) = s"${tableName}__v$v"
+  // the version lives in the pointer view's own definition text (the
+  // one thing repointing atomically replaces) — a separate
+  // TBLPROPERTIES write would be a second, non-atomic catalog op
+  private val ViewTargetVersion = "__v(\\d+)`\\s*$".r.unanchored
+
+  /** All existing version numbers of `tableName`, ascending —
+    * catalog-registered (hence complete) versions only. */
+  def tableVersions(spark: SparkSession, tableName: String): Seq[Int] = {
+    val db = spark.catalog.currentDatabase
+    spark.sessionState.catalog.listTables(db, s"${tableName}__v*")
+      .flatMap { id =>
+        val n = id.table
+        if (n.startsWith(s"${tableName}__v"))
+          n.substring(tableName.length + 3).toIntOption
+        else None
+      }.sorted
+  }
+
+  /** The version the pointer view currently serves, if `tableName`
+    * is a versioned table (absent or a plain table → None). */
+  def currentVersion(spark: SparkSession, tableName: String): Option[Int] = {
+    import org.apache.spark.sql.catalyst.TableIdentifier
+    import org.apache.spark.sql.catalyst.catalog.CatalogTableType
+    val cat = spark.sessionState.catalog
+    val id = TableIdentifier(tableName)
+    if (!cat.tableExists(id)) None
+    else {
+      val meta = cat.getTableMetadata(id)
+      if (meta.tableType != CatalogTableType.VIEW) None
+      else meta.viewText.flatMap {
+        case ViewTargetVersion(v) => v.toIntOption
+        case _ => None
+      }
+    }
+  }
+
+  /** The PHYSICAL table serving `tableName` right now: the pointed-to
+    * version for a versioned table, the name itself for a plain
+    * table. This is where appends land and where optimizer statistics
+    * belong ([[graft.operators.Analytics]] resolves through it). */
+  def physicalName(spark: SparkSession, tableName: String): String =
+    currentVersion(spark, tableName)
+      .map(versionName(tableName, _)).getOrElse(tableName)
+
+  /** Read version `v` of a versioned table — the as-of read over the
+    * versions [[swapBucketed]]/[[compactBucketed]] retain. */
+  def readVersion(spark: SparkSession, tableName: String, v: Int): DataFrame =
+    spark.table(versionName(tableName, v))
+
+  private def pointTo(spark: SparkSession, tableName: String, v: Int): Unit = {
+    // repoint with ALTER VIEW AS — ONE alterTable of the view's
+    // definition, atomic under the catalog lock. NOT "CREATE OR
+    // REPLACE VIEW": Spark implements that replace as dropTable +
+    // createTable, which re-opens exactly the not-found window this
+    // pointer exists to close (the reader-atomicity hammer in
+    // SourcesSpec catches the difference).
+    val sel = s"SELECT * FROM `${versionName(tableName, v)}`"
+    if (spark.catalog.tableExists(tableName))
+      spark.sql(s"ALTER VIEW `$tableName` AS $sel")
+    else spark.sql(s"CREATE VIEW `$tableName` AS $sel")
+  }
+
+  /** Drop a versioned table completely: pointer view, every retained
+    * version, and (for pre-versioned callers) a plain table of the
+    * same name. The teardown [[dropManaged]] is for plain tables. */
+  def dropVersioned(spark: SparkSession, tableName: String): Unit = {
+    if (currentVersion(spark, tableName).isDefined)
+      spark.sql(s"DROP VIEW IF EXISTS `$tableName`")
+    else dropManaged(spark, tableName)
+    tableVersions(spark, tableName)
+      .foreach(v => dropManaged(spark, versionName(tableName, v)))
+    // sweep version locations the CATALOG no longer knows about — a
+    // dead session against a persistent warehouse dir leaves files a
+    // later create would trip over (the same catalog-lost case
+    // dropManaged handles for one table, globbed over the version
+    // naming scheme)
+    val base = new org.apache.hadoop.fs.Path(
+      spark.sessionState.catalog.defaultTablePath(
+        org.apache.spark.sql.catalyst.TableIdentifier(tableName)))
+    val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val parent = base.getParent
+    val prefix = base.getName + "__v"
+    if (parent != null && fs.exists(parent))
+      fs.listStatus(parent)
+        .filter(_.getPath.getName.startsWith(prefix))
+        .foreach(st => fs.delete(st.getPath, true))
+  }
+
+  /** APPEND `batch` into the bucketed table `tableName`, resolving
+    * the version pointer: appends land in the CURRENT version of a
+    * versioned table (so they are immediately reader-visible through
+    * the pointer view), in the table itself for a legacy plain
+    * table, and — when the table does not exist at all — in a
+    * freshly-created first version WITH its pointer view, so
+    * lazily-created indexes are versioned from birth and a later
+    * [[compactBucketed]] never needs the plain→view upgrade window.
+    * The bucket spec must match an existing table's; Spark rejects a
+    * mismatched append, which is the failure mode you want for an
+    * index whose layout IS the probing contract. The physical
+    * relation's cached file listing is refreshed after the write, so
+    * the next reader (this JVM's next trigger) sees the new files
+    * without having to know the physical name.
+    *
+    * Returns the number of rows appended, observed ON the write
+    * itself (`Dataset.observe` — a CollectMetrics node over the
+    * write's own scan, NO second evaluation of the batch): the
+    * caller's statistics maintenance
+    * ([[graft.operators.Analytics.maintainStatsOnAppend]]) needs the
+    * increment, and re-counting a derived batch would re-run its
+    * whole pipeline. `observeCount = false` skips the metric and
+    * returns -1 — for callers that will not use the count (a table
+    * with no stats to maintain): Observation.get waits on the async
+    * listener bus, a per-trigger latency a streaming ingest should
+    * only pay when the count is actually consumed. */
+  def appendBucketed(batch: DataFrame, tableName: String,
+      bucketCols: Seq[String], numBuckets: Int,
+      observeCount: Boolean = true): Long = {
+    val spark = batch.sparkSession
+    val creating = !spark.catalog.tableExists(tableName)
+    val target =
+      if (creating) {
+        // reclaim orphan versions a crashed prior run may have left
+        // (their rows must not become visible through the new pointer)
+        tableVersions(spark, tableName)
+          .foreach(v => dropManaged(spark, versionName(tableName, v)))
+        // and sweep a DEAD session's files at v1's location — the
+        // catalog has forgotten them (fresh driver, persistent
+        // warehouse dir) but saveAsTable's create would still hit
+        // LOCATION_ALREADY_EXISTS
+        dropManaged(spark, versionName(tableName, 1))
+        versionName(tableName, 1)
+      } else physicalName(spark, tableName)
+    val obs = org.apache.spark.sql.Observation()
+    val toWrite =
+      if (observeCount)
+        batch.observe(obs, org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)).as("rows"))
+      else batch
+    toWrite.write.mode("append").format("parquet")
+      .bucketBy(numBuckets, bucketCols.head, bucketCols.tail: _*)
+      .sortBy(bucketCols.head, bucketCols.tail: _*)
+      .saveAsTable(target)
+    if (creating) pointTo(spark, tableName, 1)
+    spark.catalog.refreshTable(target)
+    if (!observeCount) -1L
+    else obs.get.getOrElse("rows",
+      sys.error("append write completed without observed metrics")) match {
+      case n: Long => n
+      case other => sys.error(s"unexpected observed row count: $other")
+    }
+  }
+
   /** REPLACE `tableName` with `df`'s rows in the bucketed layout —
     * the read-modify-swap a per-trigger state table needs: `df` may
-    * be DERIVED FROM the current `tableName` contents (the shadow
-    * version is fully materialized before the old table is dropped,
-    * so the lineage reads the old files intact), and a reader sees
-    * the old fixed point, the new one, or — in the window between
-    * the two catalog RENAMES — a clean TABLE-NOT-FOUND, never a
-    * half-written table. The swap is rename-away → rename-in →
-    * drop-after: the old version's (possibly large) file deletion
-    * happens AFTER the new table is live, so the not-found window is
-    * two O(1) catalog renames, not a recursive delete. A failed
-    * rename propagates (failing the caller's trigger); the catalog
-    * is never left pointing at partial data, and leftover `__next` /
-    * `__old` tables from a crashed swap are reclaimed by the next
-    * swap. Callers maintaining must-not-reset state should treat
-    * "table absent after the first swap" as an error, not an empty
-    * restart (the dedup-clusters gate does).
+    * be DERIVED FROM the current contents (the next version is fully
+    * materialized before anything is dropped, so the lineage reads
+    * the current version's files intact), and the reader-visible cut
+    * is the single [[pointTo]] catalog operation: old version or new,
+    * never absent, never partial. Prior versions survive until
+    * retention drops them (`retain` versions kept, ≥ 1), so
+    * [[readVersion]] serves snapshot reads and version diffs.
+    * Crash recovery is pointer-shaped (see the section comment):
+    * unflipped orphan versions are reclaimed here before the next
+    * version number is chosen, and a version's existence in the
+    * catalog implies its write completed.
     * The repartition aligns rows to the writer's bucket hash
     * (pmod(murmur3(bucketCols), n) — same as `repartition`'s), so
     * the write runs as `numBuckets` PARALLEL tasks each producing
     * its bucket's one sorted file: state persistence scales with the
     * cluster instead of funnelling through a single task, and the
     * next trigger's read is a bucketed scan (per-key joins on
-    * `bucketCols` need no exchange on the state side). This is the
-    * state-maintenance twin of [[compactBucketed]] (same staging +
-    * catalog-rename swap), distinguished by rewriting CONTENT rather
-    * than layout. */
+    * `bucketCols` need no exchange on the state side — the view adds
+    * only a collapsed Project, so the physical scan still advertises
+    * the bucket layout). This is the state-maintenance twin of
+    * [[compactBucketed]], distinguished by rewriting CONTENT rather
+    * than layout.
+    * A LEGACY plain table occupying `tableName` is upgraded in
+    * place: the new version is written, the plain table dropped, the
+    * view created — the one transition with a (one-time) not-found
+    * window; tables born through this API never have one. */
   def swapBucketed(df: DataFrame, tableName: String,
-      bucketCols: Seq[String], numBuckets: Int): Unit = {
+      bucketCols: Seq[String], numBuckets: Int, retain: Int = 2): Unit = {
     import org.apache.spark.sql.functions.col
+    require(retain >= 1, s"retain must be >= 1, got $retain")
     val spark = df.sparkSession
-    val shadow = tableName + "__next"
-    val old = tableName + "__old"
+    val cur = currentVersion(spark, tableName)
+    val legacyPlain = cur.isEmpty && spark.catalog.tableExists(tableName)
+    // reclaim versions NEWER than the pointer: complete-but-unflipped
+    // leftovers of a swap that died before its pointTo — that swap
+    // never happened (its derivation is re-run now), so its output is
+    // garbage, and reclaiming it first keeps version numbers moving
+    // through flipped states only
+    val curV = cur.getOrElse(0)
+    tableVersions(spark, tableName).filter(_ > curV)
+      .foreach(v => dropManaged(spark, versionName(tableName, v)))
+    val next = curV + 1
     writeBucketed(df.repartition(numBuckets, bucketCols.map(col): _*),
-      shadow, bucketCols, numBuckets)
-    dropManaged(spark, old) // reclaim a crashed prior swap's leftover
-    val had = spark.catalog.tableExists(tableName)
-    if (had) spark.sql(s"ALTER TABLE `$tableName` RENAME TO `$old`")
-    // catalog forgot the table but a DEAD session's files may still
-    // sit at its location (the ephemeral-catalog re-run case
-    // dropManaged exists for) — sweep them or the rename-in lands on
-    // a non-empty directory
-    else dropManaged(spark, tableName)
-    spark.sql(s"ALTER TABLE `$shadow` RENAME TO `$tableName`")
-    if (had) dropManaged(spark, old)
+      versionName(tableName, next), bucketCols, numBuckets)
+    if (legacyPlain) spark.sql(s"DROP TABLE `$tableName`")
+    pointTo(spark, tableName, next)
+    tableVersions(spark, tableName).filter(_ <= next - retain)
+      .foreach(v => dropManaged(spark, versionName(tableName, v)))
   }
 
   /** Compact a bucketed managed table back to ONE sorted file per
@@ -179,27 +356,21 @@ object Sources {
     * The plain read carries no partitioning claim, so the aligning
     * shuffle survives.
     *
-    * The rewrite stages through a shadow table swapped in by catalog
-    * rename: a reader sees the old layout or the new, never a
-    * half-written table. The maintenance companion every appended
+    * The rewrite stages through the same versioned pointer flip as
+    * [[swapBucketed]]: the compacted layout lands as the next
+    * version, the view repoints atomically — a reader sees the old
+    * layout or the new, never a half-written or absent table — and
+    * the fragmented prior version stays readable as-of until
+    * retention drops it. The maintenance companion every appended
     * stored artifact needs at 100 TB; run it off the serving path. */
   def compactBucketed(spark: SparkSession, tableName: String,
-      bucketCols: Seq[String], numBuckets: Int): Unit = {
-    import org.apache.spark.sql.functions.col
-    val table = spark.table(tableName)
-    val shadow = tableName + "__compact"
-    val old = tableName + "__old"
-    writeBucketed(
-      spark.read.schema(table.schema).parquet(table.inputFiles: _*)
-        .repartition(numBuckets, bucketCols.map(col): _*),
-      shadow, bucketCols, numBuckets)
-    // same rename-away -> rename-in -> drop-after sequence as
-    // swapBucketed: the fragmented old files are deleted AFTER the
-    // compacted table is live, so the not-found window is two O(1)
-    // catalog renames rather than a recursive delete
-    dropManaged(spark, old)
-    spark.sql(s"ALTER TABLE `$tableName` RENAME TO `$old`")
-    spark.sql(s"ALTER TABLE `$shadow` RENAME TO `$tableName`")
-    dropManaged(spark, old)
+      bucketCols: Seq[String], numBuckets: Int, retain: Int = 2): Unit = {
+    val phys = spark.table(physicalName(spark, tableName))
+    // read the current files as PLAIN parquet (see the doc above: the
+    // bucketed-scan claim would elide the aligning repartition), then
+    // swap the rewrite in as the next version
+    swapBucketed(
+      spark.read.schema(phys.schema).parquet(phys.inputFiles: _*),
+      tableName, bucketCols, numBuckets, retain)
   }
 }

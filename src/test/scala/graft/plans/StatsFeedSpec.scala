@@ -136,4 +136,49 @@ class StatsFeedSpec extends SparkSpec {
       spark.sql("DROP TABLE IF EXISTS stats_dim_text")
     }
   }
+
+  test("append paths auto-maintain catalog stats: appends without a " +
+    "manual ANALYZE keep the row-count estimate exact via observed " +
+    "bumps, and growth past the refresh fraction triggers the full " +
+    "re-analyze (baseline resets)") {
+    import graft.operators.DedupOps
+    import graft.sources.Sources
+    val docs = graft.Tables(spark, "/root/testdata/sf0.001", "documents")
+      .select(col("doc_id"), col("text"))
+    def physMeta = spark.sessionState.catalog.getTableMetadata(
+      org.apache.spark.sql.catalyst.TableIdentifier(
+        Sources.physicalName(spark, "stats_band_auto")))
+    try {
+      // ingest bootstrap + ONE maintenance analyze = the lifecycle
+      // gate's compaction pass; everything after runs unattended
+      DedupOps.appendBandIndex(
+        docs.filter(col("doc_id") < 100), "stats_band_auto", 4)
+      Analytics.analyzeTable(spark, "stats_band_auto", exact = false)
+      val analyzedAt = physMeta.stats.get.rowCount.get
+      // small appends, NO manual ANALYZE: the observed-count bump
+      // keeps the estimate exactly right after every single append
+      Seq((100, 120), (120, 140)).foreach { case (lo, hi) =>
+        DedupOps.appendBandIndex(
+          docs.filter(col("doc_id") >= lo && col("doc_id") < hi),
+          "stats_band_auto", 4)
+        val st = physMeta.stats.get
+        assert(st.rowCount.contains(
+          BigInt(spark.table("stats_band_auto").count())),
+          s"row-count estimate drifted after append [$lo,$hi)")
+      }
+      // below the refresh fraction so far: still the original baseline
+      assert(physMeta.properties("graft.stats.analyzedRows").toLong ==
+        analyzedAt.toLong, "small appends must not re-analyze")
+      // a growth burst past the fraction lands a FULL re-analyze:
+      // baseline moves to the new truth, row count still exact
+      DedupOps.appendBandIndex(
+        docs.filter(col("doc_id") >= 140 && col("doc_id") < 400),
+        "stats_band_auto", 4)
+      val trueCount = spark.table("stats_band_auto").count()
+      assert(physMeta.stats.get.rowCount.contains(BigInt(trueCount)))
+      assert(physMeta.properties("graft.stats.analyzedRows").toLong ==
+        trueCount,
+        "growth past the refresh fraction must reset the analyze baseline")
+    } finally Sources.dropVersioned(spark, "stats_band_auto")
+  }
 }

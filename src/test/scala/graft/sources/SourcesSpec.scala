@@ -292,9 +292,12 @@ class SourcesSpec extends SparkSpec {
           docs.filter(col("doc_id") >= 450))
         def subtree(p: SparkPlan): Seq[SparkPlan] = p +: p.children.flatMap(subtree)
         val nodes = subtree(probe.queryExecution.executedPlan)
+        // post-compaction the scan reads the current PHYSICAL version
+        // behind the pointer view — match by prefix
         val scans = nodes.collect {
           case f: FileSourceScanExec
-            if f.tableIdentifier.exists(_.table == "band_compact_test") => f
+            if f.tableIdentifier.exists(
+              _.table.startsWith("band_compact_test")) => f
         }
         assert(scans.nonEmpty, "compacted scan missing from plan")
         scans.foreach(s => assert(s.metadata.contains("SelectedBucketsCount"),
@@ -305,7 +308,7 @@ class SourcesSpec extends SparkSpec {
         }.foreach { j =>
           j.children.filter(c => subtree(c).exists {
             case f: FileSourceScanExec =>
-              f.tableIdentifier.exists(_.table == "band_compact_test")
+              f.tableIdentifier.exists(_.table.startsWith("band_compact_test"))
             case _ => false
           }).foreach(c => assert(
             !subtree(c).exists(_.isInstanceOf[ShuffleExchangeExec]),
@@ -316,7 +319,7 @@ class SourcesSpec extends SparkSpec {
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
         spark.conf.unset("spark.sql.adaptive.enabled")
       }
-    } finally spark.sql("DROP TABLE IF EXISTS band_compact_test")
+    } finally Sources.dropVersioned(spark, "band_compact_test")
   }
 
   test("index lifecycle: fragmented appends -> compact -> append again; " +
@@ -341,6 +344,7 @@ class SourcesSpec extends SparkSpec {
         "appends should fragment the table")
       val before = probePairs()
       assert(before.nonEmpty)
+      val fragBefore = spark.table("band_lc_test").inputFiles.toSet
       Sources.compactBucketed(spark, "band_lc_test",
         Seq("band", "bucket"), nBuckets)
       // one sorted file per bucket, and the SAME probe answers
@@ -348,13 +352,25 @@ class SourcesSpec extends SparkSpec {
         "compaction must land exactly one file per bucket")
       assert(probePairs() == before,
         "compaction changed probe results")
+      // lazily-created index is versioned from birth: the appends
+      // built v1, compaction swapped in v2, and retention keeps the
+      // fragmented v1 readable AS-OF until the next swap drops it
+      assert(Sources.tableVersions(spark, "band_lc_test") == Seq(1, 2),
+        "compaction must retain the prior version")
+      assert(Sources.currentVersion(spark, "band_lc_test").contains(2))
+      assert(Sources.readVersion(spark, "band_lc_test", 1)
+        .inputFiles.toSet == fragBefore,
+        "as-of read of the pre-compaction version must serve its " +
+          "original fragmented files")
       // the maintenance pass refreshes optimizer stats of the
       // rewritten artifact (approx-NDV mode): the catalog the next
-      // probe plans against carries the true row count
+      // probe plans against carries the true row count — recorded on
+      // the PHYSICAL version the pointer serves
       graft.operators.Analytics.analyzeTable(
         spark, "band_lc_test", exact = false)
       val st = spark.sessionState.catalog.getTableMetadata(
-        org.apache.spark.sql.catalyst.TableIdentifier("band_lc_test"))
+        org.apache.spark.sql.catalyst.TableIdentifier(
+          Sources.physicalName(spark, "band_lc_test")))
         .stats.get
       assert(st.rowCount.contains(
         BigInt(spark.table("band_lc_test").count())),
@@ -362,10 +378,11 @@ class SourcesSpec extends SparkSpec {
       assert(st.colStats.contains("band"),
         "post-compact ANALYZE must record column statistics")
       // live appends continue AFTER a compaction and are probe-visible
+      // (appendBucketed resolves the pointer and refreshes the
+      // physical relation — no caller-side refresh needed)
       DedupOps.appendBandIndex(
         docs.filter(col("doc_id") >= 400 && col("doc_id") < 450),
         "band_lc_test", nBuckets)
-      spark.catalog.refreshTable("band_lc_test")
       val after = probePairs()
       assert(before.subsetOf(after), "append lost prior candidates")
       val expected = DedupOps.incrementalCandidatePairs(
@@ -373,7 +390,7 @@ class SourcesSpec extends SparkSpec {
         .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
       assert(after == expected,
         "post-compact append is not serving the full corpus")
-    } finally spark.sql("DROP TABLE IF EXISTS band_lc_test")
+    } finally Sources.dropVersioned(spark, "band_lc_test")
   }
 
   test("swapBucketed state table: the write is multi-task (one sorted " +
@@ -400,15 +417,18 @@ class SourcesSpec extends SparkSpec {
         try subtree(t1.groupBy(col("a")).agg(count(lit(1)))
           .queryExecution.executedPlan).collect {
           case f: FileSourceScanExec
-            if f.tableIdentifier.exists(_.table == "stars_state_test") => f
+            if f.tableIdentifier.exists(
+              _.table.startsWith("stars_state_test")) => f
         }
         finally spark.conf.unset("spark.sql.adaptive.enabled")
       assert(scans.nonEmpty &&
         scans.forall(_.metadata.contains("SelectedBucketsCount")),
         "state table scan is not a bucketed read")
       // read-modify-swap: next version DERIVED FROM the current table
-      // (the incrementalStars per-trigger shape) — the shadow staging
-      // must materialize before the old files are dropped
+      // (the incrementalStars per-trigger shape) — the next version
+      // must materialize before the pointer flips off the old files
+      val v1Rows = spark.table("stars_state_test")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
       val v2 = spark.table("stars_state_test")
         .select(col("a"), (col("b") + 1000L).as("b"))
         .union(Seq((99L, 1L)).toDF("a", "b"))
@@ -419,22 +439,110 @@ class SourcesSpec extends SparkSpec {
       assert(after == expect, "swapped-in state diverged from the derivation")
       val files2 = spark.table("stars_state_test").inputFiles.length
       assert(files2 > 1 && files2 <= nBuckets)
-      assert(!spark.catalog.tableExists("stars_state_test__next"),
-        "shadow table must not survive the swap")
-      assert(!spark.catalog.tableExists("stars_state_test__old"),
-        "renamed-away old version must be dropped after the swap")
-    } finally spark.sql("DROP TABLE IF EXISTS stars_state_test")
+      // versioned pointer: current is v2, and the PRIOR version stays
+      // readable as-of (default retention keeps current + previous)
+      assert(Sources.currentVersion(spark, "stars_state_test").contains(2))
+      assert(Sources.tableVersions(spark, "stars_state_test") == Seq(1, 2))
+      assert(Sources.readVersion(spark, "stars_state_test", 1)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet == v1Rows,
+        "as-of read of the prior version diverged")
+      // a third swap drops v1 under retain=2: versions roll forward
+      Sources.swapBucketed(
+        spark.table("stars_state_test"), "stars_state_test",
+        Seq("a"), nBuckets)
+      assert(Sources.tableVersions(spark, "stars_state_test") == Seq(2, 3),
+        "retention must keep exactly the last 2 versions")
+    } finally Sources.dropVersioned(spark, "stars_state_test")
+  }
+
+  test("versioned swap is reader-atomic: concurrent readers hammering " +
+    "the table across many swaps never see NOT-FOUND or partial data") {
+    val nBuckets = 4
+    def versionDf(v: Long) =
+      (0L until 32L).map(i => (i % 8, v)).toDF("a", "b")
+    Sources.swapBucketed(versionDf(0), "swap_hammer_test", Seq("a"), nBuckets)
+    try {
+      val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+      val failures = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]
+      val seen = java.util.concurrent.ConcurrentHashMap.newKeySet[Long]()
+      val readers = (1 to 3).map { _ =>
+        new Thread(() => {
+          while (!stop.get()) {
+            try {
+              // a full resolve-plan-read cycle per iteration — the
+              // reader must land on SOME complete version every time
+              val vs = spark.table("swap_hammer_test")
+                .select(col("b")).distinct()
+                .collect().map(_.getLong(0)).toSet
+              assert(vs.size == 1,
+                s"reader saw rows from ${vs.size} versions at once: $vs")
+              seen.add(vs.head)
+            } catch { case t: Throwable => failures.add(t); stop.set(true) }
+          }
+        })
+      }
+      readers.foreach(_.start())
+      // retain all versions for the hammer's duration: retention
+      // dropping a version a slow reader already resolved is the
+      // (documented) vacuum-vs-long-reader tradeoff every versioned
+      // format has, not the atomicity property under test
+      (1L to 8L).foreach { v =>
+        Sources.swapBucketed(versionDf(v), "swap_hammer_test",
+          Seq("a"), nBuckets, retain = 16)
+      }
+      stop.set(true)
+      readers.foreach(_.join(30000))
+      assert(failures.isEmpty,
+        s"concurrent reads failed during swaps: ${failures.peek()}")
+      assert(!seen.isEmpty, "hammer made no successful reads — fixture broken")
+    } finally Sources.dropVersioned(spark, "swap_hammer_test")
+  }
+
+  test("interrupted swap recovery: a complete-but-unflipped version is " +
+    "invisible to readers and reclaimed by the next swap; the pointer " +
+    "always serves the last COMMITTED fixed point across 'restarts'") {
+    val nBuckets = 2
+    val v1 = (0L until 16L).map(i => (i % 4, 1L)).toDF("a", "b")
+    Sources.swapBucketed(v1, "swap_crash_test", Seq("a"), nBuckets)
+    try {
+      // simulate a swap that died AFTER materializing the next
+      // version but BEFORE the pointer flip: the physical version
+      // exists in the catalog, the view still serves v1
+      Sources.writeBucketed(
+        (0L until 16L).map(i => (i % 4, 999L)).toDF("a", "b")
+          .repartition(nBuckets, col("a")),
+        "swap_crash_test__v2", Seq("a"), nBuckets)
+      // a reader (or a RESTARTED process — resolution is catalog
+      // state, not JVM memory) still sees the committed v1, and the
+      // table is NOT absent: must-not-reset state survives the crash
+      assert(spark.catalog.tableExists("swap_crash_test"))
+      assert(Sources.currentVersion(spark, "swap_crash_test").contains(1))
+      assert(spark.table("swap_crash_test")
+        .select(col("b")).distinct().collect().map(_.getLong(0)).toSet
+        == Set(1L), "reader saw the uncommitted orphan version")
+      // the next swap re-derives from the COMMITTED state and
+      // reclaims the orphan — its garbage rows never surface
+      Sources.swapBucketed(
+        spark.table("swap_crash_test")
+          .select(col("a"), (col("b") + 1L).as("b")),
+        "swap_crash_test", Seq("a"), nBuckets)
+      assert(Sources.currentVersion(spark, "swap_crash_test").contains(2))
+      assert(spark.table("swap_crash_test")
+        .select(col("b")).distinct().collect().map(_.getLong(0)).toSet
+        == Set(2L), "post-recovery swap must derive from committed state")
+    } finally Sources.dropVersioned(spark, "swap_crash_test")
   }
 
   test("swapBucketed sweeps a dead session's stale files when the " +
     "catalog has forgotten the table (ephemeral-catalog re-run case)") {
     import org.apache.spark.sql.catalyst.TableIdentifier
-    // simulate: catalog knows nothing, but files sit at the table's
-    // managed location — the state a fresh driver inherits from a
-    // crashed predecessor against a persistent warehouse dir
+    // simulate: catalog knows nothing, but files sit at the FIRST
+    // VERSION's managed location (where a fresh swap will write) —
+    // the state a fresh driver inherits from a crashed predecessor
+    // against a persistent warehouse dir
     val loc = new org.apache.hadoop.fs.Path(
       spark.sessionState.catalog.defaultTablePath(
-        TableIdentifier("stars_stale_test")))
+        TableIdentifier("stars_stale_test__v1")))
     val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.mkdirs(loc)
     val stale = new org.apache.hadoop.fs.Path(loc, "stale.parquet")
@@ -447,7 +555,7 @@ class SourcesSpec extends SparkSpec {
       // exactly the new rows
       assert(spark.table("stars_stale_test").count() == 16)
       assert(!fs.exists(stale), "dead session's file survived the swap")
-    } finally spark.sql("DROP TABLE IF EXISTS stars_stale_test")
+    } finally Sources.dropVersioned(spark, "stars_stale_test")
   }
 
   test("stored IVF-PQ index: search prunes the code table to the probed " +
