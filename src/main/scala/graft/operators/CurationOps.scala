@@ -112,6 +112,55 @@ object CurationOps {
   val DeltaNewLower = 10
   val DeltaChangeMod = 7
 
+  /** The corpus-snapshot delta oracle, shared by `q_corpus_delta`
+    * (diff of two derived frames) and `q_version_diff` (diff of two
+    * RETAINED VERSIONS of a swap-maintained table) — one string, so
+    * "the version history replays the snapshot diff" is structural.
+    * A `def` (the oracle-def convention: `all` reads it during object
+    * init). */
+  private[operators] def corpusDeltaSql: String =
+    s"""WITH old AS (SELECT doc_id, md5(text) AS h_old FROM documents
+       |             WHERE doc_id < $DeltaOldUpper),
+       |neu AS (SELECT doc_id,
+       |          md5(CASE WHEN doc_id % $DeltaChangeMod = 0
+       |                   THEN text || ' v2' ELSE text END) AS h_new
+       |        FROM documents WHERE doc_id >= $DeltaNewLower)
+       |SELECT coalesce(old.doc_id, neu.doc_id) AS doc_id, h_old, h_new,
+       |       CASE WHEN h_old IS NULL THEN 'added'
+       |            WHEN h_new IS NULL THEN 'removed'
+       |            WHEN h_old = h_new THEN 'unchanged'
+       |            ELSE 'changed' END AS status
+       |FROM old FULL OUTER JOIN neu ON old.doc_id = neu.doc_id""".stripMargin
+
+  /** The "old" crawl snapshot: (doc_id, h_old) content hashes. */
+  private[operators] def oldSnapshot(
+      docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    docs.filter(col("doc_id") < DeltaOldUpper)
+      .select(col("doc_id"), md5(col("text").cast("binary")).as("h_old"))
+
+  /** The "new" crawl snapshot: (doc_id, h_new), every DeltaChangeMod-th
+    * doc deterministically edited. */
+  private[operators] def newSnapshot(
+      docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    docs.filter(col("doc_id") >= DeltaNewLower)
+      .select(col("doc_id"),
+        md5(when(col("doc_id") % DeltaChangeMod === 0,
+          concat(col("text"), lit(" v2")))
+          .otherwise(col("text")).cast("binary")).as("h_new"))
+
+  /** ONE full-outer join keyed on doc_id, hashes only (text never
+    * shuffles); when both sides are bucketed on doc_id (the
+    * q_version_diff path) the join is exchange-free at any scale. */
+  private[operators] def snapshotDiff(
+      old: org.apache.spark.sql.DataFrame,
+      neu: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    old.join(neu, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"), col("h_old"), col("h_new"),
+        when(col("h_old").isNull, "added")
+          .when(col("h_new").isNull, "removed")
+          .when(col("h_old") === col("h_new"), "unchanged")
+          .otherwise("changed").as("status"))
+
   /** Token-budget planning: the training run's total token budget
     * (gate-sized; production passes its own) and the per-source
     * mixture weights by source-index class (index % 4) — the same
@@ -577,35 +626,40 @@ object CurationOps {
     // shuffles); at 100 TB both snapshots co-bucket on doc_id and
     // the join is exchange-free. Also the gate's full-outer-join
     // coverage.
-    QueryDef.sql(
-      "q_corpus_delta",
-      s"""WITH old AS (SELECT doc_id, md5(text) AS h_old FROM documents
-         |             WHERE doc_id < $DeltaOldUpper),
-         |neu AS (SELECT doc_id,
-         |          md5(CASE WHEN doc_id % $DeltaChangeMod = 0
-         |                   THEN text || ' v2' ELSE text END) AS h_new
-         |        FROM documents WHERE doc_id >= $DeltaNewLower)
-         |SELECT coalesce(old.doc_id, neu.doc_id) AS doc_id, h_old, h_new,
-         |       CASE WHEN h_old IS NULL THEN 'added'
-         |            WHEN h_new IS NULL THEN 'removed'
-         |            WHEN h_old = h_new THEN 'unchanged'
-         |            ELSE 'changed' END AS status
-         |FROM old FULL OUTER JOIN neu ON old.doc_id = neu.doc_id""".stripMargin) {
+    QueryDef.sql("q_corpus_delta", corpusDeltaSql) {
       (s, dir) =>
         val docs = Tables(s, dir, "documents")
-        val old = docs.filter(col("doc_id") < DeltaOldUpper)
-          .select(col("doc_id"), md5(col("text").cast("binary")).as("h_old"))
-        val neu = docs.filter(col("doc_id") >= DeltaNewLower)
-          .select(col("doc_id"),
-            md5(when(col("doc_id") % DeltaChangeMod === 0,
-              concat(col("text"), lit(" v2")))
-              .otherwise(col("text")).cast("binary")).as("h_new"))
-        old.join(neu, Seq("doc_id"), "full_outer")
-          .select(col("doc_id"), col("h_old"), col("h_new"),
-            when(col("h_old").isNull, "added")
-              .when(col("h_new").isNull, "removed")
-              .when(col("h_old") === col("h_new"), "unchanged")
-              .otherwise("changed").as("status"))
+        snapshotDiff(oldSnapshot(docs), newSnapshot(docs))
+    },
+
+    // The SAME snapshot diff, but the snapshots are consecutive
+    // VERSIONS of one swap-maintained table: the "old" corpus hash
+    // state is swapped in, the refreshed state swapped over it, and
+    // the diff reads current vs previous through the retained-version
+    // as-of API ([[graft.sources.Sources.readVersion]]) — the
+    // incremental-refresh bookkeeping run directly off the state
+    // machinery's history instead of two ad-hoc frames. Oracle = the
+    // SAME string as q_corpus_delta, so "diffing retained versions ==
+    // diffing the snapshots they were written from" is structural.
+    // Both versions are bucketed on doc_id by the swap, so the
+    // full-outer join is exchange-free at any scale (spec-pinned).
+    QueryDef.sql("q_version_diff", corpusDeltaSql) {
+      (s, dir) =>
+        val docs = Tables(s, dir, "documents")
+        graft.sources.Sources.dropVersioned(s, "graft_snap")
+        graft.sources.Sources.swapBucketed(
+          oldSnapshot(docs).withColumnRenamed("h_old", "h"),
+          "graft_snap", Seq("doc_id"), 8)
+        graft.sources.Sources.swapBucketed(
+          newSnapshot(docs).withColumnRenamed("h_new", "h"),
+          "graft_snap", Seq("doc_id"), 8)
+        val cur = graft.sources.Sources.currentVersion(s, "graft_snap")
+          .getOrElse(sys.error("graft_snap is not versioned after swaps"))
+        snapshotDiff(
+          graft.sources.Sources.readVersion(s, "graft_snap", cur - 1)
+            .withColumnRenamed("h", "h_old"),
+          graft.sources.Sources.readVersion(s, "graft_snap", cur)
+            .withColumnRenamed("h", "h_new"))
     },
 
     // Sliding-window context chunking: cut each document into

@@ -291,6 +291,33 @@ class CurationOpsSpec extends SparkSpec {
     assert(out.count(_._2 == "unchanged") == 17)
   }
 
+  test("version diff over the swap machinery equals the snapshot diff " +
+    "row for row, and the full-outer join of the two bucketed " +
+    "versions runs with NO exchange") {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val want = q("q_corpus_delta").collect().map(_.toSeq).toSet
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val diff = q("q_version_diff")
+      assert(diff.collect().map(_.toSeq).toSet == want,
+        "version diff diverged from the snapshot diff")
+      // both versions carry the swap's doc_id bucketing, so the
+      // full-outer join needs no exchange on either side
+      def subtree(p: SparkPlan): Seq[SparkPlan] =
+        p +: p.children.flatMap(subtree)
+      assert(!subtree(diff.queryExecution.executedPlan)
+        .exists(_.isInstanceOf[ShuffleExchangeExec]),
+        "version diff must join the co-bucketed versions " +
+          s"exchange-free:\n${diff.queryExecution.executedPlan}")
+    } finally {
+      spark.conf.unset("spark.sql.adaptive.enabled")
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      graft.sources.Sources.dropVersioned(spark, "graft_snap")
+    }
+  }
+
   test("dsir weights match a pure-JVM reference implementation " +
     "(hashed n-grams -> smoothed distributions -> mean log ratio)") {
     def md5hex(s: String): String =
