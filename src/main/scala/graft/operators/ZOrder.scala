@@ -298,8 +298,17 @@ object ZOrder {
     // mirrored as a scalar subquery in the oracle).
     QueryDef.sql("q_manifest_skip", manifestSkipSql) { (s, dir) =>
       val (laid, _, mid) = manifestGateLayout(s, dir)
-      manifestAnswer(s, laid,
-        graft.sources.Manifest.build(laid, ManifestCols), mid)
+      // the manifest is consulted as a STORED table (built → stored
+      // sorted on the leading stat → read back), so the box predicate
+      // pushes into the manifest's own parquet scan — the path a
+      // 10⁷-file table runs, where the manifest consult itself must
+      // prune (spec-pinned PushedFilters in ZOrderSpec)
+      val tmp = java.nio.file.Files.createTempDirectory("graft_mani_store")
+      graft.streaming.EventStreams.deleteRecursivelyOnExit(tmp)
+      graft.sources.Manifest.store(
+        graft.sources.Manifest.build(laid, ManifestCols),
+        s"$tmp/manifest", ManifestCols.head)
+      manifestAnswer(s, laid, s.read.parquet(s"$tmp/manifest"), mid)
     }
   )
 

@@ -1,6 +1,6 @@
 package graft.sources
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.StructType
 
@@ -17,6 +17,17 @@ import org.apache.spark.sql.types.StructType
   * [[graft.operators.ZOrder]] writers: a space-filling-curve layout
   * is precisely what makes per-file bounding boxes tight enough for
   * box queries to drop most files (measured in ZOrderSpec).
+  *
+  * Scale story for the manifest ITSELF: at O(10⁷) files the manifest
+  * is a real (if small) table, so [[store]] writes it as parquet
+  * SORTED on the leading tracked column's min — the metadata-level
+  * z-order — and [[prunedRead]]'s keep predicate is built from
+  * pushdown-translatable conjuncts (plain comparisons OR'd with
+  * IS NULL, never coalesce/CASE), so consulting the manifest prunes
+  * the MANIFEST's own row groups before a single row reaches the
+  * driver. The final hand-off to Spark's reader is then bounded by
+  * the files that MATCH the box (the data a table-format planner
+  * must enumerate anyway), not by the table's total file count.
   */
 object Manifest {
 
@@ -33,24 +44,47 @@ object Manifest {
       .agg(aggs.head, aggs.tail: _*)
   }
 
+  /** Persist a manifest, sorted on the leading tracked column's min:
+    * the stored manifest's own parquet footers then carry tight
+    * min/max on the stat columns, so a box consult scans only the
+    * manifest row groups that can match — data skipping applied to
+    * the skipping metadata itself. `leadCol` is the column queries
+    * filter most selectively (the z-order leading dimension). */
+  def store(manifest: DataFrame, dir: String, leadCol: String): Unit =
+    manifest.sortWithinPartitions(col(s"min_$leadCol"))
+      .write.mode("overwrite").parquet(dir)
+
+  /** The file-keep predicate for a query box — kept
+    * pushdown-translatable on purpose: each conjunct is
+    * `(max_c >= lo OR max_c IS NULL) AND (min_c <= hi OR min_c IS
+    * NULL)`, which Spark's DataSourceStrategy converts to parquet
+    * row-group filters verbatim (a coalesce/CASE guard would be
+    * semantically identical but unpushable, silently degrading the
+    * manifest consult to a full metadata scan). NULL stats (a file
+    * whose queried column is entirely NULL) read as 'unknown', so
+    * conservative pruning keeps the file. */
+  def keepExpr(ranges: Map[String, (Long, Long)]): Column =
+    ranges.map { case (c, (lo, hi)) =>
+      (col(s"max_$c") >= lo || col(s"max_$c").isNull) &&
+        (col(s"min_$c") <= hi || col(s"min_$c").isNull)
+    }.reduceOption(_ && _).getOrElse(lit(true))
+    // no constrained columns = no pruning possible: keep every file
+    // (the conservative default), not an empty-reduce crash
+
   /** Read ONLY the files whose per-column [min, max] envelope
     * INTERSECTS the query box (`ranges`: column -> inclusive
     * [lo, hi]). Pruning is conservative — a file is dropped only
     * when some queried column's range is provably disjoint — so the
     * pruned scan plus the original predicate returns exactly the
     * unpruned result (the gate hash-checks this against a plain
-    * full-table oracle). The collected file list is manifest-sized
-    * (one row per FILE — this is the table-format metadata read,
-    * bounded driver material by design). Callers still apply the
+    * full-table oracle). The collected file list is bounded by the
+    * files MATCHING the box ([[keepExpr]] prunes the manifest scan
+    * itself before the collect) — the table-format metadata read,
+    * bounded driver material by design. Callers still apply the
     * row-level predicate: the manifest prunes files, not rows. */
   def prunedRead(spark: SparkSession, schema: StructType,
       manifest: DataFrame, ranges: Map[String, (Long, Long)]): DataFrame = {
-    // no constrained columns = no pruning possible: keep every file
-    // (the conservative default), not an empty-reduce crash
-    val keep = ranges.map { case (c, (lo, hi)) =>
-      col(s"max_$c") >= lo && col(s"min_$c") <= hi
-    }.reduceOption(_ && _).getOrElse(lit(true))
-    val files = manifest.filter(keep)
+    val files = manifest.filter(keepExpr(ranges))
       .select(col("file")).collect().map(_.getString(0))
     if (files.isEmpty)
       spark.createDataFrame(
