@@ -8,29 +8,84 @@ import org.apache.spark.sql.functions._
   * opaque `binary` payload columns plus typed metadata, with
   * decode/feature-extraction running batched per partition.
   *
-  * The container has no media codecs, so the decode itself is a
-  * clearly-marked deterministic STUB ([[MultimodalStub.decodeStub]]) —
-  * but the Spark-side shape is real and is what matters at 100 TB:
+  * The decode path is REAL end to end: payloads are genuine PNGs
+  * (encoded by the JDK's ImageIO on the executors, dimensions and
+  * pixels derived deterministically from doc_id so every oracle can
+  * recompute the expected pixel sums in closed form), and
+  * [[decodePng]] decodes actual pixels back out of the compressed
+  * container. The Spark-side shape is what matters at 100 TB:
   *  - payloads stay in one `BinaryType` column (never exploded into
   *    rows), so a scan prunes them away unless requested;
   *  - decode runs via `mapPartitions` over a typed Dataset — one
   *    codec init per partition, streaming batches, no driver hop —
   *    the Scala analog of an Arrow-batched Pandas UDF;
   *  - features land in fixed-width typed columns for downstream
-  *    relational ops.
+  *    relational ops;
+  *  - header metadata (magic, dimensions) parses at full scan speed
+  *    with codegen'd byte arithmetic, so only payloads whose header
+  *    QUALIFIES ever reach the expensive codec stage.
   */
 object Multimodal {
 
-  /** Typed decode output; the fixed schema downstream ops rely on. */
+  /** Typed decode output; the fixed schema downstream ops rely on.
+    * `px_sum` is the decoded-pixel checksum (sum of all 8-bit gray
+    * samples) — the field that proves real pixels came out of the
+    * codec, and the crude perceptual fingerprint input. */
   final case class MediaFeatures(
-      doc_id: Long, n_bytes: Int, width: Int, height: Int, n_frames: Int)
+      doc_id: Long, width: Int, height: Int, px_sum: Long)
 
-  /** Documents re-framed as a binary-payload media table. */
-  def asBinary(s: SparkSession, dir: String): DataFrame =
-    Tables(s, dir, "documents").select(
-      col("doc_id"),
-      encode(col("text"), "UTF-8").as("payload"),
-      col("source").as("media_source"))
+  /** Image-fixture geometry: width = doc_id % PngW + 1, height =
+    * doc_id % PngH + 1 — small enough that a row's pixel raster is
+    * bytes, coprime so (w, h) cycles through PngW*PngH shapes. */
+  final val PngW = 31
+  final val PngH = 17
+
+  /** Gray value of pixel (x, y) of doc `id` — the generative formula
+    * the oracles replay in closed form. */
+  @inline private def gray(id: Long, x: Int, y: Int): Int =
+    ((id * 7 + 3 * x + 5 * y) % 256).toInt
+
+  /** The oracle-side pixel-sum expression: SUM of [[gray]] over the
+    * doc's raster as a correlated double-unnest — shared by every
+    * gate that checks decoded pixels. */
+  private def pxSumSql: String =
+    s"""CAST((SELECT sum((doc_id * 7 + 3 * x + 5 * y) % 256)
+       |       FROM unnest(range(0, doc_id % $PngW + 1)) AS tx(x),
+       |            unnest(range(0, doc_id % $PngH + 1)) AS ty(y))
+       |     AS BIGINT)""".stripMargin
+
+  private def encodePng(id: Long): Array[Byte] = {
+    val w = (id % PngW + 1).toInt
+    val h = (id % PngH + 1).toInt
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    val raster = img.getRaster
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) { raster.setSample(x, y, 0, gray(id, x, y)); x += 1 }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** The corpus as a REAL image table: one genuine PNG payload per
+    * doc (8-bit grayscale, ImageIO-encoded on the executors), shaped
+    * deterministically from doc_id so decode results are
+    * oracle-replayable without ever hashing the (codec-dependent)
+    * container bytes. */
+  def pngMedia(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables(s, dir, "documents").select(col("doc_id")).as[Long]
+      .mapPartitions { ids =>
+        // codec init once per partition: no temp-file cache churn
+        javax.imageio.ImageIO.setUseCache(false)
+        ids.map(id => (id, encodePng(id)))
+      }
+      .toDF("doc_id", "payload")
+  }
 
   /** PNG signature bytes (the 8-byte magic every PNG starts with). */
   private[operators] val PngMagic = Array[Byte](
@@ -40,13 +95,13 @@ object Multimodal {
   private[operators] val PngMagicHex =
     PngMagic.map(b => f"$b%02X").mkString
 
-  /** The media table CONTAINERIZED: each payload carries a real
-    * PNG-shaped header — the 8-byte signature followed by 4-byte
-    * big-endian width and height (IHDR's first fields), dimensions
-    * derived deterministically from doc_id — ahead of the body
-    * bytes. Built with pure column expressions (int → 8 hex chars →
-    * unhex = the big-endian byte encode), so the fixture itself is
-    * engine-replayable. */
+  /** The media table CONTAINERIZED with a hand-built header: the
+    * 8-byte PNG signature followed by 4-byte big-endian width and
+    * height (IHDR's first fields), dimensions derived
+    * deterministically from doc_id, ahead of the body bytes. Built
+    * with pure column expressions (int → 8 hex chars → unhex = the
+    * big-endian byte encode), so the fixture itself is
+    * engine-replayable — the header-parse gate's input. */
   def mediaWithHeader(s: SparkSession, dir: String): DataFrame =
     Tables(s, dir, "documents").select(
       col("doc_id"),
@@ -56,15 +111,14 @@ object Multimodal {
         unhex(lpad(hex((col("doc_id") % 777 + 1).cast("int")), 8, "0")),
         encode(col("text"), "UTF-8")).as("payload"))
 
-  /** REAL binary container-header parsing — no stub anywhere in this
-    * path: validate the 8-byte PNG signature and decode the two
-    * 4-byte big-endian IHDR dimension fields straight out of the
-    * payload with codegen'd byte arithmetic (substring on binary →
-    * hex → base-16 conv). This is the production shape for
-    * sidecar-less media ingest: header metadata (magic, dimensions,
-    * byte size) is extractable at full scan speed without any codec,
-    * and only payloads whose header QUALIFIES ever reach the
-    * expensive decode stage. */
+  /** REAL binary container-header parsing: validate the 8-byte PNG
+    * signature and decode the two 4-byte big-endian IHDR dimension
+    * fields straight out of the payload with codegen'd byte
+    * arithmetic (substring on binary → hex → base-16 conv). This is
+    * the production shape for sidecar-less media ingest: header
+    * metadata (magic, dimensions, byte size) is extractable at full
+    * scan speed without any codec, and only payloads whose header
+    * QUALIFIES ever reach the expensive decode stage. */
   def parseHeader(framed: DataFrame): DataFrame =
     framed.select(
       col("doc_id"),
@@ -75,29 +129,53 @@ object Multimodal {
         .cast("long").as("height"),
       length(col("payload")).cast("long").as("n_bytes"))
 
-  /** Partition-batched decode via the stub; real plumbing, fake codec. */
-  def decodeFeatures(s: SparkSession, dir: String): DataFrame = {
+  /** Partition-batched REAL image decode: ImageIO reads every PNG
+    * payload back into pixels — dimensions from the decoded image,
+    * checksum over the decoded raster samples. One codec init per
+    * partition; payload bytes never leave their partition. A payload
+    * the codec rejects fails loudly (a quarantine pass would filter
+    * on [[parseHeader]].magic_ok first). */
+  def decodePng(media: DataFrame): DataFrame = {
+    val s = media.sparkSession
     import s.implicits._
-    asBinary(s, dir)
-      .select(col("doc_id"), col("payload"))
-      .as[(Long, Array[Byte])]
+    media.select(col("doc_id"), col("payload")).as[(Long, Array[Byte])]
       .mapPartitions { rows =>
-        // one "codec" init per partition would go here
+        javax.imageio.ImageIO.setUseCache(false)
         rows.map { case (id, bytes) =>
-          val m = MultimodalStub.decodeStub(bytes)
-          MediaFeatures(id, bytes.length, m._1, m._2, m._3)
+          val img = javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(bytes))
+          require(img != null, s"payload of doc $id is not a decodable image")
+          val raster = img.getRaster
+          var sum = 0L
+          var y = 0
+          while (y < img.getHeight) {
+            var x = 0
+            while (x < img.getWidth) {
+              sum += raster.getSample(x, y, 0); x += 1
+            }
+            y += 1
+          }
+          MediaFeatures(id, img.getWidth, img.getHeight, sum)
         }
       }
       .toDF()
   }
 
-  /** Resize planning on decoded dimensions: fit (width, height) into
+  /** Encode → decode over the whole corpus: the q_multimodal_decode
+    * body. Every field the gate emits comes out of the REAL codec;
+    * the oracle recomputes the expected raster sums in closed form
+    * from the generative formula, so a codec that returned wrong
+    * pixels (or a fixture that encoded wrong ones) hash-fails. */
+  def decodeFeatures(s: SparkSession, dir: String): DataFrame =
+    decodePng(pngMedia(s, dir))
+
+  /** Resize planning on DECODED dimensions: fit (width, height) into
     * a maxDim bounding box preserving aspect ratio, integer
-    * arithmetic only (floor), zero-dimension guarded. Runs as a typed
-    * map over [[decodeFeatures]] — the post-decode per-item transform
-    * slot where a real pipeline calls the image library; the
-    * dimension math (and its oracle) is exactly what surrounds that
-    * call in production. */
+    * arithmetic only (floor), zero-dimension guarded by the fixture
+    * (w, h >= 1). Runs as a typed map over [[decodeFeatures]] — the
+    * post-decode per-item transform slot where a real pipeline calls
+    * the image library's scaler; the dimension math (and its oracle)
+    * is exactly what surrounds that call in production. */
   def resizeFeatures(s: SparkSession, dir: String, maxDim: Int): DataFrame = {
     import s.implicits._
     decodeFeatures(s, dir).as[MediaFeatures]
@@ -111,28 +189,27 @@ object Multimodal {
       .toDF("doc_id", "width", "height", "out_w", "out_h")
   }
 
-  /** Two-tier media dedup over (doc_id, text)-shaped input: exact
-    * tier groups on the payload content hash; the perceptual tier
-    * groups on a pHash-style fingerprint of the DECODED features (the
-    * stub's width/height/frames stand in for a real DCT perceptual
-    * hash — the plumbing, groupings and keep elections are the
-    * production shape). Each tier is one hash-groupBy + a hash join
-    * back: only (doc_id, hash) pairs ever shuffle, payloads never
-    * leave their scan partitions — the property that makes media
-    * dedup affordable when payloads are MBs each. A doc is an exact
-    * dup if it loses its content-hash election, a near dup if it
-    * survives exact but loses the perceptual election. */
-  def mediaDedup(docs: DataFrame): DataFrame = {
-    val m = docs.select(
-      col("doc_id"),
-      sha2(encode(col("text"), "UTF-8"), 256).as("content_hash"),
-      md5(concat(
-        (octet_length(encode(col("text"), "UTF-8")) % 640).cast("string"),
-        lit(":"),
-        (octet_length(encode(col("text"), "UTF-8")) % 480).cast("string"),
-        lit(":"),
-        (octet_length(encode(col("text"), "UTF-8")) % 16 + 1).cast("string")))
-        .as("phash"))
+  /** Two-tier media dedup: exact tier groups on the body content
+    * hash; the perceptual tier groups on a fingerprint of the
+    * DECODED pixels — md5 over (width : height : raster checksum), a
+    * crude stand-in for a DCT perceptual hash but computed from REAL
+    * decoded samples, so two payloads collide exactly when their
+    * decoded rasters have the same shape and mass. Each tier is one
+    * hash-groupBy + a hash join back: only (doc_id, hash) pairs ever
+    * shuffle, payloads never leave their scan partitions — the
+    * property that makes media dedup affordable when payloads are
+    * MBs each. A doc is an exact dup if it loses its content-hash
+    * election, a near dup if it survives exact but loses the
+    * perceptual election. */
+  def mediaDedup(docs: DataFrame, decoded: DataFrame): DataFrame = {
+    val m = docs
+      .select(col("doc_id"),
+        sha2(encode(col("text"), "UTF-8"), 256).as("content_hash"))
+      .join(decoded.select(col("doc_id"),
+        md5(concat(
+          col("width").cast("string"), lit(":"),
+          col("height").cast("string"), lit(":"),
+          col("px_sum").cast("string"))).as("phash")), "doc_id")
     val exact = m.groupBy(col("content_hash"))
       .agg(min(col("doc_id")).as("exact_keep"))
     val perceptual = m.groupBy(col("phash"))
@@ -145,39 +222,63 @@ object Multimodal {
           col("doc_id") =!= col("phash_keep")).as("is_near_dup"))
   }
 
+  /** Synthetic video-container magic for the frame-sampling fixture:
+    * 4 bytes + a 4-byte big-endian frame count, then the body. */
+  private[operators] val VidMagic = Array[Byte]('G', 'F', 'T', 'V')
+
+  /** The corpus as a video-container table: 4-byte magic + 4-byte
+    * big-endian frame count (doc_id-derived) + body — the frame
+    * count lives IN the container header, where the sampling gate
+    * parses it from, not in a side channel. */
+  def videoWithHeader(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "documents").select(
+      col("doc_id"),
+      concat(
+        lit(VidMagic),
+        unhex(lpad(hex((col("doc_id") % 16 + 1).cast("int")), 8, "0")),
+        encode(col("text"), "UTF-8")).as("payload"))
+
   val all: Seq[QueryDef] = Seq(
 
-    // Media dedup, both tiers: exact on the content hash, perceptual
-    // on the decoded-feature fingerprint — the dedup pass a 100 TB
-    // media corpus runs BEFORE any expensive model-based screening.
+    // Media dedup, both tiers: exact on the body content hash,
+    // perceptual on the DECODED-pixel fingerprint (real ImageIO
+    // decode feeds the phash) — the dedup pass a 100 TB media corpus
+    // runs BEFORE any expensive model-based screening. The oracle
+    // recomputes the raster checksum in closed form.
     QueryDef.sql(
       "q_multimodal_dedup",
-      """WITH m AS (
-        |  SELECT doc_id, sha256(text) AS content_hash,
-        |         md5(CAST(strlen(text) % 640 AS VARCHAR) || ':' ||
-        |             CAST(strlen(text) % 480 AS VARCHAR) || ':' ||
-        |             CAST(strlen(text) % 16 + 1 AS VARCHAR)) AS phash
-        |  FROM documents),
-        |e AS (SELECT content_hash, CAST(min(doc_id) AS BIGINT) AS exact_keep
-        |      FROM m GROUP BY 1),
-        |p AS (SELECT phash, CAST(min(doc_id) AS BIGINT) AS phash_keep
-        |      FROM m GROUP BY 1)
-        |SELECT m.doc_id, m.content_hash, m.phash, e.exact_keep, p.phash_keep,
-        |       m.doc_id <> e.exact_keep AS is_exact_dup,
-        |       (m.doc_id = e.exact_keep AND m.doc_id <> p.phash_keep)
-        |         AS is_near_dup
-        |FROM m JOIN e USING (content_hash) JOIN p USING (phash)""".stripMargin) {
-      (s, dir) => mediaDedup(Tables(s, dir, "documents"))
+      s"""WITH px AS (
+         |  SELECT doc_id,
+         |         CAST(doc_id % $PngW + 1 AS INTEGER) AS w,
+         |         CAST(doc_id % $PngH + 1 AS INTEGER) AS h,
+         |         $pxSumSql AS ps
+         |  FROM documents),
+         |m AS (
+         |  SELECT d.doc_id, sha256(d.text) AS content_hash,
+         |         md5(CAST(w AS VARCHAR) || ':' || CAST(h AS VARCHAR)
+         |             || ':' || CAST(ps AS VARCHAR)) AS phash
+         |  FROM documents d JOIN px ON d.doc_id = px.doc_id),
+         |e AS (SELECT content_hash, CAST(min(doc_id) AS BIGINT) AS exact_keep
+         |      FROM m GROUP BY 1),
+         |p AS (SELECT phash, CAST(min(doc_id) AS BIGINT) AS phash_keep
+         |      FROM m GROUP BY 1)
+         |SELECT m.doc_id, m.content_hash, m.phash, e.exact_keep, p.phash_keep,
+         |       m.doc_id <> e.exact_keep AS is_exact_dup,
+         |       (m.doc_id = e.exact_keep AND m.doc_id <> p.phash_keep)
+         |         AS is_near_dup
+         |FROM m JOIN e USING (content_hash) JOIN p USING (phash)""".stripMargin) {
+      (s, dir) =>
+        mediaDedup(Tables(s, dir, "documents"), decodeFeatures(s, dir))
     },
 
-    // REAL container-header parse — the no-stub member of this
-    // family: payloads carry an actual PNG-shaped header (signature +
-    // big-endian IHDR dimensions) and the gate validates the magic
-    // and decodes the dimension fields with pure codegen'd byte
-    // arithmetic. The oracle DERIVES the expected fields from doc_id
-    // independently (not by replaying the parse), so the gate proves
-    // header-encode → header-parse is the identity on every field —
-    // plus the byte count seam (16-byte header + UTF-8 body).
+    // REAL container-header parse: payloads carry an actual
+    // PNG-shaped header (signature + big-endian IHDR dimensions) and
+    // the gate validates the magic and decodes the dimension fields
+    // with pure codegen'd byte arithmetic. The oracle DERIVES the
+    // expected fields from doc_id independently (not by replaying
+    // the parse), so the gate proves header-encode → header-parse is
+    // the identity on every field — plus the byte count seam
+    // (16-byte header + UTF-8 body).
     QueryDef.sql(
       "q_media_header",
       """SELECT doc_id, TRUE AS magic_ok,
@@ -188,44 +289,56 @@ object Multimodal {
       (s, dir) => parseHeader(mediaWithHeader(s, dir))
     },
 
-    // Metadata extraction expressed as pure column ops over the binary
-    // payload (hash, size, stub dimensions) — oracle-checkable.
+    // Content-addressed routing metadata over the opaque payload:
+    // byte size, content hash, and the two shard keys a media store
+    // actually routes on — a size bin (queue sizing / small-file
+    // compaction policy) and a hash shard (storage spread). Pure
+    // column ops at full scan speed; no decode, and no claim of one.
     QueryDef.sql(
       "q_multimodal_meta",
       """SELECT doc_id,
         |       CAST(strlen(text) AS INTEGER) AS n_bytes,
         |       sha256(text) AS content_hash,
-        |       CAST(strlen(text) % 640 AS INTEGER) AS width,
-        |       CAST(strlen(text) % 480 AS INTEGER) AS height,
-        |       CAST(strlen(text) % 16 + 1 AS INTEGER) AS n_frames
+        |       CAST(strlen(text) % 64 AS INTEGER) AS size_shard,
+        |       CAST(CAST('0x' || substr(sha256(text), 1, 2) AS BIGINT)
+        |            AS INTEGER) AS hash_shard
         |FROM documents""".stripMargin) {
       (s, dir) =>
-        asBinary(s, dir).select(
+        Tables(s, dir, "documents").select(
           col("doc_id"),
-          octet_length(col("payload")).as("n_bytes"),
-          sha2(col("payload"), 256).as("content_hash"),
-          (octet_length(col("payload")) % 640).as("width"),
-          (octet_length(col("payload")) % 480).as("height"),
-          (octet_length(col("payload")) % 16 + 1).as("n_frames"))
+          encode(col("text"), "UTF-8").as("payload"))
+          .select(
+            col("doc_id"),
+            octet_length(col("payload")).as("n_bytes"),
+            sha2(col("payload"), 256).as("content_hash"),
+            (octet_length(col("payload")) % 64).as("size_shard"),
+            conv(substring(sha2(col("payload"), 256), 1, 2), 16, 10)
+              .cast("int").as("hash_shard"))
     },
 
-    // Frame sampling: one output row per sampled frame (every 4th of
-    // the stub's n_frames), the video analog of "explode the container
-    // into work items". The payload never travels with the exploded
-    // rows — only doc_id + frame_no + a per-frame key derived from the
-    // content hash, so a 100 TB corpus explodes into cheap coordinates,
-    // not copies. Real frame decode would map these coordinates
-    // through the partition-batched codec ([[decodeFeatures]]).
+    // Frame sampling off a PARSED container header: the frame count
+    // is decoded from the payload's own header bytes (magic + 4-byte
+    // big-endian count), the body is content-hashed after stripping
+    // the header, and every 4th frame explodes into a work item —
+    // the video analog of "explode the container into coordinates".
+    // The payload never travels with the exploded rows — only
+    // doc_id + frame_no + a per-frame key, so a 100 TB corpus
+    // explodes into cheap coordinates, not copies. Real frame decode
+    // would map these coordinates through the partition-batched
+    // codec ([[decodePng]]'s slot).
     QueryDef.sql(
       "q_multimodal_frames",
       """SELECT doc_id, CAST(f AS INTEGER) AS frame_no,
         |       md5(sha256(text) || ':' || CAST(f AS VARCHAR)) AS frame_key
         |FROM documents,
-        |     unnest(range(1, strlen(text) % 16 + 2, 4)) AS t(f)""".stripMargin) {
+        |     unnest(range(1, doc_id % 16 + 2, 4)) AS t(f)""".stripMargin) {
       (s, dir) =>
-        asBinary(s, dir)
-          .select(col("doc_id"), sha2(col("payload"), 256).as("content_hash"),
-            (octet_length(col("payload")) % 16 + 1).as("n_frames"))
+        videoWithHeader(s, dir)
+          .select(col("doc_id"),
+            conv(hex(substring(col("payload"), 5, 4)), 16, 10)
+              .cast("int").as("n_frames"),
+            sha2(substring(col("payload"), 9, Int.MaxValue), 256)
+              .as("content_hash"))
           .select(col("doc_id"), col("content_hash"),
             explode(sequence(lit(1), col("n_frames"), lit(4))).as("frame_no"))
           .select(col("doc_id"), col("frame_no"),
@@ -233,50 +346,42 @@ object Multimodal {
               col("frame_no").cast("string"))).as("frame_key"))
     },
 
-    // Resize planning over the decoded (stub) dimensions — integer
-    // fit-into-256 box math, oracle-replicated exactly.
+    // Resize planning over the REAL decoded dimensions — integer
+    // fit-into-16 box math (16 < max(PngW, PngH), so both the
+    // passthrough and the scaling branch execute), oracle-replicated
+    // exactly from the generative dims.
     QueryDef.sql(
       "q_multimodal_resize",
-      """SELECT doc_id,
-        |       CAST(strlen(text) % 640 AS INTEGER) AS width,
-        |       CAST(strlen(text) % 480 AS INTEGER) AS height,
-        |       CAST(CASE WHEN greatest(strlen(text) % 640, strlen(text) % 480) <= 256
-        |                 THEN strlen(text) % 640
-        |                 ELSE (strlen(text) % 640) * 256
-        |                      // greatest(strlen(text) % 640, strlen(text) % 480)
-        |            END AS INTEGER) AS out_w,
-        |       CAST(CASE WHEN greatest(strlen(text) % 640, strlen(text) % 480) <= 256
-        |                 THEN strlen(text) % 480
-        |                 ELSE (strlen(text) % 480) * 256
-        |                      // greatest(strlen(text) % 640, strlen(text) % 480)
-        |            END AS INTEGER) AS out_h
-        |FROM documents""".stripMargin) { (s, dir) =>
-      resizeFeatures(s, dir, maxDim = 256)
+      s"""WITH d AS (SELECT doc_id,
+         |             CAST(doc_id % $PngW + 1 AS INTEGER) AS w,
+         |             CAST(doc_id % $PngH + 1 AS INTEGER) AS h
+         |           FROM documents)
+         |SELECT doc_id, w AS width, h AS height,
+         |       CAST(CASE WHEN greatest(w, h) <= 16 THEN w
+         |                 ELSE w * 16 // greatest(w, h) END AS INTEGER)
+         |         AS out_w,
+         |       CAST(CASE WHEN greatest(w, h) <= 16 THEN h
+         |                 ELSE h * 16 // greatest(w, h) END AS INTEGER)
+         |         AS out_h
+         |FROM d""".stripMargin) { (s, dir) =>
+      resizeFeatures(s, dir, maxDim = 16)
     },
 
-    // The mapPartitions decode path itself. The stub codec is
-    // deterministic arithmetic on the payload length, so the oracle
-    // can replicate it exactly — the gate checks the full mapPartitions
-    // plumbing (encode → typed Dataset → per-partition decode → typed
-    // columns) value-for-value, not just rows>0.
+    // The mapPartitions decode path itself: genuine PNGs in, REAL
+    // ImageIO-decoded pixels out. The oracle recomputes width,
+    // height and the raster checksum in closed form from the
+    // generative formula — if the codec (or the fixture's encoder)
+    // produced any wrong pixel anywhere in the corpus, px_sum
+    // hash-fails. Container bytes are never hashed (PNG encoding is
+    // codec-version-dependent); decoded SAMPLES are the contract.
     QueryDef.sql(
       "q_multimodal_decode",
-      """SELECT doc_id,
-        |       CAST(strlen(text) AS INTEGER) AS n_bytes,
-        |       CAST(strlen(text) % 640 AS INTEGER) AS width,
-        |       CAST(strlen(text) % 480 AS INTEGER) AS height,
-        |       CAST(strlen(text) % 16 + 1 AS INTEGER) AS n_frames
-        |FROM documents""".stripMargin) { (s, dir) =>
+      s"""SELECT doc_id,
+         |       CAST(doc_id % $PngW + 1 AS INTEGER) AS width,
+         |       CAST(doc_id % $PngH + 1 AS INTEGER) AS height,
+         |       $pxSumSql AS px_sum
+         |FROM documents""".stripMargin) { (s, dir) =>
       decodeFeatures(s, dir)
     }
   )
-}
-
-/** STUB: deterministic fake media decode — the container ships no
-  * image/audio codecs. Returns (width, height, n_frames) derived only
-  * from the payload bytes so results are reproducible everywhere.
-  */
-object MultimodalStub {
-  def decodeStub(bytes: Array[Byte]): (Int, Int, Int) =
-    (bytes.length % 640, bytes.length % 480, bytes.length % 16 + 1)
 }

@@ -1281,11 +1281,15 @@ class PipelineOpsSpec extends SparkSpec {
   test("media dedup tiers: planted payloads separate exact dups, " +
     "perceptual (same decoded fingerprint) dups, and uniques") {
     import spark.implicits._
-    // 0/1 byte-identical (exact tier); 2 same length as 0 → same stub
-    // fingerprint, different content (perceptual tier); 3 unique
-    val fixture = Seq((0L, "aaaa"), (1L, "aaaa"), (2L, "bbbb"),
+    // 0/1 byte-identical (exact tier); 2 different content but the
+    // SAME decoded raster shape+checksum → perceptual collision;
+    // 3 unique on both tiers
+    val docs = Seq((0L, "aaaa"), (1L, "aaaa"), (2L, "bbbb"),
       (3L, "ccccc")).toDF("doc_id", "text")
-    val got = Multimodal.mediaDedup(fixture).collect()
+    val decoded = Seq(
+      (0L, 4, 3, 100L), (1L, 4, 3, 100L), (2L, 4, 3, 100L),
+      (3L, 2, 2, 7L)).toDF("doc_id", "width", "height", "px_sum")
+    val got = Multimodal.mediaDedup(docs, decoded).collect()
       .map(r => r.getAs[Long]("doc_id") ->
         ((r.getAs[Boolean]("is_exact_dup"), r.getAs[Boolean]("is_near_dup"))))
       .toMap
@@ -1294,6 +1298,31 @@ class PipelineOpsSpec extends SparkSpec {
       1L -> (true, false),  // exact dup — near-dup flag reserved for exact survivors
       2L -> (false, true),  // content differs, decoded fingerprint collides
       3L -> (false, false)))
+  }
+
+  test("png round trip: real ImageIO decode of the generated corpus " +
+    "returns the generative dims and pixel sums for every doc, and a " +
+    "hand-decoded payload confirms the fixture encodes REAL pixels") {
+    val got = Multimodal.decodeFeatures(spark, "/root/testdata/sf0.001")
+      .collect().map(r =>
+        r.getLong(0) -> ((r.getInt(1), r.getInt(2), r.getLong(3)))).toMap
+    assert(got.nonEmpty)
+    got.foreach { case (id, (w, h, ps)) =>
+      val ew = (id % Multimodal.PngW + 1).toInt
+      val eh = (id % Multimodal.PngH + 1).toInt
+      val eps = (for (y <- 0 until eh; x <- 0 until ew)
+        yield (id * 7 + 3 * x + 5 * y) % 256).sum
+      assert((w, h, ps) == ((ew, eh, eps)),
+        s"doc $id decoded ($w,$h,$ps), expected ($ew,$eh,$eps)")
+    }
+    // independent codec check: decode one payload OUTSIDE the Spark
+    // path and sample a specific pixel
+    val payload = Multimodal.pngMedia(spark, "/root/testdata/sf0.001")
+      .filter(col("doc_id") === 5L).collect().head.getAs[Array[Byte]](1)
+    val img = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(payload))
+    assert(img.getWidth == 6 && img.getHeight == 6)
+    assert(img.getRaster.getSample(2, 3, 0) == ((5 * 7 + 3 * 2 + 5 * 3) % 256))
   }
 
   test("container-header parse: a hand-built PNG header round-trips " +
