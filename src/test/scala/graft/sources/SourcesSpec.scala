@@ -533,6 +533,41 @@ class SourcesSpec extends SparkSpec {
     } finally Sources.dropVersioned(spark, "swap_crash_test")
   }
 
+  test("version pointer resolves across sessions: a FRESH session " +
+    "(new relation cache, shared catalog — the restart shape) sees the " +
+    "committed version, reads as-of, and its swaps continue the chain") {
+    val nBuckets = 2
+    def df(v: Long) = (0L until 8L).map(i => (i % 2, v)).toDF("a", "b")
+    Sources.swapBucketed(df(1), "swap_xsession_test", Seq("a"), nBuckets)
+    Sources.swapBucketed(df(2), "swap_xsession_test", Seq("a"), nBuckets)
+    try {
+      // newSession: fresh SessionState (catalog wrapper, relation
+      // cache, conf) over the SHARED external catalog — the same
+      // relationship a restarted driver has to a persistent metastore
+      val s2 = spark.newSession()
+      assert(s2.catalog.tableExists("swap_xsession_test"),
+        "restarted session must find the pointer — absence would make " +
+          "a must-not-reset caller silently restart from empty")
+      assert(Sources.currentVersion(s2, "swap_xsession_test").contains(2))
+      assert(s2.table("swap_xsession_test")
+        .select(col("b")).distinct().collect().map(_.getLong(0)).toSet
+        == Set(2L))
+      assert(Sources.readVersion(s2, "swap_xsession_test", 1)
+        .select(col("b")).distinct().collect().map(_.getLong(0)).toSet
+        == Set(1L), "as-of read must work from the fresh session")
+      // and the fresh session's own swap continues the version chain
+      Sources.swapBucketed(
+        s2.table("swap_xsession_test")
+          .select(col("a"), (col("b") + 1L).as("b")),
+        "swap_xsession_test", Seq("a"), nBuckets)
+      assert(Sources.currentVersion(spark, "swap_xsession_test").contains(3),
+        "original session must see the fresh session's swap")
+      assert(spark.table("swap_xsession_test")
+        .select(col("b")).distinct().collect().map(_.getLong(0)).toSet
+        == Set(3L))
+    } finally Sources.dropVersioned(spark, "swap_xsession_test")
+  }
+
   test("swapBucketed sweeps a dead session's stale files when the " +
     "catalog has forgotten the table (ephemeral-catalog re-run case)") {
     import org.apache.spark.sql.catalyst.TableIdentifier
