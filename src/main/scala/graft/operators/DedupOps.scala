@@ -910,9 +910,7 @@ object DedupOps {
         transform(array_distinct(shingles(toks, 3)),
           s => sha2(s.cast("binary"), 256)).as("hs"),
         transform(toks, t => md5(t)).as("th"),
-        TextOps.winnowEncs(col("text")).as("encs"))
-      .select(col("doc_id"), col("hs"), col("th"),
-        TextOps.winnowSelOf(col("encs")).as("sel"))
+        TextOps.winnowSelCol(docs.sparkSession, col("text")).as("sel"))
       .pinned
     // minhash leg: signature slices over the pre-hashed shingles
     val sig = base.select(

@@ -720,40 +720,30 @@ object TextOps {
         aggregate(col("sel"), lit(0L),
           (a, x) => a + shiftright(x, WinnowPosBits)).as("fp_sum"))
 
-  /** The encoded 5-gram stream of one document as a Column — the
-    * winnow input, factored so the generator-ensemble's shared
-    * fingerprint pass computes it in the SAME projection as the
-    * other families' hashes. */
-  def winnowEncs(text: Column): Column = {
-    val nGrams = length(text) - (WinnowK - 1)
-    // Spark's sequence(1, n) DESCENDS for n < 1 where DuckDB's
-    // generate_series returns empty — guard short texts explicitly
-    when(nGrams >= 1,
-      transform(sequence(lit(1), nGrams), i =>
-        shiftleft(conv(substring(md5(text.substr(i, lit(WinnowK))
-          .cast("binary")), 1, 6), 16, 10).cast("long"), WinnowPosBits) +
-          (lit(WinnowPosMax) - i)))
-      .otherwise(array().cast("array<bigint>"))
-  }
-
-  /** The window-minimum selection over a [[winnowEncs]] column. */
-  def winnowSelOf(encs: Column): Column = {
-    val nWin = greatest(size(encs) - (WinnowW - 1), lit(0))
-    when(nWin >= 1,
-      array_distinct(transform(sequence(lit(1), nWin), p =>
-        array_min(slice(encs, p, lit(WinnowW))))))
-      .otherwise(array().cast("array<bigint>"))
-  }
+  /** The winnow selection of a text column — the NATIVE
+    * [[graft.functions.WinnowSelect]] expression: one fused pass
+    * (char offsets → one reused md5 per gram → window minima →
+    * first-occurrence distinct) instead of the four-deep interpreted
+    * HOF composition it replaces. The spec pins it value-equal to
+    * that HOF composition (kept inline there as the independent
+    * reference) and the DuckDB oracle CTEs remain the cross-engine
+    * formulation. */
+  def winnowSelCol(s: org.apache.spark.sql.SparkSession,
+      text: Column): Column =
+    graft.functions.WinnowSelect(s, text, WinnowK, WinnowW, WinnowPosBits)
 
   /** The winnow selection per document — (doc_id, n_grams,
     * n_windows, sel) with sel the distinct encoded picks; ONE body
-    * shared by the stats gate and the dedup candidate generator. */
+    * shared by the stats gate and the dedup candidate generator.
+    * n_grams/n_windows are pure length arithmetic (clamped at 0 for
+    * texts shorter than a gram/window, matching the expression's
+    * empty-array guards). */
   def winnowSel(docs: DataFrame): DataFrame = {
-    val nWin = greatest(size(col("encs")) - (WinnowW - 1), lit(0))
-    docs.select(col("doc_id"), winnowEncs(col("text")).as("encs"))
-      .select(col("doc_id"), size(col("encs")).as("n_grams"),
-        nWin.cast("int").as("n_windows"),
-        winnowSelOf(col("encs")).as("sel"))
+    val nGrams = greatest(length(col("text")) - (WinnowK - 1), lit(0))
+    docs.select(col("doc_id"),
+      nGrams.cast("int").as("n_grams"),
+      greatest(nGrams - (WinnowW - 1), lit(0)).cast("int").as("n_windows"),
+      winnowSelCol(docs.sparkSession, col("text")).as("sel"))
   }
 
   /** Winnowing fingerprint dedup-candidate generation (the MOSS use

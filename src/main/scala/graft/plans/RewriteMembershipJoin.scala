@@ -62,10 +62,11 @@ object RewriteMembershipJoin extends Rule[LogicalPlan] with PredicateHelper {
 }
 
 /** `spark.sql.extensions`-loadable bundle of graft's Catalyst
-  * extensions: the membership-join rewrite and the native
-  * cosine-similarity function (`graft_cosine_sim(a, b)` in SQL). */
+  * extensions: the membership-join rewrite and the native functions
+  * (`graft_cosine_sim(a, b)` and
+  * `graft_winnow_select(text, k, w, posBits)` in SQL). */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  import graft.functions.CosineSimilarity
+  import graft.functions.{CosineSimilarity, WinnowSelect}
   import org.apache.spark.sql.catalyst.FunctionIdentifier
 
   def apply(e: SparkSessionExtensions): Unit = {
@@ -78,5 +79,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       // shared arity-guarded builder: wrong arg count is a clean
       // WRONG_NUM_ARGS analysis error, not an IndexOutOfBounds
       (exprs: Seq[Expression]) => CosineSimilarity.builder(exprs)))
+    e.injectFunction((
+      FunctionIdentifier(WinnowSelect.FunctionName),
+      new ExpressionInfo(classOf[WinnowSelect].getCanonicalName,
+        WinnowSelect.FunctionName),
+      (exprs: Seq[Expression]) => WinnowSelect.builder(exprs)))
   }
 }

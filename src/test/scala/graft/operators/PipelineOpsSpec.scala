@@ -2465,6 +2465,48 @@ class PipelineOpsSpec extends SparkSpec {
       "the t = k+w-1 = 8-char minimum must yield exactly one pick")
   }
 
+  test("native winnow_select expression == the interpreted HOF " +
+    "composition it replaced, on boundary lengths, multi-byte unicode " +
+    "and the real corpus") {
+    import graft.operators.TextOps._
+    // the ORIGINAL four-deep HOF formulation, kept inline as the
+    // independent reference (the production path now runs the fused
+    // graft.functions.WinnowSelect expression)
+    def hofSel(df: org.apache.spark.sql.DataFrame)
+        : org.apache.spark.sql.DataFrame = {
+      val nGrams = length(col("text")) - (WinnowK - 1)
+      val encs = when(nGrams >= 1,
+        transform(sequence(lit(1), nGrams), i =>
+          shiftleft(conv(substring(md5(col("text").substr(i, lit(WinnowK))
+            .cast("binary")), 1, 6), 16, 10).cast("long"), WinnowPosBits) +
+            (lit(WinnowPosMax) - i)))
+        .otherwise(array().cast("array<bigint>"))
+      val nWin = greatest(size(col("encs")) - (WinnowW - 1), lit(0))
+      df.select(col("doc_id"), encs.as("encs"))
+        .select(col("doc_id"),
+          when(nWin >= 1,
+            array_distinct(transform(sequence(lit(1), nWin), p =>
+              array_min(slice(col("encs"), p, lit(WinnowW))))))
+            .otherwise(array().cast("array<bigint>")).as("sel"))
+    }
+    def selsOf(df: org.apache.spark.sql.DataFrame): Map[Long, Seq[Long]] =
+      df.collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val edge = Seq("", "abc", "abcdefg", "abcdefgh",
+      "héllo wörld ünïcode grams €€€ test", // multi-byte: char≠byte offsets
+      "aaaaaaaaaaaaaaaaaaa", "x" * 300)
+      .zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    assert(selsOf(edge.select(col("doc_id"),
+        winnowSelCol(spark, col("text")).as("sel"))) == selsOf(hofSel(edge)),
+      "native expression diverges from the HOF reference on edge texts")
+    val corpus = graft.Tables(spark, "/root/testdata/sf0.001", "documents")
+      .select(col("doc_id"), col("text"))
+    assert(selsOf(corpus.select(col("doc_id"),
+        winnowSelCol(spark, col("text")).as("sel"))) ==
+      selsOf(hofSel(corpus)),
+      "native expression diverges from the HOF reference on the corpus")
+  }
+
   test("winnow pairs: the planted near-dup is a candidate, the " +
     "unrelated doc is not, and the gate finds real corpus pairs") {
     // docs fixture: 0/1 share 39 of 40 tokens (long common spans on
