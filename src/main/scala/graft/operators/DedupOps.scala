@@ -166,21 +166,27 @@ object DedupOps {
   /** (doc_id, mh0..mh7) MinHash signatures from [[shingleSets]] rows.
     *
     * Per-document map work only — ZERO shuffle. Each shingle is
-    * hashed exactly ONCE (sha-256 → 64 hex chars); the K=8 minhash
-    * functions are the 8 disjoint 8-hex-char slices — independent
-    * uniform 32-bit hashes at 1/K of the hashing cost of K
-    * independent passes. The hash array is materialized once per row
-    * ([[Materialize.pin]]) because projection collapse would
-    * otherwise re-shingle the document for every slice. */
+    * hashed exactly ONCE (sha-256); the K=8 minhash functions are
+    * the digest's 8 disjoint 4-byte slices — independent uniform
+    * 32-bit hashes at 1/K of the hashing cost of K independent
+    * passes — folded straight into the K running minima by the
+    * native [[graft.functions.MinhashSignature]] expression (spec-
+    * pinned equal to the interpreted HOF composition it replaced). */
   def minhashSignatures(shSets: DataFrame): DataFrame = {
-    val withH = shSets.select(col("doc_id"),
-      transform(col("shs"), s => sha2(s.cast("binary"), 256)).as("hs"))
+    // the NATIVE fused signature (one sha-256 per shingle folded
+    // straight into the K slot minima — graft.functions
+    // .MinhashSignature) replaces the interpreted transform(sha2) +
+    // K × array_min(transform(substring)) walks; the pin still
+    // matters because projection collapse would re-evaluate the
+    // signature expression once per element_at slot below
+    val msig = shSets.select(col("doc_id"),
+      graft.functions.MinhashSignature(
+        shSets.sparkSession, col("shs"), MinhashSeeds).as("msig"))
       .pinned
-    withH.select(
+    msig.select(
       col("doc_id") +:
         (0 until MinhashSeeds).map(j =>
-          array_min(transform(col("hs"), h => substring(h, j * 8 + 1, 8)))
-            .as(s"mh$j")): _*)
+          element_at(col("msig"), j + 1).as(s"mh$j")): _*)
   }
 
   /** (doc_id, band, bucket) rows from a [[minhashSignatures]] frame:
@@ -907,17 +913,16 @@ object DedupOps {
     val toks = tokens(col("text"))
     val base = spread(docs)
       .select(col("doc_id"),
-        transform(array_distinct(shingles(toks, 3)),
-          s => sha2(s.cast("binary"), 256)).as("hs"),
+        graft.functions.MinhashSignature(docs.sparkSession,
+          array_distinct(shingles(toks, 3)), MinhashSeeds).as("msig"),
         transform(toks, t => md5(t)).as("th"),
         TextOps.winnowSelCol(docs.sparkSession, col("text")).as("sel"))
       .pinned
-    // minhash leg: signature slices over the pre-hashed shingles
+    // minhash leg: slot picks over the fused native signature
     val sig = base.select(
       col("doc_id") +:
         (0 until MinhashSeeds).map(j =>
-          array_min(transform(col("hs"), h => substring(h, j * 8 + 1, 8)))
-            .as(s"mh$j")): _*)
+          element_at(col("msig"), j + 1).as(s"mh$j")): _*)
     val mh = candidatePairsFromBands(bandsOf(sig).pinned)
     // wide-simhash leg: vote aggregation over the pre-hashed tokens
     val sh2 = simhashHammingPairsFromSig(

@@ -66,7 +66,7 @@ object RewriteMembershipJoin extends Rule[LogicalPlan] with PredicateHelper {
   * (`graft_cosine_sim(a, b)` and
   * `graft_winnow_select(text, k, w, posBits)` in SQL). */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  import graft.functions.{CosineSimilarity, WinnowSelect}
+  import graft.functions.{CosineSimilarity, MinhashSignature, WinnowSelect}
   import org.apache.spark.sql.catalyst.FunctionIdentifier
 
   def apply(e: SparkSessionExtensions): Unit = {
@@ -84,5 +84,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[WinnowSelect].getCanonicalName,
         WinnowSelect.FunctionName),
       (exprs: Seq[Expression]) => WinnowSelect.builder(exprs)))
+    e.injectFunction((
+      FunctionIdentifier(MinhashSignature.FunctionName),
+      new ExpressionInfo(classOf[MinhashSignature].getCanonicalName,
+        MinhashSignature.FunctionName),
+      (exprs: Seq[Expression]) => MinhashSignature.builder(exprs)))
   }
 }

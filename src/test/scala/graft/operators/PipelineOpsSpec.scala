@@ -2507,6 +2507,50 @@ class PipelineOpsSpec extends SparkSpec {
       "native expression diverges from the HOF reference on the corpus")
   }
 
+  test("native minhash_sig expression == the interpreted HOF " +
+    "composition it replaced, on empty/short/unicode shingle sets " +
+    "and the real corpus") {
+    import graft.operators.DedupOps.MinhashSeeds
+    import graft.functions.TextVec.{shingles, tokens}
+    def hofSig(df: org.apache.spark.sql.DataFrame)
+        : org.apache.spark.sql.DataFrame =
+      df.select(col("doc_id"),
+        transform(col("shs"), s => sha2(s.cast("binary"), 256)).as("hs"))
+        .select(
+          col("doc_id") +:
+            (0 until MinhashSeeds).map(j =>
+              array_min(transform(col("hs"), h => substring(h, j * 8 + 1, 8)))
+                .as(s"mh$j")): _*)
+    def nativeSig(df: org.apache.spark.sql.DataFrame)
+        : org.apache.spark.sql.DataFrame =
+      df.select(col("doc_id"),
+        graft.functions.MinhashSignature(spark, col("shs"), MinhashSeeds)
+          .as("msig"))
+        .select(
+          col("doc_id") +:
+            (0 until MinhashSeeds).map(j =>
+              element_at(col("msig"), j + 1).as(s"mh$j")): _*)
+    def rows(df: org.apache.spark.sql.DataFrame): Map[Long, Seq[String]] =
+      df.collect().map(r => r.getLong(0) ->
+        (1 to MinhashSeeds).map(i =>
+          if (r.isNullAt(i)) null else r.getString(i))).toMap
+    val edge = Seq(
+      (0L, "a b"),                       // under one shingle -> all-null
+      (1L, "a b c"),                     // exactly one shingle
+      (2L, "héllo wörld ünïcode a b c"), // multi-byte shingles
+      (3L, "x y z " * 40)                // repeated shingles
+    ).toDF("doc_id", "text")
+      .select(col("doc_id"),
+        array_distinct(shingles(tokens(col("text")), 3)).as("shs"))
+    assert(rows(nativeSig(edge)) == rows(hofSig(edge)),
+      "native minhash signature diverges from the HOF reference (edges)")
+    val corpus = graft.operators.DedupOps.shingleSets(
+      graft.Tables(spark, "/root/testdata/sf0.001", "documents")
+        .select(col("doc_id"), col("text")))
+    assert(rows(nativeSig(corpus)) == rows(hofSig(corpus)),
+      "native minhash signature diverges from the HOF reference (corpus)")
+  }
+
   test("winnow pairs: the planted near-dup is a candidate, the " +
     "unrelated doc is not, and the gate finds real corpus pairs") {
     // docs fixture: 0/1 share 39 of 40 tokens (long common spans on
