@@ -533,6 +533,52 @@ class SourcesSpec extends SparkSpec {
     } finally Sources.dropVersioned(spark, "swap_crash_test")
   }
 
+  test("model-based versioned-table check: random swap/append/compact/" +
+    "crash-orphan sequences always serve exactly the model's content, " +
+    "and the pointer survives every interleaving") {
+    val nBuckets = 2
+    val rng = new scala.util.Random(42)
+    def frame(rows: Seq[(Long, Long)]) =
+      if (rows.isEmpty) Seq((0L, 0L)).toDF("a", "b").limit(0)
+      else rows.toDF("a", "b")
+    def freshRows(): Seq[(Long, Long)] =
+      Seq.fill(4 + rng.nextInt(8))((rng.nextInt(6).toLong, rng.nextLong(1000)))
+    (1 to 3).foreach { run =>
+      val t = s"swap_model_test_$run"
+      // model state: the rows the live table must serve
+      var model: Seq[(Long, Long)] = freshRows()
+      Sources.swapBucketed(frame(model), t, Seq("a"), nBuckets)
+      try {
+        (1 to 12).foreach { step =>
+          rng.nextInt(4) match {
+            case 0 => // swap: full replacement, possibly derived
+              model = freshRows()
+              Sources.swapBucketed(frame(model), t, Seq("a"), nBuckets)
+            case 1 => // append into the CURRENT version
+              val extra = freshRows()
+              model = model ++ extra
+              Sources.appendBucketed(frame(extra), t, Seq("a"), nBuckets)
+            case 2 => // compaction: layout maintenance, content-neutral
+              Sources.compactBucketed(spark, t, Seq("a"), nBuckets)
+            case 3 => // crash orphan: a completed-but-unflipped next
+              // version must stay invisible until reclaimed
+              val orphanV =
+                Sources.currentVersion(spark, t).getOrElse(0) + 1
+              Sources.writeBucketed(
+                frame(freshRows()).repartition(nBuckets, col("a")),
+                s"${t}__v$orphanV", Seq("a"), nBuckets)
+          }
+          val served = spark.table(t).collect()
+            .map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+          assert(served == model.sorted,
+            s"run $run step $step: served content diverged from the model")
+          assert(Sources.currentVersion(spark, t).isDefined,
+            s"run $run step $step: pointer lost")
+        }
+      } finally Sources.dropVersioned(spark, t)
+    }
+  }
+
   test("version pointer resolves across sessions: a FRESH session " +
     "(new relation cache, shared catalog — the restart shape) sees the " +
     "committed version, reads as-of, and its swaps continue the chain") {
