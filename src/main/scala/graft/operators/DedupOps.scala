@@ -759,10 +759,12 @@ object DedupOps {
 
     // Converged when a full (large, small) round leaves the edge set
     // unchanged — checked exactly: equal counts + empty difference.
-    // Rounds are O(log² n) worst case, ~2-3 in practice. Counts ride
-    // the pin jobs as observe() metrics (pinIterCounted), so a round
-    // pays ONE job (the pin) plus the except only when counts tie —
-    // the per-trigger job floor the incremental stream cares about.
+    // Rounds are O(log² n) worst case, ~2-3 in practice. A round pays
+    // one pin job plus one count job reading the pinned blocks (no
+    // re-derivation — lineage is truncated), and the except job only
+    // when the counts tie; fusing the count INTO the pin as an
+    // observe() metric was tried and reverted (see the
+    // Materialize.scala NOTE), so the separate count stands.
     // The paper's termination proof covers these operators directly;
     // the round cap stays as a belt so any defect surfaces as a loud
     // failure instead of looping the driver forever.

@@ -179,6 +179,24 @@ object Sources {
   def readVersion(spark: SparkSession, tableName: String, v: Int): DataFrame =
     spark.table(versionName(tableName, v))
 
+  /** Point `tableName` at an EXISTING complete version — the manual
+    * recovery action when a crash left complete versions with no
+    * pointer (a plain→versioned upgrade that died between its DROP
+    * TABLE and the flip). [[appendBucketed]] refuses to create over
+    * such orphans precisely so the operator can run this instead of
+    * losing the upgrade survivor. Refuses to clobber a live PLAIN
+    * table (that is [[swapBucketed]]'s upgrade job, which preserves
+    * its rows). */
+  def adoptVersion(spark: SparkSession, tableName: String, v: Int): Unit = {
+    require(spark.catalog.tableExists(versionName(tableName, v)),
+      s"adoptVersion: version $v of `$tableName` does not exist")
+    require(!spark.catalog.tableExists(tableName) ||
+      currentVersion(spark, tableName).isDefined,
+      s"adoptVersion: `$tableName` is a plain table — upgrade it with " +
+        "swapBucketed instead of pointing over it")
+    pointTo(spark, tableName, v)
+  }
+
   private def pointTo(spark: SparkSession, tableName: String, v: Int): Unit = {
     // repoint with ALTER VIEW AS — ONE alterTable of the view's
     // definition, atomic under the catalog lock. NOT "CREATE OR
@@ -212,9 +230,16 @@ object Sources {
     val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val parent = base.getParent
     val prefix = base.getName + "__v"
+    // match the EXACT version naming scheme (`<base>__v<digits>`),
+    // not a bare prefix: a prefix sweep would also delete the files
+    // of an unrelated table whose name happens to extend it (dropping
+    // `foo` must not destroy `foo__video` or `foo__v2_bak`)
+    def isVersionDir(n: String): Boolean =
+      n.length > prefix.length && n.startsWith(prefix) &&
+        n.substring(prefix.length).forall(_.isDigit)
     if (parent != null && fs.exists(parent))
       fs.listStatus(parent)
-        .filter(_.getPath.getName.startsWith(prefix))
+        .filter(st => isVersionDir(st.getPath.getName))
         .foreach(st => fs.delete(st.getPath, true))
   }
 
@@ -251,11 +276,27 @@ object Sources {
     val creating = !spark.catalog.tableExists(tableName)
     val target =
       if (creating) {
-        // reclaim orphan versions a crashed prior run may have left
-        // (their rows must not become visible through the new pointer)
-        tableVersions(spark, tableName)
-          .foreach(v => dropManaged(spark, versionName(tableName, v)))
-        // and sweep a DEAD session's files at v1's location — the
+        // a COMPLETE version without a pointer is ambiguous from
+        // here: a swap that died pre-flip left garbage (safe to
+        // reclaim — swapBucketed does), but a legacy plain→versioned
+        // upgrade that died between its DROP TABLE and the pointer
+        // flip left the table's ONLY copy of must-not-reset data.
+        // Silently dropping it would turn the documented "briefly
+        // not-found" upgrade window into data LOSS, so fail loudly
+        // and let the operator decide: [[adoptVersion]] if the orphan
+        // is the upgrade survivor, [[dropVersioned]] if it is swap
+        // garbage to discard.
+        val orphans = tableVersions(spark, tableName)
+        require(orphans.isEmpty,
+          s"appendBucketed: `$tableName` has no pointer view but " +
+            s"complete version(s) ${orphans.mkString(",")} exist — " +
+            "refusing to create over them. If this is a crashed " +
+            "plain->versioned upgrade, recover its data with " +
+            s"Sources.adoptVersion(spark, \"$tableName\", " +
+            s"${orphans.lastOption.getOrElse(1)}); if it is an " +
+            "abandoned first swap, discard it with " +
+            s"Sources.dropVersioned(spark, \"$tableName\").")
+        // sweep a DEAD session's files at v1's location — the
         // catalog has forgotten them (fresh driver, persistent
         // warehouse dir) but saveAsTable's create would still hit
         // LOCATION_ALREADY_EXISTS
@@ -309,7 +350,11 @@ object Sources {
     * A LEGACY plain table occupying `tableName` is upgraded in
     * place: the new version is written, the plain table dropped, the
     * view created — the one transition with a (one-time) not-found
-    * window; tables born through this API never have one. */
+    * window; tables born through this API never have one. A crash
+    * INSIDE that window leaves the state solely in the complete
+    * unflipped version — recoverable, not lost: [[appendBucketed]]
+    * refuses to create over such orphans and [[adoptVersion]] flips
+    * the pointer to them. */
   def swapBucketed(df: DataFrame, tableName: String,
       bucketCols: Seq[String], numBuckets: Int, retain: Int = 2): Unit = {
     import org.apache.spark.sql.functions.col

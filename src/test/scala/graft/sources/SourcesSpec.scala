@@ -533,6 +533,90 @@ class SourcesSpec extends SparkSpec {
     } finally Sources.dropVersioned(spark, "swap_crash_test")
   }
 
+  test("a crashed plain->versioned upgrade is recoverable, not lost: " +
+    "appendBucketed REFUSES to create over a complete pointerless " +
+    "version, and adoptVersion flips the pointer to the survivor") {
+    val nBuckets = 2
+    val data = (0L until 8L).map(i => (i % 2, 7L)).toDF("a", "b")
+    // simulate the crash window: the upgrade wrote __v1 completely
+    // and dropped the plain table, but died before the pointer flip —
+    // __v1 is now the ONLY copy of must-not-reset state
+    Sources.writeBucketed(
+      data.repartition(nBuckets, col("a")),
+      "upgrade_crash_test__v1", Seq("a"), nBuckets)
+    try {
+      assert(!spark.catalog.tableExists("upgrade_crash_test"))
+      // a blind re-create must fail LOUDLY (silently reclaiming the
+      // orphan here would delete the upgrade survivor's data)
+      val e = intercept[IllegalArgumentException] {
+        Sources.appendBucketed(data, "upgrade_crash_test",
+          Seq("a"), nBuckets)
+      }
+      assert(e.getMessage.contains("adoptVersion"),
+        "the refusal must name the recovery action")
+      assert(spark.catalog.tableExists("upgrade_crash_test__v1"),
+        "the refused create must leave the survivor untouched")
+      // the named recovery: flip the pointer to the survivor, then
+      // appends continue against it
+      Sources.adoptVersion(spark, "upgrade_crash_test", 1)
+      assert(Sources.currentVersion(spark, "upgrade_crash_test")
+        .contains(1))
+      assert(spark.table("upgrade_crash_test").count() == 8L)
+      Sources.appendBucketed(
+        (0L until 4L).map(i => (i % 2, 8L)).toDF("a", "b"),
+        "upgrade_crash_test", Seq("a"), nBuckets)
+      assert(spark.table("upgrade_crash_test").count() == 12L,
+        "appends must continue on the adopted version")
+      // adoptVersion guards: refuses a missing version and refuses to
+      // shadow a live plain table
+      intercept[IllegalArgumentException] {
+        Sources.adoptVersion(spark, "upgrade_crash_test", 99)
+      }
+      Sources.writeBucketed(data, "plain_adopt_test", Seq("a"), nBuckets)
+      try {
+        Sources.writeBucketed(data, "plain_adopt_test__v1",
+          Seq("a"), nBuckets)
+        intercept[IllegalArgumentException] {
+          Sources.adoptVersion(spark, "plain_adopt_test", 1)
+        }
+      } finally {
+        Sources.dropManaged(spark, "plain_adopt_test__v1")
+        Sources.dropManaged(spark, "plain_adopt_test")
+      }
+    } finally Sources.dropVersioned(spark, "upgrade_crash_test")
+  }
+
+  test("dropVersioned's dead-file sweep matches the exact version " +
+    "pattern: a prefix-colliding NEIGHBOR table's files survive") {
+    import org.apache.spark.sql.catalyst.TableIdentifier
+    val nBuckets = 2
+    val data = (0L until 8L).map(i => (i % 2, 1L)).toDF("a", "b")
+    Sources.swapBucketed(data, "sweep_scope_test", Seq("a"), nBuckets)
+    // neighbors whose names EXTEND the version prefix but are not
+    // versions of this table — a bare startsWith sweep would destroy
+    // both; only exact __v<digits> dirs may be swept
+    Sources.writeBucketed(data, "sweep_scope_test__video", Seq("a"), nBuckets)
+    Sources.writeBucketed(data, "sweep_scope_test__v2_bak", Seq("a"), nBuckets)
+    try {
+      Sources.dropVersioned(spark, "sweep_scope_test")
+      def locationOf(t: String) = new org.apache.hadoop.fs.Path(
+        spark.sessionState.catalog.defaultTablePath(TableIdentifier(t)))
+      val fs = locationOf("sweep_scope_test")
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      assert(!fs.exists(locationOf("sweep_scope_test__v1")),
+        "the table's own version files must be swept")
+      assert(fs.exists(locationOf("sweep_scope_test__video")) &&
+        spark.table("sweep_scope_test__video").count() == 8L,
+        "a prefix-colliding neighbor's files must survive the sweep")
+      assert(fs.exists(locationOf("sweep_scope_test__v2_bak")) &&
+        spark.table("sweep_scope_test__v2_bak").count() == 8L,
+        "a near-miss (__v2_bak) neighbor's files must survive the sweep")
+    } finally {
+      Sources.dropManaged(spark, "sweep_scope_test__video")
+      Sources.dropManaged(spark, "sweep_scope_test__v2_bak")
+    }
+  }
+
   test("model-based versioned-table check: random swap/append/compact/" +
     "crash-orphan sequences always serve exactly the model's content, " +
     "and the pointer survives every interleaving") {
