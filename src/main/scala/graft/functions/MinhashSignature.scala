@@ -56,6 +56,14 @@ case class MinhashSignature(child: Expression, slots: Int)
 object MinhashSignature {
   val FunctionName = "graft_minhash_sig"
 
+  // per-thread SHA-256 instance, reset per shingle — same hoist as
+  // WinnowSelect.md5Local: getInstance per ROW is a provider lookup
+  // the corpus scan pays millions of times, and MessageDigest is not
+  // thread-safe so the reuse must be thread-local
+  private val sha256Local: ThreadLocal[java.security.MessageDigest] =
+    ThreadLocal.withInitial(() =>
+      java.security.MessageDigest.getInstance("SHA-256"))
+
   /** The fused signature, callable from generated code. `slots` × 4
     * bytes must fit the 32-byte sha-256 digest (8 slots is the full
     * digest — the engine's [[graft.operators.DedupOps.MinhashSeeds]]
@@ -67,7 +75,7 @@ object MinhashSignature {
     java.util.Arrays.fill(mins, Long.MaxValue)
     var any = false
     if (n > 0) {
-      val md = java.security.MessageDigest.getInstance("SHA-256")
+      val md = sha256Local.get()
       var i = 0
       while (i < n) {
         if (!shingles.isNullAt(i)) {

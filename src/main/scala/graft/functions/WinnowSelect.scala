@@ -33,7 +33,11 @@ import org.apache.spark.unsafe.types.UTF8String
   * empty array, matching the HOFs' guarded branches. Output order
   * beyond distinctness is consumed order-insensitively downstream
   * (sums and sets), but first-occurrence order is preserved anyway so
-  * the expression is a drop-in for the HOF column anywhere.
+  * the expression is a drop-in for the HOF column anywhere — EXCEPT
+  * on a NULL text, where this expression null-propagates (standard
+  * UnaryExpression semantics) while the HOF formulation's guard fell
+  * through to an empty array; [[graft.operators.TextOps.winnowSelCol]]
+  * coalesces to an empty array to restore that behavior exactly.
   */
 case class WinnowSelect(child: Expression, k: Int, w: Int, posBits: Int)
     extends UnaryExpression {
@@ -62,9 +66,19 @@ case class WinnowSelect(child: Expression, k: Int, w: Int, posBits: Int)
 object WinnowSelect {
   val FunctionName = "graft_winnow_select"
 
+  // one MD5 instance per executor thread, reset per gram —
+  // MessageDigest.getInstance is a provider lookup + allocation that
+  // a per-ROW call pays millions of times over a corpus scan;
+  // MessageDigest is not thread-safe, so the hoist must be
+  // per-thread, and task threads are pooled so the instance amortizes
+  // across all rows the thread ever processes
+  private val md5Local: ThreadLocal[java.security.MessageDigest] =
+    ThreadLocal.withInitial(() =>
+      java.security.MessageDigest.getInstance("MD5"))
+
   /** The whole selection, callable from generated code. Static and
     * allocation-lean: one char-offset array, one long array for the
-    * encodings, one reused MD5 instance. */
+    * encodings, one thread-local MD5 instance reused across rows. */
   def select(text: UTF8String, k: Int, w: Int, posBits: Int): ArrayData = {
     val posMax = (1L << posBits) - 1
     val bytes = text.getBytes
@@ -84,7 +98,7 @@ object WinnowSelect {
       c += 1
     }
     offsets(nChars) = bytes.length
-    val md = java.security.MessageDigest.getInstance("MD5")
+    val md = md5Local.get()
     val encs = new Array[Long](nGrams)
     var i = 0
     while (i < nGrams) {
