@@ -65,6 +65,9 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // the audited bounded windows would otherwise print a warning
+    // wall in the bench tail — see BoundedWindow.quietBoundedWarnings
+    graft.operators.BoundedWindow.quietBoundedWarnings()
     // warm up JVM/JIT, codegen and parquet footers once, untimed
     Tables.names.foreach(n =>
       try Tables(spark, sfDir, n).limit(1).write.format("noop")

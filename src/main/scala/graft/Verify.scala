@@ -29,6 +29,9 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // the audited bounded windows would otherwise print a warning
+    // wall — see BoundedWindow.quietBoundedWarnings
+    graft.operators.BoundedWindow.quietBoundedWarnings()
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries
       .filter { case (name, _) => wanted.isEmpty || wanted(name) }

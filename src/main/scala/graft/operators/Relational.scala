@@ -393,7 +393,7 @@ object Relational {
       (s, dir) =>
         t(s, dir, "part").select(col("p_brand").as("name")).distinct()
           .withColumn("id",
-            row_number().over(Window.orderBy(col("name"))))
+            row_number().over(BoundedWindow.orderBy(col("name"))))
     },
 
     // W3: global order + limit ⇒ TakeOrderedAndProject (no full sort).

@@ -565,7 +565,7 @@ object SimilarityOps {
         Seq("centroid_id"), "left_outer")
       .select(col("centroid_id"), coalesce(col("nv"), lit(0L)).as("nv"),
         col("min_sim"), col("max_sim"))
-    val all = Window.partitionBy() // k rows total — constant-size
+    val all = BoundedWindow.all // k rows total — constant-size
     perCell.select(col("centroid_id"), col("nv").as("n_vecs"),
       floor(col("nv") * count(lit(1)).over(all) * 100 /
         sum(col("nv")).over(all)).cast("bigint").as("load_pct"),
@@ -943,7 +943,8 @@ object SimilarityOps {
       .select(col("doc_id"), col("lrnk").as("lex_rank"),
         col("drnk").as("dense_rank"), rrf.as("rrf_x1e9"))
       .withColumn("rnk", row_number().over(
-        Window.orderBy(col("rrf_x1e9").desc, col("doc_id"))).cast("int"))
+        BoundedWindow.orderBy(col("rrf_x1e9").desc, col("doc_id")))
+        .cast("int"))
   }
 
   /** Oracle for q_sim_rrf: the shared BM25 lex CTEs + the dense
@@ -2295,7 +2296,8 @@ object SimilarityOps {
         .select(col("doc_id"), col("bm25"))
         // bounded single-partition window: ranks a k-row list
         .withColumn("lrnk", row_number().over(
-          Window.orderBy(col("bm25").desc, col("doc_id"))).cast("int"))
+          BoundedWindow.orderBy(col("bm25").desc, col("doc_id")))
+          .cast("int"))
         .select(col("doc_id"), col("lrnk"))
       val dense = bruteForceTopK(emb(s, dir),
         gateProbes(s, dir).filter(col("query_id") === 0),

@@ -494,8 +494,8 @@ object TextOps {
         // the global window runs over <= 100 rows post-limit — a
         // constant-size single partition, not a corpus-wide sort
         top.withColumn("rank",
-          row_number().over(org.apache.spark.sql.expressions.Window
-            .orderBy(col("freq").desc, col("token"))))
+          row_number().over(
+            BoundedWindow.orderBy(col("freq").desc, col("token"))))
     },
 
     // BPE merge statistics: the adjacent-symbol-pair counts that
@@ -727,10 +727,17 @@ object TextOps {
     * HOF composition it replaces. The spec pins it value-equal to
     * that HOF composition (kept inline there as the independent
     * reference) and the DuckDB oracle CTEs remain the cross-engine
-    * formulation. */
+    * formulation. The coalesce pins the HOF formulation's NULL-text
+    * behavior exactly: its when(...).otherwise(empty) fell through to
+    * an empty array on a null predicate, where the null-propagating
+    * native expression alone would return null — without it the
+    * "drop-in for the HOF column anywhere" claim would be false on
+    * null-text rows. */
   def winnowSelCol(s: org.apache.spark.sql.SparkSession,
       text: Column): Column =
-    graft.functions.WinnowSelect(s, text, WinnowK, WinnowW, WinnowPosBits)
+    coalesce(
+      graft.functions.WinnowSelect(s, text, WinnowK, WinnowW, WinnowPosBits),
+      array().cast("array<bigint>"))
 
   /** The winnow selection per document — (doc_id, n_grams,
     * n_windows, sel) with sel the distinct encoded picks; ONE body
@@ -828,6 +835,42 @@ object TextOps {
       lit(ClfAtlW) * col("atl") + lit(ClfBias)
     f.select(col("doc_id"),
       floor(margin * 1000000.0).as("margin_e6"), (margin > 0).as("kept"))
+  }
+
+  /** Two-phase APPROXIMATE per-source quality prune — the 100 TB
+    * alternative to q_quality_prune's exact per-source rank cut
+    * (SCALE.md's documented dial, now a real code path). The exact
+    * cut ranks every document inside its source with a window, which
+    * funnels each source through ONE reducer — right at gate scale,
+    * wrong at 100 TB where a single source can be most of the
+    * corpus. Here:
+    *
+    *  - phase 1 reduces the corpus to one approximate median margin
+    *    per source: `percentile_approx` is a map-side-combinable
+    *    sketch aggregate, so the only exchange is sources ×
+    *    sketch-partials — no row-level shuffle at all;
+    *  - phase 2 keeps rows by a margin >= threshold comparison
+    *    against the BROADCAST per-source thresholds — a map-side
+    *    filter, no rank, no per-source funnel.
+    *
+    * The keep set differs from the exact top-half cut only for rows
+    * whose margin lies within the sketch's rank error of the
+    * threshold — including boundary TIES, which the exact cut breaks
+    * by doc_id while a pure threshold keeps wholesale. The spec pins
+    * exactly that contract: every disagreement's margin falls inside
+    * the closed band between the approximate threshold and the exact
+    * cut's boundary margin. `accuracy` is percentile_approx's
+    * inverse-rank-error knob (error ≈ 1/accuracy · n per source). */
+  def qualityPruneApprox(docs: DataFrame, accuracy: Int = 10000): DataFrame = {
+    val margins = docs.select(col("doc_id"), col("source"))
+      .join(qualityClassifier(docs).select(col("doc_id"),
+        col("margin_e6")), "doc_id")
+    val thresholds = margins.groupBy(col("source"))
+      .agg(percentile_approx(col("margin_e6"), lit(0.5), lit(accuracy))
+        .as("thr_e6"))
+    margins.join(broadcast(thresholds), "source")
+      .select(col("doc_id"), col("source"), col("margin_e6"), col("thr_e6"),
+        (col("margin_e6") >= col("thr_e6")).as("kept_top_half"))
   }
 
   /** The q_text_perplexity body, named so the gate registration and
@@ -970,8 +1013,8 @@ object TextOps {
       .limit(BpeTopPairs)
     // constant-size single partition post-limit, as in q_text_vocab
     top.withColumn("rank",
-      row_number().over(org.apache.spark.sql.expressions.Window
-        .orderBy(col("pair_count").desc, col("pair"))))
+      row_number().over(
+        BoundedWindow.orderBy(col("pair_count").desc, col("pair"))))
   }
 
   /** The un-cut (pair, pair_count) table of [[bpePairs]] — the part

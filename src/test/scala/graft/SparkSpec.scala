@@ -27,6 +27,7 @@ object SparkSpec {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("ERROR")
+    graft.operators.BoundedWindow.quietBoundedWarnings()
     s
   }
 }

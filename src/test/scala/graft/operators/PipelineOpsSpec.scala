@@ -851,6 +851,56 @@ class PipelineOpsSpec extends SparkSpec {
     assert(out(2L) == (-800000L, false))
   }
 
+  test("two-phase approximate quality prune agrees with the exact " +
+    "per-source rank cut except within the threshold margin band") {
+    val sfDir = "/root/testdata/sf0.001"
+    val corpus = graft.Tables(spark, sfDir, "documents")
+    // the EXACT gate body: per-source rank window, keep rnk*2 <= n
+    val exact = graft.SparkEntry.queries("q_quality_prune")(spark, sfDir)
+      .collect().map(r => (r.getAs[Long]("doc_id"),
+        r.getAs[String]("source"), r.getAs[Long]("margin_e6"),
+        r.getAs[Boolean]("kept_top_half")))
+    val approx = TextOps.qualityPruneApprox(corpus)
+      .collect().map(r => (r.getAs[Long]("doc_id"),
+        r.getAs[String]("source"), r.getAs[Long]("margin_e6"),
+        r.getAs[Long]("thr_e6"), r.getAs[Boolean]("kept_top_half")))
+    assert(exact.length == approx.length &&
+      exact.map(_._1).toSet == approx.map(_._1).toSet,
+      "both cuts must decide every document exactly once")
+    // the exact cut's boundary margin per source: the WORST margin it
+    // still keeps (floor(n/2)-th ranked value)
+    val boundary = exact.filter(_._4).groupBy(_._2)
+      .map { case (src, rows) => src -> rows.map(_._3).min }
+      // a source so small the exact cut keeps nothing has its
+      // boundary "above every margin"
+      .withDefaultValue(Long.MaxValue)
+    val exactKept = exact.map(t => t._1 -> t._4).toMap
+    val disagreements = approx.filter(a => exactKept(a._1) != a._5)
+    disagreements.foreach { case (id, src, m, t, _) =>
+      val lo = math.min(t, boundary(src))
+      val hi = math.max(t, boundary(src))
+      assert(m >= lo && m <= hi,
+        s"doc $id ($src): margin $m disagrees OUTSIDE the " +
+          s"[threshold=$t, boundary=${boundary(src)}] band — the " +
+          "approximation contract is rank error AT the cut, not " +
+          "arbitrary misclassification")
+    }
+    // and the threshold is genuinely near the median: the cuts agree
+    // on the overwhelming share of the corpus
+    assert(disagreements.length <= math.max(1, exact.length / 20),
+      s"${disagreements.length}/${exact.length} disagreements — the " +
+        "approximate threshold is not tracking the per-source median")
+    // plan shape: the approx path must carry NO window and no
+    // row-level exchange beyond the sketch aggregate + broadcast join
+    val plan = TextOps.qualityPruneApprox(corpus)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"),
+      "approx prune must not rank — that is the exact path's funnel")
+    assert(plan.contains("BroadcastHashJoin") ||
+      plan.contains("BroadcastExchange"),
+      "per-source thresholds must broadcast, not shuffle the corpus")
+  }
+
   test("paragraph dedup: first occurrence wins across and within docs, " +
     "exact-copy doc is fully dropped") {
     // chunks are ParaTokens-token aligned; build docs from 10-token units
@@ -2493,7 +2543,10 @@ class PipelineOpsSpec extends SparkSpec {
       df.collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
     val edge = Seq("", "abc", "abcdefg", "abcdefgh",
       "héllo wörld ünïcode grams €€€ test", // multi-byte: char≠byte offsets
-      "aaaaaaaaaaaaaaaaaaa", "x" * 300)
+      "aaaaaaaaaaaaaaaaaaa", "x" * 300,
+      null)                               // null text: HOF guard fell
+                                          // through to [], winnowSelCol's
+                                          // coalesce must match it
       .zipWithIndex.map { case (t, i) => (i.toLong, t) }
       .toDF("doc_id", "text")
     assert(selsOf(edge.select(col("doc_id"),

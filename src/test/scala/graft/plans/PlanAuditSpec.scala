@@ -80,7 +80,17 @@ class PlanAuditSpec extends SparkSpec {
     // would double the heaviest part of the suite. AQE is disabled
     // so the physical tree is directly inspectable (joins and
     // windows appear identically in the static plan).
+    // EliminateWindowPartitions is excluded so BoundedWindow's
+    // constant-literal marker SURVIVES to the physical plan: with it
+    // visible, justified bounded windows are structurally
+    // distinguishable from data-sized unpartitioned ones and the
+    // audit needs no allowlist (in production the rule folds the
+    // marker away and the executed plan is the plain single-partition
+    // window — the exclusion changes what the audit can SEE, not
+    // what ships).
     spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.optimizer.excludedRules",
+      graft.operators.BoundedWindow.EliminateRule)
     val offenders = scala.collection.mutable.ArrayBuffer.empty[String]
     try {
       graft.SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
@@ -105,24 +115,26 @@ class PlanAuditSpec extends SparkSpec {
                 val unpart = plan.collect {
                   case w: WindowExec if w.partitionSpec.isEmpty => w
                 }
-                if (unpart.nonEmpty && !boundedWindow.contains(name))
+                if (unpart.nonEmpty)
                   offenders += s"$name: ${unpart.size} unpartitioned window(s)"
               })
         }
       }
-    } finally spark.conf.unset("spark.sql.adaptive.enabled")
+    } finally {
+      spark.conf.unset("spark.sql.adaptive.enabled")
+      spark.conf.unset("spark.sql.optimizer.excludedRules")
+    }
     assert(offenders.isEmpty, offenders.mkString("; "))
   }
 
-  /** Gates allowed an UNPARTITIONED window — each one's window input
-    * is k-row BOUNDED, so the single-task funnel is constant work:
-    * the justification is the bound, not the warning being familiar. */
-  private val boundedWindow = Map(
-    "q_surrogate_ids" -> "distinct-name dictionary (vocabulary-sized)",
-    "q_sim_rrf" -> "two k-row ranked lists, k = Bm25TopK",
-    "q_ivf_balance" -> "NumCentroids cell-summary rows",
-    "q_text_vocab" -> "<= 100 rows post TakeOrderedAndProject limit",
-    "q_bpe_pairs" -> "<= BpeTopPairs rows post TakeOrderedAndProject limit")
+  // There is NO unpartitioned-window allowlist: every justified
+  // bounded-input global window routes through
+  // graft.operators.BoundedWindow (a constant-literal partition —
+  // same single-task execution, no WindowExec warning wall), so a
+  // partitionSpec-empty WindowExec in any gate plan is always an
+  // offender. The former 5-gate allowlist (q_surrogate_ids,
+  // q_sim_rrf, q_ivf_balance, q_text_vocab, q_bpe_pairs) became
+  // BoundedWindow call sites.
 
   test("hot scan paths plan inside WholeStageCodegen spans") {
     // scan→filter→project→partial-agg chains must fuse into generated
