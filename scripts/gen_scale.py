@@ -18,9 +18,22 @@ the calibration numbers):
                10x, 5 event types uniform, exponential value
                (mean ~50, 2dp), props {"k": 0..99}.
 
-Usage: gen_scale.py OUTDIR SCALE  (SCALE=10 -> sf1-equivalent)
+Usage: gen_scale.py OUTDIR SCALE [VOCAB]  (SCALE=10 -> sf1-equivalent)
 TPC-H tables are not generated; copy them from sf0.1 if a measured
 query needs them (the expensive gates touch only these three).
+
+VOCAB selects the token distribution for documents:
+  uniform (default) — the driver-corpus mimic above (31 words,
+    near-uniform): the shape every per-round bench already runs.
+  zipf — a REALISTIC heavy-tail distribution: 10,000-word vocabulary
+    with P(rank r) ∝ 1/r^1.07 (the measured English exponent,
+    Zipf's law) — the regime the uniform corpus can't probe, where a
+    handful of stop-word-like tokens dominate token mass and
+    mass-produce hub shingles/fingerprints. The dedup/text gates'
+    df caps (MaxShingleDf, WinnowPairCap) are the levers that must
+    bound pair volume Σ df² under this regime; SCALE.md's zipf table
+    records whether they did. Same dup-planting machinery as
+    uniform, so candidate-pair density stays comparable.
 """
 import json
 import os
@@ -38,8 +51,41 @@ VOCAB = ["spark", "window", "merge", "table", "column", "vector",
          "scan", "batch"]
 LANGS = ["en", "en", "zh", "es", "fr", "de"]  # en 2x as measured
 
+ZIPF_VOCAB_SIZE = 10000
+ZIPF_EXPONENT = 1.07  # the measured English-corpus exponent
 
-def gen_documents(out, n, rng):
+
+class ZipfDraw:
+    """Heavy-tail token sampler: P(rank r) ∝ 1/r^s over a synthetic
+    vocabulary of ZIPF_VOCAB_SIZE words. Word LENGTHS follow the
+    natural pattern (frequent words short): rank r maps to a word of
+    2 + ~log growth characters, so char-level shingles/k-grams see
+    realistic span statistics, not 10k same-length tokens."""
+
+    def __init__(self, seed):
+        w = 1.0 / np.power(np.arange(1, ZIPF_VOCAB_SIZE + 1),
+                           ZIPF_EXPONENT)
+        self.p = w / w.sum()
+        self.rng = np.random.default_rng(seed)
+        self.words = []
+        alphabet = "abcdefghijklmnopqrstuvwxyz"
+        for r in range(ZIPF_VOCAB_SIZE):
+            # injective: rank in base 26, zero('a')-padded to the
+            # log-graded length (r < e^(length-1) << 26^length)
+            length = 2 + int(np.log1p(r))
+            chars, x = [], r
+            for _ in range(length):
+                chars.append(alphabet[x % 26])
+                x //= 26
+            self.words.append("".join(reversed(chars)))
+
+    def draw(self, n):
+        return [self.words[i]
+                for i in self.rng.choice(ZIPF_VOCAB_SIZE, size=n, p=self.p)]
+
+
+def gen_documents(out, n, rng, vocab="uniform"):
+    zipf = ZipfDraw(rng.randrange(2**63)) if vocab == "zipf" else None
     texts = []
     rows = []
     for i in range(n):
@@ -49,12 +95,16 @@ def gen_documents(out, n, rng):
         elif i > 100 and r < 0.02 + 0.0016:          # near dup
             toks = texts[rng.randrange(len(texts))].split()
             for _ in range(rng.randint(1, 3)):
-                toks[rng.randrange(len(toks))] = rng.choice(VOCAB)
+                toks[rng.randrange(len(toks))] = (
+                    zipf.draw(1)[0] if zipf else rng.choice(VOCAB))
             text = " ".join(toks)
         else:
             ntok = rng.randint(10, 100)
-            toks = [("dup" if rng.random() < 0.0009 else rng.choice(VOCAB))
-                    for _ in range(ntok)]
+            if zipf:
+                toks = zipf.draw(ntok)
+            else:
+                toks = [("dup" if rng.random() < 0.0009
+                         else rng.choice(VOCAB)) for _ in range(ntok)]
             text = " ".join(toks)
         texts.append(text)
         rows.append((i, text, rng.choice(LANGS), f"src{i % 20}", len(text)))
@@ -108,9 +158,11 @@ def gen_events(out, n, users, rng):
 
 def main():
     out, scale = sys.argv[1], float(sys.argv[2])
+    vocab = sys.argv[3] if len(sys.argv) > 3 else "uniform"
+    assert vocab in ("uniform", "zipf"), vocab
     os.makedirs(out, exist_ok=True)
     rng = random.Random(42)
-    gen_documents(out, int(5000 * scale), rng)
+    gen_documents(out, int(5000 * scale), rng, vocab)
     # embeddings grew 4x over the sf0.01->sf0.1 decade in the driver's
     # corpus; follow that curve rather than a flat 10x
     gen_embeddings(out, int(2000 * (4 if scale >= 10 else scale)), rng)
