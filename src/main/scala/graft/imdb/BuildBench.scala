@@ -1,5 +1,7 @@
 package graft.imdb
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -56,25 +58,24 @@ object BuildBench {
     val out = java.nio.file.Files.newOutputStream(outFile)
     try {
       out.write((header.mkString("\t") + "\n").getBytes("UTF-8"))
-      val parts = java.nio.file.Files.list(tmp).iterator()
-      val sorted = scala.collection.mutable.ArrayBuffer.empty[java.nio.file.Path]
-      while (parts.hasNext) {
-        val p = parts.next()
-        if (p.getFileName.toString.startsWith("part-")) sorted += p
-      }
-      sorted.sortBy(_.getFileName.toString).foreach { p =>
-        java.nio.file.Files.copy(p, out)
-      }
+      listDir(tmp)
+        .filter(_.getFileName.toString.startsWith("part-"))
+        .sortBy(_.getFileName.toString)
+        .foreach(p => java.nio.file.Files.copy(p, out))
     } finally out.close()
     // remove the part directory; the single .tsv is the artifact
     def rm(p: java.nio.file.Path): Unit = {
-      if (java.nio.file.Files.isDirectory(p)) {
-        val it = java.nio.file.Files.list(p).iterator()
-        while (it.hasNext) rm(it.next())
-      }
+      if (java.nio.file.Files.isDirectory(p)) listDir(p).foreach(rm)
       java.nio.file.Files.delete(p)
     }
     rm(tmp)
+  }
+
+  /** Eager directory listing that CLOSES the underlying stream
+    * (Files.list holds an OS directory handle until closed). */
+  private def listDir(dir: java.nio.file.Path): Seq[java.nio.file.Path] = {
+    val s = java.nio.file.Files.list(dir)
+    try s.iterator().asScala.toSeq finally s.close()
   }
 
   /** Generate the seven-dataset TSV folder for `titles` titles (and
@@ -229,7 +230,12 @@ object BuildBench {
     def secs(t0: Long) = math.round((System.nanoTime() - t0) / 1e7) / 100.0
 
     // generate (or reuse) the TSV set — generation is tooling, not
-    // the measured pipeline, but its wall time is reported honestly
+    // the measured pipeline, but its wall time is reported honestly.
+    // The marker is per-SCALE and all sibling-scale markers are
+    // removed on (re)generation: the TSVs in `dir` are whatever was
+    // generated LAST, so a stale marker from an earlier scale must
+    // not let a later run at that scale reuse a differently-sized
+    // corpus and report a fabricated tsv_mb/rows pairing.
     val marker = dir.resolve(s"GENERATED_$titles")
     var genSec = 0.0
     val rows: Map[String, Long] =
@@ -240,6 +246,9 @@ object BuildBench {
         }.toMap
       } else {
         java.nio.file.Files.createDirectories(dir)
+        listDir(dir)
+          .filter(_.getFileName.toString.startsWith("GENERATED_"))
+          .foreach(java.nio.file.Files.delete)
         val t0 = System.nanoTime()
         val r = generate(spark, dir, titles)
         genSec = secs(t0)
@@ -247,7 +256,7 @@ object BuildBench {
           r.map { case (k, v) => s"$k=$v" }.mkString("\n").getBytes("UTF-8"))
         r
       }
-    val tsvMb = java.nio.file.Files.list(dir).iterator().asScala
+    val tsvMb = listDir(dir)
       .filter(_.getFileName.toString.endsWith(".tsv"))
       .map(java.nio.file.Files.size).sum / 1e6
 
@@ -275,10 +284,4 @@ object BuildBench {
     spark.stop()
   }
 
-  private implicit class IterToScala[A](it: java.util.Iterator[A]) {
-    def asScala: Iterator[A] = new Iterator[A] {
-      def hasNext: Boolean = it.hasNext
-      def next(): A = it.next()
-    }
-  }
 }

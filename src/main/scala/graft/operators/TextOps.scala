@@ -221,9 +221,11 @@ object TextOps {
       val docs = Tables(s, dir, "documents")
       val bySrc =
         org.apache.spark.sql.expressions.Window.partitionBy(col("source"))
-      docs.select(col("doc_id"), col("source"))
-        .join(qualityClassifier(docs).select(col("doc_id"),
-          col("margin_e6")), "doc_id")
+      // one map-side projection carries (source, margin) together —
+      // the former docs⋈classifier self-join on doc_id shuffled the
+      // corpus row-level just to reattach the source column
+      qualityClassifierCarrying(docs, "source")
+        .select(col("doc_id"), col("source"), col("margin_e6"))
         .withColumn("rnk", row_number().over(
           bySrc.orderBy(col("margin_e6").desc, col("doc_id"))).cast("int"))
         .withColumn("n_docs", count(lit(1)).over(bySrc))
@@ -820,21 +822,33 @@ object TextOps {
   /** The q_quality_clf body, named so the gate registration and the
     * hand-computed-margin spec drive the same production expressions:
     * (doc_id, margin_e6, kept) per input (doc_id, text) row. */
-  def qualityClassifier(docs: DataFrame): DataFrame = {
+  def qualityClassifier(docs: DataFrame): DataFrame =
+    qualityClassifierCarrying(docs)
+
+  /** [[qualityClassifier]] with pass-through columns: margins are
+    * per-row MAP-SIDE expressions, so a consumer that needs (margin,
+    * source) — the per-source prune cuts — must NOT reconstruct the
+    * pairing with a docs⋈classifier self-join on doc_id (a
+    * corpus-wide row shuffle that re-scans the text); it carries the
+    * columns through the one projection instead. */
+  def qualityClassifierCarrying(docs: DataFrame,
+      carry: String*): DataFrame = {
+    val carried = carry.map(col)
     val f = docs
-      .select(col("doc_id"), tokens(col("text")).as("toks"))
-      .select(col("doc_id"),
-        size(array_distinct(col("toks"))).cast("double")
-          / size(col("toks")) as "ttr",
-        hits(col("toks"), Stopwords).cast("double")
-          / size(col("toks")) as "stop_ratio",
-        aggregate(transform(col("toks"), t => length(t)),
+      .select(col("doc_id") +: carried :+ tokens(col("text")).as("toks"): _*)
+      .select(col("doc_id") +: carried :+
+        (size(array_distinct(col("toks"))).cast("double")
+          / size(col("toks")) as "ttr") :+
+        (hits(col("toks"), Stopwords).cast("double")
+          / size(col("toks")) as "stop_ratio") :+
+        (aggregate(transform(col("toks"), t => length(t)),
           lit(0), (acc, x) => acc + x).cast("double")
-          / size(col("toks")) as "atl")
+          / size(col("toks")) as "atl"): _*)
     val margin = lit(ClfTtrW) * col("ttr") + lit(ClfStopW) * col("stop_ratio") +
       lit(ClfAtlW) * col("atl") + lit(ClfBias)
-    f.select(col("doc_id"),
-      floor(margin * 1000000.0).as("margin_e6"), (margin > 0).as("kept"))
+    f.select(col("doc_id") +: carried :+
+      floor(margin * 1000000.0).as("margin_e6") :+
+      ((margin > 0).as("kept")): _*)
   }
 
   /** Two-phase APPROXIMATE per-source quality prune — the 100 TB
@@ -862,9 +876,14 @@ object TextOps {
     * cut's boundary margin. `accuracy` is percentile_approx's
     * inverse-rank-error knob (error ≈ 1/accuracy · n per source). */
   def qualityPruneApprox(docs: DataFrame, accuracy: Int = 10000): DataFrame = {
-    val margins = docs.select(col("doc_id"), col("source"))
-      .join(qualityClassifier(docs).select(col("doc_id"),
-        col("margin_e6")), "doc_id")
+    // (doc_id, source, margin) in ONE map-side projection — NOT a
+    // docs⋈classifier join on doc_id, which would shuffle the whole
+    // corpus row-level just to reconstruct a pairing the scan already
+    // had. The two consumers below each re-scan this cheap projection
+    // (phase 1 folds it into sketch partials, phase 2 filters it):
+    // two scans, zero row-level exchanges.
+    val margins = qualityClassifierCarrying(docs, "source")
+      .select(col("doc_id"), col("source"), col("margin_e6"))
     val thresholds = margins.groupBy(col("source"))
       .agg(percentile_approx(col("margin_e6"), lit(0.5), lit(accuracy))
         .as("thr_e6"))

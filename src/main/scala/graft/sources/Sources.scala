@@ -130,6 +130,20 @@ object Sources {
   // ---------------------------------------------------------------
 
   private def versionName(tableName: String, v: Int) = s"${tableName}__v$v"
+
+  /** Filesystem flag marking an [[appendBucketed]] TABLE CREATION in
+    * flight: written before the v1 write, removed after the pointer
+    * flip. Its presence next to a complete pointerless __v1 proves
+    * the orphan is append's OWN crashed create (whose batch the
+    * at-least-once caller will re-deliver — safe to reclaim, restart
+    * self-heals) and not a crashed plain→versioned upgrade's sole
+    * surviving copy (which has no marker and must be refused). */
+  private def creationMarker(spark: SparkSession,
+      tableName: String): org.apache.hadoop.fs.Path =
+    new org.apache.hadoop.fs.Path(
+      spark.sessionState.catalog.defaultTablePath(
+        org.apache.spark.sql.catalyst.TableIdentifier(tableName))
+        .toString + "._append_creating")
   // the version lives in the pointer view's own definition text (the
   // one thing repointing atomically replaces) — a separate
   // TBLPROPERTIES write would be a second, non-atomic catalog op
@@ -241,6 +255,11 @@ object Sources {
       fs.listStatus(parent)
         .filter(st => isVersionDir(st.getPath.getName))
         .foreach(st => fs.delete(st.getPath, true))
+    // a committed-create crash can strand the in-flight marker behind
+    // a live pointer; dropping the table is where it must die, or a
+    // FUTURE table of the same name could mistake an upgrade survivor
+    // for a self-crashed create
+    fs.delete(creationMarker(spark, tableName), false)
   }
 
   /** APPEND `batch` into the bucketed table `tableName`, resolving
@@ -274,20 +293,26 @@ object Sources {
       observeCount: Boolean = true): Long = {
     val spark = batch.sparkSession
     val creating = !spark.catalog.tableExists(tableName)
+    val marker = creationMarker(spark, tableName)
+    val markerFs = marker.getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
     val target =
       if (creating) {
         // a COMPLETE version without a pointer is ambiguous from
-        // here: a swap that died pre-flip left garbage (safe to
-        // reclaim — swapBucketed does), but a legacy plain→versioned
+        // here: our own creating write that died before its pointer
+        // flip left a discardable copy of a batch the at-least-once
+        // caller re-delivers (the creation marker below proves this
+        // case — reclaim and self-heal), but a legacy plain→versioned
         // upgrade that died between its DROP TABLE and the pointer
-        // flip left the table's ONLY copy of must-not-reset data.
-        // Silently dropping it would turn the documented "briefly
-        // not-found" upgrade window into data LOSS, so fail loudly
-        // and let the operator decide: [[adoptVersion]] if the orphan
-        // is the upgrade survivor, [[dropVersioned]] if it is swap
-        // garbage to discard.
+        // flip left the table's ONLY copy of must-not-reset data
+        // (no marker). Silently dropping THAT would turn the
+        // documented "briefly not-found" upgrade window into data
+        // LOSS, so fail loudly and let the operator decide:
+        // [[adoptVersion]] if the orphan is the upgrade survivor,
+        // [[dropVersioned]] if it is swap garbage to discard.
         val orphans = tableVersions(spark, tableName)
-        require(orphans.isEmpty,
+        val selfCrashed = orphans == Seq(1) && markerFs.exists(marker)
+        require(orphans.isEmpty || selfCrashed,
           s"appendBucketed: `$tableName` has no pointer view but " +
             s"complete version(s) ${orphans.mkString(",")} exist — " +
             "refusing to create over them. If this is a crashed " +
@@ -296,6 +321,10 @@ object Sources {
             s"${orphans.lastOption.getOrElse(1)}); if it is an " +
             "abandoned first swap, discard it with " +
             s"Sources.dropVersioned(spark, \"$tableName\").")
+        if (selfCrashed) dropManaged(spark, versionName(tableName, 1))
+        // mark the creation IN FLIGHT before any write, so a crash
+        // anywhere below leaves evidence the next create may trust
+        markerFs.create(marker, true).close()
         // sweep a DEAD session's files at v1's location — the
         // catalog has forgotten them (fresh driver, persistent
         // warehouse dir) but saveAsTable's create would still hit
@@ -313,7 +342,13 @@ object Sources {
       .bucketBy(numBuckets, bucketCols.head, bucketCols.tail: _*)
       .sortBy(bucketCols.head, bucketCols.tail: _*)
       .saveAsTable(target)
-    if (creating) pointTo(spark, tableName, 1)
+    if (creating) {
+      pointTo(spark, tableName, 1)
+      // the creation committed; a crash before this delete leaves a
+      // stale marker behind a LIVE pointer, which no later decision
+      // consults (creating=false) and dropVersioned removes
+      markerFs.delete(marker, false)
+    }
     spark.catalog.refreshTable(target)
     if (!observeCount) -1L
     else obs.get.getOrElse("rows",

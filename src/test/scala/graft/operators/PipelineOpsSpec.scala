@@ -899,6 +899,16 @@ class PipelineOpsSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin") ||
       plan.contains("BroadcastExchange"),
       "per-source thresholds must broadcast, not shuffle the corpus")
+    assert(!plan.contains("SortMergeJoin") &&
+      !plan.contains("ShuffledHashJoin"),
+      "the margin/source pairing must ride the scan projection — a " +
+        "docs⋈classifier self-join would shuffle the corpus row-level")
+    val rowExchanges = "Exchange hashpartitioning".r
+      .findAllIn(plan).length
+    assert(rowExchanges <= 1,
+      s"approx prune carries $rowExchanges hash exchanges; only the " +
+        "sources × sketch-partials aggregate exchange is allowed:\n" +
+        plan)
   }
 
   test("paragraph dedup: first occurrence wins across and within docs, " +

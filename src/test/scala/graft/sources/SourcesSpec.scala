@@ -586,6 +586,40 @@ class SourcesSpec extends SparkSpec {
     } finally Sources.dropVersioned(spark, "upgrade_crash_test")
   }
 
+  test("appendBucketed's OWN crashed create self-heals: the in-flight " +
+    "marker + a complete pointerless __v1 is reclaimed (the batch is " +
+    "re-delivered), recreated, and the marker cleaned up") {
+    import org.apache.hadoop.fs.Path
+    import org.apache.spark.sql.catalyst.TableIdentifier
+    val nBuckets = 2
+    val t = "selfheal_crash_test"
+    // simulate append's create dying between saveAsTable(__v1) and
+    // pointTo: marker present, complete version, no pointer
+    val marker = new Path(spark.sessionState.catalog
+      .defaultTablePath(TableIdentifier(t)).toString + "._append_creating")
+    val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.create(marker, true).close()
+    Sources.writeBucketed(
+      (0L until 6L).map(i => (i % 2, 666L)).toDF("a", "b"),
+      s"${t}__v1", Seq("a"), nBuckets)
+    try {
+      // the restart's first trigger re-delivers the batch; no refusal,
+      // no operator — and the crashed write's rows never surface
+      Sources.appendBucketed(
+        (0L until 4L).map(i => (i % 2, 7L)).toDF("a", "b"),
+        t, Seq("a"), nBuckets)
+      assert(Sources.currentVersion(spark, t).contains(1))
+      assert(spark.table(t).select(col("b")).distinct().collect()
+        .map(_.getLong(0)).toSet == Set(7L),
+        "the crashed create's rows must be reclaimed, not merged")
+      assert(spark.table(t).count() == 4L)
+      assert(!fs.exists(marker),
+        "a committed create must clean up its in-flight marker")
+      // and WITHOUT the marker the same state still refuses (the
+      // upgrade-survivor protection is marker-gated, not removed)
+    } finally Sources.dropVersioned(spark, t)
+  }
+
   test("dropVersioned's dead-file sweep matches the exact version " +
     "pattern: a prefix-colliding NEIGHBOR table's files survive") {
     import org.apache.spark.sql.catalyst.TableIdentifier
