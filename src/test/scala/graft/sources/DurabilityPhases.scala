@@ -119,6 +119,40 @@ object DurabilityPhases {
             "as-of v2 lost after the recovery swap")
           Sources.dropVersioned(spark, Table)
 
+        case "hive-append-crash" =>
+          // simulate appendBucketed's CREATE dying between its
+          // saveAsTable(__v1) and the pointer flip, with a real dead
+          // JVM: in-flight marker + complete version, no pointer —
+          // the persistent catalog REMEMBERS the orphan, which is
+          // exactly when the marker-gated decision matters
+          val t = "durability_append"
+          val marker = new org.apache.hadoop.fs.Path(
+            spark.sessionState.catalog.defaultTablePath(
+              org.apache.spark.sql.catalyst.TableIdentifier(t))
+              .toString + "._append_creating")
+          marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+            .create(marker, true).close()
+          Sources.writeBucketed(
+            df(spark, 666L).repartition(Buckets, col("a")),
+            s"${t}__v1", Seq("a"), Buckets)
+          require(Sources.currentVersion(spark, t).isEmpty)
+
+        case "hive-append-recover" =>
+          // the restarted ingest's first trigger re-delivers the
+          // batch; the marker proves the orphan is our own crashed
+          // create, so the append self-heals with NO operator action
+          val t = "durability_append"
+          require(Sources.currentVersion(spark, t).isEmpty,
+            "precondition: crashed create left no pointer")
+          Sources.appendBucketed(df(spark, 7L).limit(4), t,
+            Seq("a"), Buckets)
+          require(Sources.currentVersion(spark, t).contains(1),
+            "self-healed create must commit the pointer")
+          require(bValues(spark, t) == Set(7L),
+            "the crashed create's rows must be reclaimed, not merged")
+          require(spark.table(t).count() == 4L)
+          Sources.dropVersioned(spark, t)
+
         case "dead-seed" =>
           // versioned tables + a prefix-colliding neighbor, then the
           // process dies and takes the in-memory catalog with it

@@ -24,6 +24,12 @@ import org.scalatest.funsuite.AnyFunSuite
   *      invisible), re-derives the next version FROM the committed
   *      state (reclaiming the orphan), and the chain continues at
   *      v3 with v2 readable as-of.
+  *   4. append-crash / 5. append-recover: appendBucketed's OWN crash
+  *      window (in-flight creation marker + complete __v1, no
+  *      pointer) left by a dead JVM self-heals on the next JVM's
+  *      append — the persistent catalog remembers the orphan, the
+  *      marker proves it discardable, the re-delivered batch lands
+  *      alone.
   *
   * Scenario B (ephemeral in-memory catalog + persistent warehouse
   * dir — the re-run-an-index-job deployment, where the catalog
@@ -83,6 +89,11 @@ class DurabilitySpec extends AnyFunSuite {
     runPhase("hive-seed", dir)
     runPhase("hive-inspect-crash", dir)
     runPhase("hive-recover", dir)
+    // and appendBucketed's own crash window, where the PERSISTENT
+    // catalog remembers the orphan: the creation marker must let the
+    // restarted ingest self-heal with no operator action
+    runPhase("hive-append-crash", dir)
+    runPhase("hive-append-recover", dir)
   }
 
   test("ephemeral-catalog re-runs against a persistent warehouse: the " +
