@@ -517,7 +517,12 @@ object Analytics {
     *    fresh, and silently paying an ANALYZE scan per trigger on a
     *    table nobody asked to analyze is the wrong default);
     *  - analyzed table → bump rowCount and scale sizeInBytes by the
-    *    OBSERVED increment (exact, zero scan — two catalog ops);
+    *    OBSERVED increment (exact, zero scan — two catalog ops; the
+    *    size scales LINEARLY from row counts, so a batch whose rows
+    *    are much wider than the analyzed distribution under-sizes
+    *    the estimate until the fractional re-ANALYZE below resets
+    *    it — bounded drift, by construction ≤ StatsRefreshFraction
+    *    of the table);
     *  - bumped count grown ≥ [[StatsRefreshFraction]] past the last
     *    full analyze → re-ANALYZE (approx-NDV maintenance mode),
     *    resetting the baseline, so per-column NDV/min-max never lag

@@ -131,6 +131,51 @@ object Sources {
 
   private def versionName(tableName: String, v: Int) = s"${tableName}__v$v"
 
+  /** Writer mutual exclusion, per table, within this driver JVM: the
+    * mutators ([[appendBucketed]], [[swapBucketed]],
+    * [[compactBucketed]]) serialize on a per-table monitor, so an
+    * ingest trigger appending while a maintenance job compacts the
+    * same table — the realistic overlap, since one driver owns a
+    * table's maintenance — cannot interleave. Without this, a
+    * compaction's read-rewrite-swap racing an append silently LOSES
+    * the append (it lands in the superseded version), and two swaps
+    * can each reclaim the other's in-flight version.
+    *
+    * The boundary is the JVM: mutating one versioned table from
+    * SEPARATE drivers needs an external lock service, exactly as
+    * HMS-backed Hive/Iceberg deployments require — the catalog here
+    * offers atomic operations but no compare-and-swap to build
+    * cross-process OCC on. [[commitSwap]]'s stale-pointer check
+    * turns the likeliest cross-driver race (a foreign flip between
+    * derivation and commit) into a loud abort instead of a silent
+    * lost update; it is a detector, not a license. Readers need no
+    * lock at any scope — that is the pointer view's whole job.
+    * (Callers that can re-derive cheaply may catch
+    * [[ConcurrentSwapException]] and retry from the new current
+    * version; the default is to surface it, because two live writers
+    * on one table is a deployment error worth hearing about.) */
+  private val writerLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+  private def withWriterLock[T](spark: SparkSession, tableName: String)(
+      body: => T): T = {
+    val key = spark.catalog.currentDatabase + "." + tableName
+    // monitors are reentrant, so compactBucketed's inner swapBucketed
+    // re-enters its own lock instead of deadlocking
+    val lock = writerLocks.computeIfAbsent(key, _ => new Object)
+    lock.synchronized(body)
+  }
+
+  /** A swap found the version pointer moved by another writer between
+    * its derivation and its commit — the derivation read a superseded
+    * base, so committing would silently discard the foreign update.
+    * The live pointer is untouched; the swap's output stays behind as
+    * an unflipped orphan for the established reclaim paths (the next
+    * swap's sweep, or retention as the chain advances) — deleting it
+    * here could destroy a same-numbered foreign commit's live files.
+    * Re-derive from the current version and retry. */
+  final class ConcurrentSwapException(msg: String)
+    extends RuntimeException(msg)
+
   /** Filesystem flag marking an [[appendBucketed]] TABLE CREATION in
     * flight: written before the v1 write, removed after the pointer
     * flip. Its presence next to a complete pointerless __v1 proves
@@ -290,7 +335,15 @@ object Sources {
     * only pay when the count is actually consumed. */
   def appendBucketed(batch: DataFrame, tableName: String,
       bucketCols: Seq[String], numBuckets: Int,
-      observeCount: Boolean = true): Long = {
+      observeCount: Boolean = true): Long =
+    withWriterLock(batch.sparkSession, tableName) {
+      appendBucketedLocked(batch, tableName, bucketCols, numBuckets,
+        observeCount)
+    }
+
+  private def appendBucketedLocked(batch: DataFrame, tableName: String,
+      bucketCols: Seq[String], numBuckets: Int,
+      observeCount: Boolean): Long = {
     val spark = batch.sparkSession
     val creating = !spark.catalog.tableExists(tableName)
     val marker = creationMarker(spark, tableName)
@@ -391,7 +444,13 @@ object Sources {
     * refuses to create over such orphans and [[adoptVersion]] flips
     * the pointer to them. */
   def swapBucketed(df: DataFrame, tableName: String,
-      bucketCols: Seq[String], numBuckets: Int, retain: Int = 2): Unit = {
+      bucketCols: Seq[String], numBuckets: Int, retain: Int = 2): Unit =
+    withWriterLock(df.sparkSession, tableName) {
+      swapBucketedLocked(df, tableName, bucketCols, numBuckets, retain)
+    }
+
+  private def swapBucketedLocked(df: DataFrame, tableName: String,
+      bucketCols: Seq[String], numBuckets: Int, retain: Int): Unit = {
     import org.apache.spark.sql.functions.col
     require(retain >= 1, s"retain must be >= 1, got $retain")
     val spark = df.sparkSession
@@ -408,10 +467,42 @@ object Sources {
     val next = curV + 1
     writeBucketed(df.repartition(numBuckets, bucketCols.map(col): _*),
       versionName(tableName, next), bucketCols, numBuckets)
-    if (legacyPlain) spark.sql(s"DROP TABLE `$tableName`")
-    pointTo(spark, tableName, next)
+    commitSwap(spark, tableName, cur, next, dropLegacyPlain = legacyPlain)
     tableVersions(spark, tableName).filter(_ <= next - retain)
       .foreach(v => dropManaged(spark, versionName(tableName, v)))
+  }
+
+  /** The swap's commit point, with the cross-driver lost-update
+    * DETECTOR: flip the pointer to `next` only if it still serves
+    * `expected`, the version the swap derived from. Within one
+    * driver [[withWriterLock]] makes the check vacuous; across
+    * drivers (where no lock exists — see the writer-lock note) a
+    * foreign flip between derivation and commit means this swap's
+    * output embeds a superseded base, and committing it would
+    * silently discard the foreign writer's update — so reclaim our
+    * orphan and abort loudly instead. The check-then-flip pair is
+    * not itself atomic (the catalog has no compare-and-swap), so
+    * this narrows the cross-driver window rather than closing it:
+    * the contract remains one mutating driver per table. */
+  private[sources] def commitSwap(spark: SparkSession, tableName: String,
+      expected: Option[Int], next: Int, dropLegacyPlain: Boolean): Unit = {
+    val nowV = currentVersion(spark, tableName)
+    if (nowV != expected) {
+      // leave version `next` unflipped: if the foreign commit took
+      // OUR number these are its live files (writeBucketed's
+      // drop-then-overwrite clobbered ours), and if not, the orphan
+      // is exactly the shape the next swap's sweep reclaims
+      throw new ConcurrentSwapException(
+        s"swap of `$tableName` derived from version " +
+          s"${expected.fold("<none>")(_.toString)} but the pointer now " +
+          s"serves ${nowV.fold("<none>")(_.toString)} — another writer " +
+          "committed in between. The live pointer is untouched and " +
+          "this swap's output was NOT flipped in; re-derive from the " +
+          "current version and retry. Mutating one table from " +
+          "separate drivers requires an external lock service.")
+    }
+    if (dropLegacyPlain) spark.sql(s"DROP TABLE `$tableName`")
+    pointTo(spark, tableName, next)
   }
 
   /** Compact a bucketed managed table back to ONE sorted file per
@@ -444,7 +535,11 @@ object Sources {
     * retention drops it. The maintenance companion every appended
     * stored artifact needs at 100 TB; run it off the serving path. */
   def compactBucketed(spark: SparkSession, tableName: String,
-      bucketCols: Seq[String], numBuckets: Int, retain: Int = 2): Unit = {
+      bucketCols: Seq[String], numBuckets: Int, retain: Int = 2): Unit =
+      withWriterLock(spark, tableName) {
+    // the file listing must sit under the same writer lock as the
+    // inner swap (monitors are reentrant): listed-then-dropped files
+    // from a concurrent swap's retention sweep would fail the rewrite
     val phys = spark.table(physicalName(spark, tableName))
     // read the current files as PLAIN parquet (see the doc above: the
     // bucketed-scan claim would elide the aligning repartition), then

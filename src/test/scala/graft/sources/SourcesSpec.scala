@@ -826,4 +826,118 @@ class SourcesSpec extends SparkSpec {
         .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
     }
   }
+
+  test("concurrent writers serialize within the driver: appends racing " +
+    "compactions on one versioned table lose no rows and raise no errors") {
+    val nBuckets = 4
+    val rowsEach = 8L
+    // seed through the append path itself: creation + pointer flip
+    Sources.appendBucketed(
+      (0L until rowsEach).map(i => (i, -1L)).toDF("k", "batch"),
+      "writer_race_test", Seq("k"), nBuckets)
+    try {
+      val failures = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]
+      val nAppenders = 3
+      val appendsEach = 2
+      // without the per-table writer lock this interleaving loses
+      // appends silently: a compaction lists the current version's
+      // files, an append lands a new file in that same version, the
+      // compaction's swap flips the pointer to a rewrite that never
+      // saw the appended file — rows gone, no error raised
+      val appenders = (0 until nAppenders).map { t =>
+        new Thread(() => {
+          try {
+            (0 until appendsEach).foreach { b =>
+              Sources.appendBucketed(
+                (0L until rowsEach)
+                  .map(i => (i, (t * appendsEach + b).toLong))
+                  .toDF("k", "batch"),
+                "writer_race_test", Seq("k"), nBuckets)
+            }
+          } catch { case x: Throwable => failures.add(x) }
+        })
+      }
+      val compactor = new Thread(() => {
+        try {
+          (0 until 2).foreach { _ =>
+            Sources.compactBucketed(
+              spark, "writer_race_test", Seq("k"), nBuckets)
+          }
+        } catch { case x: Throwable => failures.add(x) }
+      })
+      (appenders :+ compactor).foreach(_.start())
+      (appenders :+ compactor).foreach(_.join(180000))
+      assert(failures.isEmpty,
+        s"concurrent writers failed: ${failures.peek()}")
+      // conservation: the seed batch plus every appended batch is
+      // present COMPLETE — no batch lost to a compaction flip, none
+      // duplicated by a retried write
+      val perBatch = spark.table("writer_race_test")
+        .groupBy(col("batch")).count()
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val expectedBatches =
+        (-1L until (nAppenders * appendsEach).toLong).toSet
+      assert(perBatch.keySet == expectedBatches,
+        s"batches lost or invented: ${perBatch.keySet} vs $expectedBatches")
+      assert(perBatch.values.forall(_ == rowsEach),
+        s"partial batch survived the race: $perBatch")
+      // the chain stayed a consistent versioned table throughout
+      assert(Sources.currentVersion(spark, "writer_race_test").isDefined)
+    } finally Sources.dropVersioned(spark, "writer_race_test")
+  }
+
+  test("cross-driver lost-update detector: a swap whose base version " +
+    "moved underneath it aborts loudly and never flips over the " +
+    "foreign commit") {
+    val nBuckets = 2
+    def content(v: Long) = (0L until 8L).map(i => (i % 4, v)).toDF("a", "b")
+    Sources.swapBucketed(content(1L), "stale_swap_test", Seq("a"), nBuckets)
+    try {
+      // replay the cross-driver interleaving through the commit seam:
+      // writers A and B both derive from v1 and both materialize __v2
+      // (writeBucketed's drop-then-overwrite means B's bytes stand) —
+      // then B commits first
+      Sources.writeBucketed(
+        content(999L).repartition(nBuckets, col("a")),
+        "stale_swap_test__v2", Seq("a"), nBuckets)
+      Sources.commitSwap(spark, "stale_swap_test",
+        expected = Some(1), next = 2, dropLegacyPlain = false)
+      assert(Sources.currentVersion(spark, "stale_swap_test").contains(2))
+      // A's commit must detect the moved pointer and abort — flipping
+      // would be a no-op here (same number) but in general discards
+      // B's update; the live pointer and B's files stay untouched
+      val ex = intercept[Sources.ConcurrentSwapException] {
+        Sources.commitSwap(spark, "stale_swap_test",
+          expected = Some(1), next = 2, dropLegacyPlain = false)
+      }
+      assert(ex.getMessage.contains("another writer"))
+      assert(Sources.currentVersion(spark, "stale_swap_test").contains(2))
+      assert(spark.table("stale_swap_test")
+        .select(col("b")).distinct().collect().map(_.getLong(0)).toSet
+        == Set(999L), "the committed version's content must survive")
+      // and a detector firing with a DIFFERENT number leaves the
+      // orphan unreclaimed for the established sweep paths: versions
+      // are never deleted on the abort path
+      Sources.writeBucketed(
+        content(7L).repartition(nBuckets, col("a")),
+        "stale_swap_test__v3", Seq("a"), nBuckets)
+      intercept[Sources.ConcurrentSwapException] {
+        Sources.commitSwap(spark, "stale_swap_test",
+          expected = Some(1), next = 3, dropLegacyPlain = false)
+      }
+      assert(Sources.tableVersions(spark, "stale_swap_test") == Seq(1, 2, 3),
+        "abort must not delete any version")
+      assert(Sources.currentVersion(spark, "stale_swap_test").contains(2))
+      // the next legitimate swap re-derives from the live pointer and
+      // its sweep reclaims the unflipped orphan
+      Sources.swapBucketed(
+        spark.table("stale_swap_test")
+          .select(col("a"), (col("b") + 1L).as("b")),
+        "stale_swap_test", Seq("a"), nBuckets)
+      assert(Sources.currentVersion(spark, "stale_swap_test").contains(3))
+      assert(spark.table("stale_swap_test")
+        .select(col("b")).distinct().collect().map(_.getLong(0)).toSet
+        == Set(1000L), "recovery swap must derive from the committed state")
+    } finally Sources.dropVersioned(spark, "stale_swap_test")
+  }
 }
