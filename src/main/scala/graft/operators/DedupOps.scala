@@ -715,15 +715,72 @@ object DedupOps {
       .select(col("doc_id"),
         coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
 
+  /** Edge sets at or below this bound finish on the driver instead of
+    * paying more distributed rounds: each large/small-star round
+    * SHRINKS the edge set toward one star edge per clustered member,
+    * so the contraction TAIL is always tiny relative to the corpus —
+    * yet a tail round still costs two shuffles plus a pin and a count
+    * of pure scheduler time. Below the bound, one collect (≤ 2^16
+    * edges × 16 B = 1 MiB on the driver) plus an in-memory union-find
+    * replaces every remaining round — the local-finish treatment
+    * GraphX/GraphFrames connected components apply for the same
+    * reason. At 100 TB the early rounds stay distributed (the
+    * candidate edge set is corpus-sized); only the already-contracted
+    * tail ever crosses this bound, and the driver memory it costs is
+    * fixed by the constant, not the corpus. */
+  val LocalContractEdges: Long = 1L << 16
+
+  /** Driver-side union-find over a bounded, collected edge set.
+    * Unions always link the LARGER root under the smaller, so every
+    * root is its component's minimum by construction and the labels
+    * are value-identical to the distributed star fixed point.
+    * Self-loops are skipped without registering their node — matching
+    * the distributed rounds, which drop them (a self-loop-only node
+    * gets no label from either path). */
+  private def localComponents(
+      spark: SparkSession, edges: Array[(Long, Long)]): DataFrame = {
+    import spark.implicits._
+    val parent = scala.collection.mutable.LongMap.empty[Long]
+    def find(x: Long): Long = {
+      var r = x
+      while (parent(r) != r) r = parent(r)
+      var c = x // path compression: point the walked chain at the root
+      while (c != r) { val n = parent(c); parent(c) = r; c = n }
+      r
+    }
+    edges.foreach { case (a, b) =>
+      if (a != b) {
+        if (!parent.contains(a)) parent(a) = a
+        if (!parent.contains(b)) parent(b) = b
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+    }
+    parent.keys.toSeq.map(v => (v, find(v))).toDF("doc_id", "cluster_id")
+  }
+
   /** The large-star/small-star iteration itself: undirected edges
     * (a, b) in, (doc_id, cluster_id = component minimum) out, for
     * every node incident to an edge. Exposed separately so the
     * high-diameter behavior is testable on synthetic graphs the LSH
-    * candidate generator would never produce (long paths). */
-  def starComponents(pairs: DataFrame): DataFrame = {
+    * candidate generator would never produce (long paths). Specs pass
+    * `localFinishEdges = -1` to force the distributed rounds on
+    * graphs that would otherwise finish locally. */
+  def starComponents(pairs: DataFrame,
+      localFinishEdges: Long = LocalContractEdges): DataFrame = {
     // canonical undirected edges, a < b; self-loops never enter
     var edges = pairs.select(col("a"), col("b")).distinct().pinnedIter
     var prevCount = edges.count()
+    // the local finish handles bigint ids — every production caller;
+    // anything else keeps the distributed rounds authoritative
+    val localOk = edges.schema.fields.forall(
+      _.dataType == org.apache.spark.sql.types.LongType)
+    def localFinish(e: DataFrame): DataFrame = {
+      val collected = e.collect().map(r => (r.getLong(0), r.getLong(1)))
+      Materialize.unpin(e)
+      localComponents(pairs.sparkSession, collected)
+    }
+    if (localOk && prevCount <= localFinishEdges) return localFinish(edges)
 
     // One star half-round, exactly Kiveris et al.'s operators.
     // Large-star keys every edge by BOTH endpoints (each node sees
@@ -779,6 +836,10 @@ object DedupOps {
       val stepped = star(star(edges, large = true), large = false)
         .pinnedIter
       val steppedCount = stepped.count()
+      if (localOk && steppedCount <= localFinishEdges) {
+        Materialize.unpin(edges)
+        return localFinish(stepped)
+      }
       converged = steppedCount == prevCount && stepped.except(edges).isEmpty
       prevCount = steppedCount
       Materialize.unpin(edges) // the except above already ran; stepped is materialized

@@ -112,8 +112,9 @@ class MaterializeSpec extends SparkSpec {
 
   test("cluster-safe mode yields identical star components") {
     val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L)).toDF("a", "b")
-    def run(): Seq[(Long, Long)] =
-      DedupOps.starComponents(pairs).collect()
+    def run(): Seq[(Long, Long)] = // -1: the distributed rounds ARE the
+      // pin machinery under test here — don't let the local finish skip them
+      DedupOps.starComponents(pairs, localFinishEdges = -1).collect()
         .map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
     assert(run() == inClusterSafe(run()))
   }

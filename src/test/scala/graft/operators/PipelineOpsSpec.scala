@@ -432,7 +432,11 @@ class PipelineOpsSpec extends SparkSpec {
       rnd.nextInt(80).toLong))
       .filter { case (a, b) => a != b }
       .toDF("a", "b")
-    val star = DedupOps.starComponents(edges).collect()
+    // -1 forces the distributed rounds: THIS is the adversarial check
+    // of the star operators themselves, so the local union-find finish
+    // must not stand in for them
+    val star = DedupOps.starComponents(edges, localFinishEdges = -1)
+      .collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     // reference union-find over the same edges
     val parent = scala.collection.mutable.Map.empty[Long, Long]
@@ -460,8 +464,11 @@ class PipelineOpsSpec extends SparkSpec {
   test("star components collapse a long path — the high-diameter case") {
     // 0-1-2-...-40 as a single path: label propagation needs ~40 hops;
     // the alternating star algorithm must still land every node on 0.
+    // Distributed rounds forced — the high-diameter behavior of the
+    // star operators is exactly what's under test.
     val path = (0L until 40L).map(i => (i, i + 1)).toDF("a", "b")
-    val labels = DedupOps.starComponents(path).collect()
+    val labels = DedupOps.starComponents(path, localFinishEdges = -1)
+      .collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(labels == (0L to 40L).map(_ -> 0L).toMap)
   }
@@ -470,10 +477,38 @@ class PipelineOpsSpec extends SparkSpec {
     // two components with interleaved ids + an isolated edge
     val e = Seq((10L, 2L), (2L, 8L), (7L, 3L), (3L, 11L), (20L, 21L))
       .toDF("a", "b")
-    val labels = DedupOps.starComponents(e).collect()
+    val labels = DedupOps.starComponents(e, localFinishEdges = -1)
+      .collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(labels == Map(2L -> 2L, 8L -> 2L, 10L -> 2L,
       3L -> 3L, 7L -> 3L, 11L -> 3L, 20L -> 20L, 21L -> 20L))
+  }
+
+  test("local union-find finish is value-identical to the forced " +
+    "distributed star rounds, including the mid-loop handoff") {
+    // random soup (arbitrary orientation, duplicates) + a long path +
+    // self-loops: everything the two paths could disagree on —
+    // orientation handling, dup edges, self-loop dropping, label = min
+    val rnd = new scala.util.Random(0xBEEF)
+    val soup = Seq.fill(150)((rnd.nextInt(60).toLong,
+      rnd.nextInt(60).toLong)) ++
+      (100L until 130L).map(i => (i, i + 1)) ++
+      Seq((200L, 200L)) // self-loop: neither path may label node 200
+    val e = soup.toDF("a", "b")
+    def run(th: Long): Map[Long, Long] =
+      DedupOps.starComponents(e, localFinishEdges = th).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val local = run(DedupOps.LocalContractEdges) // finishes locally at entry
+    val dist = run(-1) // never local
+    assert(local == dist, "local finish diverged from distributed rounds")
+    assert(!local.contains(200L), "self-loop-only node must get no label")
+    // mid-loop handoff: a threshold the INITIAL edge set exceeds but a
+    // contracted round falls under — the handoff happens inside the loop
+    // (the entry check counts raw-orientation distinct pairs, so use
+    // exactly that count minus one)
+    val initialCount = e.select($"a", $"b").distinct().count()
+    val mid = run(initialCount - 1)
+    assert(mid == dist, "mid-loop local handoff diverged")
   }
 
   test("star clusters match propagation clusters on the gate corpus") {
