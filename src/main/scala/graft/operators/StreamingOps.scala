@@ -462,11 +462,15 @@ object StreamingOps {
     //
     // Wall time is per-trigger MACHINERY, not data volume (profiled
     // at sf0.1, 4 triggers of ~1.2k docs): ~1.2 s minhash banding,
-    // ~2.3 s contraction (≈10 small jobs: pins, star halves, the
-    // convergence count), ~1.6 s bucketed table append, ~0.25 s state
-    // write per trigger. All four amortize at real ingest volumes —
-    // per-row cost falls with batch size while candidate generation
-    // stays an equi-join probe on the stored layout.
+    // contraction (the touched subgraph's edge set is tiny by design,
+    // so every trigger's re-contraction takes starComponents' bounded
+    // LOCAL union-find finish — one distinct+count plus one collect
+    // instead of the former ≈10 small star-round jobs; same-box A/B:
+    // the gate dropped 16.2 → 9.8 s when the local finish landed),
+    // ~1.6 s bucketed table append, ~0.25 s state write per trigger.
+    // All amortize at real ingest volumes — per-row cost falls with
+    // batch size while candidate generation stays an equi-join probe
+    // on the stored layout.
     QueryDef.sql("q_stream_dedup_clusters", DedupOps.clusterClosureSql) {
       (s, dir) => withStreamPartitions(s, 4) {
         val docs = Tables(s, dir, "documents")
