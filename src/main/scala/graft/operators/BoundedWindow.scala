@@ -56,7 +56,20 @@ object BoundedWindow {
     * registry is a BoundedWindow marker over constant-size input —
     * the warning would warn about nothing, hundreds of times per
     * sweep. Scoped to the window-exec package; every other Spark
-    * warning still prints. */
+    * warning still prints.
+    *
+    * Scope trade-off, stated plainly: the logger level is
+    * JVM-GLOBAL, so in the processes that call this (Bench, Verify,
+    * the test JVM via SparkSpec — nothing in src/main calls it at
+    * import time, so library users' sessions are untouched) the
+    * warning is also lost for code the audit does NOT plan — a
+    * future non-registry pipeline or spec-only path that grows a
+    * data-sized global window would run silently single-task in
+    * those JVMs. The compensating control is the convention this
+    * object exists for: every global window in src/main goes through
+    * [[orderBy]]/[[all]], and PlanAuditSpec flags any registry plan
+    * that didn't. Code outside the registry forfeits the runtime
+    * warning in our harness JVMs — route it through here too. */
   def quietBoundedWarnings(): Unit =
     org.apache.logging.log4j.core.config.Configurator.setLevel(
       "org.apache.spark.sql.execution.window",

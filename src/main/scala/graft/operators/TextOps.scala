@@ -887,7 +887,13 @@ object TextOps {
     val thresholds = margins.groupBy(col("source"))
       .agg(percentile_approx(col("margin_e6"), lit(0.5), lit(accuracy))
         .as("thr_e6"))
-    margins.join(broadcast(thresholds), "source")
+      .withColumnRenamed("source", "thr_source")
+    // null-safe join key: the exact cut's PARTITION BY keeps
+    // null-source rows as their own group, and groupBy above emits a
+    // null-source threshold row — a plain equi-join would silently
+    // DROP every null-source document instead of deciding it
+    margins.join(broadcast(thresholds),
+        col("source") <=> col("thr_source"))
       .select(col("doc_id"), col("source"), col("margin_e6"), col("thr_e6"),
         (col("margin_e6") >= col("thr_e6")).as("kept_top_half"))
   }

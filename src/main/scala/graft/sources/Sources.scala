@@ -246,15 +246,20 @@ object Sources {
     * losing the upgrade survivor. Refuses to clobber a live PLAIN
     * table (that is [[swapBucketed]]'s upgrade job, which preserves
     * its rows). */
-  def adoptVersion(spark: SparkSession, tableName: String, v: Int): Unit = {
-    require(spark.catalog.tableExists(versionName(tableName, v)),
-      s"adoptVersion: version $v of `$tableName` does not exist")
-    require(!spark.catalog.tableExists(tableName) ||
-      currentVersion(spark, tableName).isDefined,
-      s"adoptVersion: `$tableName` is a plain table — upgrade it with " +
-        "swapBucketed instead of pointing over it")
-    pointTo(spark, tableName, v)
-  }
+  def adoptVersion(spark: SparkSession, tableName: String, v: Int): Unit =
+    // same writer lock as the swap/append/compact mutators: a manual
+    // recovery repoint racing an in-flight swap's derive→commit gap
+    // would be silently overwritten by the swap's flip — the exact
+    // in-driver lost-update class the lock exists to close
+    withWriterLock(spark, tableName) {
+      require(spark.catalog.tableExists(versionName(tableName, v)),
+        s"adoptVersion: version $v of `$tableName` does not exist")
+      require(!spark.catalog.tableExists(tableName) ||
+        currentVersion(spark, tableName).isDefined,
+        s"adoptVersion: `$tableName` is a plain table — upgrade it with " +
+          "swapBucketed instead of pointing over it")
+      pointTo(spark, tableName, v)
+    }
 
   private def pointTo(spark: SparkSession, tableName: String, v: Int): Unit = {
     // repoint with ALTER VIEW AS — ONE alterTable of the view's
@@ -374,14 +379,14 @@ object Sources {
             s"${orphans.lastOption.getOrElse(1)}); if it is an " +
             "abandoned first swap, discard it with " +
             s"Sources.dropVersioned(spark, \"$tableName\").")
-        if (selfCrashed) dropManaged(spark, versionName(tableName, 1))
         // mark the creation IN FLIGHT before any write, so a crash
         // anywhere below leaves evidence the next create may trust
         markerFs.create(marker, true).close()
-        // sweep a DEAD session's files at v1's location — the
-        // catalog has forgotten them (fresh driver, persistent
+        // reclaim a self-crashed create's v1 (the selfCrashed case
+        // above) AND sweep a DEAD session's files at v1's location —
+        // the catalog has forgotten those (fresh driver, persistent
         // warehouse dir) but saveAsTable's create would still hit
-        // LOCATION_ALREADY_EXISTS
+        // LOCATION_ALREADY_EXISTS; one dropManaged covers both
         dropManaged(spark, versionName(tableName, 1))
         versionName(tableName, 1)
       } else physicalName(spark, tableName)
@@ -391,10 +396,26 @@ object Sources {
         batch.observe(obs, org.apache.spark.sql.functions.count(
           org.apache.spark.sql.functions.lit(1)).as("rows"))
       else batch
-    toWrite.write.mode("append").format("parquet")
-      .bucketBy(numBuckets, bucketCols.head, bucketCols.tail: _*)
-      .sortBy(bucketCols.head, bucketCols.tail: _*)
-      .saveAsTable(target)
+    try {
+      toWrite.write.mode("append").format("parquet")
+        .bucketBy(numBuckets, bucketCols.head, bucketCols.tail: _*)
+        .sortBy(bucketCols.head, bucketCols.tail: _*)
+        .saveAsTable(target)
+    } catch {
+      case e: Throwable if creating =>
+        // an in-JVM FAILURE (disk full, analysis error), not a crash:
+        // reclaim the partial v1 and the marker here, or the leaked
+        // marker outlives this create and could later vouch for a
+        // DIFFERENT orphan — a crashed plain→versioned upgrade's sole
+        // surviving copy, which the self-heal would then silently
+        // drop instead of raising the designed loud refusal. A real
+        // crash skips this handler and the marker does its job.
+        try {
+          dropManaged(spark, versionName(tableName, 1))
+          markerFs.delete(marker, false)
+        } catch { case _: Throwable => () } // surface the write error
+        throw e
+    }
     if (creating) {
       pointTo(spark, tableName, 1)
       // the creation committed; a crash before this delete leaves a

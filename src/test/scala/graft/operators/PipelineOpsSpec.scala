@@ -946,6 +946,26 @@ class PipelineOpsSpec extends SparkSpec {
         plan)
   }
 
+  test("approximate quality prune decides null-source documents: the " +
+    "null group is its own partition, exactly like the exact cut's " +
+    "PARTITION BY") {
+    // a plain equi-join on source would silently DROP the null-source
+    // row — the exact cut keeps nulls as their own window group, so
+    // the approx path must decide them too (null-safe join key)
+    val docs = Seq(
+      (1L, Some("web"), "the quick brown fox jumps over the lazy dog"),
+      (2L, Some("web"), "aaaa bbbb aaaa bbbb aaaa bbbb aaaa bbbb"),
+      (3L, None, "a perfectly ordinary document with no source at all")
+    ).toDF("doc_id", "source", "text")
+    val out = TextOps.qualityPruneApprox(docs).collect()
+    assert(out.length == 3, "every document must be decided exactly once")
+    val nullRow = out.find(_.isNullAt(1)).getOrElse(
+      fail("the null-source document vanished from the output"))
+    // a 1-doc group's median is its own margin → kept by >=
+    assert(nullRow.getAs[Boolean]("kept_top_half"),
+      "a singleton null-source group must keep its own median")
+  }
+
   test("paragraph dedup: first occurrence wins across and within docs, " +
     "exact-copy doc is fully dropped") {
     // chunks are ParaTokens-token aligned; build docs from 10-token units

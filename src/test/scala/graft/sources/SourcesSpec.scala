@@ -620,6 +620,52 @@ class SourcesSpec extends SparkSpec {
     } finally Sources.dropVersioned(spark, t)
   }
 
+  test("a FAILED creating write cleans up its in-flight marker: the " +
+    "leaked marker must not later vouch for a crashed upgrade's " +
+    "sole surviving copy") {
+    import org.apache.hadoop.fs.Path
+    import org.apache.spark.sql.catalyst.TableIdentifier
+    val nBuckets = 2
+    val t = "failed_create_test"
+    val marker = new Path(spark.sessionState.catalog
+      .defaultTablePath(TableIdentifier(t)).toString + "._append_creating")
+    val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val boom = org.apache.spark.sql.functions.udf(
+      (_: Long) => { sys.error("injected write failure"): Long })
+    try {
+      // the creating write fails IN-JVM (not a crash): the handler
+      // must reclaim the partial v1 and remove the marker
+      intercept[Exception] {
+        Sources.appendBucketed(
+          (0L until 4L).toDF("a").select(col("a"), boom(col("a")).as("b")),
+          t, Seq("a"), nBuckets)
+      }
+      assert(!fs.exists(marker),
+        "a failed in-JVM create leaked its marker — a later crashed " +
+          "plain->versioned upgrade's orphan would be silently dropped")
+      assert(!spark.catalog.tableExists(s"${t}__v1"),
+        "the failed create's partial version must be reclaimed")
+      // the name is immediately reusable, cleanly
+      Sources.appendBucketed(
+        (0L until 4L).map(i => (i % 2, 9L)).toDF("a", "b"),
+        t, Seq("a"), nBuckets)
+      assert(Sources.currentVersion(spark, t).contains(1))
+      assert(spark.table(t).count() == 4L)
+      // and with no marker present, a fabricated complete pointerless
+      // v1 (the crashed-upgrade shape) still gets the loud refusal
+      Sources.dropVersioned(spark, t)
+      Sources.writeBucketed(
+        (0L until 6L).map(i => (i % 2, 1L)).toDF("a", "b"),
+        s"${t}__v1", Seq("a"), nBuckets)
+      val e = intercept[IllegalArgumentException] {
+        Sources.appendBucketed(
+          (0L until 4L).map(i => (i % 2, 2L)).toDF("a", "b"),
+          t, Seq("a"), nBuckets)
+      }
+      assert(e.getMessage.contains("refusing to create over them"))
+    } finally Sources.dropVersioned(spark, t)
+  }
+
   test("dropVersioned's dead-file sweep matches the exact version " +
     "pattern: a prefix-colliding NEIGHBOR table's files survive") {
     import org.apache.spark.sql.catalyst.TableIdentifier
