@@ -623,8 +623,8 @@ object StreamingOps {
           .parquet(laidDir)
         val q = stream.writeStream
           .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
-            graft.sources.Manifest.build(batch, ZOrder.ManifestCols)
-              .write.mode("append").parquet(maniDir)
+            graft.sources.Manifest.appendFiles(batch, ZOrder.ManifestCols,
+              maniDir, ZOrder.ManifestCols.head)
           }
           .trigger(Trigger.AvailableNow()).start()
         q.awaitTermination()

@@ -54,6 +54,23 @@ object Manifest {
     manifest.sortWithinPartitions(col(s"min_$leadCol"))
       .write.mode("overwrite").parquet(dir)
 
+  /** Incrementally extend a stored manifest with an appended batch's
+    * files — the maintenance path an append-only ingest runs instead
+    * of rebuilding over the whole table: O(batch), not O(table).
+    * `newFiles` must cover ONLY the appended files (the appender has
+    * exactly that DataFrame in hand — its foreachBatch argument).
+    * The new rows land as their own manifest file(s), sorted on the
+    * leading stat so their footers stay tight; pruning stays correct
+    * between compactions, merely less globally ordered — a periodic
+    * rebuild + [[store]] (run with the table's own compaction)
+    * restores the single sorted layout. Safe under at-least-once
+    * re-delivery: a re-appended batch duplicates manifest ROWS, and
+    * [[prunedRead]] dedups the file list before reading. */
+  def appendFiles(newFiles: DataFrame, cols: Seq[String], dir: String,
+      leadCol: String): Unit =
+    build(newFiles, cols).sortWithinPartitions(col(s"min_$leadCol"))
+      .write.mode("append").parquet(dir)
+
   /** The file-keep predicate for a query box — kept
     * pushdown-translatable on purpose: each conjunct is
     * `(max_c >= lo OR max_c IS NULL) AND (min_c <= hi OR min_c IS
@@ -84,8 +101,12 @@ object Manifest {
     * row-level predicate: the manifest prunes files, not rows. */
   def prunedRead(spark: SparkSession, schema: StructType,
       manifest: DataFrame, ranges: Map[String, (Long, Long)]): DataFrame = {
+    // distinct: an at-least-once ingest that re-delivered a batch to
+    // [[appendFiles]] holds the same file twice in the manifest —
+    // its stats rows are identical, but reading the PATH twice would
+    // duplicate every row it contains
     val files = manifest.filter(keepExpr(ranges))
-      .select(col("file")).collect().map(_.getString(0))
+      .select(col("file")).distinct().collect().map(_.getString(0))
     if (files.isEmpty)
       spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)

@@ -511,6 +511,32 @@ class PipelineOpsSpec extends SparkSpec {
     assert(mid == dist, "mid-loop local handoff diverged")
   }
 
+  test("local union-find finish property: 30 random graphs against a " +
+    "reference union-find (component = min id, self-loop-only nodes " +
+    "unlabeled)") {
+    val rnd = new scala.util.Random(0x10CA1)
+    (1 to 30).foreach { i =>
+      val n = 2 + rnd.nextInt(40)
+      val edges = Seq.fill(1 + rnd.nextInt(60))(
+        (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+      val got = DedupOps.starComponents(
+        edges.toDF("a", "b"), DedupOps.LocalContractEdges).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      // reference: union-find over non-self-loop edges, label = min
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long =
+        if (parent(x) == x) x else { parent(x) = find(parent(x)); parent(x) }
+      edges.filter(e => e._1 != e._2).foreach { case (a, b) =>
+        parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val want = parent.keys.map(v => v -> find(v)).toMap
+      assert(got == want, s"sample $i (n=$n, ${edges.length} edges): " +
+        s"got $got, want $want")
+    }
+  }
+
   test("star clusters match propagation clusters on the gate corpus") {
     val docs = graft.Tables(spark, "/root/testdata/sf0.001", "documents")
     val prop = MinLabelClusters.dupClusters(docs).collect()

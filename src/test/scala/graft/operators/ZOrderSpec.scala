@@ -217,6 +217,42 @@ class ZOrderSpec extends SparkSpec {
     assert(viaStore == inMem, "stored manifest consult diverged")
   }
 
+  test("incremental manifest maintenance: appendFiles extends the " +
+    "stored manifest per batch, and an at-least-once RE-DELIVERED " +
+    "batch cannot double-read its files") {
+    import graft.sources.Manifest
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_mani_inc")
+    graft.streaming.EventStreams.deleteRecursivelyOnExit(tmp)
+    Seq((1L, 5L), (2L, 8L)).toDF("id", "k")
+      .coalesce(1).write.parquet(s"$tmp/d/a")
+    Seq((3L, 50L), (4L, 60L)).toDF("id", "k")
+      .coalesce(1).write.parquet(s"$tmp/d/b")
+    // ingest batch by batch: each appends only ITS files' stats
+    Manifest.appendFiles(spark.read.parquet(s"$tmp/d/a"), Seq("k"),
+      s"$tmp/m", "k")
+    Manifest.appendFiles(spark.read.parquet(s"$tmp/d/b"), Seq("k"),
+      s"$tmp/m", "k")
+    // the at-least-once hazard: batch b re-delivered after a retry
+    Manifest.appendFiles(spark.read.parquet(s"$tmp/d/b"), Seq("k"),
+      s"$tmp/m", "k")
+    val laid = spark.read.parquet(s"$tmp/d/a", s"$tmp/d/b")
+    val stored = spark.read.parquet(s"$tmp/m")
+    assert(stored.count() == 3, "re-delivery should duplicate the ROW")
+    // the incremental manifest equals a one-shot build, file-for-file
+    val oneShot = Manifest.build(laid, Seq("k"))
+      .select("file").as[String].collect().toSet
+    assert(stored.select("file").as[String].collect().toSet == oneShot,
+      "incrementally-built manifest diverged from the one-shot build")
+    // and the duplicate manifest row must NOT duplicate read rows
+    val pruned = Manifest.prunedRead(spark, laid.schema, stored,
+      Map("k" -> ((40L, 100L))))
+    assert(pruned.select("id").as[Long].collect().sorted.toSeq ==
+      Seq(3L, 4L), "re-appended batch double-read its file")
+    assert(pruned.inputFiles.length == 1,
+      "the disjoint batch-a file must still prune")
+  }
+
   test("manifest pruning head-to-head at 256 files: both curve layouts " +
     "keep pruning when the file count scales 16x, the unordered " +
     "baseline still reads everything") {
