@@ -508,10 +508,9 @@ object Analytics {
   /** Keep catalog statistics CURRENT under appends — the maintenance
     * every long-running ingest needs between compactions (the append
     * paths otherwise serve increasingly stale estimates until
-    * someone compacts). Called by the append wrappers
-    * ([[graft.operators.DedupOps.appendBandIndex]],
-    * [[graft.operators.SimilarityOps.appendIvfIndex]]) with the
-    * observed appended row count:
+    * someone compacts). Called by [[appendBucketedWithStats]] —
+    * under the table's writer lock — with the observed appended row
+    * count:
     *
     *  - never-analyzed table → no-op (there is no estimate to keep
     *    fresh, and silently paying an ANALYZE scan per trigger on a
@@ -570,6 +569,29 @@ object Analytics {
       }
     }
   }
+
+  /** The stats-maintaining append, whole: snapshot → append → bump,
+    * under the TABLE's writer lock so the read-modify-write on the
+    * catalog statistics is atomic against other in-driver mutators
+    * (two appenders snapshotting the same baseline would lose an
+    * increment; a compaction's fresh ANALYZE landing mid-triplet
+    * would be clobbered by the stale snapshot). The one body behind
+    * [[graft.operators.DedupOps.appendBands]] and
+    * [[graft.operators.SimilarityOps.appendIvfIndex]]: the count is
+    * observed on the write itself (no extra scan) and only when a
+    * stats snapshot exists to extend (no-op — and no listener-bus
+    * wait — on a never-analyzed table). */
+  def appendBucketedWithStats(batch: DataFrame, tableName: String,
+      bucketCols: Seq[String], numBuckets: Int): Long =
+    graft.sources.Sources.withTableLock(batch.sparkSession, tableName) {
+      val pre = preAppendStats(batch.sparkSession, tableName)
+      val appended = graft.sources.Sources.appendBucketed(
+        batch, tableName, bucketCols, numBuckets,
+        observeCount = pre.isDefined)
+      if (pre.isDefined)
+        maintainStatsOnAppend(batch.sparkSession, tableName, appended, pre)
+      appended
+    }
 
   /** ANALYZE a catalog table end to end: [[tableStats]] over its
     * current rows, fed back via [[feedCatalogStats]] — the engine's

@@ -691,19 +691,10 @@ object DedupOps {
     * re-shingling the batch just to append would pay the whole
     * minhash pass twice per trigger). */
   def appendBands(
-      bands: DataFrame, tableName: String, numBuckets: Int): Unit = {
-    val pre = Analytics.preAppendStats(bands.sparkSession, tableName)
-    // keep catalog estimates current between compactions: the count
-    // is observed on the write itself (no extra scan) and only when
-    // a stats snapshot exists to extend (no-op — and no listener-bus
-    // wait — on a never-analyzed table)
-    val appended = graft.sources.Sources.appendBucketed(
-      bands, tableName, Seq("band", "bucket"), numBuckets,
-      observeCount = pre.isDefined)
-    if (pre.isDefined)
-      Analytics.maintainStatsOnAppend(
-        bands.sparkSession, tableName, appended, pre)
-  }
+      bands: DataFrame, tableName: String, numBuckets: Int): Unit =
+    // snapshot → append → stats bump, atomically vs other mutators
+    Analytics.appendBucketedWithStats(
+      bands, tableName, Seq("band", "bucket"), numBuckets)
 
   /** Left-joins component labels back onto the full corpus: docs
     * incident to no (surviving) candidate edge are their own

@@ -146,17 +146,29 @@ object EventAnalytics {
           .as("within_2x"))
   }
 
+  /** The half-split predicate + per-type counts shared by
+    * q_drift_2prop and q_stream_drift: rows strictly below the span
+    * midpoint land in half 0 (the reference window), the rest in
+    * half 1 — ONE definition of the split rule and the r_cnt/l_cnt
+    * aggregation, so retuning either (e.g. < vs <=, or generalizing
+    * the midpoint to a reference-window constant) cannot fork the
+    * batch screen from the stream-maintained counts. `mm` is the
+    * min+max comparison constant: a literal in the stream gate, the
+    * broadcast scalar column in batch. */
+  private[operators] def driftHalfCounts(
+      ev: DataFrame, mm: Column): DataFrame =
+    ev.select(col("event_type"),
+        when(col("ts_us") * 2 < mm, 0).otherwise(1).as("half"))
+      .groupBy(col("event_type"))
+      .agg(sum(when(col("half") === 0, 1L).otherwise(0L)).as("r_cnt"),
+        sum(when(col("half") === 1, 1L).otherwise(0L)).as("l_cnt"))
+
   /** The two-proportion drift screen body over an `ev` frame with
     * (event_type, ts_us) — factored so the spec can plant a drifting
     * fixture through the identical arithmetic. */
   private[operators] def driftTwoProp(ev: DataFrame): DataFrame = {
     val span = ev.agg((min(col("ts_us")) + max(col("ts_us"))).as("mm"))
-    driftFlags(ev.crossJoin(broadcast(span))
-      .select(col("event_type"),
-        when(col("ts_us") * 2 < col("mm"), 0).otherwise(1).as("half"))
-      .groupBy(col("event_type"))
-      .agg(sum(when(col("half") === 0, 1L).otherwise(0L)).as("r_cnt"),
-        sum(when(col("half") === 1, 1L).otherwise(0L)).as("l_cnt")))
+    driftFlags(driftHalfCounts(ev.crossJoin(broadcast(span)), col("mm")))
   }
 
   /** ONE oracle for q_drift_2prop AND q_stream_drift: the exact
@@ -505,15 +517,12 @@ object EventAnalytics {
     // the HLL_8 union gadget can settle the HLL_4 target a hair
     // differently — but it IS deterministic and equally accurate).
     QueryDef.sql("q_sketch_hll", hllAuditSql) { (s, dir) =>
-      Tables(s, dir, "documents")
-        .groupBy(col("source"))
-        .agg(
-          countDistinct(md5(col("text").cast("binary"))).as("n_exact"),
-          hll_sketch_estimate(
-            hll_sketch_agg(md5(col("text").cast("binary")))).as("est"))
-        .select(col("source"), col("n_exact"),
-          (abs(col("est") - col("n_exact")) * 20 <= col("n_exact"))
-            .as("hll_within_5pct"))
+      val docs = Tables(s, dir, "documents")
+      hllAudit(
+        docs.groupBy(col("source"))
+          .agg(hll_sketch_estimate(
+            hll_sketch_agg(md5(col("text").cast("binary")))).as("est")),
+        docs)
     },
 
     // ROLLING-window distinct via HLL sketch UNION — the
@@ -852,6 +861,22 @@ object EventAnalytics {
         coalesce(col("all_heavy_found"), lit(true)).as("all_heavy_found"),
         coalesce(col("under_bound_ok"), lit(true)).as("under_bound_ok"))
   }
+
+  /** ONE audit body for q_sketch_hll AND q_stream_hll (the
+    * [[freqAudit]] pattern): join per-source sketch `estimates`
+    * (source, est) against the exact distinct over `docs` and flag
+    * the 5% contract — batch and stream share the flag ARITHMETIC as
+    * well as the oracle, so retuning the contract cannot fork them
+    * silently (the oracle's TRUE column only checks that the flag
+    * holds, not which threshold produced it). */
+  private[operators] def hllAudit(
+      estimates: DataFrame, docs: DataFrame): DataFrame =
+    docs.groupBy(col("source"))
+      .agg(countDistinct(md5(col("text").cast("binary"))).as("n_exact"))
+      .join(estimates, "source")
+      .select(col("source"), col("n_exact"),
+        (abs(col("est") - col("n_exact")) * 20 <= col("n_exact"))
+          .as("hll_within_5pct"))
 
   /** ONE oracle for q_sketch_hll AND q_stream_hll: the accuracy
     * contract both the batch sketch and the stream-maintained sketch

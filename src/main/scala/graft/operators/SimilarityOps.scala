@@ -2889,25 +2889,16 @@ object SimilarityOps {
     * is the failure mode you want for an index whose layout IS the
     * serving contract. */
   def appendIvfIndex(batch: DataFrame, centroids: Seq[(Long, Array[Float])],
-      tableName: String, numBuckets: Int): Unit = {
-    val pre = Analytics.preAppendStats(batch.sparkSession, tableName)
-    // keep catalog estimates current between compactions: the count
-    // is observed on the write itself (no extra scan) and only when
-    // a stats snapshot exists to extend (no-op — and no listener-bus
-    // wait — on a never-analyzed table)
-    val appended = graft.sources.Sources.appendBucketed(
+      tableName: String, numBuckets: Int): Unit =
+    // snapshot → append → stats bump, atomically vs other mutators
+    Analytics.appendBucketedWithStats(
       batch.select(col("vec_id"), col("embedding"),
           col("embedding").as("qv"))
         .select(col("vec_id"),
           element_at(nearestCellsConst(batch.sparkSession, centroids, 1), 1)
             .getField("centroid_id").as("centroid_id"),
           col("embedding")),
-      tableName, Seq("centroid_id"), numBuckets,
-      observeCount = pre.isDefined)
-    if (pre.isDefined)
-      Analytics.maintainStatsOnAppend(
-        batch.sparkSession, tableName, appended, pre)
-  }
+      tableName, Seq("centroid_id"), numBuckets)
 
   /** ANN serve over a STORED [[writeIvfIndex]] table, shaped so the
     * query batch may be a STREAMING DataFrame — the serving twin of

@@ -32,6 +32,22 @@ object StreamingOps {
     try body finally s.conf.set(key, prev)
   }
 
+  /** Pin the RocksDB state-store provider for `body` and restore the
+    * prior setting after — transformWithState requires it, and the
+    * one set/try/restore discipline lives here so the TWS gates
+    * cannot drift apart on the restore logic. */
+  private def withRocksDbProvider[T](
+      s: org.apache.spark.sql.SparkSession)(body: => T): T = {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = s.conf.getOption(key)
+    s.conf.set(key, "org.apache.spark.sql.execution.streaming" +
+      ".state.RocksDBStateStoreProvider")
+    try body finally prev match {
+      case Some(v) => s.conf.set(key, v)
+      case None => s.conf.unset(key)
+    }
+  }
+
   /** One q_stream_topk leaderboard maintenance round: merge a
     * trigger's UPDATED cumulative counts into the prior k-row board
     * and re-take the top k. `max(cnt)` resolves a user present on
@@ -299,11 +315,7 @@ object StreamingOps {
     QueryDef.sql("q_stream_funnel_tws", EventAnalytics.funnelSql) {
       (s, dir) => withStreamPartitions(s, 8) {
         import s.implicits._
-        val key = "spark.sql.streaming.stateStore.providerClass"
-        val prev = s.conf.getOption(key)
-        s.conf.set(key, "org.apache.spark.sql.execution.streaming" +
-          ".state.RocksDBStateStoreProvider")
-        try {
+        withRocksDbProvider(s) {
           val ev = Tables.events(s, dir)
             .select(col("user_id"), col("ts_us"), col("event_id"),
               col("event_type"))
@@ -320,10 +332,8 @@ object StreamingOps {
               count(col("s1")).as("n_signup"),
               count(col("s2")).as("n_view_after_signup"),
               count(col("s3")).as("n_purchase_after_view"))
+            // the memory sink outlives the conf restore: pin the rows
             .localCheckpoint()
-        } finally prev match {
-          case Some(v) => s.conf.set(key, v)
-          case None => s.conf.unset(key)
         }
       }
     },
@@ -717,11 +727,7 @@ object StreamingOps {
     QueryDef.sql("q_stream_sessionize_tws", sessionizeSql) {
       (s, dir) => withStreamPartitions(s, 8) {
         import s.implicits._
-        val key = "spark.sql.streaming.stateStore.providerClass"
-        val prev = s.conf.getOption(key)
-        s.conf.set(key, "org.apache.spark.sql.execution.streaming" +
-          ".state.RocksDBStateStoreProvider")
-        try {
+        withRocksDbProvider(s) {
           val ev = Tables.events(s, dir)
             .select(col("user_id"), col("ts_us"), col("event_id"))
           val inDir = EventStreams.timeSlicedDir(
@@ -739,9 +745,6 @@ object StreamingOps {
             // the memory sink outlives the conf restore below: pin
             // the rows so downstream reads don't re-plan the stream
             .localCheckpoint()
-        } finally prev match {
-          case Some(v) => s.conf.set(key, v)
-          case None => s.conf.unset(key)
         }
       }
     },
@@ -766,21 +769,29 @@ object StreamingOps {
         docs.select(col("doc_id"), lit("keep").as("op"),
           col("text").as("payload"))
           .write.mode("overwrite").parquet(v0)
-        var snapPath = v0
+        // the version CHAIN derives from the batch id, not a driver
+        // var: batch N always reads snap/N and overwrites snap/N+1,
+        // so an at-least-once RE-DELIVERY of batch N re-reads the
+        // intact prior snapshot and idempotently rewrites the same
+        // next version (a mutable read-path var would have advanced
+        // past it and read-overwrite the SAME directory), and a
+        // checkpointed restart resumes mid-chain because the paths
+        // are a pure function of the ids the source replays
+        var lastApplied = 0L // final-read bookmark only, never a read path
         val changes = WarehouseOps.gateChanges(docs)
         val inDir = EventStreams.orderedSlicedDir(changes, "doc_id", 3)
         val stream = s.readStream.schema(changes.schema)
           .option("maxFilesPerTrigger", "1").parquet(inDir)
         val q = stream.writeStream
           .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
-            val next = s"$tmp/snap/${id + 1}"
-            WarehouseOps.mergeApplyCdc(s.read.parquet(snapPath), batch)
-              .write.mode("overwrite").parquet(next)
-            snapPath = next
+            WarehouseOps.mergeApplyCdc(
+                s.read.parquet(s"$tmp/snap/$id"), batch)
+              .write.mode("overwrite").parquet(s"$tmp/snap/${id + 1}")
+            lastApplied = math.max(lastApplied, id + 1)
           }
           .trigger(Trigger.AvailableNow()).start()
         q.awaitTermination()
-        s.read.parquet(snapPath)
+        s.read.parquet(s"$tmp/snap/$lastApplied")
           .select(col("doc_id"), col("op"),
             md5(col("payload").cast("binary")).as("content_hash"),
             length(col("payload")).cast("long").as("n_chars"))
@@ -875,14 +886,8 @@ object StreamingOps {
           .writeStream.format("memory").queryName("graft_stream_hll")
           .outputMode("complete").trigger(Trigger.AvailableNow()).start()
         q.awaitTermination()
-        val exact = Tables(s, dir, "documents")
-          .groupBy(col("source"))
-          .agg(countDistinct(md5(col("text").cast("binary"))).as("n_exact"))
-        s.table("graft_stream_hll")
-          .join(exact, "source")
-          .select(col("source"), col("n_exact"),
-            (abs(col("est") - col("n_exact")) * 20 <= col("n_exact"))
-              .as("hll_within_5pct"))
+        EventAnalytics.hllAudit(s.table("graft_stream_hll"),
+          Tables(s, dir, "documents"))
       }
     },
 
@@ -959,12 +964,7 @@ object StreamingOps {
         val inDir = EventStreams.stagedParquet(ev, 4)
         val stream = s.readStream.schema(ev.schema)
           .option("maxFilesPerTrigger", "1").parquet(inDir)
-        val q = stream
-          .select(col("event_type"),
-            when(col("ts_us") * 2 < mm, 0).otherwise(1).as("half"))
-          .groupBy(col("event_type"))
-          .agg(sum(when(col("half") === 0, 1L).otherwise(0L)).as("r_cnt"),
-            sum(when(col("half") === 1, 1L).otherwise(0L)).as("l_cnt"))
+        val q = EventAnalytics.driftHalfCounts(stream, lit(mm))
           .writeStream.format("memory").queryName("graft_stream_drift")
           .outputMode("complete").trigger(Trigger.AvailableNow()).start()
         q.awaitTermination()

@@ -165,6 +165,17 @@ object Sources {
     lock.synchronized(body)
   }
 
+  /** The writer lock, exposed for multi-step read-modify-write
+    * sequences AROUND a mutation that must be atomic against other
+    * in-driver mutators — e.g. the stats triplet (catalog snapshot →
+    * append → stats bump): run outside the lock, two appenders can
+    * both snapshot the same baseline and the second bump silently
+    * discards the first's increment, or a compaction's fresh ANALYZE
+    * lands between a snapshot and its bump and is clobbered by the
+    * stale colStats. Reentrant — the inner append/swap re-enters. */
+  def withTableLock[T](spark: SparkSession, tableName: String)(
+      body: => T): T = withWriterLock(spark, tableName)(body)
+
   /** A swap found the version pointer moved by another writer between
     * its derivation and its commit — the derivation read a superseded
     * base, so committing would silently discard the foreign update.
