@@ -709,7 +709,8 @@ object CurationOps {
          |d AS (SELECT doc_id, dd.source, epochs_x100,
          |        CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)
          |             AS BIGINT) AS b4
-         |      FROM documents dd JOIN plan ON dd.source = plan.source),
+         |      FROM documents dd JOIN plan
+         |        ON dd.source IS NOT DISTINCT FROM plan.source),
          |c AS (SELECT doc_id, source,
          |        epochs_x100 // 100 +
          |        CASE WHEN b4 * 100 < (epochs_x100 % 100) * 65536
@@ -823,11 +824,16 @@ object CurationOps {
   def epochExpand(docs: org.apache.spark.sql.DataFrame,
       budget: Long): org.apache.spark.sql.DataFrame = {
     val plan = tokenBudgetPlan(docs, budget)
-      .select(col("source"), col("epochs_x100"))
+      .select(col("source").as("plan_source"), col("epochs_x100"))
     val b4 = conv(substring(idHash(col("doc_id")), 1, 4), 16, 10)
       .cast("long")
+    // null-safe join key: tokenBudgetPlan's groupBy allocates a
+    // null-source group its budget weight, so a plain equi-join here
+    // would DROP those documents and silently under-deliver the
+    // total budget (the qualityPruneApprox lesson; oracle matches
+    // via IS NOT DISTINCT FROM)
     docs.select(col("doc_id"), col("source"))
-      .join(broadcast(plan), "source")
+      .join(broadcast(plan), col("source") <=> col("plan_source"))
       .withColumn("n_copies",
         expr("epochs_x100 div 100") +
           when(b4 * 100 < (col("epochs_x100") % 100) * 65536, 1L)

@@ -549,11 +549,16 @@ object EventAnalytics {
          |      GROUP BY 1, 2)
          |SELECT event_type, hr, n_exact, TRUE AS hll_within_5pct
          |FROM x""".stripMargin) { (s, dir) =>
+      import graft.operators.Materialize.PinOps
       val e = Tables.events(s, dir)
         .select(col("event_type"), col("user_id"),
           expr(s"ts_us DIV $HourUs").as("hr"))
+      // pinned: the sketch window AND the exact-grid join both read
+      // the hourly aggregate — without the pin each consumer re-runs
+      // the per-hour sketch aggregation over the events scan
       val hourly = e.groupBy(col("event_type"), col("hr"))
         .agg(hll_sketch_agg(col("user_id")).as("sk"))
+        .pinned
       val w = Window.partitionBy(col("event_type"))
         .orderBy(col("hr")).rangeBetween(-2, 0)
       val est = hourly.select(col("event_type"), col("hr"),
@@ -561,7 +566,9 @@ object EventAnalytics {
       val exact = e
         .select(col("event_type"), col("user_id"),
           explode(array(col("hr"), col("hr") + 1, col("hr") + 2)).as("h"))
-        .join(e.select(col("event_type"), col("hr").as("h")).distinct(),
+        // the observed-hour grid IS hourly's key set — reusing it
+        // saves a second full event-level distinct shuffle
+        .join(hourly.select(col("event_type"), col("hr").as("h")),
           Seq("event_type", "h"))
         .groupBy(col("event_type"), col("h").as("hr"))
         .agg(countDistinct(col("user_id")).as("n_exact"))
@@ -722,8 +729,12 @@ object EventAnalytics {
     // CENTS (per-element round(value·100) summed as BIGINT — the
     // q_window_trailing discipline, so no float sum order can
     // diverge between Spark's partial aggregation and DuckDB's), and
-    // interpolation runs on those exact integers with the identical
-    // IEEE expression tree, so the doubles match bit for bit. Scale:
+    // the interpolated value is computed ENTIRELY in integer 1e-4
+    // units (numerator cross-form × 100, one truncating integer
+    // division — NOT round(double, 4), whose half-up boundary is the
+    // documented Spark-vs-DuckDB divergence the q_quality_clf floor
+    // switch exists for) before ONE identical final /10000.0, so the
+    // doubles match bit for bit on both engines. Scale:
     // one (type, hour) groupBy — map-side combinable — then every
     // window runs on the types × hours grid, dashboard-sized however
     // large the event volume; interior gaps always have both
@@ -754,7 +765,8 @@ object EventAnalytics {
          |                    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
          |SELECT event_type, hr,
          |       CASE WHEN c IS NOT NULL THEN c / 100.0
-         |            ELSE round((pc + (nc - pc) * (hr - ph) / (nh - ph)) / 100.0, 4)
+         |            ELSE ((pc * (nh - hr) + nc * (hr - ph)) * 100
+         |                  // (nh - ph)) / 10000.0
          |       END AS value_filled,
          |       c IS NULL AS is_filled
          |FROM f""".stripMargin) { (s, dir) =>
@@ -778,10 +790,11 @@ object EventAnalytics {
             .over(wn).as("nh"))
         .select(col("event_type"), col("hr"),
           when(col("c").isNotNull, col("c") / lit(100.0))
-            .otherwise(round(
-              (col("pc") + (col("nc") - col("pc")) *
-                (col("hr") - col("ph")) / (col("nh") - col("ph"))) / lit(100.0),
-              4))
+            // exact integer 1e-4 units, ONE final double division —
+            // identical integers + identical IEEE op on both engines
+            .otherwise(expr(
+              "((pc * (nh - hr) + nc * (hr - ph)) * 100) DIV (nh - ph)")
+              / lit(10000.0))
             .as("value_filled"),
           col("c").isNull.as("is_filled"))
     }

@@ -315,14 +315,11 @@ object SimilarityOps {
     * election are bounded windows (≤ cell members, ≤ LabelNoiseK
     * votes per vector). */
   def labelNoise(e: DataFrame, centroids: DataFrame, k: Int): DataFrame = {
-    val assigned = e.crossJoin(broadcast(centroids))
-      .select(col("vec_id"), col("label"), col("embedding"), col("centroid_id"),
-        CosineSimilarity(e.sparkSession, col("cv"), col("embedding")).as("cos"))
-      .withColumn("arnk", row_number().over(
-        Window.partitionBy(col("vec_id"))
-          .orderBy(col("cos").desc, col("centroid_id"))))
-      .filter(col("arnk") === 1)
-      .select(col("vec_id"), col("label"), col("embedding"), col("centroid_id"))
+    // the SHARED assignment body (knnGraph/bitextMine's blocking
+    // step), carrying the label through — not a re-implementation, so
+    // a tie-break or assignment retune cannot desynchronize the
+    // cell-scoped screens
+    val assigned = cellMembers(e, centroids, carry = Seq("label"))
     val nbrs = assigned.select(col("vec_id").as("nbr"),
       col("label").as("nbr_label"), col("embedding").as("nv"),
       col("centroid_id"))
@@ -350,17 +347,26 @@ object SimilarityOps {
     * through — the blocking step [[knnGraph]], [[bitextMine]] and
     * [[labelNoise]] share: one broadcast-centroid scan, argmax by
     * (cos desc, centroid_id), output (vec_id, embedding,
-    * centroid_id). Never a corpus shuffle — the window partitions by
-    * vec_id over the k-fanout scored rows. */
-  private def cellMembers(e: DataFrame, centroids: DataFrame): DataFrame =
+    * centroid_id) plus any `carry` columns a caller needs alongside
+    * (labelNoise carries the label — one shared assignment rule, no
+    * per-caller copy to drift on a tie-break retune). Never a corpus
+    * shuffle — the window partitions by vec_id over the k-fanout
+    * scored rows. */
+  private def cellMembers(e: DataFrame, centroids: DataFrame,
+      carry: Seq[String] = Nil): DataFrame = {
+    val carried = carry.map(col)
     e.crossJoin(broadcast(centroids))
-      .select(col("vec_id"), col("embedding"), col("centroid_id"),
-        CosineSimilarity(e.sparkSession, col("cv"), col("embedding")).as("cos"))
+      .select(col("vec_id") +: col("embedding") +: col("centroid_id") +:
+        carried :+
+        CosineSimilarity(e.sparkSession, col("cv"), col("embedding"))
+          .as("cos"): _*)
       .withColumn("arnk", row_number().over(
         Window.partitionBy(col("vec_id"))
           .orderBy(col("cos").desc, col("centroid_id"))))
       .filter(col("arnk") === 1)
-      .select(col("vec_id"), col("embedding"), col("centroid_id"))
+      .select(col("vec_id") +: col("embedding") +: col("centroid_id") +:
+        carried: _*)
+  }
 
   /** Mutual-kNN graph over the embedding corpus, cell-blocked: each
     * vector's top-k cosine neighbors WITHIN its centroid cell, kept
@@ -610,6 +616,23 @@ object SimilarityOps {
   def ivfTrainQuantized(corpus: DataFrame, k: Int, iters: Int): DataFrame =
     ivfLloyd(corpus, k, iters, c => round(avg(c), 6))
 
+  /** Rank-strided Lloyd seed selection — ONE rule for the IVF and PQ
+    * trainings: dense SurrogateIds rank over vec_id, keep ranks
+    * 0, stride, …, (k−1)·stride with stride = max(1, n/k). Dense
+    * ranks exist by construction, so exactly k seeds come back;
+    * `cid` is the seed ordinal (PQ keys its codebook on it, IVF
+    * drops it). Factored so a seeding retune or sparse-rank guard
+    * cannot be applied to one training and not the other. */
+  private def stridedSeedIds(e: DataFrame, n: Long, k: Int): DataFrame = {
+    val stride = math.max(1L, n / k)
+    graft.imdb.SurrogateIds.assignLong(
+        e.select(col("vec_id")), "_rnk", Seq(col("vec_id")))
+      .filter((col("_rnk") - 1) % stride === 0 &&
+        col("_rnk") - 1 < stride * k)
+      .select(col("vec_id"),
+        ((col("_rnk") - 1) / stride).cast("int").as("cid"))
+  }
+
   private def ivfLloyd(corpus: DataFrame, k: Int, iters: Int,
       meanOf: Column => Column): DataFrame = {
     val firstRow = corpus.select(size(col("embedding")).as("d")).limit(1).collect()
@@ -617,12 +640,7 @@ object SimilarityOps {
     val dim = firstRow(0).getInt(0)
     val n = corpus.count()
     require(n >= k, s"ivfTrain: corpus has $n vectors, need at least k=$k")
-    val stride = math.max(1L, n / k)
-    val seedIds = graft.imdb.SurrogateIds.assignLong(
-        corpus.select(col("vec_id")), "_rnk", Seq(col("vec_id")))
-      .filter((col("_rnk") - 1) % stride === 0 &&
-        col("_rnk") - 1 < stride * k)
-      .select(col("vec_id"))
+    val seedIds = stridedSeedIds(corpus, n, k).select(col("vec_id"))
     var centroids = corpus
       .join(broadcast(seedIds), "vec_id")
       .select(col("vec_id").as("centroid_id"), col("embedding").as("cv"))
@@ -842,8 +860,6 @@ object SimilarityOps {
        |mn AS (SELECT vec_id, j, min({'d': d2, 'c': cid}) AS m
        |       FROM d GROUP BY vec_id, j)""".stripMargin
 
-  /** DuckDB cosine over list columns `a`,`b` — sequential
-    * left-to-right accumulation, bit-identical to [[CosineSimilarity]]. */
   /** Sign-bit word `w` (0 or 1) of `v`: dims 32w+1..32w+32 packed
     * into bits 0..31 of a BIGINT — 32-bit words because DuckDB
     * overflow-checks `1 << 63`, and two popcounts cost the same as
@@ -1232,6 +1248,9 @@ object SimilarityOps {
          |FROM g$NNDescentRounds""".stripMargin
   }
 
+  /** DuckDB cosine over list columns `a`,`b` — sequential
+    * left-to-right accumulation, bit-identical to
+    * [[graft.functions.CosineSimilarity]]. */
   private def cosSql(a: String, b: String): String =
     s"""list_sum(list_transform(range(len($a)),
        |           i -> CAST($a[i+1] AS DOUBLE) * CAST($b[i+1] AS DOUBLE)))
@@ -2571,28 +2590,6 @@ object SimilarityOps {
         col("drop_id"), round(col("cos"), 6).as("sim"))
   }
 
-  /** Product-quantization code assignment (Jégou et al., "Product
-    * Quantization for Nearest Neighbor Search", TPAMI 2011): split
-    * each vector into [[PqSubspaces]] contiguous [[PqSubDim]]-dim
-    * subvectors and code each against its subspace's
-    * [[PqCentroids]]-entry codebook by squared-L2 argmin; emit the
-    * per-subspace codes plus the total reconstruction error.
-    *
-    * Scale design: the codebook (subspaces × centroids = 16 rows
-    * here, m × 256 in production — tiny either way) BROADCASTS
-    * through a `sub`-keyed equi-join, so coding is map-side over the
-    * corpus: explode into subvectors, score against the codebook
-    * rows of the same subspace, argmin via a lexicographic
-    * `min(struct(d2, cid))` (deterministic centroid-id tie-break),
-    * and re-assemble one code row per vector. No window, no
-    * all-pairs anything. At 100 TB the coded corpus is
-    * [[PqSubspaces]] small ints per vector instead of 64 floats —
-    * the memory/scan ratio that makes IVF-PQ the standard ANN
-    * layout. The squared-distance fold is strictly sequential
-    * left-to-right, matching the oracle's `list_sum` order.
-    *
-    * Output: (vec_id, code0..code{m−1}, recon_err).
-    */
   /** Vector → its [[PqSubspaces]] contiguous subvectors. */
   private def subvecs(v: Column): Column =
     transform(sequence(lit(0), lit(PqSubspaces - 1)),
@@ -2669,13 +2666,7 @@ object SimilarityOps {
       meanOf: Column => Column): DataFrame = {
     val n = e.count()
     require(n >= k, s"$caller: corpus has $n vectors, need at least k=$k")
-    val stride = math.max(1L, n / k)
-    val seedIds = graft.imdb.SurrogateIds.assignLong(
-        e.select(col("vec_id")), "_rnk", Seq(col("vec_id")))
-      .filter((col("_rnk") - 1) % stride === 0 &&
-        col("_rnk") - 1 < stride * k)
-      .select(col("vec_id"),
-        ((col("_rnk") - 1) / stride).cast("int").as("cid"))
+    val seedIds = stridedSeedIds(e, n, k)
     val ev = e.select(col("vec_id"),
       posexplode(subvecs(col("embedding"))).as(Seq("sub", "esub")))
       .select(col("vec_id"), col("sub"),
@@ -2730,6 +2721,28 @@ object SimilarityOps {
       .select(col("sub"), col("cid"),
         posexplode(col("csub")).as(Seq("dim", "v")))
 
+  /** Product-quantization code assignment (Jégou et al., "Product
+    * Quantization for Nearest Neighbor Search", TPAMI 2011): split
+    * each vector into [[PqSubspaces]] contiguous [[PqSubDim]]-dim
+    * subvectors and code each against its subspace's
+    * [[PqCentroids]]-entry codebook by squared-L2 argmin; emit the
+    * per-subspace codes plus the total reconstruction error.
+    *
+    * Scale design: the codebook (subspaces × centroids = 16 rows
+    * here, m × 256 in production — tiny either way) BROADCASTS
+    * through a `sub`-keyed equi-join, so coding is map-side over the
+    * corpus: explode into subvectors, score against the codebook
+    * rows of the same subspace, argmin via a lexicographic
+    * `min(struct(d2, cid))` (deterministic centroid-id tie-break),
+    * and re-assemble one code row per vector. No window, no
+    * all-pairs anything. At 100 TB the coded corpus is
+    * [[PqSubspaces]] small ints per vector instead of 64 floats —
+    * the memory/scan ratio that makes IVF-PQ the standard ANN
+    * layout. The squared-distance fold is strictly sequential
+    * left-to-right, matching the oracle's `list_sum` order.
+    *
+    * Output: (vec_id, code0..code{m−1}, recon_err).
+    */
   def pqCodes(e: DataFrame): DataFrame = {
     val a = pqAssign(e)
     def codeAt(j: Int): Column =
@@ -2742,47 +2755,6 @@ object SimilarityOps {
           :+ round(recon, 6).as("recon_err")): _*)
   }
 
-  /** PQ asymmetric-distance search (ADC, Jégou et al. TPAMI'11 §IV):
-    * for each query, precompute the m×k table of squared distances
-    * from the query's subvectors to every codebook centroid, then
-    * score every CODED vector by summing m table lookups — the
-    * search-time half of IVF-PQ, where the corpus is scanned as
-    * [[PqSubspaces]] small ints per vector and the original floats
-    * are never touched.
-    *
-    * Scale design: the distance table is queries × m × k rows (80
-    * here; a few thousand in production) and BROADCASTS; scoring is
-    * a map-side equi-join on (sub, code) over the code table, and
-    * the per-vector sum is re-assembled in FIXED subspace order
-    * (conditional-max pivot, d0+d1+…) so both engines add the same
-    * doubles in the same sequence. Top-k per query is a bounded
-    * window over [[NumProbes]] partitions cut on the UNROUNDED
-    * score; ADC distances are exact reconstruction distances when a
-    * vector equals its code reconstruction (spec-pinned).
-    *
-    * Output: (query_id, neighbor_id, rnk, adc_dist) per query ×
-    * top-k, self-matches excluded.
-    */
-  /** Full IVFADC search (Jégou et al. TPAMI'11 §V): corpus vectors
-    * are PQ-coded on their RESIDUAL to their IVF cell centroid; a
-    * query probes its nprobe nearest cells, builds one residual
-    * distance table per probed cell, and ADC-scores ONLY the coded
-    * vectors of those cells — the composition that serves
-    * billion-vector ANN in production.
-    *
-    * Scale design: everything small broadcasts (coarse centroids,
-    * residual codebook, the queries×nprobe×m×k distance table —
-    * 160 rows here); the corpus-sized pieces move at most twice
-    * (cell assignment, residual coding — both one-off index-build
-    * passes at 100 TB, stored alongside the data), and the per-query
-    * scan touches nprobe/ncells of the CODE table only: small ints,
-    * never the original floats. The scored join is an equi-join on
-    * (cell, sub, code); the per-vector ADC sum re-assembles in fixed
-    * subspace order; top-k is a bounded window over the probe
-    * queries. Self-matches excluded, ties break on vec_id.
-    *
-    * Output: (query_id, neighbor_id, rnk, adc_dist).
-    */
   /** Index-build half of IVFADC: residual-code the corpus against its
     * IVF cells. Returns (codes, residual codebook) — codes =
     * (vec_id, sub, code, dmin, centroid_id), codebook = the exploded
@@ -2832,6 +2804,26 @@ object SimilarityOps {
     adcTopK(joined, k)
   }
 
+  /** Full IVFADC search (Jégou et al. TPAMI'11 §V): corpus vectors
+    * are PQ-coded on their RESIDUAL to their IVF cell centroid; a
+    * query probes its nprobe nearest cells, builds one residual
+    * distance table per probed cell, and ADC-scores ONLY the coded
+    * vectors of those cells — the composition that serves
+    * billion-vector ANN in production.
+    *
+    * Scale design: everything small broadcasts (coarse centroids,
+    * residual codebook, the queries×nprobe×m×k distance table —
+    * 160 rows here); the corpus-sized pieces move at most twice
+    * (cell assignment, residual coding — both one-off index-build
+    * passes at 100 TB, stored alongside the data), and the per-query
+    * scan touches nprobe/ncells of the CODE table only: small ints,
+    * never the original floats. The scored join is an equi-join on
+    * (cell, sub, code); the per-vector ADC sum re-assembles in fixed
+    * subspace order; top-k is a bounded window over the probe
+    * queries. Self-matches excluded, ties break on vec_id.
+    *
+    * Output: (query_id, neighbor_id, rnk, adc_dist).
+    */
   def ivfPqSearch(e: DataFrame, centroids: DataFrame, probes: DataFrame,
       nprobe: Int, k: Int): DataFrame = {
     val (codes, cb) = ivfPqIndex(e, centroids)
@@ -3031,6 +3023,27 @@ object SimilarityOps {
     adcTopK(joined, k)
   }
 
+  /** PQ asymmetric-distance search (ADC, Jégou et al. TPAMI'11 §IV):
+    * for each query, precompute the m×k table of squared distances
+    * from the query's subvectors to every codebook centroid, then
+    * score every CODED vector by summing m table lookups — the
+    * search-time half of IVF-PQ, where the corpus is scanned as
+    * [[PqSubspaces]] small ints per vector and the original floats
+    * are never touched.
+    *
+    * Scale design: the distance table is queries × m × k rows (80
+    * here; a few thousand in production) and BROADCASTS; scoring is
+    * a map-side equi-join on (sub, code) over the code table, and
+    * the per-vector sum is re-assembled in FIXED subspace order
+    * (conditional-max pivot, d0+d1+…) so both engines add the same
+    * doubles in the same sequence. Top-k per query is a bounded
+    * window over [[NumProbes]] partitions cut on the UNROUNDED
+    * score; ADC distances are exact reconstruction distances when a
+    * vector equals its code reconstruction (spec-pinned).
+    *
+    * Output: (query_id, neighbor_id, rnk, adc_dist) per query ×
+    * top-k, self-matches excluded.
+    */
   def pqAdcTopK(e: DataFrame, probes: DataFrame, k: Int): DataFrame =
     pqAdcTopKWith(e, probes, pqCodebook(e), k)
 

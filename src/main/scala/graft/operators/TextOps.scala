@@ -746,11 +746,16 @@ object TextOps {
     * shared by the stats gate and the dedup candidate generator.
     * n_grams/n_windows are pure length arithmetic (clamped at 0 for
     * texts shorter than a gram/window, matching the expression's
-    * empty-array guards). */
+    * empty-array guards). NULL-text parity, pinned empirically
+    * against DuckDB: n_grams null-propagates (the oracle's len(encs)
+    * is NULL there, while Spark's bare greatest() would SKIP the
+    * null operand and emit 0); n_windows stays the bare greatest —
+    * BOTH engines' greatest ignores nulls, so both emit 0. The same
+    * divergence class winnowSelCol's coalesce closes for `sel`. */
   def winnowSel(docs: DataFrame): DataFrame = {
     val nGrams = greatest(length(col("text")) - (WinnowK - 1), lit(0))
     docs.select(col("doc_id"),
-      nGrams.cast("int").as("n_grams"),
+      when(col("text").isNotNull, nGrams).cast("int").as("n_grams"),
       greatest(nGrams - (WinnowW - 1), lit(0)).cast("int").as("n_windows"),
       winnowSelCol(docs.sparkSession, col("text")).as("sel"))
   }

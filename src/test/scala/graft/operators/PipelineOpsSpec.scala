@@ -2997,15 +2997,13 @@ class PipelineOpsSpec extends SparkSpec {
         val (ph, pv) = observed.filter(_._1 < hr).maxBy(_._1)
         val (nh, nv) = observed.filter(_._1 > hr).minBy(_._1)
         // observed values are exact integer CENTS over 100; recover
-        // the cents and replay the gate's integer-seeded expression
-        // tree op for op: ((nc-pc)*(hr-ph))/(nh-ph) as double, + pc,
-        // / 100, round 4dp
+        // the cents and replay the gate's all-integer 1e-4-unit
+        // interpolation op for op: cross-form numerator × 100, one
+        // truncating integer division, ONE final double /10000
         val pc = math.round(pv * 100)
         val nc = math.round(nv * 100)
-        val interp =
-          (pc + ((nc - pc) * (hr - ph)).toDouble / (nh - ph)) / 100.0
-        val expect = BigDecimal(interp)
-          .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+        val e4 = (pc * (nh - hr) + nc * (hr - ph)) * 100 / (nh - ph)
+        val expect = e4.toDouble / 10000.0
         assert(v == expect,
           s"$tpe hour $hr: interpolated $v, JVM replay $expect")
       }
