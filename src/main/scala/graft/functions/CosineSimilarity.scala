@@ -19,9 +19,12 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
   * uses (and to [[TextVec.cosine]], which this supersedes in hot
   * paths).
   *
-  * Corrupt-embedding guards (both undetectable at type-check time):
-  * mismatched vector lengths and zero-norm inputs return NULL rather
-  * than a silently-truncated score or a divide-by-zero NaN.
+  * Corrupt-embedding guards (all undetectable at type-check time):
+  * mismatched vector lengths, zero-norm inputs, and a NULL element
+  * inside either array return NULL rather than a silently-truncated
+  * or garbage score — ArrayData.getFloat on a null slot reads an
+  * undefined value, and the zip_with/list_transform forms this
+  * expression claims bit-identity with null-propagate there.
   */
 case class CosineSimilarity(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -51,6 +54,7 @@ case class CosineSimilarity(left: Expression, right: Expression)
     var nb = 0.0
     var i = 0
     while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
       val xi = x.getFloat(i).toDouble
       val yi = y.getFloat(i).toDouble
       dot += xi * yi
@@ -77,14 +81,19 @@ case class CosineSimilarity(left: Expression, right: Expression)
          |} else {
          |  int $n = $a.numElements();
          |  double $dot = 0.0, $na = 0.0, $nb = 0.0;
-         |  for (int $i = 0; $i < $n; $i++) {
-         |    double $xi = (double) $a.getFloat($i);
-         |    double $yi = (double) $b.getFloat($i);
-         |    $dot += $xi * $yi;
-         |    $na += $xi * $xi;
-         |    $nb += $yi * $yi;
+         |  for (int $i = 0; $i < $n && !${ev.isNull}; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) {
+         |      ${ev.isNull} = true; // null element: propagate, don't read garbage
+         |    } else {
+         |      double $xi = (double) $a.getFloat($i);
+         |      double $yi = (double) $b.getFloat($i);
+         |      $dot += $xi * $yi;
+         |      $na += $xi * $xi;
+         |      $nb += $yi * $yi;
+         |    }
          |  }
-         |  if ($na == 0.0 || $nb == 0.0) {
+         |  if (${ev.isNull}) {
+         |  } else if ($na == 0.0 || $nb == 0.0) {
          |    ${ev.isNull} = true;
          |  } else {
          |    ${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));

@@ -40,9 +40,15 @@ class ReservoirSample(k: Int, seed: Long)
   override def merge(b1: Buf, b2: Buf): Buf =
     b2.items.foldLeft(b1)(insert)
 
-  // items kept sorted ascending by (priority, value); bottom-k invariant
+  // items kept sorted ascending by (priority, value); bottom-k
+  // invariant. The contains skip makes the buffer a SET: duplicate
+  // input values share one priority, so without it a repeated value
+  // would occupy several slots and crowd out genuinely distinct
+  // values — breaking the documented "k DISTINCT values /
+  // occurrence counts don't change selection" contract
   private def insert(b: Buf, pv: (Long, String)): Buf =
-    if (b.items.length < k) Buf((b.items :+ pv).sorted)
+    if (b.items.contains(pv)) b
+    else if (b.items.length < k) Buf((b.items :+ pv).sorted)
     else if (Ordering[(Long, String)].lt(pv, b.items.last))
       Buf((b.items.init :+ pv).sorted)
     else b

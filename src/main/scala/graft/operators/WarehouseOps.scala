@@ -105,6 +105,13 @@ object WarehouseOps {
     * delete rows drop the key, insert rows add it; untouched base
     * rows pass through with op='keep'. Returns the merged snapshot
     * with per-row provenance.
+    *
+    * Change-batch schema is FIXED, not parameterized: `changes` must
+    * carry (`keyCol`, `new_payload`, `op`) — the payload column is
+    * named `new_payload` regardless of `payloadCol`, which names only
+    * the BASE side's column (CDC feeds conventionally distinguish the
+    * incoming image from the stored one; see [[gateChanges]] for the
+    * shape). A mismatched batch fails analysis loudly, not silently.
     */
   def mergeUpsert(base: DataFrame, changes: DataFrame, keyCol: String,
       payloadCol: String): DataFrame = {

@@ -69,21 +69,26 @@ object ZOrder {
     * ZOrderSpec). */
   def writeZOrdered(df: DataFrame, zx: Column, zy: Column,
       nFiles: Int, path: String): Unit = {
-    val b = df.agg(
+    val b = df.agg(count(lit(1)),
       min(zx).cast("long"), max(zx).cast("long"),
       min(zy).cast("long"), max(zy).cast("long")).head()
-    // an empty input yields an all-null aggregate row — fail with a
+    // an empty input nulls every envelope slot, and a non-empty input
+    // with an ALL-NULL dimension nulls that dimension's — the count
+    // disambiguates, and checking every slot fails each case with a
     // descriptive error instead of an opaque NPE from getLong
-    require(!b.isNullAt(0),
+    require(b.getLong(0) > 0,
       "writeZOrdered: empty input — nothing to lay out at " + path)
+    require((1 to 4).forall(!b.isNullAt(_)),
+      "writeZOrdered: a z-order dimension is entirely NULL — its " +
+        "min/max envelope is undefined; fill or drop null keys first")
     def norm(c: Column, lo: Long, hi: Long): Column =
       if (hi > lo)
         ((c.cast("double") - lo) * ((1L << ZBits) - 1) / (hi - lo))
           .cast("long")
       else lit(0L)
     df.withColumn("__z", zValue(
-        norm(zx, b.getLong(0), b.getLong(1)),
-        norm(zy, b.getLong(2), b.getLong(3))))
+        norm(zx, b.getLong(1), b.getLong(2)),
+        norm(zy, b.getLong(3), b.getLong(4))))
       .repartitionByRange(nFiles, col("__z"))
       .sortWithinPartitions(col("__z"))
       .drop("__z")

@@ -315,10 +315,18 @@ object EventStreams {
             var st = state.getOption.getOrElse(empty)
             var flushed = false
             sorted.foreach { e =>
-              if (e.event_id < 0) { // punctuation: emit + clear
-                out += FunnelOut(userId, st.s1, st.s2, st.s3)
-                st = empty
-                flushed = true
+              if (e.event_id < 0) {
+                // punctuation: emit + clear — but ONLY when there is
+                // a journey to flush. A punctuation arriving after a
+                // timeout already flushed this user finds no state
+                // and must emit NOTHING (the sessionizeStream
+                // discipline), not fabricate an all-None row that
+                // breaks the one-row-per-user batch parity
+                if (st != empty) {
+                  out += FunnelOut(userId, st.s1, st.s2, st.s3)
+                  st = empty
+                  flushed = true
+                }
               } else {
                 e.event_type match {
                   case "signup" if st.s1.isEmpty =>
@@ -334,10 +342,14 @@ object EventStreams {
             }
             if (flushed && st == empty) {
               if (state.exists) state.remove()
-            } else {
+            } else if (st != empty) {
               state.update(st)
               state.setTimeoutTimestamp(st.lastUs / 1000 + quietUs / 1000 + 1)
             }
+            // st == empty && !flushed: a punctuation-only batch for a
+            // user with no standing state — re-storing the empty
+            // record would arm a timeout that later re-fabricates the
+            // all-None row the guard above just suppressed
           }
           out.result().iterator
       }
@@ -397,10 +409,15 @@ object EventStreams {
       val oldArm = cur.armedMs
       var flushed = false
       sorted.foreach { e =>
-        if (e.event_id < 0) { // punctuation: emit + clear
-          out += FunnelOut(userId, cur.s1, cur.s2, cur.s3)
-          cur = empty
-          flushed = true
+        if (e.event_id < 0) {
+          // punctuation: emit + clear — only when there IS a journey
+          // (byte-for-byte funnelStream's guard: a punctuation after
+          // a timer flush must not fabricate an all-None row)
+          if (cur != empty) {
+            out += FunnelOut(userId, cur.s1, cur.s2, cur.s3)
+            cur = empty
+            flushed = true
+          }
         } else {
           e.event_type match {
             case "signup" if cur.s1.isEmpty =>
@@ -417,11 +434,14 @@ object EventStreams {
       if (oldArm > 0) getHandle.deleteTimer(oldArm)
       if (flushed && cur == empty) {
         if (st.exists()) st.clear()
-      } else {
+      } else if (cur != empty) {
         val arm = cur.lastUs / 1000 + quietMs + 1
         st.update(cur.copy(armedMs = arm))
         getHandle.registerTimer(arm)
       }
+      // cur == empty && !flushed: punctuation-only batch, no standing
+      // state — storing empty would arm a timer that re-fabricates
+      // the all-None row the guard above suppressed
       out.result().iterator
     }
 
@@ -539,9 +559,6 @@ object EventStreams {
       .select(col("p_user").as("user_id"), col("purchase_id"), col("view_id"))
   }
 
-  /** Spark's file stream source requires a DIRECTORY; the testdata
-    * tables are single files. Returns a temp dir containing a symlink
-    * to the table file, suitable for `readStream.parquet`. */
   /** Streaming first-occurrence dedup on (user_id, event_type) with
     * WATERMARKED state eviction (`dropDuplicatesWithinWatermark`): a
     * key occupies the state store only for the watermark delay, which
@@ -621,6 +638,9 @@ object EventStreams {
       "|" + files.sorted.mkString(","))
   }
 
+  /** Spark's file stream source requires a DIRECTORY; the testdata
+    * tables are single files. Returns a temp dir containing a symlink
+    * to the table file, suitable for `readStream.parquet`. */
   def streamableDir(file: String): String =
     memoStaged(Some(s"link|$file")) {
       val d = java.nio.file.Files.createTempDirectory("graft_stream")

@@ -274,6 +274,18 @@ class PipelineOpsSpec extends SparkSpec {
       .groupBy($"g").agg(sampler($"v").as("s"))
       .collect()(0).getAs[scala.collection.Seq[String]]("s").toList
     assert(small == List("a", "b"))
+    // duplicate input values occupy ONE slot, not several: the sample
+    // is of DISTINCT values ("occurrence counts don't change
+    // selection") — without the set semantics a repeated value would
+    // crowd genuinely distinct values out of the k-buffer
+    val dup2 = org.apache.spark.sql.functions.udaf(
+      new ReservoirSample(2, 42L), Encoders.STRING)
+    val dups = (Seq.fill(50)("a") ++ Seq("b")).map(("g", _)).toDF("g", "v")
+      .repartition(7)
+      .groupBy($"g").agg(dup2($"v").as("s"))
+      .collect()(0).getAs[scala.collection.Seq[String]]("s").toList
+    assert(dups == List("a", "b"),
+      s"duplicates crowded out a distinct value: $dups")
   }
 
   test("bounded top-k aggregator matches window row_number exactly") {

@@ -290,6 +290,33 @@ class EventStreamsSpec extends SparkSpec {
       "active user flushed before their quiet horizon passed")
   }
 
+  test("funnel punctuation arriving AFTER a timeout flush emits nothing " +
+    "— no fabricated all-None journey row (timeout and punctuation " +
+    "compose, the sessionize discipline)") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val input = MemoryStream[EventStreams.FunnelEvent]
+    // batch 1: u1 signs up; batch 2: u2 advances the watermark far
+    // past u1's quiet horizon (timeout flushes u1's journey); batch 3:
+    // u1's punctuation finally arrives — it must find no state and
+    // emit NOTHING, and must not re-arm a timer that fabricates a row
+    input.addData(EventStreams.FunnelEvent(1L, 1000000L, 1L, "signup"))
+    input.addData(EventStreams.FunnelEvent(2L, 20000000L, 2L, "view"))
+    input.addData(EventStreams.FunnelEvent(1L, 30000000L, -1L, "punct"),
+      EventStreams.FunnelEvent(2L, 60000000L, 3L, "view"))
+    val q = EventStreams.funnelStream(input.toDS(), quietUs = 5000000L)
+      .writeStream.format("memory").queryName("funnel_punct_after_timeout")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val u1 = spark.table("funnel_punct_after_timeout").collect()
+      .map(r => (r.getLong(0), Option(r.get(1)), Option(r.get(2)),
+        Option(r.get(3)))).filter(_._1 == 1L)
+    assert(u1.length == 1,
+      s"expected exactly the timeout flush for u1, got: ${u1.mkString(",")}")
+    assert(u1.head == ((1L, Some(1000000L), None, None)),
+      "the one u1 row must be the real journey, not an all-None fabrication")
+  }
+
   test("streaming funnel gate (q_stream_funnel) equals the batch funnel " +
     "counts") {
     val stream = graft.SparkEntry.queries("q_stream_funnel")(spark, dir)
