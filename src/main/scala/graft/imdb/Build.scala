@@ -29,10 +29,16 @@ object Build {
 
   import ImdbDataset._
 
-  final case class Normalized(tables: Map[String, DataFrame]) {
+  final case class Normalized(tables: Map[String, DataFrame],
+      release: () => Unit = () => ()) {
     def apply(name: String): DataFrame = tables(name)
     def registerViews(spark: SparkSession): Unit =
       tables.foreach { case (n, df) => df.createOrReplaceTempView(n) }
+    // release(): drop the hub-table cache backing these frames — call
+    // once the tables are persisted elsewhere (warehouse parquet) or
+    // superseded by a rebuild; the TsvReader.CountedRead.release
+    // discipline, without which repeated builds in one session stack
+    // MEMORY_AND_DISK copies until executor eviction
   }
 
   /** Post-build sanity checks, mirroring the reference's warnings —
@@ -83,9 +89,12 @@ object Build {
     val spark = datasets.head._2.sparkSession
     import spark.implicits._
 
+    val hubs = Seq.newBuilder[DataFrame]
     def hub(df: DataFrame): DataFrame =
-      if (cache) df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      else df
+      if (cache) {
+        hubs += df
+        df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      } else df
 
     val titleBasics = datasets(TitleBasics)
     val nameBasics = datasets(NameBasics)
@@ -269,6 +278,7 @@ object Build {
       "temp_characters_to_character" -> tempCharsToChar,
       "participation_to_character" -> participationToCharacter,
       "name_to_known_for_title" -> nameToKnownForTitle,
-      "title_to_genre" -> titleToGenre))
+      "title_to_genre" -> titleToGenre),
+      release = () => hubs.result().foreach(_.unpersist()))
   }
 }

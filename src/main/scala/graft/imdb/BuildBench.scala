@@ -83,6 +83,12 @@ object BuildBench {
     * column arithmetic, no driver-side rows. */
   def generate(spark: SparkSession, dir: java.nio.file.Path,
       titles: Long): Map[String, Long] = {
+    // episode generation takes pmod(id, titles/10): below 10 titles
+    // the modulus is zero — fail with the knob's name, not a
+    // DIVIDE_BY_ZERO from inside a generation job
+    require(titles >= 10,
+      s"BuildBench.generate: titles must be >= 10 (got $titles) — " +
+        "the episode parent pool is the last tenth of the tconst space")
     val names = titles
     val tt = (c: org.apache.spark.sql.Column) => format_string("tt%09d", c)
     val nm = (c: org.apache.spark.sql.Column) => format_string("nm%09d", c)

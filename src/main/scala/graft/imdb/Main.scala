@@ -297,19 +297,34 @@ object Main {
     // explicit --log reaches the engine too; the default stays at the
     // session's own level (WARN from main()) — see the class scaladoc
     cli.logLevel.foreach(l => spark.sparkContext.setLogLevel(sparkLevelOf(l)))
-    val pimdb = Pimdb(spark)
+    // progress/duplicate-summary lines print to stderr under the SAME
+    // --log info gate as download's messages: the session's WARN root
+    // level silences slf4j INFO, which would otherwise leave transfer
+    // and build mute at default verbosity (the reference prints them)
+    val pimdb =
+      if (infoVisible) Pimdb(spark, (m: String) => System.err.println(m))
+      else Pimdb(spark)
     cli.command match {
       case "transfer" =>
         pimdb.transfer(cli.dataFolder, checkedDatasets(cli.positionals),
           cli.warehouse)
         cli.database.foreach(url => pimdb.writeToJdbc(url, cli.bulkSize))
       case "build" =>
+        // argparse parity: build takes NO dataset names — a stray
+        // positional (e.g. `build /data all`) is a usage error (2),
+        // not a silently ignored token before a multi-minute job
+        if (cli.positionals.nonEmpty)
+          throw UsageError(
+            s"build takes no dataset arguments, got: ${cli.positionals.mkString(" ")}")
         pimdb.transfer(cli.dataFolder, ImdbDataset.all, cli.warehouse)
         pimdb.build(cli.warehouse)
         cli.database.foreach(url => pimdb.writeToJdbc(url, cli.bulkSize))
       case "query" =>
         val sqlArg = cli.positionals.headOption.getOrElse(
           throw UsageError("query requires an SQL argument"))
+        if (cli.positionals.length > 1)
+          throw UsageError("query takes exactly one SQL argument, got: " +
+            cli.positionals.mkString(" "))
         val sql =
           if (cli.file || sqlArg.startsWith("@")) {
             val p = if (sqlArg.startsWith("@")) sqlArg.drop(1) else sqlArg

@@ -12,9 +12,19 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * `character`…) so a pimdb user's queries port unchanged
   * (docs/datamodel.md:25-27, 93-95).
   */
-final class Pimdb(val spark: SparkSession) {
+final class Pimdb(val spark: SparkSession,
+    onInfo: Option[String => Unit] = None) {
 
   private val log = org.slf4j.LoggerFactory.getLogger(classOf[Pimdb])
+
+  /** User-facing progress/summary line (the reference's module-logger
+    * INFO output). Routed through `onInfo` when the embedding CLI
+    * supplies one — Main pins the ROOT log level to WARN to keep
+    * Spark's engine chatter down, which would otherwise also swallow
+    * these lines and leave `transfer` mute (the reference prints them
+    * at default verbosity); library users get plain slf4j. */
+  private def info(msg: String): Unit =
+    onInfo.fold(log.info(msg))(f => f(msg))
 
   private var datasetFrames: Map[ImdbDataset, DataFrame] = Map.empty
   private var normalized: Option[Build.Normalized] = None
@@ -48,15 +58,14 @@ final class Pimdb(val spark: SparkSession) {
       // scan runs (reference: command.py:187-191 "processed N rows").
       val counted = TransferProgress.withProgress(
         spark.sparkContext,
-        n => log.info("  {}: processed {} rows", d.datasetName, n.toString)) {
+        n => info(s"  ${d.datasetName}: processed $n rows")) {
         TsvReader.readCounted(spark, path, d)
       }
       var df = counted.frame
       _transferDuplicateCounts += d.datasetName -> counted.duplicateCount
       if (counted.duplicateCount > 0)
-        log.info("{}: ignored {} duplicate row(s) with key columns {}",
-          d.datasetName, counted.duplicateCount.toString,
-          d.keyColumns.mkString(", "))
+        info(s"${d.datasetName}: ignored ${counted.duplicateCount} " +
+          s"duplicate row(s) with key columns ${d.keyColumns.mkString(", ")}")
       warehouse.foreach { w =>
         val out = s"$w/datasets/${d.tableName}"
         df.write.mode("overwrite").parquet(out) // served from the read cache
@@ -79,13 +88,21 @@ final class Pimdb(val spark: SparkSession) {
     val missing = ImdbDataset.forNormalized.filterNot(datasetFrames.contains)
     require(missing.isEmpty,
       s"build requires transferred datasets: ${missing.map(_.datasetName).mkString(", ")}")
+    // a REBUILD supersedes the previous build's hub cache — release
+    // it, or repeated builds in one session stack MEMORY_AND_DISK
+    // copies until executor eviction
+    normalized.foreach(_.release())
     var result = Build(datasetFrames)
     warehouse.foreach { w =>
+      val derived = result
       result = Build.Normalized(result.tables.map { case (n, df) =>
         val out = s"$w/normalized/$n"
         df.write.mode("overwrite").parquet(out)
         n -> spark.read.parquet(out)
       })
+      // parquet now backs every table: the hub cache only served the
+      // writes above
+      derived.release()
     }
     result.registerViews(spark)
     normalized = Some(result)
@@ -147,4 +164,10 @@ object Pimdb {
   private val StringLiteral = """'(?:[^']|'')*'""".r
 
   def apply(spark: SparkSession): Pimdb = new Pimdb(spark)
+
+  /** CLI constructor: progress/summary lines go to `sink` (Main's
+    * stderr, gated on --log) instead of slf4j, which Main's WARN root
+    * level would swallow. */
+  def apply(spark: SparkSession, sink: String => Unit): Pimdb =
+    new Pimdb(spark, Some(sink))
 }

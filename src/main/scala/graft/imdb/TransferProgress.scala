@@ -19,10 +19,15 @@ import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart, SparkLi
   * in a finally, so concurrent queries on the session are unaffected.
   *
   * Counting discipline (what makes the total equal the file's rows):
-  *  - only the FIRST job under the wrapper is counted — that is the
-  *    scan action; follow-up jobs over the cached result (validation
-  *    aggregates) report cache reads as input records and would
-  *    double-count the dataset;
+  *  - records accumulate PER JOB and the reported total is the MAX
+  *    across jobs. Under the wrapper the header-name inference job
+  *    (spark.read.csv's take(1) — DictReader column mapping needs the
+  *    header, so this job is structural) reads one record, the scan
+  *    action reads the whole file, and any follow-up job over the
+  *    cached result re-reads at most the same rows as cache input —
+  *    so the max IS the file's row count, immune to both the 1-row
+  *    header job (which a "first job wins" rule would latch onto and
+  *    report 1 forever) and to double-counting cache re-reads;
   *  - only successfully completed tasks count — a failed or
   *    speculative attempt's rows are re-read by its retry.
   *
@@ -42,18 +47,23 @@ final class TransferProgress(
     indicateProgress: Long => Unit,
     secondsBetween: Double = 3.0) extends SparkListener {
 
-  private val rows = new java.util.concurrent.atomic.AtomicLong(0L)
   @volatile private var lastTick = System.nanoTime()
-  // stages of the first observed job = the scan action; task-end
-  // events from any later job (cache-served validation) are ignored
-  @volatile private var scanStages: Option[Set[Int]] = None
+  // stage → job, and a per-job record accumulator (see the counting
+  // discipline above: the reported total is the max across jobs)
+  private val stageJob = new java.util.concurrent.ConcurrentHashMap[Int, Int]
+  private val jobRows = new java.util.concurrent.ConcurrentHashMap[
+    Int, java.util.concurrent.atomic.AtomicLong]
   // serializes callback delivery: listener-bus task-end events and the
   // closing update race, and the contract is strictly increasing
   // totals in call order (driver-side lock, trivial contention)
   private val lock = new Object
   private var reported = -1L
 
-  def rowsRead: Long = rows.get()
+  def rowsRead: Long = {
+    var mx = 0L
+    jobRows.values.forEach(v => mx = math.max(mx, v.get()))
+    mx
+  }
 
   private[imdb] def fire(total: Long): Unit = lock.synchronized {
     if (total > reported) {
@@ -63,19 +73,22 @@ final class TransferProgress(
   }
 
   override def onJobStart(jobStart: SparkListenerJobStart): Unit =
-    if (scanStages.isEmpty)
-      scanStages = Some(jobStart.stageInfos.map(_.stageId).toSet)
+    jobStart.stageInfos.foreach(si =>
+      stageJob.put(si.stageId, jobStart.jobId))
 
   override def onTaskEnd(taskEnd: SparkListenerTaskEnd): Unit = {
     val metrics = taskEnd.taskMetrics
+    val jobId = stageJob.get(taskEnd.stageId) // 0 if absent — guarded below
     val counted = taskEnd.reason == Success && metrics != null &&
-      scanStages.exists(_.contains(taskEnd.stageId))
+      stageJob.containsKey(taskEnd.stageId)
     if (counted) {
-      val total = rows.addAndGet(metrics.inputMetrics.recordsRead)
+      jobRows.computeIfAbsent(jobId,
+          _ => new java.util.concurrent.atomic.AtomicLong(0L))
+        .addAndGet(metrics.inputMetrics.recordsRead)
       val now = System.nanoTime()
       if ((now - lastTick) / 1e9 > secondsBetween) {
         lastTick = now
-        fire(total)
+        fire(rowsRead)
       }
     }
   }

@@ -146,8 +146,12 @@ object TsvReader {
           Some(sum(when(c.isNotNull && !c.isin("0", "1"), 1).otherwise(0))
             .as(f.name))
         case t @ (IntegerType | FloatType | DoubleType | LongType) =>
-          Some(sum(when(c.isNotNull && c.cast(t).isNull, 1).otherwise(0))
-            .as(f.name))
+          // try_cast, NOT cast: Spark 4's default ANSI mode makes a
+          // plain cast THROW on the malformed value, which would kill
+          // this very aggregate before the counting when() ever ran —
+          // the documented per-column counted error would be dead code
+          Some(sum(when(c.isNotNull && c.try_cast(t).isNull, 1)
+            .otherwise(0)).as(f.name))
         case _ => None
       }
     }
@@ -175,7 +179,14 @@ object TsvReader {
       case BooleanType =>
         when(raw === "1", true).when(raw === "0", false)
           .otherwise(lit(null).cast(BooleanType))
-      case t @ (IntegerType | FloatType | DoubleType | LongType) => raw.cast(t)
+      case t @ (IntegerType | FloatType | DoubleType | LongType) =>
+        // try_cast, NOT cast: under Spark 4's default ANSI mode a
+        // plain cast throws on a malformed numeric, breaking the
+        // strict=false contract ("they become null, then defaulted")
+        // and killing StreamingTransfer's continuous ingest on one
+        // bad row; strict=true still raises — via validate()'s
+        // counted per-column error, as documented
+        raw.try_cast(t)
       case _ => raw
     }
     val defaulted =

@@ -17,14 +17,22 @@ import org.apache.spark.sql.functions._
 object Profiler {
 
   def profile(df: DataFrame, columns: Seq[String]): DataFrame = {
-    val aggs = columns.flatMap { c =>
+    // a public API over arbitrary ingests: column names go into
+    // generated SQL, so the measure aliases are POSITIONAL (no name
+    // interpolation at all) and the output labels are escaped string
+    // literals — a name with a dash/space/dot/quote profiles fine
+    val aggs = columns.zipWithIndex.flatMap { case (c, i) =>
+      // df(c), not col(c): resolves the LITERAL name, so a dotted
+      // column isn't misparsed as struct-field navigation
       Seq(
-        sum(when(col(c).isNull, 1).otherwise(0)).cast("long").as(s"__nulls_$c"),
-        count_distinct(col(c)).as(s"__dist_$c"))
+        sum(when(df(c).isNull, 1).otherwise(0)).cast("long").as(s"__nulls_$i"),
+        count_distinct(df(c)).as(s"__dist_$i"))
     }
     val wide = df.agg(aggs.head, aggs.tail: _*)
-    val stackExpr = columns
-      .map(c => s"'$c', __nulls_$c, __dist_$c").mkString(", ")
+    val stackExpr = columns.zipWithIndex
+      .map { case (c, i) =>
+        s"'${c.replace("'", "''")}', `__nulls_$i`, `__dist_$i`"
+      }.mkString(", ")
     wide.selectExpr(
       s"stack(${columns.size}, $stackExpr) AS (column_name, n_nulls, n_distinct)")
   }

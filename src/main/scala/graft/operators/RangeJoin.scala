@@ -25,6 +25,13 @@ object RangeJoin {
       points: DataFrame, point: String,
       binWidth: Double): DataFrame = {
     require(binWidth > 0, "binWidth must be positive")
+    // withColumn REPLACES an existing column of the same name, and
+    // the final drop would then destroy caller payload silently —
+    // the SurrogateIds working-column discipline: fail loudly
+    require(!ranges.columns.contains("_bin") &&
+        !points.columns.contains("_bin"),
+      "binned range join: inputs must not carry a `_bin` column " +
+        "(it is this operator's working column)")
     val binned_r = ranges.withColumn("_bin",
       explode(sequence(
         floor(col(lo) / binWidth).cast("long"),

@@ -24,6 +24,13 @@ object SkewJoin {
   def saltedJoin(
       big: DataFrame, small: DataFrame, key: String, salts: Int): DataFrame = {
     require(salts > 0, "salts must be positive")
+    // withColumn REPLACES a same-named caller column and the final
+    // drop would destroy it silently — fail loudly instead (the
+    // SurrogateIds working-column discipline)
+    require(!big.columns.contains("_salt") &&
+        !small.columns.contains("_salt"),
+      "saltedJoin: inputs must not carry a `_salt` column " +
+        "(it is this operator's working column)")
     // deterministic round-robin within each partition: rows of one hot
     // key spread across `salts` buckets no matter how they cluster
     val saltedBig = big.withColumn("_salt",
@@ -56,9 +63,15 @@ object SkewJoin {
         max(col("c")).as("max_count"),
         min(struct((-col("c")).as("nc"), col("k"))).as("top"))
       .select(col("n_rows"), col("n_keys"), col("max_count"),
-        floor(col("n_rows") * 100 / col("n_keys")).cast("bigint")
+        // double arithmetic from the first factor, mirrored in the
+        // oracle's association order: the all-long form overflows at
+        // exactly the scale this operator targets (max_count ~3e11 ×
+        // n_keys ~1e6 × 100 > Long.Max — ANSI mode aborts the profile
+        // query; non-ANSI silently reports a negative skew)
+        floor(col("n_rows") * lit(100.0) / col("n_keys")).cast("bigint")
           .as("mean_x100"),
-        floor(col("max_count") * col("n_keys") * 100 / col("n_rows"))
+        floor(col("max_count").cast("double") * col("n_keys") * 100
+            / col("n_rows"))
           .cast("bigint").as("skew_x100"),
         col("top.k").as("top_key"))
   }
@@ -76,7 +89,7 @@ object SkewJoin {
         |       CAST(count(*) AS BIGINT) AS n_keys,
         |       CAST(max(c) AS BIGINT) AS max_count,
         |       CAST(floor(sum(c) * 100.0 / count(*)) AS BIGINT) AS mean_x100,
-        |       CAST(floor(max(c) * count(*) * 100.0 / sum(c)) AS BIGINT)
+        |       CAST(floor(max(c) * 1.0 * count(*) * 100 / sum(c)) AS BIGINT)
         |         AS skew_x100,
         |       CAST(min(CASE WHEN c = mx THEN k END) AS BIGINT) AS top_key
         |FROM m""".stripMargin) { (s, dir) =>

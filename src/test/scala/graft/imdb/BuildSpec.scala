@@ -35,8 +35,16 @@ class BuildSpec extends SparkSpec {
     assert(ticks.nonEmpty)
     assert(ticks.zip(ticks.tail).forall { case (a, b) => a <= b },
       s"totals must be monotone: $ticks")
-    // the final callback reports everything the scan read
-    assert(ticks.last > 0)
+    // the final callback reports everything the scan read — the whole
+    // FILE, not the 1-row header-name inference job that runs first
+    // under the wrapper (the "first job wins" latch regression: it
+    // reported 1 row for any file)
+    val fileRows = java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$dataDir/name.basics.tsv"))
+      .count(_ == '\n'.toByte) - 1 // byte count: fixture has non-UTF8-default bytes
+    assert(ticks.last >= fileRows,
+      s"final tick ${ticks.last} < file rows $fileRows — progress " +
+        "latched onto the wrong job")
   }
 
   test("transfer: all 7 dataset tables with golden counts") {

@@ -73,6 +73,30 @@ class TsvReaderSpec extends SparkSpec {
     assert(ex.getMessage != null)
   }
 
+  test("strict mode rejects malformed NUMERICS with the counted " +
+    "per-column error (not a raw ANSI cast crash), and strict=false " +
+    "nulls-then-defaults them") {
+    val path = tempTsv(
+      "tconst\taverageRating\tnumVotes",
+      "tt1\tnot_a_number\t7",
+      "tt2\t5.5\talso_bad")
+    // strict: the DOCUMENTED IllegalArgumentException with the count —
+    // under ANSI mode a plain cast would throw SparkNumberFormatException
+    // from inside the validation aggregate itself
+    val ex = intercept[IllegalArgumentException] {
+      TsvReader.read(spark, path, ImdbDataset.TitleRatings).collect()
+    }
+    assert(ex.getMessage.contains("malformed value(s)"),
+      s"expected the counted validation error, got: ${ex.getMessage}")
+    // lenient: malformed values become null, then the non-nullable
+    // default — the contract ANSI cast silently broke
+    val df = TsvReader.read(spark, path, ImdbDataset.TitleRatings,
+      strict = false).collect().map(r =>
+      r.getString(0) -> ((r.getAs[Float](1), r.getAs[Int](2)))).toMap
+    assert(df("tt1") == ((0.0f, 7)))
+    assert(df("tt2") == ((5.5f, 0)))
+  }
+
   test("value-set filter keeps only matching rows") {
     val df = TsvReader.read(spark, fixture("title.basics.tsv"),
       ImdbDataset.TitleBasics, filter = Map("titleType" -> Set("movie")))
