@@ -79,7 +79,11 @@ object Bench {
     // heap so one run's garbage isn't billed to the next. stop() can
     // throw/time out on a wedged stream and must not lose timings.
     def quiesce(): Unit = {
-      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+      // blocking unpersist: the non-blocking form only ENQUEUES block
+      // removal, so the gc() below would run while multi-GB pinned
+      // blocks are still referenced and the next timed run inherits
+      // the memory pressure this quiesce exists to prevent
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
       try spark.streams.active.foreach(_.stop())
       catch { case _: Throwable => () }
       System.gc()
@@ -89,8 +93,15 @@ object Bench {
     // overwrite) — the reference for the regression re-run rule. A
     // missing/unparsable file just disables the rule (first round,
     // renamed output). Flat {"name":sec,...} parse; values may be -1.
-    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_QUERIES.json")
-    val prevPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_PREV", outPath)
+    // subset runs (args nonEmpty) write to a SIDECAR file: a local
+    // one-query iteration must not clobber the canonical full-round
+    // record with a partial map — which would both misrepresent the
+    // round and disable the regression re-run rule for every other
+    // query on the next full sweep (the Verify subset-subdir rule)
+    val basePath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
+      "BENCH_QUERIES.json")
+    val outPath = if (args.isEmpty) basePath else s"$basePath.subset"
+    val prevPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_PREV", basePath)
     val prev: Map[String, Double] =
       try {
         val txt = new String(java.nio.file.Files.readAllBytes(
@@ -163,20 +174,25 @@ object Bench {
         val t = s.reverse.dropWhile(_ == '0').stripPrefix(".").reverse
         if (t.isEmpty) "0" else t
       }
-    // full per-query record → file (unbounded; the log tail is not)
-    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + fmt(v) }
-      .mkString("{", ",", "}")
-    val qsMed = results.map { case (k, _, m) => "\"" + k + "\":" + fmt(m) }
-      .mkString("{", ",", "}")
+    // full per-query record → file (unbounded; the log tail is not).
+    // Env-derived strings (sf label, out path) go through the shared
+    // JSON escaper — a quote or backslash in a path would otherwise
+    // corrupt the record the driver json.loads
+    val qs = results.map { case (k, v, _) =>
+      QueryDef.jsonString(k) + ":" + fmt(v)
+    }.mkString("{", ",", "}")
+    val qsMed = results.map { case (k, _, m) =>
+      QueryDef.jsonString(k) + ":" + fmt(m)
+    }.mkString("{", ",", "}")
     val total = results.collect { case (_, v, _) if v >= 0 => v }.sum
     val nFailed = results.count(_._2 < 0)
-    val sfLabel = new java.io.File(sfDir).getName
+    val sfLabel = QueryDef.jsonString(new java.io.File(sfDir).getName)
     val fileJson =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"queries_median":$qsMed,"sf":"$sfLabel"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"queries_median":$qsMed,"sf":$sfLabel}"""
     java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
       (fileJson + "\n").getBytes("UTF-8"))
     // compact summary LAST so the bounded tail always captures it whole
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.length},"n_failed":$nFailed,"queries_file":"$outPath","sf":"$sfLabel"}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.length},"n_failed":$nFailed,"queries_file":${QueryDef.jsonString(outPath)},"sf":$sfLabel}""")
     spark.stop()
   }
 }

@@ -21,4 +21,19 @@ object QueryDef {
   /** Non-SQL-expressible op → driver records a weaker rows>0 check. */
   def rowsOnly(name: String)(fn: (SparkSession, String) => DataFrame): QueryDef =
     QueryDef(name, fn, None)
+
+  /** JSON string escape shared by the Bench/Verify record writers:
+    * backslash, quote, and ALL control chars (<0x20) — a tab or CR in
+    * builder-authored SQL, or a quote in an env-derived path/label,
+    * would otherwise make the driver's json.load fail and silently
+    * zero the round's record. */
+  private[graft] def jsonString(s: String): String = "\"" + s.flatMap {
+    case '"'  => "\\\""
+    case '\\' => "\\\\"
+    case '\n' => "\\n"
+    case '\r' => "\\r"
+    case '\t' => "\\t"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c => c.toString
+  } + "\""
 }

@@ -46,8 +46,16 @@ object SparkEntry {
           .as("revenue"))
 
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] =
-    modules.map(q => q.name -> q.fn).toMap
+  def queries: Map[String, (SparkSession, String) => DataFrame] = {
+    val all = modules
+    // toMap keeps the LAST entry per key: a duplicate gate name across
+    // operator modules would silently drop one implementation from
+    // both the bench and the correctness gate — fail loudly instead
+    val dups = all.groupBy(_.name).filter(_._2.length > 1).keys
+    require(dups.isEmpty,
+      s"duplicate query name(s) across modules: ${dups.toSeq.sorted.mkString(", ")}")
+    all.map(q => q.name -> q.fn).toMap
+  }
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops.

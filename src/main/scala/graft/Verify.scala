@@ -40,22 +40,22 @@ object Verify {
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        // remove any PRIOR run's dump for this query: a failure
+        // before the overwrite started would otherwise leave stale
+        // parquet that check.py globs and silently reports as PASS
+        // for a query that no longer runs
+        val dir = new java.io.File(s"$outDir/$name")
+        if (dir.exists) {
+          def rm(f: java.io.File): Unit = {
+            Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
+          }
+          rm(dir)
+        }
       }
       finally spark.sparkContext.getPersistentRDDs.values
         .foreach(_.unpersist(false))
     }
-    // JSON string escape: backslash, quote, and ALL control chars (<0x20)
-    // — a tab or CR in builder-authored SQL would otherwise make the
-    // driver's json.load fail and silently zero the round's correctness.
-    def q(s: String): String = "\"" + s.flatMap {
-      case '"'  => "\\\""
-      case '\\' => "\\\\"
-      case '\n' => "\\n"
-      case '\r' => "\\r"
-      case '\t' => "\\t"
-      case c if c < ' ' => f"\\u${c.toInt}%04x"
-      case c => c.toString
-    } + "\""
+    val q = QueryDef.jsonString _
     val json = SparkEntry.oracleSql
       .filter { case (k, _) => wanted.isEmpty || wanted(k) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
