@@ -235,6 +235,23 @@ class PipelineOpsSpec extends SparkSpec {
         |FROM emb_cos_test x JOIN emb_cos_test y ON x.vec_id = 0 AND y.vec_id = 1""".stripMargin)
       .collect()(0).getDouble(0)
     assert(math.abs(viaSql) <= 1.0)
+    // corrupt-embedding guards: a NULL ELEMENT inside either array
+    // null-propagates (like the zip_with form) instead of reading an
+    // undefined slot into the score; zero norms and length mismatch
+    // too — exercised through BOTH the codegen'd projection and a
+    // local-relation eval
+    import graft.functions.CosineSimilarity
+    val cases = Seq(
+      (Array[java.lang.Float](1f, null, 2f, 1f), Array[java.lang.Float](1f, 2f, 3f, 1f)),
+      (Array[java.lang.Float](1f, 2f, 3f, 1f), Array[java.lang.Float](1f, null, 2f, 1f)),
+      (Array[java.lang.Float](0f, 0f, 0f, 0f), Array[java.lang.Float](1f, 2f, 3f, 1f)),
+      (Array[java.lang.Float](1f, 2f, 3f), Array[java.lang.Float](1f, 2f, 3f, 1f)))
+    val guarded = cases.toDF("ga", "gb")
+      .select(CosineSimilarity(spark, $"ga".cast("array<float>"),
+        $"gb".cast("array<float>")).as("c"))
+      .collect()
+    assert(guarded.forall(_.isNullAt(0)),
+      s"corrupt inputs must yield NULL, got: ${guarded.mkString(",")}")
   }
 
   test("salted join equals plain join on skewed keys and spreads the hot key") {
