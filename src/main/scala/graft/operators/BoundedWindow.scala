@@ -43,12 +43,20 @@ object BoundedWindow {
   val EliminateRule: String =
     "org.apache.spark.sql.catalyst.optimizer.EliminateWindowPartitions"
 
+  /** The marker's literal value — DISTINCTIVE on purpose: the audit
+    * accepts a foldable partition key only when it is exactly this
+    * literal, so an ad-hoc `Window.partitionBy(lit(0))` over a
+    * data-sized input cannot slip past as if it were a reviewed
+    * BoundedWindow call site (writing lit(0x60D) by hand is the same
+    * deliberate act as editing an allowlist — visible in review). */
+  val MarkerValue: Int = 0x60D
+
   /** Globally ordered window over a bounded input (ranks). */
   def orderBy(cols: Column*): WindowSpec =
-    Window.partitionBy(lit(0)).orderBy(cols: _*)
+    Window.partitionBy(lit(MarkerValue)).orderBy(cols: _*)
 
   /** Whole-input window over a bounded input (totals/shares). */
-  def all: WindowSpec = Window.partitionBy(lit(0))
+  def all: WindowSpec = Window.partitionBy(lit(MarkerValue))
 
   /** Silence WindowExec's per-execution "No Partition Defined"
     * warning for this JVM. Justified ONLY because PlanAuditSpec

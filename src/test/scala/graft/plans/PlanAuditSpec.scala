@@ -18,36 +18,40 @@ class PlanAuditSpec extends SparkSpec {
 
   private val sfDir = "/root/testdata/sf0.001"
 
-  /** Queries allowed a BroadcastNestedLoopJoin/Cross — each is a
-    * `crossJoin(broadcast(...))` against a CONSTANT-sized side:
-    * probes (5), centroids (8), or a 1-row aggregate scalar. */
-  private val constantSideCross = Set(
-    "q_sim_cosine_topk",   // 5 probe vectors
-    "q_sim_ivf_assign",    // 8 centroids
-    "q_sim_ivf_search",    // 8 centroids
-    "q_semdedup",          // 8 centroids (cell assignment)
-    "q_ann_filter",        // 5 probe vectors
-    "q_text_tfidf",        // 1-row corpus-size scalar
-    "q_sample_temperature", // 1-row min-count scalar
-    "q_text_perplexity",   // 1-row vocab-size scalar
-    "q_sim_bm25",          // 1-row corpus-stats scalar (N, Σdl, dfs)
-    "q_select_dsir",       // 1-row distribution-totals scalar (nr, nt)
-    "q_sim_ivfpq",         // 8 coarse centroids (cell assignment + probe)
-    "q_embed_outliers",    // 8 centroids (cell assignment)
-    "q_sim_matryoshka",    // 5 probe vectors (prefix scan + rerank)
-    "q_sim_hard_negatives", // 5 probe vectors
-    "q_ivf_balance",       // 8 centroids + 1-row corpus-count scalar
-    "q_token_budget",      // 1-row weight-total scalar
-    "q_epoch_expand",      // same 1-row scalar inside its plan build
-    "q_label_noise",       // 8 seed centroids (cell assignment)
-    "q_label_predict",     // |labels|-row prototype table (≤ label count)
-    "q_sim_rerank_ivf",    // 8 coarse centroids + 5 probes (IVFADC shortlist + rerank)
-    "q_knn_graph",         // 8 seed centroids (cell assignment)
-    "q_bitext_mine",       // 8 seed centroids (cell assignment)
-    "q_ivf_recall_curve",  // 8 centroids + 5 probes + 1-row relevant-count scalar
-    "q_drift_2prop",       // two 1-row scalars (time-span midpoint, half totals)
-    "q_sim_rrf",           // bm25's 1-row corpus-stats scalar + 5 probe vectors
-    "q_sim_binary"         // 5 packed probe rows (Hamming scan) + 5 probes (rerank)
+  /** Queries allowed BroadcastNestedLoopJoin/Cross, WITH the maximum
+    * count each justified — every one a `crossJoin(broadcast(...))`
+    * against a CONSTANT-sized side: probes (5), centroids (8), or a
+    * 1-row aggregate scalar. COUNT-granular on purpose: a bare name
+    * allowlist would let an allowlisted gate grow a SECOND,
+    * data-sized BNLJ and stay green; exceeding the recorded count is
+    * an offender that forces this table (and review) to move. */
+  private val constantSideCross = Map(
+    "q_sim_cosine_topk" -> 1,   // 5 probe vectors
+    "q_sim_ivf_assign" -> 1,    // 8 centroids
+    "q_sim_ivf_search" -> 2,    // 8 centroids (assign + probe)
+    "q_semdedup" -> 1,          // 8 centroids (cell assignment)
+    "q_ann_filter" -> 1,        // 5 probe vectors
+    "q_text_tfidf" -> 1,        // 1-row corpus-size scalar
+    "q_sample_temperature" -> 1, // 1-row min-count scalar
+    "q_text_perplexity" -> 1,   // 1-row vocab-size scalar
+    "q_sim_bm25" -> 1,          // 1-row corpus-stats scalar (N, Σdl, dfs)
+    "q_select_dsir" -> 1,       // 1-row distribution-totals scalar (nr, nt)
+    "q_sim_ivfpq" -> 2,         // 8 coarse centroids (cell assignment + probe)
+    "q_embed_outliers" -> 1,    // 8 centroids (cell assignment)
+    "q_sim_matryoshka" -> 2,    // 5 probe vectors (prefix scan + rerank)
+    "q_sim_hard_negatives" -> 1, // 5 probe vectors
+    "q_ivf_balance" -> 2,       // 8 centroids + 1-row corpus-count scalar
+    "q_token_budget" -> 1,      // 1-row weight-total scalar
+    "q_epoch_expand" -> 1,      // same 1-row scalar inside its plan build
+    "q_label_noise" -> 1,       // 8 seed centroids (cell assignment)
+    "q_label_predict" -> 1,     // |labels|-row prototype table (≤ label count)
+    "q_sim_rerank_ivf" -> 3,    // 8 coarse centroids + 5 probes (shortlist + rerank)
+    "q_knn_graph" -> 1,         // 8 seed centroids (cell assignment)
+    "q_bitext_mine" -> 1,       // 8 seed centroids (cell assignment)
+    "q_ivf_recall_curve" -> 3,  // 8 centroids + 5 probes + 1-row relevant-count scalar
+    "q_drift_2prop" -> 2,       // two 1-row scalars (time-span midpoint, half totals)
+    "q_sim_rrf" -> 2,           // bm25's 1-row corpus-stats scalar + 5 probe vectors
+    "q_sim_binary" -> 2         // 5 packed probe rows (Hamming scan) + 5 (rerank)
     // (q_label_propagate / q_select_kcenter have constant-side
     // crosses too, but they run inside pinIter checkpoints / the
     // driver greedy loop, so the audited FINAL plan never shows them)
@@ -65,6 +69,12 @@ class PlanAuditSpec extends SparkSpec {
     "oracle has a query, and names are unique gate identifiers") {
     val q = graft.SparkEntry.queries.keySet
     val o = graft.SparkEntry.oracleSql.keySet
+    // q == o is DELIBERATELY stricter than the QueryDef.rowsOnly
+    // escape hatch (driver contract: oracle-less ops get a weaker
+    // rows>0 check): this registry currently holds full oracles for
+    // every gate, and a rowsOnly registration should be a conscious
+    // decision that updates this closure test alongside, not a silent
+    // downgrade of one gate's verification strength
     assert(q == o, s"query/oracle drift: only-query=${(q -- o).toSeq.sorted
       .mkString(",")} only-oracle=${(o -- q).toSeq.sorted.mkString(",")}")
     assert(q.forall(_.startsWith("q_")), "gate names must be q_-prefixed")
@@ -88,6 +98,12 @@ class PlanAuditSpec extends SparkSpec {
     // marker away and the executed plan is the plain single-partition
     // window — the exclusion changes what the audit can SEE, not
     // what ships).
+    // save/restore (not blind-unset): a pre-existing session value —
+    // builder config, another suite's exclusions — must survive this
+    // test, the discipline the file's other conf-mutating tests use
+    val confKeys = Seq("spark.sql.adaptive.enabled",
+      "spark.sql.optimizer.excludedRules")
+    val saved = confKeys.map(k => k -> spark.conf.getOption(k))
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     spark.conf.set("spark.sql.optimizer.excludedRules",
       graft.operators.BoundedWindow.EliminateRule)
@@ -103,26 +119,45 @@ class PlanAuditSpec extends SparkSpec {
           // not itself throw, or it aborts the loop the Try protects
           scala.util.Try(fn(spark, sfDir).queryExecution.executedPlan)
             .fold(e => offenders += s"$name: plan build failed: " +
-                String.valueOf(e.getMessage).linesIterator.toSeq.headOption
-                  .getOrElse(e.getClass.getName),
+                Option(e.getMessage).iterator.flatMap(_.linesIterator)
+                  .find(_.nonEmpty).getOrElse(e.getClass.getName),
               plan => {
                 val s = plan.toString
                 if (s.contains("CartesianProduct"))
                   offenders += s"$name: CartesianProduct"
-                if (s.contains("BroadcastNestedLoopJoin") &&
-                    !constantSideCross.contains(name))
-                  offenders += s"$name: unexpected BroadcastNestedLoopJoin"
-                val unpart = plan.collect {
-                  case w: WindowExec if w.partitionSpec.isEmpty => w
+                // count-granular: an allowlisted gate growing MORE
+                // crosses than its justified count is an offender too
+                val bnlj = "BroadcastNestedLoopJoin".r
+                  .findAllIn(s).length
+                if (bnlj > constantSideCross.getOrElse(name, 0))
+                  offenders += s"$name: $bnlj BroadcastNestedLoopJoin(s), " +
+                    s"${constantSideCross.getOrElse(name, 0)} justified"
+                // collectWithSubqueries: a window hidden inside a
+                // scalar subquery's plan is invisible to plain
+                // collect (children-only) but still executes
+                val windows = plan.collectWithSubqueries {
+                  case w: WindowExec => w
                 }
-                if (unpart.nonEmpty)
-                  offenders += s"$name: ${unpart.size} unpartitioned window(s)"
+                val marker = graft.operators.BoundedWindow.MarkerValue
+                val bad = windows.filter { w =>
+                  w.partitionSpec.isEmpty || // genuinely unpartitioned
+                    // an all-foldable partition key is only legitimate
+                    // as BoundedWindow's exact marker literal — an
+                    // ad-hoc lit(0) would fold to a single-task global
+                    // window in production while LOOKING partitioned
+                    // to this audit (the rule is excluded here)
+                    (w.partitionSpec.forall(_.foldable) &&
+                      w.partitionSpec.map(_.eval(null)) != Seq(marker))
+                }
+                if (bad.nonEmpty)
+                  offenders += s"$name: ${bad.size} unpartitioned/" +
+                    "unmarked-constant window(s)"
               })
         }
       }
-    } finally {
-      spark.conf.unset("spark.sql.adaptive.enabled")
-      spark.conf.unset("spark.sql.optimizer.excludedRules")
+    } finally confKeys.zip(saved.map(_._2)).foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
     }
     assert(offenders.isEmpty, offenders.mkString("; "))
   }
@@ -149,7 +184,8 @@ class PlanAuditSpec extends SparkSpec {
       "q_text_winnow").foreach { name =>
       val df = graft.SparkEntry.queries(name)(spark, sfDir)
       df.collect() // drive THIS plan through AQE to its final form
-      val plan = df.queryExecution.executedPlan.toString
+      val exec = df.queryExecution.executedPlan
+      val plan = exec.toString
       // exchange-free plans skip the AdaptiveSparkPlan wrapper; when
       // it IS present, only the final plan shows real codegen stages
       assert(!plan.contains("AdaptiveSparkPlan") ||
@@ -157,6 +193,33 @@ class PlanAuditSpec extends SparkSpec {
         s"$name plan not finalized:\n$plan")
       assert(plan.contains("*("),
         s"$name lost whole-stage codegen:\n$plan")
+      // and the SCAN stage specifically: "some stage fused" is not
+      // enough — a UDF breaking the scan→filter chain still leaves
+      // the final aggregate codegen'd, which is exactly the
+      // regression this test exists to catch (iterator boundary per
+      // scanned row at 100 TB). AQE wraps materialized stages in
+      // LEAF QueryStageExec nodes, so the walk must descend through
+      // them (plain collect stops at the stage boundary and would
+      // never see the scan stage at all)
+      import org.apache.spark.sql.execution.{FileSourceScanExec,
+        SparkPlan, WholeStageCodegenExec}
+      import org.apache.spark.sql.execution.adaptive.{
+        AdaptiveSparkPlanExec, QueryStageExec}
+      def allNodes(p: SparkPlan): Seq[SparkPlan] = {
+        val kids = p match {
+          case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+          case qs: QueryStageExec => Seq(qs.plan)
+          case other => other.children
+        }
+        p +: kids.flatMap(allNodes)
+      }
+      val scanFused = allNodes(exec).exists {
+        case w: WholeStageCodegenExec =>
+          allNodes(w).exists(_.isInstanceOf[FileSourceScanExec])
+        case _ => false
+      }
+      assert(scanFused,
+        s"$name: no file scan sits inside a WholeStageCodegen span:\n$plan")
     }
   }
 
@@ -170,11 +233,8 @@ class PlanAuditSpec extends SparkSpec {
     val df = graft.Tables(spark, sfDir, "lineitem")
       .filter(col("l_quantity") > 40)
       .select(col("l_orderkey"), col("l_quantity"))
-    def subtree(p: org.apache.spark.sql.execution.SparkPlan)
-        : Seq[org.apache.spark.sql.execution.SparkPlan] =
-      p +: p.children.flatMap(subtree)
-    val scans = subtree(df.queryExecution.executedPlan)
-      .collect { case f: FileSourceScanExec => f }
+    val scans = df.queryExecution.executedPlan
+      .collectWithSubqueries { case f: FileSourceScanExec => f }
     assert(scans.nonEmpty, "no file scan in plan")
     val meta = scans.head.metadata
     assert(meta.getOrElse("PushedFilters", "").contains("GreaterThan(l_quantity"),
