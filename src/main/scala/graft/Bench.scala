@@ -35,6 +35,20 @@ import org.apache.spark.sql.SparkSession
   * steady-state view that keeps recurring costs like GC pressure
   * visible). ANY failed run — base or extra — marks the query failed:
   * a timing whose extra iterations crashed is not evidence.
+  *
+  * CONTENTION GUARD (r16): min-of-N is defenseless when the box is
+  * busy for the WHOLE measurement window — r15 recorded three queries
+  * at 3–19× their reproducible cost and the record read as truth. A
+  * fixed deterministic CPU probe (range→xxhash64→sum) is timed
+  * best-of-3 after warmup as the baseline, then re-timed every
+  * [[ProbeEvery]] queries; a probe above [[ContentionFactor]]× the
+  * baseline marks every query since the last clean probe as
+  * contended. Contended queries are RE-MEASURED at sweep end inside a
+  * probe bracket: a clean bracket replaces the contaminated evidence
+  * (overall min kept — contention is additive — median from the
+  * clean run), a dirty one leaves the query in the record's
+  * `contended` list. The NEXT sweep's regression rule drops
+  * prev-flagged entries instead of anchoring to phantom minima.
   */
 object Bench {
 
@@ -48,6 +62,24 @@ object Bench {
     * queries sit below the absolute threshold, but a 3× jump on one
     * is exactly the box-noise signature worth re-measuring. */
   val RegressionFactor = 3.0
+
+  /** Calibration probe drift above this multiple of the sweep-start
+    * baseline marks every query since the last clean probe as
+    * contended. The r15 lesson: min-of-N with quiesce is defenseless
+    * against contention SUSTAINED across all N runs — three queries
+    * recorded 3–19× their reproducible cost and the record read as
+    * truth. The probe is fixed deterministic CPU work, so its cost
+    * moves only when the box does. */
+  val ContentionFactor = 2.0
+
+  /** Queries per probe interval. Smaller = finer attribution of a
+    * contended window, at ~probe-cost × registry/N overhead. */
+  val ProbeEvery = 8
+
+  /** Rows of `range → xxhash64 → sum` per probe — sized so one probe
+    * is a few hundred ms at local[32]: long enough to sample steal,
+    * short enough that ~25 probes add seconds, not minutes. */
+  val ProbeRows = 2000000000L
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -68,6 +100,16 @@ object Bench {
     // the audited bounded windows would otherwise print a warning
     // wall in the bench tail — see BoundedWindow.quietBoundedWarnings
     graft.operators.BoundedWindow.quietBoundedWarnings()
+    // quiesce() unpersists pinned locally-checkpointed RDDs ON
+    // PURPOSE (run isolation; nothing rereads them), but RDD.unpersist
+    // WARNs "lineage has been truncated and it cannot be recomputed"
+    // once per block drop — hundreds of lines per sweep burying real
+    // anomalies (the r15 tail). The logger is the concrete RDD class
+    // under org.apache.spark.rdd; quiet the package to ERROR in THIS
+    // measurement harness only — genuine failures surface as
+    // exceptions, not rdd-package warnings.
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.rdd", org.apache.logging.log4j.Level.ERROR)
     // warm up JVM/JIT, codegen and parquet footers once, untimed
     Tables.names.foreach(n =>
       try Tables(spark, sfDir, n).limit(1).write.format("noop")
@@ -108,7 +150,7 @@ object Bench {
           java.nio.file.Paths.get(prevPath)), "UTF-8")
         val body = txt.substring(txt.indexOf("\"queries\":{") + 11)
         val inner = body.substring(0, body.indexOf('}'))
-        inner.split(',').iterator.flatMap { kv =>
+        val all = inner.split(',').iterator.flatMap { kv =>
           kv.split(':') match {
             case Array(k, v) =>
               try Some(k.trim.stripPrefix("\"").stripSuffix("\"") -> v.trim.toDouble)
@@ -116,6 +158,20 @@ object Bench {
             case _ => None
           }
         }.toMap
+        // entries the previous sweep itself flagged contended carry
+        // inflated minima; treating one as the regression reference
+        // would let a REAL slowdown hide under the phantom number.
+        // Dropping the entry disables the rule for that query instead
+        // of anchoring it to a lie.
+        val flagged: Set[String] =
+          if (!txt.contains("\"contended\":[")) Set.empty
+          else {
+            val cb = txt.substring(txt.indexOf("\"contended\":[") + 13)
+            cb.substring(0, cb.indexOf(']')).split(',').iterator
+              .map(_.trim.stripPrefix("\"").stripSuffix("\""))
+              .filter(_.nonEmpty).toSet
+          }
+        all -- flagged
       } catch { case _: Throwable => Map.empty }
 
     // optional args = subset of query names to time (local iteration);
@@ -129,7 +185,25 @@ object Bench {
     val selected =
       if (wanted.isEmpty) SparkEntry.queries
       else SparkEntry.queries.filter { case (k, _) => wanted(k) }
-    val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
+
+    // fixed deterministic CPU probe: its cost moves only when the box
+    // does, so drift vs the sweep-start baseline IS the contention
+    // signal. collect() of one aggregated row — no state left behind.
+    def probe(): Double = {
+      val t0 = System.nanoTime()
+      // bit_xor, not sum: summing 2e9 hashes overflows BIGINT under
+      // Spark 4's default ANSI mode; xor folds for free
+      spark.range(0L, ProbeRows, 1L, cpus.toInt)
+        .selectExpr("bit_xor(xxhash64(id)) AS h").collect()
+      (System.nanoTime() - t0) / 1e9
+    }
+    // best-of-3 baseline AFTER warmup, same minimum-estimator logic
+    // as the queries themselves (contention is additive)
+    val calibration = (1 to 3).map(_ => probe()).min
+
+    def measure(name: String,
+        fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
+        : Seq[Double] = {
       def run(n: Int): Seq[Double] = (1 to n).flatMap { _ =>
         val t0 = System.nanoTime()
         val ok =
@@ -142,30 +216,77 @@ object Bench {
         if (ok) Some(sec) else None
       }
       val base = run(iters)
-      val all =
-        if (base.length < iters) Seq.empty // a failed base run fails the query
-        else {
-          val b = base.min
-          // heavy or regressed query: noise moves rankings most here —
-          // buy more evidence and keep the minimum (contention is
-          // additive). "Regressed" = best-of-N above RegressionFactor×
-          // the previous round's recorded minimum for this query.
-          val regressed = prev.get(name).exists(p => p > 0 && b > p * RegressionFactor)
-          if ((b > HeavyThresholdSec || regressed) && heavyExtra > 0) {
-            val extra = run(heavyExtra)
-            // the any-failed-run rule covers EXTRA iterations too: a
-            // query whose re-measurement crashed has no honest timing
-            if (extra.length < heavyExtra) Seq.empty else base ++ extra
-          } else base
+      if (base.length < iters) Seq.empty // a failed base run fails the query
+      else {
+        val b = base.min
+        // heavy or regressed query: noise moves rankings most here —
+        // buy more evidence and keep the minimum (contention is
+        // additive). "Regressed" = best-of-N above RegressionFactor×
+        // the previous round's recorded minimum for this query.
+        val regressed = prev.get(name).exists(p => p > 0 && b > p * RegressionFactor)
+        if ((b > HeavyThresholdSec || regressed) && heavyExtra > 0) {
+          val extra = run(heavyExtra)
+          // the any-failed-run rule covers EXTRA iterations too: a
+          // query whose re-measurement crashed has no honest timing
+          if (extra.length < heavyExtra) Seq.empty else base ++ extra
+        } else base
+      }
+    }
+
+    val ordered = selected.toSeq.sortBy(_._1)
+    val timings = scala.collection.mutable.LinkedHashMap.empty[String, Seq[Double]]
+    // names measured since the last CLEAN probe — a drifted probe
+    // taints exactly this window, nothing before it
+    val sinceProbe = scala.collection.mutable.ArrayBuffer.empty[String]
+    val contended = scala.collection.mutable.LinkedHashSet.empty[String]
+    var worstProbe = calibration
+    ordered.zipWithIndex.foreach { case ((name, fn), i) =>
+      timings(name) = measure(name, fn)
+      sinceProbe += name
+      if (sinceProbe.size >= ProbeEvery || i == ordered.length - 1) {
+        val p = probe()
+        worstProbe = math.max(worstProbe, p)
+        if (p > calibration * ContentionFactor) {
+          System.err.println(f"[bench] probe drift ${p}%.2fs vs baseline " +
+            f"$calibration%.2fs — marking ${sinceProbe.length} queries contended")
+          contended ++= sinceProbe.filter(timings(_).nonEmpty)
         }
-      name -> all
-    }.map { case (name, all) =>
+        sinceProbe.clear()
+      }
+    }
+
+    // end-of-sweep re-measurement of the contended window: bracketed
+    // by probes so the verdict is evidence, not hope. A clean re-run
+    // REPLACES the contaminated evidence (min may only improve —
+    // contention is additive — so keep the overall min; the median
+    // comes from the clean run alone, a contaminated median is junk).
+    // A still-dirty re-run leaves the query in the record's
+    // `contended` list: the number is published but flagged, and the
+    // next round's regression rule skips flagged minima upstream.
+    val stillContended = scala.collection.mutable.LinkedHashSet.empty[String]
+    val minOverride = scala.collection.mutable.Map.empty[String, Double]
+    contended.foreach { name =>
+      val before = probe()
+      val rerun = measure(name, selected(name))
+      val after = probe()
+      val clean = before <= calibration * ContentionFactor &&
+        after <= calibration * ContentionFactor
+      if (clean && rerun.nonEmpty) {
+        minOverride(name) = math.min(timings(name).min, rerun.min)
+        timings(name) = rerun
+      } else stillContended += name
+    }
+
+    val results = timings.toSeq.map { case (name, all) =>
       val sorted = all.sorted
       val med =
         if (sorted.isEmpty) -1.0
         else if (sorted.length % 2 == 1) sorted(sorted.length / 2)
         else (sorted(sorted.length / 2 - 1) + sorted(sorted.length / 2)) / 2
-      (name, if (sorted.isEmpty) -1.0 else sorted.head, med)
+      val mn =
+        if (sorted.isEmpty) -1.0
+        else minOverride.getOrElse(name, sorted.head)
+      (name, mn, med)
     }
     def fmt(v: Double): String =
       if (v < 0) "-1"
@@ -187,12 +308,25 @@ object Bench {
     val total = results.collect { case (_, v, _) if v >= 0 => v }.sum
     val nFailed = results.count(_._2 < 0)
     val sfLabel = QueryDef.jsonString(new java.io.File(sfDir).getName)
+    // contention evidence travels WITH the record: `contended` lists
+    // queries whose re-measurement window was still dirty (their
+    // numbers are published but untrusted — next sweep's regression
+    // rule drops them as references), `calibration` pins the probe
+    // baseline and the worst drift seen so a reader can judge the
+    // whole sweep's environment at a glance.
+    val contJson = stillContended.toSeq.sorted
+      .map(QueryDef.jsonString).mkString("[", ",", "]")
+    val calJson = s"""{"baseline_sec":${fmt(calibration)},""" +
+      s""""worst_probe_sec":${fmt(worstProbe)},""" +
+      s""""factor":${fmt(ContentionFactor)},""" +
+      s""""n_marked":${contended.size},"n_recovered":${
+        contended.size - stillContended.size}}"""
     val fileJson =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"queries_median":$qsMed,"sf":$sfLabel}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"queries_median":$qsMed,"contended":$contJson,"calibration":$calJson,"sf":$sfLabel}"""
     java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
       (fileJson + "\n").getBytes("UTF-8"))
     // compact summary LAST so the bounded tail always captures it whole
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.length},"n_failed":$nFailed,"queries_file":${QueryDef.jsonString(outPath)},"sf":$sfLabel}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.length},"n_failed":$nFailed,"n_contended":${stillContended.size},"queries_file":${QueryDef.jsonString(outPath)},"sf":$sfLabel}""")
     spark.stop()
   }
 }

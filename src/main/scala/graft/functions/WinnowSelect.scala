@@ -152,10 +152,18 @@ object WinnowSelect {
   }
 
   /** Idempotent per-session registration; also available to SQL text
-    * as `graft_winnow_select(text, k, w, posBits)`. */
-  def register(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      FunctionName, builder, "scala_udf")
+    * as `graft_winnow_select(text, k, w, posBits)`. Check-then-create
+    * instead of unconditional createOrReplace: the replace path logs
+    * a "replaced a previously registered function" WARN per call, and
+    * the bench sweep calls this once per winnow query — a warning
+    * wall burying real signals in the bench tail. The check-then-act
+    * race is benign (both racers register the identical builder). */
+  def register(spark: SparkSession): Unit = {
+    val registry = spark.sessionState.functionRegistry
+    if (!registry.functionExists(
+        org.apache.spark.sql.catalyst.FunctionIdentifier(FunctionName)))
+      registry.createOrReplaceTempFunction(FunctionName, builder, "scala_udf")
+  }
 
   /** Column entry point — registers on the session first. */
   def apply(spark: SparkSession, text: Column, k: Int, w: Int,

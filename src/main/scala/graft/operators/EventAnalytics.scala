@@ -734,7 +734,13 @@ object EventAnalytics {
     // division — NOT round(double, 4), whose half-up boundary is the
     // documented Spark-vs-DuckDB divergence the q_quality_clf floor
     // switch exists for) before ONE identical final /10000.0, so the
-    // doubles match bit for bit on both engines. Scale:
+    // doubles match bit for bit on both engines. NEGATIVE cents are
+    // covered too: both engines truncate integer division toward
+    // zero (empirically pinned — DuckDB `-7 // 2` = −3, same as
+    // Spark `-7 DIV 2`; DuckDB's `//` is NOT Python floor division;
+    // EventAnalyticsSpec pins the Spark side so an engine-semantics
+    // change surfaces loudly instead of as a silent off-by-1e-4 on
+    // negative-value series). Scale:
     // one (type, hour) groupBy — map-side combinable — then every
     // window runs on the types × hours grid, dashboard-sized however
     // large the event volume; interior gaps always have both

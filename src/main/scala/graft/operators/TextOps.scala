@@ -233,6 +233,55 @@ object TextOps {
           (col("rnk") * 2 <= col("n_docs")).as("kept_top_half"))
     },
 
+    // The APPROXIMATE prune's agreement contract as a gate (the
+    // q_approx_distinct pattern: the sketch value is engine-private,
+    // so the HASHED output carries exact, reproducible columns plus a
+    // flag computed FROM the approximation that must be TRUE —
+    // DuckDB replays the exact side and asserts the literal, so a
+    // sketch threshold drifting outside its rank-error band fails
+    // the gate hash every round instead of living only in one spec).
+    // Per row: kept_exact from the same rank window as
+    // q_quality_prune, and agree_or_in_band = the two cuts agree OR
+    // the margin lies in the closed band between the approximate
+    // threshold and the exact cut's boundary margin (the worst
+    // margin it still keeps; a keep-nothing source's boundary sits
+    // above every margin). The exact window here is the VALIDATOR'S
+    // cost, not the production path — qualityPruneApprox alone is
+    // the 100 TB pipeline entry.
+    QueryDef.sql(
+      "q_quality_prune_approx",
+      s"""WITH $clfMarginCte,
+         |j AS (SELECT d.doc_id, d.source, m.margin_e6
+         |      FROM documents d JOIN clfm m ON d.doc_id = m.doc_id),
+         |r AS (SELECT doc_id, source, margin_e6,
+         |             CAST(row_number() OVER (PARTITION BY source
+         |                    ORDER BY margin_e6 DESC, doc_id)
+         |                  AS INTEGER) AS rnk,
+         |             CAST(count(*) OVER (PARTITION BY source)
+         |                  AS BIGINT) AS n_docs
+         |      FROM j)
+         |SELECT doc_id, source, margin_e6,
+         |       rnk * 2 <= n_docs AS kept_exact,
+         |       TRUE AS agree_or_in_band
+         |FROM r""".stripMargin) { (s, dir) =>
+      val bySrc =
+        org.apache.spark.sql.expressions.Window.partitionBy(col("source"))
+      qualityPruneApprox(Tables(s, dir, "documents"))
+        .withColumn("rnk", row_number().over(
+          bySrc.orderBy(col("margin_e6").desc, col("doc_id"))).cast("int"))
+        .withColumn("n_docs", count(lit(1)).over(bySrc))
+        .withColumn("kept_exact", col("rnk") * 2 <= col("n_docs"))
+        .withColumn("boundary_e6", coalesce(
+          min(when(col("kept_exact"), col("margin_e6"))).over(bySrc),
+          lit(Long.MaxValue)))
+        .select(col("doc_id"), col("source"), col("margin_e6"),
+          col("kept_exact"),
+          (col("kept_top_half") === col("kept_exact") ||
+            (col("margin_e6") >= least(col("thr_e6"), col("boundary_e6")) &&
+              col("margin_e6") <= greatest(col("thr_e6"), col("boundary_e6"))))
+            .as("agree_or_in_band"))
+    },
+
     // Language identification: stopword-marker voting with a fixed
     // priority tie-break (en > es > de > fr).
     QueryDef.sql(

@@ -158,7 +158,18 @@ object Sources {
     new java.util.concurrent.ConcurrentHashMap[String, Object]()
   private def withWriterLock[T](spark: SparkSession, tableName: String)(
       body: => T): T = {
-    val key = spark.catalog.currentDatabase + "." + tableName
+    // normalize through the session's identifier parser before
+    // keying the monitor: a caller passing "db.t" and another
+    // passing "t" with currentDatabase=db mutate the SAME table and
+    // must contend on the SAME lock — a raw string-concat key would
+    // hand them different monitors and silently void the mutual
+    // exclusion. Lowercased because the session catalog resolves
+    // identifiers case-insensitively (spark.sql.caseSensitive=false
+    // default), so "T" and "t" are one table too.
+    val ident = spark.sessionState.sqlParser.parseTableIdentifier(tableName)
+    val key = ident.database.getOrElse(spark.catalog.currentDatabase)
+      .toLowerCase(java.util.Locale.ROOT) + "." +
+      ident.table.toLowerCase(java.util.Locale.ROOT)
     // monitors are reentrant, so compactBucketed's inner swapBucketed
     // re-enters its own lock instead of deadlocking
     val lock = writerLocks.computeIfAbsent(key, _ => new Object)

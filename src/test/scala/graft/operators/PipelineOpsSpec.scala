@@ -3038,4 +3038,24 @@ class PipelineOpsSpec extends SparkSpec {
       }
     }
   }
+
+  test("timeseries fill's integer division truncates toward zero on " +
+    "negative numerators — the engine-parity precondition for " +
+    "negative-cent series") {
+    // the gate's interpolation uses Spark `DIV`; the oracle uses
+    // DuckDB `//`. Both truncate toward zero (DuckDB `-7 // 2` = −3,
+    // verified against the oracle engine — its `//` is NOT Python
+    // floor division), so negative event values interpolate
+    // identically too. This pins the Spark half: if a Spark upgrade
+    // ever switched DIV to floor semantics, the gate would drift by
+    // one 1e-4 unit exactly on negative numerators, and this test
+    // turns that silent hash flake into a named failure.
+    val rows = spark.sql(
+      "SELECT -7 DIV 2, 7 DIV 2, -7 DIV -2, CAST(NULL AS BIGINT) DIV 2")
+      .collect().head
+    assert(rows.getLong(0) == -3L, "Spark DIV no longer truncates " +
+      "toward zero — the timeseries-fill oracle parity contract broke")
+    assert(rows.getLong(1) == 3L && rows.getLong(2) == 3L)
+    assert(rows.isNullAt(3), "NULL DIV must stay NULL")
+  }
 }

@@ -122,13 +122,21 @@ class PlanAuditSpec extends SparkSpec {
                 Option(e.getMessage).iterator.flatMap(_.linesIterator)
                   .find(_.nonEmpty).getOrElse(e.getClass.getName),
               plan => {
-                val s = plan.toString
-                if (s.contains("CartesianProduct"))
+                import org.apache.spark.sql.execution.joins.{
+                  BroadcastNestedLoopJoinExec, CartesianProductExec}
+                // node-typed + collectWithSubqueries for BOTH joins
+                // and windows: SparkPlan.toString does not render
+                // scalar-subquery plans, so a data-sized BNLJ or
+                // Cartesian hidden inside a subquery would pass a
+                // string audit while still executing — the same
+                // blind spot the window check below was built around
+                if (plan.collectWithSubqueries {
+                      case c: CartesianProductExec => c }.nonEmpty)
                   offenders += s"$name: CartesianProduct"
                 // count-granular: an allowlisted gate growing MORE
                 // crosses than its justified count is an offender too
-                val bnlj = "BroadcastNestedLoopJoin".r
-                  .findAllIn(s).length
+                val bnlj = plan.collectWithSubqueries {
+                  case b: BroadcastNestedLoopJoinExec => b }.size
                 if (bnlj > constantSideCross.getOrElse(name, 0))
                   offenders += s"$name: $bnlj BroadcastNestedLoopJoin(s), " +
                     s"${constantSideCross.getOrElse(name, 0)} justified"

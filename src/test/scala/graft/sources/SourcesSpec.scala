@@ -932,6 +932,35 @@ class SourcesSpec extends SparkSpec {
     } finally Sources.dropVersioned(spark, "writer_race_test")
   }
 
+  test("the writer lock normalizes identifiers: a database-qualified " +
+    "name, a bare name under currentDatabase, and a case variant all " +
+    "contend on ONE monitor") {
+    // the mutual-exclusion guarantee is only as strong as the lock
+    // KEY: before normalization, "default.t" and "t" (with
+    // currentDatabase=default) hashed to different monitors and two
+    // mutators of the same table ran concurrently — exactly the
+    // lost-append interleaving the lock exists to prevent. Detect
+    // overlap directly: every body marks itself inside a critical
+    // section; any second entrant while one is inside is a distinct
+    // monitor leaking through.
+    val inside = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val overlap = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val db = spark.catalog.currentDatabase
+    val names = Seq(s"$db.lock_norm_t", "lock_norm_t", "LOCK_NORM_T")
+    val threads = names.map { n =>
+      new Thread(() => Sources.withTableLock(spark, n) {
+        if (!inside.compareAndSet(false, true)) overlap.set(true)
+        Thread.sleep(100)
+        inside.set(false)
+      })
+    }
+    threads.foreach(_.start())
+    threads.foreach(_.join(30000))
+    assert(!overlap.get,
+      "qualified/bare/case-variant names of one table took distinct " +
+        "writer locks — identifier normalization is broken")
+  }
+
   test("cross-driver lost-update detector: a swap whose base version " +
     "moved underneath it aborts loudly and never flips over the " +
     "foreign commit") {
