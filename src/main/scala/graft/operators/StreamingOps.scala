@@ -319,7 +319,15 @@ object StreamingOps {
           val ev = Tables.events(s, dir)
             .select(col("user_id"), col("ts_us"), col("event_id"),
               col("event_type"))
-          val inDir = EventStreams.timeSlicedDir(ev, nSlices = 4, gapUs = 1L)
+          // 2 slices (3 triggers with punctuation), not the fMGWS
+          // twin's 4: the RocksDB provider pays a state-store
+          // commit/snapshot per trigger, so the per-trigger floor
+          // dominates this gate's cost — and slicing is output-
+          // invariant (timeSlicedDir keeps event-time order at any
+          // nSlices; the oracle hash is unchanged). Cross-batch
+          // state carry stays exercised: journeys still straddle the
+          // slice boundary and the punctuation trigger.
+          val inDir = EventStreams.timeSlicedDir(ev, nSlices = 2, gapUs = 1L)
           val stream = s.readStream.schema(ev.schema)
             .option("maxFilesPerTrigger", "1").parquet(inDir)
           val q = EventStreams.funnelStreamTws(
@@ -589,7 +597,13 @@ object StreamingOps {
           .select(col("doc_id"), col("text"))
         val existing = docs.filter(col("doc_id") < DedupOps.IncrementalSplit)
         graft.sources.Sources.dropVersioned(s, "graft_band_lc")
-        val inDir = EventStreams.stagedParquet(existing, 4)
+        // 2 ingest slices, not 4: each trigger is a full versioned
+        // append (write + pointer flip + stats bump), so the
+        // per-trigger floor is most of this gate's cost. Two appends
+        // still leave the table FRAGMENTED (2 files/bucket) so the
+        // compaction step keeps something real to do, and the
+        // candidate oracle is build-shape-invariant by construction.
+        val inDir = EventStreams.stagedParquet(existing, 2)
         val stream = s.readStream.schema(existing.schema)
           .option("maxFilesPerTrigger", "1").parquet(inDir)
         val q = stream.writeStream
@@ -931,7 +945,13 @@ object StreamingOps {
       (s, dir) => withStreamPartitions(s, 8) {
         val ev = Tables.events(s, dir)
           .select(col("event_type"), col("user_id"))
-        val inDir = EventStreams.stagedParquet(ev, 4)
+        // 2 slices, not 4: the sign-sum state is types × 64 bigints
+        // (the cheapest in this file), so the gate's cost is almost
+        // pure per-trigger floor; complete-mode SUM aggregation is
+        // slicing-invariant, hash unchanged. Still multi-batch —
+        // the stream-maintains-the-sketch property needs >1 trigger,
+        // not 4.
+        val inDir = EventStreams.stagedParquet(ev, 2)
         val stream = s.readStream.schema(ev.schema)
           .option("maxFilesPerTrigger", "1").parquet(inDir)
         val zs = EventAnalytics.amsZSums
