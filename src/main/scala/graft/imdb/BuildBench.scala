@@ -278,15 +278,33 @@ object BuildBench {
       s"build validation warnings: ${p.buildWarnings.mkString("; ")}")
 
     val json =
-      s"""{"metric":"imdb_transfer_build","transfer_sec":$transferSec,""" +
+      s"""{"metric":"imdb_transfer_build","titles":$titles,""" +
+        s""""transfer_sec":$transferSec,""" +
         s""""build_sec":$buildSec,"total_sec":${transferSec + buildSec},""" +
         s""""tsv_mb":${math.round(tsvMb)},"gen_sec":$genSec,""" +
         s""""rows":{${rows.toSeq.sortBy(_._1)
           .map { case (k, v) => s""""$k":$v""" }.mkString(",")}},""" +
-        s""""normalized_tables":${normalized.tables.size},"cpus":$cpus}"""
+        s""""normalized_tables":${normalized.tables.size},""" +
+        // the require above already aborted on any warning, so a
+        // written line is by construction validation-clean — the
+        // field makes that legible to a reader of the artifact
+        s""""validation_clean":true,"cpus":$cpus}"""
     println(json)
-    java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
-      (json + "\n").getBytes("UTF-8"))
+    // ONE row per scale, accumulated: the artifact holds the 1 GB
+    // working-scale row AND the full-IMDb-volume row side by side
+    // (JSONL). A re-run at an existing scale replaces that scale's
+    // row; rows from before the `titles` field predate the format
+    // and are dropped on first contact.
+    val path = java.nio.file.Paths.get(outPath)
+    val prior =
+      if (java.nio.file.Files.exists(path))
+        new String(java.nio.file.Files.readAllBytes(path), "UTF-8")
+          .split('\n').toSeq.filter(_.nonEmpty)
+          .filter(l => l.contains("\"titles\":") &&
+            !l.contains(s""""titles":$titles,"""))
+      else Seq.empty
+    java.nio.file.Files.write(path,
+      (prior :+ json).mkString("", "\n", "\n").getBytes("UTF-8"))
     spark.stop()
   }
 

