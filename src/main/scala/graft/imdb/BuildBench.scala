@@ -305,6 +305,15 @@ object BuildBench {
       else Seq.empty
     java.nio.file.Files.write(path,
       (prior :+ json).mkString("", "\n", "\n").getBytes("UTF-8"))
+    // the warehouse is measurement scratch (up to ~3 GB of parquet at
+    // full-IMDb volume) — without this, every run leaked its own copy
+    // to the temp filesystem. The generated TSV corpus in `dir` stays:
+    // it is the reusable, marker-validated INPUT.
+    def rmTree(p: java.nio.file.Path): Unit = {
+      if (java.nio.file.Files.isDirectory(p)) listDir(p).foreach(rmTree)
+      java.nio.file.Files.delete(p)
+    }
+    rmTree(wh)
     spark.stop()
   }
 

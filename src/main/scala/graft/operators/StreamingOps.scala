@@ -923,6 +923,11 @@ object StreamingOps {
       (s, dir) => withStreamPartitions(s, 8) {
         val docs = Tables(s, dir, "documents")
           .select(col("source"), col("doc_id"), col("text"))
+        // stays at 3 slices DELIBERATELY: an A/B at 2 measured no
+        // win (5.34 vs 5.53 — this gate's cost is the trigram MG
+        // sketch scan plus the audit's exact-side recount, both
+        // data-volume work that slicing does not change), so the
+        // extra merge-path trigger is free.
         val inDir = EventStreams.orderedSlicedDir(docs, "doc_id", 3)
         val stream = s.readStream.schema(docs.schema)
           .option("maxFilesPerTrigger", "1").parquet(inDir)
