@@ -933,11 +933,20 @@ object TextOps {
     // (doc_id, source, margin) in ONE map-side projection — NOT a
     // docs⋈classifier join on doc_id, which would shuffle the whole
     // corpus row-level just to reconstruct a pairing the scan already
-    // had. The two consumers below each re-scan this cheap projection
-    // (phase 1 folds it into sketch partials, phase 2 filters it):
-    // two scans, zero row-level exchanges.
+    // had — and PINNED, because both phases below consume it: unpinned,
+    // phase 1's sketch AND phase 2's filter each re-ran the classifier
+    // features (tokenize + distinct + stopword hits + length fold)
+    // from raw text, and that double feature pass made the "100 TB
+    // path" measurably SLOWER than the exact rank cut it replaces
+    // (30× corpus: 7.1 s vs 3.4 s; pinned: see SCALE.md r16). The
+    // pinned frame is three thin columns (~26 B/row vs the corpus's
+    // kilobyte texts), spill-safe under clusterSafe's MEMORY_AND_DISK
+    // — the standard two-phase shape: materialize the statistic
+    // input once, sketch it, filter it.
+    import graft.operators.Materialize.PinOps
     val margins = qualityClassifierCarrying(docs, "source")
       .select(col("doc_id"), col("source"), col("margin_e6"))
+      .pinned
     val thresholds = margins.groupBy(col("source"))
       .agg(percentile_approx(col("margin_e6"), lit(0.5), lit(accuracy))
         .as("thr_e6"))
