@@ -239,12 +239,19 @@ object Bench {
     // taints exactly this window, nothing before it
     val sinceProbe = scala.collection.mutable.ArrayBuffer.empty[String]
     val contended = scala.collection.mutable.LinkedHashSet.empty[String]
+    // every probe sample, in sweep order — the record's environment
+    // TRACE: sustained sub-threshold drift (a box running 1.2–1.4×
+    // slow for the whole sweep) never trips the 2× guard by design,
+    // but it is plainly visible in this series, so a reader comparing
+    // two rounds' records can normalize instead of guessing
+    val probeTrace = scala.collection.mutable.ArrayBuffer[Double](calibration)
     var worstProbe = calibration
     ordered.zipWithIndex.foreach { case ((name, fn), i) =>
       timings(name) = measure(name, fn)
       sinceProbe += name
       if (sinceProbe.size >= ProbeEvery || i == ordered.length - 1) {
         val p = probe()
+        probeTrace += p
         worstProbe = math.max(worstProbe, p)
         if (p > calibration * ContentionFactor) {
           System.err.println(f"[bench] probe drift ${p}%.2fs vs baseline " +
@@ -320,7 +327,8 @@ object Bench {
       s""""worst_probe_sec":${fmt(worstProbe)},""" +
       s""""factor":${fmt(ContentionFactor)},""" +
       s""""n_marked":${contended.size},"n_recovered":${
-        contended.size - stillContended.size}}"""
+        contended.size - stillContended.size},""" +
+      s""""probes":${probeTrace.map(fmt).mkString("[", ",", "]")}}"""
     val fileJson =
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"queries_median":$qsMed,"contended":$contJson,"calibration":$calJson,"sf":$sfLabel}"""
     java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
