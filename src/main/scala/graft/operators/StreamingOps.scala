@@ -486,9 +486,16 @@ object StreamingOps {
     // instead of the former ≈10 small star-round jobs; same-box A/B:
     // the gate dropped 16.2 → 9.8 s when the local finish landed),
     // ~1.6 s bucketed table append, ~0.25 s state write per trigger.
-    // All amortize at real ingest volumes — per-row cost falls with
-    // batch size while candidate generation stays an equi-join probe
-    // on the stored layout.
+    // The append decomposes (r16, 1.2k-row batch, best of 5): a RAW
+    // bucketed saveAsTable append is ~1.0 s against ~0.33 s for the
+    // non-bucketed form — Spark's bucketed-insert path plans an
+    // extra sort/exchange stage whatever the batch size — and the
+    // Sources version/lock/refresh machinery adds only ~0.2-0.4 s on
+    // top; the floor is the engine's insert planning, not this
+    // repo's bookkeeping. All amortize at real ingest volumes —
+    // per-row cost falls with batch size while candidate generation
+    // stays an equi-join probe on the stored layout (measured: the
+    // trimmed ingest gates grow 1.3-2.0x at 10x rows, SCALE.md r16).
     QueryDef.sql("q_stream_dedup_clusters", DedupOps.clusterClosureSql) {
       (s, dir) => withStreamPartitions(s, 4) {
         val docs = Tables(s, dir, "documents")
