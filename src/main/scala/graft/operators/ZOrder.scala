@@ -314,8 +314,78 @@ object ZOrder {
         graft.sources.Manifest.build(laid, ManifestCols),
         s"$tmp/manifest", ManifestCols.head)
       manifestAnswer(s, laid, s.read.parquet(s"$tmp/manifest"), mid)
+    },
+
+    // HIVE-STYLE partition pruning — the third leg of the layout
+    // family next to z-order/manifest skipping: events written
+    // `partitionBy(day)` (the directory layout every date-partitioned
+    // 100 TB event store uses), read back with a day-range predicate
+    // that Spark satisfies from the DIRECTORY LISTING alone —
+    // non-qualifying partitions are never opened, no manifest needed,
+    // because the partition value lives in the path. The oracle is
+    // the plain full-table filter over raw events (pruning must never
+    // change answers — the manifest-gate convention); the pruning
+    // EFFECTIVENESS (PartitionFilters present, partition count
+    // actually halved) is spec-asserted where the plan is
+    // inspectable (ZOrderSpec). The day band is SF-independent: the
+    // span midpoint comes from a 2-scalar driver probe, mirrored as
+    // the oracle's scalar subquery. Cents discipline as everywhere:
+    // per-element integer cents summed as BIGINT, no float-order
+    // divergence.
+    QueryDef.sql("q_partition_prune", partitionPruneSql) { (s, dir) =>
+      val (laid, midDay) = partitionedGateLayout(s, dir)
+      laid.filter(col("day") <= midDay)
+        .groupBy(col("day"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(round(col("value") * 100, 0).cast("long")).as("cents"))
     }
   )
+
+  /** Microseconds per day — the partition granularity of
+    * [[partitionedGateLayout]]. A `def`, NOT a val: `all` above
+    * interpolates it into the oracle string during object init, and
+    * a val declared below `all` would still be 0 there (the
+    * Analytics.StatsCols convention) — exactly the bug the first
+    * draft shipped: `// 0` in the oracle, division-by-zero NULLs,
+    * an empty oracle result. */
+  private[operators] def DayUs: Long = 86400000000L
+
+  /** ONE oracle for q_partition_prune: the plain full-table day
+    * filter + aggregate — the partitioned layout may only change the
+    * FILES read, never the answer. */
+  private[operators] def partitionPruneSql: String =
+    s"""WITH b AS (SELECT (min(epoch_us(ts)) // $DayUs
+       |                   + max(epoch_us(ts)) // $DayUs) // 2 AS mid_day
+       |           FROM events)
+       |SELECT epoch_us(ts) // $DayUs AS day,
+       |       CAST(count(*) AS BIGINT) AS n_events,
+       |       CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT)
+       |         AS cents
+       |FROM events, b
+       |WHERE epoch_us(ts) // $DayUs <= b.mid_day
+       |GROUP BY 1""".stripMargin
+
+  /** The shared fixture: events staged ONCE per JVM as a
+    * day-partitioned parquet directory (`partitionBy("day")` — one
+    * directory per day of the span), plus the span's midpoint day.
+    * The read-back supplies an EXPLICIT schema with `day BIGINT`:
+    * partition-value inference would type the directory names as
+    * INT and the gate would need a cast that both clutters the
+    * pruning predicate and diverges from the oracle's BIGINT. */
+  private[operators] def partitionedGateLayout(
+      s: SparkSession, dir: String): (DataFrame, Long) = {
+    val ev = Tables.events(s, dir)
+      .select(col("value"), expr(s"ts_us DIV $DayUs").as("day"))
+    val days = ev.agg(
+      min(col("day")) + max(col("day"))).head()
+    require(!days.isNullAt(0),
+      "partition gate: empty events input — no span to partition")
+    val path = graft.streaming.EventStreams.stagedDir(ev, "daypart") {
+      d => ev.write.partitionBy("day").parquet(d)
+    }
+    (s.read.schema("value double, day bigint").parquet(path),
+      days.getLong(0) / 2)
+  }
 
   /** Columns the manifest gates track. */
   private[operators] val ManifestCols = Seq("user_id", "ts_us")

@@ -429,4 +429,43 @@ class ZOrderSpec extends SparkSpec {
       f"hilbert total span ${hUser + hHour}%.3f worse than morton " +
         f"${zUser + zHour}%.3f beyond tolerance")
   }
+
+  test("hive partition pruning: the day-range predicate reaches " +
+    "PartitionFilters and non-qualifying day directories are never " +
+    "read") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    // the q_partition_prune fixture: events laid out one directory
+    // per day; the gate's whole point is that the filter is satisfied
+    // from the LISTING, so the scan must (a) carry it as a partition
+    // filter, not a data filter, and (b) read strictly fewer files
+    // than the unfiltered scan — correctness of the answer itself is
+    // the gate's oracle-hash job, effectiveness is this test's
+    val sfDir = "/root/testdata/sf0.001"
+    val (laid, midDay) = ZOrder.partitionedGateLayout(spark, sfDir)
+    val filtered = laid.filter(col("day") <= midDay)
+    // Dataset.inputFiles reports the relation's FULL listing (it
+    // never applies pruning), so files-actually-read comes from the
+    // scan's own numFiles metric after execution
+    def executedScan(df: org.apache.spark.sql.DataFrame)
+        : FileSourceScanExec = {
+      val scan = df.queryExecution.executedPlan
+        .collectWithSubqueries { case f: FileSourceScanExec => f }
+      assert(scan.nonEmpty, "no file scan in the partitioned read")
+      df.collect() // drive THIS plan so its metrics populate
+      scan.head
+    }
+    val fScan = executedScan(filtered)
+    val pf = fScan.metadata.getOrElse("PartitionFilters", "")
+    assert(pf.contains("day"),
+      s"day predicate did not become a partition filter: $pf")
+    val readFiles = executedScan(filtered).metrics("numFiles").value
+    val allFiles = executedScan(laid).metrics("numFiles").value
+    assert(readFiles < allFiles,
+      s"pruning read $readFiles of $allFiles files — nothing dropped")
+    // the 30-day span's lower half ⇒ roughly half the directories
+    // (inclusive midpoint; generous bound, the point is 'not all')
+    assert(readFiles <= allFiles * 3 / 4,
+      s"pruning too weak: $readFiles of $allFiles files survive a " +
+        "half-span predicate")
+  }
 }

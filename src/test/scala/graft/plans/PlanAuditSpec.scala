@@ -324,6 +324,53 @@ class PlanAuditSpec extends SparkSpec {
       vOpt.fold(spark.conf.unset(k))(spark.conf.set(k, _)) }
   }
 
+  test("a selective dim filter prunes the fact side's PARTITIONS at " +
+    "runtime (dynamic partition pruning on a day-partitioned layout)") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    // the partition-level sibling of the runtime bloom filter above:
+    // on a date-partitioned 100 TB fact table, a dim-side filter that
+    // resolves to few join keys must prune fact PARTITIONS before the
+    // scan — Spark injects a dynamicpruning subquery (fed by the
+    // reused broadcast) into the fact scan's partition filters. The
+    // assertion is that the session's planner fires the rewrite on
+    // our layout shapes at all; partition-listing pruning itself is
+    // covered statically by q_partition_prune/ZOrderSpec.
+    val tmp = java.nio.file.Files.createTempDirectory("graft_dpp").toString
+    spark.range(0, 50000)
+      .select((col("id") % 30).as("day"), col("id").as("payload"))
+      .write.mode("overwrite").partitionBy("day").parquet(tmp)
+    val fact = spark.read.parquet(tmp)
+    val dim = spark.range(0, 30).select(col("id").as("day"),
+      when(col("id") < 3, "hot").otherwise("cold").as("tier"))
+    val j = fact.join(dim.filter(col("tier") === "hot"), "day")
+      .groupBy(col("day")).agg(count(lit(1)).as("cnt"))
+    val out = j.collect()
+    assert(out.length == 3 && out.map(_.getLong(1)).sum > 0,
+      "the pruned join lost rows")
+    // AQE wraps materialized stages in leaf QueryStageExec nodes —
+    // plain collect stops at the stage boundary (the codegen-audit
+    // walker's lesson), so descend explicitly
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{
+      AdaptiveSparkPlanExec, QueryStageExec}
+    def allNodes(p: SparkPlan): Seq[SparkPlan] = {
+      val kids = p match {
+        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case qs: QueryStageExec => Seq(qs.plan)
+        case other => other.children
+      }
+      p +: kids.flatMap(allNodes)
+    }
+    val scans = allNodes(j.queryExecution.executedPlan)
+      .collect { case f: FileSourceScanExec => f }
+      .filter(_.metadata.getOrElse("Location", "").contains("graft_dpp"))
+    assert(scans.nonEmpty, "fact scan not found in the executed plan")
+    val pf = scans.head.metadata.getOrElse("PartitionFilters", "")
+    assert(pf.contains("dynamicpruning"),
+      s"no dynamic partition pruning on the fact scan: $pf")
+  }
+
   test("k-cut queries use TakeOrderedAndProject, never a global sort") {
     // the SCALE.md claim for every orderBy+limit shape: a
     // per-partition heap + k-row driver merge. A regression to
