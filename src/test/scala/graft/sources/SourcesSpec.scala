@@ -961,6 +961,44 @@ class SourcesSpec extends SparkSpec {
         "writer locks — identifier normalization is broken")
   }
 
+  test("schema evolution rides the version chain: a swap to a wider " +
+    "schema serves the new column through the pointer, as-of reads " +
+    "keep each version's own schema, and a narrowing swap never " +
+    "rewrites history") {
+    // the table-format question every long-lived ingest eventually
+    // asks: columns get added (and dropped) across the table's life;
+    // with versioned physical tables behind one pointer view the
+    // answer should be structural — each version IS its own schema —
+    // but nothing pinned it until now
+    try {
+      Sources.appendBucketed(
+        Seq((1L, "a"), (2L, "b")).toDF("k", "v"),
+        "schema_evo_t", Seq("k"), 4)
+      val widened = spark.table("schema_evo_t")
+        .withColumn("score", col("k") * 10)
+      Sources.swapBucketed(widened, "schema_evo_t", Seq("k"), 4)
+      val now = spark.table("schema_evo_t")
+      assert(now.columns.toSeq == Seq("k", "v", "score"),
+        "pointer view does not serve the widened schema")
+      assert(now.collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+        == Map(1L -> 10L, 2L -> 20L))
+      // as-of: the PRE-evolution version still reads with ITS schema
+      val v1 = Sources.readVersion(spark, "schema_evo_t", 1)
+      assert(v1.columns.toSeq == Seq("k", "v"),
+        "as-of read leaked the evolved schema into an old version")
+      // narrowing: drop a column going forward; the retained wider
+      // version is untouched (history is immutable, only the pointer
+      // moves)
+      Sources.swapBucketed(
+        spark.table("schema_evo_t").drop("v"),
+        "schema_evo_t", Seq("k"), 4)
+      assert(spark.table("schema_evo_t").columns.toSeq == Seq("k", "score"))
+      assert(Sources.readVersion(spark, "schema_evo_t", 2).columns.toSeq
+        == Seq("k", "v", "score"),
+        "narrowing swap rewrote the retained version's schema")
+    } finally Sources.dropVersioned(spark, "schema_evo_t")
+  }
+
   test("cross-driver lost-update detector: a swap whose base version " +
     "moved underneath it aborts loudly and never flips over the " +
     "foreign commit") {
