@@ -255,6 +255,55 @@ object Relational {
           .agg(sum(col("k")).as("sum_k"), count(lit(1)).as("cnt"))
     },
 
+    // DIRTY-JSONL ingest quarantine — the tolerant-parse pattern
+    // every web-scale JSONL feed needs: corrupt records must neither
+    // kill the job (ANSI throw) nor silently vanish (lenient drop);
+    // they are COUNTED into a quarantine while valid rows proceed.
+    // The corpus has no corrupt rows, so the gate plants them
+    // deterministically (event_id % 37 ⇒ a leading junk byte — both
+    // engines agree any leading non-JSON byte is invalid, no
+    // edge-grammar parity risk) and classifies with the CANONICAL
+    // Spark quarantine idiom: PERMISSIVE from_json with a
+    // columnNameOfCorruptRecord field, corrupt ⇔ that field non-null
+    // (a bare `from_json(...).isNotNull` does NOT work — PERMISSIVE
+    // mode yields a struct of null FIELDS for malformed input, never
+    // a null struct, so everything would read "valid"); DuckDB's
+    // side is json_valid. Map-side only: one projection, one
+    // map-side-combinable aggregate, zero shuffle beyond it.
+    QueryDef.sql(
+      "q_json_quarantine",
+      """WITH d AS (SELECT event_type,
+        |                  CASE WHEN event_id % 37 = 0 THEN 'x' || props
+        |                       ELSE props END AS props
+        |           FROM events)
+        |SELECT event_type,
+        |       CAST(count(*) AS BIGINT) AS n_events,
+        |       CAST(sum(CASE WHEN json_valid(props) THEN 1 ELSE 0 END)
+        |            AS BIGINT) AS n_valid,
+        |       CAST(sum(CASE WHEN json_valid(props) THEN 0 ELSE 1 END)
+        |            AS BIGINT) AS n_quarantined,
+        |       CAST(sum(CASE WHEN json_valid(props)
+        |                     THEN CAST(json_extract_string(props, '$.k')
+        |                               AS INTEGER) END) AS BIGINT)
+        |         AS sum_k_valid
+        |FROM d GROUP BY 1""".stripMargin) { (s, dir) =>
+      val dirty = t(s, dir, "events")
+        .select(col("event_type"),
+          when(col("event_id") % 37 === 0, concat(lit("x"), col("props")))
+            .otherwise(col("props")).as("props"))
+      val ok = from_json(col("props"), "k INT, _corrupt_record STRING",
+        Map("columnNameOfCorruptRecord" -> "_corrupt_record"))
+        .getField("_corrupt_record").isNull
+      dirty
+        .select(col("event_type"), ok.as("ok"),
+          get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(when(col("ok"), 1L).otherwise(0L)).as("n_valid"),
+          sum(when(col("ok"), 0L).otherwise(1L)).as("n_quarantined"),
+          sum(when(col("ok"), col("k"))).as("sum_k_valid"))
+    },
+
     // F3/F6: CASE WHEN + NULLIF + COALESCE scalar pipeline.
     QueryDef.sql(
       "q_case_when",
