@@ -479,7 +479,8 @@ object StreamingOps {
     // and the spec additionally pins a planted cross-batch merge.
     //
     // Wall time is per-trigger MACHINERY, not data volume (profiled
-    // at sf0.1, 4 triggers of ~1.2k docs): ~1.2 s minhash banding,
+    // at sf0.1, when run as 4 triggers of ~1.2k docs): ~1.2 s minhash
+    // banding,
     // contraction (the touched subgraph's edge set is tiny by design,
     // so every trigger's re-contraction takes starComponents' bounded
     // LOCAL union-find finish — one distinct+count plus one collect
@@ -507,7 +508,16 @@ object StreamingOps {
         // previous run's rows
         graft.sources.Sources.dropVersioned(s, "graft_band_live")
         graft.sources.Sources.dropVersioned(s, "graft_stars_live")
-        val inDir = EventStreams.stagedParquet(docs, 4)
+        // 3 ingest slices, not 4 (r16 trigger-floor trim): each
+        // trigger pays the full append machinery (~1.0 s bucketed
+        // insert planning + swap + state write), so dropping one
+        // trigger removes ~a quarter of the gate's floor while
+        // keeping the property 2 slices would lose — trigger 3's
+        // probe reads an index holding the UNION of TWO prior
+        // appends (multi-file listing refresh across appends), not
+        // just one. Component labels are slicing-invariant (edge
+        // unions are order-independent), oracle hash unchanged.
+        val inDir = EventStreams.stagedParquet(docs, 3)
         // per-trigger component state: a BUCKETED managed table keyed
         // on the star root, replaced per trigger through
         // swapBucketed's version-pointer flip — the new fixed point
