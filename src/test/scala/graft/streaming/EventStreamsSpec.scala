@@ -908,6 +908,20 @@ class EventStreamsSpec extends SparkSpec {
       .toSet, "stream audit diverged from the batch sketch audit")
   }
 
+  test("restart gate (q_stream_restart): deterministic across runs and " +
+    "equal to the single-run sessionize gate row for row — the " +
+    "checkpoint boundary must be output-invisible") {
+    def rows(name: String) =
+      graft.SparkEntry.queries(name)(spark, dir).collect()
+        .map(_.toSeq).toSet
+    val first = rows("q_stream_restart")
+    assert(first.nonEmpty)
+    assert(first == rows("q_stream_restart"),
+      "restart gate is nondeterministic across invocations")
+    assert(first == rows("q_stream_sessionize"),
+      "restarted two-phase run diverged from the uninterrupted stream")
+  }
+
   test("native session_window streaming gate (q_stream_session_window) " +
     "equals the batch gate (q_session_window) row for row") {
     def rows(name: String) =
