@@ -908,6 +908,77 @@ class EventStreamsSpec extends SparkSpec {
       .toSet, "stream audit diverged from the batch sketch audit")
   }
 
+  test("TWS sessionizer RESUMES from its RocksDB checkpoint: the " +
+    "transformWithState sibling of the fMGWS restart proof — value " +
+    "state AND armed event-time timers must survive the redeploy") {
+    import spark.implicits._
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      // same planted shape as the fMGWS restart test: u1's 25-min
+      // steps straddle the slice cut inside one session, u2 closes a
+      // session early, leaves one open across the boundary
+      val m = 60L * 1000 * 1000
+      val base = 1700000000000000L
+      val ev = Seq(
+        (1L, base, 1L), (1L, base + 25 * m, 2L), (1L, base + 50 * m, 3L),
+        (1L, base + 75 * m, 4L),
+        (2L, base, 5L), (2L, base + 33 * m, 6L), (2L, base + 90 * m, 7L))
+        .toDF("user_id", "ts_us", "event_id")
+      val srcDir = EventStreams.timeSlicedDir(
+        ev, nSlices = 2, gapUs = EventStreams.SessionGapUs)
+      val scratch = java.nio.file.Files.createTempDirectory("graft_tws_rs")
+      EventStreams.deleteRecursivelyOnExit(scratch)
+      val inDir = scratch.resolve("in")
+      java.nio.file.Files.createDirectories(inDir)
+      val outDir = s"$scratch/out"
+      val cp = s"$scratch/cp"
+      val src = new java.io.File(srcDir).listFiles().sortBy(_.getName)
+      def arrive(fs: Array[java.io.File]): Unit = fs.foreach { f =>
+        val dest = inDir.resolve(f.getName)
+        java.nio.file.Files.copy(f.toPath, dest)
+        java.nio.file.Files.setLastModifiedTime(dest,
+          java.nio.file.Files.getLastModifiedTime(f.toPath))
+      }
+      def phase(): Unit = {
+        val stream = spark.readStream.schema(ev.schema)
+          .option("maxFilesPerTrigger", "1").parquet(inDir.toString)
+        val q = EventStreams.sessionizeStreamTws(
+          stream.as[EventStreams.SessionEvent])
+          .writeStream.format("parquet").option("path", outDir)
+          .option("checkpointLocation", cp)
+          .outputMode("append").trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      }
+      val (early, late) = src.splitAt(1)
+      arrive(early); phase()
+      val out1 = spark.read.parquet(outDir).collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3),
+          r.getLong(4)))
+      arrive(late); phase()
+      val all = spark.read.parquet(outDir).collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3),
+          r.getLong(4)))
+      assert(all.length == all.distinct.length &&
+        all.length > out1.length,
+        "TWS restart re-emitted or lost sessions across the checkpoint")
+      assert(all.toSet == Set(
+        (1L, 1, base, base + 75 * m, 4L),
+        (2L, 1, base, base, 1L),
+        (2L, 2, base + 33 * m, base + 33 * m, 1L),
+        (2L, 3, base + 90 * m, base + 90 * m, 1L)),
+        "TWS restart-combined output diverged from batch sessionization")
+      val boundary = base + 45 * m
+      assert(all.toSet.diff(out1.toSet).exists(_._3 < boundary),
+        "no session straddled the TWS restart — the recovery was vacuous")
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   test("restart gate (q_stream_restart): deterministic across runs and " +
     "equal to the single-run sessionize gate row for row — the " +
     "checkpoint boundary must be output-invisible") {
