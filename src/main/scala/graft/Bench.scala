@@ -81,6 +81,38 @@ object Bench {
     * short enough that ~25 probes add seconds, not minutes. */
   val ProbeRows = 2000000000L
 
+  /** Parse a previous BENCH_QUERIES.json record into the per-query
+    * minima the regression re-run rule compares against. Entries the
+    * previous sweep itself flagged contended carry inflated minima;
+    * treating one as the regression reference would let a REAL
+    * slowdown hide under the phantom number, so flagged names are
+    * DROPPED (disabling the rule for that query instead of anchoring
+    * it to a lie). Malformed text throws — the caller's catch turns
+    * any parse failure into "no previous record" (first round,
+    * renamed output, corrupt file), never a crash. Spec-pinned in
+    * BenchSpec. */
+  private[graft] def parsePrevMinima(txt: String): Map[String, Double] = {
+    val body = txt.substring(txt.indexOf("\"queries\":{") + 11)
+    val inner = body.substring(0, body.indexOf('}'))
+    val all = inner.split(',').iterator.flatMap { kv =>
+      kv.split(':') match {
+        case Array(k, v) =>
+          try Some(k.trim.stripPrefix("\"").stripSuffix("\"") -> v.trim.toDouble)
+          catch { case _: NumberFormatException => None }
+        case _ => None
+      }
+    }.toMap
+    val flagged: Set[String] =
+      if (!txt.contains("\"contended\":[")) Set.empty
+      else {
+        val cb = txt.substring(txt.indexOf("\"contended\":[") + 13)
+        cb.substring(0, cb.indexOf(']')).split(',').iterator
+          .map(_.trim.stripPrefix("\"").stripSuffix("\""))
+          .filter(_.nonEmpty).toSet
+      }
+    all -- flagged
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -145,34 +177,9 @@ object Bench {
     val outPath = if (args.isEmpty) basePath else s"$basePath.subset"
     val prevPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_PREV", basePath)
     val prev: Map[String, Double] =
-      try {
-        val txt = new String(java.nio.file.Files.readAllBytes(
-          java.nio.file.Paths.get(prevPath)), "UTF-8")
-        val body = txt.substring(txt.indexOf("\"queries\":{") + 11)
-        val inner = body.substring(0, body.indexOf('}'))
-        val all = inner.split(',').iterator.flatMap { kv =>
-          kv.split(':') match {
-            case Array(k, v) =>
-              try Some(k.trim.stripPrefix("\"").stripSuffix("\"") -> v.trim.toDouble)
-              catch { case _: NumberFormatException => None }
-            case _ => None
-          }
-        }.toMap
-        // entries the previous sweep itself flagged contended carry
-        // inflated minima; treating one as the regression reference
-        // would let a REAL slowdown hide under the phantom number.
-        // Dropping the entry disables the rule for that query instead
-        // of anchoring it to a lie.
-        val flagged: Set[String] =
-          if (!txt.contains("\"contended\":[")) Set.empty
-          else {
-            val cb = txt.substring(txt.indexOf("\"contended\":[") + 13)
-            cb.substring(0, cb.indexOf(']')).split(',').iterator
-              .map(_.trim.stripPrefix("\"").stripSuffix("\""))
-              .filter(_.nonEmpty).toSet
-          }
-        all -- flagged
-      } catch { case _: Throwable => Map.empty }
+      try parsePrevMinima(new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(prevPath)), "UTF-8"))
+      catch { case _: Throwable => Map.empty }
 
     // optional args = subset of query names to time (local iteration);
     // the driver passes none and gets the full registry. A typoed
