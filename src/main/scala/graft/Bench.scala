@@ -76,10 +76,18 @@ object Bench {
     * contended window, at ~probe-cost × registry/N overhead. */
   val ProbeEvery = 8
 
-  /** Rows of `range → xxhash64 → sum` per probe — sized so one probe
-    * is a few hundred ms at local[32]: long enough to sample steal,
-    * short enough that ~25 probes add seconds, not minutes. */
-  val ProbeRows = 2000000000L
+  /** Rows of `range → xxhash64 → bit_xor` per probe PER CORE — sized
+    * so one probe is a few hundred ms whatever the --master
+    * parallelism: long enough to sample steal, short enough that ~25
+    * probes add seconds, not minutes. A fixed total (the first cut:
+    * 2e9 rows, right at local[32]) would cost 4–8× as much on the
+    * default 4-cpu config and turn the guard into minutes of pure
+    * probe overhead. Per-core scaling keeps within-sweep
+    * comparability (all a sweep's probes run the same row count) —
+    * cross-sweep probe baselines were never comparable across
+    * different core counts anyway, which is why the baseline is
+    * recorded in the record's calibration field. */
+  val ProbeRowsPerCore = 62500000L
 
   /** Parse a previous BENCH_QUERIES.json record into the per-query
     * minima the regression re-run rule compares against. Entries the
@@ -200,7 +208,7 @@ object Bench {
       val t0 = System.nanoTime()
       // bit_xor, not sum: summing 2e9 hashes overflows BIGINT under
       // Spark 4's default ANSI mode; xor folds for free
-      spark.range(0L, ProbeRows, 1L, cpus.toInt)
+      spark.range(0L, ProbeRowsPerCore * cpus.toInt, 1L, cpus.toInt)
         .selectExpr("bit_xor(xxhash64(id)) AS h").collect()
       (System.nanoTime() - t0) / 1e9
     }
@@ -277,15 +285,25 @@ object Bench {
     // A still-dirty re-run leaves the query in the record's
     // `contended` list: the number is published but flagged, and the
     // next round's regression rule skips flagged minima upstream.
+    // A rerun that CRASHES fails the query outright — the any-failed-
+    // run rule applies to re-measurement too (a query that throws on
+    // repeat execution has no honest timing, whatever the bracket
+    // said); its first-pass timings are discarded, not flag-published.
+    // Bracket probes join the trace: they are environment samples
+    // like any other, and omitting them would let worst_probe_sec
+    // read clean next to a non-empty contended list.
     val stillContended = scala.collection.mutable.LinkedHashSet.empty[String]
     val minOverride = scala.collection.mutable.Map.empty[String, Double]
     contended.foreach { name =>
       val before = probe()
       val rerun = measure(name, selected(name))
       val after = probe()
+      probeTrace += before += after
+      worstProbe = math.max(worstProbe, math.max(before, after))
       val clean = before <= calibration * ContentionFactor &&
         after <= calibration * ContentionFactor
-      if (clean && rerun.nonEmpty) {
+      if (rerun.isEmpty) timings(name) = Seq.empty
+      else if (clean) {
         minOverride(name) = math.min(timings(name).min, rerun.min)
         timings(name) = rerun
       } else stillContended += name

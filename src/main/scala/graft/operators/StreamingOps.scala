@@ -768,50 +768,18 @@ object StreamingOps {
     // never from a corpus rescan.
     QueryDef.sql("q_stream_restart", sessionizeSql) {
       (s, dir) => withStreamPartitions(s, 8) {
-        import s.implicits._
         val ev = Tables.events(s, dir)
           .select(col("user_id"), col("ts_us"), col("event_id"))
-        val srcDir = EventStreams.timeSlicedDir(
-          ev, nSlices = 2, gapUs = EventStreams.SessionGapUs)
-        val base = java.nio.file.Files.createTempDirectory("graft_restart")
-        EventStreams.deleteRecursivelyOnExit(base)
-        val inDir = base.resolve("in")
-        java.nio.file.Files.createDirectories(inDir)
-        val outDir = s"$base/out"
-        val cp = s"$base/cp"
-        val src = new java.io.File(srcDir).listFiles().sortBy(_.getName)
-        require(src.length >= 2,
-          s"restart gate: expected >=2 staged slices, got ${src.length}")
-        def arrive(fs: Array[java.io.File]): Unit = fs.foreach { f =>
-          val dest = inDir.resolve(f.getName)
-          java.nio.file.Files.copy(f.toPath, dest)
-          java.nio.file.Files.setLastModifiedTime(dest,
-            java.nio.file.Files.getLastModifiedTime(f.toPath))
+        val (phase1Rows, all) = EventStreams.restartPhases(
+          s, ev, EventStreams.sessionizeStream) { sink =>
+          val n = sink.count()
+          // phase 1: only the early slice existed; closed sessions
+          // landed in the sink, open ones stayed in the state store
+          require(n > 0,
+            "restart gate: phase 1 emitted nothing — the boundary fell " +
+              "before any closed session and the recovery would be vacuous")
+          n
         }
-        def phase(): Unit = {
-          val stream = s.readStream.schema(ev.schema)
-            .option("maxFilesPerTrigger", "1").parquet(inDir.toString)
-          val q = EventStreams.sessionizeStream(
-            stream.as[EventStreams.SessionEvent])
-            .writeStream.format("parquet").option("path", outDir)
-            .option("checkpointLocation", cp)
-            .outputMode("append").trigger(Trigger.AvailableNow()).start()
-          q.awaitTermination()
-        }
-        // phase 1: only the early slice exists; closed sessions land
-        // in the sink, open ones stay in the state store
-        val (early, late) = src.splitAt(1)
-        arrive(early)
-        phase()
-        val phase1Rows = s.read.parquet(outDir).count()
-        require(phase1Rows > 0,
-          "restart gate: phase 1 emitted nothing — the boundary fell " +
-            "before any closed session and the recovery would be vacuous")
-        // the "redeploy": late slices + punctuation arrive, a NEW
-        // query resumes from the SAME checkpoint
-        arrive(late)
-        phase()
-        val all = s.read.parquet(outDir)
         require(all.count() > phase1Rows,
           "restart gate: phase 2 emitted nothing — no state or offsets " +
             "were carried across the restart")

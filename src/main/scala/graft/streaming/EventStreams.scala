@@ -608,6 +608,60 @@ object EventStreams {
       rm(dir.toFile)
     }))
 
+  /** Two-phase checkpoint-restart driver — ONE redeploy simulation
+    * shared by the q_stream_restart gate and the TWS restart spec, so
+    * the arrival mechanics (per-invocation scratch, mtime-preserving
+    * slice copies, same checkpoint + fault-tolerant file sink across
+    * both queries) cannot drift between the two sites. `ev` is sliced
+    * into 2 event-time files + punctuation via [[timeSlicedDir]]
+    * (memoized, never mutated — arrival is simulated by COPYING
+    * slices into the scratch input dir); `sessionize` picks the
+    * stateful implementation under test (fMGWS or TWS). Phase 1 runs
+    * the EARLY slice to completion (AvailableNow — the graceful half
+    * of a redeploy), `betweenPhases` observes the phase-1 sink (count
+    * it, collect it, assert on it), then the late slices "arrive" and
+    * a SECOND query resumes from the SAME checkpoint. Returns the
+    * betweenPhases result and the combined final sink. */
+  def restartPhases[A](s: SparkSession, ev: DataFrame,
+      sessionize: Dataset[SessionEvent] => Dataset[SessionOut])(
+      betweenPhases: DataFrame => A): (A, DataFrame) = {
+    val srcDir = timeSlicedDir(ev, nSlices = 2, gapUs = SessionGapUs)
+    val scratch = java.nio.file.Files.createTempDirectory("graft_restart")
+    deleteRecursivelyOnExit(scratch)
+    val inDir = scratch.resolve("in")
+    java.nio.file.Files.createDirectories(inDir)
+    val outDir = s"$scratch/out"
+    val cp = s"$scratch/cp"
+    val src = new java.io.File(srcDir).listFiles().sortBy(_.getName)
+    require(src.length >= 2,
+      s"restartPhases: expected >=2 staged slices, got ${src.length}")
+    def arrive(fs: Array[java.io.File]): Unit = fs.foreach { f =>
+      val dest = inDir.resolve(f.getName)
+      java.nio.file.Files.copy(f.toPath, dest)
+      java.nio.file.Files.setLastModifiedTime(dest,
+        java.nio.file.Files.getLastModifiedTime(f.toPath))
+    }
+    def phase(): Unit = {
+      val stream = s.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1").parquet(inDir.toString)
+      val q = sessionize(stream.as[SessionEvent](
+          org.apache.spark.sql.Encoders.product[SessionEvent]))
+        .writeStream.format("parquet").option("path", outDir)
+        .option("checkpointLocation", cp)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    val (early, late) = src.splitAt(1)
+    arrive(early)
+    phase()
+    val mid = betweenPhases(s.read.parquet(outDir))
+    arrive(late)
+    phase()
+    (mid, s.read.parquet(outDir))
+  }
+
   /** Staging memo: streaming-gate INPUT fixtures are deterministic
     * functions of the testdata, but the bench times every gate 3-5
     * iterations — re-writing identical slice files per iteration was

@@ -458,7 +458,10 @@ class ZOrderSpec extends SparkSpec {
     val pf = fScan.metadata.getOrElse("PartitionFilters", "")
     assert(pf.contains("day"),
       s"day predicate did not become a partition filter: $pf")
-    val readFiles = executedScan(filtered).metrics("numFiles").value
+    // fScan's metrics are already populated by its executedScan call
+    // above — re-invoking executedScan(filtered) would re-collect the
+    // whole filtered query just to read a value fScan already holds
+    val readFiles = fScan.metrics("numFiles").value
     val allFiles = executedScan(laid).metrics("numFiles").value
     assert(readFiles < allFiles,
       s"pruning read $readFiles of $allFiles files — nothing dropped")

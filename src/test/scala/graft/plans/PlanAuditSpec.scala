@@ -336,7 +336,9 @@ class PlanAuditSpec extends SparkSpec {
     // assertion is that the session's planner fires the rewrite on
     // our layout shapes at all; partition-listing pruning itself is
     // covered statically by q_partition_prune/ZOrderSpec.
-    val tmp = java.nio.file.Files.createTempDirectory("graft_dpp").toString
+    val tmpPath = java.nio.file.Files.createTempDirectory("graft_dpp")
+    graft.streaming.EventStreams.deleteRecursivelyOnExit(tmpPath)
+    val tmp = tmpPath.toString
     spark.range(0, 50000)
       .select((col("id") % 30).as("day"), col("id").as("payload"))
       .write.mode("overwrite").partitionBy("day").parquet(tmp)

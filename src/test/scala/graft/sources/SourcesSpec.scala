@@ -943,19 +943,34 @@ class SourcesSpec extends SparkSpec {
     // overlap directly: every body marks itself inside a critical
     // section; any second entrant while one is inside is a distinct
     // monitor leaking through.
+    // NOT vacuously passable: a body that never runs (lock-key
+    // resolution throwing) or a deadlocked join both leave
+    // overlap=false, so the test also requires all three bodies to
+    // have ENTERED and all three threads to have TERMINATED, and
+    // propagates any in-thread exception.
     val inside = new java.util.concurrent.atomic.AtomicBoolean(false)
     val overlap = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val entered = new java.util.concurrent.atomic.AtomicInteger(0)
+    val failures = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
     val db = spark.catalog.currentDatabase
     val names = Seq(s"$db.lock_norm_t", "lock_norm_t", "LOCK_NORM_T")
     val threads = names.map { n =>
-      new Thread(() => Sources.withTableLock(spark, n) {
-        if (!inside.compareAndSet(false, true)) overlap.set(true)
-        Thread.sleep(100)
-        inside.set(false)
-      })
+      new Thread(() =>
+        try Sources.withTableLock(spark, n) {
+          entered.incrementAndGet()
+          if (!inside.compareAndSet(false, true)) overlap.set(true)
+          Thread.sleep(100)
+          inside.set(false)
+        } catch { case t: Throwable => failures.add(t) })
     }
     threads.foreach(_.start())
     threads.foreach(_.join(30000))
+    assert(failures.isEmpty,
+      s"a lock body threw: ${Option(failures.peek()).map(_.toString)}")
+    assert(threads.forall(!_.isAlive),
+      "a lock variant deadlocked — join timed out with the thread alive")
+    assert(entered.get == names.length,
+      s"only ${entered.get} of ${names.length} lock bodies ran")
     assert(!overlap.get,
       "qualified/bare/case-variant names of one table took distinct " +
         "writer locks — identifier normalization is broken")

@@ -927,40 +927,12 @@ class EventStreamsSpec extends SparkSpec {
         (1L, base + 75 * m, 4L),
         (2L, base, 5L), (2L, base + 33 * m, 6L), (2L, base + 90 * m, 7L))
         .toDF("user_id", "ts_us", "event_id")
-      val srcDir = EventStreams.timeSlicedDir(
-        ev, nSlices = 2, gapUs = EventStreams.SessionGapUs)
-      val scratch = java.nio.file.Files.createTempDirectory("graft_tws_rs")
-      EventStreams.deleteRecursivelyOnExit(scratch)
-      val inDir = scratch.resolve("in")
-      java.nio.file.Files.createDirectories(inDir)
-      val outDir = s"$scratch/out"
-      val cp = s"$scratch/cp"
-      val src = new java.io.File(srcDir).listFiles().sortBy(_.getName)
-      def arrive(fs: Array[java.io.File]): Unit = fs.foreach { f =>
-        val dest = inDir.resolve(f.getName)
-        java.nio.file.Files.copy(f.toPath, dest)
-        java.nio.file.Files.setLastModifiedTime(dest,
-          java.nio.file.Files.getLastModifiedTime(f.toPath))
-      }
-      def phase(): Unit = {
-        val stream = spark.readStream.schema(ev.schema)
-          .option("maxFilesPerTrigger", "1").parquet(inDir.toString)
-        val q = EventStreams.sessionizeStreamTws(
-          stream.as[EventStreams.SessionEvent])
-          .writeStream.format("parquet").option("path", outDir)
-          .option("checkpointLocation", cp)
-          .outputMode("append").trigger(Trigger.AvailableNow()).start()
-        q.awaitTermination()
-      }
-      val (early, late) = src.splitAt(1)
-      arrive(early); phase()
-      val out1 = spark.read.parquet(outDir).collect()
+      def tuples(df: org.apache.spark.sql.DataFrame) = df.collect()
         .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3),
           r.getLong(4)))
-      arrive(late); phase()
-      val all = spark.read.parquet(outDir).collect()
-        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3),
-          r.getLong(4)))
+      val (out1, allDf) = EventStreams.restartPhases(
+        spark, ev, EventStreams.sessionizeStreamTws)(tuples)
+      val all = tuples(allDf)
       assert(all.length == all.distinct.length &&
         all.length > out1.length,
         "TWS restart re-emitted or lost sessions across the checkpoint")
