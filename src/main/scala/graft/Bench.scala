@@ -95,10 +95,11 @@ object Bench {
     * treating one as the regression reference would let a REAL
     * slowdown hide under the phantom number, so flagged names are
     * DROPPED (disabling the rule for that query instead of anchoring
-    * it to a lie). Malformed text throws — the caller's catch turns
-    * any parse failure into "no previous record" (first round,
-    * renamed output, corrupt file), never a crash. Spec-pinned in
-    * BenchSpec. */
+    * it to a lie). Malformed text throws — the caller distinguishes a
+    * MISSING file (expected: first round, renamed output → silently
+    * no record) from an existing file that fails to parse (format
+    * drift → loud stderr warning, rule disabled for the sweep), never
+    * a crash. Spec-pinned in BenchSpec. */
   private[graft] def parsePrevMinima(txt: String): Map[String, Double] = {
     val body = txt.substring(txt.indexOf("\"queries\":{") + 11)
     val inner = body.substring(0, body.indexOf('}'))
@@ -120,6 +121,43 @@ object Bench {
       }
     all -- flagged
   }
+
+  /** Parse a previous record's `calibration.baseline_sec` — the probe
+    * cost of the box that produced those minima. None when the record
+    * predates the contention guard (≤ r15) or is malformed: the
+    * regression rule then compares raw minima, exactly the pre-r17
+    * behavior. */
+  private[graft] def parsePrevBaseline(txt: String): Option[Double] = {
+    val key = "\"baseline_sec\":"
+    val i = txt.indexOf(key)
+    if (i < 0) None
+    else {
+      val rest = txt.substring(i + key.length)
+      val end = rest.indexWhere(c => c == ',' || c == '}')
+      if (end < 0) None
+      else
+        try Some(rest.substring(0, end).trim.toDouble)
+        catch { case _: NumberFormatException => None }
+    }
+  }
+
+  /** Probe-normalized regression reference: the previous round's
+    * minimum, re-expressed in THIS box's seconds. Both records carry
+    * the same fixed deterministic CPU probe's best-of-3 cost, so
+    * `prevMin × curBaseline / prevBaseline` is what the same query
+    * cost would read here if only the box changed — a 1.3×-slower
+    * driver box stops masquerading as 200 queries "regressed" (each
+    * burning `heavyExtra` re-runs), while a genuine 3× slowdown on an
+    * unchanged box still trips the rule. Falls back to the raw
+    * previous minimum when either baseline is missing or non-positive
+    * (pre-guard records). */
+  private[graft] def regressionReference(prevMin: Double,
+      prevBaseline: Option[Double], curBaseline: Double): Double =
+    prevBaseline match {
+      case Some(pb) if pb > 0 && curBaseline > 0 =>
+        prevMin * (curBaseline / pb)
+      case _ => prevMin
+    }
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -150,6 +188,21 @@ object Bench {
     // exceptions, not rdd-package warnings.
     org.apache.logging.log4j.core.config.Configurator.setLevel(
       "org.apache.spark.rdd", org.apache.logging.log4j.Level.ERROR)
+    // the ~27 stream gates each print 3 lines of start-up boilerplate
+    // per run ("Temporary checkpoint location created", "AQE is not
+    // supported…", "Disabling AQE since AQE is not supported in
+    // stateful workloads") — ~250+ identical WARNs per sweep, the
+    // same bury-real-anomalies wall the r14 WindowExec and r15 RDD
+    // walls were. Quiet exactly the three emitting classes, in THIS
+    // measurement harness only: genuine stream failures surface as
+    // exceptions (→ query marked failed), never as WARNs from these
+    // loggers. Temp-checkpoint cleanup is unaffected — AvailableNow
+    // gates stop() cleanly, and Spark deletes temp checkpoints of
+    // queries that didn't fail.
+    Seq("ResolveWriteToStream", "MicroBatchExecution", "StreamExecution")
+      .foreach(c => org.apache.logging.log4j.core.config.Configurator.setLevel(
+        s"org.apache.spark.sql.execution.streaming.runtime.$c",
+        org.apache.logging.log4j.Level.ERROR))
     // warm up JVM/JIT, codegen and parquet footers once, untimed
     Tables.names.foreach(n =>
       try Tables(spark, sfDir, n).limit(1).write.format("noop")
@@ -184,10 +237,27 @@ object Bench {
       "BENCH_QUERIES.json")
     val outPath = if (args.isEmpty) basePath else s"$basePath.subset"
     val prevPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_PREV", basePath)
-    val prev: Map[String, Double] =
-      try parsePrevMinima(new String(java.nio.file.Files.readAllBytes(
+    // a MISSING file is the expected first-round/renamed-output case
+    // and silently disables the rule; a file that EXISTS but fails to
+    // parse is format drift and must warn loudly — otherwise a future
+    // record-shape change would silently disable regression detection
+    // for every sweep after it (the catch-all-Throwable trap)
+    val prevTxt: Option[String] =
+      try Some(new String(java.nio.file.Files.readAllBytes(
         java.nio.file.Paths.get(prevPath)), "UTF-8"))
-      catch { case _: Throwable => Map.empty }
+      catch { case _: java.io.IOException => None }
+    val prev: Map[String, Double] = prevTxt match {
+      case None => Map.empty
+      case Some(txt) =>
+        try parsePrevMinima(txt)
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] previous record $prevPath exists " +
+            s"but failed to parse (${e.getClass.getSimpleName}: " +
+            s"${e.getMessage}) — regression re-run rule DISABLED this sweep")
+          Map.empty
+        }
+    }
+    val prevBaseline: Option[Double] = prevTxt.flatMap(parsePrevBaseline)
 
     // optional args = subset of query names to time (local iteration);
     // the driver passes none and gets the full registry. A typoed
@@ -215,6 +285,22 @@ object Bench {
     // best-of-3 baseline AFTER warmup, same minimum-estimator logic
     // as the queries themselves (contention is additive)
     val calibration = (1 to 3).map(_ => probe()).min
+    // guard-the-guard: the 2× drift check anchors on THIS baseline —
+    // if the box was already contended during calibration the guard
+    // silently disarms for the whole sweep and the record reads
+    // calibration-clean. The previous record's baseline is the same
+    // deterministic probe on the last box that swept; a large ratio
+    // is either a genuinely slower box (legitimate — the normalized
+    // regression rule absorbs it) or a dirty calibration window, and
+    // the reader must be told which question to ask. The flag ships
+    // in the record (`calibration.suspect_vs_prev`).
+    val calibrationSuspect = prevBaseline.exists(pb =>
+      pb > 0 && calibration > pb * ContentionFactor)
+    if (calibrationSuspect)
+      System.err.println(f"[bench] calibration ${calibration}%.2fs is >" +
+        f"${ContentionFactor}%.1f× the previous record's baseline " +
+        f"${prevBaseline.get}%.2fs — either a slower box or a contended " +
+        "calibration window; contention guard thresholds may be inflated")
 
     def measure(name: String,
         fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
@@ -237,8 +323,14 @@ object Bench {
         // heavy or regressed query: noise moves rankings most here —
         // buy more evidence and keep the minimum (contention is
         // additive). "Regressed" = best-of-N above RegressionFactor×
-        // the previous round's recorded minimum for this query.
-        val regressed = prev.get(name).exists(p => p > 0 && b > p * RegressionFactor)
+        // the previous round's recorded minimum for this query,
+        // PROBE-NORMALIZED to this box's speed (regressionReference):
+        // the r16 records showed a 1.08× median driver/builder box
+        // delta with 2× tails — raw-minima comparison would bill that
+        // environment as code regressions and burn heavyExtra runs on
+        // dozens of untouched queries.
+        val regressed = prev.get(name).exists(p => p > 0 &&
+          b > regressionReference(p, prevBaseline, calibration) * RegressionFactor)
         if ((b > HeavyThresholdSec || regressed) && heavyExtra > 0) {
           val extra = run(heavyExtra)
           // the any-failed-run rule covers EXTRA iterations too: a
@@ -306,7 +398,15 @@ object Bench {
       else if (clean) {
         minOverride(name) = math.min(timings(name).min, rerun.min)
         timings(name) = rerun
-      } else stillContended += name
+      } else {
+        // still dirty: the query STAYS flagged (median untrusted, the
+        // next sweep's regression rule drops it), but contention is
+        // additive, so min(first pass, rerun) is a strictly better
+        // minimum than the first pass alone — publish it rather than
+        // discarding the rerun's evidence
+        minOverride(name) = math.min(timings(name).min, rerun.min)
+        stillContended += name
+      }
     }
 
     val results = timings.toSeq.map { case (name, all) =>
@@ -349,6 +449,8 @@ object Bench {
     val contJson = stillContended.toSeq.sorted
       .map(QueryDef.jsonString).mkString("[", ",", "]")
     val calJson = s"""{"baseline_sec":${fmt(calibration)},""" +
+      prevBaseline.map(pb => s""""prev_baseline_sec":${fmt(pb)},""" +
+        s""""suspect_vs_prev":$calibrationSuspect,""").getOrElse("") +
       s""""worst_probe_sec":${fmt(worstProbe)},""" +
       s""""factor":${fmt(ContentionFactor)},""" +
       s""""n_marked":${contended.size},"n_recovered":${

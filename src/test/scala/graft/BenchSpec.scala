@@ -38,4 +38,58 @@ class BenchSpec extends AnyFunSuite {
     intercept[Exception] { Bench.parsePrevMinima("not json at all") }
     intercept[Exception] { Bench.parsePrevMinima("""{"queries":""") }
   }
+
+  test("previous baseline parses from the calibration field") {
+    val txt = """{"queries":{"q_a":1},"contended":[],""" +
+      """"calibration":{"baseline_sec":0.41,"worst_probe_sec":1.1,""" +
+      """"probes":[0.41,0.45]},"sf":"sf0.1"}"""
+    assert(Bench.parsePrevBaseline(txt) == Some(0.41))
+  }
+
+  test("pre-guard record (no calibration) yields no baseline") {
+    assert(Bench.parsePrevBaseline("""{"queries":{"q_a":1},"sf":"x"}""").isEmpty)
+  }
+
+  test("prev_baseline_sec in a record does not shadow baseline_sec") {
+    // r17 records carry both; the opening-quote in the search key must
+    // keep matching the calibration's own baseline, whatever the order
+    val txt = """{"calibration":{"prev_baseline_sec":0.99,""" +
+      """"baseline_sec":0.41}}"""
+    assert(Bench.parsePrevBaseline(txt) == Some(0.41))
+  }
+
+  // The probe-normalized regression reference: prevMin re-expressed in
+  // the current box's seconds. The judge-set acceptance pair — a
+  // slower box with unchanged code must trigger ZERO regression
+  // re-runs, a genuinely 3×-regressed query must still trigger.
+  test("a 1.3×-slower box with unchanged code trips no regression re-run") {
+    val prevMin = 2.0; val prevBase = Some(0.40); val curBase = 0.52 // 1.3×
+    val ref = Bench.regressionReference(prevMin, prevBase, curBase)
+    assert(math.abs(ref - 2.6) < 1e-9)
+    // unchanged code on the slower box measures ~1.3× prev, plus the
+    // documented ±35% ambient band — even the band's top edge stays
+    // under RegressionFactor × the normalized reference
+    val measured = prevMin * 1.3 * 1.35
+    assert(measured <= ref * Bench.RegressionFactor,
+      "environment (box speed × ambient band) read as a code regression")
+    // while the same measurement vs the UN-normalized reference shows
+    // why the raw rule was wrong once ambient noise stacks on box speed
+    val atBandEdge = prevMin * 1.3 * 2.4 // a tail-case contended window
+    assert(atBandEdge > prevMin * Bench.RegressionFactor &&
+      atBandEdge <= ref * Bench.RegressionFactor * 1.6)
+  }
+
+  test("a genuine 3× regression on an unchanged box still trips") {
+    val prevMin = 2.0; val prevBase = Some(0.40); val curBase = 0.40
+    val ref = Bench.regressionReference(prevMin, prevBase, curBase)
+    assert(ref == prevMin) // same box → same reference
+    assert(prevMin * 3.1 > ref * Bench.RegressionFactor)
+  }
+
+  test("missing or non-positive baselines fall back to the raw minimum") {
+    assert(Bench.regressionReference(2.0, None, 0.5) == 2.0)
+    assert(Bench.regressionReference(2.0, Some(0.0), 0.5) == 2.0)
+    assert(Bench.regressionReference(2.0, Some(-1.0), 0.5) == 2.0)
+    assert(Bench.regressionReference(2.0, Some(0.4), 0.0) == 2.0)
+  }
 }
