@@ -222,6 +222,143 @@ object Multimodal {
           col("doc_id") =!= col("phash_keep")).as("is_near_dup"))
   }
 
+  // ---------------------------------------------------------------
+  // Audio: REAL WAV (RIFF/PCM16) encode + decode via the JDK's
+  // javax.sound.sampled — the waveform sibling of the PNG path, so
+  // the "multimodal columns" family is plural in modality, not just
+  // in gate count. Same discipline: payloads are genuine containers
+  // built on the executors from a doc_id-derived generative formula,
+  // the codec decodes actual samples back out, and the oracle
+  // recomputes every emitted field in closed form (container bytes
+  // are never hashed — the RIFF writer's chunk layout is a codec
+  // detail; decoded SAMPLES are the contract).
+  // ---------------------------------------------------------------
+
+  /** Typed audio-decode output: rate/format from the codec, sample
+    * stats from the decoded PCM frames. `abs_sum` is the decoded
+    * waveform checksum (sum of |sample|) — the field that proves
+    * real samples came out of the codec. */
+  final case class AudioFeatures(doc_id: Long, sample_rate: Int,
+      n_samples: Long, duration_us: Long, peak_abs: Int, abs_sum: Long)
+
+  /** Audio-fixture sample rates, picked by doc_id % 4 — spanning the
+    * telephony/speech/music rates a real corpus mixes. */
+  final val WavRates = Array(8000, 16000, 22050, 44100)
+
+  /** Max samples per clip; n = doc_id % MaxWavSamples + 1, so clip
+    * lengths cycle and every doc's waveform stays bytes, not MBs. */
+  final val MaxWavSamples = 480
+
+  /** Signed 16-bit PCM sample i of doc `id` — the generative formula
+    * the oracles replay in closed form. Operands are non-negative, so
+    * `%` agrees between JVM, Spark and DuckDB. */
+  @inline private def pcm(id: Long, i: Int): Int =
+    (((id * 31 + i * 17) % 65536) - 32768).toInt
+
+  private def encodeWav(id: Long): Array[Byte] = {
+    val rate = WavRates((id % 4).toInt)
+    val n = (id % MaxWavSamples + 1).toInt
+    val data = new Array[Byte](n * 2)
+    var i = 0
+    while (i < n) {
+      val s = pcm(id, i)
+      data(2 * i) = (s & 0xff).toByte // PCM16 little-endian
+      data(2 * i + 1) = ((s >> 8) & 0xff).toByte
+      i += 1
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(
+      rate.toFloat, 16, 1, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(data), fmt, n.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  /** The corpus as a REAL audio table: one genuine WAV payload per
+    * doc (RIFF container, 16-bit mono PCM, written by the JDK's wave
+    * encoder on the executors), rate and samples derived
+    * deterministically from doc_id. */
+  def wavMedia(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables(s, dir, "documents").select(col("doc_id")).as[Long]
+      .mapPartitions(ids => ids.map(id => (id, encodeWav(id))))
+      .toDF("doc_id", "payload")
+  }
+
+  // derived from the container constants, not hand-maintained
+  private[operators] val RiffMagicHex =
+    "RIFF".getBytes("US-ASCII").map(b => f"$b%02X").mkString
+  private[operators] val WaveMagicHex =
+    "WAVE".getBytes("US-ASCII").map(b => f"$b%02X").mkString
+
+  /** Codegen'd RIFF header parse at full scan speed — magic check plus
+    * the fmt chunk's LITTLE-endian sample-rate field (bytes 25–28 of
+    * the canonical 44-byte PCM header), decoded by hex-ing the four
+    * bytes in reversed order. The production shape: header metadata
+    * qualifies payloads before any of them reach the codec stage.
+    * `keepPayload` carries the payload column through for a consumer
+    * that feeds the codec NEXT — parse-then-decode must be ONE pass
+    * over the payload bytes, never a self-join of two scans. */
+  def parseWavHeader(media: DataFrame,
+      keepPayload: Boolean = false): DataFrame = {
+    def b(i: Int) = hex(substring(col("payload"), i, 1))
+    val cols = Seq(
+      col("doc_id"),
+      (hex(substring(col("payload"), 1, 4)) === RiffMagicHex &&
+        hex(substring(col("payload"), 9, 4)) === WaveMagicHex)
+        .as("magic_ok"),
+      conv(concat(b(28), b(27), b(26), b(25)), 16, 10)
+        .cast("int").as("hdr_rate")) ++
+      (if (keepPayload) Seq(col("payload")) else Nil)
+    media.select(cols: _*)
+  }
+
+  /** Decode ONE WAV payload through the JDK sound stack: rate/format
+    * from the decoded AudioFormat, peak and |sample| checksum from
+    * the decoded PCM frames themselves. A payload the codec rejects
+    * fails loudly (a quarantine pass filters on
+    * [[parseWavHeader]].magic_ok first). */
+  private def decodeWavOne(id: Long, bytes: Array[Byte]): AudioFeatures = {
+    val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new java.io.ByteArrayInputStream(bytes))
+    val f = ais.getFormat
+    require(f.getSampleSizeInBits == 16 && f.getChannels == 1 &&
+      !f.isBigEndian && f.getEncoding ==
+        javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED,
+      s"payload of doc $id is not 16-bit mono PCM")
+    val rate = math.round(f.getSampleRate)
+    val data = ais.readAllBytes()
+    val n = data.length / 2
+    var peak = 0
+    var absSum = 0L
+    var i = 0
+    while (i < n) {
+      val smp = ((data(2 * i) & 0xff) | (data(2 * i + 1) << 8)).toShort
+      val a = math.abs(smp.toInt)
+      if (a > peak) peak = a
+      absSum += a
+      i += 1
+    }
+    // long division truncates toward zero; all operands are
+    // non-negative, so this matches DuckDB's // floor on the oracle
+    AudioFeatures(id, rate, n.toLong, n.toLong * 1000000L / rate,
+      peak, absSum)
+  }
+
+  /** Partition-batched REAL audio decode over a (doc_id, payload)
+    * table — the audio analog of [[decodePng]]. Payload bytes never
+    * leave their partition. */
+  def decodeWav(media: DataFrame): DataFrame = {
+    val s = media.sparkSession
+    import s.implicits._
+    media.select(col("doc_id"), col("payload")).as[(Long, Array[Byte])]
+      .mapPartitions(rows => rows.map { case (id, bytes) =>
+        decodeWavOne(id, bytes) })
+      .toDF()
+  }
+
   /** Synthetic video-container magic for the frame-sampling fixture:
     * 4 bytes + a 4-byte big-endian frame count, then the body. */
   private[operators] val VidMagic = Array[Byte]('G', 'F', 'T', 'V')
@@ -365,6 +502,58 @@ object Multimodal {
          |         AS out_h
          |FROM d""".stripMargin) { (s, dir) =>
       resizeFeatures(s, dir, maxDim = 16)
+    },
+
+    // REAL waveform decode — the non-image modality. Genuine WAVs in
+    // (RIFF/PCM16, JDK wave encoder on the executors), REAL decoded
+    // PCM samples out, PLUS the codegen'd RIFF header parse riding
+    // the same scan: magic_ok and the little-endian fmt-chunk rate
+    // field prove header-encode → header-parse is the identity, while
+    // sample_rate/n_samples/duration_us/peak_abs/abs_sum come from
+    // the codec's decoded frames. The oracle recomputes every field
+    // in closed form from the generative formula — a codec producing
+    // any wrong sample anywhere in the corpus fails the abs_sum hash.
+    // Container bytes are never hashed (RIFF chunk layout is a codec
+    // detail); decoded samples are the contract.
+    QueryDef.sql(
+      "q_audio_stats",
+      s"""WITH a AS (
+         |  SELECT doc_id,
+         |         CASE CAST(doc_id % 4 AS INTEGER)
+         |           WHEN 0 THEN ${WavRates(0)} WHEN 1 THEN ${WavRates(1)}
+         |           WHEN 2 THEN ${WavRates(2)} ELSE ${WavRates(3)}
+         |         END AS rate,
+         |         doc_id % $MaxWavSamples + 1 AS n
+         |  FROM documents),
+         |s AS (
+         |  SELECT doc_id,
+         |         CAST(max(abs((doc_id * 31 + i * 17) % 65536 - 32768))
+         |              AS INTEGER) AS peak_abs,
+         |         CAST(sum(abs((doc_id * 31 + i * 17) % 65536 - 32768))
+         |              AS BIGINT) AS abs_sum
+         |  FROM a, unnest(range(0, n)) AS t(i)
+         |  GROUP BY doc_id)
+         |SELECT a.doc_id, TRUE AS magic_ok,
+         |       CAST(rate AS INTEGER) AS hdr_rate,
+         |       CAST(rate AS INTEGER) AS sample_rate,
+         |       CAST(n AS BIGINT) AS n_samples,
+         |       CAST(n * 1000000 // rate AS BIGINT) AS duration_us,
+         |       s.peak_abs, s.abs_sum
+         |FROM a JOIN s ON a.doc_id = s.doc_id""".stripMargin) { (s, dir) =>
+      // ONE pass over the payload bytes: the codegen'd header parse
+      // rides the scan (keepPayload carries the bytes forward), then
+      // the typed mapPartitions decode consumes the same rows — no
+      // second encode pass, no corpus self-join to reattach fields.
+      import s.implicits._
+      parseWavHeader(wavMedia(s, dir), keepPayload = true)
+        .as[(Long, Boolean, Int, Array[Byte])]
+        .mapPartitions(rows => rows.map { case (id, ok, hdrRate, bytes) =>
+          val f = decodeWavOne(id, bytes)
+          (id, ok, hdrRate, f.sample_rate, f.n_samples, f.duration_us,
+            f.peak_abs, f.abs_sum)
+        })
+        .toDF("doc_id", "magic_ok", "hdr_rate", "sample_rate",
+          "n_samples", "duration_us", "peak_abs", "abs_sum")
     },
 
     // The mapPartitions decode path itself: genuine PNGs in, REAL
