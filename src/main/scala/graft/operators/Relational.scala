@@ -270,6 +270,19 @@ object Relational {
     // a null struct, so everything would read "valid"); DuckDB's
     // side is json_valid. Map-side only: one projection, one
     // map-side-combinable aggregate, zero shuffle beyond it.
+    //
+    // PREDICATE PARITY: the from_json schema carries ONLY the corrupt
+    // -record column — validity is WELL-FORMEDNESS, exactly DuckDB's
+    // json_valid. A typed field in the schema (the first cut's
+    // 'k INT') would make Spark STRICTER than the oracle: valid JSON
+    // whose k is a string/float/overflow marks corrupt on the Spark
+    // side only, a divergence today's corpus never exercises but a
+    // future props shape silently would.
+    // CORPUS CONTRACT (both the k-sum columns here and q_json_extract
+    // above lean on it): props is a JSON OBJECT whose k is a small
+    // int in every raw row — under that contract CAST(k) agrees
+    // between engines, and the planted junk byte is the only
+    // invalidity either engine ever sees.
     QueryDef.sql(
       "q_json_quarantine",
       """WITH d AS (SELECT event_type,
@@ -291,7 +304,7 @@ object Relational {
         .select(col("event_type"),
           when(col("event_id") % 37 === 0, concat(lit("x"), col("props")))
             .otherwise(col("props")).as("props"))
-      val ok = from_json(col("props"), "k INT, _corrupt_record STRING",
+      val ok = from_json(col("props"), "_corrupt_record STRING",
         Map("columnNameOfCorruptRecord" -> "_corrupt_record"))
         .getField("_corrupt_record").isNull
       dirty
