@@ -85,15 +85,36 @@ object DedupOps {
     * will actually build, not as `#files` (the old estimate's trap).
     * Unsplittable compressed files (.gz/.zst/...) are ONE partition
     * each regardless of size, so they cap the estimate at the file
-    * count. Derived in-memory input (no scan leaves) passes through:
-    * the single-task trap this guards against is a property of file
-    * scans. */
+    * count.
+    *
+    * Derived in-memory input is two cases. Plans whose leaves are
+    * all LogicalRDD — a foreachBatch micro-batch frame, a pinned
+    * localCheckpoint — carry their partition count ON the wrapped
+    * RDD (already materialized; reading it forces nothing), and the
+    * same single-task trap applies: a one-file trigger slice arrives
+    * in foreachBatch as a ONE-partition LogicalRDD, and unspread the
+    * whole CPU-bound shingle+minhash pass runs on one core while 31
+    * idle (measured: 1.2–1.8 s/trigger vs ~0.3 spread, the dominant
+    * term of q_stream_dedup_clusters' r16 floor). Other leaf shapes
+    * (Range, LocalRelation) pass through as before — no partition
+    * evidence without forcing the plan, and those are driver-side
+    * fixtures, not ingest paths. */
   private[operators] def spread(df: DataFrame): DataFrame = {
     val spark = df.sparkSession
     val parallelism = spark.sparkContext.defaultParallelism
     val inputFiles = df.inputFiles
     val files = inputFiles.length
-    if (files == 0) df
+    if (files == 0) {
+      val leaves = df.queryExecution.analyzed.collectLeaves()
+      val rddLeaves = leaves.collect {
+        case l: org.apache.spark.sql.execution.LogicalRDD => l
+      }
+      val known = rddLeaves.length == leaves.length && leaves.nonEmpty
+      if (known && rddLeaves.map(_.rdd.getNumPartitions).sum <
+          math.max(2, parallelism / 2))
+        df.repartition(parallelism)
+      else df
+    }
     else {
       val conf = spark.sessionState.conf
       val maxPartBytes = conf.filesMaxPartitionBytes
@@ -649,6 +670,28 @@ object DedupOps {
     * Result invariant: equals starComponents over the union of ALL
     * edges ever seen (spec-pinned, including cross-batch merges). */
   def incrementalStars(prevStars: DataFrame, newEdges: DataFrame): DataFrame = {
+    // bootstrap fast path: a STATICALLY-empty prev (first trigger of a
+    // fresh index — the gate passes `within.filter(lit(false))`, which
+    // the optimizer folds to an empty LocalRelation) has no components
+    // to touch, so the endpoint/touched/untouched machinery would run
+    // three real jobs (an eager pin among them) joining against
+    // nothing. Detection is plan-shape only — no job; a prev whose
+    // emptiness is a runtime fact (an empty TABLE) keeps the general
+    // path, costing only the cheap empty-side joins.
+    val prevStaticallyEmpty = prevStars.queryExecution.optimizedPlan match {
+      case l: org.apache.spark.sql.catalyst.plans.logical.LocalRelation =>
+        l.data.isEmpty
+      case _ => false
+    }
+    if (prevStaticallyEmpty) {
+      val canon = newEdges
+        .select(least(col("a"), col("b")).as("a"),
+          greatest(col("a"), col("b")).as("b"))
+        .filter(col("a") =!= col("b"))
+      return starComponents(canon)
+        .filter(col("doc_id") =!= col("cluster_id"))
+        .select(col("cluster_id").as("a"), col("doc_id").as("b"))
+    }
     val edges = newEdges
       .select(least(col("a"), col("b")).as("a"),
         greatest(col("a"), col("b")).as("b"))
@@ -761,17 +804,36 @@ object DedupOps {
       localFinishEdges: Long = LocalContractEdges): DataFrame = {
     // canonical undirected edges, a < b; self-loops never enter
     var edges = pairs.select(col("a"), col("b")).distinct().pinnedIter
-    var prevCount = edges.count()
     // the local finish handles bigint ids — every production caller;
     // anything else keeps the distributed rounds authoritative
     val localOk = edges.schema.fields.forall(
       _.dataType == org.apache.spark.sql.types.LongType)
-    def localFinish(e: DataFrame): DataFrame = {
-      val collected = e.collect().map(r => (r.getLong(0), r.getLong(1)))
+    // ONE bounded collect decides local-finish AND delivers the edges
+    // when it applies — the former count-then-collect pair paid two
+    // job floors for the same answer (a visible per-trigger cost in
+    // the incremental maintenance path, where the touched subgraph is
+    // tiny by design). limit(bound+1) over the PINNED blocks reads at
+    // most bound+1 rows whatever the edge set's true size, so the
+    // probe stays cheap in the distributed case too; an oversized
+    // result hands back None and the full count runs as before.
+    def tryLocal(e: DataFrame): Option[Array[(Long, Long)]] =
+      if (!localOk) None
+      else {
+        val probe = e.limit(
+          math.min(localFinishEdges + 1, Int.MaxValue).toInt).collect()
+        if (probe.length <= localFinishEdges)
+          Some(probe.map(r => (r.getLong(0), r.getLong(1))))
+        else None
+      }
+    def localFinish(e: DataFrame, rows: Array[(Long, Long)]): DataFrame = {
       Materialize.unpin(e)
-      localComponents(pairs.sparkSession, collected)
+      localComponents(pairs.sparkSession, rows)
     }
-    if (localOk && prevCount <= localFinishEdges) return localFinish(edges)
+    tryLocal(edges) match {
+      case Some(rows) => return localFinish(edges, rows)
+      case None => ()
+    }
+    var prevCount = edges.count()
 
     // One star half-round, exactly Kiveris et al.'s operators.
     // Large-star keys every edge by BOTH endpoints (each node sees
@@ -826,11 +888,13 @@ object DedupOps {
           "rounds — cap is a belt; the paper bounds rounds at O(log² n)")
       val stepped = star(star(edges, large = true), large = false)
         .pinnedIter
-      val steppedCount = stepped.count()
-      if (localOk && steppedCount <= localFinishEdges) {
-        Materialize.unpin(edges)
-        return localFinish(stepped)
+      tryLocal(stepped) match {
+        case Some(rows) =>
+          Materialize.unpin(edges)
+          return localFinish(stepped, rows)
+        case None => ()
       }
+      val steppedCount = stepped.count()
       converged = steppedCount == prevCount && stepped.except(edges).isEmpty
       prevCount = steppedCount
       Materialize.unpin(edges) // the except above already ran; stepped is materialized

@@ -478,25 +478,29 @@ object StreamingOps {
     // the point: components of an edge union are order-independent,
     // and the spec additionally pins a planted cross-batch merge.
     //
-    // Wall time is per-trigger MACHINERY, not data volume (profiled
-    // at sf0.1, when run as 4 triggers of ~1.2k docs): ~1.2 s minhash
-    // banding,
-    // contraction (the touched subgraph's edge set is tiny by design,
-    // so every trigger's re-contraction takes starComponents' bounded
-    // LOCAL union-find finish — one distinct+count plus one collect
-    // instead of the former ≈10 small star-round jobs; same-box A/B:
-    // the gate dropped 16.2 → 9.8 s when the local finish landed),
-    // ~1.6 s bucketed table append, ~0.25 s state write per trigger.
-    // The append decomposes (r16, 1.2k-row batch, best of 5): a RAW
-    // bucketed saveAsTable append is ~1.0 s against ~0.33 s for the
-    // non-bucketed form — Spark's bucketed-insert path plans an
-    // extra sort/exchange stage whatever the batch size — and the
-    // Sources version/lock/refresh machinery adds only ~0.2-0.4 s on
-    // top; the floor is the engine's insert planning, not this
-    // repo's bookkeeping. All amortize at real ingest volumes —
-    // per-row cost falls with batch size while candidate generation
-    // stays an equi-join probe on the stored layout (measured: the
-    // trimmed ingest gates grow 1.3-2.0x at 10x rows, SCALE.md r16).
+    // Wall time is per-trigger MACHINERY, not data volume. The r17
+    // in-situ decomposition (tmark probes inside foreachBatch, sf0.1,
+    // 3 triggers of ~1.7k docs) overturned the r16 attribution: the
+    // dominant term was NOT the bucketed-insert planning (the append
+    // measures 0.25-0.45 s in place, machinery included) but the
+    // BANDING — foreachBatch hands the trigger's rows as a
+    // one-partition LogicalRDD (one staged file → one scan split), so
+    // the CPU-bound shingle+minhash pass ran on ONE core: 1.2-1.8 s
+    // per trigger against ~0.3 s once DedupOps.spread learned to read
+    // partition counts off LogicalRDD leaves and fan the batch out.
+    // Three more r17 trims: starComponents decides its local finish
+    // with one bounded collect instead of count-then-collect (one job
+    // floor per contraction), incrementalStars takes a bootstrap fast
+    // path when prev is statically empty (trigger 1 skipped three
+    // jobs joining against nothing), and appendBucketed aligns the
+    // batch to the bucket hash (≤ 1 file per bucket per append, so
+    // the spread batch can't fragment the index 32-way). Same-box
+    // best-of-3: 7.93 → 5.98 s; oracle hash unchanged; 3 triggers
+    // stay (the multi-append listing-refresh property needs them).
+    // All remaining cost amortizes at real ingest volumes — per-row
+    // cost falls with batch size while candidate generation stays an
+    // equi-join probe on the stored layout (measured: the trimmed
+    // ingest gates grow 1.3-2.0x at 10x rows, SCALE.md r16).
     QueryDef.sql("q_stream_dedup_clusters", DedupOps.clusterClosureSql) {
       (s, dir) => withStreamPartitions(s, 4) {
         val docs = Tables(s, dir, "documents")

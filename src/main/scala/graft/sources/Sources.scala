@@ -418,8 +418,18 @@ object Sources {
         batch.observe(obs, org.apache.spark.sql.functions.count(
           org.apache.spark.sql.functions.lit(1)).as("rows"))
       else batch
+    // align rows to the writer's bucket hash before the write — the
+    // same repartition swapBucketed does, for the same reason: the
+    // file writer emits one file per (task × bucket-present), so an
+    // N-partition batch appends up to N×numBuckets fragments per
+    // trigger instead of ≤ numBuckets, and every later probe/compact
+    // pays the listing. The exchange is on the batch (the small side
+    // of an ingest append) and lands each bucket's rows in exactly
+    // one task.
+    val aligned = toWrite.repartition(numBuckets,
+      bucketCols.map(org.apache.spark.sql.functions.col): _*)
     try {
-      toWrite.write.mode("append").format("parquet")
+      aligned.write.mode("append").format("parquet")
         .bucketBy(numBuckets, bucketCols.head, bucketCols.tail: _*)
         .sortBy(bucketCols.head, bucketCols.tail: _*)
         .saveAsTable(target)
