@@ -597,8 +597,13 @@ object EventAnalytics {
     // the sketch itself never shuffles more than 20 × k counters.
     QueryDef.sql("q_sketch_freq", freqAuditSql) { (s, dir) =>
       val docs = Tables(s, dir, "documents")
+      // spread BEFORE the sketch aggregate: the trigram explode + MG
+      // fold runs in the partial-aggregation stage, which sits in the
+      // SCAN stage's tasks — a one-file corpus would fold the whole
+      // trigram mass on one core (the q_stream_dedup_clusters r17
+      // lesson, batch flavor). freqAudit spreads its own exact side.
       freqAudit(
-        docs.groupBy(col("source"))
+        DedupOps.spread(docs).groupBy(col("source"))
           .agg(graft.functions.FrequentItems
             .sketch(trigrams(col("text")), FreqK).as("mg")),
         docs)
@@ -855,7 +860,11 @@ object EventAnalytics {
     * sketch side broadcast-joins as 20 × k counters. */
   private[operators] def freqAudit(sk: DataFrame,
       docs: DataFrame): DataFrame = {
-    val exact = docs
+    // the exact recount explodes every trigram in the corpus — CPU
+    // work that must not run on a one-file scan's single task (it
+    // takes `docs` raw, not pre-spread, so the two callers can't
+    // double-exchange)
+    val exact = DedupOps.spread(docs)
       .select(col("source"), explode(trigrams(col("text"))).as("g"))
       .groupBy(col("source"), col("g"))
       .agg(count(lit(1)).as("c"))

@@ -996,7 +996,17 @@ object StreamingOps {
         val inDir = EventStreams.orderedSlicedDir(docs, "doc_id", 3)
         val stream = s.readStream.schema(docs.schema)
           .option("maxFilesPerTrigger", "1").parquet(inDir)
-        val q = stream.groupBy(col("source"))
+        // stateless repartition BEFORE the stateful aggregate: each
+        // trigger's slice is ONE file → one scan task, and the
+        // trigram explode + MG partial fold run in the partial-agg
+        // stage right above the scan — unspread, the gate's dominant
+        // CPU ran on one core per trigger (the foreachBatch gates get
+        // this from spread(); a direct streaming plan needs the
+        // explicit exchange). Raw rows shuffled are the slice's docs
+        // (~KBs); state partitioning (the stateful exchange) is
+        // unchanged, so the MG merge tree and its guarantees are too.
+        val q = stream.repartition(s.sparkContext.defaultParallelism)
+          .groupBy(col("source"))
           .agg(graft.functions.FrequentItems
             .sketch(EventAnalytics.trigrams(col("text")),
               EventAnalytics.FreqK).as("mg"))
