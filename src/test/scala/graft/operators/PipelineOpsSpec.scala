@@ -50,6 +50,17 @@ class PipelineOpsSpec extends SparkSpec {
       val wide = spark.read.parquet(dir)
       assert(DedupOps.spread(wide) eq wide)
     } finally spark.conf.set(key, prev)
+    // the r17 LogicalRDD path: a 1-partition pinned frame — the shape
+    // foreachBatch hands a trigger's slice in — fans out (the stream
+    // dedup gates' 1.2-1.8 s/trigger single-core banding trap)...
+    val pinnedOne = spark.range(100).toDF("doc_id").coalesce(1)
+      .localCheckpoint()
+    assert(pinnedOne.rdd.getNumPartitions == 1)
+    assert(DedupOps.spread(pinnedOne).rdd.getNumPartitions == parallelism)
+    // ...while an already-parallel LogicalRDD passes through AS-IS
+    val pinnedMany = spark.range(100).toDF("doc_id")
+      .repartition(parallelism * 2).localCheckpoint()
+    assert(DedupOps.spread(pinnedMany) eq pinnedMany)
   }
 
   test("minhash LSH candidates find the near-dup pair, not the unrelated doc") {

@@ -322,6 +322,39 @@ class SourcesSpec extends SparkSpec {
     } finally Sources.dropVersioned(spark, "band_compact_test")
   }
 
+  test("appendBucketed aligns a many-partition batch to the bucket " +
+    "hash: one append adds at most numBuckets files, never " +
+    "partitions x buckets") {
+    // the r17 guard for the spread() fix: once a foreachBatch batch
+    // fans out to defaultParallelism partitions, an UNALIGNED append
+    // would write one file per (task x bucket-present) — a 32-way
+    // fragmentation of the stored index per trigger. The repartition
+    // inside appendBucketedLocked pins fragmentation to the bucketed
+    // contract whatever the batch's incoming partitioning.
+    val nBuckets = 4
+    val batch1 = spark.range(0, 2000).repartition(32)
+      .select(col("id").as("k"), (col("id") * 2).as("v"))
+    Sources.dropVersioned(spark, "align_append_test")
+    try {
+      Sources.appendBucketed(batch1, "align_append_test", Seq("k"),
+        nBuckets, observeCount = false)
+      val after1 = spark.table("align_append_test").inputFiles.length
+      assert(after1 <= nBuckets,
+        s"creating append from a 32-partition batch left $after1 files " +
+          s"(expected <= $nBuckets)")
+      val batch2 = spark.range(2000, 4000).repartition(32)
+        .select(col("id").as("k"), (col("id") * 2).as("v"))
+      Sources.appendBucketed(batch2, "align_append_test", Seq("k"),
+        nBuckets, observeCount = false)
+      val after2 = spark.table("align_append_test").inputFiles.length
+      assert(after2 - after1 <= nBuckets,
+        s"append from a 32-partition batch added ${after2 - after1} " +
+          s"files (expected <= $nBuckets)")
+      // and the rows all arrived exactly once
+      assert(spark.table("align_append_test").count() == 4000)
+    } finally Sources.dropVersioned(spark, "align_append_test")
+  }
+
   test("index lifecycle: fragmented appends -> compact -> append again; " +
     "probe results identical before/after compaction, 1 file/bucket " +
     "post-compact, post-compact appends stay probe-visible") {
