@@ -425,7 +425,12 @@ object Sources {
     // trigger instead of ≤ numBuckets, and every later probe/compact
     // pays the listing. The exchange is on the batch (the small side
     // of an ingest append) and lands each bucket's rows in exactly
-    // one task.
+    // one task. The trade is explicit: append WRITE parallelism
+    // becomes numBuckets tasks (it was N input partitions), which is
+    // the same dial swapBucketed documents — at cluster scale you
+    // size numBuckets to the cluster, and the bucketed probe contract
+    // wants that layout anyway; unaligned parallelism was buying
+    // speed by fragmenting the very artifact the appends maintain.
     val aligned = toWrite.repartition(numBuckets,
       bucketCols.map(org.apache.spark.sql.functions.col): _*)
     try {
