@@ -605,7 +605,7 @@ object EventAnalytics {
       freqAudit(
         DedupOps.spread(docs).groupBy(col("source"))
           .agg(graft.functions.FrequentItems
-            .sketch(trigrams(col("text")), FreqK).as("mg")),
+            .sketch(trigrams(s, col("text")), FreqK).as("mg")),
         docs)
     },
 
@@ -822,14 +822,18 @@ object EventAnalytics {
   private[operators] final val FreqK = 99
 
   /** Char 3-shingles of `text`, 1-based — the oracle's scalar
-    * generate_series + substr list, guarded because Spark's
-    * `sequence(1, len)` DESCENDS when len < 1 where DuckDB's returns
-    * empty. */
-  private[operators] def trigrams(text: Column): Column =
-    when(length(text) >= 3,
-      transform(sequence(lit(1), length(text) - 2),
-        i => text.substr(i, lit(3))))
-      .otherwise(array().cast("array<string>"))
+    * generate_series + substr list. Since r17 a native codegen
+    * expression ([[graft.functions.CharNgrams]]): the former
+    * interpreted `transform(sequence, substr)` paid per-element
+    * lambda dispatch plus substr's from-the-start char seek per gram
+    * (O(len²) on multi-byte text); the expression walks char offsets
+    * once. Value-exact with the HOF composition it replaced — the
+    * parity spec drives both over random multi-byte/short/empty/null
+    * strings — including the short-string guard the HOF needed
+    * (`sequence(1, len)` DESCENDS when len < 1 where DuckDB's returns
+    * empty; the expression returns an empty array below n chars). */
+  private[operators] def trigrams(s: SparkSession, text: Column): Column =
+    graft.functions.CharNgrams(s, text, 3)
 
   /** ONE oracle for q_sketch_freq AND q_stream_freq: the exact
     * trigram totals plus the MG guarantee flags, which hold for any
@@ -865,7 +869,8 @@ object EventAnalytics {
     // takes `docs` raw, not pre-spread, so the two callers can't
     // double-exchange)
     val exact = DedupOps.spread(docs)
-      .select(col("source"), explode(trigrams(col("text"))).as("g"))
+      .select(col("source"),
+        explode(trigrams(docs.sparkSession, col("text"))).as("g"))
       .groupBy(col("source"), col("g"))
       .agg(count(lit(1)).as("c"))
     val tot = exact.groupBy(col("source"))

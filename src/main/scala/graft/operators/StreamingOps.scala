@@ -1008,7 +1008,7 @@ object StreamingOps {
         val q = stream.repartition(s.sparkContext.defaultParallelism)
           .groupBy(col("source"))
           .agg(graft.functions.FrequentItems
-            .sketch(EventAnalytics.trigrams(col("text")),
+            .sketch(EventAnalytics.trigrams(s, col("text")),
               EventAnalytics.FreqK).as("mg"))
           .writeStream.format("memory").queryName("graft_stream_freq")
           .outputMode("complete").trigger(Trigger.AvailableNow()).start()

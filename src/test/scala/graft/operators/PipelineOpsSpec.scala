@@ -2563,7 +2563,7 @@ class PipelineOpsSpec extends SparkSpec {
     // exceed k, else MG is just an exact map and the test is weak
     val vocab = graft.Tables(spark, sf, "documents")
       .select(col("source"),
-        explode(EventAnalytics.trigrams(col("text"))).as("g"))
+        explode(EventAnalytics.trigrams(spark, col("text"))).as("g"))
       .groupBy(col("source"))
       .agg(countDistinct(col("g")).as("v")).collect()
     assert(vocab.forall(_.getLong(1) > EventAnalytics.FreqK),
@@ -2778,6 +2778,52 @@ class PipelineOpsSpec extends SparkSpec {
         .select(col("doc_id"), col("text")))
     assert(rows(nativeSig(corpus)) == rows(hofSig(corpus)),
       "native minhash signature diverges from the HOF reference (corpus)")
+  }
+
+  test("native char_ngrams expression == the interpreted substr HOF " +
+    "it replaced, on empty/short/unicode/null strings and the real " +
+    "corpus — including the null-folds-to-empty contract") {
+    import spark.implicits._
+    // the composition EventAnalytics.trigrams evaluated before r17
+    // (including the when-guard, whose NULL condition on null text
+    // falls through to the empty-array branch — the contract the
+    // native expression must keep so the typed MG aggregator never
+    // sees a null Seq)
+    def hofNgrams(text: org.apache.spark.sql.Column, n: Int) =
+      when(length(text) >= n,
+        transform(sequence(lit(1), length(text) - (n - 1)),
+          i => text.substr(i, lit(n))))
+        .otherwise(array().cast("array<string>"))
+    def rows(df: org.apache.spark.sql.DataFrame): Map[Long, Seq[String]] =
+      df.collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    val edge = Seq(
+      (0L, ""),                      // empty -> empty array
+      (1L, "ab"),                    // below n -> empty array
+      (2L, "abc"),                   // exactly one gram
+      (3L, "héllo wörld ünïcode"),   // multi-byte chars (substr is
+                                     // char-based; a byte-based walk
+                                     // would split the é)
+      (4L, "aaaaa"),                 // overlapping repeats
+      (5L, null.asInstanceOf[String]) // null -> EMPTY, not null
+    ).toDF("doc_id", "text")
+    for (n <- Seq(2, 3)) {
+      val native = rows(edge.select(col("doc_id"),
+        graft.functions.CharNgrams(spark, col("text"), n).as("g")))
+      val hof = rows(edge.select(col("doc_id"),
+        hofNgrams(col("text"), n).as("g")))
+      assert(native == hof,
+        s"native char_ngrams(n=$n) diverges from the HOF reference (edges)")
+      assert(native(5L) == Seq.empty,
+        "null text must fold to an empty array (the when-guard contract)")
+    }
+    val corpus = graft.Tables(spark, "/root/testdata/sf0.001", "documents")
+      .select(col("doc_id"), col("text"))
+    assert(
+      rows(corpus.select(col("doc_id"),
+        graft.functions.CharNgrams(spark, col("text"), 3).as("g"))) ==
+        rows(corpus.select(col("doc_id"),
+          hofNgrams(col("text"), 3).as("g"))),
+      "native char_ngrams diverges from the HOF reference (corpus)")
   }
 
   test("winnow pairs: the planted near-dup is a candidate, the " +
