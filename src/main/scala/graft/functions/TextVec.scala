@@ -4,25 +4,31 @@ import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 
 /** Shared text/vector column expressions for the data-pipeline
-  * operators. Everything here is built from `org.apache.spark.sql
-  * .functions` higher-order functions — codegen'd Catalyst
-  * expressions, no UDFs — so whole-stage codegen stays unbroken and
-  * the same logic is expressible verbatim in the DuckDB oracle SQL.
+  * operators. Built from `org.apache.spark.sql.functions` expressions
+  * (no UDFs) so the same logic is expressible verbatim in the DuckDB
+  * oracle SQL — with the measured exception below: higher-order
+  * functions evaluate their lambda INTERPRETED per element, and the
+  * hottest one (shingling, paid by every MinHash/Jaccard/banding pass
+  * corpus-wide) graduated to a native expression in r17.
   */
 object TextVec {
 
   /** Whitespace tokens (documents are single-space separated). */
   def tokens(text: Column): Column = split(text, " ")
 
-  /** Word n-gram shingles from a token array, 1-based positions,
-    * guarded for docs shorter than n tokens (Spark's `sequence` would
-    * otherwise count backwards on a negative span).
-    */
+  /** Word n-gram shingles from a token array — since r17 the native
+    * [[WordNgrams]] expression (one fused codegen pass; the former
+    * `transform(sequence, concat_ws(element_at...))` HOF measured
+    * ~8× the cost of the sha-256 minhash fold it feeds, see the
+    * WordNgrams scaladoc). Value-exact with the HOF, parity-spec'd,
+    * including the below-n-tokens (and null-array) empty-array guard
+    * the HOF's `when` provided. Registration needs a session;
+    * `SparkSession.active` is the constructing thread's session —
+    * column construction is always driver-side, and the one
+    * session-clone context (foreachBatch) registers on the clone
+    * that analyzes the plan. */
   def shingles(toks: Column, n: Int): Column =
-    when(size(toks) >= n,
-      transform(sequence(lit(0), size(toks) - n), i =>
-        concat_ws(" ", (0 until n).map(k => element_at(toks, i + lit(k + 1))): _*)))
-      .otherwise(array().cast("array<string>"))
+    WordNgrams(org.apache.spark.sql.SparkSession.active, toks, n)
 
   /** Strictly sequential left-to-right double dot product — matches
     * DuckDB's `list_sum(list_transform(...))` evaluation order so the

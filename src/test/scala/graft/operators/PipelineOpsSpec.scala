@@ -2826,6 +2826,49 @@ class PipelineOpsSpec extends SparkSpec {
       "native char_ngrams diverges from the HOF reference (corpus)")
   }
 
+  test("native word_ngrams expression == the interpreted HOF it " +
+    "replaced, on empty/short/null-array/null-element token arrays " +
+    "and the real corpus") {
+    import spark.implicits._
+    // the composition TextVec.shingles evaluated before r17
+    def hofShingles(toks: org.apache.spark.sql.Column, n: Int) =
+      when(size(toks) >= n,
+        transform(sequence(lit(0), size(toks) - n), i =>
+          concat_ws(" ",
+            (0 until n).map(k => element_at(toks, i + lit(k + 1))): _*)))
+        .otherwise(array().cast("array<string>"))
+    def rows(df: org.apache.spark.sql.DataFrame): Map[Long, Seq[String]] =
+      df.collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    val edge = Seq(
+      (0L, Seq.empty[String]),          // empty -> empty
+      (1L, Seq("a", "b")),              // below n=3 -> empty
+      (2L, Seq("a", "b", "c")),         // exactly one shingle
+      (3L, Seq("a", null, "c", "d")),   // null ELEMENT: concat_ws skips
+      (4L, Seq("x", "y", "z", "x", "y")),
+      (5L, null.asInstanceOf[Seq[String]]) // null array -> EMPTY
+    ).toDF("doc_id", "toks")
+    for (n <- Seq(2, 3)) {
+      val native = rows(edge.select(col("doc_id"),
+        graft.functions.WordNgrams(spark, col("toks"), n).as("g")))
+      val hof = rows(edge.select(col("doc_id"),
+        hofShingles(col("toks"), n).as("g")))
+      assert(native == hof,
+        s"native word_ngrams(n=$n) diverges from the HOF reference (edges)")
+      assert(native(5L) == Seq.empty,
+        "null token array must fold to an empty array (the when-guard " +
+          "contract the downstream distinct/explode consumers rely on)")
+    }
+    import graft.functions.TextVec.tokens
+    val corpus = graft.Tables(spark, "/root/testdata/sf0.001", "documents")
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+    assert(
+      rows(corpus.select(col("doc_id"),
+        graft.functions.WordNgrams(spark, col("toks"), 3).as("g"))) ==
+        rows(corpus.select(col("doc_id"),
+          hofShingles(col("toks"), 3).as("g"))),
+      "native word_ngrams diverges from the HOF reference (corpus)")
+  }
+
   test("winnow pairs: the planted near-dup is a candidate, the " +
     "unrelated doc is not, and the gate finds real corpus pairs") {
     // docs fixture: 0/1 share 39 of 40 tokens (long common spans on
