@@ -150,9 +150,13 @@ object CharNgrams {
       registry.createOrReplaceTempFunction(FunctionName, builder, "scala_udf")
   }
 
-  /** Column entry point — registers on the session first. */
+  /** Column entry point — registers on the session first, plus the
+    * default session as a fallback (see [[WordNgrams.apply]]:
+    * `call_function` resolves at analysis time against the
+    * DataFrame's session, which may differ from the caller's). */
   def apply(spark: SparkSession, text: Column, n: Int): Column = {
     register(spark)
+    SparkSession.getDefaultSession.filter(_ ne spark).foreach(register)
     call_function(FunctionName, text,
       org.apache.spark.sql.functions.lit(n))
   }

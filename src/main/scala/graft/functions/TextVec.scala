@@ -23,10 +23,10 @@ object TextVec {
     * WordNgrams scaladoc). Value-exact with the HOF, parity-spec'd,
     * including the below-n-tokens (and null-array) empty-array guard
     * the HOF's `when` provided. Registration needs a session;
-    * `SparkSession.active` is the constructing thread's session —
-    * column construction is always driver-side, and the one
-    * session-clone context (foreachBatch) registers on the clone
-    * that analyzes the plan. */
+    * `SparkSession.active` is the constructing thread's session, and
+    * [[WordNgrams.apply]] additionally registers on the default
+    * session so a DataFrame analyzed by a DIFFERENT session (the
+    * analysis-time resolution `call_function` does) still resolves. */
   def shingles(toks: Column, n: Int): Column =
     WordNgrams(org.apache.spark.sql.SparkSession.active, toks, n)
 

@@ -143,9 +143,17 @@ object WordNgrams {
       registry.createOrReplaceTempFunction(FunctionName, builder, "scala_udf")
   }
 
-  /** Column entry point — registers on the session first. */
+  /** Column entry point — registers on the session first.
+    * `call_function` resolves at ANALYSIS time against the
+    * DataFrame's own session, which can differ from the session the
+    * column was constructed on (multi-session tests, a session
+    * created after construction), so also register on the default
+    * session as a fallback — the two cover every resolution path in
+    * this repo (the one session-clone context, foreachBatch, shares
+    * the parent's function registry). */
   def apply(spark: SparkSession, toks: Column, n: Int): Column = {
     register(spark)
+    SparkSession.getDefaultSession.filter(_ ne spark).foreach(register)
     call_function(FunctionName, toks,
       org.apache.spark.sql.functions.lit(n))
   }

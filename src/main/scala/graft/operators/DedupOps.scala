@@ -819,8 +819,10 @@ object DedupOps {
     def tryLocal(e: DataFrame): Option[Array[(Long, Long)]] =
       if (!localOk) None
       else {
+        // clamp BEFORE the +1: localFinishEdges near Long.MaxValue
+        // would overflow negative and hand limit() a bad argument
         val probe = e.limit(
-          math.min(localFinishEdges + 1, Int.MaxValue).toInt).collect()
+          math.min(localFinishEdges, Int.MaxValue - 1L).toInt + 1).collect()
         if (probe.length <= localFinishEdges)
           Some(probe.map(r => (r.getLong(0), r.getLong(1))))
         else None
