@@ -292,22 +292,30 @@ object Multimodal {
     "RIFF".getBytes("US-ASCII").map(b => f"$b%02X").mkString
   private[operators] val WaveMagicHex =
     "WAVE".getBytes("US-ASCII").map(b => f"$b%02X").mkString
+  private[operators] val FmtMagicHex =
+    "fmt ".getBytes("US-ASCII").map(b => f"$b%02X").mkString
 
   /** Codegen'd RIFF header parse at full scan speed — magic check plus
     * the fmt chunk's LITTLE-endian sample-rate field (bytes 25–28 of
     * the canonical 44-byte PCM header), decoded by hex-ing the four
-    * bytes in reversed order. The production shape: header metadata
-    * qualifies payloads before any of them reach the codec stage.
-    * `keepPayload` carries the payload column through for a consumer
-    * that feeds the codec NEXT — parse-then-decode must be ONE pass
-    * over the payload bytes, never a self-join of two scans. */
+    * bytes in reversed order. The rate offset ASSUMES the canonical
+    * layout (fmt chunk first, no LIST/fact insertions), so magic_ok
+    * also asserts the `fmt ` chunk tag at bytes 13–16 — a WAV with an
+    * extended or reordered chunk layout flags false instead of
+    * silently mis-parsing a garbage hdr_rate. The production shape:
+    * header metadata qualifies payloads before any of them reach the
+    * codec stage. `keepPayload` carries the payload column through
+    * for a consumer that feeds the codec NEXT — parse-then-decode
+    * must be ONE pass over the payload bytes, never a self-join of
+    * two scans. */
   def parseWavHeader(media: DataFrame,
       keepPayload: Boolean = false): DataFrame = {
     def b(i: Int) = hex(substring(col("payload"), i, 1))
     val cols = Seq(
       col("doc_id"),
       (hex(substring(col("payload"), 1, 4)) === RiffMagicHex &&
-        hex(substring(col("payload"), 9, 4)) === WaveMagicHex)
+        hex(substring(col("payload"), 9, 4)) === WaveMagicHex &&
+        hex(substring(col("payload"), 13, 4)) === FmtMagicHex)
         .as("magic_ok"),
       conv(concat(b(28), b(27), b(26), b(25)), 16, 10)
         .cast("int").as("hdr_rate")) ++
@@ -374,6 +382,116 @@ object Multimodal {
         lit(VidMagic),
         unhex(lpad(hex((col("doc_id") % 16 + 1).cast("int")), 8, "0")),
         encode(col("text"), "UTF-8")).as("payload"))
+
+  // ---------------------------------------------------------------
+  // Video: REAL frame decode — the third modality. The container is
+  // synthetic (magic + frame count + geometry + raw 8-bit gray
+  // frames; no standard video codec ships with the JDK) but the
+  // DECODE is real byte work: the sampled frame's raster is located
+  // by its header-derived offset and its pixels are read back out on
+  // the executors, with the oracle recomputing every pixel stat in
+  // closed form from the generative formula. Same discipline as the
+  // PNG/WAV paths: qualify on the codegen'd header parse first, one
+  // pass over the payload bytes, frames never explode into rows —
+  // only (doc_id, frame_no, stats) coordinates do.
+  // ---------------------------------------------------------------
+
+  private[operators] val VidMagicHex =
+    VidMagic.map(b => f"$b%02X").mkString
+
+  /** Video-fixture geometry: n_frames = doc_id % 16 + 1 (matches the
+    * [[videoWithHeader]] coordinate fixture), frame raster
+    * w = doc_id % 5 + 2, h = doc_id % 3 + 2 — tiny so a row's payload
+    * stays bytes, coprime moduli so shapes cycle. */
+  final val VidMaxFrames = 16
+
+  /** Every 4th frame is sampled — the q_multimodal_frames stride. */
+  final val FrameSampleEvery = 4
+
+  /** Gray value of pixel (x, y) of frame `f` of doc `id` — the
+    * generative formula the oracle replays in closed form. Operands
+    * are non-negative, so `%` agrees between JVM and DuckDB. */
+  @inline private def vpx(id: Long, f: Int, x: Int, y: Int): Int =
+    ((id * 7 + 11 * f + 3 * x + 5 * y) % 256).toInt
+
+  /** One video container: 4-byte magic, 4-byte big-endian frame
+    * count, 2-byte big-endian width and height, then n_frames raw
+    * w×h 8-bit gray rasters in frame order. */
+  private def encodeVideo(id: Long): Array[Byte] = {
+    val n = (id % VidMaxFrames + 1).toInt
+    val w = (id % 5 + 2).toInt
+    val h = (id % 3 + 2).toInt
+    val bb = java.nio.ByteBuffer.allocate(12 + n * w * h)
+    bb.put(VidMagic).putInt(n).putShort(w.toShort).putShort(h.toShort)
+    var f = 1
+    while (f <= n) {
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) { bb.put(vpx(id, f, x, y).toByte); x += 1 }
+        y += 1
+      }
+      f += 1
+    }
+    bb.array
+  }
+
+  /** The corpus as a frame-bearing video table: one container per
+    * doc, frame rasters derived deterministically from doc_id,
+    * encoded on the executors. */
+  def videoMedia(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables(s, dir, "documents").select(col("doc_id")).as[Long]
+      .mapPartitions(ids => ids.map(id => (id, encodeVideo(id))))
+      .toDF("doc_id", "payload")
+  }
+
+  /** Typed video-decode output: geometry from the container header,
+    * pixel stats from the decoded raster of each SAMPLED frame —
+    * `px_sum` is the proof real pixels came back out. */
+  final case class VideoFrameStats(doc_id: Long, frame_no: Int,
+      w: Int, h: Int, px_sum: Long, px_max: Int)
+
+  /** Frame-sampled REAL video decode in ONE payload pass: the
+    * codegen'd magic check qualifies containers at scan speed, then
+    * the partition-batched decode reads the header fields, seeks each
+    * sampled frame's offset, and reads its raster bytes back out —
+    * the [[decodePng]] slot that q_multimodal_frames' coordinate
+    * explode points at, now actually decoding. Sampled-frame stats
+    * ship as fixed-width columns; payloads never leave their
+    * partition and non-sampled frames are never touched (an offset
+    * seek, not a scan — the property that matters when a frame is
+    * megabytes, not the fixture's bytes). */
+  def decodeVideoFrames(media: DataFrame,
+      every: Int = FrameSampleEvery): DataFrame = {
+    val s = media.sparkSession
+    import s.implicits._
+    media
+      .filter(hex(substring(col("payload"), 1, 4)) === VidMagicHex)
+      .select(col("doc_id"), col("payload")).as[(Long, Array[Byte])]
+      .mapPartitions(rows => rows.flatMap { case (id, bytes) =>
+        val bb = java.nio.ByteBuffer.wrap(bytes, 4, 8)
+        val n = bb.getInt
+        val w = bb.getShort.toInt
+        val h = bb.getShort.toInt
+        require(bytes.length == 12 + n * w * h,
+          s"container of doc $id truncated")
+        (1 to n by every).iterator.map { f =>
+          val off = 12 + (f - 1) * w * h
+          var sum = 0L
+          var mx = 0
+          var i = 0
+          while (i < w * h) {
+            val v = bytes(off + i) & 0xff
+            sum += v
+            if (v > mx) mx = v
+            i += 1
+          }
+          VideoFrameStats(id, f, w, h, sum, mx)
+        }
+      })
+      .toDF()
+  }
 
   val all: Seq[QueryDef] = Seq(
 
@@ -460,9 +578,8 @@ object Multimodal {
     // the video analog of "explode the container into coordinates".
     // The payload never travels with the exploded rows — only
     // doc_id + frame_no + a per-frame key, so a 100 TB corpus
-    // explodes into cheap coordinates, not copies. Real frame decode
-    // would map these coordinates through the partition-batched
-    // codec ([[decodePng]]'s slot).
+    // explodes into cheap coordinates, not copies. The REAL decode of
+    // sampled frames is q_video_frame_decode below.
     QueryDef.sql(
       "q_multimodal_frames",
       """SELECT doc_id, CAST(f AS INTEGER) AS frame_no,
@@ -571,6 +688,37 @@ object Multimodal {
          |       $pxSumSql AS px_sum
          |FROM documents""".stripMargin) { (s, dir) =>
       decodeFeatures(s, dir)
+    },
+
+    // REAL frame-sampled video decode — the third modality. Raw
+    // frame rasters in a synthetic container (no video codec ships
+    // with the JDK; the container format is the fixture, the byte
+    // decode is real), every 4th frame's pixels read back out by
+    // offset seek on the executors. The oracle recomputes each
+    // sampled frame's pixel sum and peak in closed form from the
+    // generative formula — any wrong byte at any sampled offset
+    // anywhere in the corpus fails the px_sum hash. Non-sampled
+    // frames are never touched.
+    QueryDef.sql(
+      "q_video_frame_decode",
+      s"""WITH v AS (
+         |  SELECT doc_id,
+         |         CAST(doc_id % $VidMaxFrames + 1 AS INTEGER) AS n_frames,
+         |         CAST(doc_id % 5 + 2 AS INTEGER) AS w,
+         |         CAST(doc_id % 3 + 2 AS INTEGER) AS h
+         |  FROM documents),
+         |f AS (
+         |  SELECT doc_id, w, h, CAST(fr AS INTEGER) AS frame_no
+         |  FROM v, unnest(range(1, n_frames + 1, $FrameSampleEvery))
+         |       AS t(fr))
+         |SELECT doc_id, frame_no, w, h,
+         |       CAST(sum((doc_id * 7 + 11 * frame_no + 3 * x + 5 * y)
+         |                % 256) AS BIGINT) AS px_sum,
+         |       CAST(max((doc_id * 7 + 11 * frame_no + 3 * x + 5 * y)
+         |                % 256) AS INTEGER) AS px_max
+         |FROM f, unnest(range(0, w)) AS tx(x), unnest(range(0, h)) AS ty(y)
+         |GROUP BY 1, 2, 3, 4""".stripMargin) { (s, dir) =>
+      decodeVideoFrames(videoMedia(s, dir))
     }
   )
 }

@@ -1581,6 +1581,56 @@ class PipelineOpsSpec extends SparkSpec {
     val bad = Multimodal.parseWavHeader(
       Seq((9L, corrupt)).toDF("doc_id", "payload")).collect().head
     assert(!bad.getBoolean(1), "corrupted RIFF magic validated")
+    // a NON-CANONICAL chunk layout (RIFF/WAVE intact but the fmt
+    // chunk not at bytes 13-16 — e.g. a LIST chunk inserted first)
+    // must also flag, because the fixed-offset rate field would
+    // otherwise mis-parse silently
+    val shifted = payload.clone()
+    "LIST".getBytes("US-ASCII").zipWithIndex.foreach {
+      case (c, i) => shifted(12 + i) = c }
+    val nc = Multimodal.parseWavHeader(
+      Seq((9L, shifted)).toDF("doc_id", "payload")).collect().head
+    assert(!nc.getBoolean(1),
+      "non-canonical chunk layout validated; hdr_rate would be garbage")
+  }
+
+  test("video frame decode: sampled frames' rasters read back the " +
+    "generative pixels; non-sampled frames absent; a corrupt magic " +
+    "is quarantined by the scan-speed qualify, not decoded") {
+    import spark.implicits._
+    val media = Multimodal.videoMedia(spark, "/root/testdata/sf0.001")
+    val got = Multimodal.decodeVideoFrames(media).collect()
+      .map(r => (r.getLong(0), r.getInt(1)) ->
+        ((r.getInt(2), r.getInt(3), r.getLong(4), r.getInt(5)))).toMap
+    assert(got.nonEmpty)
+    val ids = media.select(col("doc_id")).as[Long].collect()
+    ids.foreach { id =>
+      val n = (id % Multimodal.VidMaxFrames + 1).toInt
+      val w = (id % 5 + 2).toInt
+      val h = (id % 3 + 2).toInt
+      val sampled = 1 to n by Multimodal.FrameSampleEvery
+      // exactly the sampled frames, nothing else
+      assert(got.keys.count(_._1 == id) == sampled.size)
+      sampled.foreach { f =>
+        val px = for (y <- 0 until h; x <- 0 until w)
+          yield ((id * 7 + 11 * f + 3 * x + 5 * y) % 256).toInt
+        assert(got((id, f)) == ((w, h, px.map(_.toLong).sum, px.max)),
+          s"doc $id frame $f decoded ${got((id, f))}")
+      }
+    }
+    // corrupt magic: filtered by the qualify, never reaches the codec
+    val payload = media.filter(col("doc_id") === 7L)
+      .collect().head.getAs[Array[Byte]](1)
+    val corrupt = payload.clone(); corrupt(0) = 'X'.toByte
+    assert(Multimodal.decodeVideoFrames(
+      Seq((7L, corrupt)).toDF("doc_id", "payload")).collect().isEmpty)
+    // a magic-valid but truncated container fails LOUDLY in decode
+    val truncated = payload.take(payload.length - 1)
+    val ex = intercept[org.apache.spark.SparkException] {
+      Multimodal.decodeVideoFrames(
+        Seq((7L, truncated)).toDF("doc_id", "payload")).collect()
+    }
+    assert(ex.getMessage != null)
   }
 
   test("pagerank on a planted path graph lands on hand-computed " +
