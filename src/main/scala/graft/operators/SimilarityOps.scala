@@ -199,7 +199,12 @@ object SimilarityOps {
   }
 
   /** IVF assignment: nearest centroid per corpus vector by cosine.
-    * centroids must be (centroid_id, cv). */
+    * centroids must be (centroid_id, cv). This is the REFERENCE
+    * window-form implementation the parity specs anchor on; the
+    * production corpus passes (training, index build, search-side
+    * cell tagging) run the map-side [[assignConst]]/[[assignWithSim]]
+    * forms over collected centroid constants, which are spec-pinned
+    * to return exactly this. */
   def ivfAssign(corpus: DataFrame, centroids: DataFrame): DataFrame =
     corpus.crossJoin(broadcast(centroids))
       .select(col("vec_id"), col("centroid_id"),
@@ -349,24 +354,16 @@ object SimilarityOps {
     * (cos desc, centroid_id), output (vec_id, embedding,
     * centroid_id) plus any `carry` columns a caller needs alongside
     * (labelNoise carries the label — one shared assignment rule, no
-    * per-caller copy to drift on a tie-break retune). Never a corpus
-    * shuffle — the window partitions by vec_id over the k-fanout
-    * scored rows. */
+    * per-caller copy to drift on a tie-break retune). Map-side over
+    * the collected centroid constants ([[assignConst]]'s comparator,
+    * spec-pinned against the window form) — no k-fanout, no window
+    * exchange: ONE scan-stage pass however large the corpus. */
   private def cellMembers(e: DataFrame, centroids: DataFrame,
-      carry: Seq[String] = Nil): DataFrame = {
-    val carried = carry.map(col)
-    e.crossJoin(broadcast(centroids))
+      carry: Seq[String] = Nil): DataFrame =
+    assignConst(e, collectCentroids(centroids),
+      col("embedding") +: carry.map(col))
       .select(col("vec_id") +: col("embedding") +: col("centroid_id") +:
-        carried :+
-        CosineSimilarity(e.sparkSession, col("cv"), col("embedding"))
-          .as("cos"): _*)
-      .withColumn("arnk", row_number().over(
-        Window.partitionBy(col("vec_id"))
-          .orderBy(col("cos").desc, col("centroid_id"))))
-      .filter(col("arnk") === 1)
-      .select(col("vec_id") +: col("embedding") +: col("centroid_id") +:
-        carried: _*)
-  }
+        carry.map(col): _*)
 
   /** Mutual-kNN graph over the embedding corpus, cell-blocked: each
     * vector's top-k cosine neighbors WITHIN its centroid cell, kept
@@ -565,7 +562,9 @@ object SimilarityOps {
     // the exact situation the health report exists to surface
     val perCell = centroids.select(col("centroid_id"))
       .join(
-        ivfAssign(corpus, centroids).groupBy(col("centroid_id"))
+        assignWithSim(corpus, collectCentroids(centroids),
+          col("embedding"))
+          .groupBy(col("centroid_id"))
           .agg(count(lit(1)).as("nv"),
             min(col("sim")).as("min_sim"), max(col("sim")).as("max_sim")),
         Seq("centroid_id"), "left_outer")
@@ -648,10 +647,17 @@ object SimilarityOps {
     require(centroids.count() == k,
       s"ivfTrain: rank-strided seeding selected ${centroids.count()} of $k seeds")
     (0 until iters).foreach { _ =>
-      val assigned = ivfAssign(corpus, centroids)
-        .select(col("vec_id"), col("centroid_id"))
-        .join(corpus.select(col("vec_id"),
-          col("embedding").cast("array<double>").as("v")), "vec_id")
+      // collect the k-row materialized centroids (bounded — one of
+      // the documented per-iteration driver round-trips) so the
+      // assignment runs MAP-SIDE over constants: one scan-stage pass
+      // carrying the vector along, instead of the window form's
+      // corpus × k shuffle plus a corpus self-join to reattach the
+      // embedding — per Lloyd iteration, at 100 TB the difference
+      // between two full-corpus exchanges and zero (the only
+      // remaining exchange is the k×partitions partial-agg below).
+      // Output is ivfAssign's exactly (spec-pinned comparator).
+      val assigned = assignConst(corpus, collectCentroids(centroids),
+        Seq(col("embedding").cast("array<double>").as("v")))
       val dimCols = (0 until dim).map(i =>
         meanOf(element_at(col("v"), i + 1)).as(s"d$i"))
       val means = assigned.groupBy(col("centroid_id"))
@@ -676,23 +682,23 @@ object SimilarityOps {
 
   /** IVF probe search: score each query only against vectors whose
     * cell is among the query's nprobe nearest centroids. Same output
-    * shape as [[bruteForceTopK]] so recall is directly comparable. */
+    * shape as [[bruteForceTopK]] so recall is directly comparable.
+    * Both the probe-cell ranking and the corpus cell tagging are
+    * map-side passes over the collected centroid constants
+    * ([[annSearchStored]]'s shape with the index computed inline):
+    * the corpus is touched by ONE scan-stage pass with no window
+    * shuffle and no self-join to reattach the vector. */
   def ivfSearch(
       corpus: DataFrame, centroids: DataFrame, probes: DataFrame,
       nprobe: Int, k: Int): DataFrame = {
-    val cells = ivfAssign(corpus, centroids)
-      .select(col("vec_id"), col("centroid_id"))
-    val probeCells = probes.crossJoin(broadcast(centroids))
+    val s = corpus.sparkSession
+    val centConst = collectCentroids(centroids)
+    val probeCells = probes
       .select(col("query_id"), col("qv"),
-        col("centroid_id").as("probe_centroid"),
-        CosineSimilarity(probes.sparkSession, col("qv"), col("cv")).as("ccos"))
-      .withColumn("crnk", row_number().over(
-        Window.partitionBy(col("query_id"))
-          .orderBy(col("ccos").desc, col("probe_centroid"))))
-      .filter(col("crnk") <= nprobe)
-      .select(col("query_id"), col("qv"), col("probe_centroid"))
-    val candidates = corpus
-      .join(cells, "vec_id")
+        explode(nearestCellsConst(s, centConst, nprobe)).as("pc"))
+      .select(col("query_id"), col("qv"),
+        col("pc.centroid_id").as("probe_centroid"))
+    val candidates = assignConst(corpus, centConst, Seq(col("embedding")))
       .join(broadcast(probeCells), col("centroid_id") === col("probe_centroid"))
       .filter(col("vec_id") =!= col("query_id"))
     // bounded TopK digest cut — the candidate set is a corpus
@@ -724,16 +730,16 @@ object SimilarityOps {
     val s = e.sparkSession
     val probes = e.filter(col("vec_id") < NumProbes)
       .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
-    val cells = ivfAssign(e, centroids)
-      .select(col("vec_id"), col("centroid_id"))
-    val probeRanks = probes.crossJoin(broadcast(centroids))
-      .select(col("query_id"), col("centroid_id"),
-        CosineSimilarity(s, col("qv"), col("cv")).as("ccos"))
-      .withColumn("crnk", row_number().over(
-        Window.partitionBy(col("query_id"))
-          .orderBy(col("ccos").desc, col("centroid_id"))))
-      .select(col("query_id"), col("centroid_id"), col("crnk"))
-    val scored = e.join(cells, "vec_id")
+    val centConst = collectCentroids(centroids)
+    // full cell ranking per probe (crnk over ALL cells, not a top-n
+    // cut): posexplode of the sorted const array — pos is exactly the
+    // window form's row_number − 1 (same comparator, spec-pinned)
+    val probeRanks = probes
+      .select(col("query_id"),
+        posexplode(nearestCellsConst(s, centConst, centConst.size)))
+      .select(col("query_id"), col("col.centroid_id").as("centroid_id"),
+        (col("pos") + 1).cast("int").as("crnk"))
+    val scored = assignConst(e, centConst, Seq(col("embedding")))
       .crossJoin(broadcast(probes))
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id"), col("centroid_id"),
@@ -1705,10 +1711,15 @@ object SimilarityOps {
          |                                ORDER BY cos DESC, centroid_id) AS rnk
          |      FROM scored)
          |WHERE rnk = 1""".stripMargin) {
+      // map-side over the collected seed constants — one corpus scan,
+      // no window shuffle; output is ivfAssign's exactly (the oracle
+      // above still replays the window form, so the hash pins the
+      // const comparator against it corpus-wide)
       (s, dir) =>
-        val centroids = emb(s, dir).filter(col("vec_id") < NumCentroids)
-          .select(col("vec_id").as("centroid_id"), col("embedding").as("cv"))
-        ivfAssign(emb(s, dir), centroids)
+        assignWithSim(emb(s, dir),
+          collectCentroids(emb(s, dir).filter(col("vec_id") < NumCentroids)
+            .select(col("vec_id").as("centroid_id"), col("embedding"))),
+          col("embedding"))
     },
 
     // IVF probe search over the TRAINED centroids: each query scans
@@ -2022,15 +2033,14 @@ object SimilarityOps {
          |WHERE rnk <= $OutlierK""".stripMargin) {
       (s, dir) =>
         val e = emb(s, dir)
-        val centroids = e.filter(col("vec_id") < NumCentroids)
-          .select(col("vec_id").as("centroid_id"), col("embedding").as("cv"))
-        val scored = e.crossJoin(broadcast(centroids))
-          .select(col("vec_id"), col("centroid_id"),
-            CosineSimilarity(s, col("cv"), col("embedding")).as("cos"))
-        val assigned = scored.withColumn("arnk", row_number().over(
-          Window.partitionBy(col("vec_id"))
-            .orderBy(col("cos").desc, col("centroid_id"))))
-          .filter(col("arnk") === 1)
+        // cell assignment map-side over the collected seed constants
+        // (RAW cos kept — the bottom-k ranks on the unrounded score,
+        // exactly like the oracle); the only window left is the
+        // per-cell bottom-k, bounded by cell population
+        val assigned = assignScored(e,
+          collectCentroids(e.filter(col("vec_id") < NumCentroids)
+            .select(col("vec_id").as("centroid_id"), col("embedding"))),
+          col("embedding"))
         assigned.withColumn("rnk", row_number().over(
           Window.partitionBy(col("centroid_id"))
             .orderBy(col("cos").asc, col("vec_id"))))
@@ -2519,10 +2529,8 @@ object SimilarityOps {
       .select(col("vec_id").as("centroid_id"), col("embedding").as("cv"))
     // pinned: consumed by the cold branch, the hot branch AND the
     // caller's size aggregate — without it each consumer repeats the
-    // full assignment pass
-    val cells = ivfAssign(e, centroids)
-      .select(col("vec_id"), col("centroid_id"))
-      .pinned
+    // full assignment pass (map-side over the collected constants)
+    val cells = assignConst(e, collectCentroids(centroids)).pinned
     val sizes = cells.groupBy(col("centroid_id"))
       .agg(count(lit(1)).as("n_cell"))
     val withSize = cells.join(broadcast(sizes), "centroid_id")
@@ -2762,8 +2770,7 @@ object SimilarityOps {
     * distance tables must share. Both are ONE-OFF corpus passes at
     * 100 TB, stored alongside the data ([[writeIvfPqIndex]]). */
   def ivfPqIndex(e: DataFrame, centroids: DataFrame): (DataFrame, DataFrame) = {
-    val cells = ivfAssign(e, centroids)
-      .select(col("vec_id"), col("centroid_id"))
+    val cells = assignConst(e, collectCentroids(centroids))
       .pinned // reused: residual build + coded-corpus scan
     val rdf = e.join(cells, "vec_id")
       .join(broadcast(centroids), "centroid_id")
@@ -2861,11 +2868,15 @@ object SimilarityOps {
     * bytes; this one serves exact in-cell scoring. */
   def writeIvfIndex(corpus: DataFrame, centroids: DataFrame,
       tableName: String, numBuckets: Int): Unit =
+    // the index build is the big corpus pass: assign map-side over
+    // the collected (k-row, bounded) centroids and carry the vector
+    // through, so the ONLY exchange is writeBucketed's required
+    // bucket-key shuffle — the window+self-join form paid two more
+    // full-corpus exchanges before it. Cell ids match ivfAssign
+    // exactly (assignConst's spec-pinned comparator).
     graft.sources.Sources.writeBucketed(
-      corpus.join(
-        ivfAssign(corpus, centroids).select(col("vec_id"), col("centroid_id")),
-        "vec_id")
-        .select(col("vec_id"), col("centroid_id"), col("embedding")),
+      assignConst(corpus, collectCentroids(centroids),
+        Seq(col("embedding"))),
       tableName, Seq("centroid_id"), numBuckets)
 
   /** APPEND one batch of newly arriving (vec_id, embedding) vectors
@@ -2920,15 +2931,19 @@ object SimilarityOps {
     * it plans inside a micro-batch). The comparator reproduces
     * `ccos DESC, centroid_id ASC`; [[CosineSimilarity]] keeps the
     * arithmetic bit-identical to the batch path and the oracle.
-    * Shared by [[annSearchStored]] (probe-cell selection) and the
-    * q_stream_ivf_ingest cell assignment (n = 1). */
+    * Shared by [[annSearchStored]] (probe-cell selection), the
+    * q_stream_ivf_ingest cell assignment (n = 1), and the Lloyd
+    * training / index-build corpus assignment ([[assignConst]]).
+    * `vec` is the vector column to rank cells for (default: the
+    * serve-side `qv`). */
   private def nearestCellsConst(s: SparkSession,
-      centroids: Seq[(Long, Array[Float])], n: Int): Column = {
+      centroids: Seq[(Long, Array[Float])], n: Int,
+      vec: Column = col("qv")): Column = {
     val centArr = array(centroids.map { case (id, v) =>
       struct(lit(id).as("centroid_id"), array(v.map(lit(_)): _*).as("cv"))
     }: _*)
     val scored = transform(centArr, c => struct(
-      CosineSimilarity(s, col("qv"), c.getField("cv")).as("ccos"),
+      CosineSimilarity(s, vec, c.getField("cv")).as("ccos"),
       c.getField("centroid_id").as("centroid_id")))
     // a NULL ccos (zero-norm or length-mismatched centroid) must sort
     // LAST like the oracle's ORDER BY cos DESC (NULLS LAST) — without
@@ -2952,15 +2967,59 @@ object SimilarityOps {
     * assigned rows append into the [[writeIvfIndex]] bucketed layout
     * per trigger (foreachBatch); output matches [[ivfAssign]] on the
     * same slice exactly (spec-pinned + shared-CTE oracle). */
-  def streamIvfIngest(newVectors: DataFrame,
-      centroids: Seq[(Long, Array[Float])]): DataFrame = {
-    val s = newVectors.sparkSession
-    newVectors
+  /** Map-side [[ivfAssign]] over COLLECTED centroid constants: each
+    * corpus vector's nearest cell by the [[nearestCellsConst]]
+    * comparator (`ccos DESC, centroid_id ASC`, bit-identical
+    * [[CosineSimilarity]] arithmetic — output equals [[ivfAssign]]
+    * exactly, spec-pinned), with `extra` columns carried through the
+    * SAME projection. This is the 100 TB shape for training and
+    * index-build assignment: the window form shuffles the whole
+    * corpus × k to rank cells and then self-joins the corpus back to
+    * reattach the vector; this one is a single scan-stage pass — no
+    * exchange at all until whatever the caller aggregates next. */
+  private def assignConst(corpus: DataFrame,
+      centroids: Seq[(Long, Array[Float])],
+      extra: Seq[Column] = Nil): DataFrame =
+    corpus.select(col("vec_id") +:
+      element_at(nearestCellsConst(corpus.sparkSession, centroids, 1,
+        col("embedding")), 1)
+        .getField("centroid_id").as("centroid_id") +: extra: _*)
+
+  /** The collected (centroid_id, cv) constants of a k-row centroid
+    * frame — bounded driver material (index geometry, never data),
+    * the input every map-side assignment and probe ranking
+    * broadcasts. */
+  private def collectCentroids(
+      centroids: DataFrame): Seq[(Long, Array[Float])] =
+    centroids.collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).toSeq
+
+  /** Map-side nearest-cell assignment that keeps the RAW cosine:
+    * (vec_id, centroid_id, cos) — for callers that rank on the
+    * unrounded score (rounding first could flip near-tie orderings
+    * the oracle ranks raw). */
+  private def assignScored(vectors: DataFrame,
+      centroids: Seq[(Long, Array[Float])], vec: Column): DataFrame =
+    vectors
       .select(col("vec_id"),
-        element_at(nearestCellsConst(s, centroids, 1), 1).as("c"))
+        element_at(nearestCellsConst(vectors.sparkSession, centroids, 1,
+          vec), 1).as("c"))
       .select(col("vec_id"), col("c.centroid_id").as("centroid_id"),
-        round(col("c.ccos"), 6).as("sim"))
-  }
+        col("c.ccos").as("cos"))
+
+  /** [[ivfAssign]]'s exact output schema (vec_id, centroid_id, sim)
+    * computed map-side over collected constants — shared by the
+    * streaming ingest (vec column `qv`) and the batch assignment
+    * gates (vec column `embedding`), so the two cannot drift. */
+  private def assignWithSim(vectors: DataFrame,
+      centroids: Seq[(Long, Array[Float])], vec: Column): DataFrame =
+    assignScored(vectors, centroids, vec)
+      .select(col("vec_id"), col("centroid_id"),
+        round(col("cos"), 6).as("sim"))
+
+  def streamIvfIngest(newVectors: DataFrame,
+      centroids: Seq[(Long, Array[Float])]): DataFrame =
+    assignWithSim(newVectors, centroids, col("qv"))
 
   def annSearchStored(queries: DataFrame, index: DataFrame,
       centroids: Seq[(Long, Array[Float])], nprobe: Int, k: Int): DataFrame = {

@@ -26,29 +26,28 @@ class PlanAuditSpec extends SparkSpec {
     * data-sized BNLJ and stay green; exceeding the recorded count is
     * an offender that forces this table (and review) to move. */
   private val constantSideCross = Map(
+    // r18: every nearest-CELL assignment cross disappeared — the
+    // corpus passes assign map-side over collected centroid constants
+    // (SimilarityOps.assignConst/assignScored/assignWithSim), so
+    // q_sim_ivf_assign, q_sim_ivf_search, q_semdedup,
+    // q_embed_outliers, q_label_noise, q_knn_graph and q_bitext_mine
+    // left this table entirely and several counts below dropped
     "q_sim_cosine_topk" -> 1,   // 5 probe vectors
-    "q_sim_ivf_assign" -> 1,    // 8 centroids
-    "q_sim_ivf_search" -> 2,    // 8 centroids (assign + probe)
-    "q_semdedup" -> 1,          // 8 centroids (cell assignment)
     "q_ann_filter" -> 1,        // 5 probe vectors
     "q_text_tfidf" -> 1,        // 1-row corpus-size scalar
     "q_sample_temperature" -> 1, // 1-row min-count scalar
     "q_text_perplexity" -> 1,   // 1-row vocab-size scalar
     "q_sim_bm25" -> 1,          // 1-row corpus-stats scalar (N, Σdl, dfs)
     "q_select_dsir" -> 1,       // 1-row distribution-totals scalar (nr, nt)
-    "q_sim_ivfpq" -> 2,         // 8 coarse centroids (cell assignment + probe)
-    "q_embed_outliers" -> 1,    // 8 centroids (cell assignment)
+    "q_sim_ivfpq" -> 1,         // 5 probe vectors (probe-cell ranking)
     "q_sim_matryoshka" -> 2,    // 5 probe vectors (prefix scan + rerank)
     "q_sim_hard_negatives" -> 1, // 5 probe vectors
-    "q_ivf_balance" -> 2,       // 8 centroids + 1-row corpus-count scalar
+    "q_ivf_balance" -> 1,       // 1-row corpus-count scalar
     "q_token_budget" -> 1,      // 1-row weight-total scalar
     "q_epoch_expand" -> 1,      // same 1-row scalar inside its plan build
-    "q_label_noise" -> 1,       // 8 seed centroids (cell assignment)
     "q_label_predict" -> 1,     // |labels|-row prototype table (≤ label count)
-    "q_sim_rerank_ivf" -> 3,    // 8 coarse centroids + 5 probes (shortlist + rerank)
-    "q_knn_graph" -> 1,         // 8 seed centroids (cell assignment)
-    "q_bitext_mine" -> 1,       // 8 seed centroids (cell assignment)
-    "q_ivf_recall_curve" -> 3,  // 8 centroids + 5 probes + 1-row relevant-count scalar
+    "q_sim_rerank_ivf" -> 2,    // 5 probes (shortlist + rerank)
+    "q_ivf_recall_curve" -> 2,  // 5 probes + 1-row relevant-count scalar
     "q_drift_2prop" -> 2,       // two 1-row scalars (time-span midpoint, half totals)
     "q_sim_rrf" -> 2,           // bm25's 1-row corpus-stats scalar + 5 probe vectors
     "q_sim_binary" -> 2         // 5 packed probe rows (Hamming scan) + 5 (rerank)
