@@ -2895,12 +2895,7 @@ object SimilarityOps {
       tableName: String, numBuckets: Int): Unit =
     // snapshot → append → stats bump, atomically vs other mutators
     Analytics.appendBucketedWithStats(
-      batch.select(col("vec_id"), col("embedding"),
-          col("embedding").as("qv"))
-        .select(col("vec_id"),
-          element_at(nearestCellsConst(batch.sparkSession, centroids, 1), 1)
-            .getField("centroid_id").as("centroid_id"),
-          col("embedding")),
+      assignConst(batch, centroids, Seq(col("embedding"))),
       tableName, Seq("centroid_id"), numBuckets)
 
   /** ANN serve over a STORED [[writeIvfIndex]] table, shaped so the
@@ -2931,11 +2926,14 @@ object SimilarityOps {
     * it plans inside a micro-batch). The comparator reproduces
     * `ccos DESC, centroid_id ASC`; [[CosineSimilarity]] keeps the
     * arithmetic bit-identical to the batch path and the oracle.
-    * Shared by [[annSearchStored]] (probe-cell selection), the
-    * q_stream_ivf_ingest cell assignment (n = 1), and the Lloyd
-    * training / index-build corpus assignment ([[assignConst]]).
-    * `vec` is the vector column to rank cells for (default: the
-    * serve-side `qv`). */
+    * Serves the n > 1 PROBE-side rankings ([[annSearchStored]]'s
+    * probe-cell selection, the recall curve's full ranking) — probe
+    * batches are small, so the interpreted lambda cost is bounded.
+    * The n = 1 CORPUS passes (training, index build, cell tagging,
+    * streaming ingest) run the native codegen'd
+    * [[graft.functions.NearestCentroid]] instead, which is
+    * parity-spec'd against this comparator. `vec` is the vector
+    * column to rank cells for (default: the serve-side `qv`). */
   private def nearestCellsConst(s: SparkSession,
       centroids: Seq[(Long, Array[Float])], n: Int,
       vec: Column = col("qv")): Column = {
@@ -2981,8 +2979,8 @@ object SimilarityOps {
       centroids: Seq[(Long, Array[Float])],
       extra: Seq[Column] = Nil): DataFrame =
     corpus.select(col("vec_id") +:
-      element_at(nearestCellsConst(corpus.sparkSession, centroids, 1,
-        col("embedding")), 1)
+      graft.functions.NearestCentroid(corpus.sparkSession,
+        col("embedding"), centroids)
         .getField("centroid_id").as("centroid_id") +: extra: _*)
 
   /** The collected (centroid_id, cv) constants of a k-row centroid
@@ -3002,8 +3000,8 @@ object SimilarityOps {
       centroids: Seq[(Long, Array[Float])], vec: Column): DataFrame =
     vectors
       .select(col("vec_id"),
-        element_at(nearestCellsConst(vectors.sparkSession, centroids, 1,
-          vec), 1).as("c"))
+        graft.functions.NearestCentroid(vectors.sparkSession, vec,
+          centroids).as("c"))
       .select(col("vec_id"), col("c.centroid_id").as("centroid_id"),
         col("c.ccos").as("cos"))
 

@@ -2919,6 +2919,74 @@ class PipelineOpsSpec extends SparkSpec {
       "native word_ngrams diverges from the HOF reference (corpus)")
   }
 
+  test("native nearest_centroid expression == the interpreted HOF " +
+    "cell ranking it replaced (cosine, comparator, null semantics) " +
+    "on edge vectors and the real corpus") {
+    import spark.implicits._
+    import graft.functions.{CosineSimilarity, NearestCentroid}
+    // the transform|>array_sort|>slice(1) composition the corpus
+    // assignment passes evaluated before r18 (nearestCellsConst n=1)
+    def hofNearest(centroids: Seq[(Long, Array[Float])],
+        vec: org.apache.spark.sql.Column) = {
+      val centArr = array(centroids.map { case (id, v) =>
+        struct(lit(id).as("centroid_id"),
+          array(v.map(lit(_)): _*).as("cv"))
+      }: _*)
+      val scored = transform(centArr, c => struct(
+        CosineSimilarity(spark, vec, c.getField("cv")).as("ccos"),
+        c.getField("centroid_id").as("centroid_id")))
+      val cc = (c: org.apache.spark.sql.Column) =>
+        coalesce(c.getField("ccos"), lit(Double.NegativeInfinity))
+      val cmp = (l: org.apache.spark.sql.Column,
+          r: org.apache.spark.sql.Column) =>
+        when(cc(l) > cc(r), lit(-1)).when(cc(l) < cc(r), lit(1))
+          .when(l.getField("centroid_id") < r.getField("centroid_id"),
+            lit(-1))
+          .when(l.getField("centroid_id") > r.getField("centroid_id"),
+            lit(1))
+          .otherwise(lit(0))
+      element_at(array_sort(scored, cmp), 1)
+    }
+    val cents = Seq(
+      7L -> Array(1f, 0f, 0f),
+      3L -> Array(1f, 0f, 0f),   // exact duplicate of 7 -> tie, 3 wins
+      9L -> Array(0f, 1f, 0f))
+    val edge = Seq(
+      (0L, Seq(2f, 0f, 0f)),               // ties cells 7 and 3 -> 3
+      (1L, Seq(0f, 5f, 0f)),               // clear cell 9
+      (2L, Seq(0f, 0f, 0f)),               // zero norm: all null -> min id
+      (3L, Seq(1f, 1f)),                   // length mismatch: all null
+      (4L, null.asInstanceOf[Seq[Float]])  // null vector: all null
+    ).toDF("vec_id", "v")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map { r =>
+        val s = r.getStruct(1)
+        (r.getLong(0),
+          if (s.isNullAt(0)) null else s.getDouble(0), s.getLong(1))
+      }.toSet
+    val native = rows(edge.select(col("vec_id"),
+      NearestCentroid(spark, col("v").cast("array<float>"), cents).as("c")))
+    val hof = rows(edge.select(col("vec_id"),
+      hofNearest(cents, col("v").cast("array<float>")).as("c")))
+    assert(native == hof,
+      s"native nearest_centroid diverges on edges:\n$native\nvs\n$hof")
+    // all-null scores (zero norm, mismatch, null vec) land in the
+    // LOWEST id with a null score — the oracle's NULLS LAST rank
+    assert(native.collect { case (id, null, cid) => id -> cid }.toMap ==
+      Map(2L -> 3L, 3L -> 3L, 4L -> 3L))
+    // real corpus, gate centroid count
+    val emb = graft.Tables(spark, "/root/testdata/sf0.001", "embeddings")
+    val corpusCents = emb.filter(col("vec_id") < 8)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).toSeq
+    val nat = rows(emb.select(col("vec_id"),
+      NearestCentroid(spark, col("embedding"), corpusCents).as("c")))
+    val ref = rows(emb.select(col("vec_id"),
+      hofNearest(corpusCents, col("embedding")).as("c")))
+    assert(nat.nonEmpty && nat == ref,
+      "native nearest_centroid diverges from the HOF reference (corpus)")
+  }
+
   test("winnow pairs: the planted near-dup is a candidate, the " +
     "unrelated doc is not, and the gate finds real corpus pairs") {
     // docs fixture: 0/1 share 39 of 40 tokens (long common spans on

@@ -395,4 +395,27 @@ class PlanAuditSpec extends SparkSpec {
         s"$name must not shuffle the corpus for a tiny build side:\n$plan")
     }
   }
+
+  test("IVF corpus-assignment gates plan with NO window and NO " +
+    "sort-merge join: the map-side const assignment is structural") {
+    // the r18 shape: nearest-cell tagging of the full corpus is one
+    // scan-stage projection over collected centroid constants — a
+    // WindowExec or SortMergeJoin in THESE plans means the corpus × k
+    // crossJoin + full-corpus window exchange + self-join form crept
+    // back in (each is a full-data exchange at 100 TB). Only the
+    // pure assignment/search gates pin window-freedom: the
+    // blocked-pair gates (semdedup, knn-graph, bitext) legitimately
+    // keep bounded per-cell windows and in-cell equi-joins.
+    Seq("q_sim_ivf_assign", "q_sim_ivf_search").foreach { name =>
+      val plan = graft.SparkEntry.queries(name)(spark, sfDir)
+        .queryExecution.executedPlan
+      val windows = plan.collectWithSubqueries {
+        case w: org.apache.spark.sql.execution.window.WindowExec => w }
+      assert(windows.isEmpty,
+        s"$name grew ${windows.size} WindowExec(s) — the const " +
+          s"assignment form is window-free:\n$plan")
+      assert(!plan.toString.contains("SortMergeJoin"),
+        s"$name must not sort-merge (corpus self-join crept back):\n$plan")
+    }
+  }
 }
