@@ -283,7 +283,11 @@ object Analytics {
     // partial aggregates. min/max stringify through decimal(12,2)
     // for the double column so both engines format identically.
     QueryDef.sql("q_table_stats", tableStatsSql) { (s, dir) =>
-      tableStats(Tables(s, dir, "orders"), StatsCols)
+      // spread(): the Expand × exact-countDistinct partial agg runs
+      // in the SCAN stage's tasks, and a one-file table pins that
+      // CPU-heavy pass to one core (the r17 single-task-scan trap);
+      // at real file counts this is a no-op
+      tableStats(DedupOps.spread(Tables(s, dir, "orders")), StatsCols)
     },
 
     // Time-RANGE window frame: per event, the same user's activity in
