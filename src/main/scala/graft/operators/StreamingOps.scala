@@ -931,7 +931,14 @@ object StreamingOps {
         val ev = Tables.events(s, dir)
           .select(col("user_id"), col("ts_us"), col("event_id"))
         val hi = ev.agg(max(col("ts_us"))).head().getLong(0)
-        val inDir = EventStreams.timeSlicedDir(ev, nSlices = 4,
+        // 2 data slices (the r16 trigger-floor trim, applied r18):
+        // cross-batch session state still exercises — sessions span
+        // the slice boundary — and the output is hash-invariant to
+        // slicing (the oracle is the batch aggregation). flushSlices
+        // stays 2: append-mode eviction needs the batch AFTER the
+        // watermark update. 6 → 4 triggers; sf0.1 best-of-5 2.53 s
+        // vs the r17 record's 3.33 (hash re-verified at sf0.01).
+        val inDir = EventStreams.timeSlicedDir(ev, nSlices = 2,
           gapUs = EventStreams.SessionGapUs + 10000000L, flushSlices = 2)
         val stream = s.readStream.schema(ev.schema)
           .option("maxFilesPerTrigger", "1").parquet(inDir)
