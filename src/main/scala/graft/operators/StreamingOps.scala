@@ -211,7 +211,10 @@ object StreamingOps {
          |FROM b GROUP BY 1, 2""".stripMargin) {
       (s, dir) => withStreamPartitions(s, 8) {
         val ev = Tables.events(s, dir).select(col("user_id"))
-        val inDir = EventStreams.stagedParquet(ev, 4)
+        // 2 slices (the q_stream_stats argument): complete-mode
+        // bucket COUNTS are order-insensitive over the same multiset,
+        // so the maintained-sketch property needs >1 trigger, not 4
+        val inDir = EventStreams.stagedParquet(ev, 2)
         val stream = s.readStream.schema(ev.schema)
           .option("maxFilesPerTrigger", "1").parquet(inDir)
         val q = stream
@@ -252,7 +255,10 @@ object StreamingOps {
       (s, dir) => withStreamPartitions(s, 8) {
         val k = 10
         val ev = Tables.events(s, dir).select(col("user_id"))
-        val inDir = EventStreams.stagedParquet(ev, 4)
+        // 3 slices, not 4 — and not 2: the board-merge exactness
+        // claim is about merging into a PREVIOUSLY-MERGED board, so
+        // the gate keeps two real merge steps (triggers 2 and 3)
+        val inDir = EventStreams.stagedParquet(ev, 3)
         val stream = s.readStream.schema(ev.schema)
           .option("maxFilesPerTrigger", "1").parquet(inDir)
         var board = Array.empty[(Long, Long)]
@@ -985,7 +991,10 @@ object StreamingOps {
       (s, dir) => withStreamPartitions(s, 8) {
         val docs = Tables(s, dir, "documents")
           .select(col("source"), col("doc_id"), col("text"))
-        val inDir = EventStreams.orderedSlicedDir(docs, "doc_id", 3)
+        // 2 slices: HLL register state is a per-register max over
+        // item hashes — order-insensitive, any slicing of the same
+        // multiset lands the same sketch (the q_stream_stats trim)
+        val inDir = EventStreams.orderedSlicedDir(docs, "doc_id", 2)
         val stream = s.readStream.schema(docs.schema)
           .option("maxFilesPerTrigger", "1").parquet(inDir)
         val q = stream.groupBy(col("source"))
@@ -1090,7 +1099,9 @@ object StreamingOps {
           .select(col("event_type"), col("ts_us"))
         val mm = ev.agg(min(col("ts_us")) + max(col("ts_us")))
           .head().getLong(0) // bounded 1-row scalar: the split constant
-        val inDir = EventStreams.stagedParquet(ev, 4)
+        // 2 slices: complete-mode half-counts are order-insensitive
+        // sums — the q_stream_stats trim argument
+        val inDir = EventStreams.stagedParquet(ev, 2)
         val stream = s.readStream.schema(ev.schema)
           .option("maxFilesPerTrigger", "1").parquet(inDir)
         val q = EventAnalytics.driftHalfCounts(stream, lit(mm))
