@@ -203,6 +203,25 @@ object Bench {
       .foreach(c => org.apache.logging.log4j.core.config.Configurator.setLevel(
         s"org.apache.spark.sql.execution.streaming.runtime.$c",
         org.apache.logging.log4j.Level.ERROR))
+    // the r17 tail grew the next wall: q_stream_restart's recovery
+    // phase re-reads checkpoint state written by the first run, and
+    // Spark 4.1 WARNs once per state file it verifies without a
+    // sidecar checksum ("No checksum file found … hence no checksum
+    // verification", ChecksumCheckpointFileManager) plus one
+    // "normal for the first batch" snapshot-load WARN per state
+    // partition (HDFSBackedStateStoreProvider) — ~20 identical lines
+    // per restart-gate run, same bury-real-anomalies class as the
+    // walls above. Quiet exactly the two emitting classes, harness
+    // only; genuine checkpoint corruption surfaces as a
+    // verification EXCEPTION (failed query), never a WARN from
+    // these loggers, and the gate's hash-policed output is the
+    // actual recovery proof.
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.sql.execution.streaming.checkpointing.ChecksumCheckpointFileManager",
+      org.apache.logging.log4j.Level.ERROR)
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider",
+      org.apache.logging.log4j.Level.ERROR)
     // warm up JVM/JIT, codegen and parquet footers once, untimed
     Tables.names.foreach(n =>
       try Tables(spark, sfDir, n).limit(1).write.format("noop")
