@@ -40,10 +40,16 @@ object BandedLevenshtein {
   }
 
   /** Idempotent per-session registration; also available to SQL text
-    * as `graft_levenshtein_capped(a, b, tau)`. */
-  def register(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      FunctionName, builder, "scala_udf")
+    * as `graft_levenshtein_capped(a, b, tau)`. Check-then-create so
+    * repeated registration (every Column call) doesn't WARN
+    * "replaced a previously registered function" into the tail; the
+    * race is benign — both racers register the identical builder. */
+  def register(spark: SparkSession): Unit = {
+    val registry = spark.sessionState.functionRegistry
+    if (!registry.functionExists(
+        org.apache.spark.sql.catalyst.FunctionIdentifier(FunctionName)))
+      registry.createOrReplaceTempFunction(FunctionName, builder, "scala_udf")
+  }
 
   /** `levenshtein(a, b)` if it is <= tau (per row), else -1. */
   def apply(spark: SparkSession, a: Column, b: Column, tau: Column): Column = {

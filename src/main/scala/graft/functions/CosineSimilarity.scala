@@ -128,10 +128,18 @@ object CosineSimilarity {
   }
 
   /** Idempotent per-session registration; also makes the function
-    * available to SQL text as `graft_cosine_sim(a, b)`. */
-  def register(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      FunctionName, builder, "scala_udf")
+    * available to SQL text as `graft_cosine_sim(a, b)`.
+    * Check-then-create instead of unconditional createOrReplace: the
+    * replace path logs a "replaced a previously registered function"
+    * WARN per call, and the Column entry point registers on every
+    * call — a warning wall in any tail. The check-then-act race is
+    * benign (both racers register the identical builder). */
+  def register(spark: SparkSession): Unit = {
+    val registry = spark.sessionState.functionRegistry
+    if (!registry.functionExists(
+        org.apache.spark.sql.catalyst.FunctionIdentifier(FunctionName)))
+      registry.createOrReplaceTempFunction(FunctionName, builder, "scala_udf")
+  }
 
   /** Column entry point — requires [[register]] on the session first. */
   def apply(spark: SparkSession, a: Column, b: Column): Column = {

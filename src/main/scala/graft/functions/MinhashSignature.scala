@@ -127,10 +127,16 @@ object MinhashSignature {
   }
 
   /** Idempotent per-session registration; also available to SQL text
-    * as `graft_minhash_sig(shingles, slots)`. */
-  def register(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      FunctionName, builder, "scala_udf")
+    * as `graft_minhash_sig(shingles, slots)`. Check-then-create so
+    * repeated registration (every Column call) doesn't WARN
+    * "replaced a previously registered function" into the tail; the
+    * race is benign — both racers register the identical builder. */
+  def register(spark: SparkSession): Unit = {
+    val registry = spark.sessionState.functionRegistry
+    if (!registry.functionExists(
+        org.apache.spark.sql.catalyst.FunctionIdentifier(FunctionName)))
+      registry.createOrReplaceTempFunction(FunctionName, builder, "scala_udf")
+  }
 
   /** Column entry point — registers on the session first. */
   def apply(spark: SparkSession, shingles: Column, slots: Int): Column = {
