@@ -56,15 +56,26 @@ object TopK {
   /** Top-k `idCol` rows per `keyCol`, ranked by `ordCol` DESC with
     * `idCol` ASC tie-break. Output: (keyCol, idCol, ordCol, rnk). */
   def perKey(df: DataFrame, keyCol: String, ordCol: String, idCol: String,
-      k: Int): DataFrame = {
+      k: Int): DataFrame =
+    perKey(df, Seq(keyCol), ordCol, idCol, k)
+
+  /** Multi-column-key variant — for callers whose key carries a
+    * functionally-dependent rider (e.g. a vector's cell id rides its
+    * vec_id): grouping by both keeps the rider in the output without
+    * a join back to re-derive it, and the aggregation state is
+    * unchanged (one k-bounded buffer per distinct key tuple).
+    * Output: (keyCols…, idCol, ordCol, rnk). */
+  def perKey(df: DataFrame, keyCols: Seq[String], ordCol: String,
+      idCol: String, k: Int): DataFrame = {
+    require(keyCols.nonEmpty, "TopK.perKey: at least one key column")
     val agg = udaf(new TopKAggregator(k),
       Encoders.tuple(Encoders.scalaDouble, Encoders.scalaLong))
-    df.groupBy(col(keyCol))
+    df.groupBy(keyCols.map(col): _*)
       .agg(agg(col(ordCol).cast("double"), col(idCol).cast("long")).as("top"))
-      .select(col(keyCol), posexplode(col("top")).as(Seq("pos", "entry")))
-      .select(col(keyCol),
+      .select(keyCols.map(col) :+ posexplode(col("top")).as(Seq("pos", "entry")): _*)
+      .select(keyCols.map(col) ++ Seq(
         col("entry._2").as(idCol),
         col("entry._1").as(ordCol),
-        (col("pos") + 1).cast("int").as("rnk"))
+        (col("pos") + 1).cast("int").as("rnk")): _*)
   }
 }

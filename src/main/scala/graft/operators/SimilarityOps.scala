@@ -380,16 +380,21 @@ object SimilarityOps {
     * partitioning. */
   def knnGraph(e: DataFrame, centroids: DataFrame, k: Int): DataFrame = {
     val cells = cellMembers(e, centroids)
-    val knn = cells.join(
+    val scored = cells.join(
       cells.select(col("vec_id").as("nbr"), col("embedding").as("nv"),
         col("centroid_id")),
       "centroid_id")
       .filter(col("vec_id") =!= col("nbr"))
       .select(col("vec_id"), col("centroid_id"), col("nbr"),
         CosineSimilarity(e.sparkSession, col("embedding"), col("nv")).as("cs"))
-      .withColumn("rnk", row_number().over(
-        Window.partitionBy(col("vec_id")).orderBy(col("cs").desc, col("nbr"))))
-      .filter(col("rnk") <= k)
+    // bounded TopK digest cut, not a window: the window form shuffles
+    // and sorts every one of the Σ|cell|² scored pairs to keep k per
+    // vector; the aggregator carries at most k pairs per (task, key).
+    // Same comparator (cs DESC, nbr ASC — spec-pinned equal to the
+    // window); centroid_id rides the key (functionally dependent on
+    // vec_id) so no join back to re-derive the cell.
+    val knn = graft.functions.TopK.perKey(
+        scored, Seq("vec_id", "centroid_id"), "cs", "nbr", k)
       .select(col("vec_id"), col("centroid_id"), col("nbr"), col("cs"))
     knn.as("f")
       .join(knn.select(col("vec_id").as("r_vec"), col("nbr").as("r_nbr")),
@@ -634,50 +639,59 @@ object SimilarityOps {
 
   private def ivfLloyd(corpus: DataFrame, k: Int, iters: Int,
       meanOf: Column => Column): DataFrame = {
+    val s = corpus.sparkSession
     val firstRow = corpus.select(size(col("embedding")).as("d")).limit(1).collect()
     require(firstRow.nonEmpty, "ivfTrain: empty corpus")
     val dim = firstRow(0).getInt(0)
     val n = corpus.count()
     require(n >= k, s"ivfTrain: corpus has $n vectors, need at least k=$k")
     val seedIds = stridedSeedIds(corpus, n, k).select(col("vec_id"))
-    var centroids = corpus
-      .join(broadcast(seedIds), "vec_id")
-      .select(col("vec_id").as("centroid_id"), col("embedding").as("cv"))
-      .pinnedIter
-    require(centroids.count() == k,
-      s"ivfTrain: rank-strided seeding selected ${centroids.count()} of $k seeds")
+    // The k×dim centroid set is index GEOMETRY, not data — it lives
+    // driver-side for the whole loop (the MLlib-KMeans shape). Each
+    // iteration is then exactly ONE distributed job: a map-side
+    // assignment over the broadcast constants carrying the vector
+    // along (no corpus × k window shuffle, no self-join to reattach
+    // the embedding) into a k×partitions partial agg whose k result
+    // rows are collected. The former frame-per-iteration form paid
+    // two more jobs per iteration (a centroid collect plus a
+    // join-with-previous materialization) to keep k rows in a
+    // DataFrame between iterations. Output is ivfAssign's exactly
+    // (spec-pinned comparator).
+    var cents: Seq[(Long, Array[Float])] = collectCentroids(
+      corpus.join(broadcast(seedIds), "vec_id")
+        .select(col("vec_id").as("centroid_id"), col("embedding").as("cv")))
+    require(cents.size == k,
+      s"ivfTrain: rank-strided seeding selected ${cents.size} of $k seeds")
     (0 until iters).foreach { _ =>
-      // collect the k-row materialized centroids (bounded — one of
-      // the documented per-iteration driver round-trips) so the
-      // assignment runs MAP-SIDE over constants: one scan-stage pass
-      // carrying the vector along, instead of the window form's
-      // corpus × k shuffle plus a corpus self-join to reattach the
-      // embedding — per Lloyd iteration, at 100 TB the difference
-      // between two full-corpus exchanges and zero (the only
-      // remaining exchange is the k×partitions partial-agg below).
-      // Output is ivfAssign's exactly (spec-pinned comparator).
-      val assigned = assignConst(corpus, collectCentroids(centroids),
+      val assigned = assignConst(corpus, cents,
         Seq(col("embedding").cast("array<double>").as("v")))
       val dimCols = (0 until dim).map(i =>
         meanOf(element_at(col("v"), i + 1)).as(s"d$i"))
-      val means = assigned.groupBy(col("centroid_id"))
+      val got = assigned.groupBy(col("centroid_id"))
         .agg(dimCols.head, dimCols.tail: _*)
         .select(col("centroid_id"),
           array((0 until dim).map(i => col(s"d$i")): _*)
             .cast("array<float>").as("new_cv"))
-      val nonDegenerate = means.filter(
-        aggregate(transform(col("new_cv"), x => abs(x)),
-          lit(0.0), (acc, x) => acc + x) > 0)
-      // empty/degenerate cells keep their previous centroid
-      val next = centroids.as("prev")
-        .join(nonDegenerate, Seq("centroid_id"), "left_outer")
-        .select(col("centroid_id"),
-          coalesce(col("new_cv"), col("cv")).as("cv"))
-        .pinnedIter
-      Materialize.unpin(centroids) // next is already materialized
-      centroids = next
+        .collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).toMap
+      // empty/degenerate cells keep their previous centroid — the
+      // same left-to-right sum-of-|x|>0 test the frame form ran
+      // (aggregate(transform(new_cv, abs), 0.0, +)): abs on the
+      // float is exact, the fold promotes to double identically,
+      // and a NaN sum fails >0 in both, keeping the previous value.
+      cents = cents.map { case (id, prev) =>
+        got.get(id) match {
+          case Some(nv)
+              if nv.foldLeft(0.0)((acc, x) => acc + math.abs(x.toDouble)) > 0 =>
+            (id, nv)
+          case _ => (id, prev)
+        }
+      }
     }
-    centroids
+    // rebuild the k-row frame callers expect (bounded driver material;
+    // every consumer either collects it or broadcast-joins it)
+    import s.implicits._
+    cents.toDF("centroid_id", "cv")
   }
 
   /** IVF probe search: score each query only against vectors whose
@@ -1115,9 +1129,14 @@ object SimilarityOps {
         .join(lab.filter(col("lab").isNotNull)
           .select(col("vec_id").as("n"), col("lab").as("nlab")), "n")
         .groupBy(col("v"), col("nlab")).agg(count(lit(1)).as("c"))
-      val win = votes.withColumn("rk", row_number().over(
-        Window.partitionBy(col("v")).orderBy(col("c").desc, col("nlab"))))
-        .filter(col("rk") === 1)
+      // majority winner via min_by over (−c, nlab) — the same
+      // (c DESC, nlab ASC) total order the row_number form ranked
+      // ((v, nlab) is unique after the vote agg, so the minimum is
+      // unique), as a partial-aggregable agg instead of a whole-votes
+      // window sort per round
+      val win = votes.groupBy(col("v"))
+        .agg(min_by(col("nlab"),
+          struct((-col("c")).as("nc"), col("nlab"))).as("nlab"))
         .select(col("v").as("vec_id"), col("nlab"))
       val next = Materialize.pinIter(
         lab.join(win, Seq("vec_id"), "left")
