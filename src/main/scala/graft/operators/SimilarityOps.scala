@@ -105,7 +105,7 @@ object SimilarityOps {
 
   /** Exact top-k neighbors per probe (excluding self-matches).
     *
-    * The k-cut is the bounded [[graft.functions.TopKAggregator]] —
+    * The k-cut is the bounded [[graft.functions.TopKAgg]] —
     * NOT a `row_number` window: a window partitioned by query_id
     * would shuffle EVERY scored (query, vector) row into |queries|
     * reducers (the whole corpus × probe fanout through one
@@ -392,10 +392,14 @@ object SimilarityOps {
     // vector; the aggregator carries at most k pairs per (task, key).
     // Same comparator (cs DESC, nbr ASC — spec-pinned equal to the
     // window); centroid_id rides the key (functionally dependent on
-    // vec_id) so no join back to re-derive the cell.
+    // vec_id) so no join back to re-derive the cell. Pinned: the
+    // mutual check reads the n·k digest TWICE (forward and reverse
+    // side), and unpinned each side would re-run the whole pair
+    // fanout + cosine + agg.
     val knn = graft.functions.TopK.perKey(
         scored, Seq("vec_id", "centroid_id"), "cs", "nbr", k)
       .select(col("vec_id"), col("centroid_id"), col("nbr"), col("cs"))
+      .pinnedIter
     knn.as("f")
       .join(knn.select(col("vec_id").as("r_vec"), col("nbr").as("r_nbr")),
         col("f.vec_id") === col("r_nbr") && col("f.nbr") === col("r_vec"))
@@ -440,10 +444,13 @@ object SimilarityOps {
           col("embedding").as("nv")), "nbr")
         .select(col("v"), col("nbr"),
           CosineSimilarity(s, col("ev"), col("nv")).as("cs"))
+    // bounded TopK digest, not a window: each of the rounds+2 k-cuts
+    // would otherwise shuffle and sort the full ≤ n·(2k)² candidate
+    // volume; the digest ships k pairs per (task, v). Same comparator
+    // (cs DESC, nbr ASC), spec-pinned equal to row_number — the
+    // oracle's unrolled windows replay unchanged.
     def topK(scored: DataFrame): DataFrame =
-      scored.withColumn("rnk", row_number().over(
-        Window.partitionBy(col("v")).orderBy(col("cs").desc, col("nbr"))))
-        .filter(col("rnk") <= k)
+      graft.functions.TopK.perKey(scored, "v", "cs", "nbr", k)
     val init = vecs
       .select(col("vec_id").as("v"),
         explode(sequence(lit(0L), lit(k + 1L))).as("r"))

@@ -25,6 +25,10 @@ object SparkSpec {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
+      // match the harness mains: k-bounded object-agg digests must
+      // not hit the 128-key sort-based fallback (see Bench.scala)
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
+        "262144")
       .getOrCreate()
     s.sparkContext.setLogLevel("ERROR")
     graft.operators.BoundedWindow.quietBoundedWarnings()
