@@ -227,8 +227,14 @@ object Bench {
     org.apache.logging.log4j.core.config.Configurator.setLevel(
       "org.apache.spark.sql.execution.streaming.checkpointing.ChecksumCheckpointFileManager",
       org.apache.logging.log4j.Level.ERROR)
+    // the state package, not the provider class: state-store classes
+    // override logName to append their StateStoreProviderId, so the
+    // effective logger name is dynamic ("…HDFSBackedStateStoreProvider
+    // StateStoreProviderId[…]") and an exact-name setLevel misses it;
+    // the package level catches every suffix through log4j's
+    // dot-hierarchy walk
     org.apache.logging.log4j.core.config.Configurator.setLevel(
-      "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider",
+      "org.apache.spark.sql.execution.streaming.state",
       org.apache.logging.log4j.Level.ERROR)
     // warm up JVM/JIT, codegen and parquet footers once, untimed
     Tables.names.foreach(n =>
