@@ -14,6 +14,14 @@ import org.apache.spark.sql.streaming.Trigger
   */
 object StreamingOps {
 
+  /** One day / the late-data gate's watermark delay, in µs. The delay
+    * is 72 h over the events table's ~30-day span: long enough that a
+    * delayed cohort's recent rows still land, short enough that most
+    * of a full-history replay is refused — both visible in the gate's
+    * emitted window counts. */
+  private val DayUs = EventAnalytics.DayUs
+  private val LateDelayUs = 72L * 3600000000L
+
   /** Stateful streaming sizing: the number of state-store instances is
     * fixed at the FIRST micro-batch to `spark.sql.shuffle.partitions`,
     * and a stream-stream join keeps four stores per partition. Unlike
@@ -86,6 +94,82 @@ object StreamingOps {
           .outputMode("complete").trigger(Trigger.AvailableNow()).start()
         q.awaitTermination()
         s.table("graft_stream_window")
+      }
+    },
+
+    // WATERMARK LATE-DATA ACCOUNTING — the semantics every production
+    // event pipeline actually runs on: an on-time stream advances the
+    // watermark, a delayed cohort arrives afterwards in two waves,
+    // and the engine must (a) still fold the first wave into open
+    // windows, (b) DROP the second wave's rows whose windows already
+    // closed, and (c) emit exactly the closed windows. The replay is
+    // deterministic because Spark's boundary rules are pinned (by the
+    // planted-fixture spec, and empirically this round): the late
+    // filter at batch N uses the PREVIOUS batch's watermark — so wave
+    // 1 (batch 1, filter wm −∞) is never dropped while wave 2
+    // (batch 2, filter wm = max(on-time)−delay) loses every row whose
+    // window end ≤ that value — and both the filter and the eviction
+    // predicate are non-strict (end ≤ wm), which is what makes them a
+    // consistent pair (a kept late row can never target an emitted
+    // window). The delayed cohort CONTAINS the newest day by
+    // construction, so the final watermark sits a day past the
+    // on-time watermark and the wave-1 merges are visible in emitted
+    // windows, not just held state. Oracle: the same rules in SQL —
+    // kept = on-time ∪ wave1 ∪ (wave2 where window_end > wm_ontime),
+    // emitted = windows with end ≤ max(all)−delay. Integer-cents
+    // measure, no float sum-order hazard.
+    QueryDef.sql(
+      "q_stream_late_data",
+      s"""WITH ev AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us, value
+         |            FROM events),
+         |mx AS (SELECT max(ts_us) AS m FROM ev),
+         |coh AS (SELECT *,
+         |          (user_id % 5 = 3 OR
+         |           ts_us > (SELECT m FROM mx) - $DayUs) AS delayed
+         |        FROM ev),
+         |wma AS (SELECT max(ts_us) - $LateDelayUs AS w
+         |        FROM coh WHERE NOT delayed),
+         |fin AS (SELECT m - $LateDelayUs AS w FROM mx),
+         |kept AS (
+         |  SELECT ts_us, value FROM coh
+         |  WHERE NOT delayed
+         |     OR event_id % 2 = 0
+         |     OR (ts_us // $DayUs + 1) * $DayUs > (SELECT w FROM wma)),
+         |agg AS (
+         |  SELECT (ts_us // $DayUs) * $DayUs AS window_start_us,
+         |         CAST(count(*) AS BIGINT) AS n_events,
+         |         CAST(sum(CAST(round(value * 100, 0) AS BIGINT))
+         |              AS BIGINT) AS cents
+         |  FROM kept GROUP BY 1)
+         |SELECT window_start_us, n_events, cents FROM agg
+         |WHERE window_start_us + $DayUs <= (SELECT w FROM fin)""".stripMargin) {
+      (s, dir) => withStreamPartitions(s, 8) {
+        val ev = Tables.events(s, dir)
+          .select(col("event_id"), col("user_id"), col("ts_us"), col("value"))
+        // bounded 1-row scalar (the q_stream_drift midpoint pattern):
+        // the cohort split constant both engines share
+        val maxTs = ev.agg(max(col("ts_us"))).head().getLong(0)
+        val delayed = col("user_id") % 5 === 3 ||
+          col("ts_us") > maxTs - DayUs
+        val inDir = EventStreams.customSlicedDir("late", Seq(
+          ev.filter(!delayed), // on-time: advances the watermark
+          ev.filter(delayed && col("event_id") % 2 === 0), // wave 1
+          ev.filter(delayed && col("event_id") % 2 === 1), // wave 2
+          ev.filter(lit(false)))) // flush: final eviction trigger
+        val stream = s.readStream.schema(ev.schema)
+          .option("maxFilesPerTrigger", "1").parquet(inDir)
+        val q = stream
+          .withColumn("event_time", timestamp_micros(col("ts_us")))
+          .withWatermark("event_time", "72 hours")
+          .groupBy(window(col("event_time"), "1 day"))
+          .agg(count(lit(1)).as("n_events"),
+            sum(round(col("value") * 100, 0).cast("long")).as("cents"))
+          .select(unix_micros(col("window.start")).as("window_start_us"),
+            col("n_events"), col("cents"))
+          .writeStream.format("memory").queryName("graft_stream_late")
+          .outputMode("append").trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+        s.table("graft_stream_late")
       }
     },
 

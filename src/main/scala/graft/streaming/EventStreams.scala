@@ -791,6 +791,23 @@ object EventStreams {
         col(orderCol) < lo + (i + 1) * span)))
   }
 
+  /** Stage caller-defined slices as ordered trigger files — for gates
+    * whose arrival order is itself the SEMANTIC fixture (the
+    * late-data gate replays an on-time stream, then a delayed
+    * cohort in two waves, then a flush) rather than a range split of
+    * one column. Memoized like the other slicers, keyed on the tag
+    * plus every slice's plan, so bench iterations reuse the staged
+    * files; any file-less slice disables the memo (same rule as
+    * [[stagedDir]]). */
+  def customSlicedDir(tag: String, slices: Seq[DataFrame]): String = {
+    val keys = slices.map(planKey)
+    memoStaged(
+      if (keys.contains(None)) None
+      else Some(s"custom|$tag|${keys.flatten.mkString(";")}")) {
+      writeSliceFiles(slices)
+    }
+  }
+
   /** Stage each slice as ONE parquet file with ascending mod-times so
     * the file stream source (maxFilesPerTrigger=1) delivers them in
     * slice order — shared by [[timeSlicedDir]] / [[orderedSlicedDir]]. */

@@ -973,4 +973,64 @@ class EventStreamsSpec extends SparkSpec {
     val stream = rows("q_stream_session_window")
     assert(stream.nonEmpty && stream == rows("q_session_window"))
   }
+
+  test("watermark late-data boundaries (q_stream_late_data's rules): the " +
+    "late filter uses the PREVIOUS batch's watermark, eviction the " +
+    "current one, and both predicates are non-strict (end <= wm)") {
+    import spark.implicits._
+    // Planted boundary fixture (1-day windows, 72 h delay):
+    //   slice 1 (on-time) max ts = d20 exactly -> wm after batch 0 =
+    //   d17 EXACTLY (a day boundary, so every <-vs-<= choice shows).
+    val day = 86400000000L
+    val hour = 3600000000L
+    val s1 = Seq((0L, 10 * day + hour), (0L, 16 * day + hour),
+      (0L, 17 * day + hour), (0L, 20 * day))
+    // slice 2 arrives at batch 1: filter wm is batch 0's (-inf), so
+    // NOTHING here may drop — not the d10 row (window long past the
+    // d17 watermark in effect) and not the d17-end boundary rows.
+    val s2 = Seq((1L, 16 * day + 2 * hour), (1L, 17 * day - 1L),
+      (1L, 17 * day + 2 * hour), (1L, 10 * day + 2 * hour))
+    // slice 3 arrives at batch 2: filter wm is batch 1's = d17, so
+    // BOTH rows must drop — d11-end (clearly late) and d17-end
+    // (boundary: end == wm, non-strict filter). If the filter were
+    // strict, the d17-end row would re-open the already-emitted
+    // [d16,d17) window and append a duplicate.
+    val s3 = Seq((1L, 10 * day + 3 * hour), (1L, 16 * day + 3 * hour))
+    val base = java.nio.file.Files.createTempDirectory("graft_late_spec")
+    val in = base.resolve("in")
+    java.nio.file.Files.createDirectories(in)
+    Seq(s1, s2, s3).zipWithIndex.foreach { case (rows, i) =>
+      val tmp = base.resolve(s"tmp$i").toString
+      rows.toDF("user_id", "ts_us").coalesce(1)
+        .write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(f => f.getName.startsWith("part-") &&
+          f.getName.endsWith(".parquet")).get
+      val dest = in.resolve(f"slice_$i%02d.parquet")
+      java.nio.file.Files.move(part.toPath, dest)
+      assert(dest.toFile.setLastModified(1600000000000L + i * 60000L))
+    }
+    val stream = spark.readStream.schema("user_id LONG, ts_us LONG")
+      .option("maxFilesPerTrigger", "1").parquet(in.toString)
+    val q = stream
+      .withColumn("event_time", timestamp_micros(col("ts_us")))
+      .withWatermark("event_time", "72 hours")
+      .groupBy(window(col("event_time"), "1 day"))
+      .agg(count(lit(1)).as("n"))
+      .select(unix_micros(col("window.start")).as("ws"), col("n"))
+      .writeStream.format("memory").queryName("late_bounds")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val got = spark.table("late_bounds").collect()
+      .map(r => (r.getLong(0) / day, r.getLong(1))).toMap
+    // [d10,d11): on-time row + slice-2 late merge (NOT dropped), the
+    // slice-3 row dropped -> 2. Emitted because end d11 <= final wm.
+    // [d16,d17): 1 on-time + 2 slice-2 boundary rows kept, slice-3
+    // boundary row dropped -> 3. end d17 == final wm d17: non-strict
+    // EVICTION emits it.
+    // [d17,d18) and [d20,d21): end > final wm d17 -> held, never
+    // emitted (the delta a longer stream would flush later).
+    assert(got == Map(10L -> 2L, 16L -> 3L),
+      s"boundary semantics drifted: $got")
+  }
 }
