@@ -418,4 +418,46 @@ class PlanAuditSpec extends SparkSpec {
         s"$name must not sort-merge (corpus self-join crept back):\n$plan")
     }
   }
+
+  test("the TopK digest cut aggregates in the hash map, not the sort " +
+    "fallback, past 128 keys (the ObjectHashAggregate trap)") {
+    // ObjectHashAggregateExec silently falls back to SORT-BASED
+    // aggregation once its hash map passes
+    // spark.sql.objectHashAggregate.sortBased.fallbackThreshold keys
+    // (default 128 — sized for percentile-sketch buffers). The digest
+    // cut exists to keep pair volumes OUT of sorts, so the fallback
+    // un-does it invisibly: the plan still prints
+    // ObjectHashAggregate, only the runtime numTasksFallBacked
+    // metric tells the truth. The harness/test sessions raise the
+    // threshold (SparkSpec/Bench/Verify builders); this test pins
+    // that a >128-key perKey cut really stays in the hash path — if
+    // the conf wiring regresses, the metric trips before the bench
+    // quietly re-sorts every pair volume.
+    val n = 2000 // keys, well past the 128 default
+    import spark.implicits._
+    // AQE off (save/restore, the file's discipline) so executedPlan
+    // is the live tree whose metric instances the collect() fills
+    val key = "spark.sql.adaptive.enabled"
+    val saved = spark.conf.getOption(key)
+    spark.conf.set(key, "false")
+    try {
+      val scored = (0 until n).flatMap(k =>
+        (0 until 5).map(i => (k.toLong, (k * 31 + i * 7 % 13).toDouble,
+          i.toLong))).toDF("key", "cs", "nbr")
+      val cut = graft.functions.TopK.perKey(scored, "key", "cs", "nbr", 3)
+      assert(cut.collect().length == 3 * n)
+      val aggs = cut.queryExecution.executedPlan.collectWithSubqueries {
+        case o: org.apache.spark.sql.execution.aggregate.ObjectHashAggregateExec => o
+      }
+      assert(aggs.nonEmpty,
+        "perKey no longer plans ObjectHashAggregate — audit the new shape")
+      val fellBack = aggs.map(_.metrics("numTasksFallBacked").value).sum
+      assert(fellBack == 0,
+        s"$fellBack task(s) fell back to sort-based aggregation on a " +
+          s"$n-key digest cut — the fallbackThreshold wiring regressed")
+    } finally saved match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
 }
