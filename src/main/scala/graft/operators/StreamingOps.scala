@@ -19,8 +19,21 @@ object StreamingOps {
     * delayed cohort's recent rows still land, short enough that most
     * of a full-history replay is refused — both visible in the gate's
     * emitted window counts. */
-  private val DayUs = EventAnalytics.DayUs
-  private val LateDelayUs = 72L * 3600000000L
+  private[graft] val DayUs = EventAnalytics.DayUs
+  private[graft] val LateDelayUs = 72L * 3600000000L
+
+  /** The engine-counted watermark drops of the LAST q_stream_late_data
+    * run (sum of numRowsDroppedByWatermark across its batches) — spec
+    * telemetry only: EventStreamsSpec asserts the engine's own drop
+    * counter equals the oracle rule's predicted count, so the gate's
+    * drops are engine-attested rather than inferred from missing
+    * window counts. NOTE the metric counts rows reaching the stateful
+    * operator — post map-side combine, one partial row per (scan
+    * partition, window) — so for single-partition slices it equals the
+    * number of DISTINCT dropped windows, not dropped input rows.
+    * −1 until the gate has run in this JVM. */
+  private[graft] val LastLateDataDrops =
+    new java.util.concurrent.atomic.AtomicLong(-1L)
 
   /** Stateful streaming sizing: the number of state-store instances is
     * fixed at the FIRST micro-batch to `spark.sql.shuffle.partitions`,
@@ -169,6 +182,9 @@ object StreamingOps {
           .writeStream.format("memory").queryName("graft_stream_late")
           .outputMode("append").trigger(Trigger.AvailableNow()).start()
         q.awaitTermination()
+        LastLateDataDrops.set(q.recentProgress.toSeq
+          .flatMap(p => Option(p.stateOperators).toSeq.flatMap(_.toSeq))
+          .map(_.numRowsDroppedByWatermark).sum)
         s.table("graft_stream_late")
       }
     },

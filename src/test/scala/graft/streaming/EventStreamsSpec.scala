@@ -1033,4 +1033,46 @@ class EventStreamsSpec extends SparkSpec {
     assert(got == Map(10L -> 2L, 16L -> 3L),
       s"boundary semantics drifted: $got")
   }
+
+  test("q_stream_late_data's engine-counted watermark drops equal the " +
+    "oracle rule's predicted count (numRowsDroppedByWatermark)") {
+    import graft.operators.StreamingOps
+    // run the gate; its body records the sum of the stream's
+    // numRowsDroppedByWatermark into the spec-telemetry field
+    val out = graft.SparkEntry.queries("q_stream_late_data")(spark, dir)
+    assert(out.count() > 0)
+    val engineDrops = StreamingOps.LastLateDataDrops.get()
+    assert(engineDrops >= 0, "gate did not record its drop telemetry")
+    // The metric counts rows REACHING the stateful operator, i.e.
+    // post-map-side-combine PARTIAL rows, not raw input rows: wave 2's
+    // late input rows collapse to one partial row per (partition,
+    // window), and each slice file is a single scan partition at this
+    // scale, so the engine's count is the number of DISTINCT dropped
+    // windows. The drop predicate uses the LAGGED watermark — the
+    // value set by the on-time batch (wave 1's advance only takes
+    // effect a batch later), non-strict on window end — which is
+    // exactly the gate's oracle rule. Probed empirically this round:
+    // 78 late input rows in 24 distinct windows -> engine counts 24,
+    // and the window whose end sits between the lagged and current
+    // watermark is kept, not counted.
+    val ev = graft.Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id"), col("ts_us"))
+    val maxTs = ev.agg(max(col("ts_us"))).head().getLong(0)
+    val delayed = col("user_id") % 5 === 3 ||
+      col("ts_us") > maxTs - StreamingOps.DayUs
+    val wmOnTime = ev.filter(!delayed).agg(max(col("ts_us")))
+      .head().getLong(0) - StreamingOps.LateDelayUs
+    val droppedRows = ev.filter(delayed && col("event_id") % 2 === 1)
+      .filter((col("ts_us") / StreamingOps.DayUs + 1) *
+        StreamingOps.DayUs <= wmOnTime)
+    val predicted = droppedRows
+      .select((col("ts_us") / StreamingOps.DayUs).cast("long"))
+      .distinct().count()
+    assert(predicted > 0,
+      "fixture degenerated: the delayed replay drops nothing at " + dir)
+    assert(engineDrops == predicted,
+      s"engine counted $engineDrops watermark-dropped state rows, the " +
+        s"oracle rule predicts $predicted distinct dropped windows — " +
+        "the drop semantics forked")
+  }
 }
