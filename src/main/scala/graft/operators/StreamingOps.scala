@@ -127,7 +127,12 @@ object StreamingOps {
     // window). The delayed cohort CONTAINS the newest day by
     // construction, so the final watermark sits a day past the
     // on-time watermark and the wave-1 merges are visible in emitted
-    // windows, not just held state. Oracle: the same rules in SQL —
+    // windows, not just held state. Spark tracks event-time watermarks
+    // at MILLISECOND precision (the event-time stats truncate µs), so
+    // the oracle truncates each max to whole ms before subtracting the
+    // delay — otherwise a day-aligned window end falling in the sub-ms
+    // gap would flip emit/hold between the two engines.
+    // Oracle: the same rules in SQL —
     // kept = on-time ∪ wave1 ∪ (wave2 where window_end > wm_ontime),
     // emitted = windows with end ≤ max(all)−delay. Integer-cents
     // measure, no float sum-order hazard.
@@ -140,9 +145,9 @@ object StreamingOps {
          |          (user_id % 5 = 3 OR
          |           ts_us > (SELECT m FROM mx) - $DayUs) AS delayed
          |        FROM ev),
-         |wma AS (SELECT max(ts_us) - $LateDelayUs AS w
+         |wma AS (SELECT (max(ts_us) // 1000) * 1000 - $LateDelayUs AS w
          |        FROM coh WHERE NOT delayed),
-         |fin AS (SELECT m - $LateDelayUs AS w FROM mx),
+         |fin AS (SELECT (m // 1000) * 1000 - $LateDelayUs AS w FROM mx),
          |kept AS (
          |  SELECT ts_us, value FROM coh
          |  WHERE NOT delayed

@@ -996,22 +996,13 @@ class EventStreamsSpec extends SparkSpec {
     // strict, the d17-end row would re-open the already-emitted
     // [d16,d17) window and append a duplicate.
     val s3 = Seq((1L, 10 * day + 3 * hour), (1L, 16 * day + 3 * hour))
-    val base = java.nio.file.Files.createTempDirectory("graft_late_spec")
-    val in = base.resolve("in")
-    java.nio.file.Files.createDirectories(in)
-    Seq(s1, s2, s3).zipWithIndex.foreach { case (rows, i) =>
-      val tmp = base.resolve(s"tmp$i").toString
-      rows.toDF("user_id", "ts_us").coalesce(1)
-        .write.mode("overwrite").parquet(tmp)
-      val part = new java.io.File(tmp).listFiles()
-        .find(f => f.getName.startsWith("part-") &&
-          f.getName.endsWith(".parquet")).get
-      val dest = in.resolve(f"slice_$i%02d.parquet")
-      java.nio.file.Files.move(part.toPath, dest)
-      assert(dest.toFile.setLastModified(1600000000000L + i * 60000L))
-    }
+    // stage through the PRODUCTION slicer, not a hand-rolled copy of
+    // its recipe — the point of the fixture is that the spec rides
+    // the same ordered-trigger delivery mechanism the gate uses
+    val in = graft.streaming.EventStreams.customSlicedDir("late_spec",
+      Seq(s1, s2, s3).map(_.toDF("user_id", "ts_us")))
     val stream = spark.readStream.schema("user_id LONG, ts_us LONG")
-      .option("maxFilesPerTrigger", "1").parquet(in.toString)
+      .option("maxFilesPerTrigger", "1").parquet(in)
     val q = stream
       .withColumn("event_time", timestamp_micros(col("ts_us")))
       .withWatermark("event_time", "72 hours")
@@ -1060,14 +1051,19 @@ class EventStreamsSpec extends SparkSpec {
     val maxTs = ev.agg(max(col("ts_us"))).head().getLong(0)
     val delayed = col("user_id") % 5 === 3 ||
       col("ts_us") > maxTs - StreamingOps.DayUs
-    val wmOnTime = ev.filter(!delayed).agg(max(col("ts_us")))
-      .head().getLong(0) - StreamingOps.LateDelayUs
+    // ms-truncate the max before subtracting the delay (Spark tracks
+    // watermarks at ms precision), and compute the window start in
+    // pure LONG arithmetic (ts - ts % day) — Spark's `/` on longs is
+    // double division, which would turn "window end <= wm" into
+    // "ts + 1 day <= wm" and undercount a dropped window whose rows
+    // all sit past the wm-day offset
+    val onMaxUs = ev.filter(!delayed).agg(max(col("ts_us")))
+      .head().getLong(0)
+    val wmOnTime = (onMaxUs / 1000L) * 1000L - StreamingOps.LateDelayUs
+    val wstart = col("ts_us") - col("ts_us") % StreamingOps.DayUs
     val droppedRows = ev.filter(delayed && col("event_id") % 2 === 1)
-      .filter((col("ts_us") / StreamingOps.DayUs + 1) *
-        StreamingOps.DayUs <= wmOnTime)
-    val predicted = droppedRows
-      .select((col("ts_us") / StreamingOps.DayUs).cast("long"))
-      .distinct().count()
+      .filter(wstart + StreamingOps.DayUs <= wmOnTime)
+    val predicted = droppedRows.select(wstart.as("w")).distinct().count()
     assert(predicted > 0,
       "fixture degenerated: the delayed replay drops nothing at " + dir)
     assert(engineDrops == predicted,
