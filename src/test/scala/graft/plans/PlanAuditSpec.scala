@@ -64,6 +64,37 @@ class PlanAuditSpec extends SparkSpec {
   private def streaming(name: String): Boolean =
     name.startsWith("q_stream_")
 
+  /** Every node of `p`, descending through the AQE boundaries plain
+    * collect stops at: an AdaptiveSparkPlanExec is a LEAF wrapping its
+    * live plan, and materialized stages are leaf QueryStageExec nodes.
+    * Call on an EXECUTED plan (run the query first) or the adaptive
+    * wrapper yields the initial, not final, tree. Does NOT descend
+    * into subquery plans — use [[allNodesWithSubqueries]] for audits
+    * where an offender could hide in a scalar subquery. */
+  private def allNodes(p: org.apache.spark.sql.execution.SparkPlan)
+      : Seq[org.apache.spark.sql.execution.SparkPlan] = {
+    import org.apache.spark.sql.execution.adaptive.{
+      AdaptiveSparkPlanExec, QueryStageExec}
+    val kids = p match {
+      case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+      case qs: QueryStageExec => Seq(qs.plan)
+      case other => other.children
+    }
+    p +: kids.flatMap(allNodes)
+  }
+
+  /** [[allNodes]] plus each reached node's subquery plans, recursively
+    * — the BNLJ audit's lesson applied to AQE-wrapped trees: a
+    * data-sized operator can hide inside a scalar subquery, and with
+    * AQE on, `collectWithSubqueries` alone never even reaches the
+    * main plan's interior. */
+  private def allNodesWithSubqueries(
+      p: org.apache.spark.sql.execution.SparkPlan)
+      : Seq[org.apache.spark.sql.execution.SparkPlan] = {
+    val base = allNodes(p)
+    base ++ base.flatMap(_.subqueries).flatMap(allNodesWithSubqueries)
+  }
+
   test("the registry is closed: every query has an oracle, every " +
     "oracle has a query, and names are unique gate identifiers") {
     val q = graft.SparkEntry.queries.keySet
@@ -205,21 +236,11 @@ class PlanAuditSpec extends SparkSpec {
       // the final aggregate codegen'd, which is exactly the
       // regression this test exists to catch (iterator boundary per
       // scanned row at 100 TB). AQE wraps materialized stages in
-      // LEAF QueryStageExec nodes, so the walk must descend through
-      // them (plain collect stops at the stage boundary and would
-      // never see the scan stage at all)
+      // LEAF QueryStageExec nodes, so the walk (the shared allNodes)
+      // must descend through them (plain collect stops at the stage
+      // boundary and would never see the scan stage at all)
       import org.apache.spark.sql.execution.{FileSourceScanExec,
-        SparkPlan, WholeStageCodegenExec}
-      import org.apache.spark.sql.execution.adaptive.{
-        AdaptiveSparkPlanExec, QueryStageExec}
-      def allNodes(p: SparkPlan): Seq[SparkPlan] = {
-        val kids = p match {
-          case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
-          case qs: QueryStageExec => Seq(qs.plan)
-          case other => other.children
-        }
-        p +: kids.flatMap(allNodes)
-      }
+        WholeStageCodegenExec}
       val scanFused = allNodes(exec).exists {
         case w: WholeStageCodegenExec =>
           allNodes(w).exists(_.isInstanceOf[FileSourceScanExec])
@@ -350,19 +371,8 @@ class PlanAuditSpec extends SparkSpec {
     assert(out.length == 3 && out.map(_.getLong(1)).sum > 0,
       "the pruned join lost rows")
     // AQE wraps materialized stages in leaf QueryStageExec nodes —
-    // plain collect stops at the stage boundary (the codegen-audit
-    // walker's lesson), so descend explicitly
-    import org.apache.spark.sql.execution.SparkPlan
-    import org.apache.spark.sql.execution.adaptive.{
-      AdaptiveSparkPlanExec, QueryStageExec}
-    def allNodes(p: SparkPlan): Seq[SparkPlan] = {
-      val kids = p match {
-        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
-        case qs: QueryStageExec => Seq(qs.plan)
-        case other => other.children
-      }
-      p +: kids.flatMap(allNodes)
-    }
+    // plain collect stops at the stage boundary, so walk with the
+    // shared AQE-descending allNodes
     val scans = allNodes(j.queryExecution.executedPlan)
       .collect { case f: FileSourceScanExec => f }
       .filter(_.metadata.getOrElse("Location", "").contains("graft_dpp"))
@@ -407,15 +417,24 @@ class PlanAuditSpec extends SparkSpec {
     // blocked-pair gates (semdedup, knn-graph, bitext) legitimately
     // keep bounded per-cell windows and in-cell equi-joins.
     Seq("q_sim_ivf_assign", "q_sim_ivf_search").foreach { name =>
-      val plan = graft.SparkEntry.queries(name)(spark, sfDir)
-        .queryExecution.executedPlan
-      val windows = plan.collectWithSubqueries {
+      val df = graft.SparkEntry.queries(name)(spark, sfDir)
+      // with AQE on, executedPlan is an AdaptiveSparkPlanExec LEAF:
+      // collectWithSubqueries alone would return empty and pass
+      // vacuously whatever the plan holds — run the query so the
+      // adaptive tree is final, then walk the AQE-descending,
+      // subquery-aware node set
+      df.collect()
+      val exec = df.queryExecution.executedPlan
+      val nodes = allNodesWithSubqueries(exec)
+      val windows = nodes.collect {
         case w: org.apache.spark.sql.execution.window.WindowExec => w }
       assert(windows.isEmpty,
         s"$name grew ${windows.size} WindowExec(s) — the const " +
-          s"assignment form is window-free:\n$plan")
-      assert(!plan.toString.contains("SortMergeJoin"),
-        s"$name must not sort-merge (corpus self-join crept back):\n$plan")
+          s"assignment form is window-free:\n$exec")
+      val smjs = nodes.collect {
+        case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j }
+      assert(smjs.isEmpty,
+        s"$name must not sort-merge (corpus self-join crept back):\n$exec")
     }
   }
 
