@@ -9,19 +9,37 @@ import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.functions.call_function
 import org.apache.spark.sql.types._
 
-/** Bounded best-first (ord, id) buffer backed by two primitive
-  * arrays — at most k pairs, kept sorted by (ord DESC, id ASC), the
-  * window-comparator convention the TopK spec pins. Insertion
-  * is an O(1) reject against the current worst or a binary-search +
-  * shift; no per-row allocation, no re-sort. */
+/** Bounded best-first (ord, id) buffer backed by primitive arrays —
+  * at most k scored pairs kept sorted by (ord DESC, id ASC), plus at
+  * most k null-scored ids kept sorted ASC, the window-comparator
+  * convention the TopK spec pins (`ord DESC` = NaN first, NULLS
+  * LAST). Insertion is an O(1) reject against the current worst or a
+  * binary-search + shift; no per-row allocation, no re-sort.
+  *
+  * Ordering is SPARK's double ordering, not the JVM's primitive
+  * comparison: NaN sorts above every real value and equal to itself
+  * (tie-break falls to id), and -0.0 ties 0.0 — both via a
+  * normalize-then-Double.compare; the STORED value stays the caller's
+  * original, so an emitted -0.0 survives as the window form emits it. */
 final class TopKBuf(val k: Int) {
   val ords = new Array[Double](k)
   val ids = new Array[Long](k)
   var n = 0
+  // null-score tail, smallest ids first: only ever emitted when fewer
+  // than k real scores exist, exactly the rows the window form's
+  // DESC NULLS LAST ordering lets through with rnk <= k
+  val nullIds = new Array[Long](k)
+  var nn = 0
+
+  /* -0.0 compares equal to 0.0 in Spark's SQL ordering; NaN passes
+   * through untouched (Double.compare already ranks it largest) */
+  private def norm(x: Double): Double = if (x == 0.0) 0.0 else x
 
   /* strict "(o, i) ranks before slot j" under (ord DESC, id ASC) */
-  private def beats(o: Double, i: Long, j: Int): Boolean =
-    o > ords(j) || (o == ords(j) && i < ids(j))
+  private def beats(o: Double, i: Long, j: Int): Boolean = {
+    val c = java.lang.Double.compare(norm(o), norm(ords(j)))
+    c > 0 || (c == 0 && i < ids(j))
+  }
 
   def insert(o: Double, i: Long): Unit = {
     if (n == k && !beats(o, i, n - 1)) return
@@ -36,6 +54,20 @@ final class TopKBuf(val k: Int) {
     ords(lo) = o
     ids(lo) = i
     if (n < k) n += 1
+  }
+
+  def insertNull(i: Long): Unit = {
+    if (nn == k && i >= nullIds(nn - 1)) return
+    var lo = 0
+    var hi = nn
+    while (lo < hi) {
+      val mid = (lo + hi) >>> 1
+      if (i < nullIds(mid)) hi = mid else lo = mid + 1
+    }
+    var j = if (nn < k) nn else k - 1
+    while (j > lo) { nullIds(j) = nullIds(j - 1); j -= 1 }
+    nullIds(lo) = i
+    if (nn < k) nn += 1
   }
 }
 
@@ -71,7 +103,9 @@ case class TopKAgg(ord: Expression, id: Expression, k: Int,
   override def nullable: Boolean = false
   override def dataType: DataType = ArrayType(
     new StructType()
-      .add("_1", DoubleType, nullable = false)
+      // _1 nullable: a null-scored row within the k-cut keeps its
+      // null, exactly as the window form emits it
+      .add("_1", DoubleType, nullable = true)
       .add("_2", LongType, nullable = false),
     containsNull = false)
   override def prettyName: String = TopKAgg.FunctionName
@@ -79,31 +113,45 @@ case class TopKAgg(ord: Expression, id: Expression, k: Int,
   override def createAggregationBuffer(): TopKBuf = new TopKBuf(k)
 
   override def update(buf: TopKBuf, input: InternalRow): TopKBuf = {
-    val o = ord.eval(input)
     val i = id.eval(input)
-    // a null score or id never ranks (the window form's DESC
-    // ordering put null scores last, past every real row)
-    if (o != null && i != null)
-      buf.insert(o.asInstanceOf[Double], i.asInstanceOf[Long])
+    // a null ID never ranks: ids are join keys by contract, so the
+    // window-parity claim is over non-null ids. A null SCORE ranks
+    // past every real row (DESC NULLS LAST) but still surfaces when
+    // fewer than k real scores exist — the window form emits it, so
+    // the digest must too.
+    if (i != null) {
+      val o = ord.eval(input)
+      if (o == null) buf.insertNull(i.asInstanceOf[Long])
+      else buf.insert(o.asInstanceOf[Double], i.asInstanceOf[Long])
+    }
     buf
   }
 
   override def merge(buf: TopKBuf, other: TopKBuf): TopKBuf = {
     var j = 0
     while (j < other.n) { buf.insert(other.ords(j), other.ids(j)); j += 1 }
+    j = 0
+    while (j < other.nn) { buf.insertNull(other.nullIds(j)); j += 1 }
     buf
   }
 
-  override def eval(buf: TopKBuf): Any =
-    new GenericArrayData((0 until buf.n).map(j =>
-      InternalRow(buf.ords(j), buf.ids(j))).toArray[Any])
+  override def eval(buf: TopKBuf): Any = {
+    val nulls = math.min(buf.nn, k - buf.n)
+    new GenericArrayData(
+      ((0 until buf.n).map(j => InternalRow(buf.ords(j), buf.ids(j))) ++
+        (0 until nulls).map(j =>
+          InternalRow(null, buf.nullIds(j)))).toArray[Any])
+  }
 
   override def serialize(buf: TopKBuf): Array[Byte] = {
-    val bb = java.nio.ByteBuffer.allocate(8 + buf.n * 16)
+    val bb = java.nio.ByteBuffer.allocate(12 + buf.n * 16 + buf.nn * 8)
     bb.putInt(buf.k)
     bb.putInt(buf.n)
     var j = 0
     while (j < buf.n) { bb.putDouble(buf.ords(j)); bb.putLong(buf.ids(j)); j += 1 }
+    bb.putInt(buf.nn)
+    j = 0
+    while (j < buf.nn) { bb.putLong(buf.nullIds(j)); j += 1 }
     bb.array()
   }
 
@@ -115,6 +163,9 @@ case class TopKAgg(ord: Expression, id: Expression, k: Int,
     // entries arrive already sorted; write them through insert anyway
     // so the invariant never depends on the wire format
     while (j < n) { buf.insert(bb.getDouble(), bb.getLong()); j += 1 }
+    val nn = bb.getInt()
+    j = 0
+    while (j < nn) { buf.insertNull(bb.getLong()); j += 1 }
     buf
   }
 
