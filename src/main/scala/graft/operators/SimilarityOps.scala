@@ -680,17 +680,23 @@ object SimilarityOps {
           array((0 until dim).map(i => col(s"d$i")): _*)
             .cast("array<float>").as("new_cv"))
         .collect()
-        .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).toMap
+        .map(r => (r.getLong(0), r.getSeq[java.lang.Float](1))).toMap
       // empty/degenerate cells keep their previous centroid — the
       // same left-to-right sum-of-|x|>0 test the frame form ran
       // (aggregate(transform(new_cv, abs), 0.0, +)): abs on the
       // float is exact, the fold promotes to double identically,
       // and a NaN sum fails >0 in both, keeping the previous value.
+      // Collected as BOXED floats with an explicit null-element check
+      // first: the frame form's null-propagating sum also kept the
+      // previous centroid when a dimension's inputs were all null,
+      // but a driver-side unbox (getSeq[Float]) would silently turn
+      // that null into 0.0f and fabricate a corrupted centroid.
       cents = cents.map { case (id, prev) =>
         got.get(id) match {
           case Some(nv)
-              if nv.foldLeft(0.0)((acc, x) => acc + math.abs(x.toDouble)) > 0 =>
-            (id, nv)
+              if !nv.contains(null) && nv.foldLeft(0.0)(
+                (acc, x) => acc + math.abs(x.toDouble)) > 0 =>
+            (id, nv.map(_.floatValue).toArray)
           case _ => (id, prev)
         }
       }
@@ -3013,10 +3019,21 @@ object SimilarityOps {
     * frame — bounded driver material (index geometry, never data),
     * the input every map-side assignment and probe ranking
     * broadcasts. */
+  /** Collect a (centroid_id, vector) frame to driver constants.
+    * Fails fast on a null vector or null element: a centroid is a
+    * driver-side CONSTANT with no keep-previous fallback (unlike a
+    * Lloyd-iteration mean), and the naive `getSeq[Float]` unbox would
+    * silently turn the null into 0.0f — a fabricated coordinate that
+    * corrupts every assignment it feeds. */
   private def collectCentroids(
       centroids: DataFrame): Seq[(Long, Array[Float])] =
-    centroids.collect()
-      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).toSeq
+    centroids.collect().map { r =>
+      val boxed = r.getSeq[java.lang.Float](1)
+      require(boxed != null && !boxed.contains(null),
+        s"centroid ${r.getLong(0)} has a null vector or null " +
+          "element(s) — refusing to unbox null to 0.0f")
+      (r.getLong(0), boxed.map(_.floatValue).toArray)
+    }.toSeq
 
   /** Map-side nearest-cell assignment that keeps the RAW cosine:
     * (vec_id, centroid_id, cos) — for callers that rank on the
