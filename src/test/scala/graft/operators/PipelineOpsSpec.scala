@@ -332,6 +332,43 @@ class PipelineOpsSpec extends SparkSpec {
     assert(viaWindow.exceptAll(viaAgg).count() == 0)
   }
 
+  test("top-k aggregator matches the window form on null and NaN " +
+    "scores: NaN ranks first, nulls fill the tail only under k") {
+    import graft.functions.TopK
+    import org.apache.spark.sql.expressions.Window
+    // g1: NaN must outrank every real score (Spark sorts NaN above
+    //     all doubles in DESC) and k=3 cuts the null out entirely.
+    // g2: 2 real scores + 2 nulls, k=3 → one null survives at rank 3,
+    //     with the id-ASC tie-break choosing WHICH null.
+    // g3: all-null scores → ranks are pure id order.
+    // Spread across 7 partitions so partial-buffer merge paths run.
+    val rows = Seq[(String, java.lang.Double, Long)](
+      ("g1", 1.0, 10L), ("g1", Double.NaN, 11L), ("g1", 2.0, 12L),
+      ("g1", null, 13L),
+      ("g2", 0.5, 20L), ("g2", null, 23L), ("g2", 0.7, 21L),
+      ("g2", null, 22L),
+      ("g3", null, 31L), ("g3", null, 30L), ("g3", null, 32L))
+      .toDF("g", "score", "id").repartition(7)
+    val viaAgg = TopK.perKey(rows, "g", "score", "id", 3)
+      .select($"g", $"id", $"score", $"rnk")
+    val w = Window.partitionBy($"g").orderBy($"score".desc, $"id")
+    val viaWindow = rows
+      .select($"g", $"id", $"score", row_number().over(w).as("rnk"))
+      .filter($"rnk" <= 3)
+    assert(viaAgg.exceptAll(viaWindow).count() == 0 &&
+      viaWindow.exceptAll(viaAgg).count() == 0, {
+        val a = viaAgg.orderBy($"g", $"rnk").collect().mkString(", ")
+        val b = viaWindow.orderBy($"g", $"rnk").collect().mkString(", ")
+        s"agg: $a\nwin: $b"
+      })
+    // the g1 winner really is the NaN row, spelled out
+    val g1 = viaAgg.filter($"g" === "g1" && $"rnk" === 1).collect()(0)
+    assert(g1.getLong(1) == 11L && g1.getDouble(2).isNaN)
+    // g2's rank-3 is the SMALLER null id
+    val g2 = viaAgg.filter($"g" === "g2" && $"rnk" === 3).collect()(0)
+    assert(g2.getLong(1) == 22L && g2.isNullAt(2))
+  }
+
   test("binned range join equals the nested-loop theta join, without BNLJ") {
     val ranges = Seq((1L, 0.0, 10.0), (2L, 5.0, 7.0), (3L, 90.0, 120.0))
       .toDF("range_id", "lo", "hi")
@@ -363,6 +400,67 @@ class PipelineOpsSpec extends SparkSpec {
       assert(r.getAs[Long]("n_labels") == 1L, s"mixed cell: $r")
       assert(r.getAs[Long]("n") == 25L)
     }
+  }
+
+  test("a Lloyd cell reduced to all-null-dimension members keeps its " +
+    "previous centroid instead of unboxing the null mean to 0.0f") {
+    // Planted 2-D corpus, k=2, iters=2. Seeds are rank-strided:
+    // n=4, stride=2 -> v0 and v2 (centroid ids 0 and 2).
+    //   iter 1: v0->c0 (cos 1), v1,v2->c2, v3 (null dim0 -> every
+    //           cosine null -> lowest-id cell) -> c0.
+    //           means: c0 = [avg(1)=1, avg(0,1)=0.5] (avg SKIPS the
+    //           null), c2 = [1, 0.15].
+    //   iter 2: v0 now prefers c2 ([1,0.15], cos .989) over the
+    //           drifted c0 ([1,0.5], cos .894) -> cell 0 = {v3} ONLY
+    //           -> its dim-0 mean is avg(null) = NULL. The guard must
+    //           keep c0 at [1, 0.5]; the naive getSeq[Float] unbox
+    //           would fabricate [0.0, 1.0] silently.
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("vec_id", LongType, nullable = false),
+      StructField("embedding",
+        ArrayType(FloatType, containsNull = true), nullable = false)))
+    val emb = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        Row(0L, Seq[Any](1f, 0f)),
+        Row(1L, Seq[Any](1f, 0.2f)),
+        Row(2L, Seq[Any](1f, 0.1f)),
+        Row(3L, Seq[Any](null, 1f)))), schema)
+    val cents = SimilarityOps.ivfTrain(emb, k = 2, iters = 2)
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[java.lang.Float](1)).toMap
+    assert(cents.keySet == Set(0L, 2L))
+    val c0 = cents(0L)
+    assert(!c0.contains(null), s"null leaked into the kept centroid: $c0")
+    assert(math.abs(c0(0) - 1f) < 1e-6 && math.abs(c0(1) - 0.5f) < 1e-6,
+      s"cell 0 should have kept its iter-1 centroid [1, 0.5], got $c0")
+    val c2 = cents(2L)
+    // iter-2 mean of {v0,v1,v2}: [1, (0 + 0.2 + 0.1)/3]
+    assert(math.abs(c2(0) - 1f) < 1e-6 && math.abs(c2(1) - 0.1f) < 1e-5,
+      s"cell 2 drifted: $c2")
+  }
+
+  test("a null element in a CENTROID frame fails fast instead of " +
+    "silently unboxing to a fabricated 0.0f coordinate") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("centroid_id", LongType, nullable = false),
+      StructField("cv",
+        ArrayType(FloatType, containsNull = true), nullable = false)))
+    val bad = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        Row(0L, Seq[Any](1f, 0f)),
+        Row(1L, Seq[Any](null, 1f)))), schema)
+    val corpus = Seq((0L, Seq(1f, 0f))).toDF("vec_id", "embedding")
+    // ivfBalance is the public surface that collects a caller-supplied
+    // centroid frame to driver constants (ivfAssign is the window-form
+    // reference and never collects)
+    val e = intercept[IllegalArgumentException] {
+      SimilarityOps.ivfBalance(corpus, bad).collect()
+    }
+    assert(e.getMessage.contains("null"), e.getMessage)
   }
 
   test("embedding near-dup blocks via LSH bands: finds the planted dup, no nested-loop join") {
