@@ -20,16 +20,7 @@ object ABProbe {
     val unknown = names.toSet -- SparkEntry.queries.keySet
     require(names.nonEmpty && unknown.isEmpty,
       s"unknown query name(s): ${unknown.toSeq.sorted.mkString(", ")}")
-    val spark = org.apache.spark.sql.SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
-        "262144")
-      .getOrCreate()
+    val spark = GraftSession.localBuilder(cpus).getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     graft.operators.BoundedWindow.quietBoundedWarnings()
     val timings = names.map(_ -> scala.collection.mutable.ArrayBuffer

@@ -166,22 +166,7 @@ object Bench {
       sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "3").toInt)
     val heavyExtra = math.max(0,
       sys.env.getOrElse("SPARK_GRAFT_BENCH_HEAVY_ITERS", "2").toInt)
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      // ObjectHashAggregateExec falls back to SORT-BASED aggregation
-      // once its hash map passes this many keys — the 128 default is
-      // sized for giant sketch buffers (percentile_approx); this
-      // repo's object aggs carry k-bounded digests (~300 B), so the
-      // fallback silently re-sorted the very pair volumes the digest
-      // cut exists to avoid sorting (q_knn_graph: 6 k keys)
-      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
-        "262144")
-      .getOrCreate()
+    val spark = GraftSession.localBuilder(cpus).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // the audited bounded windows would otherwise print a warning
     // wall in the bench tail — see BoundedWindow.quietBoundedWarnings

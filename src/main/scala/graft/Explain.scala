@@ -10,22 +10,7 @@ package graft
 object Explain {
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
-    val spark = org.apache.spark.sql.SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      // ObjectHashAggregateExec falls back to SORT-BASED aggregation
-      // once its hash map passes this many keys — the 128 default is
-      // sized for giant sketch buffers (percentile_approx); this
-      // repo's object aggs carry k-bounded digests (~300 B), so the
-      // fallback silently re-sorted the very pair volumes the digest
-      // cut exists to avoid sorting (q_knn_graph: 6 k keys)
-      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
-        "262144")
-      .getOrCreate()
+    val spark = GraftSession.localBuilder(cpus).getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     // a typoed name dies with the registry's naming, not a bare
     // key-not-found (the Bench/Verify rule)

@@ -1,0 +1,43 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** The ONE place graft entry points get their shared engine tuning.
+  * Six sessions used to carry literal copies of the same configs
+  * (Bench, Verify, Explain, ScaleProbe, ABProbe, the test harness);
+  * a retune applied to five of them would silently leave the sixth
+  * on defaults — e.g. the sort-based object-agg fallback coming back
+  * in exactly one harness. Funnel every builder through here.
+  */
+object GraftSession {
+
+  /** ObjectHashAggregateExec falls back to SORT-BASED aggregation
+    * once its hash map passes this many keys — the 128 default is
+    * sized for giant sketch buffers (percentile_approx); this repo's
+    * object aggs carry k-bounded digests (~300 B), so the fallback
+    * silently re-sorted the very pair volumes the digest cut exists
+    * to avoid sorting (q_knn_graph: 6 k keys). PlanAuditSpec pins the
+    * wiring via the numTasksFallBacked metric. */
+  val ObjectAggFallbackKeys: String = "262144"
+
+  /** Tuning shared by EVERY graft session, harness mains and the test
+    * harness alike: UTC (the events NTZ cast depends on it), legacy
+    * nanos decode for old-round fixtures, no UI, and the object-agg
+    * threshold above. */
+  def shared(b: SparkSession.Builder): SparkSession.Builder =
+    b.config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
+        ObjectAggFallbackKeys)
+
+  /** The harness-main builder: local[cpus] with one shuffle partition
+    * per core (local mode — not the 200-partition cluster default),
+    * AQE on, plus [[shared]]. Callers chain any main-specific configs
+    * before getOrCreate. */
+  def localBuilder(cpus: String): SparkSession.Builder =
+    shared(SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true"))
+}

@@ -12,7 +12,7 @@ object SparkSpec {
   lazy val session: SparkSession = {
     System.setProperty("derby.system.home",
       java.nio.file.Files.createTempDirectory("graft_derby").toString)
-    val s = SparkSession.builder()
+    val s = GraftSession.shared(SparkSession.builder()
       .master("local[4]")
       .appName("graft-test")
       // the real spark.sql.extensions wiring: the test context is
@@ -21,14 +21,7 @@ object SparkSpec {
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .config("spark.sql.warehouse.dir",
         java.nio.file.Files.createTempDirectory("graft_wh").toString)
-      .config("spark.sql.shuffle.partitions", "4")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.ui.enabled", "false")
-      // match the harness mains: k-bounded object-agg digests must
-      // not hit the 128-key sort-based fallback (see Bench.scala)
-      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
-        "262144")
+      .config("spark.sql.shuffle.partitions", "4"))
       .getOrCreate()
     s.sparkContext.setLogLevel("ERROR")
     graft.operators.BoundedWindow.quietBoundedWarnings()
