@@ -1784,8 +1784,7 @@ object SimilarityOps {
         val trained = ivfTrainQuantized(emb(s, dir), NumCentroids,
           IvfTrainGateIters)
         writeIvfIndex(emb(s, dir), trained, "graft_ivf_trained", 8)
-        val centConst = trained.collect()
-          .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).toSeq
+        val centConst = collectCentroids(trained)
         annSearchStored(gateProbes(s, dir), s.table("graft_ivf_trained"),
           centConst, NumProbeCells, TopK)
     },
