@@ -191,6 +191,48 @@ class EventStreamsSpec extends SparkSpec {
     assert(keys.toSet == Set((1L, "view"), (2L, "click"), (3L, "view")))
   }
 
+  test("stream dedup state is watermark-BOUNDED: keys older than the " +
+    "watermark are EVICTED from the state store, engine-attested") {
+    // the 100 TB claim behind dropDuplicatesWithinWatermark: state is
+    // per-key only WITHIN the 2 h delay, so standing state tracks the
+    // (arrival rate × delay) product, not the stream's lifetime key
+    // count — without eviction the dedup store grows unboundedly and
+    // the operator would not survive a long-running deployment.
+    // Attested by the engine's own numRowsTotal, not inferred.
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val input = MemoryStream[(java.sql.Timestamp, Long, String)]
+    val df = input.toDF().toDF("ts", "user_id", "event_type")
+    val q = EventStreams.dedupKeysStream(df)
+      .writeStream.format("memory").queryName("dedup_evict_test")
+      .outputMode("append").start()
+    def ts(min: Int) =
+      new java.sql.Timestamp(3600L * 1000 * 24 * 365 * 50 + min * 60000L)
+    def stateRows = Option(q.lastProgress).toSeq
+      .flatMap(_.stateOperators).map(_.numRowsTotal).sum
+    // batch 1: three distinct keys at t0 -> three state rows
+    input.addData((ts(0), 1L, "view"), (ts(0), 2L, "view"),
+      (ts(0), 3L, "view"))
+    q.processAllAvailable()
+    assert(stateRows == 3L, s"expected 3 state rows, got $stateRows")
+    // batch 2 jumps 10 h ahead — far past every t0 key's 2 h
+    // expiration; batch 3 lets the (one-batch-lagged) watermark act
+    input.addData((ts(600), 4L, "view"))
+    q.processAllAvailable()
+    input.addData((ts(601), 4L, "view")) // duplicate: no new key
+    q.processAllAvailable()
+    q.stop()
+    val finalState = stateRows
+    assert(finalState == 1L,
+      s"t0 keys were not evicted: $finalState state rows remain " +
+        "(watermark-bounded state is the operator's scale contract)")
+    // and the dedup OUTPUT is untouched by eviction: each key once
+    val keys = spark.table("dedup_evict_test").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    assert(keys.length == keys.distinct.length &&
+      keys.map(_._1).toSet == Set(1L, 2L, 3L, 4L))
+  }
+
   test("stream-static enrichment equals the batch join and keeps ZERO " +
     "streaming state") {
     val schema = graft.Tables(spark, dir, "events").schema
