@@ -233,6 +233,50 @@ class EventStreamsSpec extends SparkSpec {
       keys.map(_._1).toSet == Set(1L, 2L, 3L, 4L))
   }
 
+  test("stream-stream interval join state is watermark-BOUNDED: rows " +
+    "outside the join range fall out of all four stores, engine-attested") {
+    // the interval join's scale contract: each side buffers only the
+    // watermark-delay + join-interval band, so standing state tracks
+    // (arrival rate x (delay + interval)), not stream lifetime. The
+    // 10 min watermark + 1 h view-lookback band means a 10 h jump
+    // must evict everything behind it.
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val input = MemoryStream[(java.sql.Timestamp, Long, String, Long)]
+    val df = input.toDF().toDF("ts", "user_id", "event_type", "event_id")
+    val q = EventStreams.purchasesJoinViews(df)
+      .writeStream.format("memory").queryName("join_evict_test")
+      .outputMode("append").start()
+    def ts(min: Int) =
+      new java.sql.Timestamp(3600L * 1000 * 24 * 365 * 50 + min * 60000L)
+    def stateRows = Option(q.lastProgress).toSeq
+      .flatMap(_.stateOperators).map(_.numRowsTotal).sum
+    // batch 1: a matching view->purchase pair at t0 — joins eagerly,
+    // both rows buffered
+    input.addData((ts(0), 1L, "view", 10L), (ts(5), 1L, "purchase", 11L))
+    q.processAllAvailable()
+    val buffered = stateRows
+    assert(buffered >= 2L, s"expected both t0 rows buffered, got $buffered")
+    // batch 2 jumps 10 h — both sides' watermarks advance (one input
+    // stream feeds both) far past t0 + interval + delay
+    input.addData((ts(600), 2L, "view", 20L), (ts(600), 2L, "purchase", 21L))
+    q.processAllAvailable()
+    // batch 3 lets the one-batch-lagged watermark evict
+    input.addData((ts(1200), 3L, "view", 30L))
+    q.processAllAvailable()
+    q.stop()
+    val finalState = stateRows
+    // survivors: the two t+10h rows and the t+20h view — every t0
+    // row must be gone (purchase behind the watermark, view behind
+    // watermark - 1 h lookback)
+    assert(finalState == 3L,
+      s"t0 rows were not evicted: $finalState state rows remain")
+    val pairs = spark.table("join_evict_test").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(pairs == Set((1L, 11L, 10L), (2L, 21L, 20L)),
+      s"join output drifted: $pairs")
+  }
+
   test("stream-static enrichment equals the batch join and keeps ZERO " +
     "streaming state") {
     val schema = graft.Tables(spark, dir, "events").schema
