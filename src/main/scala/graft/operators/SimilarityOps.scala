@@ -1317,8 +1317,12 @@ object SimilarityOps {
   private def gateCodebookRows(
       s: SparkSession, dir: String): Seq[(Long, Seq[Float])] =
     codebookCache.computeIfAbsent(dir, _ =>
-      ivfTrainQuantized(emb(s, dir), NumCentroids, IvfTrainGateIters)
-        .collect().map(r => (r.getLong(0), r.getSeq[Float](1))).toSeq)
+      // through collectCentroids for the fail-fast null guard — the
+      // naive getSeq[Float] unbox would cache a fabricated 0.0f
+      // coordinate every serve gate then ranks against
+      collectCentroids(
+        ivfTrainQuantized(emb(s, dir), NumCentroids, IvfTrainGateIters))
+        .map { case (id, cv) => (id, cv.toSeq) })
 
   private[operators] def gateCodebook(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._

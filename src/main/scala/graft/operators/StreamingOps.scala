@@ -22,18 +22,48 @@ object StreamingOps {
   private[graft] val DayUs = EventAnalytics.DayUs
   private[graft] val LateDelayUs = 72L * 3600000000L
 
-  /** The engine-counted watermark drops of the LAST q_stream_late_data
-    * run (sum of numRowsDroppedByWatermark across its batches) — spec
-    * telemetry only: EventStreamsSpec asserts the engine's own drop
-    * counter equals the oracle rule's predicted count, so the gate's
-    * drops are engine-attested rather than inferred from missing
-    * window counts. NOTE the metric counts rows reaching the stateful
-    * operator — post map-side combine, one partial row per (scan
-    * partition, window) — so for single-partition slices it equals the
-    * number of DISTINCT dropped windows, not dropped input rows.
-    * −1 until the gate has run in this JVM. */
-  private[graft] val LastLateDataDrops =
-    new java.util.concurrent.atomic.AtomicLong(-1L)
+  /** The q_stream_late_data replay, returning (emitted table, the
+    * engine's summed numRowsDroppedByWatermark). The gate discards
+    * the metric; the attestation spec asserts it against the oracle
+    * rule's prediction — so the gate's drops are engine-attested, not
+    * inferred from missing window counts, and no process-global
+    * telemetry is needed. NOTE the metric counts rows reaching the
+    * stateful operator — post map-side combine, one partial row per
+    * (scan partition, window) — so for single-partition slices it is
+    * the number of DISTINCT dropped windows, not dropped input rows. */
+  private[graft] def runLateData(
+      s: org.apache.spark.sql.SparkSession, dir: String)
+      : (org.apache.spark.sql.DataFrame, Long) = withStreamPartitions(s, 8) {
+    val ev = Tables.events(s, dir)
+      .select(col("event_id"), col("user_id"), col("ts_us"), col("value"))
+    // bounded 1-row scalar (the q_stream_drift midpoint pattern):
+    // the cohort split constant both engines share
+    val maxTs = ev.agg(max(col("ts_us"))).head().getLong(0)
+    val delayed = col("user_id") % 5 === 3 ||
+      col("ts_us") > maxTs - DayUs
+    val inDir = EventStreams.customSlicedDir("late", Seq(
+      ev.filter(!delayed), // on-time: advances the watermark
+      ev.filter(delayed && col("event_id") % 2 === 0), // wave 1
+      ev.filter(delayed && col("event_id") % 2 === 1), // wave 2
+      ev.filter(lit(false)))) // flush: final eviction trigger
+    val stream = s.readStream.schema(ev.schema)
+      .option("maxFilesPerTrigger", "1").parquet(inDir)
+    val q = stream
+      .withColumn("event_time", timestamp_micros(col("ts_us")))
+      .withWatermark("event_time", "72 hours")
+      .groupBy(window(col("event_time"), "1 day"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(round(col("value") * 100, 0).cast("long")).as("cents"))
+      .select(unix_micros(col("window.start")).as("window_start_us"),
+        col("n_events"), col("cents"))
+      .writeStream.format("memory").queryName("graft_stream_late")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val drops = q.recentProgress.toSeq
+      .flatMap(p => Option(p.stateOperators).toSeq.flatMap(_.toSeq))
+      .map(_.numRowsDroppedByWatermark).sum
+    (s.table("graft_stream_late"), drops)
+  }
 
   /** Stateful streaming sizing: the number of state-store instances is
     * fixed at the FIRST micro-batch to `spark.sql.shuffle.partitions`,
@@ -161,37 +191,7 @@ object StreamingOps {
          |  FROM kept GROUP BY 1)
          |SELECT window_start_us, n_events, cents FROM agg
          |WHERE window_start_us + $DayUs <= (SELECT w FROM fin)""".stripMargin) {
-      (s, dir) => withStreamPartitions(s, 8) {
-        val ev = Tables.events(s, dir)
-          .select(col("event_id"), col("user_id"), col("ts_us"), col("value"))
-        // bounded 1-row scalar (the q_stream_drift midpoint pattern):
-        // the cohort split constant both engines share
-        val maxTs = ev.agg(max(col("ts_us"))).head().getLong(0)
-        val delayed = col("user_id") % 5 === 3 ||
-          col("ts_us") > maxTs - DayUs
-        val inDir = EventStreams.customSlicedDir("late", Seq(
-          ev.filter(!delayed), // on-time: advances the watermark
-          ev.filter(delayed && col("event_id") % 2 === 0), // wave 1
-          ev.filter(delayed && col("event_id") % 2 === 1), // wave 2
-          ev.filter(lit(false)))) // flush: final eviction trigger
-        val stream = s.readStream.schema(ev.schema)
-          .option("maxFilesPerTrigger", "1").parquet(inDir)
-        val q = stream
-          .withColumn("event_time", timestamp_micros(col("ts_us")))
-          .withWatermark("event_time", "72 hours")
-          .groupBy(window(col("event_time"), "1 day"))
-          .agg(count(lit(1)).as("n_events"),
-            sum(round(col("value") * 100, 0).cast("long")).as("cents"))
-          .select(unix_micros(col("window.start")).as("window_start_us"),
-            col("n_events"), col("cents"))
-          .writeStream.format("memory").queryName("graft_stream_late")
-          .outputMode("append").trigger(Trigger.AvailableNow()).start()
-        q.awaitTermination()
-        LastLateDataDrops.set(q.recentProgress.toSeq
-          .flatMap(p => Option(p.stateOperators).toSeq.flatMap(_.toSeq))
-          .map(_.numRowsDroppedByWatermark).sum)
-        s.table("graft_stream_late")
-      }
+      (s, dir) => runLateData(s, dir)._1
     },
 
     // Stream-stream interval join run as a REAL streaming query; for
