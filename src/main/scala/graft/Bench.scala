@@ -404,6 +404,10 @@ object Bench {
     // read clean next to a non-empty contended list.
     val stillContended = scala.collection.mutable.LinkedHashSet.empty[String]
     val minOverride = scala.collection.mutable.Map.empty[String, Double]
+    // a rerun that CRASHES is neither recovered nor still-contended:
+    // its query publishes as failed (-1), and the calibration field's
+    // n_recovered must not count it as a clean re-measurement
+    var rerunCrashed = 0
     contended.foreach { name =>
       val before = probe()
       val rerun = measure(name, selected(name))
@@ -412,7 +416,7 @@ object Bench {
       worstProbe = math.max(worstProbe, math.max(before, after))
       val clean = before <= calibration * ContentionFactor &&
         after <= calibration * ContentionFactor
-      if (rerun.isEmpty) timings(name) = Seq.empty
+      if (rerun.isEmpty) { timings(name) = Seq.empty; rerunCrashed += 1 }
       else if (clean) {
         minOverride(name) = math.min(timings(name).min, rerun.min)
         timings(name) = rerun
@@ -472,7 +476,7 @@ object Bench {
       s""""worst_probe_sec":${fmt(worstProbe)},""" +
       s""""factor":${fmt(ContentionFactor)},""" +
       s""""n_marked":${contended.size},"n_recovered":${
-        contended.size - stillContended.size},""" +
+        contended.size - stillContended.size - rerunCrashed},""" +
       s""""probes":${probeTrace.map(fmt).mkString("[", ",", "]")}}"""
     val fileJson =
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"queries_median":$qsMed,"contended":$contJson,"calibration":$calJson,"sf":$sfLabel}"""

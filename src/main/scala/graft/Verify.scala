@@ -13,10 +13,13 @@ object Verify {
     val unknown = wanted -- SparkEntry.queries.keySet
     require(unknown.isEmpty,
       s"unknown query name(s): ${unknown.toSeq.sorted.mkString(", ")}")
-    // subset runs write to their own subdir: a compare that scans the
-    // directory must never mix a partial rerun with a stale full dump
+    // subset runs write to a SIBLING dir, not a subdir: a compare that
+    // scans the directory must never mix a partial rerun with a stale
+    // full dump — and a nested subset/ would itself read as a stale
+    // 0-row query dump on the NEXT full-dir compare
     val outDir =
-      if (wanted.isEmpty) outDirArg else s"${outDirArg.stripSuffix("/")}/subset"
+      if (wanted.isEmpty) outDirArg
+      else s"${outDirArg.stripSuffix("/")}_subset"
     if (wanted.nonEmpty)
       System.err.println(s"[verify] subset mode -> $outDir")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")

@@ -97,6 +97,29 @@ object EventStreams {
     * State per key is O(1) — the canonical mapGroupsWithState shape
     * that survives unbounded keys at scale (state store, not heap).
     */
+  /** The per-event gap-sessionization fold shared by BOTH state APIs
+    * ([[sessionizeStream]]'s fMGWS and [[SessionTwsProcessor]]'s TWS)
+    * so the two cannot drift on the session semantics: null = no
+    * state; nEvents == 0 = a numbering marker left by a timeout
+    * flush; punctuation (event_id < 0) closes without opening; a gap
+    * beyond [[SessionGapUs]] closes and opens the successor. Closed
+    * sessions leave through `emit`. */
+  private def sessionFold(userId: Long, st: SessionState,
+      e: SessionEvent, emit: SessionOut => Unit): SessionState =
+    if (e.event_id < 0) { // punctuation: close, don't open
+      if (st != null && st.nEvents > 0)
+        emit(SessionOut(userId, st.sessionId, st.startUs, st.lastUs,
+          st.nEvents))
+      null
+    } else if (st == null) SessionState(1, e.ts_us, e.ts_us, 1)
+    else if (st.nEvents == 0) // continue numbering past a timeout flush
+      SessionState(st.sessionId, e.ts_us, e.ts_us, 1)
+    else if (e.ts_us - st.lastUs > SessionGapUs) {
+      emit(SessionOut(userId, st.sessionId, st.startUs, st.lastUs,
+        st.nEvents))
+      SessionState(st.sessionId + 1, e.ts_us, e.ts_us, 1)
+    } else st.copy(lastUs = e.ts_us, nEvents = st.nEvents + 1)
+
   def sessionizeStream(events: Dataset[SessionEvent]): Dataset[SessionOut] = {
     import events.sparkSession.implicits._
     val gapMs = SessionGapUs / 1000
@@ -122,21 +145,7 @@ object EventStreams {
             // Within a micro-batch rows are not ordering-guaranteed: sort.
             val sorted = rows.toSeq.sortBy(e => (e.ts_us, e.event_id))
             var st = state.getOption.orNull
-            sorted.foreach { e =>
-              if (e.event_id < 0) { // punctuation: close, don't open
-                if (st != null) {
-                  if (st.nEvents > 0)
-                    out += SessionOut(userId, st.sessionId, st.startUs, st.lastUs, st.nEvents)
-                  st = null
-                }
-              } else if (st == null) st = SessionState(1, e.ts_us, e.ts_us, 1)
-              else if (st.nEvents == 0) // continue numbering past a timeout flush
-                st = SessionState(st.sessionId, e.ts_us, e.ts_us, 1)
-              else if (e.ts_us - st.lastUs > SessionGapUs) {
-                out += SessionOut(userId, st.sessionId, st.startUs, st.lastUs, st.nEvents)
-                st = SessionState(st.sessionId + 1, e.ts_us, e.ts_us, 1)
-              } else st = st.copy(lastUs = e.ts_us, nEvents = st.nEvents + 1)
-            }
+            sorted.foreach(e => st = sessionFold(userId, st, e, out += _))
             if (st != null) {
               // st.nEvents > 0 always holds here: any event activates a
               // marker and punctuation nulls the state outright
@@ -200,26 +209,19 @@ object EventStreams {
         tv: TimerValues): Iterator[SessionOut] = {
       val out = Seq.newBuilder[SessionOut]
       val sorted = rows.toSeq.sortBy(e => (e.ts_us, e.event_id))
-      var cur: TwsSessionState = if (st.exists()) st.get() else null
-      val oldArm = if (cur != null) cur.armedMs else -1L
-      sorted.foreach { e =>
-        if (e.event_id < 0) { // punctuation: close, don't open
-          if (cur != null) {
-            if (cur.nEvents > 0)
-              out += SessionOut(userId, cur.sessionId, cur.startUs,
-                cur.lastUs, cur.nEvents)
-            cur = null
-          }
-        } else if (cur == null)
-          cur = TwsSessionState(1, e.ts_us, e.ts_us, 1, 0L)
-        else if (cur.nEvents == 0) // continue numbering past a flush
-          cur = TwsSessionState(cur.sessionId, e.ts_us, e.ts_us, 1, 0L)
-        else if (e.ts_us - cur.lastUs > SessionGapUs) {
-          out += SessionOut(userId, cur.sessionId, cur.startUs,
-            cur.lastUs, cur.nEvents)
-          cur = TwsSessionState(cur.sessionId + 1, e.ts_us, e.ts_us, 1, 0L)
-        } else cur = cur.copy(lastUs = e.ts_us, nEvents = cur.nEvents + 1)
-      }
+      val prior: TwsSessionState = if (st.exists()) st.get() else null
+      val oldArm = if (prior != null) prior.armedMs else -1L
+      // the SHARED per-event fold on the core session record — drift
+      // between the two state APIs is structurally impossible
+      var core: SessionState =
+        if (prior == null) null
+        else SessionState(prior.sessionId, prior.startUs, prior.lastUs,
+          prior.nEvents)
+      sorted.foreach(e => core = sessionFold(userId, core, e, out += _))
+      val cur: TwsSessionState =
+        if (core == null) null
+        else TwsSessionState(core.sessionId, core.startUs, core.lastUs,
+          core.nEvents, 0L)
       if (oldArm > 0) getHandle.deleteTimer(oldArm)
       if (cur != null) {
         // rows are never empty here, so a surviving state is an
@@ -266,6 +268,33 @@ object EventStreams {
     * punctuation marker — the no-punctuation production path. */
   val FunnelQuietUs: Long = 100L * 24 * 3600 * 1000 * 1000
 
+  /** Within-batch tie order for the funnel fold: earlier stages fold
+    * first inside a (ts, …) tie group so a view sharing the signup's
+    * timestamp qualifies for s2. ONE definition for both funnel APIs
+    * — the fMGWS/TWS parity is structural, not conventional. */
+  private def funnelStagePrio(e: FunnelEvent): Int = e.event_type match {
+    case "signup" => 0
+    case "view" => 1
+    case "purchase" => 2
+    case _ => 3
+  }
+
+  /** The per-event funnel state fold (s1 = first signup; s2 = first
+    * view ≥ s1; s3 = first purchase ≥ s2; lastUs = quiet clock),
+    * shared by [[funnelStream]] and [[FunnelTwsProcessor]] so the two
+    * state APIs cannot drift on the journey semantics. */
+  private def funnelFold(st: FunnelState, e: FunnelEvent): FunnelState = {
+    val upd = e.event_type match {
+      case "signup" if st.s1.isEmpty => st.copy(s1 = Some(e.ts_us))
+      case "view" if st.s2.isEmpty && st.s1.exists(_ <= e.ts_us) =>
+        st.copy(s2 = Some(e.ts_us))
+      case "purchase" if st.s3.isEmpty && st.s2.exists(_ <= e.ts_us) =>
+        st.copy(s3 = Some(e.ts_us))
+      case _ => st
+    }
+    upd.copy(lastUs = math.max(upd.lastUs, e.ts_us))
+  }
+
   /** Ordered-funnel progression (signup → view-after-signup →
     * purchase-after-that) as a stateful stream: per-user state is the
     * three stage timestamps — O(1) per key, the user-journey state
@@ -287,13 +316,11 @@ object EventStreams {
   def funnelStream(events: Dataset[FunnelEvent],
       quietUs: Long = FunnelQuietUs): Dataset[FunnelOut] = {
     import events.sparkSession.implicits._
-    def stagePrio(e: FunnelEvent): Int = e.event_type match {
-      case "signup" => 0
-      case "view" => 1
-      case "purchase" => 2
-      case _ => 3
-    }
-    val empty = FunnelState(None, None, None, 0L)
+    // lastUs sentinel is Long.MinValue, NOT 0: a user whose only
+    // event is stage-less at ts_us == 0 must still produce a state
+    // distinguishable from "no journey", or the punctuation/timeout
+    // flush would drop the one-row-per-user batch parity for them
+    val empty = FunnelState(None, None, None, Long.MinValue)
     events
       .withColumn("event_time", timestamp_micros(col("ts_us")))
       .withWatermark("event_time", "0 seconds")
@@ -311,7 +338,8 @@ object EventStreams {
             out += FunnelOut(userId, st.s1, st.s2, st.s3)
             state.remove()
           } else {
-            val sorted = rows.toSeq.sortBy(e => (e.ts_us, stagePrio(e), e.event_id))
+            val sorted = rows.toSeq.sortBy(e =>
+              (e.ts_us, funnelStagePrio(e), e.event_id))
             var st = state.getOption.getOrElse(empty)
             var flushed = false
             sorted.foreach { e =>
@@ -327,18 +355,7 @@ object EventStreams {
                   st = empty
                   flushed = true
                 }
-              } else {
-                e.event_type match {
-                  case "signup" if st.s1.isEmpty =>
-                    st = st.copy(s1 = Some(e.ts_us))
-                  case "view" if st.s2.isEmpty && st.s1.exists(_ <= e.ts_us) =>
-                    st = st.copy(s2 = Some(e.ts_us))
-                  case "purchase" if st.s3.isEmpty && st.s2.exists(_ <= e.ts_us) =>
-                    st = st.copy(s3 = Some(e.ts_us))
-                  case _ => ()
-                }
-                st = st.copy(lastUs = math.max(st.lastUs, e.ts_us))
-              }
+              } else st = funnelFold(st, e)
             }
             if (flushed && st == empty) {
               if (state.exists) state.remove()
@@ -387,48 +404,40 @@ object EventStreams {
       TimeMode, TimerValues, ValueState}
     @transient private var st: ValueState[TwsFunnelState] = _
     private val quietMs = quietUs / 1000
-    private val empty = TwsFunnelState(None, None, None, 0L, -1L)
+    // Long.MinValue lastUs sentinel — funnelStream's epoch-0 guard,
+    // byte-for-byte
+    private val empty = TwsFunnelState(None, None, None, Long.MinValue, -1L)
 
     override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
       st = getHandle.getValueState[TwsFunnelState]("funnel",
         org.apache.spark.sql.Encoders.product[TwsFunnelState],
         TTLConfig.NONE)
 
-    private def stagePrio(e: FunnelEvent): Int = e.event_type match {
-      case "signup" => 0
-      case "view" => 1
-      case "purchase" => 2
-      case _ => 3
-    }
-
     override def handleInputRows(userId: Long, rows: Iterator[FunnelEvent],
         tv: TimerValues): Iterator[FunnelOut] = {
       val out = Seq.newBuilder[FunnelOut]
-      val sorted = rows.toSeq.sortBy(e => (e.ts_us, stagePrio(e), e.event_id))
+      val sorted = rows.toSeq.sortBy(e =>
+        (e.ts_us, funnelStagePrio(e), e.event_id))
       var cur = if (st.exists()) st.get() else empty
       val oldArm = cur.armedMs
       var flushed = false
       sorted.foreach { e =>
         if (e.event_id < 0) {
           // punctuation: emit + clear — only when there IS a journey
-          // (byte-for-byte funnelStream's guard: a punctuation after
-          // a timer flush must not fabricate an all-None row)
+          // (funnelStream's guard: a punctuation after a timer flush
+          // must not fabricate an all-None row)
           if (cur != empty) {
             out += FunnelOut(userId, cur.s1, cur.s2, cur.s3)
             cur = empty
             flushed = true
           }
         } else {
-          e.event_type match {
-            case "signup" if cur.s1.isEmpty =>
-              cur = cur.copy(s1 = Some(e.ts_us))
-            case "view" if cur.s2.isEmpty && cur.s1.exists(_ <= e.ts_us) =>
-              cur = cur.copy(s2 = Some(e.ts_us))
-            case "purchase" if cur.s3.isEmpty && cur.s2.exists(_ <= e.ts_us) =>
-              cur = cur.copy(s3 = Some(e.ts_us))
-            case _ => ()
-          }
-          cur = cur.copy(lastUs = math.max(cur.lastUs, e.ts_us))
+          // the SHARED per-event fold — drift between the two state
+          // APIs is structurally impossible on the journey semantics
+          val core = funnelFold(
+            FunnelState(cur.s1, cur.s2, cur.s3, cur.lastUs), e)
+          cur = cur.copy(s1 = core.s1, s2 = core.s2, s3 = core.s3,
+            lastUs = core.lastUs)
         }
       }
       if (oldArm > 0) getHandle.deleteTimer(oldArm)

@@ -351,6 +351,53 @@ class EventStreamsSpec extends SparkSpec {
     assert(got == batch)
   }
 
+  test("a stage-less journey still emits its all-None row on " +
+    "punctuation, in BOTH funnel APIs") {
+    // batch funnelStages emits one row per user with events — an
+    // all-None row for a user whose events qualify no stage; the
+    // stream twins must do the same, not conflate "no qualified
+    // stage" with "no state". (The lastUs sentinel is Long.MinValue,
+    // not 0L: a 0L sentinel would conflate an epoch-0 stage-less
+    // journey with `empty` — unreachable today only because Spark's
+    // INITIAL watermark of 0 ms drops a ts<=0 row at the gate, an
+    // invariant of Spark's, not of this fold. Probed empirically:
+    // the epoch-0 row never reaches the operator.)
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    def run(tag: String,
+        f: org.apache.spark.sql.Dataset[EventStreams.FunnelEvent] =>
+          org.apache.spark.sql.Dataset[EventStreams.FunnelOut])
+        : Map[Long, Any] = {
+      val input = MemoryStream[EventStreams.FunnelEvent]
+      // u7's only event: a stage-less view (no prior signup)
+      input.addData(Seq(EventStreams.FunnelEvent(7L, 1000L, 70L, "view")))
+      input.addData(Seq(EventStreams.FunnelEvent(7L, 2000L, -1L, null)))
+      val q = f(input.toDS())
+        .writeStream.format("memory").queryName(tag)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      spark.table(tag).collect()
+        .map(r => r.getLong(0) ->
+          ((Option(r.get(1)), Option(r.get(2)), Option(r.get(3))))).toMap
+    }
+    val viaFmgws = run("funnel_epoch0_fmgws",
+      ds => EventStreams.funnelStream(ds))
+    // transformWithState requires the RocksDB provider (set/restore)
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    val viaTws = try {
+      spark.conf.set(key, "org.apache.spark.sql.execution.streaming" +
+        ".state.RocksDBStateStoreProvider")
+      run("funnel_epoch0_tws", ds => EventStreams.funnelStreamTws(ds))
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+    val want = Map(7L -> ((None, None, None)))
+    assert(viaFmgws == want, s"fMGWS dropped the epoch-0 user: $viaFmgws")
+    assert(viaTws == want, s"TWS dropped the epoch-0 user: $viaTws")
+  }
+
   test("funnel event-time timeout flushes a user with NO punctuation once " +
     "the watermark passes their quiet horizon; active users stay in state") {
     import spark.implicits._
