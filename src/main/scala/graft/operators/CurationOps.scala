@@ -574,8 +574,8 @@ object CurationOps {
          |tot AS (SELECT CAST(count(*) AS BIGINT) AS nr,
          |               CAST(count(*) FILTER (WHERE lang = '$DsirTargetLang') AS BIGINT) AS nt
          |        FROM bk),
-         |lr AS (SELECT b, ln(CAST((coalesce(ct, 0) + 1) * (nr + $DsirBuckets) AS DOUBLE)
-         |                    / CAST((cr + 1) * (nt + $DsirBuckets) AS DOUBLE)) AS lr
+         |lr AS (SELECT b, ln(CAST(coalesce(ct, 0) + 1 AS DOUBLE) * CAST(nr + $DsirBuckets AS DOUBLE)
+         |                    / (CAST(cr + 1 AS DOUBLE) * CAST(nt + $DsirBuckets AS DOUBLE))) AS lr
          |       FROM raw LEFT JOIN tgt USING (b) CROSS JOIN tot),
          |sc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_ngrams,
          |              round(avg(lr), 6) AS dsir_logratio
@@ -910,8 +910,11 @@ object CurationOps {
     * matter how large the corpus or its vocabulary is; per-doc
     * scoring is then a map-side broadcast-hash join + one doc_id
     * aggregate. Nothing quadratic, no vocabulary-sized state on any
-    * single task. The log ratio is ln of one exact-integer product
-    * quotient, so both engines evaluate the identical double; the
+    * single task. The log ratio is ln over doubles whose FACTORS are
+    * exactly-represented counts (< 2^53) cast before the multiply —
+    * the integer product would overflow BIGINT at ~3e9 n-gram
+    * instances (a few GB of text); one IEEE multiply/divide of exact
+    * doubles is the identical value in both engines. The
     * per-doc avg() reassociates across engines, but per-doc groups
     * are ~100 n-grams, keeping the error orders of magnitude under
     * the 6-decimal rounding (same argument as q_text_perplexity).
@@ -938,10 +941,16 @@ object CurationOps {
       sum(when(isTgt, 1L).otherwise(0L)).as("ct"))
     val tot = bc.agg(sum(col("cr")).as("nr"), sum(col("ct")).as("nt"))
     val smooth = lit(DsirBuckets.toLong)
+    // each factor casts to double BEFORE the multiply: the factors are
+    // corpus-scale counts (< 2^53, exactly representable), but their
+    // 64-bit INTEGER product overflows at ~3e9 n-gram instances each —
+    // a few GB of text, silent garbage (or an ANSI throw) far below
+    // the target scale. One IEEE multiply of exact doubles is the
+    // identical value in both engines.
     val lr = bc.crossJoin(broadcast(tot))
       .select(col("b"),
-        log(((col("ct") + 1L) * (col("nr") + smooth)).cast("double")
-          / ((col("cr") + 1L) * (col("nt") + smooth)).cast("double")).as("lr"))
+        log((col("ct") + 1L).cast("double") * (col("nr") + smooth).cast("double")
+          / ((col("cr") + 1L).cast("double") * (col("nt") + smooth).cast("double"))).as("lr"))
     bk.join(broadcast(lr), "b")
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_ngrams"),
