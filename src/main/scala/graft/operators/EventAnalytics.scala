@@ -171,9 +171,11 @@ object EventAnalytics {
     driftFlags(driftHalfCounts(ev.crossJoin(broadcast(span)), col("mm")))
   }
 
-  /** ONE oracle for q_drift_2prop AND q_stream_drift: the exact
-    * integer two-proportion flags both the batch screen and the
-    * stream-maintained counts must reproduce. */
+  /** ONE oracle for q_drift_2prop AND q_stream_drift: the
+    * two-proportion flags both the batch screen and the
+    * stream-maintained counts must reproduce — exact-integer dev
+    * numerator (HUGEINT), double-domain z² comparison (see
+    * [[driftFlags]] for the overflow arithmetic). */
   private[operators] def driftSql: String =
     """WITH b AS (SELECT event_type,
       |                  CASE WHEN 2 * epoch_us(ts) <
@@ -188,18 +190,20 @@ object EventAnalytics {
       |                  AS BIGINT) AS l_cnt
       |      FROM b GROUP BY 1),
       |t AS (SELECT CAST(sum(r_cnt) AS BIGINT) AS rt,
-      |             CAST(sum(l_cnt) AS BIGINT) AS lt FROM c)
-      |SELECT c.event_type, c.r_cnt, c.l_cnt,
-      |       c.r_cnt * t.lt - c.l_cnt * t.rt AS dev_num,
+      |             CAST(sum(l_cnt) AS BIGINT) AS lt FROM c),
+      |d AS (SELECT c.event_type, c.r_cnt, c.l_cnt, t.rt, t.lt,
+      |             CAST(CAST(c.r_cnt AS HUGEINT) * t.lt
+      |                  - CAST(c.l_cnt AS HUGEINT) * t.rt AS DOUBLE) AS dev
+      |      FROM c, t)
+      |SELECT event_type, r_cnt, l_cnt,
+      |       dev AS dev_num,
       |       CAST(CASE WHEN
-      |              CAST(c.r_cnt * t.lt - c.l_cnt * t.rt AS HUGEINT)
-      |                * (c.r_cnt * t.lt - c.l_cnt * t.rt)
-      |                * (t.rt + t.lt)
-      |            > 9 * CAST(t.rt AS HUGEINT) * t.lt
-      |                * (c.r_cnt + c.l_cnt)
-      |                * (t.rt + t.lt - c.r_cnt - c.l_cnt)
+      |              dev * dev * CAST(rt + lt AS DOUBLE)
+      |            > 9 * CAST(rt AS DOUBLE) * CAST(lt AS DOUBLE)
+      |                * CAST(r_cnt + l_cnt AS DOUBLE)
+      |                * CAST(rt + lt - r_cnt - l_cnt AS DOUBLE)
       |            THEN 1 ELSE 0 END AS INTEGER) AS drifted
-      |FROM c, t""".stripMargin
+      |FROM d""".stripMargin
 
   /** The flag arithmetic over a `(event_type, r_cnt, l_cnt)` counts
     * frame — shared by the batch gate and the STREAMING maintenance
@@ -208,16 +212,27 @@ object EventAnalytics {
   private[operators] def driftFlags(c: DataFrame): DataFrame = {
     val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
     val t = c.agg(sum(col("r_cnt")).as("rt"), sum(col("l_cnt")).as("lt"))
-    val dev = col("r_cnt") * col("lt") - col("l_cnt") * col("rt")
+    // dev's cross-products run in DECIMAL (a bare LONG multiply of
+    // r·lt throws under ANSI past ~3e9 events); the z² comparison
+    // then runs in DOUBLE over exactly-cast factors — the former
+    // all-decimal form dev²·N is ~N⁵, which bursts decimal(38) (and
+    // the oracle's HUGEINT) at only ~1e8 events: a silent
+    // NULL→never-drifts before ANSI, a throw under it. Both engines
+    // cast the same exact integers to the same nearest doubles and
+    // run the identical multiply tree, so the flag stays bit-identical
+    // cross-engine at ANY volume; the comparison is mathematically
+    // exact while every factor sits under 2^53 and within a few ulp
+    // beyond — invisible to a 3-sigma screen.
+    val devD = (col("r_cnt").cast(d38) * col("lt").cast(d38) -
+      col("l_cnt").cast(d38) * col("rt").cast(d38)).cast("double")
     c.crossJoin(broadcast(t))
       .select(col("event_type"), col("r_cnt"), col("l_cnt"),
-        dev.as("dev_num"),
-        when(dev.cast(d38) * dev.cast(d38) *
-            (col("rt") + col("lt")).cast(d38) >
-            lit(9) * col("rt").cast(d38) * col("lt").cast(d38) *
-              (col("r_cnt") + col("l_cnt")).cast(d38) *
+        devD.as("dev_num"),
+        when(devD * devD * (col("rt") + col("lt")).cast("double") >
+            lit(9.0) * col("rt").cast("double") * col("lt").cast("double") *
+              (col("r_cnt") + col("l_cnt")).cast("double") *
               (col("rt") + col("lt") - col("r_cnt") - col("l_cnt"))
-                .cast(d38),
+                .cast("double"),
           1).otherwise(0).cast("int").as("drifted"))
   }
 
@@ -361,8 +376,12 @@ object EventAnalytics {
          |JOIN sk ON sk.i = kb.i AND sk.bucket = kb.bucket
          |GROUP BY e.user_id, e.exact_cnt""".stripMargin) {
       (s, dir) =>
+        import graft.operators.Materialize.PinOps
         val buckets = cmBuckets(col("user_id"))
-        val ev = Tables.events(s, dir).select(col("user_id"))
+        // pinned: feeds BOTH the sketch build and the exact-count
+        // companion — unpinned, each consumer re-scans events (the
+        // q_text_rarity two-consumer discipline)
+        val ev = Tables.events(s, dir).select(col("user_id")).pinned
         val sketch = ev
           .select(posexplode(buckets).as(Seq("i", "bucket")))
           .groupBy(col("i"), col("bucket"))
@@ -714,13 +733,15 @@ object EventAnalytics {
     // two-proportion z-test between a reference window (first half of
     // the stream's time range) and the live window (second half) —
     // the "did the event mix shift" monitor every ingest pipeline
-    // pairs with the volume trend. All in EXACT integer arithmetic:
-    // the half-split is 2·ts < min+max (no division), and z² > 9
-    // (3σ) is cross-multiplied to
-    // (r·L − l·R)²·(R+L) > 9·R·L·(r+l)·(R+L−r−l), widened to
-    // decimal(38,0)/HUGEINT — so flags are bit-identical
-    // cross-engine, computed not asserted. One (type, half)
-    // map-side-combinable groupBy; the two one-row totals broadcast.
+    // pairs with the volume trend. The half-split is exact integer
+    // (2·ts < min+max, no division) and the dev numerator is exact
+    // decimal/HUGEINT; z² > 9 (3σ) is cross-multiplied to
+    // (r·L − l·R)²·(R+L) > 9·R·L·(r+l)·(R+L−r−l) and compared in
+    // DOUBLE over exactly-cast factors (the all-decimal form is ~N⁵
+    // — it bursts 38 digits at only ~1e8 events) — flags stay
+    // bit-identical cross-engine at any volume, computed not
+    // asserted. One (type, half) map-side-combinable groupBy; the
+    // two one-row totals broadcast.
     QueryDef.sql("q_drift_2prop", driftSql) { (s, dir) =>
       driftTwoProp(Tables.events(s, dir))
     },
