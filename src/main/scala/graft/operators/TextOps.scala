@@ -1122,10 +1122,12 @@ object TextOps {
     * final per-word symbol state `(w, syms, wcnt)` — still pinned;
     * the caller owns the unpin (train discards it, encode derives
     * from it). Words are space-joined symbol strings; the merge
-    * rewrite is a delimited string replace, whose left-to-right
-    * non-overlap semantics ('a a a' + (a,a) → 'aa a') both engines
-    * share — spec-pinned on a planted run. Word state is pinnedIter
-    * per round (loop-carried lineage must stay flat). */
+    * rewrite is an EXACT Sennrich left-to-right greedy fold over the
+    * symbol array ('a a a' + (a,a) → 'aa a', 'a b a b' + (a,b) →
+    * 'ab ab'), identical in both engines and spec-pinned on planted
+    * adjacency runs. Training stops early when no pairs remain, like
+    * learn_bpe. Word state is pinnedIter per round (loop-carried
+    * lineage must stay flat). */
   private def bpeLoop(docs: org.apache.spark.sql.DataFrame, rounds: Int)
       : (Seq[(Int, String, String, Long)], org.apache.spark.sql.DataFrame) = {
     var words = docs
@@ -1143,7 +1145,7 @@ object TextOps {
       val sy = split(col("syms"), " ")
       // fully-merged single-symbol words carry no pairs; the filter
       // also keeps `sequence` off its backwards-count trap
-      val best = words
+      val bestOpt = words
         .filter(size(sy) >= 2)
         .select(col("wcnt"),
           explode(transform(sequence(lit(0), size(sy) - 2),
@@ -1152,16 +1154,36 @@ object TextOps {
         .groupBy(col("p.a").as("a"), col("p.b").as("b"))
         .agg(sum(col("wcnt")).as("pair_count"))
         .orderBy(col("pair_count").desc, col("a"), col("b"))
-        .limit(1).collect()(0)
-      val (a, b, cnt) = (best.getString(0), best.getString(1), best.getLong(2))
-      merges += ((r, a, b, cnt))
-      val stepped = words.select(col("w"),
-        trim(call_function("replace",
-          concat(lit(" "), col("syms"), lit(" ")),
-          lit(s" $a $b "), lit(s" $a$b "))).as("syms"),
-        col("wcnt")).pinnedIter
-      Materialize.unpin(words)
-      words = stepped
+        .limit(1).collect().headOption
+      bestOpt match {
+        case None =>
+          // no symbol pairs remain (every trainable word fully
+          // merged): stop with fewer merges, like learn_bpe — the
+          // oracle chain agrees structurally (an empty bK CTE emits
+          // no merge row and its NULL-pattern fold rewrites nothing)
+          return (merges.result(), words)
+        case Some(best) =>
+          val (a, b, cnt) =
+            (best.getString(0), best.getString(1), best.getLong(2))
+          merges += ((r, a, b, cnt))
+          // exact Sennrich left-to-right greedy merge over the symbol
+          // array: fold each token onto the accumulator string,
+          // gluing b onto a trailing exact-token a. The former
+          // delimited string replace silently SKIPPED an occurrence
+          // sharing its leading delimiter with the previous match
+          // ('a b a b' merged to 'ab a b', and a self-pair run of 6
+          // lost a merge entirely) — both engines now run this fold,
+          // planted-spec-pinned on the adjacency cases.
+          val stepped = words.select(col("w"),
+            aggregate(slice(sy, lit(2), size(sy) - 1), element_at(sy, 1),
+              (acc, t) => when(t === lit(b) &&
+                  (acc === lit(a) || acc.endsWith(lit(" " + a))),
+                concat(acc, lit(b))).otherwise(concat(acc, lit(" "), t)))
+              .as("syms"),
+            col("wcnt")).pinnedIter
+          Materialize.unpin(words)
+          words = stepped
+      }
     }
     (merges.result(), words)
   }
@@ -1211,7 +1233,7 @@ object TextOps {
     * as chained CTEs (the pqTrain pattern). Each round re-derives
     * pair counts from the previous word state, elects the best pair
     * with the same (count DESC, a, b) order, and applies the same
-    * delimited replace — tie-breaks, merge rewrites and counts are
+    * greedy symbol fold — tie-breaks, merge rewrites and counts are
     * bit-identical across engines by construction. Every w/b CTE is
     * MATERIALIZED: each is referenced more than once (wK feeds both
     * p(K+1) and w(K+1); bK feeds wK's three scalar subqueries and the
@@ -1241,11 +1263,13 @@ object TextOps {
          |  FROM p$k GROUP BY a, b
          |  ORDER BY pair_count DESC, a, b LIMIT 1),
          |w$k AS MATERIALIZED (
-         |  SELECT w, trim(replace(' ' || syms || ' ',
-         |           ' ' || (SELECT a FROM b$k) || ' ' || (SELECT b FROM b$k) || ' ',
-         |           ' ' || (SELECT a FROM b$k) || (SELECT b FROM b$k) || ' ')) AS syms,
+         |  SELECT w, list_reduce(string_split(syms, ' '),
+         |           (acc, t) -> CASE WHEN t = mb.b AND (acc = mb.a
+         |                             OR ends_with(acc, ' ' || mb.a))
+         |                       THEN acc || mb.b
+         |                       ELSE acc || ' ' || t END) AS syms,
          |         wcnt
-         |  FROM w${k - 1})""".stripMargin
+         |  FROM w${k - 1} LEFT JOIN b$k mb ON TRUE)""".stripMargin
     }.mkString(",\n")
     s"""w0 AS MATERIALIZED (
        |  SELECT w, array_to_string(list_transform(range(length(w)),

@@ -65,6 +65,6 @@ class SparkEntrySpec extends SparkSpec {
     assert(o("q_source_cap").contains(
       s"rnk <= ${operators.CurationOps.SourceCap}"))
     assert(o("q_select_dsir").contains(
-      s"+ ${operators.CurationOps.DsirBuckets}) AS DOUBLE"))
+      s"+ ${operators.CurationOps.DsirBuckets} AS DOUBLE"))
   }
 }

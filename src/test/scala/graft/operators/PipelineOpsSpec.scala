@@ -1557,6 +1557,40 @@ class PipelineOpsSpec extends SparkSpec {
     assert(gate.forall(r => r.getLong(2) >= r.getLong(1)))
   }
 
+  test("bpe merge folds BOTH delimiter-sharing adjacent occurrences " +
+    "and keeps every merge on self-pair runs (exact Sennrich greedy)") {
+    import spark.implicits._
+    // the former delimited string replace missed the second ' a b '
+    // in ' a b a b ' (shared middle space: 'abab' became 'ab a b')
+    // and lost a merge on a self-pair run of 6 — these two planted
+    // corpora pin the exact greedy fold
+    val fixture = Seq((0L, "ab ab ab abab")).toDF("doc_id", "text")
+    // round 1 merges (a,b) [count 5]; "abab" must become 'ab ab':
+    // 4 words, 1+1+1+2 = 5 tokens
+    val enc = TextOps.bpeEncode(fixture, 1).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(enc.toSeq == Seq((0L, 4L, 5L)), enc.mkString(","))
+    // self-pair run: round 1 merges (a,a) [count 6]; 'aaaaaa' must
+    // become 'aa aa aa' (3 tokens; the delimited form yielded
+    // 'aa a aa a' = 4): 2 words, 3 + 1 = 4 tokens
+    val runs = Seq((0L, "aaaaaa aa")).toDF("doc_id", "text")
+    val enc2 = TextOps.bpeEncode(runs, 1).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(enc2.toSeq == Seq((0L, 2L, 4L)), enc2.mkString(","))
+  }
+
+  test("bpe train stops early, like learn_bpe, when no symbol pairs " +
+    "remain instead of crashing on an empty election") {
+    import spark.implicits._
+    // one trainable word type: "ab" fully merges in round 1; rounds 2
+    // and 3 have NO pairs left anywhere — the loop must return one
+    // merge, not throw on an empty best-pair frame
+    val fixture = Seq((0L, "ab ab x")).toDF("doc_id", "text")
+    val got = TextOps.bpeTrain(fixture, 3).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(got.toSeq == Seq((1, "a", "b", 2L)), got.mkString(","))
+  }
+
   test("media dedup tiers: planted payloads separate exact dups, " +
     "perceptual (same decoded fingerprint) dups, and uniques") {
     import spark.implicits._
