@@ -567,17 +567,23 @@ object DedupOps {
     * document keeps an empty string.
     */
   def paragraphRewrite(docs: DataFrame): DataFrame = {
+    import Materialize.PinOps
     val firstWins = org.apache.spark.sql.expressions.Window
       .partitionBy(col("h")).orderBy(col("doc_id"), col("idx"))
-    val decisions = paragraphHashes(spread(docs))
+    // ONE spread + tokenize pass pinned for both consumers — the
+    // hash/decision side and the text rebuild each derive from it
+    // (unpinned, the corpus was spread AND re-tokenized twice; the
+    // jaccardPairs shared-shingle-frame discipline)
+    val tok = spread(docs)
+      .select(col("doc_id"), tokens(col("text")).as("t")).pinned
+    val decisions = paragraphHashesFromTokens(tok)
       .withColumn("keep", row_number().over(firstWins) === 1)
       .groupBy(col("doc_id"))
       // when-without-otherwise nulls are skipped by collect_list, so
       // a fully-dropped doc aggregates to an EMPTY kept-idx array
       .agg(sort_array(collect_list(when(col("keep"), col("idx"))))
         .as("kept_idx"))
-    spread(docs)
-      .select(col("doc_id"), tokens(col("text")).as("t"))
+    tok
       .join(decisions, Seq("doc_id"), "left_outer")
       .select(col("doc_id"),
         coalesce(size(col("kept_idx")), lit(0)).cast("bigint").as("n_kept"),
@@ -1712,15 +1718,10 @@ object DedupOps {
     // bounded window per cluster.
     QueryDef.sql(
       "q_dedup_keep_best",
-      s"""WITH RECURSIVE $candidateCtes,
-         |edges AS (SELECT a AS src, b AS dst FROM cand
-         |          UNION ALL SELECT b, a FROM cand),
-         |reach(src, dst) AS (
-         |  SELECT doc_id, doc_id FROM documents
-         |  UNION
-         |  SELECT r.src, e.dst FROM reach r JOIN edges e ON e.src = r.dst),
-         |lab AS (SELECT src AS doc_id, min(dst) AS cluster_id
-         |        FROM reach GROUP BY src)
+      // composes on the SHARED clusterLabelCtes (the leakage-safe
+      // split's pattern) — a closure retune cannot leave an inline
+      // copy of the label definition behind here
+      s"""WITH RECURSIVE $clusterLabelCtes
          |SELECT d.doc_id, l.cluster_id, d.n_chars,
          |       row_number() OVER (PARTITION BY l.cluster_id
          |                          ORDER BY d.n_chars DESC, d.doc_id) = 1 AS keep
