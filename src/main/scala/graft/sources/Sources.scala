@@ -131,6 +131,51 @@ object Sources {
 
   private def versionName(tableName: String, v: Int) = s"${tableName}__v$v"
 
+  /** Normalize a caller's name for the VERSIONED-table surface: parse
+    * through the session's identifier rules and LOWERCASE (the
+    * catalog stores identifiers lowercased under the default
+    * case-insensitive resolution, so a mixed-case caller would match
+    * the catalog's `mytable__v1` against a `MyTable__v` prefix, see
+    * NO versions, and blind every guard built on the version list —
+    * the orphan refusal, the reclaim sweep, retention). Versioned
+    * tables are current-database scoped: a foreign-database qualifier
+    * is refused loudly rather than silently splitting the pointer
+    * view and its version tables across catalogs and filesystem
+    * paths (pointTo/creationMarker build single-part identifiers). */
+  private def versionedBase(spark: SparkSession, tableName: String): String = {
+    val ident = spark.sessionState.sqlParser.parseTableIdentifier(tableName)
+    val cur = spark.catalog.currentDatabase
+    ident.database.foreach(db => require(db.equalsIgnoreCase(cur),
+      s"versioned table `$tableName` must live in the current " +
+        s"database `$cur` — the pointer view and its version tables " +
+        "are current-database scoped; USE the database first"))
+    ident.table.toLowerCase(java.util.Locale.ROOT)
+  }
+
+  /** The no-pointer-but-complete-versions ambiguity guard shared by
+    * every path that would CREATE over such orphans (append's lazy
+    * create, swap on an absent table): a marker-proven single v1 is
+    * our own crashed create (safe to reclaim — the at-least-once
+    * caller re-delivers its batch); anything else may be a crashed
+    * plain→versioned upgrade's SOLE surviving copy and must be
+    * refused loudly for the operator to adopt or discard. */
+  private def refuseUnadoptedOrphans(spark: SparkSession,
+      tableName: String, caller: String): Unit = {
+    val marker = creationMarker(spark, tableName)
+    val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val orphans = tableVersions(spark, tableName)
+    val selfCrashed = orphans == Seq(1) && fs.exists(marker)
+    require(orphans.isEmpty || selfCrashed,
+      s"$caller: `$tableName` has no pointer view but " +
+        s"complete version(s) ${orphans.mkString(",")} exist — " +
+        "refusing to write over them. If this is a crashed " +
+        "plain->versioned upgrade, recover its data with " +
+        s"Sources.adoptVersion(spark, \"$tableName\", " +
+        s"${orphans.lastOption.getOrElse(1)}); if it is an " +
+        "abandoned first swap, discard it with " +
+        s"Sources.dropVersioned(spark, \"$tableName\").")
+  }
+
   /** Writer mutual exclusion, per table, within this driver JVM: the
     * mutators ([[appendBucketed]], [[swapBucketed]],
     * [[compactBucketed]]) serialize on a per-table monitor, so an
@@ -219,12 +264,13 @@ object Sources {
   /** All existing version numbers of `tableName`, ascending —
     * catalog-registered (hence complete) versions only. */
   def tableVersions(spark: SparkSession, tableName: String): Seq[Int] = {
+    val base = versionedBase(spark, tableName)
     val db = spark.catalog.currentDatabase
-    spark.sessionState.catalog.listTables(db, s"${tableName}__v*")
+    spark.sessionState.catalog.listTables(db, s"${base}__v*")
       .flatMap { id =>
         val n = id.table
-        if (n.startsWith(s"${tableName}__v"))
-          n.substring(tableName.length + 3).toIntOption
+        if (n.startsWith(s"${base}__v"))
+          n.substring(base.length + 3).toIntOption
         else None
       }.sorted
   }
@@ -235,7 +281,7 @@ object Sources {
     import org.apache.spark.sql.catalyst.TableIdentifier
     import org.apache.spark.sql.catalyst.catalog.CatalogTableType
     val cat = spark.sessionState.catalog
-    val id = TableIdentifier(tableName)
+    val id = TableIdentifier(versionedBase(spark, tableName))
     if (!cat.tableExists(id)) None
     else {
       val meta = cat.getTableMetadata(id)
@@ -251,14 +297,16 @@ object Sources {
     * version for a versioned table, the name itself for a plain
     * table. This is where appends land and where optimizer statistics
     * belong ([[graft.operators.Analytics]] resolves through it). */
-  def physicalName(spark: SparkSession, tableName: String): String =
-    currentVersion(spark, tableName)
-      .map(versionName(tableName, _)).getOrElse(tableName)
+  def physicalName(spark: SparkSession, tableName: String): String = {
+    val base = versionedBase(spark, tableName)
+    currentVersion(spark, base)
+      .map(versionName(base, _)).getOrElse(base)
+  }
 
   /** Read version `v` of a versioned table — the as-of read over the
     * versions [[swapBucketed]]/[[compactBucketed]] retain. */
   def readVersion(spark: SparkSession, tableName: String, v: Int): DataFrame =
-    spark.table(versionName(tableName, v))
+    spark.table(versionName(versionedBase(spark, tableName), v))
 
   /** Point `tableName` at an EXISTING complete version — the manual
     * recovery action when a crash left complete versions with no
@@ -268,7 +316,8 @@ object Sources {
     * losing the upgrade survivor. Refuses to clobber a live PLAIN
     * table (that is [[swapBucketed]]'s upgrade job, which preserves
     * its rows). */
-  def adoptVersion(spark: SparkSession, tableName: String, v: Int): Unit =
+  def adoptVersion(spark: SparkSession, rawName: String, v: Int): Unit = {
+    val tableName = versionedBase(spark, rawName)
     // same writer lock as the swap/append/compact mutators: a manual
     // recovery repoint racing an in-flight swap's derive→commit gap
     // would be silently overwritten by the swap's flip — the exact
@@ -282,6 +331,7 @@ object Sources {
           "swapBucketed instead of pointing over it")
       pointTo(spark, tableName, v)
     }
+  }
 
   private def pointTo(spark: SparkSession, tableName: String, v: Int): Unit = {
     // repoint with ALTER VIEW AS — ONE alterTable of the view's
@@ -299,7 +349,8 @@ object Sources {
   /** Drop a versioned table completely: pointer view, every retained
     * version, and (for pre-versioned callers) a plain table of the
     * same name. The teardown [[dropManaged]] is for plain tables. */
-  def dropVersioned(spark: SparkSession, tableName: String): Unit = {
+  def dropVersioned(spark: SparkSession, rawName: String): Unit = {
+    val tableName = versionedBase(spark, rawName)
     if (currentVersion(spark, tableName).isDefined)
       spark.sql(s"DROP VIEW IF EXISTS `$tableName`")
     else dropManaged(spark, tableName)
@@ -360,13 +411,15 @@ object Sources {
     * with no stats to maintain): Observation.get waits on the async
     * listener bus, a per-trigger latency a streaming ingest should
     * only pay when the count is actually consumed. */
-  def appendBucketed(batch: DataFrame, tableName: String,
+  def appendBucketed(batch: DataFrame, rawName: String,
       bucketCols: Seq[String], numBuckets: Int,
-      observeCount: Boolean = true): Long =
+      observeCount: Boolean = true): Long = {
+    val tableName = versionedBase(batch.sparkSession, rawName)
     withWriterLock(batch.sparkSession, tableName) {
       appendBucketedLocked(batch, tableName, bucketCols, numBuckets,
         observeCount)
     }
+  }
 
   private def appendBucketedLocked(batch: DataFrame, tableName: String,
       bucketCols: Seq[String], numBuckets: Int,
@@ -387,20 +440,10 @@ object Sources {
         // flip left the table's ONLY copy of must-not-reset data
         // (no marker). Silently dropping THAT would turn the
         // documented "briefly not-found" upgrade window into data
-        // LOSS, so fail loudly and let the operator decide:
-        // [[adoptVersion]] if the orphan is the upgrade survivor,
-        // [[dropVersioned]] if it is swap garbage to discard.
-        val orphans = tableVersions(spark, tableName)
-        val selfCrashed = orphans == Seq(1) && markerFs.exists(marker)
-        require(orphans.isEmpty || selfCrashed,
-          s"appendBucketed: `$tableName` has no pointer view but " +
-            s"complete version(s) ${orphans.mkString(",")} exist — " +
-            "refusing to create over them. If this is a crashed " +
-            "plain->versioned upgrade, recover its data with " +
-            s"Sources.adoptVersion(spark, \"$tableName\", " +
-            s"${orphans.lastOption.getOrElse(1)}); if it is an " +
-            "abandoned first swap, discard it with " +
-            s"Sources.dropVersioned(spark, \"$tableName\").")
+        // LOSS, so the SHARED guard fails loudly and lets the
+        // operator decide: [[adoptVersion]] for the upgrade survivor,
+        // [[dropVersioned]] for swap garbage to discard.
+        refuseUnadoptedOrphans(spark, tableName, "appendBucketed")
         // mark the creation IN FLIGHT before any write, so a crash
         // anywhere below leaves evidence the next create may trust
         markerFs.create(marker, true).close()
@@ -498,14 +541,16 @@ object Sources {
     * view created — the one transition with a (one-time) not-found
     * window; tables born through this API never have one. A crash
     * INSIDE that window leaves the state solely in the complete
-    * unflipped version — recoverable, not lost: [[appendBucketed]]
-    * refuses to create over such orphans and [[adoptVersion]] flips
-    * the pointer to them. */
-  def swapBucketed(df: DataFrame, tableName: String,
-      bucketCols: Seq[String], numBuckets: Int, retain: Int = 2): Unit =
+    * unflipped version — recoverable, not lost: BOTH
+    * [[appendBucketed]] and this method refuse to write over such
+    * orphans, and [[adoptVersion]] flips the pointer to them. */
+  def swapBucketed(df: DataFrame, rawName: String,
+      bucketCols: Seq[String], numBuckets: Int, retain: Int = 2): Unit = {
+    val tableName = versionedBase(df.sparkSession, rawName)
     withWriterLock(df.sparkSession, tableName) {
       swapBucketedLocked(df, tableName, bucketCols, numBuckets, retain)
     }
+  }
 
   private def swapBucketedLocked(df: DataFrame, tableName: String,
       bucketCols: Seq[String], numBuckets: Int, retain: Int): Unit = {
@@ -514,6 +559,15 @@ object Sources {
     val spark = df.sparkSession
     val cur = currentVersion(spark, tableName)
     val legacyPlain = cur.isEmpty && spark.catalog.tableExists(tableName)
+    // no pointer, no plain table, yet complete versions exist: this
+    // may be a crashed plain->versioned upgrade whose sole surviving
+    // copy is the unflipped version — the reclaim below would DESTROY
+    // it and a re-derived df may even read from it. The shared guard
+    // refuses loudly (adoptVersion recovers, dropVersioned discards),
+    // exactly the contract the scaladoc promises; a marker-proven
+    // self-crashed append create passes and is reclaimed as garbage.
+    if (cur.isEmpty && !legacyPlain)
+      refuseUnadoptedOrphans(spark, tableName, "swapBucketed")
     // reclaim versions NEWER than the pointer: complete-but-unflipped
     // leftovers of a swap that died before its pointTo — that swap
     // never happened (its derivation is re-run now), so its output is
@@ -592,9 +646,10 @@ object Sources {
     * the fragmented prior version stays readable as-of until
     * retention drops it. The maintenance companion every appended
     * stored artifact needs at 100 TB; run it off the serving path. */
-  def compactBucketed(spark: SparkSession, tableName: String,
-      bucketCols: Seq[String], numBuckets: Int, retain: Int = 2): Unit =
-      withWriterLock(spark, tableName) {
+  def compactBucketed(spark: SparkSession, rawName: String,
+      bucketCols: Seq[String], numBuckets: Int, retain: Int = 2): Unit = {
+    val tableName = versionedBase(spark, rawName)
+    withWriterLock(spark, tableName) {
     // the file listing must sit under the same writer lock as the
     // inner swap (monitors are reentrant): listed-then-dropped files
     // from a concurrent swap's retention sweep would fail the rewrite
@@ -605,5 +660,6 @@ object Sources {
     swapBucketed(
       spark.read.schema(phys.schema).parquet(phys.inputFiles: _*),
       tableName, bucketCols, numBuckets, retain)
+    }
   }
 }

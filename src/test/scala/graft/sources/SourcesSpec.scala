@@ -619,6 +619,61 @@ class SourcesSpec extends SparkSpec {
     } finally Sources.dropVersioned(spark, "upgrade_crash_test")
   }
 
+  test("swapBucketed ALSO refuses to write over a crashed upgrade's " +
+    "pointerless survivor instead of reclaiming it as swap garbage") {
+    val nBuckets = 2
+    val data = (0L until 8L).map(i => (i % 2, 7L)).toDF("a", "b")
+    // the same crash window as the append refusal: __v1 complete, no
+    // plain table, no pointer, no creation marker — the swap's
+    // newer-than-pointer reclaim (curV = 0) would have deleted the
+    // sole surviving copy BEFORE the new write evaluated
+    Sources.writeBucketed(
+      data.repartition(nBuckets, col("a")),
+      "swap_orphan_test__v1", Seq("a"), nBuckets)
+    try {
+      val e = intercept[IllegalArgumentException] {
+        Sources.swapBucketed(data, "swap_orphan_test", Seq("a"), nBuckets)
+      }
+      assert(e.getMessage.contains("adoptVersion"),
+        "the refusal must name the recovery action")
+      assert(spark.catalog.tableExists("swap_orphan_test__v1") &&
+        spark.table("swap_orphan_test__v1").count() == 8L,
+        "the refused swap must leave the survivor untouched")
+      // after adoption, swaps proceed normally on the recovered chain
+      Sources.adoptVersion(spark, "swap_orphan_test", 1)
+      Sources.swapBucketed(
+        spark.table("swap_orphan_test")
+          .select(col("a"), (col("b") + 1L).as("b")),
+        "swap_orphan_test", Seq("a"), nBuckets)
+      assert(Sources.currentVersion(spark, "swap_orphan_test").contains(2))
+    } finally Sources.dropVersioned(spark, "swap_orphan_test")
+  }
+
+  test("versioned-table names resolve like the catalog: mixed case is " +
+    "one table, and a foreign-database qualifier is refused loudly") {
+    val nBuckets = 2
+    val data = (0L until 4L).map(i => (i % 2, 1L)).toDF("a", "b")
+    try {
+      Sources.swapBucketed(data, "CaseTable", Seq("a"), nBuckets)
+      // the catalog stores lowercase; every casing must see the chain
+      // (a case-sensitive prefix match returned NOTHING here, blinding
+      // the orphan/reclaim/retention guards built on the list)
+      assert(Sources.tableVersions(spark, "CASETABLE") == Seq(1))
+      assert(Sources.tableVersions(spark, "casetable") == Seq(1))
+      assert(Sources.currentVersion(spark, "CaseTable").contains(1))
+      // second swap through a DIFFERENT casing continues the SAME chain
+      Sources.swapBucketed(data, "casetable", Seq("a"), nBuckets)
+      assert(Sources.currentVersion(spark, "CASEtable").contains(2))
+      // current-database qualifier is accepted; a foreign one refused
+      val db = spark.catalog.currentDatabase
+      assert(Sources.tableVersions(spark, s"$db.casetable") == Seq(1, 2))
+      val e = intercept[IllegalArgumentException] {
+        Sources.tableVersions(spark, "otherdb.casetable")
+      }
+      assert(e.getMessage.contains("current"), e.getMessage)
+    } finally Sources.dropVersioned(spark, "casetable")
+  }
+
   test("appendBucketed's OWN crashed create self-heals: the in-flight " +
     "marker + a complete pointerless __v1 is reclaimed (the batch is " +
     "re-delivered), recreated, and the marker cleaned up") {
@@ -695,7 +750,7 @@ class SourcesSpec extends SparkSpec {
           (0L until 4L).map(i => (i % 2, 2L)).toDF("a", "b"),
           t, Seq("a"), nBuckets)
       }
-      assert(e.getMessage.contains("refusing to create over them"))
+      assert(e.getMessage.contains("refusing to write over them"))
     } finally Sources.dropVersioned(spark, t)
   }
 
