@@ -304,9 +304,16 @@ object Relational {
         .select(col("event_type"),
           when(col("event_id") % 37 === 0, concat(lit("x"), col("props")))
             .otherwise(col("props")).as("props"))
-      val ok = from_json(col("props"), "_corrupt_record STRING",
-        Map("columnNameOfCorruptRecord" -> "_corrupt_record"))
-        .getField("_corrupt_record").isNull
+      // NULL props must quarantine on BOTH sides: from_json(NULL)
+      // yields a null struct whose corrupt field isNull reads TRUE
+      // (valid), while DuckDB's json_valid(NULL) is NULL → ELSE →
+      // quarantined — the isNotNull guard closes the fork (the corpus
+      // contract pins props non-null today; this is the same
+      // future-shape hardening as the predicate-parity note above)
+      val ok = col("props").isNotNull &&
+        from_json(col("props"), "_corrupt_record STRING",
+          Map("columnNameOfCorruptRecord" -> "_corrupt_record"))
+          .getField("_corrupt_record").isNull
       dirty
         .select(col("event_type"), ok.as("ok"),
           get_json_object(col("props"), "$.k").cast("long").as("k"))
@@ -605,23 +612,10 @@ object Relational {
     // data-dependent, which no downstream contract wants). One
     // source-keyed shuffle with map-side partial aggregation; the
     // matrix is |sources|×|langs|, dashboard-sized at any volume.
-    QueryDef.sql(
-      "q_pivot_source_lang",
-      """SELECT source,
-        |       CAST(coalesce(sum(CASE WHEN lang = 'de' THEN 1 END), 0) AS BIGINT) AS de,
-        |       CAST(coalesce(sum(CASE WHEN lang = 'en' THEN 1 END), 0) AS BIGINT) AS en,
-        |       CAST(coalesce(sum(CASE WHEN lang = 'es' THEN 1 END), 0) AS BIGINT) AS es,
-        |       CAST(coalesce(sum(CASE WHEN lang = 'fr' THEN 1 END), 0) AS BIGINT) AS fr,
-        |       CAST(coalesce(sum(CASE WHEN lang = 'zh' THEN 1 END), 0) AS BIGINT) AS zh
-        |FROM documents GROUP BY source""".stripMargin) {
-      (s, dir) =>
-        val langs = Seq("de", "en", "es", "fr", "zh")
-        val pivoted = t(s, dir, "documents")
-          .groupBy(col("source"))
-          .pivot("lang", langs)
-          .agg(count(lit(1)))
-        pivoted.select(col("source") +:
-          langs.map(l => coalesce(col(l), lit(0L)).as(l)): _*)
+    // Body and SQL fragment are SHARED with q_unpivot (pivotWide /
+    // pivotWideSql) — the round-trip pair cannot desynchronize.
+    QueryDef.sql("q_pivot_source_lang", pivotWideSql) {
+      (s, dir) => pivotWide(t(s, dir, "documents"))
     },
 
     // Native UNPIVOT (Spark 4's `Dataset.unpivot`/melt — the inverse
@@ -630,28 +624,40 @@ object Relational {
     // BOTH reshapes pins that neither direction loses or invents
     // cells (zero-count cells materialize explicitly in the wide
     // form and survive the melt). Unpivot is an Expand — map-side,
-    // no extra shuffle beyond the pivot's own aggregate.
+    // no extra shuffle beyond the pivot's own aggregate. The wide
+    // form is the SHARED pivotWide/pivotWideSql.
     QueryDef.sql(
       "q_unpivot",
-      """WITH w AS (SELECT source,
-        |       CAST(coalesce(sum(CASE WHEN lang = 'de' THEN 1 END), 0) AS BIGINT) AS de,
-        |       CAST(coalesce(sum(CASE WHEN lang = 'en' THEN 1 END), 0) AS BIGINT) AS en,
-        |       CAST(coalesce(sum(CASE WHEN lang = 'es' THEN 1 END), 0) AS BIGINT) AS es,
-        |       CAST(coalesce(sum(CASE WHEN lang = 'fr' THEN 1 END), 0) AS BIGINT) AS fr,
-        |       CAST(coalesce(sum(CASE WHEN lang = 'zh' THEN 1 END), 0) AS BIGINT) AS zh
-        |FROM documents GROUP BY source)
-        |SELECT source, lang, cnt
-        |FROM w UNPIVOT INCLUDE NULLS (cnt FOR lang IN (de, en, es, fr, zh))""".stripMargin) {
+      s"""WITH w AS ($pivotWideSql)
+         |SELECT source, lang, cnt
+         |FROM w UNPIVOT INCLUDE NULLS (cnt FOR lang IN (${
+        PivotLangs.mkString(", ")}))""".stripMargin) {
       (s, dir) =>
-        val langs = Seq("de", "en", "es", "fr", "zh")
-        val pivoted = t(s, dir, "documents")
-          .groupBy(col("source"))
-          .pivot("lang", langs)
-          .agg(count(lit(1)))
-          .select(col("source") +:
-            langs.map(l => coalesce(col(l), lit(0L)).as(l)): _*)
-        pivoted.unpivot(Array(col("source")), langs.map(col).toArray,
-          "lang", "cnt")
+        pivotWide(t(s, dir, "documents"))
+          .unpivot(Array(col("source")), PivotLangs.map(col).toArray,
+            "lang", "cnt")
     }
   )
+
+  /** The fixed pivot language set + wide cross-tab shared by
+    * q_pivot_source_lang and q_unpivot: ONE Spark body and ONE SQL
+    * fragment, so the reshape round-trip pair cannot desynchronize
+    * (adding a language or retuning the zero-fill in one gate and
+    * not the other). Defs, not vals — `all` reads them during object
+    * init (the oracle-def convention). */
+  private def PivotLangs: Seq[String] = Seq("de", "en", "es", "fr", "zh")
+
+  private def pivotWideSql: String =
+    "SELECT source,\n" + PivotLangs.map(l =>
+      s"       CAST(coalesce(sum(CASE WHEN lang = '$l' THEN 1 END), 0)" +
+        s" AS BIGINT) AS $l").mkString(",\n") +
+      "\nFROM documents GROUP BY source"
+
+  private def pivotWide(
+      d: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    d.groupBy(col("source"))
+      .pivot("lang", PivotLangs)
+      .agg(count(lit(1)))
+      .select(col("source") +:
+        PivotLangs.map(l => coalesce(col(l), lit(0L)).as(l)): _*)
 }
