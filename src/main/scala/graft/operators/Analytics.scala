@@ -551,8 +551,9 @@ object Analytics {
     pre.foreach { st =>
       val oldRows = st.rowCount.map(_.toLong).getOrElse(0L)
       val newRows = oldRows + appendedRows
-      val baseline = meta.properties.get(AnalyzedRowsProp)
-        .flatMap(_.toLongOption).getOrElse(oldRows)
+      val recorded = meta.properties.get(AnalyzedRowsProp)
+        .flatMap(_.toLongOption)
+      val baseline = recorded.getOrElse(oldRows)
       // max(1, ...) keeps an analyzed-at-empty baseline from pinning
       // the bump path forever (0 + 0.5*0 would never trigger)
       val threshold =
@@ -560,6 +561,18 @@ object Analytics {
       if (appendedRows > 0 && newRows >= threshold) {
         analyzeTable(spark, tableName, exact = false)
       } else if (appendedRows > 0) {
+        // a table ANALYZEd outside this module has no recorded
+        // baseline: anchor it at the FIRST pre-append count or the
+        // fallback re-derives from the already-bumped count every
+        // trigger — a moving target that never reaches the threshold
+        // for any ingest appending < the fraction per trigger, so the
+        // documented bounded NDV/min-max drift would silently never
+        // hold. Property write FIRST (the fetched meta's stats field
+        // is stale; writing it after alterTableStats would clobber
+        // the fresh numbers).
+        if (recorded.isEmpty)
+          cat.alterTable(meta.copy(properties =
+            meta.properties + (AnalyzedRowsProp -> oldRows.toString)))
         val newSize =
           if (oldRows > 0)
             st.sizeInBytes * BigInt(newRows) / BigInt(oldRows)
