@@ -202,6 +202,11 @@ object Multimodal {
     * election, a near dup if it survives exact but loses the
     * perceptual election. */
   def mediaDedup(docs: DataFrame, decoded: DataFrame): DataFrame = {
+    import Materialize.PinOps
+    // pinned: m feeds THREE plan branches (exact tier, perceptual
+    // tier, join-back) — unpinned, each re-runs decoded's lineage,
+    // i.e. the full per-doc PNG encode + ImageIO decode of the
+    // corpus, three times per execution
     val m = docs
       .select(col("doc_id"),
         sha2(encode(col("text"), "UTF-8"), 256).as("content_hash"))
@@ -210,6 +215,7 @@ object Multimodal {
           col("width").cast("string"), lit(":"),
           col("height").cast("string"), lit(":"),
           col("px_sum").cast("string"))).as("phash")), "doc_id")
+      .pinned
     val exact = m.groupBy(col("content_hash"))
       .agg(min(col("doc_id")).as("exact_keep"))
     val perceptual = m.groupBy(col("phash"))
