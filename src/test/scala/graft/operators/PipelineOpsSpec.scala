@@ -3249,11 +3249,13 @@ class PipelineOpsSpec extends SparkSpec {
       .map(r => r.getString(0) -> r.getInt(4)).toMap
     assert(planted == Map("steady" -> 0, "bulk" -> 0,
       "surge" -> 1, "fade" -> 1))
-    // gate replay at sf0.001: every column from exact JVM integers
+    // gate replay at sf0.001: dev from exact JVM integers (BigInt,
+    // cast to double exactly as the gate's decimal->double), the z²
+    // comparison in DOUBLE with the gate's factor-cast multiply tree
     val sf = "/root/testdata/sf0.001"
     val got = graft.SparkEntry.queries("q_drift_2prop")(spark, sf)
       .collect().map(r => r.getString(0) ->
-        (r.getLong(1), r.getLong(2), r.getLong(3), r.getInt(4))).toMap
+        (r.getLong(1), r.getLong(2), r.getDouble(3), r.getInt(4))).toMap
     val ev = graft.Tables.events(spark, sf)
       .select(col("event_type"), col("ts_us")).collect()
       .map(r => (r.getString(0), r.getLong(1)))
@@ -3263,10 +3265,11 @@ class PipelineOpsSpec extends SparkSpec {
     }.toMap
     val (rt, lt) = (c.values.map(_._1).sum, c.values.map(_._2).sum)
     val expect = c.map { case (tpe, (r, l)) =>
-      val dev = BigInt(r) * lt - BigInt(l) * rt
-      val drift = if (dev * dev * (rt + lt) >
-        BigInt(9) * rt * lt * (r + l) * (rt + lt - r - l)) 1 else 0
-      tpe -> (r, l, dev.toLong, drift)
+      val dev = (BigInt(r) * lt - BigInt(l) * rt).toDouble
+      val drift = if (dev * dev * (rt + lt).toDouble >
+        9.0 * rt.toDouble * lt.toDouble * (r + l).toDouble *
+          (rt + lt - r - l).toDouble) 1 else 0
+      tpe -> (r, l, dev, drift)
     }
     assert(got == expect, "drift columns diverge from the JVM replay")
   }
