@@ -27,9 +27,13 @@ import org.apache.spark.sql.types.IntegerType
   *     the cap — `>= 0` is exactly `distance <= k`.
   *
   * Null semantics are unchanged: any null input makes both the
-  * original and rewritten predicate null. The rewrite only fires on
-  * an UNBOUNDED Levenshtein (threshold = None), so its own output
-  * never re-matches. `levenshtein(a,b) < k` rewrites through the
+  * original and rewritten predicate null — including a NULL
+  * THRESHOLD, which needs an explicit IsNull guard around the capped
+  * conjunct because Spark's thresholded Levenshtein unboxes a null
+  * cap to 0 and returns a non-null -1 (And(NULL, FALSE) would read
+  * FALSE, flipping rows under a NOT above the comparison). The
+  * rewrite only fires on an UNBOUNDED Levenshtein (threshold =
+  * None), so its own output never re-matches. `levenshtein(a,b) < k` rewrites through the
   * equivalent `<= k-1` (integer distances). Strict upper bounds from
   * either side (`k >= lev`, `k > lev`) are normalized the same way.
   *
@@ -52,10 +56,23 @@ object PushLevenshteinScreen extends Rule[LogicalPlan] {
       k.dataType == IntegerType
 
   private def screened(a: Expression, b: Expression, t: Expression)
-      : Expression =
+      : Expression = {
+    val capped = GreaterThanOrEqual(Levenshtein(a, b, Some(t)), Literal(0))
+    // null-threshold guard: Spark's thresholded Levenshtein UNBOXES a
+    // null cap to 0 (verified against the 4.1.2 bytecode), so the
+    // capped conjunct would read non-null FALSE where the original
+    // predicate was NULL — And(NULL, FALSE) = FALSE, which diverges
+    // from NULL under a NOT above the rewritten comparison. The If
+    // restores null-in-null-out; skipped when the cap cannot be null.
+    val nullSafe =
+      if (t.nullable)
+        If(IsNull(t),
+          Literal(null, org.apache.spark.sql.types.BooleanType), capped)
+      else capped
     And(
       LessThanOrEqual(Abs(Subtract(Length(a), Length(b))), t),
-      GreaterThanOrEqual(Levenshtein(a, b, Some(t)), Literal(0)))
+      nullSafe)
+  }
 
   /** `k - 1` for the strict-bound normalization, guarded against
     * Int.MinValue underflow. Foldable k: decrement at rewrite time

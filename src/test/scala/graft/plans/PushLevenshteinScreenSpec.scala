@@ -71,6 +71,34 @@ class PushLevenshteinScreenSpec extends SparkSpec {
     assert(!got("levenshtein(a, b) <= 3").contains(("a", "abcdefgh")))
   }
 
+  test("a NULL threshold stays NULL through the rewrite: a coalesce " +
+    "over the comparison must not flip rows") {
+    // Spark's thresholded Levenshtein unboxes a null cap to 0 and
+    // returns non-null -1; without the IsNull guard the rewritten
+    // And read FALSE where the original was NULL, and
+    // coalesce(FALSE, true) wrongly DROPPED the null-k row the
+    // original coalesce(NULL, true) keeps. File-backed (the fixture
+    // note above) and coalesce-shaped — a bare NOT normalizes to the
+    // un-rewritable strict complement before the rule runs.
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_lev_nullk").toString
+    Seq(("ab", "cd", null.asInstanceOf[Integer]),
+      ("ab", "ab", Integer.valueOf(1)),
+      ("ab", "xy", Integer.valueOf(0)))
+      .toDF("a", "b", "k").write.mode("overwrite").parquet(dir)
+    val df = spark.read.parquet(dir)
+    val q = df.filter("coalesce(levenshtein(a, b) <= k, true)")
+    // original semantics: null k → TRUE (kept); 0 <= 1 kept;
+    // 2 <= 0 dropped
+    val got = q.collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(got == Set(("ab", "cd"), ("ab", "ab")),
+      s"null-threshold rows flipped: $got")
+    // and the rewrite really fired (banded DP in the plan)
+    val levs = q.queryExecution.optimizedPlan.expressions
+      .flatMap(_.collect { case l: Levenshtein => l })
+    assert(levs.nonEmpty && levs.forall(_.threshold.isDefined))
+  }
+
   test("strict bound at Int.MinValue cannot wrap: foldable k skips " +
     "the rewrite, non-foldable k short-circuits to empty") {
     // foldable degenerate bound: lev < Int.MinValue is always
