@@ -279,6 +279,11 @@ object Build {
       "participation_to_character" -> participationToCharacter,
       "name_to_known_for_title" -> nameToKnownForTitle,
       "title_to_genre" -> titleToGenre),
-      release = () => hubs.result().foreach(_.unpersist()))
+      release = () => {
+        hubs.result().foreach(_.unpersist())
+        // the stamped-frame pins behind every SurrogateIds.assign in
+        // this build — consumed once the tables above are written
+        SurrogateIds.releasePins(spark)
+      })
   }
 }

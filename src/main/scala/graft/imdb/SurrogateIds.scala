@@ -38,6 +38,65 @@ object SurrogateIds {
     * in the low 33 bits. */
   private val LocalMask = (1L << 33) - 1
 
+  /** The stamped-frame pins assign() creates, per session — the
+    * RESULT frame reads the pinned rows (re-execution could re-sample
+    * range-partition bounds and mismatch the collected offsets), so
+    * the pin cannot be dropped inside assign. Under the default
+    * localCheckpoint strategy the ContextCleaner sweeps it with the
+    * frame; under clusterSafe persist the cache entry would leak per
+    * call (nine per IMDb build) unless the OWNER of the assigned
+    * outputs calls [[releasePins]] once they are fully consumed
+    * (written, collected, or re-pinned) — Build.release does, and the
+    * Lloyd seeding releases after collecting its seed constants.
+    * Contract: call at a quiescent point; a release races only
+    * against an assign whose output is still un-consumed. */
+  private val stampedPins =
+    java.util.Collections.synchronizedList(
+      new java.util.ArrayList[(String, DataFrame)]())
+
+  private def sessionKey(spark: org.apache.spark.sql.SparkSession): String =
+    System.identityHashCode(spark).toString
+
+  /** Release every stamped-frame pin assign() created in `spark`'s
+    * session whose outputs the caller has fully consumed. */
+  def releasePins(spark: org.apache.spark.sql.SparkSession): Unit = {
+    val id = sessionKey(spark)
+    stampedPins.synchronized {
+      val it = stampedPins.iterator()
+      while (it.hasNext) {
+        val (sess, df) = it.next()
+        if (sess == id) { Materialize.unpin(df); it.remove() }
+      }
+    }
+  }
+
+  /** Run `body` and release ONLY the pins assign() creates inside it
+    * — for callers that fully consume their assigned outputs within
+    * the scope (collected to driver constants, written out). Unlike
+    * [[releasePins]] this cannot touch a pin some OTHER still-lazy
+    * computation in the session depends on (e.g. one training's
+    * release unpinning a sibling training's seed ranks mid-plan). */
+  def withScopedPins[T](spark: org.apache.spark.sql.SparkSession)(
+      body: => T): T = {
+    val before = stampedPins.synchronized {
+      val m = new java.util.IdentityHashMap[DataFrame, java.lang.Boolean]()
+      stampedPins.forEach(e => m.put(e._2, java.lang.Boolean.TRUE))
+      m
+    }
+    val out = body
+    val id = sessionKey(spark)
+    stampedPins.synchronized {
+      val it = stampedPins.iterator()
+      while (it.hasNext) {
+        val (sess, df) = it.next()
+        if (sess == id && !before.containsKey(df)) {
+          Materialize.unpin(df); it.remove()
+        }
+      }
+    }
+    out
+  }
+
   private def assignAs(df: DataFrame, idCol: String, sortCols: Seq[Column],
       idType: DataType): DataFrame = {
     // the internal stamp/offset columns would be silently REPLACED by
@@ -50,6 +109,7 @@ object SurrogateIds {
     import spark.implicits._
     val stamped = Materialize.pin(
       df.orderBy(sortCols: _*).withColumn("_mid", monotonically_increasing_id()))
+    stampedPins.add((System.identityHashCode(spark).toString, stamped))
     val perPart = stamped
       .groupBy(shiftright(col("_mid"), 33).as("_pid"))
       .agg(count(lit(1)).as("_cnt"))

@@ -652,7 +652,6 @@ object SimilarityOps {
     val dim = firstRow(0).getInt(0)
     val n = corpus.count()
     require(n >= k, s"ivfTrain: corpus has $n vectors, need at least k=$k")
-    val seedIds = stridedSeedIds(corpus, n, k).select(col("vec_id"))
     // The k×dim centroid set is index GEOMETRY, not data — it lives
     // driver-side for the whole loop (the MLlib-KMeans shape). Each
     // iteration is then exactly ONE distributed job: a map-side
@@ -664,9 +663,19 @@ object SimilarityOps {
     // join-with-previous materialization) to keep k rows in a
     // DataFrame between iterations. Output is ivfAssign's exactly
     // (spec-pinned comparator).
-    var cents: Seq[(Long, Array[Float])] = collectCentroids(
-      corpus.join(broadcast(seedIds), "vec_id")
-        .select(col("vec_id").as("centroid_id"), col("embedding").as("cv")))
+    // seed selection + collect inside a SCOPED pin release: once the
+    // seeds are driver constants, the stamped-frame pin behind the
+    // rank assignment is dead weight (one leaked cache entry per
+    // training call under clusterSafe); the scope cannot touch a
+    // sibling computation's still-lazy pins
+    var cents: Seq[(Long, Array[Float])] =
+      graft.imdb.SurrogateIds.withScopedPins(s) {
+        val seedIds = stridedSeedIds(corpus, n, k).select(col("vec_id"))
+        collectCentroids(
+          corpus.join(broadcast(seedIds), "vec_id")
+            .select(col("vec_id").as("centroid_id"),
+              col("embedding").as("cv")))
+      }
     require(cents.size == k,
       s"ivfTrain: rank-strided seeding selected ${cents.size} of $k seeds")
     (0 until iters).foreach { _ =>
