@@ -66,28 +66,41 @@ object RewriteMembershipJoin extends Rule[LogicalPlan] with PredicateHelper {
   * (`graft_cosine_sim(a, b)` and
   * `graft_winnow_select(text, k, w, posBits)` in SQL). */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  import graft.functions.{CosineSimilarity, MinhashSignature, WinnowSelect}
+  import graft.functions.{BandedLevenshtein, CharNgrams, CosineSimilarity,
+    MinhashSignature, NearestCentroid, TopKAgg, WinnowSelect, WordNgrams}
   import org.apache.spark.sql.catalyst.FunctionIdentifier
 
   def apply(e: SparkSessionExtensions): Unit = {
     e.injectOptimizerRule(_ => RewriteMembershipJoin)
     e.injectOptimizerRule(_ => PushLevenshteinScreen)
-    e.injectFunction((
-      FunctionIdentifier(CosineSimilarity.FunctionName),
-      new ExpressionInfo(classOf[CosineSimilarity].getCanonicalName,
-        CosineSimilarity.FunctionName),
-      // shared arity-guarded builder: wrong arg count is a clean
-      // WRONG_NUM_ARGS analysis error, not an IndexOutOfBounds
-      (exprs: Seq[Expression]) => CosineSimilarity.builder(exprs)))
-    e.injectFunction((
-      FunctionIdentifier(WinnowSelect.FunctionName),
-      new ExpressionInfo(classOf[WinnowSelect].getCanonicalName,
-        WinnowSelect.FunctionName),
-      (exprs: Seq[Expression]) => WinnowSelect.builder(exprs)))
-    e.injectFunction((
-      FunctionIdentifier(MinhashSignature.FunctionName),
-      new ExpressionInfo(classOf[MinhashSignature].getCanonicalName,
-        MinhashSignature.FunctionName),
-      (exprs: Seq[Expression]) => MinhashSignature.builder(exprs)))
+    // EVERY native function whose scaladoc advertises SQL-text
+    // availability ships in the spark.sql.extensions bundle — a
+    // cluster configured with this class alone must resolve them all;
+    // the per-session temp registration in each Column entry point
+    // only covers sessions that happened to go through the Column API.
+    // Shared arity-guarded builders: wrong arg count is a clean
+    // WRONG_NUM_ARGS analysis error, not an IndexOutOfBounds.
+    def inject(name: String, clazz: Class[_],
+        builder: Seq[Expression] => Expression): Unit =
+      e.injectFunction((
+        FunctionIdentifier(name),
+        new ExpressionInfo(clazz.getCanonicalName, name),
+        builder))
+    inject(CosineSimilarity.FunctionName, classOf[CosineSimilarity],
+      CosineSimilarity.builder)
+    inject(WinnowSelect.FunctionName, classOf[WinnowSelect],
+      WinnowSelect.builder)
+    inject(MinhashSignature.FunctionName, classOf[MinhashSignature],
+      MinhashSignature.builder)
+    inject(WordNgrams.FunctionName, classOf[WordNgrams],
+      WordNgrams.builder)
+    inject(CharNgrams.FunctionName, classOf[CharNgrams],
+      CharNgrams.builder)
+    inject(NearestCentroid.FunctionName, classOf[NearestCentroid],
+      NearestCentroid.builder)
+    inject(TopKAgg.FunctionName, classOf[TopKAgg], TopKAgg.builder)
+    inject(BandedLevenshtein.FunctionName,
+      classOf[org.apache.spark.sql.catalyst.expressions.Levenshtein],
+      BandedLevenshtein.builder)
   }
 }

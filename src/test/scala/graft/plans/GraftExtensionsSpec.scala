@@ -21,6 +21,31 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(math.abs(v - 1.0) < 1e-12)
   }
 
+  test("EVERY SQL-advertised native function resolves from the " +
+    "extensions bundle alone — a cluster wired with the conf gets the " +
+    "full surface, not the 3-function subset") {
+    // each call exercises the function end-to-end from SQL text
+    val row = spark.sql(
+      """SELECT graft_word_ngrams(array('a','b','c'), 2) AS wng,
+        |       graft_char_ngrams('abcd', 3) AS cng,
+        |       graft_levenshtein_capped('kitten', 'sitting', 10) AS lev""".stripMargin)
+      .collect()(0)
+    assert(row.getSeq[String](0) == Seq("a b", "b c"))
+    assert(row.getSeq[String](1) == Seq("abc", "bcd"))
+    assert(row.getInt(2) == 3)
+    // nearest_centroid's builder takes pre-folded LITERAL centroid
+    // arrays (a Column-API contract SQL text cannot spell) — assert
+    // the bundle resolves the identifier rather than invoking it
+    assert(spark.sql("DESCRIBE FUNCTION graft_nearest_centroid")
+      .collect().nonEmpty)
+    // and the AGGREGATE resolves through the bundle too
+    val agg = spark.sql(
+      """SELECT graft_topk_agg(CAST(v AS DOUBLE), CAST(i AS BIGINT), 2) AS t
+        |FROM VALUES (1.0, 1), (3.0, 2), (2.0, 3) AS d(v, i)""".stripMargin)
+      .collect()(0).getSeq[org.apache.spark.sql.Row](0)
+    assert(agg.map(_.getLong(1)) == Seq(2L, 3L))
+  }
+
   test("conf-injected function surfaces the corrupt-embedding NULL guards") {
     val rows = spark.sql(
       """SELECT graft_cosine_sim(array(CAST(1.0 AS FLOAT)),
