@@ -42,8 +42,17 @@ import org.apache.spark.sql.types._
   * keep their `.getField` accessors.
   */
 case class NearestCentroid(child: Expression,
-    ids: Array[Long], cvs: Array[Array[Float]])
+    ids: IndexedSeq[Long], cvs: IndexedSeq[IndexedSeq[Float]])
     extends UnaryExpression {
+
+  // VALUE-equality constructor params (arrays compare by reference,
+  // which would make two semantically identical expressions unequal —
+  // defeating semanticEquals, common-subexpression elimination and
+  // cached-plan matching); the hot path reads these primitive-array
+  // mirrors, built once per expression instance
+  @transient private lazy val idArr: Array[Long] = ids.toArray
+  @transient private lazy val cvArr: Array[Array[Float]] =
+    cvs.map(_.toArray).toArray
 
   // never null by CONTRACT: a null vector folds to the lowest-id cell
   // with a null score (the HOF form's behavior — see scaladoc)
@@ -61,14 +70,14 @@ case class NearestCentroid(child: Expression,
 
   override def eval(input: InternalRow): Any =
     NearestCentroid.compute(
-      child.eval(input).asInstanceOf[ArrayData], ids, cvs)
+      child.eval(input).asInstanceOf[ArrayData], idArr, cvArr)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     import org.apache.spark.sql.catalyst.expressions.codegen.Block._
     import org.apache.spark.sql.catalyst.expressions.codegen.FalseLiteral
     val childGen = child.genCode(ctx)
-    val idsRef = ctx.addReferenceObj("ids", ids, "long[]")
-    val cvsRef = ctx.addReferenceObj("cvs", cvs, "float[][]")
+    val idsRef = ctx.addReferenceObj("ids", idArr, "long[]")
+    val cvsRef = ctx.addReferenceObj("cvs", cvArr, "float[][]")
     ev.copy(
       code = code"""
         ${childGen.code}
@@ -171,7 +180,8 @@ object NearestCentroid {
     }
     require(ids.length == cvs.length && ids.nonEmpty,
       s"$FunctionName: ${ids.length} ids vs ${cvs.length} vectors")
-    NearestCentroid(exprs(0), ids, cvs)
+    NearestCentroid(exprs(0), ids.toIndexedSeq,
+      cvs.map(_.toIndexedSeq).toIndexedSeq)
   }
 
   /** Idempotent per-session registration (check-then-create — the

@@ -34,8 +34,11 @@ class ReservoirSample(k: Int, seed: Long)
 
   override def zero: Buf = Buf(Vector.empty)
 
+  // a null value never ranks (SQL aggregates skip nulls; unguarded,
+  // priority(null).hashCode would NPE the whole job on one null row
+  // of a nullable input column)
   override def reduce(b: Buf, v: String): Buf =
-    insert(b, (priority(v), v))
+    if (v == null) b else insert(b, (priority(v), v))
 
   override def merge(b1: Buf, b2: Buf): Buf =
     b2.items.foldLeft(b1)(insert)

@@ -34,6 +34,22 @@ object TopK {
   def perKey(df: DataFrame, keyCols: Seq[String], ordCol: String,
       idCol: String, k: Int): DataFrame = {
     require(keyCols.nonEmpty, "TopK.perKey: at least one key column")
+    // validate the column types BEFORE the casts: in a non-ANSI
+    // session cast("long") of a non-numeric id yields null for every
+    // row and the aggregate silently skips them all — an empty result
+    // with no diagnostic where the window form would have ranked the
+    // rows (the repo's own sessions run ANSI and would throw instead)
+    import org.apache.spark.sql.types._
+    val idType = df.schema(idCol).dataType
+    require(idType match {
+      case ByteType | ShortType | IntegerType | LongType => true
+      case _ => false
+    }, s"TopK.perKey: id column `$idCol` must be integral, got " +
+      s"${idType.simpleString}")
+    val ordType = df.schema(ordCol).dataType
+    require(ordType.isInstanceOf[NumericType],
+      s"TopK.perKey: ord column `$ordCol` must be numeric, got " +
+        s"${ordType.simpleString}")
     // native TypedImperativeAggregate, not a udaf()-wrapped
     // Aggregator: the ScalaAggregator bridge deserialized every input
     // row into a boxed tuple and re-sorted an immutable Vector per

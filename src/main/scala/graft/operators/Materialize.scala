@@ -64,19 +64,34 @@ object Materialize {
   private val iterPinned =
     java.util.Collections.synchronizedSet(new java.util.HashSet[Int]())
 
+  /** The [[CheckpointDirKey]] value last applied to the context —
+    * setCheckpointDir mints a fresh UUID subdir per call, so re-apply
+    * only when the configured value changes. */
+  private val appliedGraftDir =
+    new java.util.concurrent.atomic.AtomicReference[String](null)
+
   /** Pin one round of loop-carried state: eagerly materialize AND
     * truncate lineage, so round N's plan never nests round N-1's. */
   def pinIter[T](ds: Dataset[T]): Dataset[T] =
     if (clusterSafe(ds)) {
       val sc = ds.sparkSession.sparkContext
-      if (sc.getCheckpointDir.isEmpty)
-        ds.sparkSession.conf.getOption(CheckpointDirKey) match {
-          case Some(dir) => sc.setCheckpointDir(dir)
-          case None => throw new IllegalStateException(
+      ds.sparkSession.conf.getOption(CheckpointDirKey) match {
+        case Some(dir) =>
+          // the graft conf takes PRECEDENCE over a pre-existing
+          // context dir (the documented order): a harness or local
+          // component's earlier setCheckpointDir must not silently
+          // redirect durable loop state away from the location the
+          // user configured for cluster-safe runs
+          if (appliedGraftDir.getAndSet(dir) != dir ||
+              sc.getCheckpointDir.isEmpty)
+            sc.setCheckpointDir(dir)
+        case None if sc.getCheckpointDir.isEmpty =>
+          throw new IllegalStateException(
             s"$ClusterSafeKey=true needs a reliable checkpoint dir for " +
               s"iterated pins: set $CheckpointDirKey or " +
               "SparkContext.setCheckpointDir")
-        }
+        case None => () // fall back to the already-set context dir
+      }
       val out = ds.checkpoint() // eager, durable, lineage-flat
       out.queryExecution.analyzed match {
         case l: org.apache.spark.sql.execution.LogicalRDD =>
