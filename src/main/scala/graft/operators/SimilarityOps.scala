@@ -1298,13 +1298,19 @@ object SimilarityOps {
   /** DuckDB cosine over list columns `a`,`b` — sequential
     * left-to-right accumulation, bit-identical to
     * [[graft.functions.CosineSimilarity]]. */
+  // zero-norm guard: [[graft.functions.CosineSimilarity]] returns
+  // NULL on a zero norm, which sorts LAST in every DESC ranking;
+  // DuckDB's bare 0/0 is NaN, which it sorts FIRST — so without the
+  // nullif the oracle would crown a degenerate all-zero vector rank 1
+  // of every top-k while Spark ranks it last (latent: the fixture has
+  // no zero vectors, but the fork is one bad row away)
   private def cosSql(a: String, b: String): String =
-    s"""list_sum(list_transform(range(len($a)),
+    s"""(list_sum(list_transform(range(len($a)),
        |           i -> CAST($a[i+1] AS DOUBLE) * CAST($b[i+1] AS DOUBLE)))
-       |         / (sqrt(list_sum(list_transform(range(len($a)),
+       |         / nullif(sqrt(list_sum(list_transform(range(len($a)),
        |              i -> CAST($a[i+1] AS DOUBLE) * CAST($a[i+1] AS DOUBLE))))
        |          * sqrt(list_sum(list_transform(range(len($b)),
-       |              i -> CAST($b[i+1] AS DOUBLE) * CAST($b[i+1] AS DOUBLE)))))""".stripMargin
+       |              i -> CAST($b[i+1] AS DOUBLE) * CAST($b[i+1] AS DOUBLE)))), 0))""".stripMargin
 
   private def gateProbes(s: SparkSession, dir: String): DataFrame =
     emb(s, dir).filter(col("vec_id") < NumProbes)
@@ -1442,7 +1448,9 @@ object SimilarityOps {
          |  FROM $prev p LEFT JOIN
          |    (SELECT centroid_id, list(v ORDER BY dim) AS cv
          |     FROM tm$i GROUP BY 1
-         |     HAVING sum(abs(CAST(v AS DOUBLE))) > 0) mm
+         |     HAVING sum(abs(CAST(v AS DOUBLE))) > 0
+         |        AND NOT isnan(sum(abs(CAST(v AS DOUBLE))))
+         |        AND count(*) = count(v)) mm
          |    USING (centroid_id))""".stripMargin
     }
     s"""rk AS (SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS rnk
