@@ -17,7 +17,22 @@ object GraftSession {
     * object aggs carry k-bounded digests (~300 B), so the fallback
     * silently re-sorted the very pair volumes the digest cut exists
     * to avoid sorting (q_knn_graph: 6 k keys). PlanAuditSpec pins the
-    * wiring via the numTasksFallBacked metric. */
+    * wiring via the numTasksFallBacked metric.
+    *
+    * MEMORY BUDGET (the override is session-wide, so every object
+    * aggregate inherits it): at the threshold a task's hash map holds
+    * 262144 buffers, ~75 MB for the ~300 B TopK/Winnow digests it was
+    * sized for. The big-buffer aggregates that made 128 the upstream
+    * default are safe here by GROUP CARDINALITY, not by the threshold:
+    * every percentile_approx/percentile in this repo groups on
+    * single-digit key spaces (q_percentile/q_approx_quantile:
+    * l_returnflag = 3 groups; the quality-threshold cut: per-source,
+    * ~5), and the Misra–Gries sketch is itself k-bounded (k = 99), so
+    * none can approach the 262144-key fallback line. A FUTURE object
+    * aggregate with multi-KB buffers over a high-cardinality group key
+    * must either re-derive its own per-task budget
+    * (keys × buffer bytes vs executor memory) or set/restore the conf
+    * around its queries rather than ride this session default. */
   val ObjectAggFallbackKeys: String = "262144"
 
   /** Tuning shared by EVERY graft session, harness mains and the test

@@ -52,49 +52,63 @@ object SurrogateIds {
     * against an assign whose output is still un-consumed. */
   private val stampedPins =
     java.util.Collections.synchronizedList(
-      new java.util.ArrayList[(String, DataFrame)]())
+      new java.util.ArrayList[(org.apache.spark.sql.SparkSession, DataFrame)]())
 
-  private def sessionKey(spark: org.apache.spark.sql.SparkSession): String =
-    System.identityHashCode(spark).toString
+  /** The scope collector of the innermost [[withScopedPins]] active on
+    * THIS thread (null outside any scope): assign() registers its pin
+    * here in addition to the global ledger, so scope teardown releases
+    * exactly the pins the scope itself created — a sibling assign()
+    * racing on another thread of the same session is untouched (the
+    * prior identity-set-diff over the global list could unpin it
+    * mid-plan). */
+  private val activeScope =
+    new ThreadLocal[java.util.ArrayList[DataFrame]]()
 
   /** Release every stamped-frame pin assign() created in `spark`'s
-    * session whose outputs the caller has fully consumed. */
-  def releasePins(spark: org.apache.spark.sql.SparkSession): Unit = {
-    val id = sessionKey(spark)
+    * session whose outputs the caller has fully consumed. Entries are
+    * keyed by the session OBJECT (reference identity) — an
+    * identityHashCode key is not unique by contract, and two colliding
+    * sessions would release each other's pins. */
+  def releasePins(spark: org.apache.spark.sql.SparkSession): Unit =
     stampedPins.synchronized {
       val it = stampedPins.iterator()
       while (it.hasNext) {
         val (sess, df) = it.next()
-        if (sess == id) { Materialize.unpin(df); it.remove() }
+        if (sess eq spark) { Materialize.unpin(df); it.remove() }
       }
     }
-  }
 
   /** Run `body` and release ONLY the pins assign() creates inside it
-    * — for callers that fully consume their assigned outputs within
-    * the scope (collected to driver constants, written out). Unlike
-    * [[releasePins]] this cannot touch a pin some OTHER still-lazy
-    * computation in the session depends on (e.g. one training's
-    * release unpinning a sibling training's seed ranks mid-plan). */
+    * on this thread — for callers that fully consume their assigned
+    * outputs within the scope (collected to driver constants, written
+    * out). Unlike [[releasePins]] this cannot touch a pin some OTHER
+    * still-lazy computation depends on (e.g. one training's release
+    * unpinning a sibling training's seed ranks mid-plan), including a
+    * concurrent assign() on another thread of the same session: the
+    * scope tracks its own creations via a thread-local collector, not
+    * a diff over the global ledger. Release runs in a `finally` — a
+    * throw mid-body frees the scoped pins rather than leaking exactly
+    * what the ledger exists to free (the outputs are abandoned with
+    * the scope, so nothing can still read them). Scopes nest: an inner
+    * scope releases only its own pins. */
   def withScopedPins[T](spark: org.apache.spark.sql.SparkSession)(
       body: => T): T = {
-    val before = stampedPins.synchronized {
-      val m = new java.util.IdentityHashMap[DataFrame, java.lang.Boolean]()
-      stampedPins.forEach(e => m.put(e._2, java.lang.Boolean.TRUE))
-      m
-    }
-    val out = body
-    val id = sessionKey(spark)
-    stampedPins.synchronized {
-      val it = stampedPins.iterator()
-      while (it.hasNext) {
-        val (sess, df) = it.next()
-        if (sess == id && !before.containsKey(df)) {
-          Materialize.unpin(df); it.remove()
+    val outer = activeScope.get()
+    val mine = new java.util.ArrayList[DataFrame]()
+    activeScope.set(mine)
+    try body
+    finally {
+      activeScope.set(outer)
+      val created = new java.util.IdentityHashMap[DataFrame, java.lang.Boolean]()
+      mine.forEach(df => created.put(df, java.lang.Boolean.TRUE))
+      stampedPins.synchronized {
+        val it = stampedPins.iterator()
+        while (it.hasNext) {
+          val (_, df) = it.next()
+          if (created.containsKey(df)) { Materialize.unpin(df); it.remove() }
         }
       }
     }
-    out
   }
 
   private def assignAs(df: DataFrame, idCol: String, sortCols: Seq[Column],
@@ -109,7 +123,9 @@ object SurrogateIds {
     import spark.implicits._
     val stamped = Materialize.pin(
       df.orderBy(sortCols: _*).withColumn("_mid", monotonically_increasing_id()))
-    stampedPins.add((System.identityHashCode(spark).toString, stamped))
+    stampedPins.add((spark, stamped))
+    val scope = activeScope.get()
+    if (scope != null) scope.add(stamped)
     val perPart = stamped
       .groupBy(shiftright(col("_mid"), 33).as("_pid"))
       .agg(count(lit(1)).as("_cnt"))

@@ -64,11 +64,17 @@ object Materialize {
   private val iterPinned =
     java.util.Collections.synchronizedSet(new java.util.HashSet[Int]())
 
-  /** The [[CheckpointDirKey]] value last applied to the context —
+  /** The (applicationId, [[CheckpointDirKey]] value) last applied —
     * setCheckpointDir mints a fresh UUID subdir per call, so re-apply
-    * only when the configured value changes. */
+    * only when the configured value changes FOR THIS CONTEXT. Keyed by
+    * applicationId, not JVM-global: after a context restart in the
+    * same JVM, an unchanged conf value with a bare dir-string memo
+    * would skip the re-apply even though the NEW context may carry a
+    * different (harness-set) checkpoint dir — silently un-enforcing
+    * the documented graft-conf precedence and landing durable loop
+    * state in the foreign dir. */
   private val appliedGraftDir =
-    new java.util.concurrent.atomic.AtomicReference[String](null)
+    new java.util.concurrent.atomic.AtomicReference[(String, String)](null)
 
   /** Pin one round of loop-carried state: eagerly materialize AND
     * truncate lineage, so round N's plan never nests round N-1's. */
@@ -82,7 +88,8 @@ object Materialize {
           // component's earlier setCheckpointDir must not silently
           // redirect durable loop state away from the location the
           // user configured for cluster-safe runs
-          if (appliedGraftDir.getAndSet(dir) != dir ||
+          val key = (sc.applicationId, dir)
+          if (appliedGraftDir.getAndSet(key) != key ||
               sc.getCheckpointDir.isEmpty)
             sc.setCheckpointDir(dir)
         case None if sc.getCheckpointDir.isEmpty =>

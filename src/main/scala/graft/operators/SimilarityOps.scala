@@ -392,14 +392,20 @@ object SimilarityOps {
     // vector; the aggregator carries at most k pairs per (task, key).
     // Same comparator (cs DESC, nbr ASC — spec-pinned equal to the
     // window); centroid_id rides the key (functionally dependent on
-    // vec_id) so no join back to re-derive the cell. Pinned: the
-    // mutual check reads the n·k digest TWICE (forward and reverse
-    // side), and unpinned each side would re-run the whole pair
-    // fanout + cosine + agg.
+    // vec_id) so no join back to re-derive the cell. Pinned (the
+    // persist form, NOT pinIter): the mutual check reads the n·k
+    // digest TWICE (forward and reverse side), and unpinned each side
+    // would re-run the whole pair fanout + cosine + agg. This is
+    // straight-line two-consumer reuse — pinIter here would write a
+    // reliable checkpoint under clusterSafe whose files only an
+    // explicit unpin reclaims, and the returned plan stays lazy so no
+    // caller can unpin it: every knnGraph call would leak checkpoint
+    // files until application exit. pin's persist is ContextCleaner-
+    // swept with the frame.
     val knn = graft.functions.TopK.perKey(
         scored, Seq("vec_id", "centroid_id"), "cs", "nbr", k)
       .select(col("vec_id"), col("centroid_id"), col("nbr"), col("cs"))
-      .pinnedIter
+      .pinned
     knn.as("f")
       .join(knn.select(col("vec_id").as("r_vec"), col("nbr").as("r_nbr")),
         col("f.vec_id") === col("r_nbr") && col("f.nbr") === col("r_vec"))
