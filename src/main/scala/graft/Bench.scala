@@ -89,6 +89,76 @@ object Bench {
     * recorded in the record's calibration field. */
   val ProbeRowsPerCore = 62500000L
 
+  /** How many probe-bracketed re-measurement attempts a contended
+    * query gets at sweep end before its record ships flagged. One
+    * attempt (the r16 design) was defenseless against a contention
+    * window that outlasts the whole recovery pass — the r18 driver
+    * sweep shipped 9 still-flagged queries, the first non-empty
+    * `contended` list since the guard landed. A second bracket after
+    * [[RecoverySettleMs]] of idle recovers any spike shorter than the
+    * settle window; a box that is STILL dirty then is dirty for the
+    * record's reader too, which is exactly what the flag says. */
+  val RecoveryAttempts = 2
+
+  /** Idle pause before each RETRY bracket (not the first attempt —
+    * the sweep just ended, no point waiting before trying once): long
+    * enough for a co-tenant burst to drain, short enough that
+    * `attempts × settle × |contended|` stays seconds. */
+  val RecoverySettleMs = 3000L
+
+  /** Per-query verdict of [[recoverOne]]. */
+  private[graft] sealed trait RecoveryOutcome
+  private[graft] object RecoveryOutcome {
+    /** A clean bracket replaced the contaminated evidence: publish
+      * `timings`' median and `overallMin` (min across first pass and
+      * every rerun — contention is additive, the minimum only
+      * improves). */
+    final case class Recovered(timings: Seq[Double], overallMin: Double)
+      extends RecoveryOutcome
+    /** Every bracket stayed dirty: publish `overallMin` but keep the
+      * query flagged (median untrusted; the next sweep's regression
+      * rule drops it as a reference). */
+    final case class StillDirty(overallMin: Double) extends RecoveryOutcome
+    /** A rerun crashed — the any-failed-run rule applies to
+      * re-measurement too: the query publishes failed (-1), whatever
+      * the brackets said. */
+    case object Crashed extends RecoveryOutcome
+  }
+
+  /** Up to `attempts` probe-bracketed re-measurements of ONE contended
+    * query. Each attempt brackets `measure()` between two `probe()`
+    * samples; `clean` is the drift verdict on a sample. The first
+    * clean bracket wins; later attempts wait `settle()` first so a
+    * short co-tenant burst can drain. Every probe sample is returned
+    * for the record's environment trace — omitting retry brackets
+    * would let worst_probe_sec read clean next to a non-empty
+    * contended list. Spec-pinned in BenchSpec (planted dirty-then-
+    * clean brackets, crash-on-retry, never-clean). */
+  private[graft] def recoverOne(
+      firstPassMin: Double,
+      attempts: Int,
+      measure: () => Seq[Double],
+      probe: () => Double,
+      clean: Double => Boolean,
+      settle: () => Unit): (RecoveryOutcome, Seq[Double]) = {
+    val samples = scala.collection.mutable.ArrayBuffer.empty[Double]
+    var best = firstPassMin
+    var a = 0
+    while (a < attempts) {
+      if (a > 0) settle()
+      val before = probe()
+      val rerun = measure()
+      val after = probe()
+      samples += before += after
+      if (rerun.isEmpty) return (RecoveryOutcome.Crashed, samples.toSeq)
+      best = math.min(best, rerun.min)
+      if (clean(before) && clean(after))
+        return (RecoveryOutcome.Recovered(rerun, best), samples.toSeq)
+      a += 1
+    }
+    (RecoveryOutcome.StillDirty(best), samples.toSeq)
+  }
+
   /** Parse a previous BENCH_QUERIES.json record into the per-query
     * minima the regression re-run rule compares against. Entries the
     * previous sweep itself flagged contended carry inflated minima;
@@ -323,7 +393,14 @@ object Bench {
     def measure(name: String,
         fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
         : Seq[Double] = {
+      // stderr marker BEFORE each timed run: Spark's own WARNs (large
+      // task binaries, codegen fallbacks…) land between consecutive
+      // markers, so a warning wall in a full-sweep log attributes to a
+      // query mechanically instead of by timestamp archaeology (the
+      // r18 task-binary crescendo took a round to attribute for want
+      // of exactly this line)
       def run(n: Int): Seq[Double] = (1 to n).flatMap { _ =>
+        System.err.println(s"[bench] begin $name")
         val t0 = System.nanoTime()
         val ok =
           try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
@@ -409,25 +486,29 @@ object Bench {
     // n_recovered must not count it as a clean re-measurement
     var rerunCrashed = 0
     contended.foreach { name =>
-      val before = probe()
-      val rerun = measure(name, selected(name))
-      val after = probe()
-      probeTrace += before += after
-      worstProbe = math.max(worstProbe, math.max(before, after))
-      val clean = before <= calibration * ContentionFactor &&
-        after <= calibration * ContentionFactor
-      if (rerun.isEmpty) { timings(name) = Seq.empty; rerunCrashed += 1 }
-      else if (clean) {
-        minOverride(name) = math.min(timings(name).min, rerun.min)
-        timings(name) = rerun
-      } else {
-        // still dirty: the query STAYS flagged (median untrusted, the
-        // next sweep's regression rule drops it), but contention is
-        // additive, so min(first pass, rerun) is a strictly better
-        // minimum than the first pass alone — publish it rather than
-        // discarding the rerun's evidence
-        minOverride(name) = math.min(timings(name).min, rerun.min)
-        stillContended += name
+      val (outcome, samples) = recoverOne(
+        firstPassMin = timings(name).min,
+        attempts = RecoveryAttempts,
+        measure = () => measure(name, selected(name)),
+        probe = () => probe(),
+        clean = p => p <= calibration * ContentionFactor,
+        settle = () => { System.gc(); Thread.sleep(RecoverySettleMs) })
+      probeTrace ++= samples
+      samples.foreach(p => worstProbe = math.max(worstProbe, p))
+      outcome match {
+        case RecoveryOutcome.Crashed =>
+          timings(name) = Seq.empty; rerunCrashed += 1
+        case RecoveryOutcome.Recovered(rerun, overallMin) =>
+          minOverride(name) = overallMin
+          timings(name) = rerun
+        case RecoveryOutcome.StillDirty(overallMin) =>
+          // still dirty after every bracket: the query STAYS flagged
+          // (median untrusted, the next sweep's regression rule drops
+          // it), but contention is additive, so the min across first
+          // pass and reruns is strictly better evidence than the
+          // first pass alone — publish it rather than discarding it
+          minOverride(name) = overallMin
+          stillContended += name
       }
     }
 

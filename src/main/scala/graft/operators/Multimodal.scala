@@ -373,8 +373,11 @@ object Multimodal {
       .toDF()
   }
 
-  /** Synthetic video-container magic for the frame-sampling fixture:
-    * 4 bytes + a 4-byte big-endian frame count, then the body. */
+  /** Synthetic video-container magic for the COORDINATE fixture
+    * ([[videoWithHeader]] / q_multimodal_frames — header-parse
+    * plumbing only): 4 bytes + a 4-byte big-endian frame count, then
+    * the body. The REAL frame-decode path ([[videoMedia]] /
+    * [[decodeVideoFrames]]) uses actual GIF containers instead. */
   private[operators] val VidMagic = Array[Byte]('G', 'F', 'T', 'V')
 
   /** The corpus as a video-container table: 4-byte magic + 4-byte
@@ -390,20 +393,33 @@ object Multimodal {
         encode(col("text"), "UTF-8")).as("payload"))
 
   // ---------------------------------------------------------------
-  // Video: REAL frame decode — the third modality. The container is
-  // synthetic (magic + frame count + geometry + raw 8-bit gray
-  // frames; no standard video codec ships with the JDK) but the
-  // DECODE is real byte work: the sampled frame's raster is located
-  // by its header-derived offset and its pixels are read back out on
-  // the executors, with the oracle recomputing every pixel stat in
-  // closed form from the generative formula. Same discipline as the
-  // PNG/WAV paths: qualify on the codegen'd header parse first, one
-  // pass over the payload bytes, frames never explode into rows —
-  // only (doc_id, frame_no, stats) coordinates do.
+  // Video: REAL frame decode — the third modality, now on a REAL
+  // container: each doc is a multi-frame (animated) GIF89a written
+  // and read back with the JDK's own ImageIO codec, like the PNG and
+  // WAV paths (no external video codec ships with the JDK — GIF is
+  // the one standard multi-frame format it carries end-to-end). The
+  // raster is 8-bit gray through an explicit 256-gray palette, so
+  // the LZW round-trip is lossless and the oracle recomputes every
+  // pixel stat in closed form from the generative formula. Same
+  // discipline as PNG/WAV: qualify on the codegen'd magic first, one
+  // codec pass per payload, frames never explode into rows — only
+  // (doc_id, frame_no, stats) coordinates do. Frame SEEK is by image
+  // index (reader.read(i)): GIF's LZW blocks are per-frame, so a
+  // non-sampled frame's pixel data is never decompressed, though its
+  // blocks are walked for sizing — the offset-jump property a real
+  // production container (fMP4 etc.) gives exactly.
   // ---------------------------------------------------------------
 
+  /** "GIF8" — the 4-byte prefix shared by GIF87a/GIF89a, the
+    * scan-speed qualify. */
   private[operators] val VidMagicHex =
-    VidMagic.map(b => f"$b%02X").mkString
+    "GIF8".getBytes("US-ASCII").map(b => f"$b%02X").mkString
+
+  /** The GIF trailer byte. ImageIO's reader tolerates a container cut
+    * mid-stream (best-effort decode), but a TRUNCATED media file must
+    * flag loudly, not ship partial stats — decode asserts the trailer
+    * is present before touching the codec. */
+  private val GifTrailer: Byte = 0x3B
 
   /** Video-fixture geometry: n_frames = doc_id % 16 + 1 (matches the
     * [[videoWithHeader]] coordinate fixture), frame raster
@@ -420,31 +436,65 @@ object Multimodal {
   @inline private def vpx(id: Long, f: Int, x: Int, y: Int): Int =
     ((id * 7 + 11 * f + 3 * x + 5 * y) % 256).toInt
 
-  /** One video container: 4-byte magic, 4-byte big-endian frame
-    * count, 2-byte big-endian width and height, then n_frames raw
-    * w×h 8-bit gray rasters in frame order. */
+  /** Identity 256-level gray palette: index i maps to (i, i, i), so a
+    * raster byte survives the palette indirection verbatim in every
+    * channel and `getRGB & 0xff` reads the generative value back even
+    * if a codec permuted indices. */
+  private def grayPalette: java.awt.image.IndexColorModel = {
+    val grays = Array.tabulate[Byte](256)(_.toByte)
+    new java.awt.image.IndexColorModel(8, 256, grays, grays, grays)
+  }
+
+  /** One video container: a REAL animated GIF89a with n_frames
+    * full-size w×h frames of 8-bit gray, written with the JDK's
+    * ImageIO GIF writer on the executors. */
   private def encodeVideo(id: Long): Array[Byte] = {
     val n = (id % VidMaxFrames + 1).toInt
     val w = (id % 5 + 2).toInt
     val h = (id % 3 + 2).toInt
-    val bb = java.nio.ByteBuffer.allocate(12 + n * w * h)
-    bb.put(VidMagic).putInt(n).putShort(w.toShort).putShort(h.toShort)
-    var f = 1
-    while (f <= n) {
-      var y = 0
-      while (y < h) {
-        var x = 0
-        while (x < w) { bb.put(vpx(id, f, x, y).toByte); x += 1 }
-        y += 1
+    val out = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(out)
+    val writer =
+      javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+    try {
+      writer.setOutput(ios)
+      writer.prepareWriteSequence(null)
+      // NON-interlaced frames: the JDK writer defaults to interlaced
+      // row order, and the JDK reader's de-interlace DROPS rows on
+      // rasters shorter than the 4-pass stride (a 2-row frame read
+      // back with its bottom row zeroed — found round 19); row-order
+      // storage is bit-exact at every geometry
+      val param = writer.getDefaultWriteParam
+      param.setProgressiveMode(javax.imageio.ImageWriteParam.MODE_DISABLED)
+      val cm = grayPalette
+      var f = 1
+      while (f <= n) {
+        val img = new java.awt.image.BufferedImage(w, h,
+          java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, cm)
+        val raster = img.getRaster
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            raster.setSample(x, y, 0, vpx(id, f, x, y)); x += 1
+          }
+          y += 1
+        }
+        writer.writeToSequence(
+          new javax.imageio.IIOImage(img, null, null), param)
+        f += 1
       }
-      f += 1
+      writer.endWriteSequence()
+    } finally {
+      writer.dispose()
+      ios.close()
     }
-    bb.array
+    out.toByteArray
   }
 
-  /** The corpus as a frame-bearing video table: one container per
-    * doc, frame rasters derived deterministically from doc_id,
-    * encoded on the executors. */
+  /** The corpus as a frame-bearing video table: one animated-GIF
+    * container per doc, frame rasters derived deterministically from
+    * doc_id, encoded with the JDK codec on the executors. */
   def videoMedia(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     Tables(s, dir, "documents").select(col("doc_id")).as[Long]
@@ -458,16 +508,18 @@ object Multimodal {
   final case class VideoFrameStats(doc_id: Long, frame_no: Int,
       w: Int, h: Int, px_sum: Long, px_max: Int)
 
-  /** Frame-sampled REAL video decode in ONE payload pass: the
-    * codegen'd magic check qualifies containers at scan speed, then
-    * the partition-batched decode reads the header fields, seeks each
-    * sampled frame's offset, and reads its raster bytes back out —
-    * the [[decodePng]] slot that q_multimodal_frames' coordinate
-    * explode points at, now actually decoding. Sampled-frame stats
-    * ship as fixed-width columns; payloads never leave their
-    * partition and non-sampled frames are never touched (an offset
-    * seek, not a scan — the property that matters when a frame is
-    * megabytes, not the fixture's bytes). */
+  /** Frame-sampled REAL video decode in ONE codec pass: the codegen'd
+    * magic check qualifies containers at scan speed, then the
+    * partition-batched decode opens each payload with the JDK's GIF
+    * reader, seeks each SAMPLED frame by image index, and reads its
+    * raster back out through the palette — the [[decodePng]] slot
+    * that q_multimodal_frames' coordinate explode points at, now
+    * decoding a real multi-frame format. Sampled-frame stats ship as
+    * fixed-width columns; payloads never leave their partition and a
+    * non-sampled frame's pixel data is never decompressed (GIF's LZW
+    * blocks are per-frame — the reader walks block lengths to reach
+    * a later index, the same seek-not-scan property that matters when
+    * a frame is megabytes, not the fixture's bytes). */
   def decodeVideoFrames(media: DataFrame,
       every: Int = FrameSampleEvery): DataFrame = {
     val s = media.sparkSession
@@ -476,24 +528,41 @@ object Multimodal {
       .filter(hex(substring(col("payload"), 1, 4)) === VidMagicHex)
       .select(col("doc_id"), col("payload")).as[(Long, Array[Byte])]
       .mapPartitions(rows => rows.flatMap { case (id, bytes) =>
-        val bb = java.nio.ByteBuffer.wrap(bytes, 4, 8)
-        val n = bb.getInt
-        val w = bb.getShort.toInt
-        val h = bb.getShort.toInt
-        require(bytes.length == 12 + n * w * h,
-          s"container of doc $id truncated")
-        (1 to n by every).iterator.map { f =>
-          val off = 12 + (f - 1) * w * h
-          var sum = 0L
-          var mx = 0
-          var i = 0
-          while (i < w * h) {
-            val v = bytes(off + i) & 0xff
-            sum += v
-            if (v > mx) mx = v
-            i += 1
+        // ImageIO decodes a cut-off GIF best-effort; a truncated
+        // media file must flag, not ship partial stats
+        require(bytes.nonEmpty && bytes(bytes.length - 1) == GifTrailer,
+          s"container of doc $id truncated (missing GIF trailer)")
+        val iis = javax.imageio.ImageIO.createImageInputStream(
+          new java.io.ByteArrayInputStream(bytes))
+        val reader =
+          javax.imageio.ImageIO.getImageReadersByFormatName("gif").next()
+        try {
+          reader.setInput(iis)
+          val n = reader.getNumImages(true)
+          // materialize before the reader is disposed — the iterator
+          // must not outlive the codec it reads through
+          (1 to n by every).map { f =>
+            val img = reader.read(f - 1)
+            val w = img.getWidth
+            val h = img.getHeight
+            var sum = 0L
+            var mx = 0
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) {
+                val v = img.getRGB(x, y) & 0xff
+                sum += v
+                if (v > mx) mx = v
+                x += 1
+              }
+              y += 1
+            }
+            VideoFrameStats(id, f, w, h, sum, mx)
           }
-          VideoFrameStats(id, f, w, h, sum, mx)
+        } finally {
+          reader.dispose()
+          iis.close()
         }
       })
       .toDF()

@@ -1,0 +1,44 @@
+package graft.operators
+
+import graft.{GraftSession, SparkEntry}
+
+/** Round-19 attribution probe (throwaway): which gate emits the
+  * 2.1→5.2 MiB "Broadcasting large task binary" crescendo in the
+  * BENCH_r18 tail? Runs each named query (default: the r18 contended
+  * nine, whose sweep-end re-measurement is where the tail's
+  * timestamps point) between stdout markers with ONLY the
+  * DAGScheduler logger at WARN, so every large-task-binary line lands
+  * between the markers of the query that caused it.
+  */
+object R19TaskBin {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val names =
+      if (args.nonEmpty) args.toSeq
+      else Seq("q_profile", "q_rollup", "q_sample_reservoir",
+        "q_sample_split", "q_session_window", "q_shuffle_global",
+        "q_sim_binary", "q_sim_bm25", "q_sim_cosine_topk")
+    val spark = GraftSession.localBuilder(cpus).getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    BoundedWindow.quietBoundedWarnings()
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.scheduler.DAGScheduler",
+      org.apache.logging.log4j.Level.WARN)
+    names.foreach { n =>
+      println(s"[taskbin] BEGIN $n")
+      Console.out.flush()
+      try SparkEntry.queries(n)(spark, sfDir).write.format("noop")
+        .mode("overwrite").save()
+      catch { case e: Throwable =>
+        println(s"[taskbin] $n FAILED ${e.getMessage}")
+      }
+      Console.out.flush()
+      System.err.flush()
+      println(s"[taskbin] END $n")
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
+      System.gc()
+    }
+    spark.stop()
+  }
+}

@@ -47,6 +47,7 @@ object TextOps {
     * BEFORE `all` (oracle interpolation at object init). */
   val BpeTrainRounds = 6
 
+
   /** BM25 parameters (Robertson/Spärck Jones defaults) and the fixed
     * gate query: one rare, highly-discriminative term plus two
     * mid-frequency ones, so idf does real work on the gate corpus. */
@@ -1167,19 +1168,25 @@ object TextOps {
             (best.getString(0), best.getString(1), best.getLong(2))
           merges += ((r, a, b, cnt))
           // exact Sennrich left-to-right greedy merge over the symbol
-          // array: fold each token onto the accumulator string,
-          // gluing b onto a trailing exact-token a. The former
-          // delimited string replace silently SKIPPED an occurrence
-          // sharing its leading delimiter with the previous match
-          // ('a b a b' merged to 'ab a b', and a self-pair run of 6
-          // lost a merge entirely) — both engines now run this fold,
-          // planted-spec-pinned on the adjacency cases.
+          // string: b glues onto the accumulator exactly when its
+          // trailing token is a. The r17 delimited string replace
+          // silently SKIPPED an occurrence sharing its leading
+          // delimiter with the previous match ('a b a b' merged to
+          // 'ab a b', and a self-pair run of 6 lost a merge entirely)
+          // — the r18 fix ran an `aggregate` HOF fold, exact but
+          // interpreted and O(m²) in accumulator copies; round 19
+          // moves the SAME greedy pass into the native codegen'd
+          // BpeMergeStep (one linear StringBuilder walk per word per
+          // round — quiet-box A/B: ≡ the fold at gate scale, the win
+          // is the interpreted-HOF removal on a corpus-scale vocab;
+          // the r18 2.16 s reading was ambient, see SCALE.md r19).
+          // The DuckDB oracle keeps the equivalent list_reduce fold —
+          // cross-engine agreement is the exactness proof, and
+          // BpeMergeStepSpec pins native ≡ fold on planted adjacency
+          // runs, randomized strings, and the DataFrame codegen path.
           val stepped = words.select(col("w"),
-            aggregate(slice(sy, lit(2), size(sy) - 1), element_at(sy, 1),
-              (acc, t) => when(t === lit(b) &&
-                  (acc === lit(a) || acc.endsWith(lit(" " + a))),
-                concat(acc, lit(b))).otherwise(concat(acc, lit(" "), t)))
-              .as("syms"),
+            graft.functions.BpeMergeStep(words.sparkSession,
+              col("syms"), lit(a), lit(b)).as("syms"),
             col("wcnt")).pinnedIter
           Materialize.unpin(words)
           words = stepped

@@ -92,4 +92,75 @@ class BenchSpec extends AnyFunSuite {
     assert(Bench.regressionReference(2.0, Some(-1.0), 0.5) == 2.0)
     assert(Bench.regressionReference(2.0, Some(0.4), 0.0) == 2.0)
   }
+
+  // ---- recoverOne: the multi-attempt contended-recovery bracket ----
+
+  private def cleanUnder(thr: Double): Double => Boolean = _ <= thr
+
+  test("a planted-contended query recovers on the SECOND bracket after " +
+    "a settle (the r18 nine-still-flagged failure mode)") {
+    // probe samples: first bracket dirty (1.2 then 1.1), second clean
+    val probes = Iterator(1.2, 1.1, 0.4, 0.45)
+    var measured = 0
+    var settled = 0
+    val (outcome, samples) = Bench.recoverOne(
+      firstPassMin = 5.0,
+      attempts = 2,
+      measure = () => { measured += 1; Seq(3.0 + measured, 2.0 + measured) },
+      probe = () => probes.next(),
+      clean = cleanUnder(0.5),
+      settle = () => settled += 1)
+    assert(measured == 2 && settled == 1, "retry must settle exactly once")
+    assert(samples == Seq(1.2, 1.1, 0.4, 0.45),
+      "every bracket probe joins the environment trace")
+    outcome match {
+      case Bench.RecoveryOutcome.Recovered(timings, overallMin) =>
+        assert(timings == Seq(5.0, 4.0)) // the CLEAN rerun's evidence
+        // overall min spans first pass AND both reruns (additive
+        // noise: the dirty first rerun's 3.0 is still a valid minimum)
+        assert(overallMin == 3.0)
+      case other => fail(s"expected Recovered, got $other")
+    }
+  }
+
+  test("first bracket already clean: one attempt, no settle") {
+    var settled = 0
+    val (outcome, samples) = Bench.recoverOne(
+      firstPassMin = 9.0,
+      attempts = 2,
+      measure = () => Seq(2.0, 2.5),
+      probe = () => 0.3,
+      clean = cleanUnder(0.5),
+      settle = () => settled += 1)
+    assert(settled == 0)
+    assert(samples.length == 2)
+    assert(outcome == Bench.RecoveryOutcome.Recovered(Seq(2.0, 2.5), 2.0))
+  }
+
+  test("never-clean brackets ship StillDirty with the best min seen " +
+    "(publish the evidence, keep the flag)") {
+    val (outcome, samples) = Bench.recoverOne(
+      firstPassMin = 6.0,
+      attempts = 2,
+      measure = () => Seq(4.0),
+      probe = () => 2.0,
+      clean = cleanUnder(0.5),
+      settle = () => ())
+    assert(samples.length == 4)
+    assert(outcome == Bench.RecoveryOutcome.StillDirty(4.0))
+  }
+
+  test("a crash during ANY recovery attempt fails the query outright — " +
+    "no honest timing, whatever the bracket said") {
+    var calls = 0
+    val (outcome, _) = Bench.recoverOne(
+      firstPassMin = 6.0,
+      attempts = 2,
+      measure = () => { calls += 1; if (calls == 2) Seq.empty else Seq(4.0) },
+      probe = () => 2.0, // dirty → forces the second attempt
+      clean = cleanUnder(0.5),
+      settle = () => ())
+    assert(calls == 2)
+    assert(outcome == Bench.RecoveryOutcome.Crashed)
+  }
 }
