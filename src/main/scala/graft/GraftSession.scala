@@ -37,14 +37,33 @@ object GraftSession {
 
   /** Tuning shared by EVERY graft session, harness mains and the test
     * harness alike: UTC (the events NTZ cast depends on it), legacy
-    * nanos decode for old-round fixtures, no UI, and the object-agg
-    * threshold above. */
+    * nanos decode for old-round fixtures, no UI, the object-agg
+    * threshold above, and no injected runtime Bloom filters (below).
+    *
+    * RUNTIME BLOOM FILTERS OFF — the r18 task-binary crescendo,
+    * attributed in round 19: InjectRuntimeFilter sizes its filter by
+    * the build side's row-count ESTIMATE, and every candidate build
+    * side in this engine's serve paths is a pinned intermediate
+    * (LogicalRDD, no stats) — so a ~160-row distance table gets the
+    * 1M-item default, a 1.05 MiB binary embedded in the task closure
+    * of every downstream stage (q_sim_rerank_ivf: 2.1→5.2 MiB
+    * binaries, 63 KB with injection off; zero behavior change —
+    * blooms only pre-prune). The filters also have nothing to prune
+    * here BY DESIGN: the corpus-sized joins are pruned by layout
+    * before Spark sees them (bucketed band-index probes, codes
+    * partitioned by IVF cell, broadcast dimension sides), which is
+    * this repo's standing answer at 100 TB. A DEPLOYMENT that joins
+    * raw un-indexed fact tables through this session should re-enable
+    * the conf — and feed the optimizer real stats (ANALYZE / v2
+    * sources), which is also what right-sizes the filters Spark then
+    * builds. */
   def shared(b: SparkSession.Builder): SparkSession.Builder =
     b.config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
         ObjectAggFallbackKeys)
+      .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "false")
 
   /** The harness-main builder: local[cpus] with one shuffle partition
     * per core (local mode — not the 200-partition cluster default),

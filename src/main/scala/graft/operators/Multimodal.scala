@@ -447,15 +447,17 @@ object Multimodal {
 
   /** One video container: a REAL animated GIF89a with n_frames
     * full-size w×h frames of 8-bit gray, written with the JDK's
-    * ImageIO GIF writer on the executors. */
-  private def encodeVideo(id: Long): Array[Byte] = {
+    * ImageIO GIF writer on the executors. The writer is REUSED across
+    * a partition's rows (reset + setOutput per container) — codec
+    * lookup walks the ImageIO service registry, a per-row cost that
+    * dwarfs the tiny fixture's actual encode work. */
+  private def encodeVideo(writer: javax.imageio.ImageWriter,
+      id: Long): Array[Byte] = {
     val n = (id % VidMaxFrames + 1).toInt
     val w = (id % 5 + 2).toInt
     val h = (id % 3 + 2).toInt
     val out = new java.io.ByteArrayOutputStream()
     val ios = javax.imageio.ImageIO.createImageOutputStream(out)
-    val writer =
-      javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
     try {
       writer.setOutput(ios)
       writer.prepareWriteSequence(null)
@@ -486,7 +488,7 @@ object Multimodal {
       }
       writer.endWriteSequence()
     } finally {
-      writer.dispose()
+      writer.reset() // detach the stream; the PARTITION owns the writer
       ios.close()
     }
     out.toByteArray
@@ -498,7 +500,13 @@ object Multimodal {
   def videoMedia(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     Tables(s, dir, "documents").select(col("doc_id")).as[Long]
-      .mapPartitions(ids => ids.map(id => (id, encodeVideo(id))))
+      .mapPartitions { ids =>
+        val writer =
+          javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+        Option(org.apache.spark.TaskContext.get())
+          .foreach(_.addTaskCompletionListener[Unit](_ => writer.dispose()))
+        ids.map(id => (id, encodeVideo(writer, id)))
+      }
       .toDF("doc_id", "payload")
   }
 
@@ -527,44 +535,65 @@ object Multimodal {
     media
       .filter(hex(substring(col("payload"), 1, 4)) === VidMagicHex)
       .select(col("doc_id"), col("payload")).as[(Long, Array[Byte])]
-      .mapPartitions(rows => rows.flatMap { case (id, bytes) =>
-        // ImageIO decodes a cut-off GIF best-effort; a truncated
-        // media file must flag, not ship partial stats
-        require(bytes.nonEmpty && bytes(bytes.length - 1) == GifTrailer,
-          s"container of doc $id truncated (missing GIF trailer)")
-        val iis = javax.imageio.ImageIO.createImageInputStream(
-          new java.io.ByteArrayInputStream(bytes))
+      .mapPartitions { rows =>
+        // one reader per PARTITION (reset + setInput per container):
+        // the per-row ImageIO registry walk cost more than the tiny
+        // fixture's decode itself
         val reader =
           javax.imageio.ImageIO.getImageReadersByFormatName("gif").next()
-        try {
-          reader.setInput(iis)
-          val n = reader.getNumImages(true)
-          // materialize before the reader is disposed — the iterator
-          // must not outlive the codec it reads through
-          (1 to n by every).map { f =>
-            val img = reader.read(f - 1)
-            val w = img.getWidth
-            val h = img.getHeight
-            var sum = 0L
-            var mx = 0
-            var y = 0
-            while (y < h) {
-              var x = 0
-              while (x < w) {
-                val v = img.getRGB(x, y) & 0xff
-                sum += v
-                if (v > mx) mx = v
-                x += 1
+        Option(org.apache.spark.TaskContext.get())
+          .foreach(_.addTaskCompletionListener[Unit](_ => reader.dispose()))
+        rows.flatMap { case (id, bytes) =>
+          // ImageIO decodes a cut-off GIF best-effort; a truncated
+          // media file must flag, not ship partial stats
+          require(bytes.nonEmpty && bytes(bytes.length - 1) == GifTrailer,
+            s"container of doc $id truncated (missing GIF trailer)")
+          val iis = javax.imageio.ImageIO.createImageInputStream(
+            new java.io.ByteArrayInputStream(bytes))
+          try {
+            reader.setInput(iis)
+            // NO getNumImages(true) pre-count: it walks every frame's
+            // LZW blocks once just to size a loop the sampled reads
+            // walk again. read(i) past the last frame raises
+            // IndexOutOfBounds — that IS the frame count signal, at
+            // zero extra block walking. Materialize before the reader
+            // is reset — the result must not outlive the stream.
+            val out = Seq.newBuilder[VideoFrameStats]
+            var f = 1
+            var more = true
+            while (more) {
+              val img =
+                try Some(reader.read(f - 1))
+                catch { case _: IndexOutOfBoundsException => None }
+              img match {
+                case None => more = false
+                case Some(img) =>
+                  val w = img.getWidth
+                  val h = img.getHeight
+                  var sum = 0L
+                  var mx = 0
+                  var y = 0
+                  while (y < h) {
+                    var x = 0
+                    while (x < w) {
+                      val v = img.getRGB(x, y) & 0xff
+                      sum += v
+                      if (v > mx) mx = v
+                      x += 1
+                    }
+                    y += 1
+                  }
+                  out += VideoFrameStats(id, f, w, h, sum, mx)
+                  f += every
               }
-              y += 1
             }
-            VideoFrameStats(id, f, w, h, sum, mx)
+            out.result()
+          } finally {
+            reader.reset()
+            iis.close()
           }
-        } finally {
-          reader.dispose()
-          iis.close()
         }
-      })
+      }
       .toDF()
   }
 

@@ -45,6 +45,12 @@ object R19AB {
       TextOps.bpeEncode(Tables(spark, sfDir, "documents"),
         TextOps.BpeTrainRounds)
 
+    def withBloom(on: Boolean, q: String): org.apache.spark.sql.DataFrame = {
+      spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled",
+        on.toString)
+      graft.SparkEntry.queries(q)(spark, sfDir)
+    }
+
     val arms: Seq[(String, () => org.apache.spark.sql.DataFrame)] =
       (if (which("freq"))
         Seq("freq_native" -> (() => freqBody(true)),
@@ -52,7 +58,11 @@ object R19AB {
       else Nil) ++
       // bpe arm kept as a single-variant re-reader (the native-vs-fold
       // verdict is recorded; this remains for quiet-box re-pins)
-      (if (which("bpe")) Seq("bpe_encode" -> (() => bpeBody())) else Nil)
+      (if (which("bpe")) Seq("bpe_encode" -> (() => bpeBody())) else Nil) ++
+      (if (which("bloom"))
+        Seq("rerank_bloom" -> (() => withBloom(on = true, "q_sim_rerank_ivf")),
+          "rerank_nobloom" -> (() => withBloom(on = false, "q_sim_rerank_ivf")))
+      else Nil)
 
     def quiesce(): Unit = {
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))

@@ -274,18 +274,22 @@ class PlanAuditSpec extends SparkSpec {
   }
 
   test("a selective dim filter injects a runtime bloom filter into " +
-    "the fact scan") {
+    "the fact scan WHEN a deployment re-enables injection") {
     import org.apache.spark.sql.functions._
-    // At 100 TB the fact side of a selective dim join should be
-    // pruned BEFORE its shuffle: InjectRuntimeFilter rewrites the
-    // fact scan's filter to might_contain(bloom_agg(dim join keys)),
+    // At 100 TB the fact side of a selective dim join can be pruned
+    // BEFORE its shuffle: InjectRuntimeFilter rewrites the fact
+    // scan's filter to might_contain(bloom_agg(dim join keys)),
     // dropping non-qualifying fact rows at the scan instead of
-    // shuffling them. The thresholds are sized for clusters
+    // shuffling them. Graft sessions ship the rule DISABLED
+    // (GraftSession.shared — the r18 task-binary crescendo: stats-
+    // less pinned build sides get the 1M-item default, a 1.05 MiB
+    // filter per join in every downstream task closure, and this
+    // engine's corpus joins are already layout-pruned), but a
+    // deployment joining raw fact tables is told to re-enable it —
+    // so pin that the rule still FIRES under the re-enabled conf and
+    // our query shapes don't defeat it. Thresholds are cluster-sized
     // (creation side ≤ 10MB plan-estimated, application side scan
-    // ≥ 10GB), so pin them to make the optimizer's decision visible
-    // at test scale — the ASSERTION is that the rewrite fires at
-    // all, i.e. the session's optimizer has the rule and our query
-    // shapes don't defeat it.
+    // ≥ 10GB); pin them to make the decision visible at test scale.
     val confs = Seq(
       "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
       "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "10GB",
@@ -306,6 +310,21 @@ class PlanAuditSpec extends SparkSpec {
       assert(j.collect().map(_.getLong(1)).sum > 0)
     } finally saved.foreach { case (k, vOpt) =>
       vOpt.fold(spark.conf.unset(k))(spark.conf.set(k, _)) }
+  }
+
+  test("under the session default, NO runtime bloom filter lands in a " +
+    "serve-path plan (the r18 task-binary crescendo stays fixed)") {
+    // q_sim_rerank_ivf was the worst case: four join stages each
+    // carrying every upstream join's 1.05 MiB filter literal —
+    // 2.1→5.2 MiB task binaries, 63 KB with injection off (measured,
+    // SCALE.md r19). The session conf is the fix; this pins both the
+    // conf and its effect on the real gate body.
+    assert(spark.conf.get(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled") == "false")
+    val df = graft.SparkEntry.queries("q_sim_rerank_ivf")(spark, sfDir)
+    val plan = df.queryExecution.optimizedPlan.toString
+    assert(!plan.contains("might_contain"),
+      s"a runtime bloom filter re-appeared in the serve path:\n$plan")
   }
 
   test("AQE splits a skewed join partition at runtime (skew=true in " +
