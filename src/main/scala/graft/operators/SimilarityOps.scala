@@ -2840,49 +2840,6 @@ object SimilarityOps {
     (pqAssignWith(rdf, cb).join(cells, "vec_id"), cb)
   }
 
-  /** Round-19 task-binary dissection hook (throwaway — R19TaskBin's
-    * `dissect` mode runs each named piece between markers to localize
-    * the large-task-binary stages inside the IVFADC build). */
-  private[operators] def r19IndexPieces(
-      s: SparkSession, dir: String): Seq[(String, DataFrame)] = {
-    val e = emb(s, dir)
-    val centroids = e.filter(col("vec_id") < NumCentroids)
-      .select(col("vec_id").as("centroid_id"), col("embedding").as("cv"))
-    val cells = assignConst(e, collectCentroids(centroids)).pinned
-    val rdf = e.join(cells, "vec_id")
-      .join(broadcast(centroids), "centroid_id")
-      .select(col("vec_id"), col("centroid_id"),
-        zip_with(col("embedding").cast("array<double>"),
-          col("cv").cast("array<double>"), (x, y) => x - y).as("embedding"))
-      .pinned
-    val cb = pqCodebook(rdf, ResidualSeedFrom)
-    val codes = pqAssignWith(rdf, cb).join(cells, "vec_id")
-    val probes = gateProbes(s, dir)
-    val probeCells = probes.crossJoin(broadcast(centroids))
-      .select(col("query_id"), col("qv"), col("centroid_id"), col("cv"),
-        CosineSimilarity(s, col("qv"), col("cv")).as("ccos"))
-      .withColumn("crnk", row_number().over(
-        Window.partitionBy(col("query_id"))
-          .orderBy(col("ccos").desc, col("centroid_id"))))
-      .filter(col("crnk") <= NumProbeCells)
-    val qres = probeCells.select(col("query_id"), col("centroid_id"),
-      posexplode(subvecs(zip_with(col("qv").cast("array<double>"),
-        col("cv").cast("array<double>"), (x, y) => x - y)))
-        .as(Seq("sub", "qsub")))
-    val dt = qres.join(broadcast(cb), "sub")
-      .select(col("query_id"), col("centroid_id"), col("sub"), col("cid"),
-        sqDist(col("qsub"), col("csub")).as("d"))
-    val joined = codes.as("a")
-      .join(broadcast(dt).as("t"),
-        col("a.centroid_id") === col("t.centroid_id") &&
-          col("a.sub") === col("t.sub") && col("a.code") === col("t.cid"))
-      .select(col("t.query_id"), col("a.vec_id"), col("a.sub"), col("t.d"))
-    Seq("cells" -> cells, "rdf" -> rdf, "cb" -> cb,
-      "codes" -> codes, "probeCells" -> probeCells, "qres" -> qres,
-      "dt" -> dt, "joined" -> joined,
-      "adcTopK" -> adcTopK(joined, TopK))
-  }
-
   /** Search half of IVFADC, over EXPLICIT index artifacts — shared by
     * the in-memory gate path ([[ivfPqSearch]]) and the stored-index
     * path ([[ivfPqSearchStored]]) so the two cannot drift. */
