@@ -146,16 +146,18 @@ object Analytics {
         |       CAST(least(5, count(*)) AS INTEGER) AS sample_size,
         |       TRUE AS sample_valid
         |FROM orders GROUP BY o_orderstatus""".stripMargin) { (s, dir) =>
-      val sampler = udaf(new graft.functions.ReservoirSample(5, 42L),
-        org.apache.spark.sql.Encoders.STRING)
       // pinned: base feeds the reservoir agg AND the audit join-back;
       // agg feeds the explode probe AND the final projection — without
-      // pins each consumer rescans orders / re-runs the UDAF
+      // pins each consumer rescans orders / re-runs the aggregate
       val base = Tables(s, dir, "orders")
         .select(col("o_orderstatus"), col("o_orderkey").cast("string").as("ok"))
         .pinned
       val agg = base.groupBy(col("o_orderstatus"))
-        .agg(count(lit(1)).as("n_orders"), sampler(col("ok")).as("sample"))
+        .agg(count(lit(1)).as("n_orders"),
+          // native TypedImperativeAggregate (value-identical to the
+          // udaf form by determinism, spec-pinned) — no per-row
+          // encoder bridge on the corpus-sized input
+          graft.functions.ReservoirSample(s, col("ok"), 5).as("sample"))
         .pinned
       val matched = agg
         .select(col("o_orderstatus"), explode(col("sample")).as("ok"))

@@ -284,13 +284,10 @@ class PipelineOpsSpec extends SparkSpec {
 
   test("reservoir sample: partition-invariant, size-capped, exact for small groups") {
     import graft.functions.ReservoirSample
-    import org.apache.spark.sql.Encoders
-    val sampler = org.apache.spark.sql.functions.udaf(
-      new ReservoirSample(5, 42L), Encoders.STRING)
     val data = (1 to 100).map(i => (s"g${i % 3}", s"v$i")).toDF("g", "v")
     def run(parts: Int) =
       data.repartition(parts).groupBy($"g")
-        .agg(sampler($"v").as("s"))
+        .agg(ReservoirSample(spark, $"v", 5).as("s"))
         .collect().map(r => r.getString(0) -> r.getAs[scala.collection.Seq[String]]("s").toList).toMap
     val a = run(1)
     val b = run(7)
@@ -299,21 +296,41 @@ class PipelineOpsSpec extends SparkSpec {
     assert(a.values.forall(_.forall(_.startsWith("v"))))
     // group smaller than k → the whole group, sorted
     val small = Seq(("g", "b"), ("g", "a")).toDF("g", "v")
-      .groupBy($"g").agg(sampler($"v").as("s"))
+      .groupBy($"g").agg(ReservoirSample(spark, $"v", 5).as("s"))
       .collect()(0).getAs[scala.collection.Seq[String]]("s").toList
     assert(small == List("a", "b"))
     // duplicate input values occupy ONE slot, not several: the sample
     // is of DISTINCT values ("occurrence counts don't change
     // selection") — without the set semantics a repeated value would
     // crowd genuinely distinct values out of the k-buffer
-    val dup2 = org.apache.spark.sql.functions.udaf(
-      new ReservoirSample(2, 42L), Encoders.STRING)
     val dups = (Seq.fill(50)("a") ++ Seq("b")).map(("g", _)).toDF("g", "v")
       .repartition(7)
-      .groupBy($"g").agg(dup2($"v").as("s"))
+      .groupBy($"g").agg(ReservoirSample(spark, $"v", 2).as("s"))
       .collect()(0).getAs[scala.collection.Seq[String]]("s").toList
     assert(dups == List("a", "b"),
       s"duplicates crowded out a distinct value: $dups")
+  }
+
+  test("native reservoir aggregate is VALUE-IDENTICAL to the udaf " +
+    "Aggregator it replaces (deterministic sample, every group)") {
+    import graft.functions.{ReservoirSample, ReservoirSampleUdaf}
+    import org.apache.spark.sql.Encoders
+    // same priority function + same set semantics ⇒ same membership,
+    // not just the same guarantees — the determinism makes the strong
+    // pin possible where the MG sketch needed a state-machine replay
+    val viaUdaf = org.apache.spark.sql.functions.udaf(
+      new ReservoirSampleUdaf(3, 7L), Encoders.STRING)
+    val data = (1 to 200).map(i => (s"g${i % 5}", s"v${i % 60}"))
+      .toDF("g", "v").repartition(6)
+    val n = data.groupBy($"g")
+      .agg(ReservoirSample(spark, $"v", 3, 7L).as("s"))
+      .collect().map(r => r.getString(0) ->
+        r.getAs[scala.collection.Seq[String]]("s").toList).toMap
+    val u = data.groupBy($"g").agg(viaUdaf($"v").as("s"))
+      .collect().map(r => r.getString(0) ->
+        r.getAs[scala.collection.Seq[String]]("s").toList).toMap
+    assert(n == u)
+    assert(n.keySet.size == 5 && n.values.forall(_.size == 3))
   }
 
   test("bounded top-k aggregator matches window row_number exactly") {
