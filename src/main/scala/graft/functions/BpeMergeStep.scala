@@ -106,10 +106,13 @@ object BpeMergeStep {
       registry.createOrReplaceTempFunction(FunctionName, builder, "scala_udf")
   }
 
-  /** Column entry point — registers on the session first. */
+  /** Column entry point — registers on the caller's session AND the
+    * default session (call_function resolves at analysis time against
+    * the DataFrame's session — the WordNgrams discipline). */
   def apply(spark: SparkSession, syms: Column, a: Column,
       b: Column): Column = {
     register(spark)
+    SparkSession.getDefaultSession.filter(_ ne spark).foreach(register)
     call_function(FunctionName, syms, a, b)
   }
 }

@@ -122,9 +122,12 @@ object FrequentItems {
     * rebuild — on EVERY input row; see SCALE.md round 19 A/B). */
   def sketch(items: Column, k: Int): Column = {
     // Column → Expression without a session: route through the
-    // function registry like TopKAgg (registration is idempotent)
-    val spark = SparkSession.active
-    register(spark)
+    // function registry. Register on the active AND default sessions
+    // — call_function resolves at analysis time against the
+    // DataFrame's session, which need not be the one active here
+    // (the r17 WordNgrams/TextVec lesson, applied from birth).
+    SparkSession.getActiveSession.foreach(register)
+    SparkSession.getDefaultSession.foreach(register)
     call_function(FunctionName, items,
       org.apache.spark.sql.functions.lit(k))
   }

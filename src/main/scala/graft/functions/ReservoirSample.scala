@@ -99,10 +99,14 @@ object ReservoirSample {
   }
 
   /** Column entry point — the native aggregate (the udaf Aggregator
-    * below stays as the equivalence-spec reference). */
+    * below stays as the equivalence-spec reference). Registers on the
+    * caller's session AND the default session (call_function resolves
+    * at analysis time against the DataFrame's session — the
+    * WordNgrams discipline). */
   def apply(spark: SparkSession, v: Column, k: Int,
       seed: Long = 42L): Column = {
     register(spark)
+    SparkSession.getDefaultSession.filter(_ ne spark).foreach(register)
     call_function(FunctionName, v,
       org.apache.spark.sql.functions.lit(k),
       org.apache.spark.sql.functions.lit(seed))

@@ -211,9 +211,13 @@ object TopKAgg {
       registry.createOrReplaceTempFunction(FunctionName, builder, "scala_udf")
   }
 
-  /** Column entry point — registers on the session first. */
+  /** Column entry point — registers on the caller's session AND the
+    * default session (call_function resolves at analysis time against
+    * the DataFrame's session — the WordNgrams discipline, applied
+    * here in round 19 alongside the other native aggregates). */
   def apply(spark: SparkSession, ord: Column, id: Column, k: Int): Column = {
     register(spark)
+    SparkSession.getDefaultSession.filter(_ ne spark).foreach(register)
     call_function(FunctionName, ord, id,
       org.apache.spark.sql.functions.lit(k))
   }
