@@ -132,6 +132,20 @@ object FrequentItems {
       org.apache.spark.sql.functions.lit(k))
   }
 
+  /** Session-explicit form — the discipline every other native
+    * aggregate entry point follows (register on the TARGET session and
+    * the default): the sessionless [[sketch]] can only guess via
+    * active/default, which misses a third session the consuming
+    * DataFrame was built on (spark.newSession() → unresolved-function
+    * analysis failure). Prefer this overload when a session is in
+    * hand. */
+  def sketch(spark: SparkSession, items: Column, k: Int): Column = {
+    register(spark)
+    SparkSession.getDefaultSession.filter(_ ne spark).foreach(register)
+    call_function(FunctionName, items,
+      org.apache.spark.sql.functions.lit(k))
+  }
+
   /** Expression builder: `graft_mg_sketch(items, k)` with k an
     * integer literal (the TopKAgg convention — sketch geometry is a
     * plan-time constant, not data). */

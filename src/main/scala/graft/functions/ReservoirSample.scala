@@ -171,18 +171,22 @@ case class ReservoirSampleAgg(child: Expression, k: Int, seed: Long,
   }
 
   override def serialize(buf: ReservoirSample.RBuf): Array[Byte] = {
+    // encode each value ONCE (k is single-digit): sizing and writing
+    // off the same bytes, not a second getBytes per entry — this runs
+    // per shuffle-side partial buffer
+    val enc = new Array[Array[Byte]](buf.n)
     var bytes = 0
     var j = 0
     while (j < buf.n) {
-      bytes += 12 + buf.vals(j).getBytes("UTF-8").length
+      enc(j) = buf.vals(j).getBytes("UTF-8")
+      bytes += 12 + enc(j).length
       j += 1
     }
     val bb = java.nio.ByteBuffer.allocate(8 + bytes)
     bb.putInt(buf.k).putInt(buf.n)
     j = 0
     while (j < buf.n) {
-      val vb = buf.vals(j).getBytes("UTF-8")
-      bb.putLong(buf.pris(j)).putInt(vb.length).put(vb)
+      bb.putLong(buf.pris(j)).putInt(enc(j).length).put(enc(j))
       j += 1
     }
     bb.array()

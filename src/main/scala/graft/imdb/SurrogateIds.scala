@@ -90,9 +90,16 @@ object SurrogateIds {
     * throw mid-body frees the scoped pins rather than leaking exactly
     * what the ledger exists to free (the outputs are abandoned with
     * the scope, so nothing can still read them). Scopes nest: an inner
-    * scope releases only its own pins. */
-  def withScopedPins[T](spark: org.apache.spark.sql.SparkSession)(
-      body: => T): T = {
+    * scope releases only its own pins.
+    *
+    * SAME-THREAD contract (the thread-local is the mechanism): only
+    * assign() calls made on THIS thread inside `body` are scoped — an
+    * assign() dispatched to another thread registers in the global
+    * ledger alone and stays pinned until an explicit [[releasePins]].
+    * No session parameter, deliberately: release is scope-keyed, not
+    * session-keyed, and a session argument here would suggest
+    * otherwise. */
+  def withScopedPins[T](body: => T): T = {
     val outer = activeScope.get()
     val mine = new java.util.ArrayList[DataFrame]()
     activeScope.set(mine)
@@ -143,6 +150,11 @@ object SurrogateIds {
       .select(col(idCol) +: df.columns.toIndexedSeq.map(col): _*)
   }
 
+  /** Dense 1-based int ids over `sortCols` order. The stamped-frame
+    * pin this creates registers with the innermost [[withScopedPins]]
+    * scope ON THE CALLING THREAD only — an assign() dispatched to
+    * another thread inside a scope is ledger-tracked but unscoped
+    * (released by [[releasePins]], not scope teardown). */
   def assign(df: DataFrame, idCol: String, sortCols: Seq[Column]): DataFrame =
     assignAs(df, idCol, sortCols, org.apache.spark.sql.types.IntegerType)
 

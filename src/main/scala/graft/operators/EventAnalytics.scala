@@ -624,7 +624,7 @@ object EventAnalytics {
       freqAudit(
         DedupOps.spread(docs).groupBy(col("source"))
           .agg(graft.functions.FrequentItems
-            .sketch(trigrams(s, col("text")), FreqK).as("mg")),
+            .sketch(s, trigrams(s, col("text")), FreqK).as("mg")),
         docs)
     },
 

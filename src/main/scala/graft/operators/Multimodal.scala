@@ -528,6 +528,17 @@ object Multimodal {
     * blocks are per-frame — the reader walks block lengths to reach
     * a later index, the same seek-not-scan property that matters when
     * a frame is megabytes, not the fixture's bytes). */
+  /** Is this reader.read(i) throw the "no such frame" signal? The JDK
+    * GIF reader's checkIndex raises the EXACT IndexOutOfBoundsException
+    * class for an index past the last frame; its LZW decode raises the
+    * ArrayIndexOutOfBoundsException SUBCLASS on a corrupt-but-
+    * trailer-intact stream. Only the exact class may read as
+    * end-of-frames — mid-stream corruption must flag like a missing
+    * trailer does (rethrown → task failure), never silently ship the
+    * frames decoded so far as if they were all of them. */
+  private[operators] def isEndOfFrames(e: IndexOutOfBoundsException): Boolean =
+    e.getClass == classOf[IndexOutOfBoundsException]
+
   def decodeVideoFrames(media: DataFrame,
       every: Int = FrameSampleEvery): DataFrame = {
     val s = media.sparkSession
@@ -564,7 +575,10 @@ object Multimodal {
             while (more) {
               val img =
                 try Some(reader.read(f - 1))
-                catch { case _: IndexOutOfBoundsException => None }
+                catch {
+                  case e: IndexOutOfBoundsException if isEndOfFrames(e) =>
+                    None
+                }
               img match {
                 case None => more = false
                 case Some(img) =>

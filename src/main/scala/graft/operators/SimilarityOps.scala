@@ -675,7 +675,7 @@ object SimilarityOps {
     // training call under clusterSafe); the scope cannot touch a
     // sibling computation's still-lazy pins
     var cents: Seq[(Long, Array[Float])] =
-      graft.imdb.SurrogateIds.withScopedPins(s) {
+      graft.imdb.SurrogateIds.withScopedPins {
         val seedIds = stridedSeedIds(corpus, n, k).select(col("vec_id"))
         collectCentroids(
           corpus.join(broadcast(seedIds), "vec_id")

@@ -1145,8 +1145,8 @@ object StreamingOps {
         val q = stream.repartition(s.sparkContext.defaultParallelism)
           .groupBy(col("source"))
           .agg(graft.functions.FrequentItems
-            .sketch(EventAnalytics.trigrams(s, col("text")),
-              EventAnalytics.FreqK).as("mg"))
+            .sketch(s, EventAnalytics.trigrams(s, col("text")),
+                EventAnalytics.FreqK).as("mg"))
           .writeStream.format("memory").queryName("graft_stream_freq")
           .outputMode("complete").trigger(Trigger.AvailableNow()).start()
         q.awaitTermination()

@@ -33,7 +33,7 @@ class SurrogateIdsSpec extends SparkSpec {
     inClusterSafe {
       val before = pinnedCount()
       val boom = intercept[RuntimeException] {
-        SurrogateIds.withScopedPins(spark) {
+        SurrogateIds.withScopedPins {
           // consume the assignment fully, then fail mid-scope — the
           // pre-fix code evaluated body outside try/finally, so this
           // throw left the stamped persist pinned forever
@@ -61,7 +61,7 @@ class SurrogateIdsSpec extends SparkSpec {
       // entry would vanish with the scope's own unpin — a cache-dedup
       // artifact, not the ledger behavior under test
       val siblingRows = (1 to 60).map(i => s"sib$i").toDF("name")
-      SurrogateIds.withScopedPins(spark) {
+      SurrogateIds.withScopedPins {
         val t = new Thread(() => {
           try sibling = SurrogateIds.assign(siblingRows, "id", Seq(col("name")))
           catch { case e: Throwable => siblingFailure = e }

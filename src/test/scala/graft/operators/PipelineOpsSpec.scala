@@ -1780,6 +1780,15 @@ class PipelineOpsSpec extends SparkSpec {
         Seq((7L, truncated)).toDF("doc_id", "payload")).collect()
     }
     assert(ex.getMessage != null)
+    // the end-of-frames classifier: ONLY the exact
+    // IndexOutOfBoundsException class (the JDK reader's checkIndex
+    // signal) reads as "past the last frame"; the AIOOBE subclass the
+    // LZW decoder raises on a corrupt-but-trailer-intact stream must
+    // rethrow (flag loudly), never ship partial per-frame stats
+    assert(Multimodal.isEndOfFrames(
+      new IndexOutOfBoundsException("imageIndex out of bounds!")))
+    assert(!Multimodal.isEndOfFrames(
+      new ArrayIndexOutOfBoundsException(4096)))
   }
 
   test("pagerank on a planted path graph lands on hand-computed " +
