@@ -44,16 +44,11 @@ object BandedLevenshtein {
     * repeated registration (every Column call) doesn't WARN
     * "replaced a previously registered function" into the tail; the
     * race is benign — both racers register the identical builder. */
-  def register(spark: SparkSession): Unit = {
-    val registry = spark.sessionState.functionRegistry
-    if (!registry.functionExists(
-        org.apache.spark.sql.catalyst.FunctionIdentifier(FunctionName)))
-      registry.createOrReplaceTempFunction(FunctionName, builder, "scala_udf")
-  }
+  def register(spark: SparkSession): Unit =
+    GraftFunctions.register(spark, FunctionName, builder)
 
   /** `levenshtein(a, b)` if it is <= tau (per row), else -1. */
   def apply(spark: SparkSession, a: Column, b: Column, tau: Column): Column = {
-    register(spark)
-    call_function(FunctionName, a, b, tau)
+    GraftFunctions.call(spark, FunctionName, builder)(a, b, tau)
   }
 }

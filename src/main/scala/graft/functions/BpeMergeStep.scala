@@ -99,20 +99,14 @@ object BpeMergeStep {
 
   /** Idempotent per-session registration (check-then-create — the
     * replace path WARNs per call). */
-  def register(spark: SparkSession): Unit = {
-    val registry = spark.sessionState.functionRegistry
-    if (!registry.functionExists(
-        org.apache.spark.sql.catalyst.FunctionIdentifier(FunctionName)))
-      registry.createOrReplaceTempFunction(FunctionName, builder, "scala_udf")
-  }
+  def register(spark: SparkSession): Unit =
+    GraftFunctions.register(spark, FunctionName, builder)
 
   /** Column entry point — registers on the caller's session AND the
     * default session (call_function resolves at analysis time against
     * the DataFrame's session — the WordNgrams discipline). */
   def apply(spark: SparkSession, syms: Column, a: Column,
       b: Column): Column = {
-    register(spark)
-    SparkSession.getDefaultSession.filter(_ ne spark).foreach(register)
-    call_function(FunctionName, syms, a, b)
+    GraftFunctions.call(spark, FunctionName, builder)(syms, a, b)
   }
 }

@@ -143,21 +143,15 @@ object CharNgrams {
     * r16 bench-tail warning wall (the WinnowSelect pattern; the
     * check-then-act race is benign, both racers register the
     * identical builder). */
-  def register(spark: SparkSession): Unit = {
-    val registry = spark.sessionState.functionRegistry
-    if (!registry.functionExists(
-        org.apache.spark.sql.catalyst.FunctionIdentifier(FunctionName)))
-      registry.createOrReplaceTempFunction(FunctionName, builder, "scala_udf")
-  }
+  def register(spark: SparkSession): Unit =
+    GraftFunctions.register(spark, FunctionName, builder)
 
   /** Column entry point — registers on the session first, plus the
     * default session as a fallback (see [[WordNgrams.apply]]:
     * `call_function` resolves at analysis time against the
     * DataFrame's session, which may differ from the caller's). */
   def apply(spark: SparkSession, text: Column, n: Int): Column = {
-    register(spark)
-    SparkSession.getDefaultSession.filter(_ ne spark).foreach(register)
-    call_function(FunctionName, text,
+    GraftFunctions.call(spark, FunctionName, builder)(text,
       org.apache.spark.sql.functions.lit(n))
   }
 }

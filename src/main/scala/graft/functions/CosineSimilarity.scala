@@ -134,16 +134,11 @@ object CosineSimilarity {
     * WARN per call, and the Column entry point registers on every
     * call — a warning wall in any tail. The check-then-act race is
     * benign (both racers register the identical builder). */
-  def register(spark: SparkSession): Unit = {
-    val registry = spark.sessionState.functionRegistry
-    if (!registry.functionExists(
-        org.apache.spark.sql.catalyst.FunctionIdentifier(FunctionName)))
-      registry.createOrReplaceTempFunction(FunctionName, builder, "scala_udf")
-  }
+  def register(spark: SparkSession): Unit =
+    GraftFunctions.register(spark, FunctionName, builder)
 
   /** Column entry point — requires [[register]] on the session first. */
   def apply(spark: SparkSession, a: Column, b: Column): Column = {
-    register(spark)
-    call_function(FunctionName, a, b)
+    GraftFunctions.call(spark, FunctionName, builder)(a, b)
   }
 }

@@ -140,9 +140,7 @@ object FrequentItems {
     * analysis failure). Prefer this overload when a session is in
     * hand. */
   def sketch(spark: SparkSession, items: Column, k: Int): Column = {
-    register(spark)
-    SparkSession.getDefaultSession.filter(_ ne spark).foreach(register)
-    call_function(FunctionName, items,
+    GraftFunctions.call(spark, FunctionName, builder)(items,
       org.apache.spark.sql.functions.lit(k))
   }
 
@@ -168,12 +166,8 @@ object FrequentItems {
 
   /** Idempotent per-session registration (check-then-create — the
     * replace path WARNs per call). */
-  def register(spark: SparkSession): Unit = {
-    val registry = spark.sessionState.functionRegistry
-    if (!registry.functionExists(
-        org.apache.spark.sql.catalyst.FunctionIdentifier(FunctionName)))
-      registry.createOrReplaceTempFunction(FunctionName, builder, "scala_udf")
-  }
+  def register(spark: SparkSession): Unit =
+    GraftFunctions.register(spark, FunctionName, builder)
 
   // -----------------------------------------------------------------
   // The superseded udaf form, kept private to the round-19 interleaved

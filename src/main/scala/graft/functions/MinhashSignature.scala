@@ -131,17 +131,12 @@ object MinhashSignature {
     * repeated registration (every Column call) doesn't WARN
     * "replaced a previously registered function" into the tail; the
     * race is benign — both racers register the identical builder. */
-  def register(spark: SparkSession): Unit = {
-    val registry = spark.sessionState.functionRegistry
-    if (!registry.functionExists(
-        org.apache.spark.sql.catalyst.FunctionIdentifier(FunctionName)))
-      registry.createOrReplaceTempFunction(FunctionName, builder, "scala_udf")
-  }
+  def register(spark: SparkSession): Unit =
+    GraftFunctions.register(spark, FunctionName, builder)
 
   /** Column entry point — registers on the session first. */
   def apply(spark: SparkSession, shingles: Column, slots: Int): Column = {
-    register(spark)
-    call_function(FunctionName, shingles,
+    GraftFunctions.call(spark, FunctionName, builder)(shingles,
       org.apache.spark.sql.functions.lit(slots))
   }
 }

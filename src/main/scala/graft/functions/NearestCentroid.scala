@@ -187,21 +187,15 @@ object NearestCentroid {
   /** Idempotent per-session registration (check-then-create — the
     * WinnowSelect warn-wall discipline); also available to SQL text
     * as `graft_nearest_centroid(vec, ids, cvs)`. */
-  def register(spark: SparkSession): Unit = {
-    val registry = spark.sessionState.functionRegistry
-    if (!registry.functionExists(
-        org.apache.spark.sql.catalyst.FunctionIdentifier(FunctionName)))
-      registry.createOrReplaceTempFunction(FunctionName, builder, "scala_udf")
-  }
+  def register(spark: SparkSession): Unit =
+    GraftFunctions.register(spark, FunctionName, builder)
 
   /** Column entry point — registers on the caller's session plus the
     * default session (call_function resolves at analysis time against
     * the DataFrame's session — the WordNgrams discipline). */
   def apply(spark: SparkSession, vec: Column,
       centroids: Seq[(Long, Array[Float])]): Column = {
-    register(spark)
-    SparkSession.getDefaultSession.filter(_ ne spark).foreach(register)
-    call_function(FunctionName, vec,
+    GraftFunctions.call(spark, FunctionName, builder)(vec,
       typedlit(centroids.map(_._1)),
       typedlit(centroids.map(_._2.toSeq)))
   }

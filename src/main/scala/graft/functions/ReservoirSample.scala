@@ -91,12 +91,8 @@ object ReservoirSample {
   }
 
   /** Idempotent per-session registration (check-then-create). */
-  def register(spark: SparkSession): Unit = {
-    val registry = spark.sessionState.functionRegistry
-    if (!registry.functionExists(
-        org.apache.spark.sql.catalyst.FunctionIdentifier(FunctionName)))
-      registry.createOrReplaceTempFunction(FunctionName, builder, "scala_udf")
-  }
+  def register(spark: SparkSession): Unit =
+    GraftFunctions.register(spark, FunctionName, builder)
 
   /** Column entry point — the native aggregate (the udaf Aggregator
     * below stays as the equivalence-spec reference). Registers on the
@@ -105,9 +101,7 @@ object ReservoirSample {
     * WordNgrams discipline). */
   def apply(spark: SparkSession, v: Column, k: Int,
       seed: Long = 42L): Column = {
-    register(spark)
-    SparkSession.getDefaultSession.filter(_ ne spark).foreach(register)
-    call_function(FunctionName, v,
+    GraftFunctions.call(spark, FunctionName, builder)(v,
       org.apache.spark.sql.functions.lit(k),
       org.apache.spark.sql.functions.lit(seed))
   }

@@ -204,21 +204,15 @@ object TopKAgg {
   /** Idempotent per-session registration (check-then-create — the
     * replace path WARNs per call); the analyzer wraps the returned
     * AggregateFunction in a Complete AggregateExpression at use. */
-  def register(spark: SparkSession): Unit = {
-    val registry = spark.sessionState.functionRegistry
-    if (!registry.functionExists(
-        org.apache.spark.sql.catalyst.FunctionIdentifier(FunctionName)))
-      registry.createOrReplaceTempFunction(FunctionName, builder, "scala_udf")
-  }
+  def register(spark: SparkSession): Unit =
+    GraftFunctions.register(spark, FunctionName, builder)
 
   /** Column entry point — registers on the caller's session AND the
     * default session (call_function resolves at analysis time against
     * the DataFrame's session — the WordNgrams discipline, applied
     * here in round 19 alongside the other native aggregates). */
   def apply(spark: SparkSession, ord: Column, id: Column, k: Int): Column = {
-    register(spark)
-    SparkSession.getDefaultSession.filter(_ ne spark).foreach(register)
-    call_function(FunctionName, ord, id,
+    GraftFunctions.call(spark, FunctionName, builder)(ord, id,
       org.apache.spark.sql.functions.lit(k))
   }
 }

@@ -158,18 +158,13 @@ object WinnowSelect {
     * the bench sweep calls this once per winnow query — a warning
     * wall burying real signals in the bench tail. The check-then-act
     * race is benign (both racers register the identical builder). */
-  def register(spark: SparkSession): Unit = {
-    val registry = spark.sessionState.functionRegistry
-    if (!registry.functionExists(
-        org.apache.spark.sql.catalyst.FunctionIdentifier(FunctionName)))
-      registry.createOrReplaceTempFunction(FunctionName, builder, "scala_udf")
-  }
+  def register(spark: SparkSession): Unit =
+    GraftFunctions.register(spark, FunctionName, builder)
 
   /** Column entry point — registers on the session first. */
   def apply(spark: SparkSession, text: Column, k: Int, w: Int,
       posBits: Int): Column = {
-    register(spark)
-    call_function(FunctionName, text,
+    GraftFunctions.call(spark, FunctionName, builder)(text,
       org.apache.spark.sql.functions.lit(k),
       org.apache.spark.sql.functions.lit(w),
       org.apache.spark.sql.functions.lit(posBits))

@@ -136,12 +136,8 @@ object WordNgrams {
   /** Idempotent per-session registration (check-then-create — the
     * WinnowSelect warn-wall discipline); also available to SQL text
     * as `graft_word_ngrams(toks, n)`. */
-  def register(spark: SparkSession): Unit = {
-    val registry = spark.sessionState.functionRegistry
-    if (!registry.functionExists(
-        org.apache.spark.sql.catalyst.FunctionIdentifier(FunctionName)))
-      registry.createOrReplaceTempFunction(FunctionName, builder, "scala_udf")
-  }
+  def register(spark: SparkSession): Unit =
+    GraftFunctions.register(spark, FunctionName, builder)
 
   /** Column entry point — registers on the session first.
     * `call_function` resolves at ANALYSIS time against the
@@ -152,9 +148,7 @@ object WordNgrams {
     * this repo (the one session-clone context, foreachBatch, shares
     * the parent's function registry). */
   def apply(spark: SparkSession, toks: Column, n: Int): Column = {
-    register(spark)
-    SparkSession.getDefaultSession.filter(_ ne spark).foreach(register)
-    call_function(FunctionName, toks,
+    GraftFunctions.call(spark, FunctionName, builder)(toks,
       org.apache.spark.sql.functions.lit(n))
   }
 }

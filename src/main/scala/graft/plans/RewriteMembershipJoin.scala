@@ -62,45 +62,30 @@ object RewriteMembershipJoin extends Rule[LogicalPlan] with PredicateHelper {
 }
 
 /** `spark.sql.extensions`-loadable bundle of graft's Catalyst
-  * extensions: the membership-join rewrite and the native functions
-  * (`graft_cosine_sim(a, b)` and
-  * `graft_winnow_select(text, k, w, posBits)` in SQL). */
+  * extensions: the membership-join rewrite, the Levenshtein screen
+  * pushdown, and EVERY native function in
+  * [[graft.functions.GraftFunctions.all]] (SQL-text names like
+  * `graft_cosine_sim(a, b)`). */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  import graft.functions.{BandedLevenshtein, CharNgrams, CosineSimilarity,
-    MinhashSignature, NearestCentroid, TopKAgg, WinnowSelect, WordNgrams}
   import org.apache.spark.sql.catalyst.FunctionIdentifier
 
   def apply(e: SparkSessionExtensions): Unit = {
     e.injectOptimizerRule(_ => RewriteMembershipJoin)
     e.injectOptimizerRule(_ => PushLevenshteinScreen)
-    // EVERY native function whose scaladoc advertises SQL-text
-    // availability ships in the spark.sql.extensions bundle — a
-    // cluster configured with this class alone must resolve them all;
-    // the per-session temp registration in each Column entry point
-    // only covers sessions that happened to go through the Column API.
-    // Shared arity-guarded builders: wrong arg count is a clean
+    // a cluster configured with this class alone must resolve every
+    // advertised native function; the per-session temp registration in
+    // each Column entry point only covers sessions that went through
+    // the Column API. The inventory is GraftFunctions.all — the same
+    // single list the Column entry points and the resolution spec use,
+    // so this bundle can no longer drift behind it (it shipped 3-of-8
+    // in r18 and was missing all three r19 additions as a hand-kept
+    // copy). Shared arity-guarded builders: wrong arg count is a clean
     // WRONG_NUM_ARGS analysis error, not an IndexOutOfBounds.
-    def inject(name: String, clazz: Class[_],
-        builder: Seq[Expression] => Expression): Unit =
+    graft.functions.GraftFunctions.all.foreach { case (name, clazz, builder) =>
       e.injectFunction((
         FunctionIdentifier(name),
         new ExpressionInfo(clazz.getCanonicalName, name),
         builder))
-    inject(CosineSimilarity.FunctionName, classOf[CosineSimilarity],
-      CosineSimilarity.builder)
-    inject(WinnowSelect.FunctionName, classOf[WinnowSelect],
-      WinnowSelect.builder)
-    inject(MinhashSignature.FunctionName, classOf[MinhashSignature],
-      MinhashSignature.builder)
-    inject(WordNgrams.FunctionName, classOf[WordNgrams],
-      WordNgrams.builder)
-    inject(CharNgrams.FunctionName, classOf[CharNgrams],
-      CharNgrams.builder)
-    inject(NearestCentroid.FunctionName, classOf[NearestCentroid],
-      NearestCentroid.builder)
-    inject(TopKAgg.FunctionName, classOf[TopKAgg], TopKAgg.builder)
-    inject(BandedLevenshtein.FunctionName,
-      classOf[org.apache.spark.sql.catalyst.expressions.Levenshtein],
-      BandedLevenshtein.builder)
+    }
   }
 }
