@@ -55,32 +55,71 @@ case class BpeMergeStep(first: Expression, second: Expression,
 object BpeMergeStep {
   val FunctionName = "graft_bpe_merge"
 
-  /** The linear greedy pass (static forwarder — codegen calls this
-    * directly). `lastTok` tracks the accumulator's trailing token, so
-    * the fold's `acc = a || acc.endsWith(' ' + a)` test is O(1) per
-    * position instead of a scan of the rebuilt accumulator. */
-  def mergeImpl(symsU: UTF8String, aU: UTF8String,
-      bU: UTF8String): UTF8String = {
-    val syms = symsU.toString
-    val a = aU.toString
-    val b = bU.toString
-    val toks = syms.split(" ")
-    val sb = new java.lang.StringBuilder(syms.length)
-    sb.append(toks(0))
-    var lastTok = toks(0)
-    var i = 1
-    while (i < toks.length) {
-      val t = toks(i)
-      if (t == b && lastTok == a) {
-        sb.append(b)
-        lastTok = lastTok + b
-      } else {
-        sb.append(' ').append(t)
-        lastTok = t
-      }
+  /** True when `ref` equals the `len`-byte span of `arr` at `off`
+    * (caller has already matched lengths). */
+  private def spanEq(arr: Array[Byte], off: Int, ref: Array[Byte]): Boolean = {
+    var i = 0
+    while (i < ref.length) {
+      if (arr(off + i) != ref(i)) return false
       i += 1
     }
-    UTF8String.fromString(sb.toString)
+    true
+  }
+
+  /** The linear greedy pass (static forwarder — codegen calls this
+    * directly), as a raw UTF-8 BYTE walk: token spans are delimited by
+    * the ' ' byte (0x20 never occurs inside a UTF-8 multi-byte
+    * sequence, so byte scanning is codepoint-safe), each span is
+    * compared against `a`/`b` bytes and copied into ONE output buffer
+    * sized by the input (merging only ever removes spaces). The
+    * trailing-token test the fold spells `acc == a || acc.endsWith(' '
+    * + a)` is a span-compare of the output's last token, O(|a|) per
+    * position. No intermediate String/array allocation per call — the
+    * r19 form's toString + split + rebuilt lastTok dominated the
+    * expression's cost at corpus scale (~10⁸ distinct words).
+    *
+    * Empty tokens are real tokens: consecutive / leading / trailing
+    * spaces split exactly like Spark's `split(syms, ' ')` (limit −1)
+    * and DuckDB's string_split — the r19 form's Java `split(" ")`
+    * (limit 0) silently dropped trailing empties and threw on
+    * all-space input. BPE symbols contain no spaces (they are formed
+    * from space-free tokens), which is what makes last-token
+    * span-compare ≡ the fold's endsWith test. */
+  def mergeImpl(symsU: UTF8String, aU: UTF8String,
+      bU: UTF8String): UTF8String = {
+    val syms = symsU.getBytes
+    val a = aU.getBytes
+    val b = bU.getBytes
+    val n = syms.length
+    val out = new Array[Byte](n)
+    var outPos = 0
+    var lastStart = 0 // byte offset in `out` of the last token's start
+    var firstTok = true
+    var i = 0
+    while (i <= n) {
+      var j = i
+      while (j < n && syms(j) != ' ') j += 1
+      val len = j - i
+      if (firstTok) {
+        System.arraycopy(syms, i, out, 0, len)
+        outPos = len
+        firstTok = false
+      } else if (len == b.length && (outPos - lastStart) == a.length &&
+          spanEq(syms, i, b) && spanEq(out, lastStart, a)) {
+        // glue b onto the trailing token; lastStart stays — a merged
+        // token participates in the NEXT position via its full form
+        System.arraycopy(b, 0, out, outPos, len)
+        outPos += len
+      } else {
+        out(outPos) = ' '
+        outPos += 1
+        lastStart = outPos
+        System.arraycopy(syms, i, out, outPos, len)
+        outPos += len
+      }
+      i = j + 1
+    }
+    UTF8String.fromBytes(out, 0, outPos)
   }
 
   /** Expression builder with an arity guard (the CosineSimilarity

@@ -20,9 +20,12 @@ class BpeMergeStepSpec extends SparkSpec {
       UTF8String.fromString(a), UTF8String.fromString(b)).toString
 
   /** The fold semantics, re-derived independently: left-to-right over
-    * tokens, glue b onto an accumulator whose trailing token is a. */
+    * tokens, glue b onto an accumulator whose trailing token is a.
+    * split limit −1 (keep trailing empties) — the Spark HOF fold's
+    * split() and DuckDB's string_split both keep them, and the r19
+    * native form's limit-0 split was the one engine that didn't. */
   private def ref(syms: String, a: String, b: String): String = {
-    val toks = syms.split(" ")
+    val toks = syms.split(" ", -1)
     toks.tail.foldLeft(toks.head) { (acc, t) =>
       if (t == b && (acc == a || acc.endsWith(" " + a))) acc + b
       else acc + " " + t
@@ -41,6 +44,24 @@ class BpeMergeStepSpec extends SparkSpec {
     assert(nat("ab c", "b", "c") == "ab c")
     // multi-char symbols from earlier rounds merge like any token
     assert(nat("th e th e", "th", "e") == "the the")
+    // multi-byte UTF-8 symbols: the byte walk is codepoint-safe
+    // (0x20 never occurs inside a multi-byte sequence)
+    assert(nat("é ñ é ñ", "é", "ñ") == "éñ éñ")
+    assert(nat("日 本 語", "日", "本") == "日本 語")
+  }
+
+  test("degenerate whitespace inputs match the fold (split limit -1 " +
+    "semantics: empty tokens are tokens, not dropped or thrown on)") {
+    // trailing / leading / doubled spaces — the r19 limit-0 split
+    // dropped trailing empties (native ≠ oracle on these inputs)
+    Seq("a b ", " a b", "a  b", "a b  ", "  ", " ", "").foreach { syms =>
+      Seq(("a", "b"), ("a", ""), ("", "b"), ("", "")).foreach { case (a, b) =>
+        assert(nat(syms, a, b) == ref(syms, a, b),
+          s"diverged on ('$syms', '$a', '$b')")
+      }
+    }
+    // all-space input no longer throws (r19 form: toks(0) AIOOBE)
+    assert(nat("   ", "a", "b") == "   ")
   }
 
   test("randomized runs agree with the independent fold re-derivation") {
