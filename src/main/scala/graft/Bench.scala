@@ -159,6 +159,29 @@ object Bench {
     (RecoveryOutcome.StillDirty(best), samples.toSeq)
   }
 
+  /** The family partition of the gate surface, for the record's
+    * subtotals: STREAM gates run Structured Streaming queries whose
+    * cost is trigger/IO/timer floors, and they normalize differently
+    * under the CPU probe than batch gates — the r19 measured split
+    * was stream median 1.21× vs non-stream 0.93× between two clean
+    * sweeps of IDENTICAL code. One normalized total mixes the two
+    * regimes, so every round-over-round comparison needed a SCALE.md
+    * paragraph; the record now ships both subtotals so the
+    * adjudication is mechanical. Keyed off the naming convention the
+    * stream gates own (q_stream_*), spec-pinned in BenchSpec. */
+  private[graft] def isStream(name: String): Boolean =
+    name.startsWith("q_stream_")
+
+  /** (streamSec, nonStreamSec, nStream, nNonStream) over
+    * successfully-timed queries; failed entries (−1) count in
+    * NEITHER family — they are absent from the total too. */
+  private[graft] def familyTotals(
+      results: Seq[(String, Double)]): (Double, Double, Int, Int) = {
+    val ok = results.filter(_._2 >= 0)
+    val (s, ns) = ok.partition(r => isStream(r._1))
+    (s.map(_._2).sum, ns.map(_._2).sum, s.size, ns.size)
+  }
+
   /** Parse a previous BENCH_QUERIES.json record into the per-query
     * minima the regression re-run rule compares against. Entries the
     * previous sweep itself flagged contended carry inflated minima;
@@ -542,6 +565,8 @@ object Bench {
     }.mkString("{", ",", "}")
     val total = results.collect { case (_, v, _) if v >= 0 => v }.sum
     val nFailed = results.count(_._2 < 0)
+    val (streamSec, nonStreamSec, nStream, nNonStream) =
+      familyTotals(results.map { case (n, v, _) => (n, v) })
     val sfLabel = QueryDef.jsonString(new java.io.File(sfDir).getName)
     // contention evidence travels WITH the record: `contended` lists
     // queries whose re-measurement window was still dirty (their
@@ -559,12 +584,19 @@ object Bench {
       s""""n_marked":${contended.size},"n_recovered":${
         contended.size - stillContended.size - rerunCrashed},""" +
       s""""probes":${probeTrace.map(fmt).mkString("[", ",", "]")}}"""
+    // family subtotals: the stream gates' cost is trigger/IO floors
+    // and swings with co-tenancy independently of the CPU probe, so
+    // the record partitions the total — a reader adjudicates the
+    // stream tail against the stream subtotal, mechanically
+    val famJson = s"""{"stream_sec":${fmt(streamSec)},""" +
+      s""""non_stream_sec":${fmt(nonStreamSec)},""" +
+      s""""n_stream":$nStream,"n_non_stream":$nNonStream}"""
     val fileJson =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"queries_median":$qsMed,"contended":$contJson,"calibration":$calJson,"sf":$sfLabel}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"queries_median":$qsMed,"families":$famJson,"contended":$contJson,"calibration":$calJson,"sf":$sfLabel}"""
     java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
       (fileJson + "\n").getBytes("UTF-8"))
     // compact summary LAST so the bounded tail always captures it whole
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.length},"n_failed":$nFailed,"n_contended":${stillContended.size},"queries_file":${QueryDef.jsonString(outPath)},"sf":$sfLabel}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.length},"n_failed":$nFailed,"n_contended":${stillContended.size},"stream_sec":${fmt(streamSec)},"non_stream_sec":${fmt(nonStreamSec)},"queries_file":${QueryDef.jsonString(outPath)},"sf":$sfLabel}""")
     spark.stop()
   }
 }

@@ -10,6 +10,28 @@ import org.scalatest.funsuite.AnyFunSuite
   * treatment as an operator. */
 class BenchSpec extends AnyFunSuite {
 
+  test("family partition: subtotals cover the registry exactly, sum " +
+    "to the total, and failed queries count in neither family") {
+    val names = SparkEntry.queries.keySet.toSeq.sorted
+    // the partition is real on the actual gate surface — both
+    // families are non-empty, and stream means exactly q_stream_*
+    assert(names.exists(Bench.isStream))
+    assert(names.exists(n => !Bench.isStream(n)))
+    names.foreach(n =>
+      assert(Bench.isStream(n) == n.startsWith("q_stream_"), n))
+    val results = names.map(n => (n, 1.0))
+    val (s, ns, cs, cns) = Bench.familyTotals(results)
+    assert(cs + cns == names.size)
+    assert(math.abs(s + ns - names.size) < 1e-9)
+    assert(math.abs(s - cs) < 1e-9 && math.abs(ns - cns) < 1e-9)
+    // a failed query (-1 sentinel) is absent from the total, so it
+    // must be absent from both subtotals too
+    val withFailed = (names.head, -1.0) +: results.tail
+    val (s2, ns2, cs2, cns2) = Bench.familyTotals(withFailed)
+    assert(cs2 + cns2 == names.size - 1)
+    assert(math.abs(s2 + ns2 - (names.size - 1)) < 1e-9)
+  }
+
   test("plain record parses into per-query minima") {
     val txt = """{"metric":"total","value":9.99,"unit":"sec",""" +
       """"queries":{"q_a":1.25,"q_b":0.5,"q_c":-1},"sf":"sf0.1"}"""
