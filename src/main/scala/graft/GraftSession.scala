@@ -32,7 +32,14 @@ object GraftSession {
     * aggregate with multi-KB buffers over a high-cardinality group key
     * must either re-derive its own per-task budget
     * (keys × buffer bytes vs executor memory) or set/restore the conf
-    * around its queries rather than ride this session default. */
+    * around its queries rather than ride this session default.
+    *
+    * This budget is EXECUTABLE, not just prose: PlanAuditSpec's
+    * objectAggOffenders walks every gate plan's
+    * ObjectHashAggregateExec nodes and fails the sweep on a
+    * non-k-bounded object aggregate over a key outside the enumerated
+    * bounded-cardinality/per-entity sets (red-tested on a planted
+    * percentile-over-doc_id). */
   val ObjectAggFallbackKeys: String = "262144"
 
   /** Tuning shared by EVERY graft session, harness mains and the test

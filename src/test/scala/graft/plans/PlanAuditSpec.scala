@@ -110,6 +110,124 @@ class PlanAuditSpec extends SparkSpec {
     assert(q.forall(_.startsWith("q_")), "gate names must be q_-prefixed")
   }
 
+  /** Executable form of the GraftSession.ObjectAggFallbackKeys memory
+    * budget (GraftSession.scala's prose note, made red/green): the
+    * session-wide sort-fallback threshold is raised to 262144 keys, so
+    * a task may hold up to that many object-agg buffers in its hash
+    * map — safe only while every object aggregate on the surface is
+    * one of:
+    *
+    *   - a graft k-bounded digest (TopKAgg / MisraGriesAgg /
+    *     ReservoirSampleAgg with small k — a few hundred bytes per
+    *     buffer, safe under ANY group key);
+    *   - a Collect (collect_list/collect_set) whose group key is
+    *     bounded-cardinality OR per-entity: a per-entity collect's
+    *     buffers hold exactly the group's own input rows, so a task's
+    *     total buffer bytes ≈ its input-partition bytes — the same
+    *     budget as the scan itself, whatever the key cardinality;
+    *   - any other TypedImperativeAggregate (percentile / sketch
+    *     types, multi-KB buffers that do NOT shrink with the group)
+    *     over a bounded-cardinality key or a global (ungrouped)
+    *     aggregate — ≤ tens of buffers per task.
+    *
+    * A future multi-KB-buffer aggregate over a high-cardinality key —
+    * the shape that OOMs an executor at 262144 buffers/task — returns
+    * a violation here and fails the sweep, instead of shipping on the
+    * prose note's say-so. Fixed-width aggregates (declarative or
+    * imperative: Count, Sum, Corr, Stddev…) are safe by construction
+    * whatever the key. */
+  private def objectAggOffenders(
+      plan: org.apache.spark.sql.execution.SparkPlan): Seq[String] = {
+    import org.apache.spark.sql.catalyst.expressions.AttributeReference
+    import org.apache.spark.sql.catalyst.expressions.aggregate.{
+      Collect, TypedImperativeAggregate}
+    import org.apache.spark.sql.execution.aggregate.ObjectHashAggregateExec
+    // single-digit-to-tens cardinality by data contract (flags,
+    // sources, languages, label vocab, the 5 fixed probe ids)
+    val boundedCard = Set("l_returnflag", "source", "lang", "label",
+      "query_id")
+    // unbounded cardinality, but a group's payload is the entity's own
+    // bounded rows (per-doc paragraphs/chunks, per-user event sets) —
+    // valid for Collect only; kept MINIMAL (exactly the keys the
+    // surface collects by), a new per-entity collect key is a
+    // conscious addition here
+    val perEntity = Set("doc_id", "user_id")
+    val kBoundMax = 1024
+    plan.collectWithSubqueries { case o: ObjectHashAggregateExec =>
+      val groupAttrs = o.groupingExpressions
+        .flatMap(_.collect { case a: AttributeReference => a.name }).distinct
+      o.aggregateExpressions.map(_.aggregateFunction).flatMap {
+        case t: graft.functions.TopKAgg =>
+          if (t.k <= kBoundMax) None
+          else Some(s"TopKAgg k=${t.k} exceeds the k-bound $kBoundMax")
+        case m: graft.functions.MisraGriesAgg =>
+          if (m.k <= kBoundMax) None
+          else Some(s"MisraGriesAgg k=${m.k} exceeds the k-bound $kBoundMax")
+        case r: graft.functions.ReservoirSampleAgg =>
+          if (r.k <= kBoundMax) None
+          else Some(s"ReservoirSampleAgg k=${r.k} exceeds the k-bound " +
+            s"$kBoundMax")
+        case c: Collect[_] =>
+          if (groupAttrs.isEmpty ||
+              groupAttrs.forall(a => boundedCard(a) || perEntity(a))) None
+          else Some(s"${c.prettyName} over unenumerated group key(s) " +
+            s"[${groupAttrs.mkString(",")}]")
+        case f: TypedImperativeAggregate[_] =>
+          if (groupAttrs.isEmpty || groupAttrs.forall(boundedCard)) None
+          else Some(s"${f.prettyName} (multi-KB object buffer) over " +
+            s"non-bounded-cardinality group key(s) " +
+            s"[${groupAttrs.mkString(",")}] — re-derive the per-task " +
+            "budget or scope the fallback conf (GraftSession.scala)")
+        case _ => None // fixed-width buffer: safe at any cardinality
+      }
+    }.flatten
+  }
+
+  test("object-agg budget guard: a planted multi-KB-buffer aggregate " +
+    "over a high-cardinality key is red; the enumerated shapes are " +
+    "green") {
+    import org.apache.spark.sql.execution.aggregate.ObjectHashAggregateExec
+    val saved = spark.conf.getOption("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      def offendersOf(df: org.apache.spark.sql.DataFrame): Seq[String] = {
+        val plan = df.queryExecution.executedPlan
+        // the guard must actually be LOOKING at an object hash agg —
+        // a plan shape change that stops planning one would make this
+        // test vacuous, not green
+        assert(plan.collectWithSubqueries {
+          case o: ObjectHashAggregateExec => o }.nonEmpty,
+          "expected an ObjectHashAggregateExec in the planted plan")
+        objectAggOffenders(plan)
+      }
+      import org.apache.spark.sql.functions._
+      // RED: percentile buffers don't shrink with the group — 262144
+      // of them per task is exactly the executor-OOM shape the budget
+      // note warns about
+      val bad = offendersOf(docs.groupBy(col("doc_id"))
+        .agg(expr("percentile_approx(length(text), 0.5)").as("p")))
+      assert(bad.exists(_.contains("percentile_approx")),
+        s"planted violation not flagged: $bad")
+      // GREEN: same aggregate over a bounded-cardinality key
+      assert(offendersOf(docs.groupBy(col("source"))
+        .agg(expr("percentile_approx(length(text), 0.5)").as("p"))).isEmpty)
+      // GREEN: per-entity collect (buffer = the group's own rows)
+      assert(offendersOf(docs.groupBy(col("doc_id"))
+        .agg(collect_list(col("source")).as("s"))).isEmpty)
+      // RED: collect over a key outside both enumerations
+      val badCollect = offendersOf(docs.groupBy(col("text"))
+        .agg(collect_list(col("source")).as("s")))
+      assert(badCollect.nonEmpty, "unenumerated collect key not flagged")
+      // GREEN: global (ungrouped) object aggregate — one buffer/task
+      assert(offendersOf(docs
+        .agg(expr("percentile_approx(length(text), 0.5)").as("p"))).isEmpty)
+    } finally saved match {
+      case Some(v) => spark.conf.set("spark.sql.adaptive.enabled", v)
+      case None => spark.conf.unset("spark.sql.adaptive.enabled")
+    }
+  }
+
   test("no gate plan nests two data-sized inputs or runs a data-sized " +
     "unpartitioned window (BNLJ/Cartesian/WindowExec audit, one plan " +
     "build per gate)") {
@@ -190,6 +308,10 @@ class PlanAuditSpec extends SparkSpec {
                 if (bad.nonEmpty)
                   offenders += s"$name: ${bad.size} unpartitioned/" +
                     "unmarked-constant window(s)"
+                // 4th check, same sweep (plan builds are the expensive
+                // part): the object-agg memory budget the session-wide
+                // fallback threshold rides on — see objectAggOffenders
+                offenders ++= objectAggOffenders(plan).map(v => s"$name: $v")
               })
         }
       }
