@@ -224,12 +224,21 @@ object BuildBench {
       sys.env.getOrElse("SPARK_GRAFT_BUILD_DIR", "/tmp/graft_build_bench"))
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BUILD_OUT",
       "BUILD_BENCH.json")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.ui.enabled", "false")
+    // GraftSession like every other harness main — the measured
+    // pipeline must run under the engine's ACTUAL session defaults
+    // (bloom-injection off, object-agg threshold, UTC...), not a
+    // hand-rolled subset that silently diverges as the defaults move
+    // (this main was the seventh session builder, the exact drift the
+    // GraftSession funnel exists to prevent)
+    val spark = graft.GraftSession.localBuilder(cpus)
+      // A/B knob for session-default attribution (e.g. does bloom
+      // injection matter to the BUILD, whose warehouse tables carry
+      // real stats — unlike the gate surface's pinned intermediates?):
+      // SPARK_GRAFT_BUILD_CONF="k=v,k=v" chains overrides AFTER the
+      // shared defaults; unset = the engine's actual defaults
+      .config(sys.env.get("SPARK_GRAFT_BUILD_CONF").iterator
+        .flatMap(_.split(',')).map(_.split('=')).collect {
+          case Array(k, v) => (k, v) }.toMap)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
@@ -277,8 +286,22 @@ object BuildBench {
     require(p.buildWarnings.isEmpty,
       s"build validation warnings: ${p.buildWarnings.mkString("; ")}")
 
+    // stamp the code identity the numbers were measured on — the r19
+    // verdict's re-anchor ask ("the 100x headline is measured on r16
+    // binaries") needed archaeology to even ask; "unknown" outside a
+    // git checkout rather than a crash
+    val commit =
+      try {
+        val pr = new ProcessBuilder("git", "rev-parse", "--short", "HEAD")
+          .redirectErrorStream(true).start()
+        val out = new String(pr.getInputStream.readAllBytes, "UTF-8").trim
+        if (pr.waitFor() == 0 && out.nonEmpty && !out.contains(' ')) out
+        else "unknown"
+      } catch { case _: Exception => "unknown" }
+
     val json =
       s"""{"metric":"imdb_transfer_build","titles":$titles,""" +
+        s""""commit":"$commit",""" +
         s""""transfer_sec":$transferSec,""" +
         s""""build_sec":$buildSec,"total_sec":${transferSec + buildSec},""" +
         s""""tsv_mb":${math.round(tsvMb)},"gen_sec":$genSec,""" +
