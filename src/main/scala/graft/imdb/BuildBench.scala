@@ -235,10 +235,20 @@ object BuildBench {
       // injection matter to the BUILD, whose warehouse tables carry
       // real stats — unlike the gate surface's pinned intermediates?):
       // SPARK_GRAFT_BUILD_CONF="k=v,k=v" chains overrides AFTER the
-      // shared defaults; unset = the engine's actual defaults
+      // shared defaults; unset = the engine's actual defaults.
+      // split("=", 2) so values containing '=' survive, and a
+      // malformed entry fails LOUDLY — a silently-dropped override
+      // would report "conf made no difference" on a run where the
+      // conf was never set, poisoning the very attribution this knob
+      // exists for
       .config(sys.env.get("SPARK_GRAFT_BUILD_CONF").iterator
-        .flatMap(_.split(',')).map(_.split('=')).collect {
-          case Array(k, v) => (k, v) }.toMap)
+        .flatMap(_.split(',')).map { kv =>
+          kv.split("=", 2) match {
+            case Array(k, v) if k.nonEmpty => (k, v)
+            case _ => throw new IllegalArgumentException(
+              s"SPARK_GRAFT_BUILD_CONF: malformed entry '$kv' (want k=v)")
+          }
+        }.toMap)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
@@ -303,7 +313,10 @@ object BuildBench {
       s"""{"metric":"imdb_transfer_build","titles":$titles,""" +
         s""""commit":"$commit",""" +
         s""""transfer_sec":$transferSec,""" +
-        s""""build_sec":$buildSec,"total_sec":${transferSec + buildSec},""" +
+        // round the sum like secs() rounds its addends — the raw
+        // Double sum prints FP noise (372.34+118.7 = 491.03999…)
+        s""""build_sec":$buildSec,"total_sec":${
+          math.round((transferSec + buildSec) * 100) / 100.0},""" +
         s""""tsv_mb":${math.round(tsvMb)},"gen_sec":$genSec,""" +
         s""""rows":{${rows.toSeq.sortBy(_._1)
           .map { case (k, v) => s""""$k":$v""" }.mkString(",")}},""" +

@@ -516,6 +516,39 @@ object Multimodal {
   final case class VideoFrameStats(doc_id: Long, frame_no: Int,
       w: Int, h: Int, px_sum: Long, px_max: Int)
 
+  /** Did this reader.read(i) throw the "no such frame" signal? The JDK
+    * GIF reader's checkIndex raises the EXACT IndexOutOfBoundsException
+    * class for an index past the last frame; its LZW decode raises the
+    * ArrayIndexOutOfBoundsException SUBCLASS on a corrupt-but-
+    * trailer-intact stream. Only the exact class may read as
+    * end-of-frames — mid-stream corruption must flag like a missing
+    * trailer does (rethrown → task failure), never silently ship the
+    * frames decoded so far as if they were all of them. This contract
+    * is the JDK reader's, which is why [[jdkGifReader]] pins that
+    * implementation rather than taking the registry's first hit. */
+  private[operators] def isEndOfFrames(e: IndexOutOfBoundsException): Boolean =
+    e.getClass == classOf[IndexOutOfBoundsException]
+
+  /** The JDK's own GIF reader, pinned BY CLASS from the ImageIO
+    * registry: [[isEndOfFrames]]' exact-class contract is an
+    * implementation detail of com.sun.imageio's GIFImageReader, and a
+    * higher-priority third-party plugin on a deployment classpath
+    * (e.g. TwelveMonkeys) would otherwise be handed back by
+    * getImageReadersByFormatName("gif").next() with a DIFFERENT
+    * past-the-last-frame signal — turning every healthy multi-frame
+    * container into a task failure after its final frame. */
+  private def jdkGifReader(): javax.imageio.ImageReader = {
+    val it = javax.imageio.ImageIO.getImageReadersByFormatName("gif")
+    var first: javax.imageio.ImageReader = null
+    while (it.hasNext) {
+      val r = it.next()
+      if (r.getClass.getName.startsWith("com.sun.imageio.")) return r
+      if (first == null) first = r
+    }
+    require(first != null, "no GIF ImageReader registered")
+    first // no JDK reader registered at all: better one codec than none
+  }
+
   /** Frame-sampled REAL video decode in ONE codec pass: the codegen'd
     * magic check qualifies containers at scan speed, then the
     * partition-batched decode opens each payload with the JDK's GIF
@@ -528,17 +561,6 @@ object Multimodal {
     * blocks are per-frame — the reader walks block lengths to reach
     * a later index, the same seek-not-scan property that matters when
     * a frame is megabytes, not the fixture's bytes). */
-  /** Is this reader.read(i) throw the "no such frame" signal? The JDK
-    * GIF reader's checkIndex raises the EXACT IndexOutOfBoundsException
-    * class for an index past the last frame; its LZW decode raises the
-    * ArrayIndexOutOfBoundsException SUBCLASS on a corrupt-but-
-    * trailer-intact stream. Only the exact class may read as
-    * end-of-frames — mid-stream corruption must flag like a missing
-    * trailer does (rethrown → task failure), never silently ship the
-    * frames decoded so far as if they were all of them. */
-  private[operators] def isEndOfFrames(e: IndexOutOfBoundsException): Boolean =
-    e.getClass == classOf[IndexOutOfBoundsException]
-
   def decodeVideoFrames(media: DataFrame,
       every: Int = FrameSampleEvery): DataFrame = {
     val s = media.sparkSession
@@ -550,8 +572,7 @@ object Multimodal {
         // one reader per PARTITION (reset + setInput per container):
         // the per-row ImageIO registry walk cost more than the tiny
         // fixture's decode itself
-        val reader =
-          javax.imageio.ImageIO.getImageReadersByFormatName("gif").next()
+        val reader = jdkGifReader()
         Option(org.apache.spark.TaskContext.get())
           .foreach(_.addTaskCompletionListener[Unit](_ => reader.dispose()))
         rows.flatMap { case (id, bytes) =>

@@ -24,11 +24,15 @@ class GraftFunctionsSpec extends SparkSpec {
     val srcDir = Paths.get("src/main/scala/graft/functions")
     assert(Files.isDirectory(srcDir), s"spec must run from the repo root")
     val namePat = """val FunctionName\s*=\s*"([^"]+)"""".r
-    val declared = Files.list(srcDir).iterator().asScala
-      .filter(_.toString.endsWith(".scala"))
-      .flatMap(p => namePat.findAllMatchIn(
-        new String(Files.readAllBytes(p), "UTF-8")).map(_.group(1)))
-      .toSeq
+    // Files.list holds an OS directory handle until closed
+    val listing = Files.list(srcDir)
+    val declared =
+      try listing.iterator().asScala
+        .filter(_.toString.endsWith(".scala"))
+        .flatMap(p => namePat.findAllMatchIn(
+          new String(Files.readAllBytes(p), "UTF-8")).map(_.group(1)))
+        .toSeq
+      finally listing.close()
     assert(declared.nonEmpty)
     assert(declared.distinct.sorted == declared.sorted,
       s"duplicate FunctionName constants: $declared")
