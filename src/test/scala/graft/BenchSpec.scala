@@ -39,6 +39,26 @@ class BenchSpec extends AnyFunSuite {
       Map("q_a" -> 1.25, "q_b" -> 0.5, "q_c" -> -1.0))
   }
 
+  test("a record in the r20 families format round-trips through both " +
+    "parsers (the reader must keep up with what the writer emits)") {
+    // the exact field ORDER Bench.main writes, families included —
+    // a future writer reordering that puts another object before
+    // `queries` would break the substring parse, and this is the test
+    // that must catch it
+    val txt = """{"metric":"total","value":160.58,"unit":"sec",""" +
+      """"queries":{"q_a":1.25,"q_stream_b":0.5},""" +
+      """"queries_median":{"q_a":1.3,"q_stream_b":0.6},""" +
+      """"families":{"stream_sec":0.5,"non_stream_sec":1.25,""" +
+      """"n_stream":1,"n_non_stream":1},""" +
+      """"contended":[],""" +
+      """"calibration":{"baseline_sec":0.42,"prev_baseline_sec":0.41,""" +
+      """"suspect_vs_prev":false,"worst_probe_sec":0.67,"factor":2,""" +
+      """"n_marked":0,"n_recovered":0,"probes":[0.42]},"sf":"sf0.1"}"""
+    assert(Bench.parsePrevMinima(txt) ==
+      Map("q_a" -> 1.25, "q_stream_b" -> 0.5))
+    assert(Bench.parsePrevBaseline(txt).contains(0.42))
+  }
+
   test("contended-flagged entries are DROPPED, not inherited") {
     val txt = """{"metric":"total","value":9.99,"unit":"sec",""" +
       """"queries":{"q_a":10.53,"q_b":0.5},""" +
