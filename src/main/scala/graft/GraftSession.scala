@@ -71,14 +71,48 @@ object GraftSession {
       .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
         ObjectAggFallbackKeys)
       .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "false")
+      // SCAN SPLIT OPEN COST (r21, measured): Spark pads every file by
+      // openCostInBytes before sizing splits as
+      // min(maxPartitionBytes, max(openCost, totalBytes/parallelism)),
+      // so the 4 MiB default — calibrated for seek-bound spinning
+      // disks — floors the split size and caps a single-file table's
+      // scan at ~size/4MiB tasks however many cores are idle (the
+      // 11 MiB fact table scanned 3-way on 32 cores; its percentile
+      // and multi-join gates spent 0.6–0.8 s in that 3-task stage,
+      // StageProbe r21). 256 KiB restores Spark's own bytes-per-core
+      // sizing for small page-cached/NVMe-resident inputs — measured
+      // ABBA 0.74–0.92× on the lineitem-scanning gates, noise-level
+      // elsewhere. Scale-neutral BY THE FORMULA: once totalBytes/
+      // parallelism exceeds maxPartitionBytes the open cost drops out
+      // entirely, so cluster-scale scans plan identically; the one
+      // production shape it changes is many-tiny-files corpora (packs
+      // up to 512 files per 128 MiB split instead of 32 — right for
+      // flash, revisit for seek-bound HDD via SPARK_GRAFT_CONF).
+      .config("spark.sql.files.openCostInBytes", "262144")
 
   /** The harness-main builder: local[cpus] with one shuffle partition
     * per core (local mode — not the 200-partition cluster default),
     * AQE on, plus [[shared]]. Callers chain any main-specific configs
-    * before getOrCreate. */
+    * before getOrCreate.
+    *
+    * SPARK_GRAFT_CONF="k=v,k=v" chains overrides AFTER the shared
+    * defaults (the BuildBench SPARK_GRAFT_BUILD_CONF knob, hoisted to
+    * every harness main): the A/B attribution tool for session-default
+    * experiments. A blank env value is treated as unset (a wrapper
+    * script's `SPARK_GRAFT_CONF=` must not crash the harness); a
+    * malformed non-empty entry still fails loudly — a silently-dropped
+    * override would poison the attribution the knob exists for. */
   def localBuilder(cpus: String): SparkSession.Builder =
     shared(SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true"))
+      .config(sys.env.get("SPARK_GRAFT_CONF").iterator
+        .flatMap(_.split(',')).filter(_.nonEmpty).map { kv =>
+          kv.split("=", 2) match {
+            case Array(k, v) if k.nonEmpty => (k, v)
+            case _ => throw new IllegalArgumentException(
+              s"SPARK_GRAFT_CONF: malformed entry '$kv' (want k=v)")
+          }
+        }.toMap)
 }

@@ -464,8 +464,18 @@ object SimilarityOps {
         pmod(col("v") * NNDescentInitA + col("r") * NNDescentInitB + 1L,
           lit(n)).as("nbr"))
       .filter(col("v") =!= col("nbr")).distinct()
-    var g = Materialize.pinIter(
-      topK(score(init)).select(col("v"), col("nbr"), col("cs")))
+    // each round's pin KEEPS the digest's rnk column (4 bytes/row):
+    // the final projection reads the LAST round's ranks directly
+    // instead of re-aggregating the already-k-cut graph through one
+    // more exchange + digest pass — topK of a topK output is the
+    // identity on both rows and ranks (same (cs DESC, nbr) comparator
+    // the spec pins), so the r20 final `topK(g)` job was pure rework.
+    // NOT re-repartitioned (r21 measured negative: explicit
+    // p-partition pins on these few-hundred-KB rounds added ~0.3 s
+    // fixed cost per task across 32 tasks — broadcast-relation access
+    // is serialized per task — and regressed the gate 4.66→4.9 s;
+    // AQE's 1–2-partition coalescing is the cheaper shape here).
+    var g = Materialize.pinIter(topK(score(init)))
     for (_ <- 1 to rounds) {
       val edges = g.select(col("v"), col("nbr"))
       val b = edges
@@ -474,14 +484,12 @@ object SimilarityOps {
         .select(col("x.v").as("v"), col("y.nbr").as("nbr"))
         .filter(col("v") =!= col("nbr"))
         .union(edges).distinct()
-      val next = Materialize.pinIter(
-        topK(score(cand)).select(col("v"), col("nbr"), col("cs")))
+      val next = Materialize.pinIter(topK(score(cand)))
       Materialize.unpin(g)
       g = next
     }
-    topK(g)
-      .select(col("v").as("vec_id"), col("rnk").cast("int").as("rnk"),
-        col("nbr"), round(col("cs"), 6).as("sim"))
+    g.select(col("v").as("vec_id"), col("rnk").cast("int").as("rnk"),
+      col("nbr"), round(col("cs"), 6).as("sim"))
   }
 
   /** Margin-based bitext mining (Artetxe & Schwenk, ACL'19 §3):
