@@ -71,24 +71,20 @@ object GraftSession {
       .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
         ObjectAggFallbackKeys)
       .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "false")
-      // SCAN SPLIT OPEN COST (r21, measured): Spark pads every file by
-      // openCostInBytes before sizing splits as
-      // min(maxPartitionBytes, max(openCost, totalBytes/parallelism)),
-      // so the 4 MiB default — calibrated for seek-bound spinning
-      // disks — floors the split size and caps a single-file table's
-      // scan at ~size/4MiB tasks however many cores are idle (the
-      // 11 MiB fact table scanned 3-way on 32 cores; its percentile
-      // and multi-join gates spent 0.6–0.8 s in that 3-task stage,
-      // StageProbe r21). 256 KiB restores Spark's own bytes-per-core
-      // sizing for small page-cached/NVMe-resident inputs — measured
-      // ABBA 0.74–0.92× on the lineitem-scanning gates, noise-level
-      // elsewhere. Scale-neutral BY THE FORMULA: once totalBytes/
-      // parallelism exceeds maxPartitionBytes the open cost drops out
-      // entirely, so cluster-scale scans plan identically; the one
-      // production shape it changes is many-tiny-files corpora (packs
-      // up to 512 files per 128 MiB split instead of 32 — right for
-      // flash, revisit for seek-bound HDD via SPARK_GRAFT_CONF).
-      .config("spark.sql.files.openCostInBytes", "262144")
+      // NOTE (r21, measured, then REVERTED): lowering
+      // spark.sql.files.openCostInBytes to 256 KiB looked like a win
+      // on the fact-table gates in a first ABBA whose A-window was
+      // contended, but the fixture tables are SINGLE-ROW-GROUP parquet
+      // — a parquet row group is assigned to exactly one split by its
+      // midpoint, so extra splits read nothing and scan parallelism
+      // cannot improve; 8 clean alternating runs put the two settings
+      // inside noise of each other (7.65 vs 7.91 s over 7 gates).
+      // Smaller openCost ALSO inflates DedupOps.spread's estimated
+      // split count (bytes-based), which would silently suppress the
+      // repartition exactly where the one-reader-task reality needs
+      // it. CPU-dense per-row work after a small scan is parallelized
+      // by spread()'s explicit repartition instead (media codecs,
+      // winnow fingerprints — see Multimodal.mediaIds / winnowSel).
 
   /** The harness-main builder: local[cpus] with one shuffle partition
     * per core (local mode — not the 200-partition cluster default),

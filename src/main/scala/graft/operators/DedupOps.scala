@@ -251,6 +251,35 @@ object DedupOps {
   def lshCandidatePairs(docs: DataFrame): DataFrame =
     candidatePairsFromBands(minhashBands(docs).pinned)
 
+  /** Spread a COMPUTE-DENSE candidate-pair frame across the session's
+    * cores before a per-pair verify stage (Levenshtein DP, exact
+    * set-Jaccard): a deduped pair list is a few hundred KB on the
+    * wire, so AQE's byte-targeted coalescing folds its exchange to ONE
+    * post-shuffle partition — and the O(len·τ)/O(|set|) per-pair work
+    * downstream then runs single-threaded while the other cores idle
+    * (StageProbe r21: q_dedup_edit's verify stage 0.77 s on 1 task,
+    * q_lsh_recall's exact-J stage 1.53 s on 1 task). Bytes are the
+    * wrong cost proxy for these frames; hash-repartitioning on the
+    * pair's own key columns (deterministic — no round-robin, so no
+    * retry-duplication hazard) pins a partition count AQE leaves
+    * alone. One extra exchange of a tiny deduped list buys the verify
+    * stage full parallelism; at cluster scale pair lists exceed the
+    * coalescing target and the explicit spread is a no-op by volume.
+    * Apply ONLY where the per-pair stage measures heavy (the exact-J
+    * audit) — on screened or small pair sets the extra exchange
+    * measured as a net loss (see the screenedEditPairs note).
+    *
+    * Keyed on `a` ALONE, deliberately: the natural (a, b) key is
+    * exactly the upstream distinct's partitioning, so the optimizer
+    * folds the repartition into that ENSURE_REQUIREMENTS exchange and
+    * AQE coalesces it right back to one partition (observed in the
+    * first r21 cut's explain — the "spread" was a no-op). hash(a) is
+    * a different partitioning, survives as REPARTITION_BY_NUM, and
+    * still satisfies the downstream per-pair joins on `a`. */
+  private[operators] def spreadPairs(pairs: DataFrame): DataFrame =
+    pairs.repartition(pairs.sparkSession.sparkContext.defaultParallelism,
+      col("a"))
+
   /** Signature-agreement Jaccard estimation with exact verification:
     * for each LSH candidate pair, the MinHash estimate Ĵ = (matching
     * signature slots)/K next to the true J over the full shingle
@@ -2170,6 +2199,13 @@ object DedupOps {
     val dist = graft.functions.BandedLevenshtein(
       pairs.sparkSession, col("ta"), col("tb"), tau)
     val sim = lit(1.0) - dist.cast("double") / maxLen
+    // NOT spread here (r21 measured): the length screen already drops
+    // most pairs before any DP, so the per-pair stage is light — an
+    // explicit spread regressed the two composition gates that feed
+    // screened pairs onward (q_dedup_keep_best_verified 1.18→1.62,
+    // q_ingest_decide 1.14→1.52) while q_dedup_edit_screened itself
+    // only moved within noise. spreadPairs stays for UNSCREENED
+    // per-pair verify stages (the lshRecallCurve exact-J pass).
     pairs
       .join(left.select(col("doc_id").as("a"), col("text").as("ta")), "a")
       .join(right.select(col("doc_id").as("b"), col("text").as("tb")), "b")
@@ -2205,11 +2241,11 @@ object DedupOps {
     val hot = shAll.groupBy(col("sh")).agg(count(lit(1)).as("df"))
       .filter(col("df") > MaxShingleDf).select(col("sh"))
     val sh = shAll.join(broadcast(hot), Seq("sh"), "left_anti")
-    val pairs = sh.as("x")
+    val pairs = spreadPairs(sh.as("x")
       .join(sh.as("y"),
         col("x.sh") === col("y.sh") && col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
-      .distinct()
+      .distinct())
     val inter = size(array_intersect(col("shs_a"), col("shs_b")))
     val j = inter.cast("double") /
       (size(col("shs_a")) + size(col("shs_b")) - inter)

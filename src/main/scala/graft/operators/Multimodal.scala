@@ -78,13 +78,31 @@ object Multimodal {
     * container bytes. */
   def pngMedia(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    Tables(s, dir, "documents").select(col("doc_id")).as[Long]
+    // spread() the doc_id column BEFORE the codec pass (r21): the
+    // corpus ships as one small parquet file, so the scan plans 2–3
+    // splits — and every per-doc ImageIO encode (and the decode pass
+    // consuming these rows in the same stage) then runs on 2–3 cores
+    // while the rest idle (StageProbe: the three media gates' only
+    // heavy stage at 3 tasks). The shuffled rows are bare longs; the
+    // codec work is orders of magnitude heavier than the exchange.
+    mediaIds(s, dir)
       .mapPartitions { ids =>
         // codec init once per partition: no temp-file cache churn
         javax.imageio.ImageIO.setUseCache(false)
         ids.map(id => (id, encodePng(id)))
       }
       .toDF("doc_id", "payload")
+  }
+
+  /** The media fixtures' common input: the corpus doc_id column,
+    * [[DedupOps.spread]] across the session's cores so the per-doc
+    * codec passes (PNG/WAV/GIF encode + their decodes, which ride the
+    * same stage) aren't pinned to a small file's 2–3 scan splits. */
+  private def mediaIds(s: SparkSession, dir: String)
+      : org.apache.spark.sql.Dataset[Long] = {
+    import s.implicits._
+    DedupOps.spread(Tables(s, dir, "documents").select(col("doc_id")))
+      .as[Long]
   }
 
   /** PNG signature bytes (the 8-byte magic every PNG starts with). */
@@ -288,6 +306,13 @@ object Multimodal {
     * deterministically from doc_id. */
   def wavMedia(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    // NOT spread (r21, measured): AudioSystem.write resolves its
+    // file-writer provider through the synchronized service registry
+    // on every call, so 32 concurrent encoder tasks serialize on the
+    // lookup and the gate REGRESSED 0.98→1.5–1.9 s spread; the 2–3
+    // scan-split tasks the corpus file yields are the cheaper shape
+    // for this codec (the PNG/GIF codecs have no such global lock and
+    // keep the spread — see mediaIds).
     Tables(s, dir, "documents").select(col("doc_id")).as[Long]
       .mapPartitions(ids => ids.map(id => (id, encodeWav(id))))
       .toDF("doc_id", "payload")
@@ -499,7 +524,7 @@ object Multimodal {
     * doc_id, encoded with the JDK codec on the executors. */
   def videoMedia(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    Tables(s, dir, "documents").select(col("doc_id")).as[Long]
+    mediaIds(s, dir) // spread: see pngMedia
       .mapPartitions { ids =>
         val writer =
           javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()

@@ -379,7 +379,12 @@ object SimilarityOps {
     * the kNN cut is a bounded per-vector window inside the cell
     * partitioning. */
   def knnGraph(e: DataFrame, centroids: DataFrame, k: Int): DataFrame = {
-    val cells = cellMembers(e, centroids)
+    // spread() before the Σ|cell|² pair expansion (r21): the corpus
+    // ships as one small parquet file, so the map-side cell assignment
+    // inherits the scan's 2–3 splits and the cosine-dense pair
+    // expansion + TopK partial runs on 2–3 of the session's cores
+    // (the q_lsh_recall exact-J shape; same fix)
+    val cells = DedupOps.spread(cellMembers(e, centroids))
     val scored = cells.join(
       cells.select(col("vec_id").as("nbr"), col("embedding").as("nv"),
         col("centroid_id")),
@@ -471,10 +476,10 @@ object SimilarityOps {
     // identity on both rows and ranks (same (cs DESC, nbr) comparator
     // the spec pins), so the r20 final `topK(g)` job was pure rework.
     // NOT re-repartitioned (r21 measured negative: explicit
-    // p-partition pins on these few-hundred-KB rounds added ~0.3 s
-    // fixed cost per task across 32 tasks — broadcast-relation access
-    // is serialized per task — and regressed the gate 4.66→4.9 s;
-    // AQE's 1–2-partition coalescing is the cheaper shape here).
+    // p-partition pins on the per-round candidate exchanges added an
+    // exchange per round and regressed the gate 4.66→4.9 s best-of-3;
+    // the rounds' wall cost is job/exchange machinery, not map-side
+    // parallelism, so AQE's coalescing is the cheaper shape here).
     var g = Materialize.pinIter(topK(score(init)))
     for (_ <- 1 to rounds) {
       val edges = g.select(col("v"), col("nbr"))
@@ -513,6 +518,10 @@ object SimilarityOps {
     * text and full embeddings never shuffle, only (id, cell, cos)
     * triples. */
   def bitextMine(e: DataFrame, centroids: DataFrame, k: Int): DataFrame = {
+    // NOT spread (r21 interleaved A/B: 1.48→1.78 s regression — the
+    // A/B-side split + margin windows downstream re-exchange anyway,
+    // so the extra round-robin only added an exchange; contrast
+    // knnGraph, whose spread feeds the pair expansion directly)
     val cells = cellMembers(e, centroids)
     val aSide = cells.filter(col("vec_id") % 2 === 0)
       .select(col("vec_id").as("a_id"), col("embedding").as("av"),

@@ -766,7 +766,15 @@ object TextOps {
   /** The q_text_winnow body over a (doc_id, text) frame — named so
     * the planted-shared-substring spec drives the same expressions. */
   def winnowFingerprints(docs: DataFrame): DataFrame =
-    winnowSel(docs)
+    // spread() before the winnow pass (r21, measured): an md5 per
+    // character 5-gram is the heaviest per-row map work in the text
+    // family, and a one-file corpus pins it to the scan's 2–3 splits
+    // — q_text_winnow 0.48→0.27 s spread. Applied HERE, not inside
+    // winnowSel: the pair-generator path (winnowPairs) pins and
+    // self-joins the exploded selection, and spreading ITS input
+    // measured as a net loss (q_dedup_winnow 1.04→1.25–1.32 — the
+    // 32-partition pin + fp join overhead exceeds the HOF win there).
+    winnowSel(DedupOps.spread(docs))
       .select(col("doc_id"), col("n_grams"), col("n_windows"),
         size(col("sel")).as("n_fp"),
         aggregate(col("sel"), lit(0L),
