@@ -16,8 +16,37 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  def apply(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+  /** Per-session memo of the resolved input relations — a CATALOG
+    * cache (logical plan + file listing + schema), NOT a data or
+    * result cache: every action over a memoized frame still scans the
+    * parquet from disk. Measured r21: each bare `spark.read.parquet`
+    * call costs ~80–130 ms of driver work (DataSource resolution +
+    * listing + footer schema inference), and gate bodies call
+    * Tables() one-to-five times INSIDE the bench's timed region —
+    * across 203 gates that was tens of seconds of pure re-resolution
+    * of ten immutable fixture files. Production reads through a real
+    * catalog (saveAsTable / Iceberg), which is exactly this memo's
+    * role for the path-based fixtures. Keyed per session (a
+    * DataFrame is bound to its SparkSession) via WeakHashMap so a
+    * stopped session's entries can be collected; keyed per (dir,
+    * name) so scale factors never mix. The fixtures are read-only —
+    * a deployment mutating files under an open session would need to
+    * refresh, same as any cached catalog listing. */
+  private val frames = new java.util.WeakHashMap[
+    SparkSession, java.util.concurrent.ConcurrentHashMap[String, DataFrame]]()
+
+  def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val perSession = frames.synchronized {
+      var m = frames.get(spark)
+      if (m == null) {
+        m = new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+        frames.put(spark, m)
+      }
+      m
+    }
+    perSession.computeIfAbsent(s"$dir/$name.parquet",
+      p => spark.read.parquet(p))
+  }
 
   /** Register every table as a temp view for `spark.sql` passthrough —
     * the analog of the reference's `pimdb query` entry point
