@@ -89,4 +89,30 @@ class TablesSpec extends SparkSpec {
         s"$sf: event_type type")
     }
   }
+
+  test("Tables() memoizes the resolved relation per (session, dir, " +
+    "table) — and the memo is a metadata cache, not a result cache") {
+    val dir = "/root/testdata/sf0.001"
+    // same session + same (dir, table) → the SAME DataFrame instance
+    // (the ~100 ms spark.read.parquet resolution runs once, r21)
+    val a = Tables(spark, dir, "nation")
+    val b = Tables(spark, dir, "nation")
+    assert(a eq b, "repeat call must return the memoized frame")
+    // different dir or table → distinct entries (scale factors and
+    // tables must never alias)
+    assert(!(Tables(spark, dir, "region") eq a))
+    assert(!(Tables(spark, "/root/testdata/sf0.01", "nation") eq a))
+    // a DIFFERENT session gets its own frame (a DataFrame is bound to
+    // the session that resolved it)
+    val s2 = spark.newSession()
+    val c = Tables(s2, dir, "nation")
+    assert(!(c eq a))
+    assert(c.sparkSession eq s2)
+    // the memoized frame still computes from the files — equal rows
+    // to a fresh, unmemoized read (metadata cache, not data cache)
+    val fresh = spark.read.parquet(s"$dir/nation.parquet")
+    assert(a.count() === fresh.count())
+    assert(a.selectExpr("sum(n_nationkey)").head.getLong(0) ===
+      fresh.selectExpr("sum(n_nationkey)").head.getLong(0))
+  }
 }
