@@ -5,11 +5,14 @@ import org.apache.spark.sql.SparkSession
 /** Benchmark main: runs every registered query against
   * SPARK_GRAFT_SF_DIR, writes per-query wall-clock seconds to a JSON
   * FILE (SPARK_GRAFT_BENCH_OUT, default ./BENCH_QUERIES.json) and
-  * prints ONE compact summary JSON line — total only — as the LAST
-  * stdout line. The registry outgrew the harness's bounded 2000-char
+  * prints TWO JSON lines: the full record (per-query `queries` map
+  * included — the r21 verdict's ask, so the driver's PERF comparator
+  * can read per-query minima off stdout) followed by ONE compact
+  * summary line — total only — as the LAST stdout line. The order
+  * matters: the registry outgrew the harness's bounded 2000-char
   * log tail twice (r6: full precision, r8: 103 keys even shortened),
-  * so the per-query map now lives in the file and the printed record
-  * stays O(1) regardless of registry size.
+  * so the LAST line must stay O(1) regardless of registry size and
+  * the unbounded record prints above it.
   *
   * Each query is forced through the `noop` sink — unlike `count()`,
   * which lets Spark prune the whole projection away, noop materializes
@@ -595,6 +598,17 @@ object Bench {
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"queries_median":$qsMed,"families":$famJson,"contended":$contJson,"calibration":$calJson,"sf":$sfLabel}"""
     java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
       (fileJson + "\n").getBytes("UTF-8"))
+    // the FULL record (per-query minima included) also goes to stdout,
+    // as the r21 verdict asked: the driver's PERF comparator needs the
+    // per-query map machine-readably on stdout, and the contract line
+    // has always been specified with a `queries` field. It prints
+    // FIRST, never last: the harness stores (and r8 demonstrably
+    // parsed) only a bounded ~2000-char stdout TAIL, and a 203-entry
+    // map is ~6 KB — as the LAST line it would overflow the tail and
+    // the round's record would parse to null (the r8 failure). A
+    // full-stdout reader finds this line by its `queries` key; a
+    // tail reader still gets the compact line below, whole.
+    println(fileJson)
     // compact summary LAST so the bounded tail always captures it whole
     println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.length},"n_failed":$nFailed,"n_contended":${stillContended.size},"stream_sec":${fmt(streamSec)},"non_stream_sec":${fmt(nonStreamSec)},"queries_file":${QueryDef.jsonString(outPath)},"sf":$sfLabel}""")
     spark.stop()

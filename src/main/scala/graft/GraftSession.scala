@@ -97,7 +97,12 @@ object GraftSession {
     * experiments. A blank env value is treated as unset (a wrapper
     * script's `SPARK_GRAFT_CONF=` must not crash the harness); a
     * malformed non-empty entry still fails loudly — a silently-dropped
-    * override would poison the attribution the knob exists for. */
+    * override would poison the attribution the knob exists for.
+    * LIMITATION (documented per the r21 advice): entries split on ','
+    * unconditionally, so a conf whose VALUE contains commas (e.g.
+    * spark.sql.extensions=a,b) cannot be expressed — the second
+    * fragment fails the k=v parse, loudly. The knob targets scalar
+    * tuning confs; list-valued confs need a code-level session change. */
   def localBuilder(cpus: String): SparkSession.Builder =
     shared(SparkSession.builder()
       .master(s"local[$cpus]")

@@ -18,8 +18,12 @@ object StageProbe {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // two distinct failure messages (r21 advice): zero args used to
+    // print a misleading empty "unknown query name(s):"
+    require(args.nonEmpty,
+      "usage: runMain graft.StageProbe <query name>... (none given)")
     val unknown = args.toSet -- SparkEntry.queries.keySet
-    require(args.nonEmpty && unknown.isEmpty,
+    require(unknown.isEmpty,
       s"unknown query name(s): ${unknown.toSeq.sorted.mkString(", ")}")
     val spark = GraftSession.localBuilder(cpus).getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
@@ -70,8 +74,18 @@ object StageProbe {
       SparkEntry.queries(name)(spark, sfDir).write.format("noop")
         .mode("overwrite").save()
       val wallSec = (System.nanoTime() - t0) / 1e9
-      // crude listener-bus drain before reading (bus is private API)
-      Thread.sleep(300)
+      // listener-bus drain before reading (the bus is private API, so
+      // poll the observed stage count for stability instead of a fixed
+      // sleep — a loaded box could deliver late StageCompleted events
+      // past any constant window and silently underreport, r21 advice)
+      var drained = false
+      var lastSize = -1
+      var waitedMs = 0L
+      while (!drained && waitedMs < 5000L) {
+        val size = stages.size()
+        if (size == lastSize) drained = true
+        else { lastSize = size; Thread.sleep(150); waitedMs += 150 }
+      }
       spark.sparkContext.removeSparkListener(listener)
       import scala.jdk.CollectionConverters._
       val rows = stages.asScala.toSeq.sortBy(_.stageId)

@@ -31,21 +31,45 @@ object Tables {
     * stopped session's entries can be collected; keyed per (dir,
     * name) so scale factors never mix. The fixtures are read-only —
     * a deployment mutating files under an open session would need to
-    * refresh, same as any cached catalog listing. */
+    * refresh, same as any cached catalog listing.
+    *
+    * The VALUES are SoftReferences (r22, closing the r21 advice): a
+    * strongly-held DataFrame value references its own SparkSession —
+    * the classic value-refers-to-key WeakHashMap anti-pattern — which
+    * would pin every stopped session (and its SessionState) for the
+    * JVM lifetime and make the "collectible when stopped" claim
+    * false. Behind a SoftReference the only strong chain to the
+    * session is broken: under heap pressure the referent is
+    * reclaimable and the weak key with it. A cleared referent just
+    * re-resolves (~100 ms of metadata work — this is a cache, not
+    * state), and soft refs survive ordinary GC (including the bench
+    * harness's System.gc() between runs), so the memo keeps its
+    * hit rate in practice. */
   private val frames = new java.util.WeakHashMap[
-    SparkSession, java.util.concurrent.ConcurrentHashMap[String, DataFrame]]()
+    SparkSession, java.util.concurrent.ConcurrentHashMap[
+      String, java.lang.ref.SoftReference[DataFrame]]]()
 
   def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
     val perSession = frames.synchronized {
       var m = frames.get(spark)
       if (m == null) {
-        m = new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+        m = new java.util.concurrent.ConcurrentHashMap[
+          String, java.lang.ref.SoftReference[DataFrame]]()
         frames.put(spark, m)
       }
       m
     }
-    perSession.computeIfAbsent(s"$dir/$name.parquet",
-      p => spark.read.parquet(p))
+    val path = s"$dir/$name.parquet"
+    // compute-then-check instead of computeIfAbsent: a present entry
+    // whose soft referent was cleared must be REPLACED, and doing the
+    // ~100 ms re-resolve inside the CHM lock would serialize
+    // concurrent first reads of different tables
+    val cached = Option(perSession.get(path)).flatMap(r => Option(r.get))
+    cached.getOrElse {
+      val df = spark.read.parquet(path)
+      perSession.put(path, new java.lang.ref.SoftReference(df))
+      df
+    }
   }
 
   /** Register every table as a temp view for `spark.sql` passthrough —

@@ -468,7 +468,12 @@ object SimilarityOps {
       .select(col("v"),
         pmod(col("v") * NNDescentInitA + col("r") * NNDescentInitB + 1L,
           lit(n)).as("nbr"))
-      .filter(col("v") =!= col("nbr")).distinct()
+      .filter(col("v") =!= col("nbr"))
+      // hash on v BEFORE the distinct: hashpartitioning(v) satisfies
+      // the (v, nbr) dedup's clustering AND the digest cut's groupBy(v),
+      // so one exchange serves the whole candidate→score→k-cut chain
+      // (the per-round rewrite below, applied to the init too)
+      .repartition(col("v")).distinct()
     // each round's pin KEEPS the digest's rnk column (4 bytes/row):
     // the final projection reads the LAST round's ranks directly
     // instead of re-aggregating the already-k-cut graph through one
@@ -481,14 +486,39 @@ object SimilarityOps {
     // the rounds' wall cost is job/exchange machinery, not map-side
     // parallelism, so AQE's coalescing is the cheaper shape here).
     var g = Materialize.pinIter(topK(score(init)))
+    // Per-round shuffle shape (rewritten r22, guide §2.4 — remove
+    // shuffles outright): the former round ran FIVE exchanges —
+    // b = (edges ∪ reverse).distinct() (1), the b ⋈ b self-join on
+    // x.nbr = y.v (2, one per side), the candidate distinct (1) and
+    // the k-cut's groupBy(v) (1) — each materialized as its own AQE
+    // job, and this gate's wall is job-count × per-job floor (r21:
+    // 31 jobs, taskTimeSum 4.4 s vs wall 4.1 s). Two observations
+    // fold it to TWO exchanges per round:
+    //  1. b is symmetric by construction, so the self-join's output
+    //     is exactly ∪_m { (u, w) : u, w ∈ B(m) } with B(m) = out ∪
+    //     in neighbors of m — ONE collect_set aggregation keyed on
+    //     the middle vertex (the union's dedup rides the set for
+    //     free) followed by a map-side double explode produces the
+    //     identical pair set with no join and no pre-distinct.
+    //  2. hashpartitioning(v) satisfies BOTH the candidate dedup's
+    //     (v, nbr) clustering and the digest cut's groupBy(v), so
+    //     one repartition(v) ahead of the distinct serves the whole
+    //     score→k-cut tail (the embedding attach joins broadcast at
+    //     gate scale and preserve the partitioning; at cluster scale
+    //     they fall back to equi-join exchanges exactly as before).
+    // Candidate SET, scoring expression and comparator are unchanged
+    // — the oracle's unrolled CTE rounds replay identically.
     for (_ <- 1 to rounds) {
       val edges = g.select(col("v"), col("nbr"))
-      val b = edges
-        .union(g.select(col("nbr").as("v"), col("v").as("nbr"))).distinct()
-      val cand = b.as("x").join(b.as("y"), col("x.nbr") === col("y.v"))
-        .select(col("x.v").as("v"), col("y.nbr").as("nbr"))
+      val adj = edges
+        .union(g.select(col("nbr").as("v"), col("v").as("nbr")))
+        .groupBy(col("v")).agg(collect_set(col("nbr")).as("bs"))
+      val cand = adj
+        .select(explode(col("bs")).as("v"), col("bs"))
+        .select(col("v"), explode(col("bs")).as("nbr"))
         .filter(col("v") =!= col("nbr"))
-        .union(edges).distinct()
+        .union(edges)
+        .repartition(col("v")).distinct()
       val next = Materialize.pinIter(topK(score(cand)))
       Materialize.unpin(g)
       g = next
@@ -670,10 +700,18 @@ object SimilarityOps {
   private def ivfLloyd(corpus: DataFrame, k: Int, iters: Int,
       meanOf: Column => Column): DataFrame = {
     val s = corpus.sparkSession
-    val firstRow = corpus.select(size(col("embedding")).as("d")).limit(1).collect()
-    require(firstRow.nonEmpty, "ivfTrain: empty corpus")
-    val dim = firstRow(0).getInt(0)
-    val n = corpus.count()
+    // ONE bounded job for both training constants (r22, guide §5 —
+    // the dim probe and the count were separate sequential 1-task
+    // jobs in a gate whose wall is job-count × per-job floor). max()
+    // over per-row sizes replaces the old limit(1) pick: embeddings
+    // are fixed-width per corpus (TablesSpec pins the type), so any
+    // row's size — max included — is THE dimension, exactly as the
+    // arbitrary first row was.
+    val nd = corpus.agg(count(lit(1)).as("n"),
+      max(size(col("embedding"))).as("d")).head()
+    val n = nd.getLong(0)
+    require(n > 0, "ivfTrain: empty corpus")
+    val dim = nd.getInt(1)
     require(n >= k, s"ivfTrain: corpus has $n vectors, need at least k=$k")
     // The k×dim centroid set is index GEOMETRY, not data — it lives
     // driver-side for the whole loop (the MLlib-KMeans shape). Each
