@@ -2785,6 +2785,7 @@ object SimilarityOps {
     * collect ships the seed ids as a broadcast-joinable set. */
   private def pqLloyd(e: DataFrame, k: Int, iters: Int, caller: String,
       meanOf: Column => Column): DataFrame = {
+    val s = e.sparkSession
     val n = e.count()
     require(n >= k, s"$caller: corpus has $n vectors, need at least k=$k")
     val seedIds = stridedSeedIds(e, n, k)
@@ -2793,34 +2794,66 @@ object SimilarityOps {
       .select(col("vec_id"), col("sub"),
         col("esub").cast("array<double>").as("esub"))
       .pinned // reused by every assignment round
-    var cb = ev
+    // The m×k codebook is index GEOMETRY, not data — it lives
+    // driver-side for the whole loop (r22: the ivfLloyd shape applied
+    // to the PQ training; the former frame-per-iteration form paid ~5
+    // jobs per round — broadcast build, the sub-join argmin re-group,
+    // the means exchange, the carry join and a pinIter — in a gate
+    // whose wall is job-count × per-job floor, 24 jobs for 0.8 s of
+    // task time). Each iteration is now ONE distributed job: ev holds
+    // exactly one row per (vec_id, sub), so the argmin over the
+    // codebook CONSTANTS is pure map-side array arithmetic
+    // (array_min over struct(d2, cid) — the same lexicographic
+    // tie-break as the former min(struct(d2, cid)) and the oracle's
+    // ORDER BY d2, cid), feeding one (sub, cid)-bounded mean
+    // aggregate whose m×k rows are collected. Arithmetic is
+    // unchanged: sqDist over the same double arrays, meanOf per dim,
+    // empty cells keep their previous centroid — the oracle's
+    // unrolled CTE rounds replay bit-identically.
+    var cb: Seq[((Int, Int), Seq[Double])] = ev
       .join(broadcast(seedIds), "vec_id")
-      .select(col("sub"), col("cid"), col("esub").as("csub"))
-      .pinnedIter
+      .select(col("sub"), col("cid"), col("esub"))
+      .collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> r.getSeq[Double](2)).toSeq
+      .sortBy(_._1)
     (0 until iters).foreach { _ =>
-      val assigned = ev.join(broadcast(cb), "sub")
-        .select(col("vec_id"), col("sub"), col("esub"),
-          sqDist(col("esub"), col("csub")).as("d2"), col("cid"))
-        .groupBy(col("vec_id"), col("sub"))
-        .agg(min(struct(col("d2").as("d"), col("cid").as("c"))).as("m"),
-          first(col("esub")).as("esub"))
+      val cbBySub: Column = array((0 until PqSubspaces).map { sub =>
+        array(cb.collect { case ((`sub`, cid), csub) =>
+          struct(lit(cid).as("cid"),
+            array(csub.map(lit(_)): _*).as("csub"))
+        }: _*)
+      }: _*)
+      val m = array_min(transform(element_at(cbBySub, col("sub") + 1),
+        c => struct(sqDist(col("esub"), c.getField("csub")).as("d"),
+          c.getField("cid").as("c"))))
       val dimCols = (0 until PqSubDim).map(i =>
         meanOf(element_at(col("esub"), i + 1)).as(s"d$i"))
-      val means = assigned
-        .select(col("sub"), col("m.c").as("cid"), col("esub"))
+      val got = ev
+        .select(col("sub"), m.getField("c").as("cid"), col("esub"))
         .groupBy(col("sub"), col("cid"))
         .agg(dimCols.head, dimCols.tail: _*)
         .select(col("sub"), col("cid"),
           array((0 until PqSubDim).map(i => col(s"d$i")): _*).as("new_csub"))
-      val next = cb
-        .join(means, Seq("sub", "cid"), "left_outer")
-        .select(col("sub"), col("cid"),
-          coalesce(col("new_csub"), col("csub")).as("csub"))
-        .pinnedIter
-      Materialize.unpin(cb)
-      cb = next
+        .collect()
+        .map(r => (r.getInt(0), r.getInt(1)) ->
+          r.getSeq[java.lang.Double](2)).toMap
+      // empty cells keep their previous centroid (the former
+      // left_outer coalesce). Collected as BOXED doubles with a
+      // null-element check — the ivfLloyd discipline: a silent unbox
+      // would fabricate 0.0 where the frame form carried null through
+      cb = cb.map { case (key, prev) =>
+        got.get(key) match {
+          case Some(nv) if !nv.contains(null) =>
+            key -> nv.map(_.doubleValue).toSeq
+          case _ => key -> prev
+        }
+      }
     }
-    cb
+    // rebuild the m×k-row frame callers expect, in a deterministic
+    // (sub, cid) order (bounded driver material, the ivfLloyd shape)
+    import s.implicits._
+    cb.map { case ((sub, cid), csub) => (sub, cid, csub) }
+      .toDF("sub", "cid", "csub")
   }
 
   /** [[pqTrain]] with per-iteration centroid QUANTIZATION (means
