@@ -99,6 +99,31 @@ object DedupOps {
     * (Range, LocalRelation) pass through as before — no partition
     * evidence without forcing the plan, and those are driver-side
     * fixtures, not ingest paths. */
+  /** Footer probes beyond this many files are skipped: with that many
+    * files the listing itself proves scan capacity, and a driver
+    * should not serially open hundreds of footers to decide a
+    * heuristic (guide §5 — the driver does no data work). */
+  private[operators] val FooterProbeMaxFiles = 64
+
+  /** Row-group count of one parquet file, memoized by (path, length)
+    * — the same footer the scan reads once for schema/stats, so a
+    * repeat spread() over the same immutable fixture costs nothing.
+    * None when the footer cannot be read (not parquet after all,
+    * permissions): the caller falls back to byte math for that file. */
+  private val rowGroupCounts =
+    new java.util.concurrent.ConcurrentHashMap[(String, Long), Long]()
+  private def parquetRowGroups(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String, len: Long): Option[Long] =
+    try Some(rowGroupCounts.computeIfAbsent((path, len), { _ =>
+      val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(path),
+        spark.sparkContext.hadoopConfiguration)
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+      try r.getRowGroups.size.toLong finally r.close()
+    }))
+    catch { case _: Throwable => None }
+
   private[operators] def spread(df: DataFrame): DataFrame = {
     val spark = df.sparkSession
     val parallelism = spark.sparkContext.defaultParallelism
@@ -151,9 +176,44 @@ object DedupOps {
           // packed-bin floor, not ceil — packing fills bins to
           // maxSplit, so the fractional bin folds into the last one;
           // erring low just repartitions near the threshold
-          comp.length.toLong +
+          val byBytes = comp.length.toLong +
             (if (spl.isEmpty) 0L
              else math.max(1L, splPadded / math.max(1L, maxSplit)))
+          // ROW-GROUP CAP (r22, the r21 openCost revert's lesson made
+          // executable): a parquet row group is assigned to exactly
+          // ONE split by its midpoint, so a file contributes at most
+          // its row-group count of NON-EMPTY scan tasks whatever the
+          // byte math says — a 1 GB single-row-group file is 1 reader
+          // task even at maxPartitionBytes=16. Byte splits of such a
+          // file read nothing, and trusting them here silently skips
+          // the repartition exactly where the one-reader-task reality
+          // needs it. Footers are consulted ONLY in the doubtful case
+          // (byte estimate says "enough splits"), only for parquet
+          // files, only up to FooterProbeMaxFiles (beyond that the
+          // file count alone is real capacity), and each footer read
+          // is memoized by (path, length) — reading a footer is the
+          // same bounded metadata I/O the scan itself already did.
+          if (byBytes < math.max(2, parallelism / 2)) byBytes
+          else {
+            val (parq, other) = spl.partition(
+              _._1.toLowerCase.endsWith(".parquet"))
+            if (parq.isEmpty || spl.length > FooterProbeMaxFiles) byBytes
+            else {
+              val otherPadded = other.map { case (_, len) =>
+                BigInt(len) + openCost }.sum.min(BigInt(Long.MaxValue)).toLong
+              val capacity = comp.length.toLong +
+                (if (other.isEmpty) 0L
+                 else math.max(1L, otherPadded / math.max(1L, maxSplit))) +
+                parq.map { case (p, len) =>
+                  parquetRowGroups(spark, p, len).getOrElse(
+                    // unreadable footer: fall back to this file's
+                    // byte-math contribution rather than failing the
+                    // estimate (the scan will surface a real error)
+                    math.max(1L, (len + openCost) / math.max(1L, maxSplit)))
+                }.sum
+              math.min(byBytes, capacity)
+            }
+          }
         } else {
           // non-v1 scan: only aggregate plan stats are available, so
           // fall back to the corpus-global shape
@@ -269,16 +329,27 @@ object DedupOps {
     * audit) — on screened or small pair sets the extra exchange
     * measured as a net loss (see the screenedEditPairs note).
     *
-    * Keyed on `a` ALONE, deliberately: the natural (a, b) key is
-    * exactly the upstream distinct's partitioning, so the optimizer
-    * folds the repartition into that ENSURE_REQUIREMENTS exchange and
-    * AQE coalesces it right back to one partition (observed in the
-    * first r21 cut's explain — the "spread" was a no-op). hash(a) is
-    * a different partitioning, survives as REPARTITION_BY_NUM, and
-    * still satisfies the downstream per-pair joins on `a`. */
+    * Keyed on (`a`, pmod(hash(b), [[SpreadPairsSalt]])), deliberately:
+    * the natural (a, b) key is exactly the upstream distinct's
+    * partitioning, so the optimizer folds the repartition into that
+    * ENSURE_REQUIREMENTS exchange and AQE coalesces it right back to
+    * one partition (observed in the first r21 cut's explain — the
+    * "spread" was a no-op); a different expression set survives as
+    * REPARTITION_BY_NUM. The r21 cut keyed on hash(a) alone, which a
+    * near-duplicate HUB defeats at scale — one document appearing in
+    * a large fraction of candidate pairs funnels the verify stage to
+    * one partition (guide §2.5 skew). The salt term is DERIVED from
+    * `b` (deterministic — never rand(), whose re-drawn values under a
+    * fetch-failure retry duplicate or lose rows, SPARK-38388), so a
+    * hub key a still spreads across SpreadPairsSalt partitions while
+    * the partitioning stays reproducible. Downstream the verify-stage
+    * set joins broadcast (the sets frame is the small side), so no
+    * consumer needed hash(a) clustering — re-verified in the r22
+    * q_lsh_recall plan. */
+  private[operators] val SpreadPairsSalt = 16
   private[operators] def spreadPairs(pairs: DataFrame): DataFrame =
     pairs.repartition(pairs.sparkSession.sparkContext.defaultParallelism,
-      col("a"))
+      col("a"), pmod(hash(col("b")), lit(SpreadPairsSalt)))
 
   /** Signature-agreement Jaccard estimation with exact verification:
     * for each LSH candidate pair, the MinHash estimate Ĵ = (matching

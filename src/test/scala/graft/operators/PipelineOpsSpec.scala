@@ -41,14 +41,34 @@ class PipelineOpsSpec extends SparkSpec {
     // derived in-memory input has no scan leaves: passes through AS-IS
     val many = spark.range(100).toDF("doc_id").repartition(parallelism * 2)
     assert(DedupOps.spread(many) eq many)
-    // a scan whose size/maxPartitionBytes already yields enough splits
-    // passes through with NO extra exchange (the 100 TB case)
+    // a scan whose byte math yields enough splits AND whose files
+    // carry enough ROW GROUPS passes through with NO extra exchange
+    // (the 100 TB case). The fixture forces many row groups via a
+    // tiny parquet block size — a row group per handful of rows.
     val key = "spark.sql.files.maxPartitionBytes"
     val prev = spark.conf.get(key)
+    val multiRgDir =
+      java.nio.file.Files.createTempDirectory("graft_spread_rg").toString
+    spark.range(20000).toDF("doc_id")
+      .withColumn("pad", org.apache.spark.sql.functions.lpad(
+        col("doc_id").cast("string"), 200, "x"))
+      .coalesce(1).write.mode("overwrite")
+      .option("parquet.block.size", "4096")
+      .option("parquet.page.size", "1024")
+      .parquet(multiRgDir)
     try {
       spark.conf.set(key, "16")
-      val wide = spark.read.parquet(dir)
+      val wide = spark.read.parquet(multiRgDir)
       assert(DedupOps.spread(wide) eq wide)
+      // ...but a SINGLE-row-group file is ONE reader task whatever
+      // the byte math claims (a row group belongs to exactly one
+      // split by its midpoint — the r21 openCost lesson): the
+      // row-group cap overrides the byte estimate and the
+      // repartition fires
+      val oneRg = spark.read.parquet(dir)
+      assert(DedupOps.spread(oneRg).rdd.getNumPartitions == parallelism,
+        "single-row-group file must repartition even when byte math " +
+          "claims enough splits")
     } finally spark.conf.set(key, prev)
     // the r17 LogicalRDD path: a 1-partition pinned frame — the shape
     // foreachBatch hands a trigger's slice in — fans out (the stream
@@ -61,6 +81,33 @@ class PipelineOpsSpec extends SparkSpec {
     val pinnedMany = spark.range(100).toDF("doc_id")
       .repartition(parallelism * 2).localCheckpoint()
     assert(DedupOps.spread(pinnedMany) eq pinnedMany)
+  }
+
+  test("spreadPairs spreads a near-duplicate hub key instead of " +
+    "funnelling it to one partition") {
+    import spark.implicits._
+    // a hub: doc 1 pairs with 4000 others (one doc in most candidate
+    // pairs — syndicated boilerplate), plus a background of ordinary
+    // pairs. Keyed on `a` alone this funnels 4000 verify rows into
+    // ONE partition (guide §2.5); the salted key must spread them.
+    val hub = (2L to 4001L).map(b => (1L, b))
+    val rest = (5000L to 5499L).map(i => (i, i + 10000L))
+    val pairs = (hub ++ rest).toDF("a", "b")
+    val spreadDf = DedupOps.spreadPairs(pairs)
+    val sizes = spreadDf
+      .groupBy(org.apache.spark.sql.functions.spark_partition_id())
+      .count().collect().map(_.getLong(1))
+    val hubShare = sizes.max.toDouble / (hub.size + rest.size)
+    assert(hubShare < 0.5,
+      s"hub key still funnels: max partition holds ${sizes.max} of " +
+        s"${hub.size + rest.size} pairs")
+    // deterministic partitioning (never rand-derived): same input,
+    // same assignment — and no pair lost or duplicated
+    assert(spreadDf.count() === pairs.count())
+    assert(DedupOps.spreadPairs(pairs)
+      .groupBy(org.apache.spark.sql.functions.spark_partition_id())
+      .count().collect().map(_.getLong(1)).sorted.toSeq ===
+      sizes.sorted.toSeq)
   }
 
   test("minhash LSH candidates find the near-dup pair, not the unrelated doc") {
