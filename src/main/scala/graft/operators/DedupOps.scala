@@ -775,7 +775,8 @@ object DedupOps {
     * shape for keeping dedup clusters current as a corpus grows.
     * Result invariant: equals starComponents over the union of ALL
     * edges ever seen (spec-pinned, including cross-batch merges). */
-  def incrementalStars(prevStars: DataFrame, newEdges: DataFrame): DataFrame = {
+  def incrementalStars(prevStars: DataFrame, newEdges: DataFrame,
+      localEdges: Int = LocalIncrementalEdges): DataFrame = {
     // bootstrap fast path: a STATICALLY-empty prev (first trigger of a
     // fresh index — the gate passes `within.filter(lit(false))`, which
     // the optimizer folds to an empty LocalRelation) has no components
@@ -803,26 +804,95 @@ object DedupOps {
         greatest(col("a"), col("b")).as("b"))
       .filter(col("a") =!= col("b"))
       .pinned // feeds the endpoint set AND the contraction
-    // (no distinct here: starComponents distincts its input, and the
-    // endpoint explode below is distinct-ed — one less shuffle per
-    // maintenance round)
-    val ends = edges
-      .select(explode(array(col("a"), col("b"))).as("e")).distinct()
-    val touchedLabels = ends
-      .join(prevStars.select(col("b").as("e"), col("a").as("lbl")),
-        Seq("e"), "left_outer")
-      .select(coalesce(col("lbl"), col("e")).as("a")).distinct()
-      .pinned // both the semi and anti side below
-    val touched = prevStars.join(touchedLabels, Seq("a"), "left_semi")
-    val untouched = prevStars.join(touchedLabels, Seq("a"), "left_anti")
-    // back to EDGE form: drop the centers' self-labels ((c, c) rows —
-    // starComponents emits them for labeling) so the state stays a
-    // clean self-loop-free edge set the next round can contract again
-    starComponents(touched.union(edges))
-      .filter(col("doc_id") =!= col("cluster_id"))
-      .select(col("cluster_id").as("a"), col("doc_id").as("b"))
-      .union(untouched)
+    // BOUNDED LOCAL PATH (r22 — the starComponents tryLocal
+    // discipline applied one level up): a maintenance trigger's edge
+    // set is tiny BY DESIGN (O(affected subgraph)), and the general
+    // path below spends its per-trigger wall on job floors — the
+    // endpoint distinct, the label outer-join, the touchedLabels pin
+    // and its two broadcast rebuilds in the semi/anti consumers. When
+    // one bounded probe of the pinned edges fits (the same
+    // limit(bound+1) trick tryLocal uses, so an oversized batch costs
+    // one cheap probe and falls through), the endpoint set derives on
+    // the driver, the touched labels come from ONE broadcast probe of
+    // the state table (output ≤ one row per matched endpoint), and
+    // touched/untouched become map-side InSet filters on the bucketed
+    // state scan — no joins, no pins, two fewer jobs per trigger and
+    // a flatter swap-write plan. The label SETS are identical to the
+    // general path's: matched endpoints contribute their stored
+    // label, unmatched ones themselves (the coalesce), so the
+    // touched/untouched partition — and everything downstream — is
+    // unchanged. Longs only (production doc ids; anything else keeps
+    // the general path authoritative, the localComponents rule).
+    val localOk = edges.schema.fields.forall(
+      _.dataType == org.apache.spark.sql.types.LongType)
+    val probe: Option[Array[org.apache.spark.sql.Row]] =
+      if (!localOk) None
+      else {
+        val p = edges.limit(math.max(0, localEdges) + 1).collect()
+        if (p.length <= localEdges) Some(p) else None
+      }
+    probe match {
+      case Some(rows) =>
+        val s = prevStars.sparkSession
+        import s.implicits._
+        val ends = rows.iterator.flatMap(r =>
+          Iterator(r.getLong(0), r.getLong(1))).toSet
+        val matched =
+          if (ends.isEmpty) Array.empty[org.apache.spark.sql.Row]
+          else prevStars
+            .join(broadcast(ends.toSeq.toDF("e")),
+              col("b") === col("e"))
+            .select(col("b"), col("a")).collect()
+        val matchedEnds = matched.map(_.getLong(0)).toSet
+        val lbls: Seq[Long] =
+          (matched.map(_.getLong(1)).toSet ++ (ends -- matchedEnds)).toSeq
+        // an empty label set (an empty trigger batch) cannot go
+        // through isin() — Catalyst rejects an empty IN list — and
+        // means "nothing touched" literally
+        val touched =
+          if (lbls.isEmpty) prevStars.filter(lit(false))
+          else prevStars.filter(col("a").isin(lbls: _*))
+        val untouched =
+          if (lbls.isEmpty) prevStars
+          else prevStars.filter(!col("a").isin(lbls: _*))
+        starComponents(touched.union(edges))
+          .filter(col("doc_id") =!= col("cluster_id"))
+          .select(col("cluster_id").as("a"), col("doc_id").as("b"))
+          .union(untouched)
+      case None =>
+        // general distributed path — authoritative for oversized
+        // batches and non-long ids
+        // (no distinct here: starComponents distincts its input, and
+        // the endpoint explode below is distinct-ed — one less
+        // shuffle per maintenance round)
+        val ends = edges
+          .select(explode(array(col("a"), col("b"))).as("e")).distinct()
+        val touchedLabels = ends
+          .join(prevStars.select(col("b").as("e"), col("a").as("lbl")),
+            Seq("e"), "left_outer")
+          .select(coalesce(col("lbl"), col("e")).as("a")).distinct()
+          .pinned // both the semi and anti side below
+        val touched = prevStars.join(touchedLabels, Seq("a"), "left_semi")
+        val untouched = prevStars.join(touchedLabels, Seq("a"), "left_anti")
+        // back to EDGE form: drop the centers' self-labels ((c, c)
+        // rows — starComponents emits them for labeling) so the state
+        // stays a clean self-loop-free edge set the next round can
+        // contract again
+        starComponents(touched.union(edges))
+          .filter(col("doc_id") =!= col("cluster_id"))
+          .select(col("cluster_id").as("a"), col("doc_id").as("b"))
+          .union(untouched)
+    }
   }
+
+  /** Edge sets at or below this bound take [[incrementalStars]]'
+    * bounded local path: the endpoint set (≤ 2× this) must be cheap
+    * driver material AND small enough that the touched/untouched
+    * InSet filters stay compact plan literals. Far below
+    * [[LocalContractEdges]] deliberately — that bound sizes one
+    * union-find collect, this one sizes an expression embedded in
+    * every downstream plan of the trigger. */
+  val LocalIncrementalEdges: Int = 1 << 12
 
   /** APPEND one ingest batch's minhash bands into a stored
     * [[writeBandIndex]] table, keeping the (band, bucket) bucketed

@@ -778,6 +778,29 @@ class PipelineOpsSpec extends SparkSpec {
     assert(fin == Set((1L, 2L), (1L, 3L), (1L, 10L), (1L, 11L), (20L, 21L)))
   }
 
+  test("incremental stars: the bounded local path and the distributed " +
+    "general path land the identical state") {
+    // same planted rounds as above; localEdges = 0 forces the general
+    // path (the starComponents localFinishEdges = -1 convention), the
+    // default takes the r22 bounded path — both must agree after every
+    // round, including the cross-batch merge round
+    val rounds = Seq(
+      Seq((1L, 2L), (10L, 11L)),
+      Seq((20L, 21L), (3L, 2L)),
+      Seq((3L, 10L)))
+    var local = Seq.empty[(Long, Long)].toDF("a", "b")
+    var general = Seq.empty[(Long, Long)].toDF("a", "b")
+    rounds.foreach { es =>
+      local = DedupOps.incrementalStars(local, es.toDF("a", "b"))
+        .localCheckpoint()
+      general = DedupOps.incrementalStars(general, es.toDF("a", "b"),
+        localEdges = 0).localCheckpoint()
+      val l = local.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val g = general.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(l == g, s"paths diverged after $es")
+    }
+  }
+
   test("verified clusters: a banded candidate failing the screened edit " +
     "confirm does not merge, while a true near-dup still does") {
     // doc 2 is doc 1 with its first paragraph rotated to the end:
